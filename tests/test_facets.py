@@ -1,0 +1,78 @@
+"""Unit tests for the vectorized facet kernels (no Ray needed).
+
+Modeled on the reference's per-operator unit layer
+(``/root/reference/xmlschema/tests/test_meta.py:25-263`` builtin-type checks).
+"""
+
+import numpy as np
+import pyarrow as pa
+import pytest
+
+from xmlschema_ray.constraints import facets as F
+
+
+def test_range_facets():
+    arr = pa.chunked_array([pa.array([1, 5, 10, None, -3], type=pa.int32())])
+    m, _ = F.MinInclusive(0).check(arr)
+    assert m.tolist() == [False, False, False, False, True]
+    m, _ = F.MaxInclusive(5).check(arr)
+    assert m.tolist() == [False, False, True, False, False]
+    m, _ = F.MinExclusive(1).check(arr)
+    assert m.tolist() == [True, False, False, False, True]
+    m, _ = F.MaxExclusive(10).check(arr)
+    assert m.tolist() == [False, False, True, False, False]
+
+
+def test_length_facets_string_and_list():
+    s = pa.array(["a", "abc", None, ""])
+    m, _ = F.MinLength(1).check(s)
+    assert m.tolist() == [False, False, False, True]
+    m, _ = F.MaxLength(2).check(s)
+    assert m.tolist() == [False, True, False, False]
+    m, _ = F.Length(3).check(s)
+    assert m.tolist() == [True, False, False, True]
+    lst = pa.array([[1, 2], [], None, [1, 2, 3]], type=pa.list_(pa.int32()))
+    m, _ = F.MinLength(1).check(lst)
+    assert m.tolist() == [False, True, False, False]
+    m, _ = F.MaxLength(2).check(lst)
+    assert m.tolist() == [False, False, False, True]
+
+
+def test_pattern_anchored():
+    s = pa.array(["doc-0123456789ab", "doc-XYZ", None, "xdoc-0123456789ab"])
+    m, _ = F.Pattern(r"doc-[0-9a-f]{12}").check(s)
+    assert m.tolist() == [False, True, False, True]
+
+
+def test_enumeration():
+    s = pa.array(["web", "books", "junk", None])
+    m, _ = F.Enumeration(("web", "books", "code")).check(s)
+    assert m.tolist() == [False, False, True, False]
+
+
+def test_item_facets_flags_parent_and_reports_first_offender():
+    lst = pa.array([[1, 2, 3], [4, -1, 99999], None, []], type=pa.list_(pa.int32()))
+    f = F.ItemFacets((F.MinInclusive(0), F.MaxExclusive(50257)))
+    m, reprs = f.check(lst)
+    assert m.tolist() == [False, True, False, False]
+    assert reprs[1] == "item=-1"
+
+
+def test_item_facets_on_sliced_array():
+    lst = pa.array([[99999], [1], [2], [-5]], type=pa.list_(pa.int32())).slice(1, 3)
+    f = F.ItemFacets((F.MinInclusive(0), F.MaxExclusive(50257)))
+    m, _ = f.check(lst)
+    assert m.tolist() == [False, False, True]
+
+
+def test_lint_contradictory_bounds():
+    with pytest.raises(F.SpecError):
+        F.lint_facet_stack(pa.string(), [F.MinLength(5), F.MaxLength(2)])
+    with pytest.raises(F.SpecError):
+        F.lint_facet_stack(pa.int32(), [F.MinInclusive(10), F.MaxInclusive(1)])
+    with pytest.raises(F.SpecError):
+        F.lint_facet_stack(pa.int32(), [F.MinLength(1)])  # length facet on int
+    with pytest.raises(F.SpecError):
+        F.lint_facet_stack(pa.string(), [F.Pattern("([")])
+    # consistent stack passes
+    F.lint_facet_stack(pa.string(), [F.MinLength(1), F.MaxLength(10), F.Pattern("x+")])

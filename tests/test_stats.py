@@ -1,0 +1,77 @@
+"""Sketch correctness: HLL accuracy & mergeability, moments, KS/PSI."""
+
+import numpy as np
+import pyarrow as pa
+
+from xmlschema_ray.engine import stats as S
+
+
+def test_hll_estimate_accuracy():
+    rng = np.random.default_rng(7)
+    vals = np.array([f"k{i}" for i in rng.integers(0, 20000, size=100_000)], dtype=object)
+    true = len(set(vals.tolist()))
+    reg = S.hll_new()
+    S.hll_add_hashes(reg, S.hash64(vals))
+    est = S.hll_estimate(reg)
+    assert abs(est - true) / true < 0.05
+
+
+def test_hll_merge_equals_union():
+    a_vals = np.array([f"a{i}" for i in range(5000)], dtype=object)
+    b_vals = np.array([f"a{i}" for i in range(2500, 7500)], dtype=object)
+    ra, rb, rall = S.hll_new(), S.hll_new(), S.hll_new()
+    S.hll_add_hashes(ra, S.hash64(a_vals))
+    S.hll_add_hashes(rb, S.hash64(b_vals))
+    S.hll_add_hashes(rall, S.hash64(np.concatenate([a_vals, b_vals])))
+    assert np.array_equal(S.hll_merge(ra, rb), rall)
+
+
+def test_column_stats_merge_matches_global():
+    rng = np.random.default_rng(3)
+    x = rng.normal(10, 2, size=10_000)
+    a, b, g = S.ColumnStats(), S.ColumnStats(), S.ColumnStats()
+    a.observe(x[:4000], 2)
+    b.observe(x[4000:], 3)
+    g.observe(x, 5)
+    a.merge(b)
+    assert a.count == g.count and a.null_count == g.null_count
+    assert np.isclose(a.mean, g.mean) and np.isclose(a.std, g.std)
+    assert a.vmin == g.vmin and a.vmax == g.vmax
+
+
+def test_batch_stats_collect_and_merge():
+    t1 = pa.table(
+        {
+            "n": pa.array([1, 2, None], type=pa.int32()),
+            "k": pa.array(["a", "b", "a"]),
+            "lst": pa.array([[1], [1, 2], [1, 2, 3]], type=pa.list_(pa.int32())),
+        }
+    )
+    t2 = pa.table(
+        {
+            "n": pa.array([10, 20], type=pa.int32()),
+            "k": pa.array(["c", "a"]),
+            "lst": pa.array([[1, 2, 3, 4], []], type=pa.list_(pa.int32())),
+        }
+    )
+    hspec = {"len(lst)": np.array([0.0, 2.0, 4.0, 6.0])}
+    b1 = S.collect_batch_stats(t1, ["n"], ["k"], hspec)
+    b2 = S.collect_batch_stats(t2, ["n"], ["k"], hspec)
+    b1.merge(b2)
+    assert b1.n_rows == 5
+    cs = b1.columns["n"]
+    assert cs.count == 4 and cs.null_count == 1 and cs.vmin == 1 and cs.vmax == 20
+    assert abs(S.hll_estimate(b1.hlls["k"]) - 3) < 0.5
+    # lens 1,2,3,4,0 over edges [0,2,4,6]: [0,2)->{0,1}, [2,4)->{2,3}, [4,6]->{4}
+    assert b1.histograms["len(lst)"].tolist() == [2, 2, 1]
+    blob = b1.dumps()
+    assert S.BatchStats.loads(blob).n_rows == 5
+
+
+def test_ks_and_psi():
+    h1 = np.array([100, 200, 300, 100])
+    assert S.ks_statistic(h1, h1) == 0.0
+    assert S.psi(h1, h1) < 1e-9
+    h2 = np.array([300, 200, 100, 100])
+    assert S.ks_statistic(h1, h2) > 0.2
+    assert S.psi(h1, h2) > 0.1

@@ -1,0 +1,57 @@
+"""xmlschema_ray — a Ray-Data-native schema + constraint validation engine.
+
+A brand-new engine that re-imagines the validator surface of the reference
+``xmlschema`` package (XSD 1.0/1.1 facets, occurrence bounds, identity
+constraints ``xs:unique``/``xs:key``/``xs:keyref``) as declarative column
+constraints over Parquet tables of pre-tokenized training sequences,
+executed as streaming Ray Data pipelines:
+
+* ``constraints`` — the declarative ``TableConstraints`` spec (the analog of
+  a compiled XSD schema graph, reference ``validators/globals_.py:204-474``)
+  and vectorized Arrow facet kernels (reference ``validators/facets.py``).
+* ``engine`` — the run lifecycle: a zero-copy ``map_batches`` row validator
+  (stage A), uniqueness via pre-aggregated groupby shuffle (stage B),
+  referential integrity via a broadcast dimension set in an actor pool
+  (stage C), mergeable stats sketches + drift checks (stage D), writers and
+  per-partition lineage checkpoints (stage E).
+* ``ops`` — general relational operators (broadcast joins, combiner-style
+  aggregation, top-k, windows) built Ray-Data-first.
+* ``functions`` — vectorized scalar/text/vector function library
+  (hashing, MinHash/SimHash, language-ID, quality scoring, cosine top-k).
+* ``pipelines`` — end-user pipelines: validation runs, dedup family,
+  similarity search, text analysis, multimodal plumbing.
+* ``sources`` — readers and the deterministic synthetic sequence generator
+  used by tests and benchmarks.
+
+Validation semantics follow the reference: validation is decode-with-errors
+(``validators/xsdbase.py:547-593``), run modes mirror strict/lax/skip
+(``xsdbase.py:24``), and verdicts use the PSVI vocabulary
+``validity``/``validation_attempted`` (``xsdbase.py:69-92``).
+"""
+
+from xmlschema_ray.constraints.spec import (
+    ColumnSpec,
+    DriftSpec,
+    ForeignKey,
+    LengthEquals,
+    SpecError,
+    TableConstraints,
+    UniqueKey,
+)
+from xmlschema_ray.constraints import facets
+from xmlschema_ray.engine.engine import ValidationEngine, ValidationResult
+
+__all__ = [
+    "ColumnSpec",
+    "DriftSpec",
+    "ForeignKey",
+    "LengthEquals",
+    "SpecError",
+    "TableConstraints",
+    "UniqueKey",
+    "ValidationEngine",
+    "ValidationResult",
+    "facets",
+]
+
+__version__ = "0.1.0"

@@ -1,0 +1,348 @@
+"""Vectorized facet kernels over Arrow arrays.
+
+Each facet is the columnar re-expression of one XSD facet from the reference
+(``/root/reference/xmlschema/validators/facets.py``): where the reference
+attaches a per-value callable to a simple type and yields an error per bad
+value (``facets.py:91-93``), we attach a vectorized predicate to a column
+and return a boolean *violation mask* for a whole Arrow array at once.
+
+Facet -> reference mapping (file:line into /root/reference/xmlschema):
+
+* ``MinInclusive``/``MaxInclusive``/``MinExclusive``/``MaxExclusive`` —
+  ``validators/facets.py:261-398``.
+* ``MinLength``/``MaxLength``/``Length`` — ``validators/facets.py:132-258``
+  (string length, list item count; the reference's hexBinary/base64 length
+  arithmetic maps to ``pc.binary_length`` on decoded binary columns).
+* ``Pattern`` — ``validators/facets.py:564-628`` (the reference translates
+  XSD regexes to anchored Python regexes at schema-build time,
+  ``regex.py:249-357``; we anchor at compile time and evaluate with RE2 via
+  ``pc.match_substring_regex``).
+* ``Enumeration`` — ``validators/facets.py:490-561``.
+* ``ItemFacets`` — per-item checks of ``xs:list`` item types
+  (``validators/simple_types.py:718-739``): flatten the list column, run the
+  inner facet on the flat values, regroup violations to parent rows.
+
+A facet never fires on null input — nullability is a separate column-level
+check (required-attribute analog, ``validators/attributes.py:578-581``).
+
+All kernels are pure pyarrow.compute / numpy; no Python-per-row loops.
+"""
+
+from __future__ import annotations
+
+import re
+from dataclasses import dataclass, field
+from typing import Any, Optional, Sequence, Tuple
+
+import numpy as np
+import pyarrow as pa
+import pyarrow.compute as pc
+
+
+class SpecError(ValueError):
+    """Raised when a facet/spec is inconsistent at compile time.
+
+    The analog of the reference's schema-build-time facet consistency checks
+    (``validators/simple_types.py:134-231`` ``_parse_facets``): e.g.
+    ``minLength > maxLength`` must fail at spec build, not at scan time.
+    """
+
+
+def _to_numpy_bool(mask: pa.Array | pa.ChunkedArray) -> np.ndarray:
+    """Boolean Arrow array -> numpy bool, nulls treated as False (no fire)."""
+    if isinstance(mask, pa.ChunkedArray):
+        mask = mask.combine_chunks()
+    return mask.fill_null(False).to_numpy(zero_copy_only=False)
+
+
+def _null_mask(arr: pa.Array | pa.ChunkedArray) -> np.ndarray:
+    return _to_numpy_bool(pc.is_null(arr))
+
+
+@dataclass(frozen=True)
+class Facet:
+    """Base class. ``check(array)`` returns (violation_mask, value_repr).
+
+    ``violation_mask`` is a numpy bool array (True = this row violates);
+    ``value_repr`` is either None (caller formats from the column) or a
+    numpy object array of short offending-value strings aligned to rows.
+    """
+
+    kind: str = field(init=False, default="facet")
+
+    def check(self, arr: pa.Array | pa.ChunkedArray) -> Tuple[np.ndarray, Optional[np.ndarray]]:
+        raise NotImplementedError
+
+    def lint(self, dtype: pa.DataType) -> None:
+        """Compile-time consistency check against the column dtype."""
+
+    def describe(self) -> str:
+        raise NotImplementedError
+
+
+def _cmp_violation(arr, op, value) -> np.ndarray:
+    """Violation mask for a comparison facet: True where NOT op(value)."""
+    ok = op(arr, value)
+    return ~_to_numpy_bool(ok) & ~_null_mask(arr)
+
+
+@dataclass(frozen=True)
+class MinInclusive(Facet):
+    """x >= value (reference ``facets.py:261-293``)."""
+
+    value: Any = None
+
+    def check(self, arr):
+        return _cmp_violation(arr, pc.greater_equal, self.value), None
+
+    def describe(self):
+        return f"minInclusive({self.value})"
+
+
+@dataclass(frozen=True)
+class MaxInclusive(Facet):
+    """x <= value (reference ``facets.py:331-363``)."""
+
+    value: Any = None
+
+    def check(self, arr):
+        return _cmp_violation(arr, pc.less_equal, self.value), None
+
+    def describe(self):
+        return f"maxInclusive({self.value})"
+
+
+@dataclass(frozen=True)
+class MinExclusive(Facet):
+    """x > value (reference ``facets.py:296-328``)."""
+
+    value: Any = None
+
+    def check(self, arr):
+        return _cmp_violation(arr, pc.greater, self.value), None
+
+    def describe(self):
+        return f"minExclusive({self.value})"
+
+
+@dataclass(frozen=True)
+class MaxExclusive(Facet):
+    """x < value (reference ``facets.py:366-398``)."""
+
+    value: Any = None
+
+    def check(self, arr):
+        return _cmp_violation(arr, pc.less, self.value), None
+
+    def describe(self):
+        return f"maxExclusive({self.value})"
+
+
+def _length_of(arr: pa.Array | pa.ChunkedArray) -> pa.Array:
+    t = arr.type
+    if pa.types.is_list(t) or pa.types.is_large_list(t):
+        return pc.list_value_length(arr)
+    if pa.types.is_string(t) or pa.types.is_large_string(t):
+        return pc.utf8_length(arr)
+    if pa.types.is_binary(t) or pa.types.is_large_binary(t):
+        return pc.binary_length(arr)
+    raise SpecError(f"length facet not applicable to dtype {t}")
+
+
+def _lint_length(dtype: pa.DataType, name: str) -> None:
+    ok = (
+        pa.types.is_list(dtype)
+        or pa.types.is_large_list(dtype)
+        or pa.types.is_string(dtype)
+        or pa.types.is_large_string(dtype)
+        or pa.types.is_binary(dtype)
+        or pa.types.is_large_binary(dtype)
+    )
+    if not ok:
+        raise SpecError(f"{name} facet requires a string/binary/list column, got {dtype}")
+
+
+@dataclass(frozen=True)
+class MinLength(Facet):
+    """len(x) >= k (reference ``facets.py:175-215``)."""
+
+    k: int = 0
+
+    def check(self, arr):
+        n = _length_of(arr)
+        return _cmp_violation(n, pc.greater_equal, self.k), None
+
+    def lint(self, dtype):
+        _lint_length(dtype, "minLength")
+        if self.k < 0:
+            raise SpecError("minLength must be >= 0")
+
+    def describe(self):
+        return f"minLength({self.k})"
+
+
+@dataclass(frozen=True)
+class MaxLength(Facet):
+    """len(x) <= k (reference ``facets.py:218-258``)."""
+
+    k: int = 0
+
+    def check(self, arr):
+        n = _length_of(arr)
+        return _cmp_violation(n, pc.less_equal, self.k), None
+
+    def lint(self, dtype):
+        _lint_length(dtype, "maxLength")
+        if self.k < 0:
+            raise SpecError("maxLength must be >= 0")
+
+    def describe(self):
+        return f"maxLength({self.k})"
+
+
+@dataclass(frozen=True)
+class Length(Facet):
+    """len(x) == k exactly (reference ``facets.py:132-172``)."""
+
+    k: int = 0
+
+    def check(self, arr):
+        n = _length_of(arr)
+        return _cmp_violation(n, pc.equal, self.k), None
+
+    def lint(self, dtype):
+        _lint_length(dtype, "length")
+
+    def describe(self):
+        return f"length({self.k})"
+
+
+@dataclass(frozen=True)
+class Pattern(Facet):
+    """Anchored regex match (reference ``facets.py:564-628``).
+
+    The reference anchors translated XSD regexes with ``^(...)$``
+    (``facets.py:585-593``); we do the same at compile time and evaluate with
+    Arrow's RE2 kernel. Multiple patterns = value must match ANY (the XSD
+    rule, ``facets.py:614-620``) — pass alternates joined with ``|``.
+    """
+
+    pattern: str = ""
+
+    def _anchored(self) -> str:
+        p = self.pattern
+        if not p.startswith("^"):
+            p = "^(?:" + p + ")$"
+        return p
+
+    def check(self, arr):
+        ok = pc.match_substring_regex(arr, self._anchored())
+        return ~_to_numpy_bool(ok) & ~_null_mask(arr), None
+
+    def lint(self, dtype):
+        if not (pa.types.is_string(dtype) or pa.types.is_large_string(dtype)):
+            raise SpecError(f"pattern facet requires a string column, got {dtype}")
+        try:
+            re.compile(self.pattern)
+        except re.error as e:  # pragma: no cover - message detail
+            raise SpecError(f"invalid pattern {self.pattern!r}: {e}") from e
+
+    def describe(self):
+        return f"pattern({self.pattern!r})"
+
+
+@dataclass(frozen=True)
+class Enumeration(Facet):
+    """Value must be in a fixed set (reference ``facets.py:490-561``)."""
+
+    values: Tuple[Any, ...] = ()
+
+    def check(self, arr):
+        ok = pc.is_in(arr, value_set=pa.array(list(self.values)))
+        return ~_to_numpy_bool(ok) & ~_null_mask(arr), None
+
+    def lint(self, dtype):
+        if not self.values:
+            raise SpecError("enumeration facet requires at least one value")
+
+    def describe(self):
+        return f"enumeration({list(self.values)!r})"
+
+
+@dataclass(frozen=True)
+class ItemFacets(Facet):
+    """Apply inner facets to every item of a list column.
+
+    The columnar form of ``xs:list`` item-type decoding
+    (``validators/simple_types.py:718-739``): flatten the list values, run
+    each inner facet over the flat item array, then regroup item violations
+    to parent rows via the list offsets. A parent row violates if ANY of its
+    items violates; the first offending item value is reported.
+    """
+
+    facets: Tuple[Facet, ...] = ()
+
+    def check(self, arr):
+        if isinstance(arr, pa.ChunkedArray):
+            arr = arr.combine_chunks()
+        n = len(arr)
+        viol = np.zeros(n, dtype=bool)
+        reprs = np.full(n, None, dtype=object)
+        if n == 0:
+            return viol, reprs
+        # list_flatten + list_parent_indices are mutually consistent (both
+        # skip null lists) and correct for sliced arrays.
+        values = pc.list_flatten(arr)
+        parent_idx = pc.list_parent_indices(arr).to_numpy(zero_copy_only=False)
+        item_viol = np.zeros(len(values), dtype=bool)
+        for f in self.facets:
+            m, _ = f.check(values)
+            item_viol |= m
+        if item_viol.any():
+            bad_pos = np.flatnonzero(item_viol)
+            bad_parent = parent_idx[bad_pos]
+            # first offending item per parent
+            uniq_parent, first_ix = np.unique(bad_parent, return_index=True)
+            viol[uniq_parent] = True
+            first_vals = values.take(pa.array(bad_pos[first_ix])).to_pylist()
+            for p, v in zip(uniq_parent, first_vals):
+                reprs[p] = f"item={v!r}"
+        return viol, reprs
+
+    def lint(self, dtype):
+        if not (pa.types.is_list(dtype) or pa.types.is_large_list(dtype)):
+            raise SpecError(f"itemFacets requires a list column, got {dtype}")
+        for f in self.facets:
+            f.lint(dtype.value_type)
+
+    def describe(self):
+        inner = ",".join(f.describe() for f in self.facets)
+        return f"items[{inner}]"
+
+
+def lint_facet_stack(dtype: pa.DataType, facets: Sequence[Facet]) -> None:
+    """Cross-facet consistency linting at spec-compile time.
+
+    Mirrors the reference's ``_parse_facets`` checks
+    (``validators/simple_types.py:134-231``): contradictory bounds are a
+    spec error, not a runtime mystery.
+    """
+    for f in facets:
+        f.lint(dtype)
+    by_type = {type(f): f for f in facets}
+    lo = by_type.get(MinLength)
+    hi = by_type.get(MaxLength)
+    if lo is not None and hi is not None and lo.k > hi.k:
+        raise SpecError(f"minLength({lo.k}) > maxLength({hi.k})")
+    exact = by_type.get(Length)
+    if exact is not None:
+        if lo is not None and lo.k > exact.k:
+            raise SpecError(f"minLength({lo.k}) > length({exact.k})")
+        if hi is not None and hi.k < exact.k:
+            raise SpecError(f"maxLength({hi.k}) < length({exact.k})")
+    mins = [f.value for t, f in by_type.items() if t in (MinInclusive, MinExclusive)]
+    maxs = [f.value for t, f in by_type.items() if t in (MaxInclusive, MaxExclusive)]
+    for a in mins:
+        for b in maxs:
+            if a > b:
+                raise SpecError(f"lower bound {a!r} > upper bound {b!r}")

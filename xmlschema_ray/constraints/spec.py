@@ -1,0 +1,281 @@
+"""Declarative table constraints — the compiled-schema analog.
+
+The reference compiles an XSD document into an ``XsdGlobals`` object graph
+once, then reuses it for every validation run
+(``/root/reference/xmlschema/validators/globals_.py:204-474``). Our analog is
+``TableConstraints``: a small, pickleable, declarative spec — an Arrow schema
+plus per-column facet stacks, row-level checks, identity constraints and
+drift profiles — compiled and linted ONCE on the driver, then shipped to
+workers by closure / actor ``__init__`` (cheap: it is pure data).
+
+Spec linting mirrors the reference's schema-build-time checks:
+
+* facet consistency (``validators/simple_types.py:134-231``),
+* duplicate/ambiguous constraint names — the Unique Particle Attribution
+  analog (``validators/models.py:186-224`` ``check_model``),
+* keyref wiring resolved at compile time (``validators/identities.py:257-288``
+  ``parse_refer``).
+"""
+
+from __future__ import annotations
+
+from dataclasses import dataclass, field
+from typing import Any, Callable, Dict, List, Optional, Sequence, Tuple
+
+import numpy as np
+import pyarrow as pa
+
+from xmlschema_ray.constraints.facets import Facet, SpecError, lint_facet_stack
+
+__all__ = [
+    "ColumnSpec",
+    "DriftSpec",
+    "ForeignKey",
+    "LengthEquals",
+    "RowCheck",
+    "SpecError",
+    "TableConstraints",
+    "UniqueKey",
+]
+
+
+@dataclass(frozen=True)
+class ColumnSpec:
+    """One column: dtype + nullability + facet stack.
+
+    The analog of an ``XsdAtomicRestriction``/``XsdList`` with its facet
+    chain (``validators/simple_types.py:1136-1167``). ``required`` missing
+    column = required-attribute violation (``validators/attributes.py:578-581``);
+    ``nullable=False`` = minOccurs>=1 on the value.
+    """
+
+    name: str
+    dtype: pa.DataType
+    nullable: bool = False
+    required: bool = True
+    facets: Tuple[Facet, ...] = ()
+
+    def __post_init__(self):
+        # dataclass(frozen) + mutable default workaround: accept lists.
+        if not isinstance(self.facets, tuple):
+            object.__setattr__(self, "facets", tuple(self.facets))
+
+
+@dataclass(frozen=True)
+class RowCheck:
+    """Arbitrary row-level assertion: ``fn(table) -> bool violation mask``.
+
+    The XSD 1.1 assertion escape hatch (``validators/facets.py:631-676``,
+    ``assertions.py:21-81``): a user-supplied vectorized predicate compiled
+    once and run per batch. ``fn`` takes a ``pa.Table`` and returns a numpy
+    bool array (True = violation).
+    """
+
+    name: str
+    columns: Tuple[str, ...]
+    fn: Callable[[pa.Table], np.ndarray]
+    reason: str = "row assertion failed"
+
+
+def LengthEquals(list_col: str, int_col: str, name: Optional[str] = None) -> RowCheck:
+    """Declared-length-equals-actual-length consistency check.
+
+    ``n_tok == len(tokens)`` is the tabular form of "declared occurs must
+    equal observed occurs" (``validators/xsdbase.py:754-799``
+    ``is_missing``/``is_over``).
+    """
+    import pyarrow.compute as pc
+
+    def _fn(table: pa.Table) -> np.ndarray:
+        actual = pc.list_value_length(table[list_col])
+        declared = table[int_col]
+        eq = pc.equal(pc.cast(actual, pa.int64()), pc.cast(declared, pa.int64()))
+        ok = eq.combine_chunks().fill_null(False).to_numpy(zero_copy_only=False)
+        both_null = pc.and_(pc.is_null(table[list_col]), pc.is_null(table[int_col]))
+        ok |= both_null.combine_chunks().fill_null(False).to_numpy(zero_copy_only=False)
+        return ~ok
+
+    return RowCheck(
+        name=name or f"{int_col}_equals_len_{list_col}",
+        columns=(list_col, int_col),
+        fn=_fn,
+        reason=f"{int_col} != len({list_col})",
+    )
+
+
+@dataclass(frozen=True)
+class UniqueKey:
+    """Global uniqueness of a column tuple.
+
+    The ``xs:unique``/``xs:key``/``xs:ID`` analog
+    (``validators/identities.py:198-221``, ``simple_types.py:508-516``):
+    global exact uniqueness cannot be checked inside one batch — it becomes
+    a hash-partitioned count shuffle in the engine (stage B).
+    """
+
+    columns: Tuple[str, ...]
+    name: Optional[str] = None
+
+    def __post_init__(self):
+        if not isinstance(self.columns, tuple):
+            object.__setattr__(self, "columns", tuple(self.columns))
+        if self.name is None:
+            object.__setattr__(self, "name", "unique_" + "_".join(self.columns))
+
+
+@dataclass(frozen=True)
+class ForeignKey:
+    """Referential integrity: fact column values ⊆ dimension key set.
+
+    The ``xs:keyref`` analog (``validators/identities.py:232-318``): keyref
+    field tuples must exist in the referenced key set; a violation is an
+    unmatched tuple. The engine checks this with the dimension key set
+    broadcast once (``ray.put``) and membership-tested per batch in an actor
+    pool (stage C) — dimension ≪ fact, so no shuffle.
+    """
+
+    column: str
+    dim_name: str
+    dim_key: str
+    name: Optional[str] = None
+
+    def __post_init__(self):
+        if self.name is None:
+            object.__setattr__(self, "name", f"fk_{self.column}_refs_{self.dim_name}")
+
+
+@dataclass(frozen=True)
+class DriftSpec:
+    """Distribution-drift gate on a derived integer quantity.
+
+    No reference analog (mandated by the north rule): the engine histograms
+    ``quantity`` per batch (``length_of`` a list column or a numeric column
+    directly), merges histograms driver-side, and compares against
+    ``reference_hist`` with a two-sample KS statistic over the binned ECDFs
+    and PSI. Exceeding either threshold fails the drift verdict — the stats
+    channel, never the row-violation channel.
+    """
+
+    column: str
+    bin_edges: Tuple[float, ...]
+    reference_hist: Optional[Tuple[int, ...]] = None
+    ks_threshold: float = 0.15
+    psi_threshold: float = 0.25
+    use_list_length: bool = False
+    name: Optional[str] = None
+
+    def __post_init__(self):
+        if not isinstance(self.bin_edges, tuple):
+            object.__setattr__(self, "bin_edges", tuple(self.bin_edges))
+        if self.reference_hist is not None and not isinstance(self.reference_hist, tuple):
+            object.__setattr__(self, "reference_hist", tuple(self.reference_hist))
+        if self.name is None:
+            object.__setattr__(self, "name", f"drift_{self.column}")
+        if len(self.bin_edges) < 2:
+            raise SpecError("drift bin_edges needs >= 2 edges")
+        if self.reference_hist is not None and len(self.reference_hist) != len(self.bin_edges) - 1:
+            raise SpecError("reference_hist length must be len(bin_edges) - 1")
+
+
+@dataclass
+class TableConstraints:
+    """The full spec for one table. Compile with :meth:`compile` (lints).
+
+    ``allow_extra_columns`` is the wildcard policy
+    (``validators/wildcards.py:215-233`` ``XsdAnyElement`` processContents):
+    ``True`` = lax (unknown columns pass through), ``False`` = strict
+    (unknown column is a partition-level violation).
+    """
+
+    name: str
+    columns: List[ColumnSpec]
+    row_checks: List[RowCheck] = field(default_factory=list)
+    unique_keys: List[UniqueKey] = field(default_factory=list)
+    foreign_keys: List[ForeignKey] = field(default_factory=list)
+    drift: List[DriftSpec] = field(default_factory=list)
+    key_columns: Tuple[str, ...] = ()
+    allow_extra_columns: bool = True
+    # stats collection targets: numeric columns profiled min/max/mean/null;
+    # distinct-sketch columns tracked with HyperLogLog.
+    stats_columns: Tuple[str, ...] = ()
+    distinct_columns: Tuple[str, ...] = ()
+
+    def __post_init__(self):
+        if not self.key_columns and self.columns:
+            self.key_columns = (self.columns[0].name,)
+        if not isinstance(self.key_columns, tuple):
+            self.key_columns = tuple(self.key_columns)
+        if not isinstance(self.stats_columns, tuple):
+            self.stats_columns = tuple(self.stats_columns)
+        if not isinstance(self.distinct_columns, tuple):
+            self.distinct_columns = tuple(self.distinct_columns)
+
+    # -- compile-time -----------------------------------------------------
+
+    def arrow_schema(self) -> pa.Schema:
+        return pa.schema([pa.field(c.name, c.dtype, nullable=c.nullable) for c in self.columns])
+
+    def compile(self) -> "TableConstraints":
+        """Lint the spec; returns self on success, raises SpecError.
+
+        The analog of validating the schema document against the meta-schema
+        before building (``validators/schema.py:350-354``) plus the UPA
+        determinism check (``validators/models.py:186-224``).
+        """
+        names = [c.name for c in self.columns]
+        if len(set(names)) != len(names):
+            dupes = sorted({n for n in names if names.count(n) > 1})
+            raise SpecError(f"duplicate column specs: {dupes}")
+        known = set(names)
+        for c in self.columns:
+            try:
+                lint_facet_stack(c.dtype, c.facets)
+            except SpecError as e:
+                raise SpecError(f"column {c.name!r}: {e}") from e
+        seen_constraints: set = set()
+        for label in self._constraint_names():
+            if label in seen_constraints:
+                raise SpecError(f"duplicate constraint name {label!r}")
+            seen_constraints.add(label)
+        for rc in self.row_checks:
+            for col in rc.columns:
+                if col not in known:
+                    raise SpecError(f"row check {rc.name!r} references unknown column {col!r}")
+        for uk in self.unique_keys:
+            for col in uk.columns:
+                if col not in known:
+                    raise SpecError(f"unique key {uk.name!r} references unknown column {col!r}")
+        for fk in self.foreign_keys:
+            if fk.column not in known:
+                raise SpecError(f"foreign key {fk.name!r} references unknown column {fk.column!r}")
+        for d in self.drift:
+            if d.column not in known:
+                raise SpecError(f"drift spec {d.name!r} references unknown column {d.column!r}")
+            col = next(c for c in self.columns if c.name == d.column)
+            is_list = pa.types.is_list(col.dtype) or pa.types.is_large_list(col.dtype)
+            if d.use_list_length != is_list:
+                raise SpecError(
+                    f"drift spec {d.name!r}: use_list_length={d.use_list_length} "
+                    f"inconsistent with dtype {col.dtype}"
+                )
+        for col in self.key_columns + self.stats_columns + self.distinct_columns:
+            if col not in known:
+                raise SpecError(f"unknown column {col!r} in key/stats/distinct columns")
+        return self
+
+    def _constraint_names(self) -> List[str]:
+        out: List[str] = []
+        for c in self.columns:
+            for f in c.facets:
+                out.append(f"{c.name}.{f.describe()}")
+        out += [rc.name for rc in self.row_checks]
+        out += [uk.name for uk in self.unique_keys]
+        out += [fk.name for fk in self.foreign_keys]
+        out += [d.name for d in self.drift]
+        return out
+
+    def column(self, name: str) -> ColumnSpec:
+        for c in self.columns:
+            if c.name == name:
+                return c
+        raise KeyError(name)

@@ -1,0 +1,306 @@
+"""Stage A: the zero-copy per-batch row validator.
+
+The columnar analog of ``XsdElement.iter_decode``
+(``/root/reference/xmlschema/validators/elements.py:436-551``) — the
+per-record driver that runs every row-local check. Where the reference walks
+one element tree per record through a generator chain, we take one Arrow
+batch (zero-copy from the object store) and evaluate every facet stack and
+row assertion as vectorized kernels, emitting:
+
+* violation rows — the materialized-error analog of
+  ``XMLSchemaValidationError(validator, obj, reason, path)``
+  (``validators/exceptions.py:182-229``): here
+  ``(partition_id, key, constraint_name, column, reason, value_repr)``
+  with ``key`` playing the role of the locating XPath;
+* one partial-stats blob per batch (see ``stats.py``) — same single pass,
+  mirroring validation-is-decode-with-errors (``xsdbase.py:547-593``).
+
+Run modes follow the reference's strict/lax/skip
+(``validators/xsdbase.py:24``): ``failfast`` raises on the first violation,
+``collect`` gathers all violations, ``stats_only`` skips checks.
+"""
+
+from __future__ import annotations
+
+import numpy as np
+import pyarrow as pa
+import pyarrow.compute as pc
+from typing import Dict, Iterator, List, Optional, Tuple
+
+from xmlschema_ray.constraints.spec import TableConstraints
+from xmlschema_ray.engine.stats import BatchStats, collect_batch_stats
+
+# Unified stage-A output schema: violation rows, per-batch stats blobs and
+# per-batch unique-key count partials share one stream (a Ray Data stage has
+# exactly one output); downstream filters on ``record_kind``. Stats rows are
+# rare (one per batch); keycount rows are pre-aggregated per batch so a hot
+# key contributes ONE row per batch — the skew-safe partial-count shape of
+# the reference's per-document Counter (``validators/identities.py:199``)
+# lifted per block.
+UNIFIED_SCHEMA = pa.schema(
+    [
+        pa.field("record_kind", pa.string()),  # "violation" | "stats" | "keycount"
+        pa.field("partition_id", pa.int32()),
+        pa.field("key", pa.string()),
+        pa.field("constraint_name", pa.string()),
+        pa.field("column", pa.string()),
+        pa.field("reason", pa.string()),
+        pa.field("value_repr", pa.string()),
+        pa.field("count", pa.int64()),
+        pa.field("stats_blob", pa.binary()),
+    ]
+)
+
+VIOLATION_SCHEMA = pa.schema(
+    [
+        pa.field("partition_id", pa.int32()),
+        pa.field("key", pa.string()),
+        pa.field("constraint_name", pa.string()),
+        pa.field("column", pa.string()),
+        pa.field("reason", pa.string()),
+        pa.field("value_repr", pa.string()),
+    ]
+)
+
+
+class ValidationFailure(Exception):
+    """Raised in ``failfast`` mode — the strict-mode analog
+    (``validators/xsdbase.py:674-705`` raises on first error)."""
+
+
+def format_values(col: pa.ChunkedArray | pa.Array, idx: np.ndarray, limit: int = 80) -> List[str]:
+    """Short reprs of the offending values (only computed for violations)."""
+    if isinstance(col, pa.ChunkedArray):
+        col = col.combine_chunks()
+    taken = col.take(pa.array(idx, type=pa.int64())).to_pylist()
+    out = []
+    for v in taken:
+        s = repr(v)
+        out.append(s if len(s) <= limit else s[: limit - 1] + "…")
+    return out
+
+
+def iter_row_checks(
+    table: pa.Table, spec: TableConstraints
+) -> Iterator[Tuple[str, str, np.ndarray, str, Optional[np.ndarray]]]:
+    """Yield ``(constraint_name, column, violation_mask, reason, reprs)``
+    for every row-local check in the spec, all vectorized.
+
+    Checks: per-column not-null (required-value analog,
+    ``validators/attributes.py:578-581``), every facet in each column's
+    facet stack, and every row-level assertion.
+    """
+    present = set(table.column_names)
+    n = table.num_rows
+    for c in spec.columns:
+        if c.name not in present:
+            continue  # missing-column handled at partition level
+        col = table[c.name]
+        if not c.nullable:
+            nulls = pc.is_null(col).combine_chunks().to_numpy(zero_copy_only=False)
+            if nulls.any():
+                yield (f"{c.name}.not_null", c.name, nulls, "null value in non-nullable column", None)
+        for f in c.facets:
+            mask, reprs = f.check(col)
+            if mask.any():
+                yield (f"{c.name}.{f.describe()}", c.name, mask, f"facet {f.describe()} violated", reprs)
+    for rc in spec.row_checks:
+        if not all(col in present for col in rc.columns):
+            continue
+        mask = np.asarray(rc.fn(table), dtype=bool)
+        if mask.shape != (n,):
+            raise ValueError(f"row check {rc.name!r} returned mask of shape {mask.shape}, want ({n},)")
+        if mask.any():
+            yield (rc.name, rc.columns[0], mask, rc.reason, None)
+
+
+def _key_strings(table: pa.Table, spec: TableConstraints, idx: np.ndarray) -> List[str]:
+    """Row identity for the violation's ``key`` field (XPath-locator analog,
+    ``validators/exceptions.py:76-88``): the table's key column(s) joined."""
+    cols = [c for c in spec.key_columns if c in table.column_names]
+    if not cols:
+        return [""] * len(idx)
+    parts = []
+    for cname in cols:
+        col = table[cname].combine_chunks()
+        vals = col.take(pa.array(idx, type=pa.int64())).to_pylist()
+        parts.append(["" if v is None else str(v) for v in vals])
+    if len(parts) == 1:
+        return parts[0]
+    return ["|".join(t) for t in zip(*parts)]
+
+
+class RowValidator:
+    """Callable class for ``map_batches(RowValidator, batch_format="pyarrow",
+    zero_copy_batch=True)``.
+
+    Stateless per batch but constructed once per actor/task: the compiled
+    spec is captured in ``__init__`` exactly as the reference compiles
+    regexes and validators once at schema build (``facets.py:585-593``)
+    rather than per value.
+    """
+
+    def __init__(
+        self,
+        spec: TableConstraints,
+        partition_id: int = 0,
+        mode: str = "collect",
+        emit_stats: bool = True,
+        emit_keycounts: bool = True,
+        histogram_specs: Optional[Dict[str, np.ndarray]] = None,
+        fk_sets_ref=None,
+    ):
+        assert mode in ("collect", "failfast", "stats_only")
+        self.spec = spec.compile()
+        self.partition_id = partition_id
+        self.mode = mode
+        self.emit_stats = emit_stats
+        self.emit_keycounts = emit_keycounts
+        if histogram_specs is None:
+            histogram_specs = {}
+            for d in spec.drift:
+                qname = f"len({d.column})" if d.use_list_length else d.column
+                histogram_specs[qname] = np.asarray(d.bin_edges, dtype=np.float64)
+        self.histogram_specs = histogram_specs
+        # Broadcast dimension key sets for xs:keyref-style referential checks
+        # (``validators/identities.py:290-318``): the engine ``ray.put``s the
+        # dict of {fk.name: pa.Array of dim keys} ONCE; each actor fetches it
+        # here in __init__ (zero-copy from the object store, once per actor,
+        # not per batch).
+        self.fk_sets: Dict[str, pa.Array] = {}
+        if fk_sets_ref is not None:
+            import ray
+
+            obj = fk_sets_ref
+            if isinstance(obj, ray.ObjectRef):
+                obj = ray.get(obj)
+            self.fk_sets = dict(obj)
+
+    def _iter_fk_checks(self, table: pa.Table):
+        """Row-local half of the keyref check: membership against the
+        broadcast dim key set (``validators/identities.py:298-318``)."""
+        for fk in self.spec.foreign_keys:
+            if fk.column not in table.column_names or fk.name not in self.fk_sets:
+                continue
+            col = table[fk.column]
+            ok = pc.is_in(col, value_set=self.fk_sets[fk.name])
+            mask = ~ok.combine_chunks().fill_null(False).to_numpy(zero_copy_only=False)
+            nulls = pc.is_null(col).combine_chunks().to_numpy(zero_copy_only=False)
+            mask &= ~nulls  # null handled by not_null check, not keyref
+            if mask.any():
+                yield (
+                    fk.name,
+                    fk.column,
+                    mask,
+                    f"value not found in {fk.dim_name}.{fk.dim_key}",
+                    None,
+                )
+
+    def __call__(self, table: pa.Table) -> pa.Table:
+        pid = self.partition_id
+        kinds: List[str] = []
+        keys: List[Optional[str]] = []
+        names: List[Optional[str]] = []
+        columns: List[Optional[str]] = []
+        reasons: List[Optional[str]] = []
+        vreprs: List[Optional[str]] = []
+        counts: List[Optional[int]] = []
+        blobs: List[Optional[bytes]] = []
+
+        if self.mode != "stats_only":
+            import itertools
+
+            checks = itertools.chain(
+                iter_row_checks(table, self.spec), self._iter_fk_checks(table)
+            )
+            for cname, col, mask, reason, reprs in checks:
+                idx = np.flatnonzero(mask)
+                if self.mode == "failfast":
+                    k = _key_strings(table, self.spec, idx[:1])[0]
+                    raise ValidationFailure(f"{cname} violated at key={k!r}: {reason}")
+                ks = _key_strings(table, self.spec, idx)
+                if reprs is not None:
+                    vr = [reprs[i] if reprs[i] is not None else "" for i in idx]
+                elif col in table.column_names:
+                    vr = format_values(table[col], idx)
+                else:
+                    vr = [""] * len(idx)
+                kinds.extend(["violation"] * len(idx))
+                keys.extend(ks)
+                names.extend([cname] * len(idx))
+                columns.extend([col] * len(idx))
+                reasons.extend([reason] * len(idx))
+                vreprs.extend(vr)
+                counts.extend([None] * len(idx))
+                blobs.extend([None] * len(idx))
+
+        if self.emit_keycounts and self.mode != "stats_only":
+            for uk in self.spec.unique_keys:
+                if not all(c in table.column_names for c in uk.columns):
+                    continue
+                if len(uk.columns) == 1:
+                    col = table[uk.columns[0]].combine_chunks()
+                    keycol = pc.cast(col, pa.string()) if not pa.types.is_string(col.type) else col
+                else:
+                    # multi-column key: joined string tuple (documented
+                    # partitioning assumption: '|' does not appear in keys)
+                    parts = [pc.cast(table[c].combine_chunks(), pa.string()) for c in uk.columns]
+                    keycol = pc.binary_join_element_wise(*parts, "|")
+                vc = pc.value_counts(keycol.drop_null())
+                kvals = vc.field("values").to_pylist()
+                kcounts = vc.field("counts").to_pylist()
+                kinds.extend(["keycount"] * len(kvals))
+                keys.extend(kvals)
+                names.extend([uk.name] * len(kvals))
+                columns.extend([",".join(uk.columns)] * len(kvals))
+                reasons.extend([None] * len(kvals))
+                vreprs.extend([None] * len(kvals))
+                counts.extend(kcounts)
+                blobs.extend([None] * len(kvals))
+
+        if self.emit_stats:
+            bs = collect_batch_stats(
+                table,
+                stats_columns=self.spec.stats_columns,
+                distinct_columns=self.spec.distinct_columns,
+                histogram_specs=self.histogram_specs,
+            )
+            kinds.append("stats")
+            keys.append(None)
+            names.append(None)
+            columns.append(None)
+            reasons.append(None)
+            vreprs.append(None)
+            counts.append(table.num_rows)  # stats rows carry the batch row count
+            blobs.append(bs.dumps())
+
+        return pa.table(
+            {
+                "record_kind": pa.array(kinds, type=pa.string()),
+                "partition_id": pa.array([pid] * len(kinds), type=pa.int32()),
+                "key": pa.array(keys, type=pa.string()),
+                "constraint_name": pa.array(names, type=pa.string()),
+                "column": pa.array(columns, type=pa.string()),
+                "reason": pa.array(reasons, type=pa.string()),
+                "value_repr": pa.array(vreprs, type=pa.string()),
+                "count": pa.array(counts, type=pa.int64()),
+                "stats_blob": pa.array(blobs, type=pa.binary()),
+            },
+            schema=UNIFIED_SCHEMA,
+        )
+
+
+def merge_stats_blobs(table: pa.Table) -> pa.Table:
+    """Tree-merge step: collapse all stats blobs in one block into one.
+
+    Keeps the driver-side final merge O(#blocks), not O(#batches) — the
+    partial+final aggregation shape the reference's per-document Counter
+    (``validators/identities.py:198-221``) takes when lifted to a cluster.
+    """
+    blobs = table["stats_blob"].drop_null().to_pylist()
+    if not blobs:
+        return pa.table({"stats_blob": pa.array([], type=pa.binary())})
+    acc = BatchStats.loads(blobs[0])
+    for b in blobs[1:]:
+        acc.merge(BatchStats.loads(b))
+    return pa.table({"stats_blob": pa.array([acc.dumps()], type=pa.binary())})

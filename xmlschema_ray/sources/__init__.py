@@ -1,0 +1,15 @@
+from xmlschema_ray.sources.synthetic import (
+    VOCAB,
+    generate_sequences,
+    sequences_from_documents,
+    sequences_spec,
+    write_sequences_corpus,
+)
+
+__all__ = [
+    "VOCAB",
+    "generate_sequences",
+    "sequences_from_documents",
+    "sequences_spec",
+    "write_sequences_corpus",
+]
