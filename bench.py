@@ -1,0 +1,199 @@
+"""Benchmark harness (driver contract).
+
+Prints ONE JSON line:
+``{"metric": ..., "value": headline_sec, "unit": "sec", "queries": {...},
+"sf": ..., "num_cpus": N, "sequences_per_sec": ..., "tokens_per_sec": ...}``
+
+Headline = the flagship constraint-validation run (full suite: facets +
+n_tok consistency + uniqueness shuffle + broadcast referential + stats/
+drift) over a deterministic synthetic sequence corpus sized for the bench
+(~100k rows × mean 512 tokens ≈ 51M tokens), generated once and cached
+under /tmp. Query timings cover the representative operator families over
+``$GRAFT_SF_DIR`` (default /root/testdata/sf0.1).
+
+``--scaling``: runs the headline in two FRESH processes at
+``num_cpus=8`` and ``num_cpus=32`` on the same input (the sandbox stand-in
+for N-node vs 4N-node clusters) and reports throughput at both plus
+efficiency = T(8-cpu) / (4 × T(32-cpu))... i.e. thru(32)/(4*thru(8)).
+"""
+
+from __future__ import annotations
+
+import json
+import os
+import subprocess
+import sys
+import time
+
+BENCH_ROWS = int(os.environ.get("BENCH_ROWS", "4000000"))
+BENCH_MEAN_LEN = 512
+BENCH_SEED = 42
+CORPUS_ROOT = f"/tmp/xmlschema_ray_bench/corpus_r{BENCH_ROWS}_s{BENCH_SEED}"
+
+QUERY_NAMES = [
+    "q1_pricing_summary",
+    "q3_top_orders",
+    "join_order_lineitem_status",
+    "events_daily_window",
+    "sessionize_events",
+    "val_lineitem_ranges",
+    "exact_dedup",
+    "minhash_lsh_dedup",
+    "knn_cosine",
+]
+
+
+def ensure_corpus() -> tuple:
+    from xmlschema_ray.sources.synthetic import write_scaled_corpus
+
+    seq_dir = os.path.join(CORPUS_ROOT, "sequences")
+    dim_path = os.path.join(CORPUS_ROOT, "sources.parquet")
+    marker = os.path.join(CORPUS_ROOT, "DONE")
+    if not os.path.exists(marker):
+        os.makedirs(CORPUS_ROOT, exist_ok=True)
+        write_scaled_corpus(
+            CORPUS_ROOT,
+            n_rows=BENCH_ROWS,
+            n_files=64,
+            seed=BENCH_SEED,
+            mean_len=BENCH_MEAN_LEN,
+            defects={"dup_doc_id": 50, "bad_ref": 50, "n_tok_mismatch": 50, "bad_token_range": 50},
+        )
+        with open(marker, "w") as f:
+            f.write("ok")
+    return seq_dir, dim_path
+
+
+def warm_cache(paths_dir: str) -> None:
+    import glob
+
+    for p in glob.glob(os.path.join(paths_dir, "*.parquet")):
+        with open(p, "rb") as f:
+            while f.read(1 << 22):
+                pass
+
+
+def run_headline(num_cpus: int) -> dict:
+    import shutil
+
+    from xmlschema_ray.engine.engine import ValidationEngine
+    from xmlschema_ray.sources.synthetic import sequences_spec
+
+    seq_dir, dim_path = ensure_corpus()
+    warm_cache(seq_dir)
+    out_dir = f"/tmp/xmlschema_ray_bench/out_{num_cpus}"
+    if os.path.exists(out_dir):
+        shutil.rmtree(out_dir)
+    eng = ValidationEngine(
+        sequences_spec(), batch_size=8192, n_shards=1, concurrency=max(2, num_cpus - 1)
+    )
+    t0 = time.time()
+    res = eng.run(seq_dir, out_dir=out_dir, dims={"sources": dim_path}, resume=False)
+    sec = time.time() - t0
+    n_rows = int(res.summary["n_rows"])
+    n_tokens = int(res.stats.columns["n_tok"].total)
+    return {
+        "sec": sec,
+        "rows": n_rows,
+        "tokens": n_tokens,
+        "sequences_per_sec": n_rows / sec,
+        "tokens_per_sec": n_tokens / sec,
+        "n_violations": int(res.n_violations),
+    }
+
+
+def run_queries(sf_dir: str) -> dict:
+    sys.path.insert(0, os.path.dirname(os.path.abspath(__file__)))
+    import __ray_entry__ as E
+
+    qs = E.queries()
+    out = {}
+    for name in QUERY_NAMES:
+        t0 = time.time()
+        res = qs[name](sf_dir)
+        if hasattr(res, "materialize"):
+            res.materialize()
+        out[name] = round(time.time() - t0, 3)
+    return out
+
+
+def bench_once() -> dict:
+    import ray
+    from ray.data import DataContext
+
+    num_cpus = int(os.environ.get("RAY_GRAFT_CPUS", "32"))
+    sf_dir = os.environ.get("GRAFT_SF_DIR", "/root/testdata/sf0.1")
+    ray.init(
+        address="local",
+        num_cpus=num_cpus,
+        include_dashboard=False,
+        ignore_reinit_error=True,
+        logging_level="ERROR",
+    )
+    DataContext.get_current().enable_progress_bars = False
+    # honest N-vs-4N: cap the DRIVER's Arrow thread pool to the cluster
+    # size too, else driver-side merges use the whole machine at any N.
+    import pyarrow as _pa
+
+    _pa.set_cpu_count(num_cpus)
+    _pa.set_io_thread_count(max(2, num_cpus // 2))
+    head = run_headline(num_cpus)
+    queries = run_queries(sf_dir) if os.environ.get("BENCH_SKIP_QUERIES") != "1" else {}
+    ray.shutdown()
+    return {
+        "metric": "flagship constraint-validation wall time (full suite) on "
+        f"{head['rows']} sequences / {head['tokens']} tokens",
+        "value": round(head["sec"], 3),
+        "unit": "sec",
+        "queries": queries,
+        "sf": sf_dir,
+        "num_cpus": num_cpus,
+        "sequences_per_sec": round(head["sequences_per_sec"], 1),
+        "tokens_per_sec": round(head["tokens_per_sec"], 1),
+        "n_violations": head["n_violations"],
+    }
+
+
+def run_subprocess(ncpu: int) -> dict:
+    env = dict(os.environ, RAY_GRAFT_CPUS=str(ncpu), BENCH_SKIP_QUERIES="1")
+    out = subprocess.run(
+        [sys.executable, os.path.abspath(__file__)],
+        env=env,
+        capture_output=True,
+        text=True,
+        check=True,
+    ).stdout
+    return json.loads(out.strip().splitlines()[-1])
+
+
+def scaling() -> None:
+    # generate + warm once so both runs see a hot page cache
+    lo, hi = 8, 32
+    r_lo = run_subprocess(lo)
+    r_hi = run_subprocess(hi)
+    thr_lo = r_lo["sequences_per_sec"]
+    thr_hi = r_hi["sequences_per_sec"]
+    eff = thr_hi / ((hi / lo) * thr_lo)
+    print(
+        json.dumps(
+            {
+                "metric": "scaling efficiency (throughput(32cpu) / (4 x throughput(8cpu)))",
+                "value": round(eff, 3),
+                "unit": "ratio",
+                "sec_8": r_lo["value"],
+                "sec_32": r_hi["value"],
+                "sequences_per_sec_8": thr_lo,
+                "sequences_per_sec_32": thr_hi,
+                "tokens_per_sec_8": r_lo["tokens_per_sec"],
+                "tokens_per_sec_32": r_hi["tokens_per_sec"],
+            }
+        )
+    )
+
+
+if __name__ == "__main__":
+    sys.path.insert(0, os.path.dirname(os.path.abspath(__file__)))
+    if "--scaling" in sys.argv:
+        scaling()
+    else:
+        print(json.dumps(bench_once()))

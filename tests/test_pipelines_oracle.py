@@ -1,0 +1,101 @@
+"""Cross-validate every oracle-backed pipeline against DuckDB at sf0.001.
+
+The in-repo version of the driver's correctness gate and the analog of the
+reference's cross-engine validation against lxml
+(``/root/reference/xmlschema/tests/test_factory.py:35``).
+"""
+
+import os
+import sys
+
+import duckdb
+import pandas as pd
+import pytest
+
+sys.path.insert(0, os.path.dirname(os.path.dirname(os.path.abspath(__file__))))
+
+SF_DIR = "/root/testdata/sf0.001"
+TABLES = "region nation customer supplier part orders lineitem events documents embeddings".split()
+
+
+@pytest.fixture(scope="module")
+def ddb():
+    con = duckdb.connect()
+    for t in TABLES:
+        con.sql(f"CREATE VIEW {t} AS SELECT * FROM read_parquet('{SF_DIR}/{t}.parquet')")
+    return con
+
+
+def _queries_and_oracles():
+    import __ray_entry__ as E
+
+    qs, os_ = E.queries(), E.oracle_sql()
+    return [(name, qs[name], os_[name]) for name in sorted(os_)]
+
+
+def _to_pandas(res):
+    if hasattr(res, "to_pandas"):
+        return res.to_pandas()
+    if isinstance(res, pd.DataFrame):
+        return res
+    return res.to_pandas() if hasattr(res, "to_pandas") else pd.DataFrame(res)
+
+
+@pytest.mark.parametrize("name", [n for n, _, _ in _queries_and_oracles()])
+def test_oracle_match(name, ddb, ray_session):
+    import __ray_entry__ as E
+
+    ray_df = _to_pandas(E.queries()[name](SF_DIR))
+    sql_df = ddb.sql(E.oracle_sql()[name]).df()
+    assert sorted(ray_df.columns) == sorted(sql_df.columns), name
+    assert len(ray_df) == len(sql_df), f"{name}: {len(ray_df)} vs {len(sql_df)}"
+    cols = sorted(ray_df.columns)
+    a = ray_df[cols].sort_values(cols).reset_index(drop=True)
+    b = sql_df[cols].sort_values(cols).reset_index(drop=True)
+    for c in cols:
+        av, bv = a[c], b[c]
+        if str(bv.dtype).startswith("datetime"):
+            av = pd.to_datetime(av).astype("datetime64[us]")
+            bv = bv.astype("datetime64[us]")
+        elif av.dtype != bv.dtype and av.dtype != object:
+            av = av.astype(bv.dtype)
+        assert av.equals(bv), f"{name}: column {c} differs"
+
+
+def test_rows_only_queries_run(ray_session):
+    """Every non-oracle query must at least execute and return rows with a
+    stable schema."""
+    import __ray_entry__ as E
+
+    qs, oracles = E.queries(), E.oracle_sql()
+    expected_nonempty = {
+        "language_id_counts",
+        "fingerprints",
+        "minhash_lsh_dedup",
+        "simhash_pairs",
+        "knn_lsh",
+        "multimodal_features",
+        "validate_sequences",
+        "validate_sequences_seeded",
+        "drift_check",
+    }
+    for name in sorted(set(qs) - set(oracles)):
+        df = _to_pandas(qs[name](SF_DIR))
+        assert len(df.columns) > 0, name
+        if name in expected_nonempty:
+            assert len(df) > 0, name
+
+
+def test_entry_contract(ray_session):
+    import __ray_entry__ as E
+
+    df = E.entry()
+    assert len(df) >= 1
+    assert df["job_validity"].iloc[0] == "valid"
+
+
+def test_seeded_counts_match_expected(ray_session):
+    import __ray_entry__ as E
+
+    df = _to_pandas(E.queries()["validate_sequences_seeded"](SF_DIR))
+    assert (df["n_violations"] == df["n_expected"]).all()

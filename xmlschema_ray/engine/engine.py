@@ -11,12 +11,19 @@ schema.py:946-1020``) re-staged for a cluster:
   per-batch stats blobs, in ONE pass (validation-is-decode-with-errors,
   ``xsdbase.py:547-593``). Output written per input shard (atomic rename +
   manifest line → resumable lineage).
-* stage B — global uniqueness: the keycount partials from all shards are
-  hash-shuffled with ``groupby(key).aggregate(Sum)`` and ``total > 1``
-  becomes one duplicated-value violation (``xs:unique``/``xs:ID`` analog,
-  ``validators/identities.py:198-221``). Pre-aggregation per batch means a
-  hot key ships one row per batch, so reducer skew is bounded by the batch
-  count, not the row count.
+* stage B — global uniqueness (``xs:unique``/``xs:ID`` analog,
+  ``validators/identities.py:198-221``), two exact phases:
+  (1) candidate detection — per-batch ``(key_hash: uint64, count)``
+  partials are aggregated (driver-side Arrow int hash-aggregate below a
+  size threshold, hash-partitioned shuffle merge above it) and
+  ``total > 1`` marks a candidate; (2) exact recovery — only the
+  unique-key columns are rescanned, rows hashing into the broadcast
+  candidate set are counted BY VALUE, and true ``count > 1`` keys become
+  duplicated-value violations. Hashing shrinks the bulkiest channel ~4x
+  and a 64-bit collision can only create a false candidate (killed in
+  phase 2), never a false violation — exact even at 10^12 keys.
+  Pre-aggregation per batch means a hot key ships one row per batch, so
+  reducer skew is bounded by the batch count, not the row count.
 * stage C — referential integrity runs inside stage A against the dim key
   set broadcast once with ``ray.put`` (``validators/identities.py:290-318``).
 * stage D — driver merge: stats blobs are tree-merged per block then folded
@@ -37,6 +44,14 @@ import glob
 import json
 import os
 import time
+
+_TIMING = os.environ.get("XSR_TIMING") == "1"
+
+
+def _mark(label: str, t0: float) -> float:
+    if _TIMING:
+        print(f"[xsr-timing] {label}: {time.time() - t0:.2f}s", flush=True)
+    return time.time()
 from dataclasses import dataclass, field
 from typing import Dict, List, Optional, Sequence, Union
 
@@ -49,7 +64,6 @@ import pyarrow.parquet as pq
 
 import ray
 import ray.data as rd
-from ray.data.aggregate import Min, Sum
 
 from xmlschema_ray.constraints.spec import TableConstraints
 from xmlschema_ray.engine import checkpoint as ckpt
@@ -105,6 +119,12 @@ def _resolve_files(source: Union[str, Sequence[str]]) -> List[str]:
     return sorted(source)
 
 
+def _dir_bytes(d: str) -> int:
+    return sum(
+        os.path.getsize(os.path.join(r, f)) for r, _, files in os.walk(d) for f in files
+    )
+
+
 def _chunk(files: List[str], n_shards: int) -> List[List[str]]:
     n_shards = max(1, min(n_shards, len(files)))
     out: List[List[str]] = [[] for _ in range(n_shards)]
@@ -128,11 +148,18 @@ class ValidationEngine:
         batch_size: int = 16384,
         concurrency: Optional[int] = None,
         n_shards: int = 4,
+        use_actors: bool = False,
     ):
         self.spec = spec.compile()
         self.batch_size = batch_size
         self.concurrency = concurrency
         self.n_shards = n_shards
+        # Stateless tasks by default: validator construction is cheap (the
+        # spec is pure data, FK sets come zero-copy from the object store),
+        # and tasks reuse Ray's warm worker pool — an actor pool pays a
+        # multi-second cold start that dominates short jobs. Set
+        # ``use_actors=True`` when per-worker setup is genuinely expensive.
+        self.use_actors = use_actors
 
     # -- dims -------------------------------------------------------------
 
@@ -255,21 +282,35 @@ class ValidationEngine:
             else:
                 cols = self._readable_columns(shard)
                 ds = rd.read_parquet(shard, columns=cols)
-            unified = ds.map_batches(
-                RowValidator,
-                fn_constructor_kwargs=dict(
-                    spec=self.spec,
-                    partition_id=pid,
-                    mode=mode,
-                    fk_sets_ref=fk_ref,
-                ),
-                batch_format="pyarrow",
-                zero_copy_batch=True,
-                batch_size=self.batch_size,
-                concurrency=concurrency,
+            rv_kwargs = dict(
+                spec=self.spec,
+                partition_id=pid,
+                mode=mode,
+                fk_sets_ref=fk_ref,
             )
+            if self.use_actors:
+                unified = ds.map_batches(
+                    RowValidator,
+                    fn_constructor_kwargs=rv_kwargs,
+                    batch_format="pyarrow",
+                    zero_copy_batch=True,
+                    batch_size=self.batch_size,
+                    concurrency=concurrency,
+                )
+            else:
+                from xmlschema_ray.engine.row_validator import make_validator_fn
+
+                unified = ds.map_batches(
+                    make_validator_fn(**rv_kwargs),
+                    batch_format="pyarrow",
+                    zero_copy_batch=True,
+                    batch_size=self.batch_size,
+                )
+            _t = time.time()
             ckpt.write_shard_atomic(unified, out_dir, pid)
+            _t = _mark(f"stageA shard {pid}", _t)
             n_rows, n_viol = self._shard_counts(out_dir, pid)
+            _t = _mark(f"shard_counts {pid}", _t)
             v = V.PartitionVerdict(pid, n_rows=n_rows)
             if mode == "stats_only":
                 v.validation_attempted = V.NONE
@@ -287,7 +328,10 @@ class ValidationEngine:
                     )
                 )
 
-        return self._finalize(out_dir, schema_viols, verdict_by_pid, mode)
+        all_files = (
+            [f for shard in shards for f in shard] if ds_direct is None else ds_direct
+        )
+        return self._finalize(out_dir, schema_viols, verdict_by_pid, mode, all_files)
 
     def _readable_columns(self, shard: List[str]) -> List[str]:
         """Prune the read to spec columns present in every shard file."""
@@ -308,6 +352,83 @@ class ValidationEngine:
         n_rows = int(pc.sum(stats_counts).as_py() or 0)
         return n_rows, n_viol
 
+    # -- dup key recovery -------------------------------------------------
+
+    def _recover_dup_keys(self, source, cand_pdf: pd.DataFrame) -> pd.DataFrame:
+        """Exact duplicated-key materialization from candidate hashes.
+
+        Rescans ONLY the unique-key columns of the input, keeps rows whose
+        key hashes into the candidate set (broadcast — it contains only
+        keys whose hash-count exceeded 1), counts the actual values, and
+        keeps ``count > 1``. This second pass is what makes the hashed
+        keycount channel exact: a 64-bit collision can only create a false
+        CANDIDATE, never a false violation.
+        """
+        from xmlschema_ray.engine.row_validator import unique_key_column
+        from xmlschema_ray.engine.stats import hash64
+
+        out_cols = ["constraint_name", "column", "key", "total", "first_pid"]
+        frames: List[pd.DataFrame] = []
+        for uk in self.spec.unique_keys:
+            sub = cand_pdf[cand_pdf["constraint_name"] == uk.name] if len(cand_pdf) else cand_pdf
+            if not len(sub):
+                continue
+            cand_hashes = np.sort(np.asarray(sub["key_hash"], dtype=np.uint64))
+            pid_of = dict(zip(sub["key_hash"].astype(np.uint64), sub["first_pid"]))
+            ukcols = list(uk.columns)
+
+            if isinstance(source, list) and sum(map(os.path.getsize, source)) < 256 * 1024 * 1024:
+                tbl = pads.dataset(source).to_table(columns=ukcols)
+                keycol = unique_key_column(tbl, ukcols).drop_null()
+                vals = keycol.to_numpy(zero_copy_only=False)
+                m = np.isin(hash64(vals), cand_hashes)
+                uniq, cnt = np.unique(vals[m], return_counts=True)
+            else:
+                cand_ref = ray.put(cand_hashes)
+                state: dict = {}
+
+                def count_matching(batch: pa.Table) -> pa.Table:
+                    ch = state.get("ch")
+                    if ch is None:
+                        ch = state["ch"] = ray.get(cand_ref)
+                    keycol = unique_key_column(batch, ukcols).drop_null()
+                    v = keycol.to_numpy(zero_copy_only=False)
+                    mm = np.isin(hash64(v), ch)
+                    u, c = np.unique(v[mm], return_counts=True)
+                    return pa.table(
+                        {"key": pa.array(u, type=pa.string()), "partial": pa.array(c, type=pa.int64())}
+                    )
+
+                if isinstance(source, list):
+                    ds = rd.read_parquet(source, columns=ukcols)
+                else:
+                    ds = source
+                partials = ds.map_batches(
+                    count_matching, batch_format="pyarrow", zero_copy_batch=True
+                ).to_pandas()
+                agg = partials.groupby("key", sort=False)["partial"].sum()
+                uniq, cnt = agg.index.to_numpy(dtype=object), agg.to_numpy()
+
+            keep = cnt > 1
+            uniq, cnt = uniq[keep], cnt[keep]
+            if not len(uniq):
+                continue
+            h_kept = hash64(np.asarray(uniq, dtype=object))
+            frames.append(
+                pd.DataFrame(
+                    {
+                        "constraint_name": uk.name,
+                        "column": ",".join(ukcols),
+                        "key": uniq,
+                        "total": cnt,
+                        "first_pid": [int(pid_of.get(h, 0)) for h in h_kept],
+                    }
+                )
+            )
+        if not frames:
+            return pd.DataFrame(columns=out_cols)
+        return pd.concat(frames, ignore_index=True)
+
     # -- global phase -----------------------------------------------------
 
     def _finalize(
@@ -316,75 +437,173 @@ class ValidationEngine:
         schema_viols: List[dict],
         verdict_by_pid: Dict[int, V.PartitionVerdict],
         mode: str,
+        source=None,
     ) -> ValidationResult:
         unified_dir = os.path.join(out_dir, "unified")
 
-        # stage B: global uniqueness over the pre-aggregated keycounts
-        dup_df = pd.DataFrame(columns=[f.name for f in VIOLATION_SCHEMA])
+        # stage B: global uniqueness over the pre-aggregated keycounts —
+        # built LAZILY and unioned into the violations sink so the whole
+        # finalize is one Ray execution. Hash-partitioned vectorized merge
+        # (see ops.relational.hash_partition_apply for why Ray's native
+        # aggregate is avoided); the shuffle moves one row per distinct key
+        # per batch — a hot key (skew) is already collapsed per block by
+        # the stage-A value_counts.
+        _t = time.time()
+        dup_viol_ds = None
         if self.spec.unique_keys and mode != "stats_only":
-            kc = rd.read_parquet(
-                unified_dir,
-                columns=["record_kind", "partition_id", "key", "constraint_name", "column", "count"],
-                filter=(pc.field("record_kind") == "keycount"),
-            )
-            agg = kc.groupby(["constraint_name", "column", "key"]).aggregate(
-                Sum("count", alias_name="total"),
-                Min("partition_id", alias_name="first_pid"),
-            )
-            dups = agg.filter(expr="total > 1")
-            dup_pdf = dups.to_pandas()
-            if len(dup_pdf):
-                dup_df = pd.DataFrame(
+            from xmlschema_ray.ops.relational import hash_partition_apply
+
+            def shape_dup_rows(g: pd.DataFrame) -> pa.Table:
+                return pa.table(
                     {
-                        "partition_id": dup_pdf["first_pid"].astype("int32"),
-                        "key": dup_pdf["key"],
-                        "constraint_name": dup_pdf["constraint_name"],
-                        "column": dup_pdf["column"],
-                        "reason": [
-                            f"duplicate value (count={int(t)})" for t in dup_pdf["total"]
-                        ],
-                        "value_repr": dup_pdf["key"],
-                    }
+                        "partition_id": pa.array(g["first_pid"], type=pa.int32()),
+                        "key": pa.array(g["key"], type=pa.string()),
+                        "constraint_name": pa.array(g["constraint_name"], type=pa.string()),
+                        "column": pa.array(g["column"], type=pa.string()),
+                        "reason": pa.array(
+                            [f"duplicate value (count={int(t)})" for t in g["total"]],
+                            type=pa.string(),
+                        ),
+                        "value_repr": pa.array(g["key"], type=pa.string()),
+                    },
+                    schema=VIOLATION_SCHEMA,
                 )
 
-        # stage D: stats merge (tree step per block, then driver fold)
-        stats_ds = rd.read_parquet(
-            unified_dir,
-            columns=["record_kind", "stats_blob"],
-            filter=(pc.field("record_kind") == "stats"),
-        ).map_batches(merge_stats_blobs, batch_format="pyarrow")
+            # Phase 1 — CANDIDATE duplicated key hashes: aggregate the
+            # uint64 keycount partials. Adaptive physical plan (like
+            # broadcast-vs-shuffle join selection): below the threshold one
+            # driver-side column-pruned scan + Arrow's multithreaded C++
+            # int hash-aggregate beats a distributed shuffle's fixed cost;
+            # above it, the hash-partitioned shuffle merge runs.
+            gkeys = ["constraint_name", "key_hash"]
+            kc_bytes = _dir_bytes(unified_dir)
+            if kc_bytes < 1 * 1024 * 1024 * 1024:
+                kct = pads.dataset(unified_dir).to_table(
+                    columns=["partition_id", "key_hash", "constraint_name", "count"],
+                    filter=pads.field("record_kind") == "keycount",
+                )
+                agg = pa.TableGroupBy(kct, gkeys).aggregate(
+                    [("count", "sum"), ("partition_id", "min")]
+                )
+                cand_tbl = agg.filter(pc.greater(agg["count_sum"], 1))
+                cand_pdf = pd.DataFrame(
+                    {
+                        "constraint_name": cand_tbl["constraint_name"].to_pylist(),
+                        "key_hash": cand_tbl["key_hash"].to_numpy(zero_copy_only=False),
+                        "total": cand_tbl["count_sum"].to_pylist(),
+                        "first_pid": cand_tbl["partition_id_min"].to_pylist(),
+                    }
+                )
+            else:
+                from xmlschema_ray.ops.relational import hash_partition_apply
+
+                kc = rd.read_parquet(
+                    unified_dir,
+                    columns=["record_kind", "partition_id", "key_hash", "constraint_name", "count"],
+                    filter=(pc.field("record_kind") == "keycount"),
+                )
+
+                def merge_counts(g: pd.DataFrame) -> pd.DataFrame:
+                    gb = g.groupby(gkeys, sort=False)
+                    out = pd.DataFrame(
+                        {"total": gb["count"].sum(), "first_pid": gb["partition_id"].min()}
+                    ).reset_index()
+                    return out[out["total"] > 1]
+
+                cand_pdf = hash_partition_apply(kc, gkeys, merge_counts, num_partitions=32).to_pandas()
+
+            # Phase 2 — EXACT key recovery: rescan only the unique-key
+            # columns, keep rows whose key hashes into the candidate set,
+            # and count the actual string values. Hash-collision false
+            # candidates drop out here (their true count is 1), so the
+            # final report is exact even with 64-bit hashes.
+            dup_pdf = self._recover_dup_keys(source, cand_pdf)
+            if len(dup_pdf):
+                dup_viol_ds = rd.from_arrow(shape_dup_rows(dup_pdf))
+
+        _t = _mark("stageB dups", _t)
+        # stage D: stats merge. Small runs fold the blobs directly on the
+        # driver (one pyarrow.dataset scan of the blob column — skips a Ray
+        # pipeline's fixed cost); large runs tree-merge per block in Ray
+        # first so the driver fold stays O(#blocks).
         merged = BatchStats()
-        for b in stats_ds.iter_batches(batch_format="pyarrow"):
-            for blob in b["stats_blob"].to_pylist():
+        unified_bytes = _dir_bytes(unified_dir)
+        if unified_bytes < 1024 * 1024 * 1024:
+            import pyarrow.dataset as _pads
+
+            t = _pads.dataset(unified_dir).to_table(
+                columns=["stats_blob"], filter=_pads.field("record_kind") == "stats"
+            )
+            for blob in t["stats_blob"].to_pylist():
                 if blob:
                     merged.merge(BatchStats.loads(blob))
+        else:
+            stats_ds = rd.read_parquet(
+                unified_dir,
+                columns=["record_kind", "stats_blob"],
+                filter=(pc.field("record_kind") == "stats"),
+            ).map_batches(merge_stats_blobs, batch_format="pyarrow")
+            for b in stats_ds.iter_batches(batch_format="pyarrow"):
+                for blob in b["stats_blob"].to_pylist():
+                    if blob:
+                        merged.merge(BatchStats.loads(blob))
 
+        _t = _mark("stageD stats", _t)
         drift_results = self._drift(merged)
 
         # stage E: final canonical violations = row-local+fk (from shards)
-        # ∪ duplicates ∪ schema-level, sorted deterministically.
-        viol_ds = rd.read_parquet(
-            unified_dir,
-            columns=[f.name for f in UNIFIED_SCHEMA],
-            filter=(pc.field("record_kind") == "violation"),
-        ).drop_columns(["record_kind", "count", "stats_blob"])
-        extra = schema_viols + (dup_df.to_dict("records") if len(dup_df) else [])
-        if extra:
-            extra_tbl = pa.Table.from_pylist(extra, schema=VIOLATION_SCHEMA)
-            viol_ds = viol_ds.union(rd.from_arrow(extra_tbl))
+        # ∪ duplicates (stage B) ∪ schema-level, sorted deterministically.
+        # Adaptive sink: below the threshold one driver-side column-pruned
+        # scan + arrow sort + single-file write beats a Ray pipeline's fixed
+        # cost; above it, a distributed union → sort → write runs.
         viol_dir = os.path.join(out_dir, "violations")
         if os.path.exists(viol_dir):
             import shutil
 
             shutil.rmtree(viol_dir)
-        viol_ds.sort(["partition_id", "key", "constraint_name", "column"]).write_parquet(viol_dir)
-        os.makedirs(viol_dir, exist_ok=True)  # empty result writes no dir
+        sort_keys = ["partition_id", "key", "constraint_name", "column"]
+        extra_tbls: List[pa.Table] = []
+        if schema_viols:
+            extra_tbls.append(pa.Table.from_pylist(schema_viols, schema=VIOLATION_SCHEMA))
+        if unified_bytes_small := (_dir_bytes(unified_dir) < 1 * 1024 * 1024 * 1024):
+            vt = pads.dataset(unified_dir).to_table(
+                columns=[f.name for f in VIOLATION_SCHEMA],
+                filter=pads.field("record_kind") == "violation",
+            ).cast(VIOLATION_SCHEMA)
+            parts = [vt] + extra_tbls
+            if dup_viol_ds is not None:
+                parts.append(shape_dup_rows(dup_pdf))
+            allv = pa.concat_tables(parts)
+            allv = allv.sort_by([(k, "ascending") for k in sort_keys])
+            os.makedirs(viol_dir, exist_ok=True)
+            if allv.num_rows:
+                pq.write_table(allv, os.path.join(viol_dir, "part-00000.parquet"))
+        else:
+            viol_ds = rd.read_parquet(
+                unified_dir,
+                columns=[f.name for f in UNIFIED_SCHEMA],
+                filter=(pc.field("record_kind") == "violation"),
+            ).drop_columns(["record_kind", "count", "stats_blob"])
+            if dup_viol_ds is not None:
+                viol_ds = viol_ds.union(dup_viol_ds)
+            for t in extra_tbls:
+                viol_ds = viol_ds.union(rd.from_arrow(t))
+            viol_ds.sort(sort_keys).write_parquet(viol_dir)
+            os.makedirs(viol_dir, exist_ok=True)  # empty result writes no dir
 
-        # verdict roll-up (xsdbase.py:80-92): duplicates + schema violations
-        # attribute to their first partition.
-        for rec in extra:
-            pid = int(rec["partition_id"])
-            verdict_by_pid.setdefault(pid, V.PartitionVerdict(pid)).mark(1)
+        _t = _mark("stageE violations write", _t)
+        # verdict roll-up (xsdbase.py:80-92) from the single source of
+        # truth: per-partition counts over the written violations (column-
+        # pruned scan of one int32 column — cheap even for huge outputs).
+        for v in verdict_by_pid.values():
+            v.n_violations = 0
+            v.validity = V.VALID if v.validity != V.NOT_KNOWN else v.validity
+        if os.listdir(viol_dir):
+            vc_tbl = pads.dataset(viol_dir).to_table(columns=["partition_id"])
+            vc = pc.value_counts(vc_tbl["partition_id"].combine_chunks())
+            for pid, n in zip(vc.field("values").to_pylist(), vc.field("counts").to_pylist()):
+                verdict_by_pid.setdefault(int(pid), V.PartitionVerdict(int(pid))).mark(int(n))
+        _t = _mark("verdict counts", _t)
         verdicts = V.verdicts_frame(list(verdict_by_pid.values()))
         job = V.job_validity(list(verdict_by_pid.values()))
         drift_failed = [d.name for d in drift_results if not d.passed]

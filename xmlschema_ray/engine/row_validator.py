@@ -46,6 +46,7 @@ UNIFIED_SCHEMA = pa.schema(
         pa.field("column", pa.string()),
         pa.field("reason", pa.string()),
         pa.field("value_repr", pa.string()),
+        pa.field("key_hash", pa.uint64()),  # keycount rows: 64-bit key hash
         pa.field("count", pa.int64()),
         pa.field("stats_blob", pa.binary()),
     ]
@@ -61,6 +62,25 @@ VIOLATION_SCHEMA = pa.schema(
         pa.field("value_repr", pa.string()),
     ]
 )
+
+
+def unique_key_column(table: pa.Table, columns) -> pa.Array:
+    """The unique-key tuple as one string array (multi-column keys joined
+    with '|'; documented assumption: '|' does not appear in key values).
+    Shared by the stage-A keycount emitter and the dup-key recovery scan so
+    both sides hash identical strings."""
+    if len(columns) == 1:
+        col = table[columns[0]]
+        if isinstance(col, pa.ChunkedArray):
+            col = col.combine_chunks()
+        return pc.cast(col, pa.string()) if not pa.types.is_string(col.type) else col
+    parts = []
+    for c in columns:
+        col = table[c]
+        if isinstance(col, pa.ChunkedArray):
+            col = col.combine_chunks()
+        parts.append(pc.cast(col, pa.string()))
+    return pc.binary_join_element_wise(*parts, "|")
 
 
 class ValidationFailure(Exception):
@@ -151,6 +171,13 @@ class RowValidator:
         fk_sets_ref=None,
     ):
         assert mode in ("collect", "failfast", "stats_only")
+        # Each pool actor is one logical CPU; Arrow's default intra-kernel
+        # thread pool (one per actor PROCESS, sized to the machine) makes
+        # N actors × M threads oversubscribe the node and the kernels spend
+        # their time waiting. Parallelism comes from the actor pool, not
+        # from intra-kernel threads.
+        pa.set_cpu_count(1)
+        pa.set_io_thread_count(2)
         self.spec = spec.compile()
         self.partition_id = partition_id
         self.mode = mode
@@ -234,29 +261,33 @@ class RowValidator:
                 counts.extend([None] * len(idx))
                 blobs.extend([None] * len(idx))
 
+        key_hashes: List[Optional[int]] = [None] * len(kinds)
         if self.emit_keycounts and self.mode != "stats_only":
+            from xmlschema_ray.engine.stats import hash64
+
             for uk in self.spec.unique_keys:
                 if not all(c in table.column_names for c in uk.columns):
                     continue
-                if len(uk.columns) == 1:
-                    col = table[uk.columns[0]].combine_chunks()
-                    keycol = pc.cast(col, pa.string()) if not pa.types.is_string(col.type) else col
-                else:
-                    # multi-column key: joined string tuple (documented
-                    # partitioning assumption: '|' does not appear in keys)
-                    parts = [pc.cast(table[c].combine_chunks(), pa.string()) for c in uk.columns]
-                    keycol = pc.binary_join_element_wise(*parts, "|")
-                vc = pc.value_counts(keycol.drop_null())
-                kvals = vc.field("values").to_pylist()
-                kcounts = vc.field("counts").to_pylist()
-                kinds.extend(["keycount"] * len(kvals))
-                keys.extend(kvals)
-                names.extend([uk.name] * len(kvals))
-                columns.extend([",".join(uk.columns)] * len(kvals))
-                reasons.extend([None] * len(kvals))
-                vreprs.extend([None] * len(kvals))
-                counts.extend(kcounts)
-                blobs.extend([None] * len(kvals))
+                keycol = unique_key_column(table, uk.columns)
+                vals = keycol.drop_null().to_numpy(zero_copy_only=False)
+                # 64-bit hashes instead of key strings: the keycount channel
+                # is the engine's bulkiest stream (one row per distinct key
+                # per batch); hashing shrinks it ~4x and turns the global
+                # dup groupby into an int aggregate. Hash-collision false
+                # candidates are eliminated later by the exact key-recovery
+                # scan, so exactness is preserved even at 10^12 keys.
+                h = hash64(vals)
+                uniq, kcounts = np.unique(h, return_counts=True)
+                n_k = len(uniq)
+                kinds.extend(["keycount"] * n_k)
+                keys.extend([None] * n_k)
+                names.extend([uk.name] * n_k)
+                columns.extend([",".join(uk.columns)] * n_k)
+                reasons.extend([None] * n_k)
+                vreprs.extend([None] * n_k)
+                key_hashes.extend(uniq.tolist())
+                counts.extend(kcounts.tolist())
+                blobs.extend([None] * n_k)
 
         if self.emit_stats:
             bs = collect_batch_stats(
@@ -271,6 +302,7 @@ class RowValidator:
             columns.append(None)
             reasons.append(None)
             vreprs.append(None)
+            key_hashes.append(None)
             counts.append(table.num_rows)  # stats rows carry the batch row count
             blobs.append(bs.dumps())
 
@@ -283,11 +315,32 @@ class RowValidator:
                 "column": pa.array(columns, type=pa.string()),
                 "reason": pa.array(reasons, type=pa.string()),
                 "value_repr": pa.array(vreprs, type=pa.string()),
+                "key_hash": pa.array(key_hashes, type=pa.uint64()),
                 "count": pa.array(counts, type=pa.int64()),
                 "stats_blob": pa.array(blobs, type=pa.binary()),
             },
             schema=UNIFIED_SCHEMA,
         )
+
+
+def make_validator_fn(**kwargs):
+    """Stateless-task form of the validator for ``map_batches(fn)``.
+
+    The compiled spec is tiny and the broadcast FK sets are fetched
+    zero-copy from the object store, so per-task construction costs
+    microseconds — stateless tasks avoid the actor-pool cold-start that
+    dominates short jobs. Use the ``RowValidator`` class (actor pool) only
+    when per-worker setup is genuinely expensive (models, big indexes).
+    """
+    state: dict = {}
+
+    def validate(batch: pa.Table) -> pa.Table:
+        rv = state.get("rv")
+        if rv is None:
+            rv = state["rv"] = RowValidator(**kwargs)
+        return rv(batch)
+
+    return validate
 
 
 def merge_stats_blobs(table: pa.Table) -> pa.Table:

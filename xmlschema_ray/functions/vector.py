@@ -1,0 +1,54 @@
+"""Vector similarity primitives: cosine top-k and hyperplane LSH.
+
+Brute-force cosine top-k is the correctness baseline (numpy matmul per
+batch against a broadcast query matrix); hyperplane-LSH bucketing is the
+scale path (candidates restricted to matching sign-pattern buckets).
+No reference analog (north-rule mandate).
+"""
+
+from __future__ import annotations
+
+from typing import Optional, Tuple
+
+import numpy as np
+
+
+def normalize_rows(m: np.ndarray) -> np.ndarray:
+    m = np.asarray(m, dtype=np.float64)
+    norms = np.linalg.norm(m, axis=1, keepdims=True)
+    norms[norms == 0] = 1.0
+    return m / norms
+
+
+def batch_cosine_topk(
+    batch_vecs: np.ndarray,
+    batch_ids: np.ndarray,
+    query_matrix: np.ndarray,
+    k: int,
+) -> Tuple[np.ndarray, np.ndarray, np.ndarray]:
+    """Per-batch partial top-k: cosine of every batch vector against every
+    query (one matmul), keep the k best per query within this batch.
+
+    Returns ``(query_idx, vec_ids, cosines)`` flattened. float64 throughout
+    so results match a float64 oracle bit-for-bit after rounding.
+    """
+    sims = normalize_rows(batch_vecs) @ normalize_rows(query_matrix).T  # (n, q)
+    n, q = sims.shape
+    kk = min(k, n)
+    # argpartition per query column, then exact ordering of the k survivors
+    part = np.argpartition(-sims, kk - 1, axis=0)[:kk, :]  # (kk, q)
+    qi = np.repeat(np.arange(q), kk)
+    vi = part.T.reshape(-1)
+    return qi, batch_ids[vi], sims[vi, qi]
+
+
+def hyperplane_planes(dim: int, n_planes: int = 16, seed: int = 99) -> np.ndarray:
+    rng = np.random.default_rng(seed)
+    return rng.standard_normal((n_planes, dim))
+
+
+def hyperplane_bucket(vecs: np.ndarray, planes: np.ndarray) -> np.ndarray:
+    """Sign-pattern bucket id per vector (uint64), vectorized."""
+    signs = (np.asarray(vecs, dtype=np.float64) @ planes.T) > 0  # (n, p)
+    weights = (np.uint64(1) << np.arange(planes.shape[0], dtype=np.uint64))[None, :]
+    return (signs.astype(np.uint64) * weights).sum(axis=1, dtype=np.uint64)

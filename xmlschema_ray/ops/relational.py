@@ -36,69 +36,52 @@ def _as_pandas(small: Union[pd.DataFrame, pa.Table]) -> pd.DataFrame:
     return small.to_pandas() if isinstance(small, pa.Table) else small
 
 
-class _BroadcastJoiner:
-    """Actor-pool stage: fetch the broadcast side once, merge per batch."""
-
-    def __init__(self, small_ref, left_on, right_on, how, suffix):
-        small = ray.get(small_ref) if isinstance(small_ref, ray.ObjectRef) else small_ref
-        self.small = _as_pandas(small)
-        self.left_on = left_on
-        self.right_on = right_on
-        self.how = how
-        self.suffix = suffix
-
-    def __call__(self, batch: pd.DataFrame) -> pd.DataFrame:
-        out = batch.merge(
-            self.small,
-            how=self.how,
-            left_on=self.left_on,
-            right_on=self.right_on,
-            suffixes=("", self.suffix),
-        )
-        if self.left_on != self.right_on and self.right_on in out.columns:
-            out = out.drop(columns=[self.right_on])
-        return out
-
-
 def broadcast_join(
     ds: rd.Dataset,
     small: Union[pd.DataFrame, pa.Table],
     left_on: str,
     right_on: Optional[str] = None,
     how: str = "inner",
-    concurrency: int = 4,
     batch_size: int = 65536,
     suffix: str = "_r",
 ) -> rd.Dataset:
-    """Stream-side ⋈ broadcast-side. ``how`` in {inner, left}."""
+    """Stream-side ⋈ broadcast-side. ``how`` in {inner, left}.
+
+    Stateless tasks + a ``ray.put`` broadcast fetched lazily (zero-copy)
+    once per task: a FIXED-size actor pool can reserve every CPU of a
+    small cluster and starve the upstream read — tasks cannot deadlock.
+    """
     assert how in ("inner", "left")
     right_on = right_on or left_on
     small_ref = ray.put(small)
-    return ds.map_batches(
-        _BroadcastJoiner,
-        fn_constructor_kwargs=dict(
-            small_ref=small_ref, left_on=left_on, right_on=right_on, how=how, suffix=suffix
-        ),
-        batch_format="pandas",
-        batch_size=batch_size,
-        concurrency=concurrency,
-    )
+    state: dict = {}
+
+    def join_fn(batch: pd.DataFrame) -> pd.DataFrame:
+        sm = state.get("sm")
+        if sm is None:
+            sm = state["sm"] = _as_pandas(ray.get(small_ref))
+        out = batch.merge(sm, how=how, left_on=left_on, right_on=right_on, suffixes=("", suffix))
+        if left_on != right_on and right_on in out.columns:
+            out = out.drop(columns=[right_on])
+        return out
+
+    return ds.map_batches(join_fn, batch_format="pandas", batch_size=batch_size)
 
 
-class _MembershipFilter:
-    def __init__(self, keys_ref, column, keep_members):
-        keys = ray.get(keys_ref) if isinstance(keys_ref, ray.ObjectRef) else keys_ref
-        self.value_set = keys if isinstance(keys, pa.Array) else pa.array(keys)
-        self.column = column
-        self.keep = keep_members
+def _membership_filter_fn(keys_ref, column, keep_members):
+    state: dict = {}
 
-    def __call__(self, batch: pa.Table) -> pa.Table:
-        mask = pc.is_in(batch[self.column], value_set=self.value_set)
-        if not self.keep:
-            mask = pc.and_kleene(
-                pc.invert(mask), pc.is_valid(batch[self.column])
-            )
+    def fn(batch: pa.Table) -> pa.Table:
+        vs = state.get("vs")
+        if vs is None:
+            keys = ray.get(keys_ref)
+            vs = state["vs"] = keys if isinstance(keys, pa.Array) else pa.array(keys)
+        mask = pc.is_in(batch[column], value_set=vs)
+        if not keep_members:
+            mask = pc.and_kleene(pc.invert(mask), pc.is_valid(batch[column]))
         return batch.filter(pc.fill_null(mask, False))
+
+    return fn
 
 
 def _key_array(small: Union[pd.DataFrame, pa.Table, Sequence], key: Optional[str]) -> pa.Array:
@@ -114,16 +97,11 @@ def semi_join(
     small: Union[pd.DataFrame, pa.Table, Sequence],
     on: str,
     key: Optional[str] = None,
-    concurrency: int = 4,
 ) -> rd.Dataset:
     """Keep rows whose ``on`` value exists in the broadcast key set."""
     keys_ref = ray.put(_key_array(small, key or on))
     return ds.map_batches(
-        _MembershipFilter,
-        fn_constructor_kwargs=dict(keys_ref=keys_ref, column=on, keep_members=True),
-        batch_format="pyarrow",
-        zero_copy_batch=True,
-        concurrency=concurrency,
+        _membership_filter_fn(keys_ref, on, True), batch_format="pyarrow", zero_copy_batch=True
     )
 
 
@@ -132,17 +110,50 @@ def anti_join(
     small: Union[pd.DataFrame, pa.Table, Sequence],
     on: str,
     key: Optional[str] = None,
-    concurrency: int = 4,
 ) -> rd.Dataset:
     """Keep rows whose ``on`` value does NOT exist in the broadcast key set
     (the find-the-violations direction of the keyref check)."""
     keys_ref = ray.put(_key_array(small, key or on))
     return ds.map_batches(
-        _MembershipFilter,
-        fn_constructor_kwargs=dict(keys_ref=keys_ref, column=on, keep_members=False),
-        batch_format="pyarrow",
-        zero_copy_batch=True,
-        concurrency=concurrency,
+        _membership_filter_fn(keys_ref, on, False), batch_format="pyarrow", zero_copy_batch=True
+    )
+
+
+# -- hash-partitioned apply ----------------------------------------------
+
+
+def hash_partition_apply(
+    ds: rd.Dataset,
+    key_cols: Union[str, List[str]],
+    fn,
+    num_partitions: int = 32,
+) -> rd.Dataset:
+    """Partition rows by ``hash(key) % num_partitions`` and apply ``fn``
+    (pandas in/out) once per PARTITION — not per key group.
+
+    Rationale: Ray's native ``groupby().aggregate()`` / per-key
+    ``map_groups`` pay Python-per-row / Python-per-group costs that
+    collapse at high key cardinality (measured ~875 rows/s on this build).
+    Shuffling on a bounded partition column keeps the sort trivial and the
+    per-partition work fully vectorized; ``fn`` must do its own
+    ``groupby(keys)`` inside the partition. All rows of one key land in
+    one partition (hash-partition co-location guarantee).
+    """
+    keys = [key_cols] if isinstance(key_cols, str) else list(key_cols)
+
+    def add_part(batch: pd.DataFrame) -> pd.DataFrame:
+        h = pd.util.hash_pandas_object(batch[keys], index=False).to_numpy()
+        batch = batch.copy(deep=False)
+        batch["__part"] = (h % np.uint64(num_partitions)).astype(np.int64)
+        return batch
+
+    def per_part(g: pd.DataFrame) -> pd.DataFrame:
+        return fn(g.drop(columns="__part"))
+
+    return (
+        ds.map_batches(add_part, batch_format="pandas")
+        .groupby("__part")
+        .map_groups(per_part, batch_format="pandas")
     )
 
 
@@ -170,17 +181,20 @@ def combiner_aggregate(
     keys: Union[str, List[str]],
     aggs: Dict[str, Tuple[Optional[str], str]],
     batch_size: int = 65536,
+    num_partitions: int = 32,
 ) -> rd.Dataset:
-    """Pre-aggregated grouped aggregate.
+    """Pre-aggregated grouped aggregate, fully vectorized end to end.
 
     ``aggs``: out_name -> (column, kind) with kind in sum|min|max|count|mean.
-    ``mean`` is computed as sum+count partials finalized after the shuffle,
-    so every partial is mergeable. The shuffle moves only per-batch partials.
+    Stage 1: per-batch pandas groupby partials (one row per key per batch —
+    the skew-safe combiner; a hot key ships #batches rows, not #rows).
+    Stage 2: hash-partition the partials on the key and merge each
+    partition with ONE vectorized pandas groupby (see
+    :func:`hash_partition_apply` for why Ray's native aggregate is avoided).
+    ``mean`` is expanded to mergeable sum+count partials and finalized
+    after the shuffle.
     """
-    from ray.data.aggregate import Max, Min, Sum
-
     keys = [keys] if isinstance(keys, str) else list(keys)
-    # expand mean into sum+count partials
     partial_aggs: Dict[str, Tuple[Optional[str], str]] = {}
     finalize_means: Dict[str, Tuple[str, str]] = {}
     for out, (col, kind) in aggs.items():
@@ -194,25 +208,20 @@ def combiner_aggregate(
     partials = ds.map_batches(
         _make_partial_fn(keys, partial_aggs), batch_format="pandas", batch_size=batch_size
     )
-    final_aggs = []
-    for out, (col, kind) in partial_aggs.items():
-        if kind in ("sum", "count"):
-            final_aggs.append(Sum(out, alias_name=out))
-        elif kind == "min":
-            final_aggs.append(Min(out, alias_name=out))
-        elif kind == "max":
-            final_aggs.append(Max(out, alias_name=out))
-    result = partials.groupby(keys).aggregate(*final_aggs)
-    if finalize_means:
 
-        def finalize(batch: pd.DataFrame) -> pd.DataFrame:
-            for out, (s, c) in finalize_means.items():
-                batch[out] = batch[s] / batch[c]
-            drop = [x for pair in finalize_means.values() for x in pair]
-            return batch.drop(columns=[d for d in drop if d in batch.columns])
+    merge_kinds = {
+        out: ("sum" if kind in ("sum", "count") else kind) for out, (col, kind) in partial_aggs.items()
+    }
 
-        result = result.map_batches(finalize, batch_format="pandas")
-    return result
+    def merge_partition(g: pd.DataFrame) -> pd.DataFrame:
+        gb = g.groupby(keys, sort=False, dropna=False)
+        out = pd.DataFrame({o: gb[o].agg(k) for o, k in merge_kinds.items()}).reset_index()
+        for o, (s, c) in finalize_means.items():
+            out[o] = out[s] / out[c]
+        drop = [x for pair in finalize_means.values() for x in pair]
+        return out.drop(columns=[d for d in drop if d in out.columns])
+
+    return hash_partition_apply(partials, keys, merge_partition, num_partitions=num_partitions)
 
 
 def topk(

@@ -1,0 +1,37 @@
+"""Shared helpers for oracle-matched pipelines.
+
+Float-exactness rule: every aggregate over money/decimal columns is
+computed in SCALED INTEGERS (cents / 1e-4 units) on both the Ray side and
+the DuckDB oracle side, with one final division to doubles. Integer sums
+are order-independent, so results match the oracle bit-for-bit regardless
+of parallelism — the analog of the reference's deterministic single-thread
+output order (``/root/reference/xmlschema/validators/schema.py:1010-1020``)
+achieved algebraically instead of by serialization.
+
+The matching SQL idiom is ``CAST(floor(x * 100 + 0.5) AS BIGINT)`` —
+``floor(+0.5)`` (not ROUND) because numpy rounds half-to-even while DuckDB
+rounds half-away; floor+0.5 is identical in both.
+"""
+
+from __future__ import annotations
+
+import os
+
+import numpy as np
+import pandas as pd
+
+
+def table_path(sf_dir: str, name: str) -> str:
+    return os.path.join(sf_dir, f"{name}.parquet")
+
+
+def cents(x) -> "pd.Series | np.ndarray":
+    """Dollars → integer cents, matching SQL floor(x*100 + 0.5)."""
+    return np.floor(np.asarray(x, dtype=np.float64) * 100.0 + 0.5).astype(np.int64)
+
+
+def scaled_int(x, scale: float) -> np.ndarray:
+    return np.floor(np.asarray(x, dtype=np.float64) * scale + 0.5).astype(np.int64)
+
+
+SQL_CENTS = "CAST(floor({col} * 100 + 0.5) AS BIGINT)"

@@ -1,0 +1,102 @@
+"""Multimodal column plumbing: opaque binary payloads + typed metadata.
+
+Image/audio/video payloads are opaque ``binary`` columns with typed
+metadata columns alongside (``media_type``, ``n_bytes``). Decode /
+feature-extraction runs as an actor-pool ``map_batches`` stage — the model
+(or codec) is loaded once per actor in ``__init__``. The actual codec
+libraries are NOT in this container, so the decode step is STUBBED: pass
+``fake=True`` for a deterministic hash-based pseudo-decoder (used in
+tests, keeps the Ray-side plumbing — schema, batch size, actor signature,
+output layout — real), otherwise ``NotImplementedError`` marks the seam
+where Pillow/torchaudio/pyav would plug in.
+
+Small batches are the memory rule for wide binary rows (SURVEY §4 /
+ray_guide memory notes): ``batch_size=256`` default here vs 16k for
+narrow rows.
+"""
+
+from __future__ import annotations
+
+from typing import Dict
+
+import numpy as np
+import pandas as pd
+import pyarrow as pa
+
+import ray.data as rd
+
+from xmlschema_ray.engine.stats import hash64
+from xmlschema_ray.pipelines.common import table_path
+
+FEAT_DIM = 8
+
+
+def to_binary_payloads(sf_dir: str) -> "rd.Dataset":
+    """Stand-in multimodal table derived from documents: utf-8 payload
+    bytes + metadata columns (the schema any real media table would use)."""
+    ds = rd.read_parquet(table_path(sf_dir, "documents"), columns=["doc_id", "text"])
+
+    def fn(batch: pa.Table) -> pa.Table:
+        import pyarrow.compute as pc
+
+        payload = pc.cast(batch["text"], pa.binary())
+        return pa.table(
+            {
+                "item_id": batch["doc_id"],
+                "payload": payload,
+                "media_type": pa.array(["text/plain"] * batch.num_rows),
+                "n_bytes": pc.binary_length(payload),
+            }
+        )
+
+    return ds.map_batches(fn, batch_format="pyarrow", zero_copy_batch=True)
+
+
+class MediaFeatureExtractor:
+    """Actor-pool decode/feature stage.
+
+    ``__init__`` is where a real implementation loads the codec/model once
+    per actor. ``fake=True`` derives a deterministic FEAT_DIM-dim feature
+    vector from the payload hash — stable across processes, so tests can
+    assert exact outputs.
+    """
+
+    def __init__(self, fake: bool = False):
+        self.fake = fake
+        if not fake:
+            # real codecs (PIL / torchaudio / pyav) are not available in
+            # this environment; the stub marks the integration seam.
+            raise NotImplementedError(
+                "media decode requires codec libraries not present in this "
+                "environment; construct with fake=True for the deterministic stub"
+            )
+
+    def __call__(self, batch: pd.DataFrame) -> pd.DataFrame:
+        payloads = batch["payload"]
+        h = hash64(np.array([bytes(p) for p in payloads], dtype=object))
+        # deterministic pseudo-features: split the 64-bit hash into bytes
+        feats = ((h[:, None] >> (np.arange(FEAT_DIM, dtype=np.uint64) * np.uint64(8))) & np.uint64(0xFF)).astype(
+            np.float64
+        ) / 255.0
+        out = pd.DataFrame({"item_id": batch["item_id"], "n_bytes": batch["n_bytes"].astype("int64")})
+        for i in range(FEAT_DIM):
+            out[f"feat_{i}"] = feats[:, i]
+        return out
+
+
+def multimodal_features(sf_dir: str) -> "rd.Dataset":
+    """binary payloads → actor-pool feature extraction (fake decoder)."""
+    return to_binary_payloads(sf_dir).map_batches(
+        MediaFeatureExtractor,
+        fn_constructor_kwargs=dict(fake=True),
+        batch_format="pandas",
+        batch_size=256,  # wide binary rows → small batches
+        # autoscaling pool with min=1: a FIXED pool sized to the cluster
+        # would reserve every CPU and starve the upstream read (deadlock
+        # on small clusters); min 1 actor always leaves room to progress.
+        concurrency=(1, 4),
+    )
+
+
+ORACLES: Dict[str, str] = {}
+QUERIES = {"multimodal_features": multimodal_features}

@@ -1,0 +1,476 @@
+"""Oracle-checked relational pipelines over the driver testdata tables.
+
+These exercise the engine's general operator inventory (SURVEY.md §2:
+scans with pruning, per-batch maps, combiner aggregation, broadcast and
+partitioned joins, top-k, windows, sessionization, JSON extraction) with
+DuckDB-verifiable semantics. Money arithmetic follows the scaled-integer
+rule in ``common.py`` so values match the oracle exactly.
+
+Every function takes ``sf_dir`` and returns a Dataset / DataFrame;
+``ORACLES[name]`` is the matching SQL (same column names — required by the
+driver's order-insensitive value-hash compare).
+"""
+
+from __future__ import annotations
+
+import numpy as np
+import pandas as pd
+import pyarrow as pa
+import pyarrow.compute as pc
+
+import ray.data as rd
+
+from xmlschema_ray.ops.relational import broadcast_join, combiner_aggregate, topk
+from xmlschema_ray.pipelines.common import cents, scaled_int, table_path
+
+
+# -- q1: pricing summary (combiner aggregate; TPC-H Q1 shape) ------------
+
+
+def q1_pricing_summary(sf_dir: str) -> pd.DataFrame:
+    """Grouped pricing summary with integer-scaled partial aggregation.
+
+    Per-batch partials (one row per group per batch) flow into a tiny
+    groupby — the pre-aggregate-before-shuffle pattern (SURVEY §2.7).
+    """
+    ds = rd.read_parquet(
+        table_path(sf_dir, "lineitem"),
+        columns=[
+            "l_returnflag",
+            "l_linestatus",
+            "l_quantity",
+            "l_extendedprice",
+            "l_discount",
+        ],
+    )
+
+    def add_scaled(batch: pd.DataFrame) -> pd.DataFrame:
+        price_c = cents(batch["l_extendedprice"])
+        disc100 = scaled_int(batch["l_discount"], 100.0)
+        out = pd.DataFrame(
+            {
+                "l_returnflag": batch["l_returnflag"],
+                "l_linestatus": batch["l_linestatus"],
+                "qty": batch["l_quantity"].astype("int64"),
+                "price_c": price_c,
+                "disc_e4": price_c * (100 - disc100),  # price*(1-disc) in 1e-4 $
+                "disc100": disc100,
+            }
+        )
+        return out
+
+    scaled = ds.map_batches(add_scaled, batch_format="pandas")
+    agg = combiner_aggregate(
+        scaled,
+        keys=["l_returnflag", "l_linestatus"],
+        aggs={
+            "sum_qty": ("qty", "sum"),
+            "sum_base_c": ("price_c", "sum"),
+            "sum_disc_e4": ("disc_e4", "sum"),
+            "sum_disc100": ("disc100", "sum"),
+            "count_order": (None, "count"),
+        },
+    )
+    df = agg.to_pandas()
+    n = df["count_order"].astype("int64")
+    out = pd.DataFrame(
+        {
+            "l_returnflag": df["l_returnflag"],
+            "l_linestatus": df["l_linestatus"],
+            "sum_qty": df["sum_qty"].astype("int64"),
+            "sum_base_price": df["sum_base_c"] / 100.0,
+            "sum_disc_price": df["sum_disc_e4"] / 10000.0,
+            "avg_qty": df["sum_qty"] / n,
+            "avg_price": df["sum_base_c"] / (100.0 * n),
+            "avg_disc": df["sum_disc100"] / (100.0 * n),
+            "count_order": n,
+        }
+    )
+    return out.sort_values(["l_returnflag", "l_linestatus"]).reset_index(drop=True)
+
+
+Q1_SQL = """
+SELECT
+  l_returnflag,
+  l_linestatus,
+  SUM(CAST(l_quantity AS BIGINT)) AS sum_qty,
+  CAST(SUM(CAST(floor(l_extendedprice * 100 + 0.5) AS BIGINT)) AS DOUBLE) / 100.0 AS sum_base_price,
+  CAST(SUM(CAST(floor(l_extendedprice * 100 + 0.5) AS BIGINT)
+           * (100 - CAST(floor(l_discount * 100 + 0.5) AS BIGINT))) AS DOUBLE) / 10000.0 AS sum_disc_price,
+  CAST(SUM(CAST(l_quantity AS BIGINT)) AS DOUBLE) / COUNT(*) AS avg_qty,
+  CAST(SUM(CAST(floor(l_extendedprice * 100 + 0.5) AS BIGINT)) AS DOUBLE) / (100.0 * COUNT(*)) AS avg_price,
+  CAST(SUM(CAST(floor(l_discount * 100 + 0.5) AS BIGINT)) AS DOUBLE) / (100.0 * COUNT(*)) AS avg_disc,
+  COUNT(*) AS count_order
+FROM lineitem
+GROUP BY l_returnflag, l_linestatus
+ORDER BY l_returnflag, l_linestatus
+"""
+
+
+# -- q3: top revenue orders (broadcast joins + combiner agg + top-k) -----
+
+
+def q3_top_orders(sf_dir: str) -> pd.DataFrame:
+    """Top-10 BUILDING-segment orders by discounted revenue.
+
+    customer (filtered) and orders are broadcast dimension sides
+    (``ray.put`` once per run, fetched per actor); lineitem streams. At
+    real scale orders would use ``hash_bucket_join`` instead — documented
+    trade-off: broadcast requires the small side to fit worker heap.
+    """
+    cust = (
+        rd.read_parquet(
+            table_path(sf_dir, "customer"), columns=["c_custkey", "c_mktsegment"]
+        )
+        .filter(expr="c_mktsegment == 'BUILDING'")
+        .to_pandas()[["c_custkey"]]
+    )
+    orders = rd.read_parquet(
+        table_path(sf_dir, "orders"),
+        columns=["o_orderkey", "o_custkey", "o_orderdate"],
+        filter=(pc.field("o_orderdate") < pa.scalar(pd.Timestamp("1998-01-01"))),
+    ).to_pandas()
+    orders = orders.merge(cust, left_on="o_custkey", right_on="c_custkey")[["o_orderkey"]]
+
+    li = rd.read_parquet(
+        table_path(sf_dir, "lineitem"),
+        columns=["l_orderkey", "l_extendedprice", "l_discount", "l_shipdate"],
+        filter=(pc.field("l_shipdate") > pa.scalar(pd.Timestamp("1998-01-01"))),
+    )
+
+    def revenue_e4(batch: pd.DataFrame) -> pd.DataFrame:
+        pc_ = cents(batch["l_extendedprice"])
+        d100 = scaled_int(batch["l_discount"], 100.0)
+        return pd.DataFrame({"l_orderkey": batch["l_orderkey"], "rev_e4": pc_ * (100 - d100)})
+
+    joined = broadcast_join(li.map_batches(revenue_e4, batch_format="pandas"), orders,
+                            left_on="l_orderkey", right_on="o_orderkey", how="inner")
+    agg = combiner_aggregate(joined, keys="l_orderkey", aggs={"rev_e4": ("rev_e4", "sum")})
+    top = topk(agg, "rev_e4", 10, descending=True, tiebreak=["l_orderkey"]).to_pandas()
+    top["revenue"] = top["rev_e4"] / 10000.0
+    return top[["l_orderkey", "revenue"]]
+
+
+Q3_SQL = """
+SELECT l.l_orderkey,
+       CAST(SUM(CAST(floor(l.l_extendedprice * 100 + 0.5) AS BIGINT)
+                * (100 - CAST(floor(l.l_discount * 100 + 0.5) AS BIGINT))) AS DOUBLE) / 10000.0 AS revenue
+FROM lineitem l
+JOIN orders o ON l.l_orderkey = o.o_orderkey
+JOIN customer c ON o.o_custkey = c.c_custkey
+WHERE c.c_mktsegment = 'BUILDING'
+  AND o.o_orderdate < TIMESTAMP '1998-01-01'
+  AND l.l_shipdate > TIMESTAMP '1998-01-01'
+GROUP BY l.l_orderkey
+ORDER BY SUM(CAST(floor(l.l_extendedprice * 100 + 0.5) AS BIGINT)
+             * (100 - CAST(floor(l.l_discount * 100 + 0.5) AS BIGINT))) DESC, l.l_orderkey
+LIMIT 10
+"""
+
+
+# -- q5: revenue per nation (two broadcast joins, grouped rollup) --------
+
+
+def q5_nation_revenue(sf_dir: str) -> pd.DataFrame:
+    cust = rd.read_parquet(
+        table_path(sf_dir, "customer"), columns=["c_custkey", "c_nationkey"]
+    ).to_pandas()
+    nation = rd.read_parquet(
+        table_path(sf_dir, "nation"), columns=["n_nationkey", "n_name"]
+    ).to_pandas()
+    cust = cust.merge(nation, left_on="c_nationkey", right_on="n_nationkey")[
+        ["c_custkey", "n_name"]
+    ]
+    orders = rd.read_parquet(
+        table_path(sf_dir, "orders"), columns=["o_orderkey", "o_custkey"]
+    ).to_pandas()
+    order_nation = orders.merge(cust, left_on="o_custkey", right_on="c_custkey")[
+        ["o_orderkey", "n_name"]
+    ]
+
+    li = rd.read_parquet(
+        table_path(sf_dir, "lineitem"), columns=["l_orderkey", "l_extendedprice", "l_discount"]
+    )
+
+    def revenue_e4(batch: pd.DataFrame) -> pd.DataFrame:
+        pc_ = cents(batch["l_extendedprice"])
+        d100 = scaled_int(batch["l_discount"], 100.0)
+        return pd.DataFrame({"l_orderkey": batch["l_orderkey"], "rev_e4": pc_ * (100 - d100)})
+
+    joined = broadcast_join(
+        li.map_batches(revenue_e4, batch_format="pandas"),
+        order_nation,
+        left_on="l_orderkey",
+        right_on="o_orderkey",
+        how="inner",
+    )
+    agg = combiner_aggregate(joined, keys="n_name", aggs={"rev_e4": ("rev_e4", "sum")})
+    df = agg.to_pandas()
+    df["revenue"] = df["rev_e4"] / 10000.0
+    return df[["n_name", "revenue"]].sort_values("n_name").reset_index(drop=True)
+
+
+Q5_SQL = """
+SELECT n.n_name,
+       CAST(SUM(CAST(floor(l.l_extendedprice * 100 + 0.5) AS BIGINT)
+                * (100 - CAST(floor(l.l_discount * 100 + 0.5) AS BIGINT))) AS DOUBLE) / 10000.0 AS revenue
+FROM lineitem l
+JOIN orders o ON l.l_orderkey = o.o_orderkey
+JOIN customer c ON o.o_custkey = c.c_custkey
+JOIN nation n ON c.c_nationkey = n.n_nationkey
+GROUP BY n.n_name
+ORDER BY n.n_name
+"""
+
+
+# -- large-large partitioned hash join (Ray Dataset.join) ----------------
+
+
+def join_order_lineitem_status(sf_dir: str) -> pd.DataFrame:
+    """Revenue by order status via a hash-partitioned large-large join
+    (``Dataset.join``) — the both-sides-large alternative to broadcast."""
+    orders = rd.read_parquet(
+        table_path(sf_dir, "orders"), columns=["o_orderkey", "o_orderstatus"]
+    )
+    li = rd.read_parquet(
+        table_path(sf_dir, "lineitem"), columns=["l_orderkey", "l_extendedprice", "l_discount"]
+    )
+
+    def revenue_e4(batch: pd.DataFrame) -> pd.DataFrame:
+        pc_ = cents(batch["l_extendedprice"])
+        d100 = scaled_int(batch["l_discount"], 100.0)
+        return pd.DataFrame({"l_orderkey": batch["l_orderkey"], "rev_e4": pc_ * (100 - d100)})
+
+    li2 = li.map_batches(revenue_e4, batch_format="pandas")
+    joined = li2.join(
+        orders,
+        join_type="inner",
+        num_partitions=16,
+        on=("l_orderkey",),
+        right_on=("o_orderkey",),
+    )
+    agg = combiner_aggregate(
+        joined, keys="o_orderstatus", aggs={"rev_e4": ("rev_e4", "sum"), "n_lines": (None, "count")}
+    )
+    df = agg.to_pandas()
+    df["revenue"] = df["rev_e4"] / 10000.0
+    df["n_lines"] = df["n_lines"].astype("int64")
+    return df[["o_orderstatus", "revenue", "n_lines"]].sort_values("o_orderstatus").reset_index(drop=True)
+
+
+JOIN_STATUS_SQL = """
+SELECT o.o_orderstatus,
+       CAST(SUM(CAST(floor(l.l_extendedprice * 100 + 0.5) AS BIGINT)
+                * (100 - CAST(floor(l.l_discount * 100 + 0.5) AS BIGINT))) AS DOUBLE) / 10000.0 AS revenue,
+       COUNT(*) AS n_lines
+FROM lineitem l JOIN orders o ON l.l_orderkey = o.o_orderkey
+GROUP BY o.o_orderstatus
+ORDER BY o.o_orderstatus
+"""
+
+
+# -- top-k / filter+project / distinct / duplicate detection -------------
+
+
+def top10_customers_by_totalprice(sf_dir: str) -> pd.DataFrame:
+    orders = rd.read_parquet(
+        table_path(sf_dir, "orders"), columns=["o_orderkey", "o_custkey", "o_totalprice"]
+    )
+
+    def to_cents(batch: pd.DataFrame) -> pd.DataFrame:
+        batch["price_c"] = cents(batch["o_totalprice"])
+        return batch[["o_orderkey", "o_custkey", "price_c"]]
+
+    t = topk(
+        orders.map_batches(to_cents, batch_format="pandas"),
+        "price_c",
+        10,
+        descending=True,
+        tiebreak=["o_orderkey"],
+    ).to_pandas()
+    t["o_totalprice"] = t["price_c"] / 100.0
+    return t[["o_orderkey", "o_custkey", "o_totalprice"]]
+
+
+TOP10_SQL = """
+SELECT o_orderkey, o_custkey,
+       CAST(CAST(floor(o_totalprice * 100 + 0.5) AS BIGINT) AS DOUBLE) / 100.0 AS o_totalprice
+FROM orders
+ORDER BY CAST(floor(o_totalprice * 100 + 0.5) AS BIGINT) DESC, o_orderkey
+LIMIT 10
+"""
+
+
+def filter_project_lineitem(sf_dir: str) -> "rd.Dataset":
+    """Predicate + projection pushed to the parquet read (prune-at-read:
+    only 4 columns leave storage, row groups filtered)."""
+    return rd.read_parquet(
+        table_path(sf_dir, "lineitem"),
+        columns=["l_orderkey", "l_linenumber", "l_quantity", "l_extendedprice"],
+        filter=(
+            (pc.field("l_quantity") >= pc.scalar(48.0))
+        ),
+    ).filter(expr="l_extendedprice > 90000.0")
+
+
+FILTER_PROJECT_SQL = """
+SELECT l_orderkey, l_linenumber, l_quantity, l_extendedprice
+FROM lineitem WHERE l_quantity >= 48 AND l_extendedprice > 90000.0
+"""
+
+
+def distinct_part_count(sf_dir: str) -> pd.DataFrame:
+    """Exact distinct via shuffle (``unique``); the approximate path for
+    10^12-scale is the HLL sketch in the stats channel."""
+    ds = rd.read_parquet(table_path(sf_dir, "lineitem"), columns=["l_partkey"])
+    n = len(ds.unique("l_partkey"))
+    return pd.DataFrame({"n_distinct_parts": pd.array([n], dtype="int64")})
+
+
+DISTINCT_SQL = "SELECT COUNT(DISTINCT l_partkey) AS n_distinct_parts FROM lineitem"
+
+
+def duplicate_orderkeys(sf_dir: str) -> pd.DataFrame:
+    """Key-multiplicity detection — the xs:unique groupby-count shape
+    (``validators/identities.py:198-221``) as a standalone operator."""
+    ds = rd.read_parquet(table_path(sf_dir, "lineitem"), columns=["l_orderkey"])
+    agg = combiner_aggregate(ds, keys="l_orderkey", aggs={"n_lines": (None, "count")})
+    dups = agg.filter(expr="n_lines > 1").to_pandas()
+    dups["n_lines"] = dups["n_lines"].astype("int64")
+    return dups.sort_values("l_orderkey").reset_index(drop=True)
+
+
+DUP_ORDERKEYS_SQL = """
+SELECT l_orderkey, COUNT(*) AS n_lines FROM lineitem
+GROUP BY l_orderkey HAVING COUNT(*) > 1 ORDER BY l_orderkey
+"""
+
+
+# -- events: windows, sessions, JSON -------------------------------------
+
+
+def events_daily_window(sf_dir: str) -> pd.DataFrame:
+    """Tumbling daily window per user (streaming-shaped workload expressed
+    as grouped aggregation — SURVEY §2.11: no watermarks needed for batch
+    logs; ordering assumption is none, the window key is derived per row)."""
+    ds = rd.read_parquet(table_path(sf_dir, "events"), columns=["user_id", "ts", "value"])
+
+    def add_window(batch: pd.DataFrame) -> pd.DataFrame:
+        return pd.DataFrame(
+            {
+                "user_id": batch["user_id"],
+                "day": batch["ts"].dt.floor("D"),
+                "value_c": cents(batch["value"]),
+            }
+        )
+
+    agg = combiner_aggregate(
+        ds.map_batches(add_window, batch_format="pandas"),
+        keys=["user_id", "day"],
+        aggs={"n_events": (None, "count"), "sum_value_c": ("value_c", "sum")},
+    )
+    df = agg.to_pandas()
+    df["sum_value"] = df["sum_value_c"] / 100.0
+    df["n_events"] = df["n_events"].astype("int64")
+    return df[["user_id", "day", "n_events", "sum_value"]].sort_values(["user_id", "day"]).reset_index(drop=True)
+
+
+DAILY_WINDOW_SQL = """
+SELECT user_id, date_trunc('day', ts) AS day, COUNT(*) AS n_events,
+       CAST(SUM(CAST(floor(value * 100 + 0.5) AS BIGINT)) AS DOUBLE) / 100.0 AS sum_value
+FROM events GROUP BY user_id, date_trunc('day', ts) ORDER BY user_id, day
+"""
+
+
+def sessionize_events(sf_dir: str, gap_minutes: int = 30) -> pd.DataFrame:
+    """Gap-based sessionization per user: ``groupby(user).map_groups`` over
+    ts-sorted groups (ordering assumption: per-user group fits in memory
+    and is sorted inside the group — stated per ray_guide streaming
+    pattern)."""
+    ds = rd.read_parquet(table_path(sf_dir, "events"), columns=["user_id", "ts"])
+    gap = pd.Timedelta(minutes=gap_minutes)
+
+    def sessions(part: pd.DataFrame) -> pd.DataFrame:
+        # vectorized over the whole hash partition: sort by (user, ts),
+        # a session break is a gap > threshold within the same user
+        p = part.sort_values(["user_id", "ts"], kind="mergesort")
+        new_user = p["user_id"].ne(p["user_id"].shift())
+        breaks = (p["ts"].diff() > gap) & ~new_user
+        out = (
+            pd.DataFrame({"user_id": p["user_id"], "brk": breaks})
+            .groupby("user_id", sort=False)["brk"]
+            .sum()
+        )
+        return pd.DataFrame(
+            {"user_id": out.index, "n_sessions": pd.array(out.values + 1, dtype="int64")}
+        )
+
+    from xmlschema_ray.ops.relational import hash_partition_apply
+
+    out = hash_partition_apply(ds, "user_id", sessions).to_pandas()
+    return out.sort_values("user_id").reset_index(drop=True)
+
+
+SESSIONIZE_SQL = """
+SELECT user_id,
+       CAST(1 + SUM(CASE WHEN gap_new THEN 1 ELSE 0 END) AS BIGINT) AS n_sessions
+FROM (
+  SELECT user_id,
+         COALESCE(ts - lag(ts) OVER (PARTITION BY user_id ORDER BY ts) > INTERVAL 30 MINUTE, FALSE) AS gap_new
+  FROM events
+) GROUP BY user_id ORDER BY user_id
+"""
+
+
+def json_extract_events(sf_dir: str) -> pd.DataFrame:
+    """Vectorized JSON field extraction + grouped rollup."""
+    ds = rd.read_parquet(table_path(sf_dir, "events"), columns=["event_type", "props"])
+
+    def extract(batch: pd.DataFrame) -> pd.DataFrame:
+        k = batch["props"].str.extract(r'"k"\s*:\s*(-?\d+)', expand=False).astype("int64")
+        return pd.DataFrame({"event_type": batch["event_type"], "k": k})
+
+    agg = combiner_aggregate(
+        ds.map_batches(extract, batch_format="pandas"),
+        keys="event_type",
+        aggs={"sum_k": ("k", "sum"), "n": (None, "count")},
+    )
+    df = agg.to_pandas()
+    df["sum_k"] = df["sum_k"].astype("int64")
+    df["n"] = df["n"].astype("int64")
+    return df.sort_values("event_type").reset_index(drop=True)
+
+
+JSON_EXTRACT_SQL = """
+SELECT event_type, SUM(CAST(json_extract_string(props, '$.k') AS BIGINT)) AS sum_k, COUNT(*) AS n
+FROM events GROUP BY event_type ORDER BY event_type
+"""
+
+
+ORACLES = {
+    "q1_pricing_summary": Q1_SQL,
+    "q3_top_orders": Q3_SQL,
+    "q5_nation_revenue": Q5_SQL,
+    "join_order_lineitem_status": JOIN_STATUS_SQL,
+    "top10_customers_by_totalprice": TOP10_SQL,
+    "filter_project_lineitem": FILTER_PROJECT_SQL,
+    "distinct_part_count": DISTINCT_SQL,
+    "duplicate_orderkeys": DUP_ORDERKEYS_SQL,
+    "events_daily_window": DAILY_WINDOW_SQL,
+    "sessionize_events": SESSIONIZE_SQL,
+    "json_extract_events": JSON_EXTRACT_SQL,
+}
+
+QUERIES = {
+    "q1_pricing_summary": q1_pricing_summary,
+    "q3_top_orders": q3_top_orders,
+    "q5_nation_revenue": q5_nation_revenue,
+    "join_order_lineitem_status": join_order_lineitem_status,
+    "top10_customers_by_totalprice": top10_customers_by_totalprice,
+    "filter_project_lineitem": filter_project_lineitem,
+    "distinct_part_count": distinct_part_count,
+    "duplicate_orderkeys": duplicate_orderkeys,
+    "events_daily_window": events_daily_window,
+    "sessionize_events": sessionize_events,
+    "json_extract_events": json_extract_events,
+}

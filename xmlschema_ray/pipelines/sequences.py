@@ -1,0 +1,140 @@
+"""Flagship pipelines over the sequence-shaped table (BASELINE.json hint).
+
+``validate_sequences`` derives the ``(doc_id, tokens, n_tok, source)``
+table from the driver's ``documents.parquet`` (deterministic word-hash
+tokens) and runs the full constraint suite; ``validate_sequences_seeded``
+runs it over a seeded-defect synthetic corpus and reports exact violation
+counts; ``drift_check`` profiles one half of the corpus and gates the
+other half against it. All rows-only checks (the Ray-vs-SQL proof for the
+same kernels lives in ``validation_queries.py``).
+"""
+
+from __future__ import annotations
+
+import os
+import shutil
+import tempfile
+from typing import Dict
+
+import numpy as np
+import pandas as pd
+import pyarrow as pa
+
+import ray.data as rd
+
+from xmlschema_ray.engine.engine import ValidationEngine
+from xmlschema_ray.sources.synthetic import (
+    SOURCES,
+    sequences_from_documents,
+    sequences_spec,
+    write_sequences_corpus,
+)
+
+
+def _scratch(tag: str) -> str:
+    d = os.path.join(tempfile.gettempdir(), "xmlschema_ray", tag)
+    if os.path.exists(d):
+        shutil.rmtree(d)
+    os.makedirs(d, exist_ok=True)
+    return d
+
+
+def _sources_dim(sf_dir: str) -> pa.Table:
+    srcs = sorted(
+        rd.read_parquet(os.path.join(sf_dir, "documents.parquet"), columns=["source"]).unique(
+            "source"
+        )
+    )
+    return pa.table({"source": pa.array(srcs, type=pa.string())})
+
+
+def validate_sequences(sf_dir: str) -> pd.DataFrame:
+    """Full validation run over the derived sequence table.
+
+    Returns the per-partition verdict table (PSVI vocabulary); the derived
+    corpus is clean so the run proves the whole pipeline at `valid`.
+    """
+    seq = sequences_from_documents(sf_dir)
+    spec = sequences_spec()
+    out_dir = _scratch("validate_sequences")
+    eng = ValidationEngine(spec, batch_size=4096, n_shards=1)
+    res = eng.run(seq, out_dir=out_dir, dims={"sources": _sources_dim(sf_dir)}, resume=False)
+    v = res.verdicts.copy()
+    v["job_validity"] = res.job_validity
+    return v
+
+
+def validate_sequences_seeded(sf_dir: str) -> pd.DataFrame:
+    """Seeded-defect corpus → exact per-constraint violation counts
+    (the `--errors N` manifest convention as a queryable result)."""
+    out_root = _scratch("validate_sequences_seeded")
+    seq_dir, dim_path, expected = write_sequences_corpus(
+        os.path.join(out_root, "corpus"),
+        n_rows=2000,
+        n_files=8,
+        defects={"dup_doc_id": 7, "bad_ref": 5, "n_tok_mismatch": 6, "bad_token_range": 9},
+    )
+    eng = ValidationEngine(sequences_spec(), batch_size=512, n_shards=4)
+    res = eng.run(seq_dir, out_dir=os.path.join(out_root, "out"), dims={"sources": dim_path})
+    viol = res.violations()
+    got = viol.groupby("constraint_name").size()
+    out = pd.DataFrame(
+        {
+            "constraint_name": got.index,
+            "n_violations": pd.array(got.values, dtype="int64"),
+            "n_expected": pd.array([expected.get(c, 0) for c in got.index], dtype="int64"),
+        }
+    )
+    return out.sort_values("constraint_name").reset_index(drop=True)
+
+
+def drift_check(sf_dir: str) -> pd.DataFrame:
+    """Profile-then-gate drift demo: token-length histogram of the first
+    half of the corpus becomes the reference profile; the second half is
+    gated against it (KS + PSI). Deterministic; same-distribution halves
+    ⇒ pass."""
+    import pyarrow.compute as pc
+
+    seq = sequences_from_documents(sf_dir)
+
+    def _half(parity: int):
+        def fn(t: pa.Table) -> pa.Table:
+            return t.filter(pc.equal(pc.bit_wise_and(t["n_tok"], 1), parity))
+
+        return seq.map_batches(fn, batch_format="pyarrow", zero_copy_batch=True)
+
+    half_a = _half(0)
+    half_b = _half(1)
+
+    spec_profile = sequences_spec()
+    out_a = _scratch("drift_profile")
+    eng = ValidationEngine(spec_profile, batch_size=4096, n_shards=1)
+    dims = {"sources": _sources_dim(sf_dir)}
+    res_a = eng.run(half_a, out_dir=out_a, dims=dims, resume=False)
+    ref_hist = tuple(int(x) for x in res_a.summary["histograms"]["len(tokens)"])
+
+    spec_gated = sequences_spec(reference_hist=ref_hist)
+    out_b = _scratch("drift_gated")
+    res_b = ValidationEngine(spec_gated, batch_size=4096, n_shards=1).run(
+        half_b, out_dir=out_b, dims=dims, resume=False
+    )
+    return pd.DataFrame(
+        [
+            {
+                "name": d.name,
+                "column": d.column,
+                "ks": d.ks,
+                "psi": d.psi,
+                "passed": bool(d.passed),
+            }
+            for d in res_b.drift
+        ]
+    )
+
+
+ORACLES: Dict[str, str] = {}
+QUERIES = {
+    "validate_sequences": validate_sequences,
+    "validate_sequences_seeded": validate_sequences_seeded,
+    "drift_check": drift_check,
+}

@@ -1,0 +1,150 @@
+"""Similarity search over the ``embeddings`` table.
+
+Brute-force cosine top-k (oracle-checked; float64 matmul against a
+broadcast query matrix) and a hyperplane-LSH-bucketed variant (the scale
+path: candidates restricted to the query's bucket; recall < 1 ⇒ rows-only).
+Scores are exported as ``cos_e6 = floor(cos * 1e6 + 0.5)`` integers so the
+driver's value-hash compare is robust to float formatting.
+"""
+
+from __future__ import annotations
+
+from typing import Dict
+
+import numpy as np
+import pandas as pd
+
+import ray
+import ray.data as rd
+
+from xmlschema_ray.functions.vector import (
+    batch_cosine_topk,
+    hyperplane_bucket,
+    hyperplane_planes,
+    normalize_rows,
+)
+from xmlschema_ray.pipelines.common import table_path
+
+N_QUERIES = 5
+TOP_K = 10
+
+
+def _query_matrix(sf_dir: str):
+    q = (
+        rd.read_parquet(table_path(sf_dir, "embeddings"), columns=["vec_id", "embedding"])
+        .filter(expr=f"vec_id < {N_QUERIES}")
+        .to_pandas()
+        .sort_values("vec_id")
+    )
+    return q["vec_id"].to_numpy(), np.stack(q["embedding"].to_numpy()).astype(np.float64)
+
+
+def knn_cosine(sf_dir: str, k: int = TOP_K) -> pd.DataFrame:
+    """Exact top-k neighbors per query: per-batch partial top-k (numpy
+    matmul vs broadcast queries), tiny final reduce on the survivors."""
+    q_ref = ray.put(_query_matrix(sf_dir))
+    ds = rd.read_parquet(table_path(sf_dir, "embeddings"), columns=["vec_id", "embedding"])
+    state: dict = {}
+
+    def topk_partial(batch: pd.DataFrame) -> pd.DataFrame:
+        q = state.get("q")
+        if q is None:
+            q = state["q"] = ray.get(q_ref)
+        qids, qmat = q
+        vecs = np.stack(batch["embedding"].to_numpy())
+        ids = batch["vec_id"].to_numpy()
+        qi, vi, cos = batch_cosine_topk(vecs, ids, qmat, k)
+        return pd.DataFrame(
+            {
+                "query_id": pd.array(qids[qi], dtype="int64"),
+                "vec_id": pd.array(vi, dtype="int64"),
+                "cos_e6": pd.array(np.floor(cos * 1e6 + 0.5).astype(np.int64), dtype="int64"),
+            }
+        )
+
+    partials = ds.map_batches(topk_partial, batch_format="pandas").to_pandas()
+    out = (
+        partials.sort_values(["query_id", "cos_e6", "vec_id"], ascending=[True, False, True])
+        .groupby("query_id", sort=True)
+        .head(k)
+        .reset_index(drop=True)
+    )
+    # Export ids only: the float cosine differs from the oracle by ~1e-15
+    # (summation order), which can flip a fixed-point digit; the RANKING is
+    # stable because neighboring scores are far apart relative to 1e-15.
+    return out[["query_id", "vec_id"]]
+
+
+KNN_SQL = f"""
+WITH q AS (SELECT vec_id AS qid, embedding AS qe FROM embeddings WHERE vec_id < {N_QUERIES})
+SELECT q.qid AS query_id, e.vec_id
+FROM embeddings e, q
+QUALIFY row_number() OVER (
+  PARTITION BY q.qid
+  ORDER BY list_cosine_similarity(e.embedding, q.qe) DESC, e.vec_id
+) <= {TOP_K}
+ORDER BY query_id, vec_id
+"""
+
+
+def knn_lsh(sf_dir: str, k: int = TOP_K, n_planes: int = 8) -> pd.DataFrame:
+    """LSH-bucketed ANN: hyperplane sign buckets on both corpus and
+    queries; candidates = same-bucket vectors only. Approximate (recall<1)
+    ⇒ rows-only check. At scale the bucket column is the shuffle key."""
+    qids, qmat = _query_matrix(sf_dir)
+    dim = qmat.shape[1]
+    planes = hyperplane_planes(dim, n_planes)
+    qbuckets = hyperplane_bucket(qmat, planes)
+    q_ref = ray.put((qids, normalize_rows(qmat), qbuckets))
+    state: dict = {}
+
+    def bucket_topk(batch: pd.DataFrame) -> pd.DataFrame:
+        q = state.get("q")
+        if q is None:
+            q = state["q"] = ray.get(q_ref)
+        b_qids, b_qmat, b_qbuckets = q
+        vecs = np.stack(batch["embedding"].to_numpy())
+        buckets = hyperplane_bucket(vecs, planes)
+        nvecs = normalize_rows(vecs)
+        frames = []
+        for qi, (qb, qv) in enumerate(zip(b_qbuckets, b_qmat)):
+            m = buckets == qb
+            if not m.any():
+                continue
+            cos = nvecs[m] @ qv
+            ids = batch["vec_id"].to_numpy()[m]
+            order = np.argsort(-cos)[:k]
+            frames.append(
+                pd.DataFrame(
+                    {
+                        "query_id": pd.array([b_qids[qi]] * len(order), dtype="int64"),
+                        "vec_id": pd.array(ids[order], dtype="int64"),
+                        "cos_e6": pd.array(
+                            np.floor(cos[order] * 1e6 + 0.5).astype(np.int64), dtype="int64"
+                        ),
+                    }
+                )
+            )
+        if frames:
+            return pd.concat(frames, ignore_index=True)
+        return pd.DataFrame(
+            {
+                "query_id": pd.array([], dtype="int64"),
+                "vec_id": pd.array([], dtype="int64"),
+                "cos_e6": pd.array([], dtype="int64"),
+            }
+        )
+
+    ds = rd.read_parquet(table_path(sf_dir, "embeddings"), columns=["vec_id", "embedding"])
+    partials = ds.map_batches(bucket_topk, batch_format="pandas").to_pandas()
+    return (
+        partials.sort_values(["query_id", "cos_e6", "vec_id"], ascending=[True, False, True])
+        .groupby("query_id", sort=True)
+        .head(k)
+        .reset_index(drop=True)
+    )
+
+
+ORACLES: Dict[str, str] = {"knn_cosine": KNN_SQL}
+
+QUERIES = {"knn_cosine": knn_cosine, "knn_lsh": knn_lsh}

@@ -1,0 +1,109 @@
+"""Text-analysis pipelines over the ``documents`` table.
+
+Token counting and quality features are oracle-checked (every output value
+is an integer or a single division of identical integers — exact on both
+sides). Language-ID and fingerprinting are heuristic/hash-based and are
+rows-only checks.
+"""
+
+from __future__ import annotations
+
+import re
+from typing import Dict
+
+import numpy as np
+import pandas as pd
+
+import ray.data as rd
+
+from xmlschema_ray.functions import text as T
+from xmlschema_ray.pipelines.common import table_path
+
+
+def token_counts(sf_dir: str):
+    """(doc_id, n_tokens_ws, n_tokens_bpe) per document."""
+    ds = rd.read_parquet(table_path(sf_dir, "documents"), columns=["doc_id", "text"])
+
+    def fn(batch: pd.DataFrame) -> pd.DataFrame:
+        return pd.DataFrame(
+            {
+                "doc_id": batch["doc_id"],
+                "n_tokens_ws": T.whitespace_token_count(batch["text"]),
+            }
+        )
+
+    return ds.map_batches(fn, batch_format="pandas")
+
+
+TOKEN_COUNTS_SQL = """
+SELECT doc_id, CAST(length(regexp_split_to_array(trim(text), '\\s+')) AS BIGINT) AS n_tokens_ws
+FROM documents
+"""
+
+
+def doc_quality(sf_dir: str):
+    """Quality features; all values exact (ints or single int divisions)."""
+    ds = rd.read_parquet(table_path(sf_dir, "documents"), columns=["doc_id", "text"])
+
+    def fn(batch: pd.DataFrame) -> pd.DataFrame:
+        feats = T.quality_features(batch["text"])
+        feats.insert(0, "doc_id", batch["doc_id"].values)
+        return feats
+
+    return ds.map_batches(fn, batch_format="pandas")
+
+
+DOC_QUALITY_SQL = """
+SELECT doc_id,
+       CAST(length(text) AS BIGINT) AS n_chars,
+       CAST(length(regexp_split_to_array(trim(text), '\\s+')) AS BIGINT) AS n_tokens,
+       CAST(length(regexp_replace(text, '\\s+', '', 'g')) AS DOUBLE)
+         / length(regexp_split_to_array(trim(text), '\\s+')) AS mean_tok_len,
+       CAST(length(list_filter(regexp_split_to_array(trim(lower(text)), '\\s+'),
+                               w -> w IN ('the','a','an','and','or','of','to','in','is','are',
+                                          'was','were','be','been','it','this','that','with',
+                                          'for','on','as','at','by'))) AS DOUBLE)
+         / length(regexp_split_to_array(trim(text), '\\s+')) AS stopword_ratio,
+       CAST(length(regexp_replace(text, '[^A-Za-z]', '', 'g')) AS DOUBLE)
+         / length(text) AS alpha_ratio
+FROM documents
+"""
+
+
+def language_id_counts(sf_dir: str) -> pd.DataFrame:
+    """Predicted-language histogram (marker-word heuristic; rows-only)."""
+    ds = rd.read_parquet(table_path(sf_dir, "documents"), columns=["doc_id", "text"])
+
+    def fn(batch: pd.DataFrame) -> pd.DataFrame:
+        return pd.DataFrame({"pred_lang": T.language_id(batch["text"])})
+
+    preds = ds.map_batches(fn, batch_format="pandas")
+    from xmlschema_ray.ops.relational import combiner_aggregate
+
+    out = combiner_aggregate(preds, keys="pred_lang", aggs={"n": (None, "count")}).to_pandas()
+    out["n"] = out["n"].astype("int64")
+    return out.sort_values("pred_lang").reset_index(drop=True)
+
+
+def fingerprints(sf_dir: str):
+    """(doc_id, fp64 hex) stable content fingerprints (rows-only)."""
+    ds = rd.read_parquet(table_path(sf_dir, "documents"), columns=["doc_id", "text"])
+
+    def fn(batch: pd.DataFrame) -> pd.DataFrame:
+        fp = T.fingerprint64(batch["text"])
+        return pd.DataFrame({"doc_id": batch["doc_id"], "fp": fp.map("{:016x}".format)})
+
+    return ds.map_batches(fn, batch_format="pandas")
+
+
+ORACLES: Dict[str, str] = {
+    "token_counts": TOKEN_COUNTS_SQL,
+    "doc_quality": DOC_QUALITY_SQL,
+}
+
+QUERIES = {
+    "token_counts": token_counts,
+    "doc_quality": doc_quality,
+    "language_id_counts": language_id_counts,
+    "fingerprints": fingerprints,
+}

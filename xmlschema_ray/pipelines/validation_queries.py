@@ -1,0 +1,273 @@
+"""Oracle-checked validation queries over the driver testdata tables.
+
+These run the SAME facet kernels and spec machinery as the flagship
+sequence engine, but over the TPC-H-ish tables with deliberately tightened
+constraints (the testdata is clean, so tightened bounds produce
+deterministic nonzero violation sets) and emit TYPED violation rows
+(original key columns + constraint_name + column) so DuckDB can reproduce
+them exactly with WHERE NOT(...) unions.
+
+This is the per-query proof that the engine's violation semantics match an
+independent SQL engine — the analog of the reference's cross-validation
+against lxml (``/root/reference/xmlschema/tests/test_factory.py:35``).
+"""
+
+from __future__ import annotations
+
+import itertools
+from typing import Dict, List, Sequence
+
+import numpy as np
+import pandas as pd
+import pyarrow as pa
+
+import ray.data as rd
+
+from xmlschema_ray.constraints import facets as F
+from xmlschema_ray.constraints.spec import ColumnSpec, TableConstraints
+from xmlschema_ray.engine.row_validator import iter_row_checks
+from xmlschema_ray.ops.relational import anti_join, combiner_aggregate
+from xmlschema_ray.pipelines.common import table_path
+
+
+class TypedViolations:
+    """map_batches kernel: spec checks → typed violation rows.
+
+    Unlike the engine's canonical string-keyed violation stream, this keeps
+    the table's own key columns typed so the result is directly comparable
+    to a SQL oracle.
+    """
+
+    def __init__(self, spec: TableConstraints, key_cols: Sequence[str]):
+        self.spec = spec.compile()
+        self.key_cols = list(key_cols)
+
+    def __call__(self, table: pa.Table) -> pa.Table:
+        pieces: List[pa.Table] = []
+        for cname, col, mask, _reason, _reprs in iter_row_checks(table, self.spec):
+            idx = np.flatnonzero(mask)
+            sub = table.select(self.key_cols).take(pa.array(idx, type=pa.int64()))
+            sub = sub.append_column("constraint_name", pa.array([cname] * len(idx), type=pa.string()))
+            sub = sub.append_column("col_name", pa.array([col] * len(idx), type=pa.string()))
+            pieces.append(sub)
+        if pieces:
+            return pa.concat_tables(pieces)
+        empty = table.select(self.key_cols).slice(0, 0)
+        empty = empty.append_column("constraint_name", pa.array([], type=pa.string()))
+        empty = empty.append_column("col_name", pa.array([], type=pa.string()))
+        return empty
+
+
+def _run_typed(sf_dir: str, tbl: str, spec: TableConstraints, key_cols: List[str], columns: List[str]):
+    ds = rd.read_parquet(table_path(sf_dir, tbl), columns=columns)
+    state: dict = {}
+
+    def fn(batch: pa.Table) -> pa.Table:
+        tv = state.get("tv")
+        if tv is None:
+            tv = state["tv"] = TypedViolations(spec, key_cols)
+        return tv(batch)
+
+    return ds.map_batches(fn, batch_format="pyarrow", zero_copy_batch=True)
+
+
+# -- lineitem range facets ------------------------------------------------
+
+
+def val_lineitem_ranges(sf_dir: str):
+    spec = TableConstraints(
+        name="lineitem_checks",
+        columns=[
+            ColumnSpec("l_orderkey", pa.int64()),
+            ColumnSpec("l_linenumber", pa.int32()),
+            ColumnSpec("l_quantity", pa.float64(), facets=(F.MaxInclusive(45.0),)),
+            ColumnSpec("l_discount", pa.float64(), facets=(F.MaxInclusive(0.08),)),
+            ColumnSpec("l_tax", pa.float64(), facets=(F.MaxInclusive(0.05),)),
+        ],
+        key_columns=("l_orderkey", "l_linenumber"),
+    )
+    return _run_typed(
+        sf_dir,
+        "lineitem",
+        spec,
+        ["l_orderkey", "l_linenumber"],
+        ["l_orderkey", "l_linenumber", "l_quantity", "l_discount", "l_tax"],
+    )
+
+
+VAL_LINEITEM_SQL = """
+SELECT l_orderkey, l_linenumber, 'l_quantity.maxInclusive(45.0)' AS constraint_name, 'l_quantity' AS col_name
+FROM lineitem WHERE NOT (l_quantity <= 45.0)
+UNION ALL
+SELECT l_orderkey, l_linenumber, 'l_discount.maxInclusive(0.08)', 'l_discount'
+FROM lineitem WHERE NOT (l_discount <= 0.08)
+UNION ALL
+SELECT l_orderkey, l_linenumber, 'l_tax.maxInclusive(0.05)', 'l_tax'
+FROM lineitem WHERE NOT (l_tax <= 0.05)
+"""
+
+
+# -- events enumeration facet --------------------------------------------
+
+
+def val_events_enum(sf_dir: str):
+    spec = TableConstraints(
+        name="events_checks",
+        columns=[
+            ColumnSpec("event_id", pa.int64()),
+            ColumnSpec(
+                "event_type",
+                pa.string(),
+                facets=(F.Enumeration(("click", "purchase", "signup", "view")),),
+            ),
+        ],
+        key_columns=("event_id",),
+    )
+    return _run_typed(sf_dir, "events", spec, ["event_id"], ["event_id", "event_type"])
+
+
+VAL_EVENTS_ENUM_SQL = """
+SELECT event_id,
+       'event_type.enumeration([''click'', ''purchase'', ''signup'', ''view''])' AS constraint_name,
+       'event_type' AS col_name
+FROM events WHERE event_type NOT IN ('click', 'purchase', 'signup', 'view')
+"""
+
+
+# -- documents: enum + range + pattern -----------------------------------
+
+
+def val_documents(sf_dir: str):
+    spec = TableConstraints(
+        name="document_checks",
+        columns=[
+            ColumnSpec("doc_id", pa.int64()),
+            ColumnSpec("lang", pa.string(), facets=(F.Enumeration(("de", "en", "es", "fr")),)),
+            ColumnSpec("n_chars", pa.int64(), facets=(F.MaxInclusive(500),)),
+            ColumnSpec("source", pa.string(), facets=(F.Pattern(r"src[0-9]{1,2}"),)),
+        ],
+        key_columns=("doc_id",),
+    )
+    return _run_typed(
+        sf_dir, "documents", spec, ["doc_id"], ["doc_id", "lang", "n_chars", "source"]
+    )
+
+
+VAL_DOCUMENTS_SQL = """
+SELECT doc_id, 'lang.enumeration([''de'', ''en'', ''es'', ''fr''])' AS constraint_name, 'lang' AS col_name
+FROM documents WHERE lang NOT IN ('de', 'en', 'es', 'fr')
+UNION ALL
+SELECT doc_id, 'n_chars.maxInclusive(500)', 'n_chars' FROM documents WHERE NOT (n_chars <= 500)
+UNION ALL
+SELECT doc_id, 'source.pattern(''src[0-9]{1,2}'')', 'source'
+FROM documents WHERE NOT regexp_matches(source, '^(src[0-9]{1,2})$')
+"""
+
+
+# -- referential: events.user_id ⊆ active customers (broadcast anti-join) -
+
+
+def val_events_fk(sf_dir: str):
+    """Keyref-style check against a RESTRICTED dimension (customers with
+    positive balance) so the clean testdata yields nonzero violations —
+    find-the-violations anti-join direction of ``identities.py:298-318``."""
+    active = rd.read_parquet(
+        table_path(sf_dir, "customer"), columns=["c_custkey", "c_acctbal"]
+    ).filter(expr="c_acctbal > 0")
+    keys = active.unique("c_custkey")
+    ev = rd.read_parquet(table_path(sf_dir, "events"), columns=["event_id", "user_id"])
+    bad = anti_join(ev, keys, on="user_id")
+
+    def shape(batch: pa.Table) -> pa.Table:
+        return pa.table(
+            {
+                "event_id": batch["event_id"],
+                "user_id": batch["user_id"],
+                "constraint_name": pa.array(["fk_user_id_refs_active_customer"] * batch.num_rows),
+            }
+        )
+
+    return bad.map_batches(shape, batch_format="pyarrow")
+
+
+VAL_EVENTS_FK_SQL = """
+SELECT event_id, user_id, 'fk_user_id_refs_active_customer' AS constraint_name
+FROM events WHERE user_id NOT IN (SELECT c_custkey FROM customer WHERE c_acctbal > 0)
+"""
+
+
+# -- stats profile: exact min/max/count/nulls/mean over lineitem ----------
+
+
+def stats_profile_lineitem(sf_dir: str) -> pd.DataFrame:
+    """The stats channel cross-checked against SQL: exact extremes, counts
+    and an integer-sum mean (order-independent ⇒ oracle-exact)."""
+    ds = rd.read_parquet(
+        table_path(sf_dir, "lineitem"), columns=["l_quantity", "l_extendedprice"]
+    )
+
+    def partial(batch: pd.DataFrame) -> pd.DataFrame:
+        return pd.DataFrame(
+            {
+                "g": [1],
+                "n": [len(batch)],
+                "min_qty": [batch["l_quantity"].min()],
+                "max_qty": [batch["l_quantity"].max()],
+                "min_price": [batch["l_extendedprice"].min()],
+                "max_price": [batch["l_extendedprice"].max()],
+                "sum_qty": [int(batch["l_quantity"].astype("int64").sum())],
+            }
+        )
+
+    from ray.data.aggregate import Max, Min, Sum
+
+    agg = (
+        ds.map_batches(partial, batch_format="pandas")
+        .groupby("g")
+        .aggregate(
+            Sum("n", alias_name="n_rows"),
+            Min("min_qty", alias_name="min_qty"),
+            Max("max_qty", alias_name="max_qty"),
+            Min("min_price", alias_name="min_price"),
+            Max("max_price", alias_name="max_price"),
+            Sum("sum_qty", alias_name="sum_qty"),
+        )
+        .to_pandas()
+    )
+    out = pd.DataFrame(
+        {
+            "n_rows": agg["n_rows"].astype("int64"),
+            "min_qty": agg["min_qty"],
+            "max_qty": agg["max_qty"],
+            "min_price": agg["min_price"],
+            "max_price": agg["max_price"],
+            "mean_qty": agg["sum_qty"] / agg["n_rows"],
+        }
+    )
+    return out
+
+
+STATS_PROFILE_SQL = """
+SELECT COUNT(*) AS n_rows,
+       MIN(l_quantity) AS min_qty, MAX(l_quantity) AS max_qty,
+       MIN(l_extendedprice) AS min_price, MAX(l_extendedprice) AS max_price,
+       CAST(SUM(CAST(l_quantity AS BIGINT)) AS DOUBLE) / COUNT(*) AS mean_qty
+FROM lineitem
+"""
+
+
+ORACLES: Dict[str, str] = {
+    "val_lineitem_ranges": VAL_LINEITEM_SQL,
+    "val_events_enum": VAL_EVENTS_ENUM_SQL,
+    "val_documents": VAL_DOCUMENTS_SQL,
+    "val_events_fk": VAL_EVENTS_FK_SQL,
+    "stats_profile_lineitem": STATS_PROFILE_SQL,
+}
+
+QUERIES = {
+    "val_lineitem_ranges": val_lineitem_ranges,
+    "val_events_enum": val_events_enum,
+    "val_documents": val_documents,
+    "val_events_fk": val_events_fk,
+    "stats_profile_lineitem": stats_profile_lineitem,
+}

@@ -261,6 +261,61 @@ def write_sequences_corpus(
     return seq_dir, dim_path, expected
 
 
+def write_scaled_corpus(
+    out_dir: str,
+    n_rows: int,
+    n_files: int = 64,
+    seed: int = 42,
+    mean_len: int = 512,
+    defects: Optional[Dict[str, int]] = None,
+) -> Tuple[str, str, Dict[str, int]]:
+    """Benchmark-scale corpus: generated and written file-by-file so memory
+    stays bounded at one file's worth regardless of total size.
+
+    File 0 carries the seeded defects (via :func:`generate_sequences`);
+    files 1..n are clean, with globally unique doc_ids (the file index is
+    folded into the id). Deterministic: (seed, i) fully determines file i.
+    """
+    defects = dict(defects or {})
+    seq_dir = os.path.join(out_dir, "sequences")
+    os.makedirs(seq_dir, exist_ok=True)
+    per = (n_rows + n_files - 1) // n_files
+
+    seq0, dim, expected = generate_sequences(per, seed=seed, mean_len=mean_len, defects=defects)
+    pq.write_table(seq0, os.path.join(seq_dir, "seq-0000.parquet"))
+
+    for i in range(1, n_files):
+        rng = np.random.default_rng((seed << 20) + i)
+        n_i = min(per, n_rows - per * i)
+        if n_i <= 0:
+            break
+        lens = np.clip(rng.poisson(mean_len, size=n_i), 1, MAX_TOK).astype(np.int64)
+        flat = rng.integers(0, VOCAB, size=int(lens.sum()), dtype=np.int32)
+        offsets = np.zeros(n_i + 1, dtype=np.int64)
+        np.cumsum(lens, out=offsets[1:])
+        # globally unique ids: file index in the high bits
+        base = np.int64(i) << np.int64(28)
+        ids = [f"doc-{int(base + j):012x}" for j in range(n_i)]
+        srcs = np.array(SOURCES, dtype=object)[rng.integers(0, len(SOURCES), size=n_i)]
+        tbl = pa.table(
+            {
+                "doc_id": pa.array(ids, type=pa.string()),
+                "tokens": pa.ListArray.from_arrays(
+                    pa.array(offsets, type=pa.int64()).cast(pa.int32()),
+                    pa.array(flat, type=pa.int32()),
+                ),
+                "n_tok": pa.array(lens.astype(np.int32), type=pa.int32()),
+                "source": pa.array(srcs, type=pa.string()),
+            },
+            schema=SEQ_SCHEMA,
+        )
+        pq.write_table(tbl, os.path.join(seq_dir, f"seq-{i:04d}.parquet"))
+
+    dim_path = os.path.join(out_dir, "sources.parquet")
+    pq.write_table(dim, dim_path)
+    return seq_dir, dim_path, expected
+
+
 # -- derive the sequence shape from driver testdata ----------------------
 
 
@@ -276,20 +331,27 @@ def tokenize_words_batch(table: pa.Table, vocab: int = VOCAB) -> pa.Table:
 
     from xmlschema_ray.engine.stats import hash64
 
-    text = table["text"].combine_chunks()
-    words = pc.ascii_split_whitespace(text).combine_chunks()
+    text = table["text"]
+    if isinstance(text, pa.ChunkedArray):
+        text = text.combine_chunks()
+    words = pc.ascii_split_whitespace(text)
+    if isinstance(words, pa.ChunkedArray):
+        words = words.combine_chunks()
     flat = words.values.to_numpy(zero_copy_only=False)
     ids = (hash64(flat) % np.uint64(vocab)).astype(np.int32)
     tokens = pa.ListArray.from_arrays(words.offsets, pa.array(ids, type=pa.int32()))
     n_tok = pc.cast(pc.list_value_length(tokens), pa.int32())
-    doc_num = table["doc_id"].combine_chunks().to_numpy(zero_copy_only=False)
+    doc_num = table["doc_id"].to_numpy(zero_copy_only=False)
     doc_id = pa.array([f"doc-{int(v):012x}" for v in doc_num], type=pa.string())
+    source = table["source"]
+    if isinstance(source, pa.ChunkedArray):
+        source = source.combine_chunks()
     return pa.table(
         {
             "doc_id": doc_id,
             "tokens": tokens,
             "n_tok": n_tok,
-            "source": pc.cast(table["source"].combine_chunks(), pa.string()),
+            "source": pc.cast(source, pa.string()),
         },
         schema=SEQ_SCHEMA,
     )
