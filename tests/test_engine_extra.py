@@ -1,0 +1,143 @@
+"""Engine behaviors beyond exact counts: schema-level violations, drift
+gating, failfast mode, resume-after-interrupt, spec serde, CLI."""
+
+import json
+import os
+import shutil
+import subprocess
+import sys
+
+import numpy as np
+import pandas as pd
+import pytest
+
+from xmlschema_ray.engine.engine import ValidationEngine
+from xmlschema_ray.engine.row_validator import ValidationFailure
+from xmlschema_ray.sources.synthetic import (
+    generate_sequences,
+    sequences_spec,
+    write_sequences_corpus,
+)
+
+
+def test_bad_dtype_partition_level_violation(tmp_path, ray_session):
+    seq_dir, dim, exp = write_sequences_corpus(
+        str(tmp_path / "c"), n_rows=800, n_files=8, defects={"bad_dtype": 1}
+    )
+    res = ValidationEngine(sequences_spec(), batch_size=256, n_shards=2).run(
+        seq_dir, out_dir=str(tmp_path / "o"), dims={"sources": dim}
+    )
+    viol = res.violations()
+    schema_viol = viol[viol["constraint_name"] == "schema.dtype"]
+    assert len(schema_viol) == 1
+    assert schema_viol.iloc[0]["column"] == "n_tok"
+    assert res.job_validity == "invalid"
+
+
+def test_drift_gate_fails_on_shifted_distribution(tmp_path, ray_session):
+    """FIXTURES `drift`: profile mean-512 corpus, gate a mean-1536 corpus —
+    0 row violations but a failing drift verdict (stats channel only)."""
+    a_dir, dim_a, _ = write_sequences_corpus(str(tmp_path / "a"), n_rows=1500, n_files=4, mean_len=512)
+    res_a = ValidationEngine(sequences_spec(), batch_size=512, n_shards=1).run(
+        a_dir, out_dir=str(tmp_path / "ao"), dims={"sources": dim_a}
+    )
+    ref_hist = tuple(int(x) for x in res_a.summary["histograms"]["len(tokens)"])
+
+    b_dir, dim_b, _ = write_sequences_corpus(
+        str(tmp_path / "b"), n_rows=1500, n_files=4, mean_len=1536, seed=43
+    )
+    res_b = ValidationEngine(sequences_spec(reference_hist=ref_hist), batch_size=512, n_shards=1).run(
+        b_dir, out_dir=str(tmp_path / "bo"), dims={"sources": dim_b}
+    )
+    assert res_b.n_violations == 0
+    drift = res_b.drift[0]
+    assert not drift.passed
+    assert drift.ks > 0.5
+    assert "drift_token_length" in res_b.summary["drift_failed"]
+    # same-distribution control passes
+    c_dir, dim_c, _ = write_sequences_corpus(
+        str(tmp_path / "c"), n_rows=1500, n_files=4, mean_len=512, seed=44
+    )
+    res_c = ValidationEngine(sequences_spec(reference_hist=ref_hist), batch_size=512, n_shards=1).run(
+        c_dir, out_dir=str(tmp_path / "co"), dims={"sources": dim_c}
+    )
+    assert res_c.drift[0].passed
+
+
+def test_failfast_mode_raises(tmp_path, ray_session):
+    seq_dir, dim, _ = write_sequences_corpus(
+        str(tmp_path / "c"), n_rows=600, n_files=4, defects={"bad_token_range": 3}
+    )
+    import ray.exceptions
+
+    with pytest.raises(Exception) as ei:
+        ValidationEngine(sequences_spec(), batch_size=128, n_shards=1).run(
+            seq_dir, out_dir=str(tmp_path / "o"), dims={"sources": dim}, mode="failfast"
+        )
+    assert "violated" in str(ei.value)
+
+
+def test_resume_after_interrupt_produces_identical_output(tmp_path, ray_session):
+    """FIXTURES resume property: drop a completed shard from the manifest
+    (simulating a crash before it finished), resume, and the final outputs
+    equal an uninterrupted run."""
+    defects = {"dup_doc_id": 3, "bad_pattern": 2}
+    seq_dir, dim, _ = write_sequences_corpus(str(tmp_path / "c"), n_rows=1000, n_files=8, defects=defects)
+    eng = ValidationEngine(sequences_spec(), batch_size=256, n_shards=4)
+    full = eng.run(seq_dir, out_dir=str(tmp_path / "full"), dims={"sources": dim})
+
+    interrupted = str(tmp_path / "part")
+    eng.run(seq_dir, out_dir=interrupted, dims={"sources": dim})
+    # simulate crash: shard 2 never completed — remove its manifest line + output
+    manifest_path = os.path.join(interrupted, "manifest.jsonl")
+    lines = [l for l in open(manifest_path) if json.loads(l)["partition_id"] != 2]
+    with open(manifest_path, "w") as f:
+        f.writelines(lines)
+    shutil.rmtree(os.path.join(interrupted, "unified", "part-00002"))
+
+    resumed = eng.run(seq_dir, out_dir=interrupted, dims={"sources": dim})
+    cols = ["key", "constraint_name", "column", "reason", "value_repr"]
+    a = full.violations()[cols].sort_values(cols).reset_index(drop=True)
+    b = resumed.violations()[cols].sort_values(cols).reset_index(drop=True)
+    pd.testing.assert_frame_equal(a, b)
+    assert resumed.verdicts.equals(full.verdicts)
+
+
+def test_spec_json_roundtrip():
+    from xmlschema_ray.constraints.serde import spec_from_json, spec_to_json
+
+    spec = sequences_spec(reference_hist=tuple([1] * 64))
+    doc = spec_to_json(spec)
+    spec2 = spec_from_json(doc)
+    assert spec_to_json(spec2) == doc
+    assert [c.name for c in spec2.columns] == ["doc_id", "tokens", "n_tok", "source"]
+    assert spec2.unique_keys[0].name == "unique_doc_id"
+    assert spec2.drift[0].reference_hist == tuple([1] * 64)
+
+
+def test_cli_validate_roundtrip(tmp_path):
+    """Drive the CLI end-to-end in a subprocess (own Ray session)."""
+    from xmlschema_ray.constraints.serde import save_spec
+
+    seq_dir, dim, exp = write_sequences_corpus(
+        str(tmp_path / "c"), n_rows=400, n_files=4, defects={"bad_ref": 2}
+    )
+    spec_path = str(tmp_path / "spec.json")
+    save_spec(sequences_spec(), spec_path)
+    env = dict(os.environ, PYTHONPATH=os.path.dirname(os.path.dirname(os.path.abspath(__file__))))
+    env.pop("RAY_ADDRESS", None)
+    proc = subprocess.run(
+        [
+            sys.executable, "-m", "xmlschema_ray", "validate",
+            "--input", seq_dir, "--spec", spec_path, "--out", str(tmp_path / "o"),
+            "--dim", f"sources={dim}", "--num-cpus", "2", "--shards", "2",
+        ],
+        capture_output=True,
+        text=True,
+        env=env,
+        timeout=300,
+    )
+    assert proc.returncode == 1, proc.stderr[-2000:]  # invalid input → exit 1
+    summary = json.loads(proc.stdout)
+    assert summary["n_violations"] == 2
+    assert summary["job_validity"] == "invalid"

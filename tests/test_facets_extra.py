@@ -1,0 +1,87 @@
+"""New facet kinds + XSD-regex translation."""
+
+import pandas as pd
+import pyarrow as pa
+import pytest
+
+from xmlschema_ray.constraints import facets as F
+from xmlschema_ray.constraints.xsd_regex import translate_xsd_regex
+from xmlschema_ray.functions.text import normalize_whitespace
+
+
+def test_whitespace_facet():
+    s = pa.array(["ok value", "has\ttab", " leading", "double  space", None])
+    m, _ = F.WhiteSpace("collapse").check(s)
+    assert m.tolist() == [False, True, True, True, False]
+    m, _ = F.WhiteSpace("replace").check(s)
+    assert m.tolist() == [False, True, False, False, False]
+
+
+def test_normalize_whitespace_op():
+    s = pd.Series(["a\tb", "  x  y  ", "ok"])
+    assert normalize_whitespace(s, "replace").tolist() == ["a b", "  x  y  ", "ok"]
+    assert normalize_whitespace(s, "collapse").tolist() == ["a b", "x y", "ok"]
+
+
+def test_total_digits_matches_reference_rule():
+    # reference rule: digits of str(x).strip('0') (facets.py:421-423)
+    arr = pa.array([45.0, 123.45, 0.05, 1000.0], type=pa.float64())
+    m, _ = F.TotalDigits(3).check(arr)
+    # '45.0'->2, '123.45'->5, '0.05'->2 ('.05'), '1000.0'->4 ('1000.')
+    assert m.tolist() == [False, True, False, True]
+
+
+def test_fraction_digits():
+    arr = pa.array([45.0, 1.23, 0.125, None], type=pa.float64())
+    m, _ = F.FractionDigits(2).check(arr)
+    assert m.tolist() == [False, False, True, False]
+    with pytest.raises(F.SpecError):
+        F.FractionDigits(2).lint(pa.int32())  # nonzero on integer-derived
+
+
+def test_union_facet():
+    # value valid if it matches doc-pattern OR is in the legacy enum
+    s = pa.array(["doc-0123456789ab", "LEGACY-1", "nope"])
+    u = F.UnionFacets(
+        (
+            (F.Pattern(r"doc-[0-9a-f]{12}"),),
+            (F.Enumeration(("LEGACY-1", "LEGACY-2")),),
+        )
+    )
+    m, _ = u.check(s)
+    assert m.tolist() == [False, False, True]
+
+
+def test_xsd_regex_name_classes():
+    p = translate_xsd_regex(r"\i\c*")
+    import re
+
+    rx = re.compile(f"^(?:{p})$")
+    assert rx.match("name")
+    assert rx.match("_n-a.me")
+    assert not rx.match("1bad")
+
+
+def test_xsd_regex_class_subtraction():
+    p = translate_xsd_regex(r"[a-z-[aeiou]]+")
+    import re
+
+    rx = re.compile(f"^(?:{p})$")
+    assert rx.match("bcdfg")
+    assert not rx.match("cab")
+
+
+def test_xsd_regex_blocks_and_errors():
+    p = translate_xsd_regex(r"\p{IsBasicLatin}+")
+    import re
+
+    assert re.compile(f"^(?:{p})$").match("abc123")
+    with pytest.raises(F.SpecError):
+        translate_xsd_regex(r"\p{IsNoSuchBlock}+")
+
+
+def test_pattern_facet_xsd_mode():
+    f = F.Pattern(r"[a-c-[b]]+", xsd=True)
+    f.lint(pa.string())
+    m, _ = f.check(pa.array(["aacc", "abc"]))
+    assert m.tolist() == [False, True]

@@ -1,0 +1,107 @@
+"""CLI entry point.
+
+Usage::
+
+    python -m xmlschema_ray validate --input DIR_OR_GLOB --spec spec.json \
+        --out OUT_DIR [--dim name=path ...] [--mode collect|failfast|stats_only] \
+        [--num-cpus N] [--shards K] [--batch-size B] [--no-resume]
+    python -m xmlschema_ray spec-example            # print the flagship spec JSON
+    python -m xmlschema_ray gen --out DIR --rows N  # deterministic corpus
+
+The CLI owns the Ray session (guarded init per the embedding contract —
+the library itself never calls ``ray.init``).
+"""
+
+from __future__ import annotations
+
+import argparse
+import json
+import sys
+
+
+def _ray_session(num_cpus):
+    import ray
+
+    if not ray.is_initialized():
+        kwargs = dict(address="local", include_dashboard=False, logging_level="ERROR")
+        if num_cpus:
+            kwargs["num_cpus"] = num_cpus
+        ray.init(**kwargs)
+    from ray.data import DataContext
+
+    DataContext.get_current().enable_progress_bars = False
+    return ray
+
+
+def cmd_validate(args) -> int:
+    ray = _ray_session(args.num_cpus)
+    from xmlschema_ray.constraints.serde import load_spec
+    from xmlschema_ray.engine.engine import ValidationEngine
+
+    spec = load_spec(args.spec)
+    dims = {}
+    for d in args.dim or []:
+        name, _, path = d.partition("=")
+        if not path:
+            print(f"--dim must be name=path, got {d!r}", file=sys.stderr)
+            return 2
+        dims[name] = path
+    eng = ValidationEngine(
+        spec, batch_size=args.batch_size, n_shards=args.shards
+    )
+    res = eng.run(args.input, out_dir=args.out, dims=dims, mode=args.mode, resume=not args.no_resume)
+    print(json.dumps(res.summary, indent=2, default=float))
+    ray.shutdown()
+    return 0 if res.job_validity == "valid" else 1
+
+
+def cmd_spec_example(args) -> int:
+    from xmlschema_ray.constraints.serde import spec_to_json
+    from xmlschema_ray.sources.synthetic import sequences_spec
+
+    print(json.dumps(spec_to_json(sequences_spec()), indent=2))
+    return 0
+
+
+def cmd_gen(args) -> int:
+    from xmlschema_ray.sources.synthetic import write_scaled_corpus
+
+    seq_dir, dim_path, expected = write_scaled_corpus(
+        args.out, n_rows=args.rows, n_files=args.files, seed=args.seed
+    )
+    print(json.dumps({"sequences": seq_dir, "sources": dim_path, "expected": expected}))
+    return 0
+
+
+def main(argv=None) -> int:
+    p = argparse.ArgumentParser(prog="xmlschema_ray")
+    sub = p.add_subparsers(dest="cmd", required=True)
+
+    v = sub.add_parser("validate", help="run the constraint engine over parquet input")
+    v.add_argument("--input", required=True)
+    v.add_argument("--spec", required=True)
+    v.add_argument("--out", required=True)
+    v.add_argument("--dim", action="append", metavar="NAME=PATH")
+    v.add_argument("--mode", default="collect", choices=["collect", "failfast", "stats_only"])
+    v.add_argument("--num-cpus", type=int, default=None)
+    v.add_argument("--shards", type=int, default=4)
+    v.add_argument("--batch-size", type=int, default=16384)
+    v.add_argument("--no-resume", action="store_true")
+    v.set_defaults(fn=cmd_validate)
+
+    s = sub.add_parser("spec-example", help="print the flagship sequence spec as JSON")
+    s.set_defaults(fn=cmd_spec_example)
+
+    g = sub.add_parser("gen", help="generate a deterministic synthetic corpus")
+    g.add_argument("--out", required=True)
+    g.add_argument("--rows", type=int, default=100000)
+    g.add_argument("--files", type=int, default=16)
+    g.add_argument("--seed", type=int, default=42)
+    g.set_defaults(fn=cmd_gen)
+
+    args = p.parse_args(argv)
+    return args.fn(args)
+
+
+if __name__ == "__main__":
+    sys.exit(main())

@@ -228,9 +228,18 @@ class Pattern(Facet):
     """
 
     pattern: str = ""
+    xsd: bool = False  # True: the pattern is XSD regex syntax — translated
+    # at compile time like the reference's get_python_regex (regex.py:249)
+
+    def _translated(self) -> str:
+        if self.xsd:
+            from xmlschema_ray.constraints.xsd_regex import translate_xsd_regex
+
+            return translate_xsd_regex(self.pattern)
+        return self.pattern
 
     def _anchored(self) -> str:
-        p = self.pattern
+        p = self._translated()
         if not p.startswith("^"):
             p = "^(?:" + p + ")$"
         return p
@@ -243,7 +252,7 @@ class Pattern(Facet):
         if not (pa.types.is_string(dtype) or pa.types.is_large_string(dtype)):
             raise SpecError(f"pattern facet requires a string column, got {dtype}")
         try:
-            re.compile(self.pattern)
+            re.compile(self._translated())
         except re.error as e:  # pragma: no cover - message detail
             raise SpecError(f"invalid pattern {self.pattern!r}: {e}") from e
 
@@ -318,6 +327,138 @@ class ItemFacets(Facet):
     def describe(self):
         inner = ",".join(f.describe() for f in self.facets)
         return f"items[{inner}]"
+
+
+@dataclass(frozen=True)
+class WhiteSpace(Facet):
+    """Whitespace-policy facet (reference ``facets.py:96-129``).
+
+    ``replace``: value must not contain tab/CR/LF; ``collapse``: no
+    tab/CR/LF, no doubled spaces, no leading/trailing space. (``preserve``
+    never fires — don't attach it.)
+    """
+
+    policy: str = "collapse"
+
+    def check(self, arr):
+        if self.policy == "replace":
+            bad = pc.match_substring_regex(arr, "[\t\r\n]")
+        else:
+            bad = pc.match_substring_regex(arr, "[\t\r\n]|  |^ | $")
+        return _to_numpy_bool(bad) & ~_null_mask(arr), None
+
+    def lint(self, dtype):
+        if self.policy not in ("replace", "collapse"):
+            raise SpecError(f"whiteSpace policy must be replace|collapse, got {self.policy!r}")
+        if not (pa.types.is_string(dtype) or pa.types.is_large_string(dtype)):
+            raise SpecError(f"whiteSpace facet requires a string column, got {dtype}")
+
+    def describe(self):
+        return f"whiteSpace({self.policy})"
+
+
+@dataclass(frozen=True)
+class TotalDigits(Facet):
+    """Significant decimal digits <= k (reference ``facets.py:401-423``).
+
+    The reference counts digits of the lexical form; for float64 columns we
+    count digits of the shortest round-trip repr — exact for values that
+    originated as <= 15-digit decimals (all our money columns).
+    """
+
+    k: int = 0
+
+    def check(self, arr):
+        if isinstance(arr, pa.ChunkedArray):
+            arr = arr.combine_chunks()
+        vals = arr.to_numpy(zero_copy_only=False)
+        viol = np.zeros(len(vals), dtype=bool)
+        nulls = _null_mask(arr)
+        for i, v in enumerate(vals):
+            if nulls[i]:
+                continue
+            # exact mirror of the reference's counting rule
+            # (``facets.py:421-423``): digits of str(x).strip('0')
+            viol[i] = sum(d.isdigit() for d in str(v).strip("0")) > self.k
+        return viol, None
+
+    def lint(self, dtype):
+        if self.k < 1:
+            raise SpecError("totalDigits must be >= 1")
+        if not (pa.types.is_floating(dtype) or pa.types.is_integer(dtype) or pa.types.is_decimal(dtype)):
+            raise SpecError(f"totalDigits requires a numeric column, got {dtype}")
+
+    def describe(self):
+        return f"totalDigits({self.k})"
+
+
+@dataclass(frozen=True)
+class FractionDigits(Facet):
+    """Digits after the decimal point <= k (reference ``facets.py:426-455``).
+
+    Exact mirror of the reference's rule
+    (``len(str(x).strip('0').partition('.')[2]) > k``) applied to the
+    shortest-round-trip repr of each value — identical to the reference for
+    any decimal that fits float64 (e.g. money columns).
+    """
+
+    k: int = 0
+
+    def check(self, arr):
+        if isinstance(arr, pa.ChunkedArray):
+            arr = arr.combine_chunks()
+        vals = arr.to_numpy(zero_copy_only=False)
+        nulls = _null_mask(arr)
+        viol = np.zeros(len(vals), dtype=bool)
+        for i, v in enumerate(vals):
+            if nulls[i]:
+                continue
+            viol[i] = len(str(v).strip("0").partition(".")[2]) > self.k
+        return viol, None
+
+    def lint(self, dtype):
+        if self.k < 0:
+            raise SpecError("fractionDigits must be >= 0")
+        if pa.types.is_integer(dtype) and self.k != 0:
+            raise SpecError("fractionDigits must be 0 for integer-derived types")
+        if not (pa.types.is_floating(dtype) or pa.types.is_integer(dtype) or pa.types.is_decimal(dtype)):
+            raise SpecError(f"fractionDigits requires a numeric column, got {dtype}")
+
+    def describe(self):
+        return f"fractionDigits({self.k})"
+
+
+@dataclass(frozen=True)
+class UnionFacets(Facet):
+    """xs:union analog (reference ``simple_types.py:761-930``): the value is
+    valid if ANY alternative facet-stack accepts it — the violation mask is
+    the AND of all alternatives' masks (ordered coalesce of member validity,
+    ``simple_types.py:879-930``)."""
+
+    alternatives: Tuple[Tuple[Facet, ...], ...] = ()
+
+    def check(self, arr):
+        if not self.alternatives:
+            return np.zeros(len(arr), dtype=bool), None
+        viol = None
+        for stack in self.alternatives:
+            stack_viol = np.zeros(len(arr), dtype=bool)
+            for f in stack:
+                m, _ = f.check(arr)
+                stack_viol |= m
+            viol = stack_viol if viol is None else (viol & stack_viol)
+        return viol, None
+
+    def lint(self, dtype):
+        if not self.alternatives:
+            raise SpecError("union facet requires at least one alternative")
+        for stack in self.alternatives:
+            for f in stack:
+                f.lint(dtype)
+
+    def describe(self):
+        alts = "|".join("+".join(f.describe() for f in stack) for stack in self.alternatives)
+        return f"union[{alts}]"
 
 
 def lint_facet_stack(dtype: pa.DataType, facets: Sequence[Facet]) -> None:

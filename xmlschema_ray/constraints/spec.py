@@ -95,12 +95,19 @@ def LengthEquals(list_col: str, int_col: str, name: Optional[str] = None) -> Row
         ok |= both_null.combine_chunks().fill_null(False).to_numpy(zero_copy_only=False)
         return ~ok
 
-    return RowCheck(
+    check = RowCheck(
         name=name or f"{int_col}_equals_len_{list_col}",
         columns=(list_col, int_col),
         fn=_fn,
         reason=f"{int_col} != len({list_col})",
     )
+    # declarative origin marker so the spec serializer can round-trip it
+    object.__setattr__(
+        check,
+        "_serde",
+        {"kind": "length_equals", "list_col": list_col, "int_col": int_col, "name": check.name},
+    )
+    return check
 
 
 @dataclass(frozen=True)

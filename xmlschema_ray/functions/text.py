@@ -41,6 +41,21 @@ LANG_MARKERS: Dict[str, frozenset] = {
 _LANGS = sorted(LANG_MARKERS)
 
 
+def normalize_whitespace(texts: pd.Series, policy: str = "collapse") -> pd.Series:
+    """XSD whiteSpace normalization as a transform operator
+    (reference ``validators/simple_types.py:310-328``): ``replace`` maps
+    tab/CR/LF to spaces; ``collapse`` additionally squeezes runs and strips
+    ends. Vectorized pandas str kernels."""
+    if policy == "preserve":
+        return texts
+    replaced = texts.str.replace(r"[\t\r\n]", " ", regex=True)
+    if policy == "replace":
+        return replaced
+    if policy == "collapse":
+        return replaced.str.replace(r" {2,}", " ", regex=True).str.strip(" ")
+    raise ValueError(f"unknown whiteSpace policy {policy!r}")
+
+
 def whitespace_token_count(texts: pd.Series) -> pd.Series:
     """Number of whitespace-delimited tokens (\\S+ runs)."""
     return texts.str.count(WS_TOKEN).fillna(0).astype("int64")

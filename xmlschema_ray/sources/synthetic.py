@@ -247,6 +247,8 @@ def write_sequences_corpus(
 
     Returns ``(sequences_dir, sources_path, expected_counts)``.
     """
+    defects = dict(defects or {})
+    bad_dtype = defects.pop("bad_dtype", 0)
     seq, dim, expected = generate_sequences(n_rows, seed=seed, mean_len=mean_len, defects=defects)
     seq_dir = os.path.join(out_dir, "sequences")
     os.makedirs(seq_dir, exist_ok=True)
@@ -255,6 +257,15 @@ def write_sequences_corpus(
         chunk = seq.slice(i * per, per)
         if chunk.num_rows == 0:
             break
+        if bad_dtype and i == 0:
+            # one input file with n_tok widened to int64: a partition-level
+            # schema/dtype violation (FIXTURES.md `bad_dtype`; the analog of
+            # the reference's type-instance check, simple_types.py:504-506)
+            idx = chunk.schema.get_field_index("n_tok")
+            chunk = chunk.set_column(
+                idx, pa.field("n_tok", pa.int64()), chunk["n_tok"].cast(pa.int64())
+            )
+            expected["schema.dtype"] = 1
         pq.write_table(chunk, os.path.join(seq_dir, f"seq-{i:04d}.parquet"))
     dim_path = os.path.join(out_dir, "sources.parquet")
     pq.write_table(dim, dim_path)
