@@ -25,6 +25,7 @@ def entry() -> Any:
 
 def _modules():
     from xmlschema_ray.pipelines import (
+        cleaning,
         dedup,
         multimodal,
         relational,
@@ -34,7 +35,16 @@ def _modules():
         validation_queries,
     )
 
-    return [relational, validation_queries, textstats, dedup, similarity, multimodal, sequences]
+    return [
+        relational,
+        validation_queries,
+        cleaning,
+        textstats,
+        dedup,
+        similarity,
+        multimodal,
+        sequences,
+    ]
 
 
 def queries() -> dict[str, Callable[[str], Any]]:

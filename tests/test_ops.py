@@ -1,0 +1,101 @@
+"""Relational-ops layer: combiner aggregation, joins, top-k, partition
+balance under skew."""
+
+import numpy as np
+import pandas as pd
+import pyarrow as pa
+
+import ray.data as rd
+
+from xmlschema_ray.ops.relational import (
+    anti_join,
+    broadcast_join,
+    combiner_aggregate,
+    hash_partition_apply,
+    semi_join,
+    topk,
+)
+
+
+def _sample_ds(n=5000, seed=3):
+    rng = np.random.default_rng(seed)
+    df = pd.DataFrame(
+        {
+            "k": rng.integers(0, 50, size=n),
+            "v": rng.integers(0, 1000, size=n).astype("int64"),
+        }
+    )
+    return rd.from_pandas(df), df
+
+
+def test_combiner_aggregate_matches_pandas(ray_session):
+    ds, df = _sample_ds()
+    out = (
+        combiner_aggregate(
+            ds,
+            keys="k",
+            aggs={
+                "s": ("v", "sum"),
+                "lo": ("v", "min"),
+                "hi": ("v", "max"),
+                "n": (None, "count"),
+                "m": ("v", "mean"),
+            },
+            batch_size=512,
+        )
+        .to_pandas()
+        .sort_values("k")
+        .reset_index(drop=True)
+    )
+    gb = df.groupby("k")["v"]
+    truth = pd.DataFrame(
+        {"k": gb.sum().index, "s": gb.sum().values, "lo": gb.min().values,
+         "hi": gb.max().values, "n": gb.size().values, "m": gb.mean().values}
+    )
+    for c in ["s", "lo", "hi", "n"]:
+        assert out[c].astype("int64").tolist() == truth[c].astype("int64").tolist()
+    assert np.allclose(out["m"], truth["m"])
+
+
+def test_hash_partition_apply_colocates_and_balances(ray_session):
+    """All rows of one key land in one partition; a skewed key does not
+    blow up any single partition beyond its own mass (FIXTURES
+    reducer-balance)."""
+    rng = np.random.default_rng(0)
+    keys = np.where(rng.random(20000) < 0.5, "hot", rng.integers(0, 1000, 20000).astype(str))
+    ds = rd.from_pandas(pd.DataFrame({"k": keys}))
+
+    def tag(part: pd.DataFrame) -> pd.DataFrame:
+        out = part.groupby("k", sort=False).size().reset_index(name="n")
+        out["part_rows"] = len(part)
+        return out
+
+    res = hash_partition_apply(ds, "k", tag, num_partitions=16).to_pandas()
+    # co-location: each key appears in exactly one partition-output row
+    assert res["k"].is_unique
+    # balance: non-hot mass spreads — the largest partition is the hot one,
+    # and it carries at most hot + ~3x fair share of the rest
+    hot_rows = int(res.loc[res["k"] == "hot", "n"].iloc[0])
+    assert hot_rows > 9000
+    fair = (20000 - hot_rows) / 16
+    assert res["part_rows"].max() <= hot_rows + 4 * fair
+
+
+def test_broadcast_semi_anti_join(ray_session):
+    ds, df = _sample_ds(2000)
+    dim = pd.DataFrame({"k": [1, 2, 3], "label": ["a", "b", "c"]})
+    joined = broadcast_join(ds, dim, left_on="k").to_pandas()
+    truth = df.merge(dim, on="k")
+    assert len(joined) == len(truth)
+    semi = semi_join(ds, dim, on="k", key="k").to_pandas()
+    assert set(semi["k"].unique()) <= {1, 2, 3}
+    assert len(semi) == (df["k"].isin([1, 2, 3])).sum()
+    anti = anti_join(ds, dim, on="k", key="k").to_pandas()
+    assert len(anti) == len(df) - len(semi)
+
+
+def test_topk(ray_session):
+    ds, df = _sample_ds(3000)
+    got = topk(ds, "v", 7, descending=True, tiebreak=["k"]).to_pandas()
+    truth = df.sort_values(["v", "k"], ascending=[False, True]).head(7).reset_index(drop=True)
+    assert got["v"].tolist() == truth["v"].tolist()

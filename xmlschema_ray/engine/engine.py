@@ -309,7 +309,7 @@ class ValidationEngine:
             _t = time.time()
             ckpt.write_shard_atomic(unified, out_dir, pid)
             _t = _mark(f"stageA shard {pid}", _t)
-            n_rows, n_viol = self._shard_counts(out_dir, pid)
+            n_rows, n_viol, chash = self._shard_counts(out_dir, pid)
             _t = _mark(f"shard_counts {pid}", _t)
             v = V.PartitionVerdict(pid, n_rows=n_rows)
             if mode == "stats_only":
@@ -324,7 +324,7 @@ class ValidationEngine:
                         n_rows=n_rows,
                         n_violations=n_viol,
                         wall_sec=round(time.time() - t0, 3),
-                        content_hash="",
+                        content_hash=chash,
                     )
                 )
 
@@ -343,14 +343,24 @@ class ValidationEngine:
         return [c for c in wanted if c in (present or set())]
 
     def _shard_counts(self, out_dir: str, pid: int) -> tuple:
-        """Cheap driver-side counts from the written shard (column-pruned)."""
+        """Cheap driver-side counts + violation content hash from the
+        written shard (column-pruned scans)."""
         d = pads.dataset(ckpt.shard_dir(out_dir, pid))
         t = d.to_table(columns=["record_kind", "count"])
         kinds = t["record_kind"]
         n_viol = int(pc.sum(pc.cast(pc.equal(kinds, "violation"), pa.int64())).as_py() or 0)
         stats_counts = t.filter(pc.equal(kinds, "stats"))["count"]
         n_rows = int(pc.sum(stats_counts).as_py() or 0)
-        return n_rows, n_viol
+        chash = ""
+        if n_viol:
+            vt = d.to_table(
+                columns=["key", "constraint_name", "column"],
+                filter=pads.field("record_kind") == "violation",
+            )
+            chash = ckpt.content_hash(
+                list(zip(*(vt[c].to_pylist() for c in ("key", "constraint_name", "column"))))
+            )
+        return n_rows, n_viol, chash
 
     # -- dup key recovery -------------------------------------------------
 

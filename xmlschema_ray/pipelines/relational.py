@@ -447,8 +447,77 @@ FROM events GROUP BY event_type ORDER BY event_type
 """
 
 
+# -- small operator-coverage queries -------------------------------------
+
+
+def orders_priority_counts(sf_dir: str) -> pd.DataFrame:
+    """Grouped counts + integer-exact min/max money per priority."""
+    ds = rd.read_parquet(table_path(sf_dir, "orders"), columns=["o_orderpriority", "o_totalprice"])
+
+    def to_cents(batch: pd.DataFrame) -> pd.DataFrame:
+        return pd.DataFrame(
+            {"o_orderpriority": batch["o_orderpriority"], "price_c": cents(batch["o_totalprice"])}
+        )
+
+    agg = combiner_aggregate(
+        ds.map_batches(to_cents, batch_format="pandas"),
+        keys="o_orderpriority",
+        aggs={"n": (None, "count"), "min_c": ("price_c", "min"), "max_c": ("price_c", "max")},
+    ).to_pandas()
+    agg["n"] = agg["n"].astype("int64")
+    agg["min_price"] = agg["min_c"] / 100.0
+    agg["max_price"] = agg["max_c"] / 100.0
+    return (
+        agg[["o_orderpriority", "n", "min_price", "max_price"]]
+        .sort_values("o_orderpriority")
+        .reset_index(drop=True)
+    )
+
+
+ORDERS_PRIORITY_SQL = """
+SELECT o_orderpriority, COUNT(*) AS n,
+       CAST(MIN(CAST(floor(o_totalprice * 100 + 0.5) AS BIGINT)) AS DOUBLE) / 100.0 AS min_price,
+       CAST(MAX(CAST(floor(o_totalprice * 100 + 0.5) AS BIGINT)) AS DOUBLE) / 100.0 AS max_price
+FROM orders GROUP BY o_orderpriority ORDER BY o_orderpriority
+"""
+
+
+def union_entity_keys(sf_dir: str) -> pd.DataFrame:
+    """Set-op coverage: ``Dataset.union`` of two keyed projections."""
+    cust = rd.read_parquet(table_path(sf_dir, "customer"), columns=["c_custkey"]).map_batches(
+        lambda t: pa.table(
+            {
+                "entity": pa.array(["customer"] * t.num_rows),
+                "key": pc.cast(t["c_custkey"], pa.int64()),
+            }
+        ),
+        batch_format="pyarrow",
+    )
+    supp = rd.read_parquet(table_path(sf_dir, "supplier"), columns=["s_suppkey"]).map_batches(
+        lambda t: pa.table(
+            {
+                "entity": pa.array(["supplier"] * t.num_rows),
+                "key": pc.cast(t["s_suppkey"], pa.int64()),
+            }
+        ),
+        batch_format="pyarrow",
+    )
+    out = cust.union(supp).to_pandas()
+    return out.sort_values(["entity", "key"]).reset_index(drop=True)
+
+
+UNION_SQL = """
+SELECT 'customer' AS entity, c_custkey AS key FROM customer
+UNION ALL
+SELECT 'supplier', s_suppkey FROM supplier
+ORDER BY entity, key
+"""
+
+
 ORACLES = {
     "q1_pricing_summary": Q1_SQL,
+    "orders_priority_counts": ORDERS_PRIORITY_SQL,
+    "union_entity_keys": UNION_SQL,
     "q3_top_orders": Q3_SQL,
     "q5_nation_revenue": Q5_SQL,
     "join_order_lineitem_status": JOIN_STATUS_SQL,
@@ -463,6 +532,8 @@ ORACLES = {
 
 QUERIES = {
     "q1_pricing_summary": q1_pricing_summary,
+    "orders_priority_counts": orders_priority_counts,
+    "union_entity_keys": union_entity_keys,
     "q3_top_orders": q3_top_orders,
     "q5_nation_revenue": q5_nation_revenue,
     "join_order_lineitem_status": join_order_lineitem_status,
