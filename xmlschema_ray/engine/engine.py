@@ -160,6 +160,11 @@ class ValidationEngine:
         # multi-second cold start that dominates short jobs. Set
         # ``use_actors=True`` when per-worker setup is genuinely expensive.
         self.use_actors = use_actors
+        # adaptive-plan threshold: below this many bytes the finalize
+        # phases run driver-side (arrow aggregate / sort / stats fold);
+        # above it they run as distributed Ray pipelines. Exposed for
+        # tests to force the distributed paths at toy scale.
+        self.driver_threshold_bytes = 1 * 1024 * 1024 * 1024
 
     # -- dims -------------------------------------------------------------
 
@@ -387,7 +392,7 @@ class ValidationEngine:
             pid_of = dict(zip(sub["key_hash"].astype(np.uint64), sub["first_pid"]))
             ukcols = list(uk.columns)
 
-            if isinstance(source, list) and sum(map(os.path.getsize, source)) < 256 * 1024 * 1024:
+            if isinstance(source, list) and sum(map(os.path.getsize, source)) < min(256 * 1024 * 1024, self.driver_threshold_bytes):
                 tbl = pads.dataset(source).to_table(columns=ukcols)
                 keycol = unique_key_column(tbl, ukcols).drop_null()
                 vals = keycol.to_numpy(zero_copy_only=False)
@@ -487,7 +492,7 @@ class ValidationEngine:
             # above it, the hash-partitioned shuffle merge runs.
             gkeys = ["constraint_name", "key_hash"]
             kc_bytes = _dir_bytes(unified_dir)
-            if kc_bytes < 1 * 1024 * 1024 * 1024:
+            if kc_bytes < self.driver_threshold_bytes:
                 kct = pads.dataset(unified_dir).to_table(
                     columns=["partition_id", "key_hash", "constraint_name", "count"],
                     filter=pads.field("record_kind") == "keycount",
@@ -538,7 +543,7 @@ class ValidationEngine:
         # first so the driver fold stays O(#blocks).
         merged = BatchStats()
         unified_bytes = _dir_bytes(unified_dir)
-        if unified_bytes < 1024 * 1024 * 1024:
+        if unified_bytes < self.driver_threshold_bytes:
             import pyarrow.dataset as _pads
 
             t = _pads.dataset(unified_dir).to_table(
@@ -575,7 +580,7 @@ class ValidationEngine:
         extra_tbls: List[pa.Table] = []
         if schema_viols:
             extra_tbls.append(pa.Table.from_pylist(schema_viols, schema=VIOLATION_SCHEMA))
-        if unified_bytes_small := (_dir_bytes(unified_dir) < 1 * 1024 * 1024 * 1024):
+        if _dir_bytes(unified_dir) < self.driver_threshold_bytes:
             vt = pads.dataset(unified_dir).to_table(
                 columns=[f.name for f in VIOLATION_SCHEMA],
                 filter=pads.field("record_kind") == "violation",
