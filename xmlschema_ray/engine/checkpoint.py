@@ -78,6 +78,7 @@ def write_shard_atomic(ds, out_dir: str, partition_id: int) -> str:
         shutil.rmtree(final)
     os.makedirs(os.path.dirname(final), exist_ok=True)
     ds.write_parquet(tmp)
+    os.makedirs(tmp, exist_ok=True)  # an all-empty dataset writes no dir
     os.replace(tmp, final)
     return final
 

@@ -350,7 +350,10 @@ class ValidationEngine:
     def _shard_counts(self, out_dir: str, pid: int) -> tuple:
         """Cheap driver-side counts + violation content hash from the
         written shard (column-pruned scans)."""
-        d = pads.dataset(ckpt.shard_dir(out_dir, pid))
+        sd = ckpt.shard_dir(out_dir, pid)
+        if not any(f.endswith(".parquet") for f in os.listdir(sd)):
+            return 0, 0, ""
+        d = pads.dataset(sd)
         t = d.to_table(columns=["record_kind", "count"])
         kinds = t["record_kind"]
         n_viol = int(pc.sum(pc.cast(pc.equal(kinds, "violation"), pa.int64())).as_py() or 0)
@@ -464,8 +467,9 @@ class ValidationEngine:
         # per batch — a hot key (skew) is already collapsed per block by
         # the stage-A value_counts.
         _t = time.time()
+        unified_has_data = _dir_bytes(unified_dir) > 0
         dup_viol_ds = None
-        if self.spec.unique_keys and mode != "stats_only":
+        if self.spec.unique_keys and mode != "stats_only" and unified_has_data:
             from xmlschema_ray.ops.relational import hash_partition_apply
 
             def shape_dup_rows(g: pd.DataFrame) -> pa.Table:
@@ -543,7 +547,9 @@ class ValidationEngine:
         # first so the driver fold stays O(#blocks).
         merged = BatchStats()
         unified_bytes = _dir_bytes(unified_dir)
-        if unified_bytes < self.driver_threshold_bytes:
+        if not unified_has_data:
+            pass
+        elif unified_bytes < self.driver_threshold_bytes:
             import pyarrow.dataset as _pads
 
             t = _pads.dataset(unified_dir).to_table(
@@ -580,7 +586,14 @@ class ValidationEngine:
         extra_tbls: List[pa.Table] = []
         if schema_viols:
             extra_tbls.append(pa.Table.from_pylist(schema_viols, schema=VIOLATION_SCHEMA))
-        if _dir_bytes(unified_dir) < self.driver_threshold_bytes:
+        if not unified_has_data:
+            os.makedirs(viol_dir, exist_ok=True)
+            if extra_tbls:
+                allv = pa.concat_tables(extra_tbls).sort_by(
+                    [(k, "ascending") for k in sort_keys]
+                )
+                pq.write_table(allv, os.path.join(viol_dir, "part-00000.parquet"))
+        elif _dir_bytes(unified_dir) < self.driver_threshold_bytes:
             vt = pads.dataset(unified_dir).to_table(
                 columns=[f.name for f in VIOLATION_SCHEMA],
                 filter=pads.field("record_kind") == "violation",

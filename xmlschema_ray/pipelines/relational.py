@@ -320,10 +320,24 @@ FROM lineitem WHERE l_quantity >= 48 AND l_extendedprice > 90000.0
 
 
 def distinct_part_count(sf_dir: str) -> pd.DataFrame:
-    """Exact distinct via shuffle (``unique``); the approximate path for
-    10^12-scale is the HLL sketch in the stats channel."""
+    """Exact distributed distinct: per-batch dedup partials → hash-partition
+    → per-partition distinct counts → driver sum of #partitions ints. No
+    driver-side materialization of the value set (``ds.unique`` would ship
+    every distinct value to the driver); the approximate alternative for
+    quick profiling is the HLL sketch in the stats channel."""
+    from xmlschema_ray.ops.relational import hash_partition_apply
+
     ds = rd.read_parquet(table_path(sf_dir, "lineitem"), columns=["l_partkey"])
-    n = len(ds.unique("l_partkey"))
+
+    def batch_distinct(batch: pd.DataFrame) -> pd.DataFrame:
+        return batch.drop_duplicates()
+
+    def count_partition(part: pd.DataFrame) -> pd.DataFrame:
+        return pd.DataFrame({"n": pd.array([part["l_partkey"].nunique()], dtype="int64")})
+
+    partials = ds.map_batches(batch_distinct, batch_format="pandas")
+    counts = hash_partition_apply(partials, "l_partkey", count_partition, num_partitions=16)
+    n = int(counts.to_pandas()["n"].sum())
     return pd.DataFrame({"n_distinct_parts": pd.array([n], dtype="int64")})
 
 

@@ -70,11 +70,11 @@ def validate_sequences_seeded(sf_dir: str) -> pd.DataFrame:
     out_root = _scratch("validate_sequences_seeded")
     seq_dir, dim_path, expected = write_sequences_corpus(
         os.path.join(out_root, "corpus"),
-        n_rows=2000,
+        n_rows=1200,
         n_files=8,
         defects={"dup_doc_id": 7, "bad_ref": 5, "n_tok_mismatch": 6, "bad_token_range": 9},
     )
-    eng = ValidationEngine(sequences_spec(), batch_size=512, n_shards=4)
+    eng = ValidationEngine(sequences_spec(), batch_size=512, n_shards=2)
     res = eng.run(seq_dir, out_dir=os.path.join(out_root, "out"), dims={"sources": dim_path})
     viol = res.violations()
     got = viol.groupby("constraint_name").size()
