@@ -119,6 +119,45 @@ def anti_join(
     )
 
 
+def asof_join_broadcast(
+    ds: rd.Dataset,
+    right: pd.DataFrame,
+    left_on: str,
+    right_on: str,
+    left_by: str,
+    right_by: str,
+    batch_size: int = 65536,
+) -> rd.Dataset:
+    """As-of join (latest right row with ``right_on <= left_on`` per key).
+
+    Custom operator per SURVEY §2.6: Ray Data has no native as-of join.
+    The right side is broadcast pre-sorted once; each batch sorts itself
+    and runs ``pd.merge_asof`` (sorted-merge within the batch — the
+    composition-of-map_batches path; for a large right side, bucket both
+    sides by key hash and asof inside ``map_groups`` instead).
+    """
+    right_sorted = right.sort_values(right_on, kind="mergesort").reset_index(drop=True)
+    right_ref = ray.put(right_sorted)
+    state: dict = {}
+
+    def asof_fn(batch: pd.DataFrame) -> pd.DataFrame:
+        r = state.get("r")
+        if r is None:
+            r = state["r"] = ray.get(right_ref)
+        left_sorted = batch.sort_values(left_on, kind="mergesort")
+        return pd.merge_asof(
+            left_sorted,
+            r,
+            left_on=left_on,
+            right_on=right_on,
+            left_by=left_by,
+            right_by=right_by,
+            direction="backward",
+        )
+
+    return ds.map_batches(asof_fn, batch_format="pandas", batch_size=batch_size)
+
+
 # -- hash-partitioned apply ----------------------------------------------
 
 

@@ -528,10 +528,36 @@ ORDER BY entity, key
 """
 
 
+def asof_latest_order_before_event(sf_dir: str) -> pd.DataFrame:
+    """As-of join: for every event, the user's latest order date at or
+    before the event timestamp (matched DATE is unique per match, so the
+    result is deterministic even when order keys tie on a date)."""
+    from xmlschema_ray.ops.relational import asof_join_broadcast
+
+    ev = rd.read_parquet(table_path(sf_dir, "events"), columns=["event_id", "user_id", "ts"])
+    orders = rd.read_parquet(
+        table_path(sf_dir, "orders"), columns=["o_custkey", "o_orderdate"]
+    ).to_pandas()
+    out = asof_join_broadcast(
+        ev, orders, left_on="ts", right_on="o_orderdate", left_by="user_id", right_by="o_custkey"
+    ).to_pandas()
+    out = out[["event_id", "user_id", "o_orderdate"]].rename(columns={"o_orderdate": "last_orderdate"})
+    return out.sort_values("event_id").reset_index(drop=True)
+
+
+ASOF_SQL = """
+SELECT e.event_id, e.user_id, o.o_orderdate AS last_orderdate
+FROM events e
+ASOF LEFT JOIN orders o ON e.user_id = o.o_custkey AND e.ts >= o.o_orderdate
+ORDER BY e.event_id
+"""
+
+
 ORACLES = {
     "q1_pricing_summary": Q1_SQL,
     "orders_priority_counts": ORDERS_PRIORITY_SQL,
     "union_entity_keys": UNION_SQL,
+    "asof_latest_order_before_event": ASOF_SQL,
     "q3_top_orders": Q3_SQL,
     "q5_nation_revenue": Q5_SQL,
     "join_order_lineitem_status": JOIN_STATUS_SQL,
@@ -548,6 +574,7 @@ QUERIES = {
     "q1_pricing_summary": q1_pricing_summary,
     "orders_priority_counts": orders_priority_counts,
     "union_entity_keys": union_entity_keys,
+    "asof_latest_order_before_event": asof_latest_order_before_event,
     "q3_top_orders": q3_top_orders,
     "q5_nation_revenue": q5_nation_revenue,
     "join_order_lineitem_status": join_order_lineitem_status,
