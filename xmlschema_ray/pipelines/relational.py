@@ -386,6 +386,7 @@ def events_daily_window(sf_dir: str) -> pd.DataFrame:
     df = agg.to_pandas()
     df["sum_value"] = df["sum_value_c"] / 100.0
     df["n_events"] = df["n_events"].astype("int64")
+    df["day"] = df["day"].astype("datetime64[us]")  # match DuckDB's unit
     return df[["user_id", "day", "n_events", "sum_value"]].sort_values(["user_id", "day"]).reset_index(drop=True)
 
 
@@ -542,6 +543,7 @@ def asof_latest_order_before_event(sf_dir: str) -> pd.DataFrame:
         ev, orders, left_on="ts", right_on="o_orderdate", left_by="user_id", right_by="o_custkey"
     ).to_pandas()
     out = out[["event_id", "user_id", "o_orderdate"]].rename(columns={"o_orderdate": "last_orderdate"})
+    out["last_orderdate"] = out["last_orderdate"].astype("datetime64[us]")  # match DuckDB
     return out.sort_values("event_id").reset_index(drop=True)
 
 
