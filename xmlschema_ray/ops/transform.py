@@ -1,0 +1,68 @@
+"""Per-record transform operators: default filling, lexical casts.
+
+The decode-kwarg surface of the reference re-expressed as batch
+transforms:
+
+* ``fill_defaults`` — per-column default substitution, the
+  attribute-default analog (``/root/reference/xmlschema/validators/
+  attributes.py:232-254`` default/fixed substitution; ``fill_missing`` /
+  ``filler`` decode kwargs, ``attributes.py:583-630``).
+* ``parse_timestamps`` — lexical date/time decoding via Arrow
+  ``strptime`` (the tabular analog of the reference's table-driven
+  datetime decoders, ``validators/builtins.py:216-248``).
+* ``parse_booleans`` — XSD boolean lexical mapping
+  ``{'true','1','false','0'}`` (``builtins.py:160-170``).
+"""
+
+from __future__ import annotations
+
+from typing import Any, Dict
+
+import pyarrow as pa
+import pyarrow.compute as pc
+
+import ray.data as rd
+
+
+def fill_defaults(ds: rd.Dataset, defaults: Dict[str, Any]) -> rd.Dataset:
+    """Replace nulls with per-column default values (vectorized)."""
+
+    def fn(batch: pa.Table) -> pa.Table:
+        for col, default in defaults.items():
+            if col in batch.column_names:
+                i = batch.schema.get_field_index(col)
+                filled = pc.fill_null(batch[col], pa.scalar(default, type=batch[col].type))
+                batch = batch.set_column(i, batch.schema.field(i), filled)
+        return batch
+
+    return ds.map_batches(fn, batch_format="pyarrow", zero_copy_batch=True)
+
+
+def parse_timestamps(
+    ds: rd.Dataset, column: str, fmt: str = "%Y-%m-%d %H:%M:%S", unit: str = "us"
+) -> rd.Dataset:
+    """Lexical string column → timestamp column (invalid lexical forms
+    become nulls for the not_null/facet checks to catch — validation is
+    decode-with-errors)."""
+
+    def fn(batch: pa.Table) -> pa.Table:
+        i = batch.schema.get_field_index(column)
+        parsed = pc.strptime(batch[column], format=fmt, unit=unit, error_is_null=True)
+        return batch.set_column(i, pa.field(column, pa.timestamp(unit)), parsed)
+
+    return ds.map_batches(fn, batch_format="pyarrow", zero_copy_batch=True)
+
+
+def parse_booleans(ds: rd.Dataset, column: str) -> rd.Dataset:
+    """XSD boolean lexical space → bool (true/1 → True, false/0 → False,
+    anything else → null)."""
+
+    def fn(batch: pa.Table) -> pa.Table:
+        i = batch.schema.get_field_index(column)
+        col = batch[column]
+        is_true = pc.is_in(col, value_set=pa.array(["true", "1"]))
+        is_false = pc.is_in(col, value_set=pa.array(["false", "0"]))
+        out = pc.if_else(is_true, True, pc.if_else(is_false, False, pa.scalar(None, pa.bool_())))
+        return batch.set_column(i, pa.field(column, pa.bool_()), out)
+
+    return ds.map_batches(fn, batch_format="pyarrow", zero_copy_batch=True)
