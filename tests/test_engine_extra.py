@@ -106,13 +106,13 @@ def test_resume_after_interrupt_produces_identical_output(tmp_path, ray_session)
 def test_spec_json_roundtrip():
     from xmlschema_ray.constraints.serde import spec_from_json, spec_to_json
 
-    spec = sequences_spec(reference_hist=tuple([1] * 64))
+    spec = sequences_spec(reference_hist=tuple([1] * 256))
     doc = spec_to_json(spec)
     spec2 = spec_from_json(doc)
     assert spec_to_json(spec2) == doc
     assert [c.name for c in spec2.columns] == ["doc_id", "tokens", "n_tok", "source"]
     assert spec2.unique_keys[0].name == "unique_doc_id"
-    assert spec2.drift[0].reference_hist == tuple([1] * 64)
+    assert spec2.drift[0].reference_hist == tuple([1] * 256)
 
 
 def test_cli_validate_roundtrip(tmp_path):

@@ -75,3 +75,16 @@ def test_ks_and_psi():
     h2 = np.array([300, 200, 100, 100])
     assert S.ks_statistic(h1, h2) > 0.2
     assert S.psi(h1, h2) > 0.1
+
+
+def test_histogram_quantiles():
+    edges = np.arange(0, 101, 10, dtype=float)
+    # uniform 1000 samples in [0, 100)
+    hist = np.full(10, 100)
+    q = S.histogram_quantiles(hist, edges)
+    assert abs(q["p50"] - 50.0) < 1.0
+    assert abs(q["p95"] - 95.0) < 1.0
+    assert abs(q["p99"] - 99.0) < 1.0
+    # empty histogram -> NaNs
+    qe = S.histogram_quantiles(np.zeros(10), edges)
+    assert all(np.isnan(v) for v in qe.values())

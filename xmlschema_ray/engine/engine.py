@@ -646,6 +646,7 @@ class ValidationEngine:
             "columns": {k: cs.to_dict() for k, cs in merged.columns.items()},
             "distinct_estimates": {k: hll_estimate(reg) for k, reg in merged.hlls.items()},
             "histograms": {k: h.tolist() for k, h in merged.histograms.items()},
+            "quantiles": self._quantiles(merged),
             "drift": [
                 {
                     "name": d.name,
@@ -670,6 +671,19 @@ class ValidationEngine:
             summary=summary,
             n_violations=n_violations,
         )
+
+    def _quantiles(self, merged: BatchStats) -> Dict[str, Dict[str, float]]:
+        """p50/p95/p99 per histogrammed quantity (mergeable histogram
+        quantiles — see stats.histogram_quantiles)."""
+        from xmlschema_ray.engine.stats import histogram_quantiles
+
+        out: Dict[str, Dict[str, float]] = {}
+        for d in self.spec.drift:
+            qname = f"len({d.column})" if d.use_list_length else d.column
+            hist = merged.histograms.get(qname)
+            if hist is not None:
+                out[qname] = histogram_quantiles(hist, np.asarray(d.bin_edges))
+        return out
 
     def _drift(self, merged: BatchStats) -> List[DriftResult]:
         out: List[DriftResult] = []

@@ -223,6 +223,30 @@ def collect_batch_stats(
     return bs
 
 
+def histogram_quantiles(
+    hist: np.ndarray, bin_edges: np.ndarray, qs: Sequence[float] = (0.5, 0.95, 0.99)
+) -> Dict[str, float]:
+    """Approximate quantiles from a merged fixed-bin histogram (linear
+    interpolation within bins). Mergeable by construction — histograms add
+    — so this gives distributed quantiles without a sketch library; error
+    is bounded by the bin width."""
+    h = np.asarray(hist, dtype=np.float64)
+    total = h.sum()
+    out: Dict[str, float] = {}
+    if total == 0:
+        return {f"p{int(q * 100)}": float("nan") for q in qs}
+    edges = np.asarray(bin_edges, dtype=np.float64)
+    cum = np.cumsum(h)
+    for q in qs:
+        target = q * total
+        i = int(np.searchsorted(cum, target, side="left"))
+        i = min(i, len(h) - 1)
+        prev = cum[i - 1] if i > 0 else 0.0
+        frac = (target - prev) / h[i] if h[i] > 0 else 0.0
+        out[f"p{int(q * 100)}"] = float(edges[i] + frac * (edges[i + 1] - edges[i]))
+    return out
+
+
 # -- drift metrics on merged histograms ----------------------------------
 
 

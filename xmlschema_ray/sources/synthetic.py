@@ -67,7 +67,9 @@ def sequences_spec(
     * ``source`` → sources dim — ``xs:keyref`` (``identities.py:298-318``);
     * token-length drift — stats channel (north-rule mandate).
     """
-    bin_edges = tuple(np.linspace(0, max_tok, 65))
+    # 256 bins: keeps the merged histogram tiny (2 KB) while bounding
+    # histogram-quantile error to one bin width (32 tokens at max_tok=8192)
+    bin_edges = tuple(np.linspace(0, max_tok, 257))
     return TableConstraints(
         name="sequences",
         columns=[
