@@ -82,6 +82,11 @@ def run_headline(num_cpus: int) -> dict:
 
     seq_dir, dim_path = ensure_corpus()
     warm_cache(seq_dir)
+    # untimed warm-up: spin up the Ray worker pool and parquet metadata so
+    # the timed section measures the pipeline, not process forking
+    import ray.data as rd
+
+    rd.read_parquet(seq_dir).limit(50000).map_batches(lambda t: t, batch_format="pyarrow").count()
     out_dir = f"/tmp/xmlschema_ray_bench/out_{num_cpus}"
     if os.path.exists(out_dir):
         shutil.rmtree(out_dir)
