@@ -1,0 +1,62 @@
+"""Connected components + multi-format readers."""
+
+import os
+
+import numpy as np
+import pandas as pd
+import pyarrow as pa
+import pytest
+
+import ray.data as rd
+
+from xmlschema_ray.ops.graph import connected_components_distributed, union_find
+
+
+def test_union_find_components():
+    roots = union_find([1, 2, 3, 4, 5, 6], [(1, 2), (2, 3), (5, 6)])
+    assert roots[1] == roots[2] == roots[3] == 1
+    assert roots[4] == 4
+    assert roots[5] == roots[6] == 5
+
+
+def test_distributed_components_match_union_find(ray_session):
+    rng = np.random.default_rng(11)
+    nodes = np.arange(200, dtype=np.int64)
+    pairs = [tuple(sorted(p)) for p in rng.integers(0, 200, size=(150, 2)) if p[0] != p[1]]
+    truth = union_find(nodes, pairs)
+    edges = rd.from_pandas(pd.DataFrame(pairs, columns=["a", "b"]).astype("int64"))
+    cc = connected_components_distributed(edges, nodes, max_rounds=30)
+    got = dict(zip(cc["node"], cc["root"]))
+    # same partition structure (roots may differ only by representative —
+    # min-label uses the minimum, same as our union-find tie-break)
+    assert got == truth
+
+
+def test_read_table_csv_json_with_coercion(tmp_path, ray_session):
+    from xmlschema_ray.constraints.spec import ColumnSpec, TableConstraints
+    from xmlschema_ray.sources.readers import read_table
+
+    df = pd.DataFrame({"id": [1, 2, 3], "score": [1.5, 2.5, 3.5], "name": ["a", "b", "c"]})
+    csv_path = str(tmp_path / "t.csv")
+    json_path = str(tmp_path / "t.json")
+    df.to_csv(csv_path, index=False)
+    df.to_json(json_path, orient="records", lines=True)
+
+    spec = TableConstraints(
+        name="t",
+        columns=[
+            ColumnSpec("id", pa.int32()),
+            ColumnSpec("score", pa.float32()),
+            ColumnSpec("name", pa.string()),
+        ],
+    )
+    for path, fmt in ((csv_path, "csv"), (json_path, "json")):
+        ds = read_table(path, format=fmt, spec=spec)
+        tbl = pa.Table.from_pandas(ds.to_pandas())
+        out = ds.to_pandas()
+        assert out["id"].tolist() == [1, 2, 3]
+        assert ds.schema().base_schema.field("id").type == pa.int32()
+        assert ds.schema().base_schema.field("score").type == pa.float32()
+
+    with pytest.raises(ValueError):
+        read_table(csv_path, format="xml")

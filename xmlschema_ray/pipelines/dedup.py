@@ -41,25 +41,32 @@ _WS = re.compile(r"\s+")
 def exact_dedup(sf_dir: str) -> pd.DataFrame:
     """One row per distinct text: (keep_id = min doc_id, n = multiplicity).
 
-    Hash-partitioned on a 64-bit content hash; the inner re-group by the
-    actual text inside ``map_groups`` makes the result hash-collision-proof.
+    Skew-safe combiner shape: per-batch partials collapse each distinct
+    text to ONE ``(text, min_id, n)`` row before the shuffle, so a text
+    duplicated across half the corpus ships #batches rows, not #rows
+    (the Counter-partial shape of the reference's identity machinery,
+    ``validators/identities.py:198-221``). Grouping by the actual text
+    keeps the result hash-collision-proof.
     """
     ds = rd.read_parquet(table_path(sf_dir, "documents"), columns=["doc_id", "text"])
 
-    def add_hash(batch: pd.DataFrame) -> pd.DataFrame:
-        batch["h"] = hash64(batch["text"].to_numpy(dtype=object)).astype("uint64")
-        return batch
+    def batch_partial(batch: pd.DataFrame) -> pd.DataFrame:
+        gb = batch.groupby("text", sort=False)["doc_id"]
+        return pd.DataFrame(
+            {"min_id": gb.min(), "n": gb.size().astype("int64")}
+        ).reset_index()
 
-    def keep_first(g: pd.DataFrame) -> pd.DataFrame:
-        gb = g.groupby("text", sort=False)["doc_id"]
-        return pd.DataFrame({"keep_id": gb.min(), "n": gb.size().astype("int64")}).reset_index(drop=True)
+    def merge_partition(part: pd.DataFrame) -> pd.DataFrame:
+        gb = part.groupby("text", sort=False)
+        return pd.DataFrame(
+            {"keep_id": gb["min_id"].min(), "n": gb["n"].sum().astype("int64")}
+        ).reset_index(drop=True)
 
     from xmlschema_ray.ops.relational import hash_partition_apply
 
-    out = (
-        hash_partition_apply(ds.map_batches(add_hash, batch_format="pandas"), "h", keep_first)
-        .to_pandas()
-    )
+    out = hash_partition_apply(
+        ds.map_batches(batch_partial, batch_format="pandas"), "text", merge_partition
+    ).to_pandas()
     return out.sort_values("keep_id").reset_index(drop=True)
 
 
@@ -214,23 +221,21 @@ def minhash_lsh_dedup(
         if H.jaccard(sets[int(x)], sets[int(y)]) >= threshold
     ]
 
-    # connected components by iterated min-label propagation (union-find)
-    parent: Dict[int, int] = {int(d): int(d) for d in srows["doc_id"]}
+    # connected components: union-find on the driver for small pair sets,
+    # distributed min-label propagation beyond (ops.graph)
+    from xmlschema_ray.ops.graph import connected_components_distributed, union_find
 
-    def find(x: int) -> int:
-        while parent[x] != x:
-            parent[x] = parent[parent[x]]
-            x = parent[x]
-        return x
-
-    for x, y in verified:
-        rx, ry = find(x), find(y)
-        if rx != ry:
-            lo, hi = sorted((rx, ry))
-            parent[hi] = lo
-    out = pd.DataFrame(
-        sorted((d, find(d)) for d in parent), columns=["doc_id", "cluster_root"]
-    ).astype("int64")
+    nodes = srows["doc_id"].to_numpy(dtype=np.int64)
+    if len(verified) <= 100_000:
+        roots = union_find(nodes, verified)
+        out = pd.DataFrame(
+            sorted(roots.items()), columns=["doc_id", "cluster_root"]
+        ).astype("int64")
+    else:  # pragma: no cover - exercised via ops.graph unit test
+        edges = rd.from_pandas(pd.DataFrame(verified, columns=["a", "b"]).astype("int64"))
+        cc = connected_components_distributed(edges, nodes)
+        out = cc.rename(columns={"node": "doc_id", "root": "cluster_root"}).sort_values("doc_id")
+        out = out.reset_index(drop=True).astype("int64")
     return out
 
 
