@@ -141,3 +141,22 @@ def test_cli_validate_roundtrip(tmp_path):
     summary = json.loads(proc.stdout)
     assert summary["n_violations"] == 2
     assert summary["job_validity"] == "invalid"
+
+
+def test_actor_pool_path_matches_tasks(tmp_path, ray_session):
+    """use_actors=True (documented for expensive per-worker setup) must
+    produce identical results; concurrency stays below the CPU count so
+    the pool cannot starve the read (see CLAUDE.md pitfall)."""
+    defects = {"bad_token_range": 3, "bad_ref": 2}
+    seq_dir, dim, exp = write_sequences_corpus(
+        str(tmp_path / "c"), n_rows=600, n_files=4, defects=defects
+    )
+    res_t = ValidationEngine(sequences_spec(), batch_size=256, n_shards=1).run(
+        seq_dir, out_dir=str(tmp_path / "t"), dims={"sources": dim}
+    )
+    res_a = ValidationEngine(
+        sequences_spec(), batch_size=256, n_shards=1, use_actors=True, concurrency=2
+    ).run(seq_dir, out_dir=str(tmp_path / "a"), dims={"sources": dim})
+    got_t = res_t.violations().groupby("constraint_name").size().to_dict()
+    got_a = res_a.violations().groupby("constraint_name").size().to_dict()
+    assert got_t == got_a == exp

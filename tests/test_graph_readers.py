@@ -60,3 +60,18 @@ def test_read_table_csv_json_with_coercion(tmp_path, ray_session):
 
     with pytest.raises(ValueError):
         read_table(csv_path, format="xml")
+
+
+def test_knn_ivf_recall(ray_session):
+    """IVF ANN recall@10 vs exact brute force on the embeddings table."""
+    from xmlschema_ray.pipelines.similarity import knn_cosine, knn_ivf
+
+    sf = "/root/testdata/sf0.001"
+    exact = knn_cosine(sf)
+    approx = knn_ivf(sf, n_probe=8)
+    recalls = []
+    for q, g in exact.groupby("query_id"):
+        truth = set(g["vec_id"])
+        got = set(approx[approx["query_id"] == q]["vec_id"])
+        recalls.append(len(truth & got) / len(truth))
+    assert np.mean(recalls) >= 0.5, recalls

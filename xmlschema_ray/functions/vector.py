@@ -42,6 +42,30 @@ def batch_cosine_topk(
     return qi, batch_ids[vi], sims[vi, qi]
 
 
+def kmeans_fit(
+    sample: np.ndarray, k: int = 16, iters: int = 10, seed: int = 7
+) -> np.ndarray:
+    """Spherical k-means (Lloyd on unit vectors, cosine assignment) for IVF
+    coarse quantization. Runs on a driver-side SAMPLE — the centroid set is
+    the broadcast model; assignment is a matmul per batch."""
+    x = normalize_rows(sample)
+    rng = np.random.default_rng(seed)
+    centroids = x[rng.choice(len(x), size=min(k, len(x)), replace=False)]
+    for _ in range(iters):
+        assign = (x @ centroids.T).argmax(axis=1)
+        new = np.zeros_like(centroids)
+        for c in range(len(centroids)):
+            members = x[assign == c]
+            new[c] = members.mean(axis=0) if len(members) else x[rng.integers(len(x))]
+        centroids = normalize_rows(new)
+    return centroids
+
+
+def ivf_assign(vecs: np.ndarray, centroids: np.ndarray) -> np.ndarray:
+    """Nearest-centroid id per vector (one matmul)."""
+    return (normalize_rows(vecs) @ centroids.T).argmax(axis=1)
+
+
 def hyperplane_planes(dim: int, n_planes: int = 16, seed: int = 99) -> np.ndarray:
     rng = np.random.default_rng(seed)
     return rng.standard_normal((n_planes, dim))

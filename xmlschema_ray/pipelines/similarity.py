@@ -145,6 +145,79 @@ def knn_lsh(sf_dir: str, k: int = TOP_K, n_planes: int = 8) -> pd.DataFrame:
     )
 
 
+def knn_ivf(
+    sf_dir: str,
+    k: int = TOP_K,
+    n_centroids: int = 16,
+    n_probe: int = 6,
+    sample_size: int = 4096,
+) -> pd.DataFrame:
+    """IVF-bucketed ANN — the scale path for similarity search.
+
+    Driver fits spherical k-means centroids on a SAMPLE; the centroid
+    matrix is the broadcast model. Per batch, vectors assign to their
+    nearest centroid with one matmul and each query only scores vectors
+    whose centroid is in its ``n_probe`` closest centroids. Approximate
+    (recall < 1) ⇒ rows-only check.
+    """
+    from xmlschema_ray.functions.vector import ivf_assign, kmeans_fit
+
+    qids, qmat = _query_matrix(sf_dir)
+    ds = rd.read_parquet(table_path(sf_dir, "embeddings"), columns=["vec_id", "embedding"])
+    sample = np.stack(ds.limit(sample_size).to_pandas()["embedding"].to_numpy()).astype(np.float64)
+    centroids = kmeans_fit(sample, k=n_centroids)
+    nq = normalize_rows(qmat)
+    probe_sets = np.argsort(-(nq @ centroids.T), axis=1)[:, :n_probe]  # (q, n_probe)
+    model_ref = ray.put((qids, nq, centroids, probe_sets))
+    state: dict = {}
+
+    def ivf_topk(batch: pd.DataFrame) -> pd.DataFrame:
+        m = state.get("m")
+        if m is None:
+            m = state["m"] = ray.get(model_ref)
+        b_qids, b_nq, b_cent, b_probe = m
+        vecs = np.stack(batch["embedding"].to_numpy())
+        assign = ivf_assign(vecs, b_cent)
+        nvecs = normalize_rows(vecs)
+        ids = batch["vec_id"].to_numpy()
+        frames = []
+        for qi in range(len(b_qids)):
+            mask = np.isin(assign, b_probe[qi])
+            if not mask.any():
+                continue
+            cos = nvecs[mask] @ b_nq[qi]
+            cand_ids = ids[mask]
+            order = np.argsort(-cos)[:k]
+            frames.append(
+                pd.DataFrame(
+                    {
+                        "query_id": pd.array([b_qids[qi]] * len(order), dtype="int64"),
+                        "vec_id": pd.array(cand_ids[order], dtype="int64"),
+                        "cos_e6": pd.array(
+                            np.floor(cos[order] * 1e6 + 0.5).astype(np.int64), dtype="int64"
+                        ),
+                    }
+                )
+            )
+        if frames:
+            return pd.concat(frames, ignore_index=True)
+        return pd.DataFrame(
+            {
+                "query_id": pd.array([], dtype="int64"),
+                "vec_id": pd.array([], dtype="int64"),
+                "cos_e6": pd.array([], dtype="int64"),
+            }
+        )
+
+    partials = ds.map_batches(ivf_topk, batch_format="pandas").to_pandas()
+    return (
+        partials.sort_values(["query_id", "cos_e6", "vec_id"], ascending=[True, False, True])
+        .groupby("query_id", sort=True)
+        .head(k)
+        .reset_index(drop=True)
+    )
+
+
 ORACLES: Dict[str, str] = {"knn_cosine": KNN_SQL}
 
-QUERIES = {"knn_cosine": knn_cosine, "knn_lsh": knn_lsh}
+QUERIES = {"knn_cosine": knn_cosine, "knn_lsh": knn_lsh, "knn_ivf": knn_ivf}
