@@ -397,6 +397,55 @@ FROM events GROUP BY user_id, date_trunc('day', ts) ORDER BY user_id, day
 """
 
 
+def events_sliding_window(sf_dir: str, window_days: int = 3) -> pd.DataFrame:
+    """Sliding window: per (user, window_end_day), events/value over the
+    trailing ``window_days`` days. Expressed batch-natively: each event
+    EXPLODES to the ``window_days`` window keys it belongs to (flat-map
+    inside ``map_batches``), then the usual combiner aggregate — no
+    watermark machinery needed for a batch log (SURVEY §2.11)."""
+    ds = rd.read_parquet(table_path(sf_dir, "events"), columns=["user_id", "ts", "value"])
+
+    def explode(batch: pd.DataFrame) -> pd.DataFrame:
+        day = batch["ts"].dt.floor("D")
+        frames = []
+        for o in range(window_days):
+            frames.append(
+                pd.DataFrame(
+                    {
+                        "user_id": batch["user_id"],
+                        "window_end": day + pd.Timedelta(days=o),
+                        "value_c": cents(batch["value"]),
+                    }
+                )
+            )
+        return pd.concat(frames, ignore_index=True)
+
+    agg = combiner_aggregate(
+        ds.map_batches(explode, batch_format="pandas"),
+        keys=["user_id", "window_end"],
+        aggs={"n_events": (None, "count"), "sum_value_c": ("value_c", "sum")},
+    ).to_pandas()
+    agg["sum_value"] = agg["sum_value_c"] / 100.0
+    agg["n_events"] = agg["n_events"].astype("int64")
+    agg["window_end"] = agg["window_end"].astype("datetime64[us]")
+    return (
+        agg[["user_id", "window_end", "n_events", "sum_value"]]
+        .sort_values(["user_id", "window_end"])
+        .reset_index(drop=True)
+    )
+
+
+SLIDING_WINDOW_SQL = """
+SELECT user_id,
+       date_trunc('day', ts) + to_days(o) AS window_end,
+       COUNT(*) AS n_events,
+       CAST(SUM(CAST(floor(value * 100 + 0.5) AS BIGINT)) AS DOUBLE) / 100.0 AS sum_value
+FROM events, (VALUES (0), (1), (2)) AS offs(o)
+GROUP BY user_id, date_trunc('day', ts) + to_days(o)
+ORDER BY user_id, window_end
+"""
+
+
 def sessionize_events(sf_dir: str, gap_minutes: int = 30) -> pd.DataFrame:
     """Gap-based sessionization per user: ``groupby(user).map_groups`` over
     ts-sorted groups (ordering assumption: per-user group fits in memory
@@ -568,6 +617,7 @@ ORACLES = {
     "distinct_part_count": DISTINCT_SQL,
     "duplicate_orderkeys": DUP_ORDERKEYS_SQL,
     "events_daily_window": DAILY_WINDOW_SQL,
+    "events_sliding_window": SLIDING_WINDOW_SQL,
     "sessionize_events": SESSIONIZE_SQL,
     "json_extract_events": JSON_EXTRACT_SQL,
 }
@@ -585,6 +635,7 @@ QUERIES = {
     "distinct_part_count": distinct_part_count,
     "duplicate_orderkeys": duplicate_orderkeys,
     "events_daily_window": events_daily_window,
+    "events_sliding_window": events_sliding_window,
     "sessionize_events": sessionize_events,
     "json_extract_events": json_extract_events,
 }
