@@ -77,6 +77,26 @@ class RowCheck:
     reason: str = "row assertion failed"
 
 
+class _LengthEqualsFn:
+    """Module-level callable so specs stay plain-picklable (closures would
+    only survive cloudpickle)."""
+
+    def __init__(self, list_col: str, int_col: str):
+        self.list_col = list_col
+        self.int_col = int_col
+
+    def __call__(self, table: pa.Table) -> np.ndarray:
+        import pyarrow.compute as pc
+
+        actual = pc.list_value_length(table[self.list_col])
+        declared = table[self.int_col]
+        eq = pc.equal(pc.cast(actual, pa.int64()), pc.cast(declared, pa.int64()))
+        ok = eq.combine_chunks().fill_null(False).to_numpy(zero_copy_only=False)
+        both_null = pc.and_(pc.is_null(table[self.list_col]), pc.is_null(table[self.int_col]))
+        ok |= both_null.combine_chunks().fill_null(False).to_numpy(zero_copy_only=False)
+        return ~ok
+
+
 def LengthEquals(list_col: str, int_col: str, name: Optional[str] = None) -> RowCheck:
     """Declared-length-equals-actual-length consistency check.
 
@@ -84,21 +104,10 @@ def LengthEquals(list_col: str, int_col: str, name: Optional[str] = None) -> Row
     equal observed occurs" (``validators/xsdbase.py:754-799``
     ``is_missing``/``is_over``).
     """
-    import pyarrow.compute as pc
-
-    def _fn(table: pa.Table) -> np.ndarray:
-        actual = pc.list_value_length(table[list_col])
-        declared = table[int_col]
-        eq = pc.equal(pc.cast(actual, pa.int64()), pc.cast(declared, pa.int64()))
-        ok = eq.combine_chunks().fill_null(False).to_numpy(zero_copy_only=False)
-        both_null = pc.and_(pc.is_null(table[list_col]), pc.is_null(table[int_col]))
-        ok |= both_null.combine_chunks().fill_null(False).to_numpy(zero_copy_only=False)
-        return ~ok
-
     check = RowCheck(
         name=name or f"{int_col}_equals_len_{list_col}",
         columns=(list_col, int_col),
-        fn=_fn,
+        fn=_LengthEqualsFn(list_col, int_col),
         reason=f"{int_col} != len({list_col})",
     )
     # declarative origin marker so the spec serializer can round-trip it
