@@ -360,6 +360,54 @@ GROUP BY l_orderkey HAVING COUNT(*) > 1 ORDER BY l_orderkey
 """
 
 
+def top2_orders_per_customer(sf_dir: str) -> pd.DataFrame:
+    """Per-key ranked selection: each customer's 2 highest-value orders.
+    Hash-partition by customer, then ONE vectorized sort + groupby-head
+    per partition (not per key) — the per-group top-N pattern without
+    per-group Python."""
+    from xmlschema_ray.ops.relational import hash_partition_apply
+
+    ds = rd.read_parquet(
+        table_path(sf_dir, "orders"), columns=["o_orderkey", "o_custkey", "o_totalprice"]
+    )
+
+    def to_cents(batch: pd.DataFrame) -> pd.DataFrame:
+        batch = batch.copy(deep=False)
+        batch["price_c"] = cents(batch["o_totalprice"])
+        return batch[["o_orderkey", "o_custkey", "price_c"]]
+
+    def head2(part: pd.DataFrame) -> pd.DataFrame:
+        p2 = part.sort_values(
+            ["o_custkey", "price_c", "o_orderkey"],
+            ascending=[True, False, True],
+            kind="mergesort",
+        )
+        return p2.groupby("o_custkey", sort=False).head(2)
+
+    out = hash_partition_apply(
+        ds.map_batches(to_cents, batch_format="pandas"), "o_custkey", head2
+    ).to_pandas()
+    out["o_totalprice"] = out["price_c"] / 100.0
+    return (
+        out[["o_custkey", "o_orderkey", "o_totalprice"]]
+        .sort_values(["o_custkey", "o_orderkey"])
+        .reset_index(drop=True)
+    )
+
+
+TOP2_PER_CUSTOMER_SQL = """
+SELECT o_custkey, o_orderkey,
+       CAST(CAST(floor(o_totalprice * 100 + 0.5) AS BIGINT) AS DOUBLE) / 100.0 AS o_totalprice
+FROM orders
+QUALIFY row_number() OVER (
+  PARTITION BY o_custkey
+  ORDER BY CAST(floor(o_totalprice * 100 + 0.5) AS BIGINT) DESC, o_orderkey
+) <= 2
+ORDER BY o_custkey, o_orderkey
+"""
+
+
+
 # -- events: windows, sessions, JSON -------------------------------------
 
 
@@ -616,6 +664,7 @@ ORACLES = {
     "filter_project_lineitem": FILTER_PROJECT_SQL,
     "distinct_part_count": DISTINCT_SQL,
     "duplicate_orderkeys": DUP_ORDERKEYS_SQL,
+    "top2_orders_per_customer": TOP2_PER_CUSTOMER_SQL,
     "events_daily_window": DAILY_WINDOW_SQL,
     "events_sliding_window": SLIDING_WINDOW_SQL,
     "sessionize_events": SESSIONIZE_SQL,
@@ -634,6 +683,7 @@ QUERIES = {
     "filter_project_lineitem": filter_project_lineitem,
     "distinct_part_count": distinct_part_count,
     "duplicate_orderkeys": duplicate_orderkeys,
+    "top2_orders_per_customer": top2_orders_per_customer,
     "events_daily_window": events_daily_window,
     "events_sliding_window": events_sliding_window,
     "sessionize_events": sessionize_events,
