@@ -302,6 +302,11 @@ class ItemFacets(Facet):
         # list_flatten + list_parent_indices are mutually consistent (both
         # skip null lists) and correct for sliced arrays.
         values = pc.list_flatten(arr)
+        # Fast path: when every inner facet is a range bound, one min_max
+        # aggregate over the flat values proves a clean batch without
+        # materializing per-item masks — the overwhelmingly common case.
+        if values.null_count == 0 and self._batch_within_bounds(values):
+            return viol, reprs
         parent_idx = pc.list_parent_indices(arr).to_numpy(zero_copy_only=False)
         item_viol = np.zeros(len(values), dtype=bool)
         for f in self.facets:
@@ -317,6 +322,33 @@ class ItemFacets(Facet):
             for p, v in zip(uniq_parent, first_vals):
                 reprs[p] = f"item={v!r}"
         return viol, reprs
+
+    def _batch_within_bounds(self, values) -> bool:
+        """True iff all inner facets are range facets AND the flat batch's
+        min/max aggregate already satisfies every bound."""
+        if len(values) == 0:
+            return True
+        mm = None
+        for f in self.facets:
+            if isinstance(f, MinInclusive):
+                mm = mm or pc.min_max(values)
+                if mm["min"].as_py() < f.value:
+                    return False
+            elif isinstance(f, MinExclusive):
+                mm = mm or pc.min_max(values)
+                if mm["min"].as_py() <= f.value:
+                    return False
+            elif isinstance(f, MaxInclusive):
+                mm = mm or pc.min_max(values)
+                if mm["max"].as_py() > f.value:
+                    return False
+            elif isinstance(f, MaxExclusive):
+                mm = mm or pc.min_max(values)
+                if mm["max"].as_py() >= f.value:
+                    return False
+            else:
+                return False  # non-range facet: no aggregate shortcut
+        return True
 
     def lint(self, dtype):
         if not (pa.types.is_list(dtype) or pa.types.is_large_list(dtype)):
