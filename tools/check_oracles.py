@@ -26,11 +26,11 @@ def compare(name, ray_df: pd.DataFrame, sql_df: pd.DataFrame) -> str:
         if str(av.dtype).startswith("datetime") or str(bv.dtype).startswith("datetime"):
             av = pd.to_datetime(av).astype("datetime64[us]")
             bv = pd.to_datetime(bv).astype("datetime64[us]")
-        if av.dtype != object and bv.dtype != object:
-            try:
-                av = av.astype(bv.dtype)
-            except (TypeError, ValueError):
-                pass
+        # dtype-strict: the driver's value hash is dtype-sensitive (int64 vs
+        # float64 of equal values hash differently), so a kind mismatch is a
+        # failure here even when values coerce equal.
+        if av.dtype.kind != bv.dtype.kind:
+            return f"DTYPE MISMATCH col={c} ray={av.dtype} sql={bv.dtype}"
         if not av.equals(bv):
             neq = (av != bv)
             try:

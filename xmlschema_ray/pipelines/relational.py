@@ -93,7 +93,7 @@ Q1_SQL = """
 SELECT
   l_returnflag,
   l_linestatus,
-  SUM(CAST(l_quantity AS BIGINT)) AS sum_qty,
+  CAST(SUM(CAST(l_quantity AS BIGINT)) AS BIGINT) AS sum_qty,
   CAST(SUM(CAST(floor(l_extendedprice * 100 + 0.5) AS BIGINT)) AS DOUBLE) / 100.0 AS sum_base_price,
   CAST(SUM(CAST(floor(l_extendedprice * 100 + 0.5) AS BIGINT)
            * (100 - CAST(floor(l_discount * 100 + 0.5) AS BIGINT))) AS DOUBLE) / 10000.0 AS sum_disc_price,
@@ -535,11 +535,21 @@ FROM (
 
 
 def json_extract_events(sf_dir: str) -> pd.DataFrame:
-    """Vectorized JSON field extraction + grouped rollup."""
+    """Vectorized JSON field extraction + grouped rollup.
+
+    Real JSON-path semantics (quoted values, nested objects, malformed rows
+    → null) via polars' Rust ``str.json_path_match`` kernel — not a regex."""
+    import polars as pl
+
     ds = rd.read_parquet(table_path(sf_dir, "events"), columns=["event_type", "props"])
 
     def extract(batch: pd.DataFrame) -> pd.DataFrame:
-        k = batch["props"].str.extract(r'"k"\s*:\s*(-?\d+)', expand=False).astype("int64")
+        k = (
+            pl.from_pandas(batch["props"])
+            .str.json_path_match("$.k")
+            .cast(pl.Int64, strict=False)
+            .to_pandas()
+        )
         return pd.DataFrame({"event_type": batch["event_type"], "k": k})
 
     agg = combiner_aggregate(
@@ -554,7 +564,7 @@ def json_extract_events(sf_dir: str) -> pd.DataFrame:
 
 
 JSON_EXTRACT_SQL = """
-SELECT event_type, SUM(CAST(json_extract_string(props, '$.k') AS BIGINT)) AS sum_k, COUNT(*) AS n
+SELECT event_type, CAST(SUM(CAST(json_extract_string(props, '$.k') AS BIGINT)) AS BIGINT) AS sum_k, COUNT(*) AS n
 FROM events GROUP BY event_type ORDER BY event_type
 """
 
