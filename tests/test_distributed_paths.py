@@ -38,3 +38,20 @@ def test_distributed_paths_match_driver_paths(tmp_path, ray_session):
     assert res_dist.verdicts.equals(res_driver.verdicts)
     assert res_dist.summary["distinct_estimates"] == res_driver.summary["distinct_estimates"]
     assert res_dist.summary["histograms"] == res_driver.summary["histograms"]
+
+    # every written parquet fragment on BOTH paths must carry exactly
+    # VIOLATION_SCHEMA — no stray unified-stream columns (key_hash etc.)
+    # and no mixed per-file schemas in one directory
+    import glob
+
+    import pyarrow.parquet as pq
+
+    from xmlschema_ray.engine.row_validator import VIOLATION_SCHEMA
+
+    for d in ("drv", "dst"):
+        files = glob.glob(str(tmp_path / d / "violations" / "*.parquet"))
+        assert files, d
+        for f in files:
+            got_schema = pq.read_schema(f)
+            assert got_schema.names == VIOLATION_SCHEMA.names, (d, f, got_schema.names)
+            assert [t for t in got_schema.types] == [t for t in VIOLATION_SCHEMA.types], (d, f)

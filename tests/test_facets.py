@@ -44,6 +44,14 @@ def test_pattern_anchored():
     assert m.tolist() == [False, True, False, True]
 
 
+def test_pattern_caret_is_wrapped_unconditionally():
+    # full-match semantics even when the pattern starts with '^': "abcdef"
+    # must NOT pass "^abc" (the reference wraps every pattern, facets.py:585)
+    s = pa.array(["abc", "abcdef", "xabc"])
+    m, _ = F.Pattern(r"^abc").check(s)
+    assert m.tolist() == [False, True, True]
+
+
 def test_enumeration():
     s = pa.array(["web", "books", "junk", None])
     m, _ = F.Enumeration(("web", "books", "code")).check(s)

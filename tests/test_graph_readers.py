@@ -62,6 +62,32 @@ def test_read_table_csv_json_with_coercion(tmp_path, ray_session):
         read_table(csv_path, format="xml")
 
 
+def test_read_table_unparseable_cells_become_nulls(tmp_path, ray_session):
+    """Decode-with-errors: lexically invalid CSV cells null out instead of
+    crashing the read task (reference simple_types.py:501-540)."""
+    from xmlschema_ray.constraints.spec import ColumnSpec, TableConstraints
+    from xmlschema_ray.sources.readers import read_table
+
+    csv_path = str(tmp_path / "dirty.csv")
+    with open(csv_path, "w") as f:
+        f.write("id,score,when\n1,1.5,2024-01-01\nnope,bad,never\n3,2.5,2024-03-05\n")
+
+    spec = TableConstraints(
+        name="t",
+        columns=[
+            ColumnSpec("id", pa.int64()),
+            ColumnSpec("score", pa.float64()),
+            ColumnSpec("when", pa.timestamp("us")),
+        ],
+    )
+    out = read_table(csv_path, format="csv", spec=spec).to_pandas()
+    assert out["id"].tolist()[0] == 1 and out["id"].tolist()[2] == 3
+    assert pd.isna(out["id"].iloc[1])
+    assert pd.isna(out["score"].iloc[1])
+    assert pd.isna(out["when"].iloc[1])
+    assert out["when"].iloc[0] == pd.Timestamp("2024-01-01")
+
+
 def test_knn_ivf_recall(ray_session):
     """IVF ANN recall@10 vs exact brute force on the embeddings table."""
     from xmlschema_ray.pipelines.similarity import knn_cosine, knn_ivf

@@ -239,10 +239,10 @@ class Pattern(Facet):
         return self.pattern
 
     def _anchored(self) -> str:
-        p = self._translated()
-        if not p.startswith("^"):
-            p = "^(?:" + p + ")$"
-        return p
+        # wrap unconditionally, like the reference (facets.py:585-593): in
+        # XSD regex '^' is a literal, and full-match semantics need BOTH
+        # anchors — "^abc" must not accept "abcdef"
+        return "^(?:" + self._translated() + ")$"
 
     def check(self, arr):
         ok = pc.match_substring_regex(arr, self._anchored())

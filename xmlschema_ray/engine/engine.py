@@ -611,7 +611,7 @@ class ValidationEngine:
                 unified_dir,
                 columns=[f.name for f in UNIFIED_SCHEMA],
                 filter=(pc.field("record_kind") == "violation"),
-            ).drop_columns(["record_kind", "count", "stats_blob"])
+            ).drop_columns(["record_kind", "key_hash", "count", "stats_blob"])
             if dup_viol_ds is not None:
                 viol_ds = viol_ds.union(dup_viol_ds)
             for t in extra_tbls:

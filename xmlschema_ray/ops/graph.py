@@ -85,6 +85,19 @@ def connected_components_distributed(
         changed = int((merged != new_labels.loc[upd.index].to_numpy()).sum())
         new_labels.loc[upd.index] = merged
         labels = new_labels
+        # pointer-jumping shortcut (label[x] <- label[label[x]]): collapses
+        # long chains so convergence is O(log diameter) distributed rounds
+        # instead of O(diameter)
+        while True:
+            jumped = np.minimum(labels.to_numpy(), labels.loc[labels.to_numpy()].to_numpy())
+            if (jumped == labels.to_numpy()).all():
+                break
+            labels = pd.Series(jumped, index=labels.index)
         if changed == 0:
             break
+    else:
+        raise RuntimeError(
+            f"connected components did not converge in {max_rounds} rounds "
+            f"({changed} labels still changing) — raise max_rounds"
+        )
     return pd.DataFrame({"node": labels.index.to_numpy(), "root": labels.to_numpy()})

@@ -13,12 +13,45 @@ from __future__ import annotations
 
 from typing import List, Optional, Sequence, Union
 
+import numpy as np
+import pandas as pd
 import pyarrow as pa
 import pyarrow.compute as pc
 
 import ray.data as rd
 
 from xmlschema_ray.constraints.spec import TableConstraints
+
+
+def _lexical_to_null(arr: "pa.ChunkedArray | pa.Array", dtype: pa.DataType) -> pa.Array:
+    """Element-wise decode with failures -> null (the reference's
+    decode-with-errors, ``simple_types.py:501-540``). Vectorized pandas
+    fast paths per target family; only runs for batches where the strict
+    Arrow cast failed, so clean data never pays this cost."""
+    s = arr.to_pandas()
+    if pa.types.is_integer(dtype):
+        num = pd.to_numeric(s, errors="coerce")
+        info = np.iinfo(np.dtype(dtype.to_pandas_dtype()))
+        num = num.where((num >= info.min) & (num <= info.max) & (np.floor(num) == num))
+        return pa.Array.from_pandas(num, type=dtype, safe=False)
+    if pa.types.is_floating(dtype):
+        return pa.Array.from_pandas(pd.to_numeric(s, errors="coerce"), type=dtype)
+    if pa.types.is_timestamp(dtype) or pa.types.is_date(dtype):
+        return pa.Array.from_pandas(
+            pd.to_datetime(s, errors="coerce", format="mixed"), type=dtype, safe=False
+        )
+    if pa.types.is_boolean(dtype):
+        m = s.astype(str).str.strip().str.lower().map(
+            {"true": True, "1": True, "false": False, "0": False}
+        )
+        return pa.Array.from_pandas(m, type=dtype)
+    out = []  # generic scalar fallback (rare dtypes only)
+    for v in s:
+        try:
+            out.append(pa.scalar(v).cast(dtype).as_py())
+        except (pa.ArrowInvalid, pa.ArrowTypeError, ValueError, TypeError):
+            out.append(None)
+    return pa.array(out, type=dtype)
 
 _READERS = {
     "parquet": rd.read_parquet,
@@ -55,10 +88,10 @@ def read_table(
                     i = batch.schema.get_field_index(name)
                     try:
                         cast = pc.cast(batch[name], dtype)
-                    except pa.ArrowInvalid:
+                    except (pa.ArrowInvalid, pa.ArrowNotImplementedError, pa.ArrowTypeError):
                         # lexical failures become nulls — decode-with-errors:
                         # the not_null / facet checks report them downstream
-                        cast = pc.cast(batch[name], dtype, safe=False)
+                        cast = _lexical_to_null(batch[name], dtype)
                     batch = batch.set_column(i, pa.field(name, dtype), cast)
             return batch
 
