@@ -99,3 +99,89 @@ def test_topk(ray_session):
     got = topk(ds, "v", 7, descending=True, tiebreak=["k"]).to_pandas()
     truth = df.sort_values(["v", "k"], ascending=[False, True]).head(7).reset_index(drop=True)
     assert got["v"].tolist() == truth["v"].tolist()
+
+
+def test_hash_bucket_join_matches_pandas_merge(ray_session):
+    rng = np.random.default_rng(11)
+    left = pd.DataFrame(
+        {
+            "key": rng.integers(0, 300, size=4000).astype("int64"),
+            # values past 2^53 prove the copartition path never roundtrips
+            # int64 through float64 (the padded-null poisoning hazard)
+            "big": rng.integers(2**60, 2**62, size=4000).astype("int64"),
+        }
+    )
+    right = pd.DataFrame(
+        {
+            "rkey": np.arange(0, 250, dtype="int64"),
+            "label": [f"L{i}" for i in range(250)],
+        }
+    )
+    from xmlschema_ray.ops.relational import hash_bucket_join
+
+    got = (
+        hash_bucket_join(
+            rd.from_pandas(left), rd.from_pandas(right), "key", "rkey", num_partitions=8
+        )
+        .to_pandas()
+        .sort_values(["key", "big"])
+        .reset_index(drop=True)
+    )
+    truth = (
+        left.merge(right, left_on="key", right_on="rkey")
+        .drop(columns="rkey")
+        .sort_values(["key", "big"])
+        .reset_index(drop=True)
+    )
+    assert got["big"].dtype == np.int64
+    pd.testing.assert_frame_equal(got[truth.columns], truth)
+
+
+def test_asof_join_bucketed_matches_broadcast(ray_session):
+    rng = np.random.default_rng(7)
+    left = pd.DataFrame(
+        {
+            "eid": np.arange(3000, dtype="int64"),
+            "uid": rng.integers(0, 40, size=3000).astype("int64"),
+            "t": rng.integers(0, 10_000, size=3000).astype("int64"),
+        }
+    )
+    right = pd.DataFrame(
+        {
+            "ruid": rng.integers(0, 40, size=500).astype("int64"),
+            "rt": rng.integers(0, 10_000, size=500).astype("int64"),
+        }
+    )
+    # dedupe (ruid, rt) so the asof match is unique -> deterministic compare
+    right = right.drop_duplicates(["ruid", "rt"]).reset_index(drop=True)
+    from xmlschema_ray.ops.relational import asof_join, asof_join_broadcast, asof_join_bucketed
+
+    bc = (
+        asof_join_broadcast(rd.from_pandas(left), right, "t", "rt", "uid", "ruid")
+        .to_pandas()
+        .sort_values("eid")
+        .reset_index(drop=True)
+    )
+    bk = (
+        asof_join_bucketed(
+            rd.from_pandas(left), rd.from_pandas(right), "t", "rt", "uid", "ruid",
+            num_partitions=8,
+        )
+        .to_pandas()
+        .sort_values("eid")
+        .reset_index(drop=True)
+    )
+    cols = ["eid", "uid", "t", "rt"]
+    pd.testing.assert_frame_equal(bk[cols], bc[cols])
+
+    # adaptive switch: threshold 0 forces the bucketed path
+    ad = (
+        asof_join(
+            rd.from_pandas(left), rd.from_pandas(right), "t", "rt", "uid", "ruid",
+            broadcast_threshold_bytes=0, num_partitions=8,
+        )
+        .to_pandas()
+        .sort_values("eid")
+        .reset_index(drop=True)
+    )
+    pd.testing.assert_frame_equal(ad[cols], bc[cols])

@@ -99,3 +99,15 @@ def test_seeded_counts_match_expected(ray_session):
 
     df = _to_pandas(E.queries()["validate_sequences_seeded"](SF_DIR))
     assert (df["n_violations"] == df["n_expected"]).all()
+
+
+def test_adaptive_plans_match_forced_distributed(ray_session):
+    """q3/q5 adaptive physical plans: the fully distributed path (threshold
+    0 — semi-join + hash_bucket_join, no driver-side fact collect) must
+    produce exactly what the broadcast fast path produces."""
+    from xmlschema_ray.pipelines.relational import q3_top_orders, q5_nation_revenue
+
+    for fn in (q3_top_orders, q5_nation_revenue):
+        fast = fn(SF_DIR).reset_index(drop=True)
+        dist = fn(SF_DIR, distributed_threshold_bytes=0).reset_index(drop=True)
+        pd.testing.assert_frame_equal(fast, dist)

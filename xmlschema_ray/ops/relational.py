@@ -158,6 +158,170 @@ def asof_join_broadcast(
     return ds.map_batches(asof_fn, batch_format="pandas", batch_size=batch_size)
 
 
+def copartition_apply(
+    left: rd.Dataset,
+    right: rd.Dataset,
+    left_key: str,
+    right_key: str,
+    fn,
+    num_partitions: int = 32,
+) -> rd.Dataset:
+    """Co-partition two Datasets by hash of their key and call
+    ``fn(lf, rf) -> pd.DataFrame`` once per partition with the two sides as
+    pandas frames (``rf`` keeps its own key column name).
+
+    Shape: each side is padded to one unified Arrow schema (typed nulls for
+    the absent side) with a ``__side`` tag, unioned, shuffled ONCE on
+    ``hash(key) % P``, and split back inside the partition. All rows of one
+    key land in one partition — the co-location guarantee joins and
+    merge_asof need. One all-to-all exchange total, versus two for a
+    classic repartition-both-sides hash join.
+    """
+    # normalize to Arrow blocks so the sampled schema is an Arrow schema
+    # even when an upstream pandas map produced pandas blocks (zero-copy)
+    if not isinstance(left.schema().base_schema, pa.Schema):
+        left = left.map_batches(lambda t: t, batch_format="pyarrow", zero_copy_batch=True)
+    if not isinstance(right.schema().base_schema, pa.Schema):
+        right = right.map_batches(lambda t: t, batch_format="pyarrow", zero_copy_batch=True)
+    lschema = left.schema().base_schema
+    rschema = right.schema().base_schema
+    lcols = list(lschema.names)
+    rcols_out = [c for c in rschema.names if c != right_key]
+    overlap = (set(lcols) & set(rschema.names)) - {left_key}
+    if overlap:
+        raise ValueError(f"copartition_apply: overlapping non-key columns {sorted(overlap)}")
+    key_type = lschema.field(left_key).type
+    uni = pa.schema(
+        [lschema.field(c) for c in lcols]
+        + [pa.field("__side", pa.uint8())]
+        + [rschema.field(c) for c in rcols_out]
+    )
+
+    def pad_left(batch: pa.Table) -> pa.Table:
+        n = batch.num_rows
+        arrays = [batch[c] for c in lcols]
+        arrays.append(pa.nulls(n, pa.uint8()).fill_null(0))
+        arrays.extend(pa.nulls(n, rschema.field(c).type) for c in rcols_out)
+        return pa.Table.from_arrays(arrays, schema=uni)
+
+    def pad_right(batch: pa.Table) -> pa.Table:
+        n = batch.num_rows
+        arrays = []
+        for c in lcols:
+            if c == left_key:
+                arrays.append(pc.cast(batch[right_key], key_type))
+            else:
+                arrays.append(pa.nulls(n, lschema.field(c).type))
+        arrays.append(pa.nulls(n, pa.uint8()).fill_null(1))
+        arrays.extend(batch[c] for c in rcols_out)
+        return pa.Table.from_arrays(arrays, schema=uni)
+
+    unified = left.map_batches(pad_left, batch_format="pyarrow").union(
+        right.map_batches(pad_right, batch_format="pyarrow")
+    )
+
+    # Arrow-native partition & split: the padded typed nulls must NOT pass
+    # through a whole-table pandas conversion (int64-with-nulls would become
+    # float64 and silently lose precision past 2^53) — each side converts to
+    # pandas only AFTER its padded columns are dropped.
+    def add_part(batch: pa.Table) -> pa.Table:
+        h = pd.util.hash_pandas_object(batch[left_key].to_pandas(), index=False).to_numpy()
+        part = (h % np.uint64(num_partitions)).astype(np.int64)
+        return batch.append_column("__part", pa.array(part))
+
+    def per_part(g: pa.Table) -> pd.DataFrame:
+        side = g["__side"].to_numpy(zero_copy_only=False)
+        lmask = side == 0
+        lf = g.select(lcols).filter(pa.array(lmask)).to_pandas()
+        rt = g.select([left_key] + rcols_out).filter(pa.array(~lmask)).rename_columns(
+            [right_key] + rcols_out
+        )
+        return fn(lf, rt.to_pandas())
+
+    return (
+        unified.map_batches(add_part, batch_format="pyarrow", zero_copy_batch=True)
+        .groupby("__part")
+        .map_groups(per_part, batch_format="pyarrow")
+    )
+
+
+def hash_bucket_join(
+    left: rd.Dataset,
+    right: rd.Dataset,
+    left_on: str,
+    right_on: str,
+    how: str = "inner",
+    num_partitions: int = 32,
+) -> rd.Dataset:
+    """Large-large equi-join via :func:`copartition_apply` — one bounded
+    shuffle, one vectorized ``pd.merge`` per partition. The lighter-weight
+    alternative to ``Dataset.join`` (no join-actor pool; reuses the
+    sort-on-small-int shuffle every other wide op here uses)."""
+    assert how in ("inner", "left")
+
+    def merge(lf: pd.DataFrame, rf: pd.DataFrame) -> pd.DataFrame:
+        out = lf.merge(rf, how=how, left_on=left_on, right_on=right_on)
+        if left_on != right_on and right_on in out.columns:
+            out = out.drop(columns=[right_on])
+        return out
+
+    return copartition_apply(left, right, left_on, right_on, merge, num_partitions)
+
+
+def asof_join_bucketed(
+    left: rd.Dataset,
+    right: rd.Dataset,
+    left_on: str,
+    right_on: str,
+    left_by: str,
+    right_by: str,
+    num_partitions: int = 32,
+) -> rd.Dataset:
+    """Large-large as-of join: co-partition BOTH sides by hash of the `by`
+    key, then one vectorized ``pd.merge_asof`` per partition. This is the
+    beyond-broadcast path ``asof_join_broadcast`` documents; use it when the
+    right side is fact-table-sized.
+    """
+
+    def asof(lf: pd.DataFrame, rf: pd.DataFrame) -> pd.DataFrame:
+        return pd.merge_asof(
+            lf.sort_values(left_on, kind="mergesort"),
+            rf.sort_values(right_on, kind="mergesort"),
+            left_on=left_on,
+            right_on=right_on,
+            left_by=left_by,
+            right_by=right_by,
+            direction="backward",
+        )
+
+    return copartition_apply(left, right, left_by, right_by, asof, num_partitions)
+
+
+def asof_join(
+    ds: rd.Dataset,
+    right: Union[rd.Dataset, pd.DataFrame],
+    left_on: str,
+    right_on: str,
+    left_by: str,
+    right_by: str,
+    broadcast_threshold_bytes: int = 256 * 1024 * 1024,
+    num_partitions: int = 32,
+) -> rd.Dataset:
+    """Adaptive as-of join: broadcast the right side when it fits comfortably
+    in worker heap, else co-partitioned ``asof_join_bucketed``."""
+    if isinstance(right, pd.DataFrame):
+        if right.memory_usage(deep=False).sum() <= broadcast_threshold_bytes:
+            return asof_join_broadcast(ds, right, left_on, right_on, left_by, right_by)
+        right = rd.from_pandas(right)
+    if (right.size_bytes() or 0) <= broadcast_threshold_bytes:
+        return asof_join_broadcast(
+            ds, right.to_pandas(), left_on, right_on, left_by, right_by
+        )
+    return asof_join_bucketed(
+        ds, right, left_on, right_on, left_by, right_by, num_partitions=num_partitions
+    )
+
+
 # -- hash-partitioned apply ----------------------------------------------
 
 

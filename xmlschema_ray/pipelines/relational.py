@@ -13,6 +13,9 @@ driver's order-insensitive value-hash compare).
 
 from __future__ import annotations
 
+import os
+from typing import Optional
+
 import numpy as np
 import pandas as pd
 import pyarrow as pa
@@ -110,27 +113,46 @@ ORDER BY l_returnflag, l_linestatus
 # -- q3: top revenue orders (broadcast joins + combiner agg + top-k) -----
 
 
-def q3_top_orders(sf_dir: str) -> pd.DataFrame:
+# Adaptive-plan switch (the engine's driver_threshold_bytes pattern,
+# engine.py): below this on-disk size the dimension/fact side is collected
+# and broadcast (fixed-cost-free at test scale); above it the plan is fully
+# distributed — tests force 0 to prove both plans produce identical output.
+DISTRIBUTED_THRESHOLD_BYTES = 256 << 20
+
+
+def q3_top_orders(
+    sf_dir: str, distributed_threshold_bytes: Optional[int] = None
+) -> pd.DataFrame:
     """Top-10 BUILDING-segment orders by discounted revenue.
 
-    customer (filtered) and orders are broadcast dimension sides
-    (``ray.put`` once per run, fetched per actor); lineitem streams. At
-    real scale orders would use ``hash_bucket_join`` instead — documented
-    trade-off: broadcast requires the small side to fit worker heap.
-    """
-    cust = (
+    Distributed plan (orders past the size threshold): the only broadcast
+    is the BUILDING customer KEY SET (dimension keys, ``ray.put`` once);
+    the date-filtered orders fact table streams through a semi-join and
+    hash-joins the pre-aggregated lineitem revenue — no fact table is ever
+    collected on the driver. Below the threshold the orders side is
+    collected and broadcast instead (one shuffle fewer)."""
+    from xmlschema_ray.ops.relational import hash_bucket_join, semi_join
+
+    if distributed_threshold_bytes is None:
+        distributed_threshold_bytes = DISTRIBUTED_THRESHOLD_BYTES
+    building_keys = (
         rd.read_parquet(
             table_path(sf_dir, "customer"), columns=["c_custkey", "c_mktsegment"]
         )
         .filter(expr="c_mktsegment == 'BUILDING'")
-        .to_pandas()[["c_custkey"]]
+        .select_columns(["c_custkey"])
+        .to_pandas()
     )
-    orders = rd.read_parquet(
-        table_path(sf_dir, "orders"),
-        columns=["o_orderkey", "o_custkey", "o_orderdate"],
-        filter=(pc.field("o_orderdate") < pa.scalar(pd.Timestamp("1998-01-01"))),
-    ).to_pandas()
-    orders = orders.merge(cust, left_on="o_custkey", right_on="c_custkey")[["o_orderkey"]]
+    orders = semi_join(
+        rd.read_parquet(
+            table_path(sf_dir, "orders"),
+            columns=["o_orderkey", "o_custkey", "o_orderdate"],
+            filter=(pc.field("o_orderdate") < pa.scalar(pd.Timestamp("1998-01-01"))),
+        ),
+        building_keys,
+        on="o_custkey",
+        key="c_custkey",
+    ).select_columns(["o_orderkey"])
 
     li = rd.read_parquet(
         table_path(sf_dir, "lineitem"),
@@ -143,9 +165,19 @@ def q3_top_orders(sf_dir: str) -> pd.DataFrame:
         d100 = scaled_int(batch["l_discount"], 100.0)
         return pd.DataFrame({"l_orderkey": batch["l_orderkey"], "rev_e4": pc_ * (100 - d100)})
 
-    joined = broadcast_join(li.map_batches(revenue_e4, batch_format="pandas"), orders,
-                            left_on="l_orderkey", right_on="o_orderkey", how="inner")
-    agg = combiner_aggregate(joined, keys="l_orderkey", aggs={"rev_e4": ("rev_e4", "sum")})
+    rev = li.map_batches(revenue_e4, batch_format="pandas")
+    if os.path.getsize(table_path(sf_dir, "orders")) <= distributed_threshold_bytes:
+        joined = broadcast_join(
+            rev, orders.to_pandas(), left_on="l_orderkey", right_on="o_orderkey", how="inner"
+        )
+        agg = combiner_aggregate(joined, keys="l_orderkey", aggs={"rev_e4": ("rev_e4", "sum")})
+    else:
+        agg = hash_bucket_join(
+            combiner_aggregate(rev, keys="l_orderkey", aggs={"rev_e4": ("rev_e4", "sum")}),
+            orders,
+            "l_orderkey",
+            "o_orderkey",
+        )
     top = topk(agg, "rev_e4", 10, descending=True, tiebreak=["l_orderkey"]).to_pandas()
     top["revenue"] = top["rev_e4"] / 10000.0
     return top[["l_orderkey", "revenue"]]
@@ -171,23 +203,23 @@ LIMIT 10
 # -- q5: revenue per nation (two broadcast joins, grouped rollup) --------
 
 
-def q5_nation_revenue(sf_dir: str) -> pd.DataFrame:
-    cust = rd.read_parquet(
-        table_path(sf_dir, "customer"), columns=["c_custkey", "c_nationkey"]
-    ).to_pandas()
-    nation = rd.read_parquet(
-        table_path(sf_dir, "nation"), columns=["n_nationkey", "n_name"]
-    ).to_pandas()
-    cust = cust.merge(nation, left_on="c_nationkey", right_on="n_nationkey")[
-        ["c_custkey", "n_name"]
-    ]
-    orders = rd.read_parquet(
-        table_path(sf_dir, "orders"), columns=["o_orderkey", "o_custkey"]
-    ).to_pandas()
-    order_nation = orders.merge(cust, left_on="o_custkey", right_on="c_custkey")[
-        ["o_orderkey", "n_name"]
-    ]
+def q5_nation_revenue(
+    sf_dir: str, distributed_threshold_bytes: Optional[int] = None
+) -> pd.DataFrame:
+    """Revenue per nation, adaptive physical plan.
 
+    Distributed plan (orders past the size threshold -- NO driver-side fact
+    materialization): lineitem pre-aggregates to order granularity
+    (combiner agg -- the revenue shuffle moves O(orders), not O(lineitem)),
+    hash-bucket-joins orders, re-aggregates to customer granularity,
+    hash-bucket-joins customer, aggregates to nation keys (25 rows), and
+    only then touches the driver for the tiny nation-name merge. Below the
+    threshold the orders->nation map is built driver-side and broadcast
+    (one pass over lineitem, no shuffle joins)."""
+    from xmlschema_ray.ops.relational import hash_bucket_join
+
+    if distributed_threshold_bytes is None:
+        distributed_threshold_bytes = DISTRIBUTED_THRESHOLD_BYTES
     li = rd.read_parquet(
         table_path(sf_dir, "lineitem"), columns=["l_orderkey", "l_extendedprice", "l_discount"]
     )
@@ -197,15 +229,49 @@ def q5_nation_revenue(sf_dir: str) -> pd.DataFrame:
         d100 = scaled_int(batch["l_discount"], 100.0)
         return pd.DataFrame({"l_orderkey": batch["l_orderkey"], "rev_e4": pc_ * (100 - d100)})
 
-    joined = broadcast_join(
-        li.map_batches(revenue_e4, batch_format="pandas"),
-        order_nation,
-        left_on="l_orderkey",
-        right_on="o_orderkey",
-        how="inner",
-    )
-    agg = combiner_aggregate(joined, keys="n_name", aggs={"rev_e4": ("rev_e4", "sum")})
-    df = agg.to_pandas()
+    rev = li.map_batches(revenue_e4, batch_format="pandas")
+    nation = rd.read_parquet(
+        table_path(sf_dir, "nation"), columns=["n_nationkey", "n_name"]
+    ).to_pandas()
+
+    if os.path.getsize(table_path(sf_dir, "orders")) <= distributed_threshold_bytes:
+        cust = rd.read_parquet(
+            table_path(sf_dir, "customer"), columns=["c_custkey", "c_nationkey"]
+        ).to_pandas()
+        orders_df = rd.read_parquet(
+            table_path(sf_dir, "orders"), columns=["o_orderkey", "o_custkey"]
+        ).to_pandas()
+        order_nation = orders_df.merge(cust, left_on="o_custkey", right_on="c_custkey")[
+            ["o_orderkey", "c_nationkey"]
+        ]
+        rev_by_nation = combiner_aggregate(
+            broadcast_join(
+                rev, order_nation, left_on="l_orderkey", right_on="o_orderkey", how="inner"
+            ),
+            keys="c_nationkey",
+            aggs={"rev_e4": ("rev_e4", "sum")},
+        ).to_pandas()
+    else:
+        rev_by_order = combiner_aggregate(
+            rev, keys="l_orderkey", aggs={"rev_e4": ("rev_e4", "sum")}
+        )
+        orders = rd.read_parquet(
+            table_path(sf_dir, "orders"), columns=["o_orderkey", "o_custkey"]
+        )
+        rev_by_cust = combiner_aggregate(
+            hash_bucket_join(rev_by_order, orders, "l_orderkey", "o_orderkey"),
+            keys="o_custkey",
+            aggs={"rev_e4": ("rev_e4", "sum")},
+        )
+        cust_ds = rd.read_parquet(
+            table_path(sf_dir, "customer"), columns=["c_custkey", "c_nationkey"]
+        )
+        rev_by_nation = combiner_aggregate(
+            hash_bucket_join(rev_by_cust, cust_ds, "o_custkey", "c_custkey"),
+            keys="c_nationkey",
+            aggs={"rev_e4": ("rev_e4", "sum")},
+        ).to_pandas()
+    df = rev_by_nation.merge(nation, left_on="c_nationkey", right_on="n_nationkey")
     df["revenue"] = df["rev_e4"] / 10000.0
     return df[["n_name", "revenue"]].sort_values("n_name").reset_index(drop=True)
 
@@ -639,14 +705,19 @@ ORDER BY entity, key
 def asof_latest_order_before_event(sf_dir: str) -> pd.DataFrame:
     """As-of join: for every event, the user's latest order date at or
     before the event timestamp (matched DATE is unique per match, so the
-    result is deterministic even when order keys tie on a date)."""
-    from xmlschema_ray.ops.relational import asof_join_broadcast
+    result is deterministic even when order keys tie on a date).
+
+    Adaptive physical plan: the orders side stays a Dataset; ``asof_join``
+    broadcasts it while it fits worker heap and switches to the
+    co-partitioned bucketed merge_asof beyond (no driver materialization
+    of the fact table on that path)."""
+    from xmlschema_ray.ops.relational import asof_join
 
     ev = rd.read_parquet(table_path(sf_dir, "events"), columns=["event_id", "user_id", "ts"])
     orders = rd.read_parquet(
         table_path(sf_dir, "orders"), columns=["o_custkey", "o_orderdate"]
-    ).to_pandas()
-    out = asof_join_broadcast(
+    )
+    out = asof_join(
         ev, orders, left_on="ts", right_on="o_orderdate", left_by="user_id", right_by="o_custkey"
     ).to_pandas()
     out = out[["event_id", "user_id", "o_orderdate"]].rename(columns={"o_orderdate": "last_orderdate"})
