@@ -110,6 +110,9 @@ def run_headline(num_cpus: int) -> dict:
 
 def run_queries(sf_dir: str) -> dict:
     sys.path.insert(0, os.path.dirname(os.path.abspath(__file__)))
+    # timed section measures the pipelines, not the correctness-only
+    # oracle-dump side channels (signature parquet dumps for DuckDB)
+    os.environ["GRAFT_SKIP_ORACLE_DUMP"] = "1"
     import __ray_entry__ as E
 
     qs = E.queries()

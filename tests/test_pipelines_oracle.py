@@ -111,3 +111,38 @@ def test_adaptive_plans_match_forced_distributed(ray_session):
         fast = fn(SF_DIR).reset_index(drop=True)
         dist = fn(SF_DIR, distributed_threshold_bytes=0).reset_index(drop=True)
         pd.testing.assert_frame_equal(fast, dist)
+
+
+def test_dedup_forced_distributed_paths_match(ray_session):
+    """exact_dedup and minhash_lsh_dedup adaptive plans: forcing the fully
+    distributed path (threshold 0 — hash shuffles, join-based verify,
+    and for minhash also the distributed connected-components finalize)
+    must reproduce the fast path byte-for-byte."""
+    from xmlschema_ray.pipelines.dedup import exact_dedup, minhash_lsh_dedup
+
+    fast = exact_dedup(SF_DIR)
+    dist = exact_dedup(SF_DIR, distributed_threshold_bytes=0)
+    pd.testing.assert_frame_equal(fast, dist)
+
+    m_fast = minhash_lsh_dedup(SF_DIR)
+    m_dist = minhash_lsh_dedup(SF_DIR, distributed_threshold_bytes=0)
+    pd.testing.assert_frame_equal(m_fast, m_dist)
+    # force the distributed min-label CC finalize too (only meaningful when
+    # verified pairs exist — skip-proof: assert we actually clustered)
+    if (m_fast["doc_id"] != m_fast["cluster_root"]).any():
+        m_cc = minhash_lsh_dedup(
+            SF_DIR, distributed_threshold_bytes=0, cc_pairs_threshold=-1
+        )
+        pd.testing.assert_frame_equal(m_fast, m_cc)
+
+
+def test_embedding_dup_pairs_ivf_subset_of_exact(ray_session):
+    """The IVF-bucketed near-dup variant is exact-verified: every pair it
+    returns must appear in the brute-force result (precision 1.0)."""
+    from xmlschema_ray.pipelines.dedup import embedding_dup_pairs, embedding_dup_pairs_ivf
+
+    exact = embedding_dup_pairs(SF_DIR)
+    ivf = embedding_dup_pairs_ivf(SF_DIR)
+    exact_set = set(map(tuple, exact.to_numpy()))
+    ivf_set = set(map(tuple, ivf.to_numpy()))
+    assert ivf_set <= exact_set

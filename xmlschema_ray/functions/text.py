@@ -113,6 +113,21 @@ def language_id(texts: pd.Series) -> pd.Series:
 def fingerprint64(texts: pd.Series) -> pd.Series:
     """Stable 64-bit content fingerprint of whitespace-normalized text
     (the dedup-identity analog of the reference's collapse normalization,
-    ``simple_types.py:310-328``)."""
+    ``simple_types.py:310-328``). Fast in-process variant (pandas hash)."""
     norm = texts.str.strip().str.replace(r"\s+", " ", regex=True)
     return pd.Series(hash64(norm.to_numpy(dtype=object)), index=texts.index).astype("uint64")
+
+
+def fingerprint_md5_16(texts: pd.Series) -> pd.Series:
+    """Portable content fingerprint: first 16 hex chars of MD5 over the
+    whitespace-collapsed text. Reproducible by ANY system (DuckDB
+    ``md5()``, coreutils, other engines) — the cross-system dedup-identity
+    fingerprint, whereas :func:`fingerprint64` is the faster in-process
+    one. ASCII whitespace class + space-strip match RE2/SQL semantics."""
+    import hashlib
+
+    norm = texts.str.replace(r"[ \t\n\r\f\v]+", " ", regex=True).str.strip(" ")
+    return pd.Series(
+        [hashlib.md5(s.encode("utf-8")).hexdigest()[:16] for s in norm],
+        index=texts.index,
+    )

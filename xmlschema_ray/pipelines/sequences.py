@@ -132,7 +132,44 @@ def drift_check(sf_dir: str) -> pd.DataFrame:
     )
 
 
-ORACLES: Dict[str, str] = {}
+# DuckDB cross-check of the seeded run: recomputes every constraint's
+# violation count from the corpus the query just wrote to its deterministic
+# scratch dir (the reference's `--errors N` manifest convention,
+# tests/test_factory.py:116-193, as a full SQL oracle). The expected counts
+# mirror the defects dict hardcoded in validate_sequences_seeded.
+SEEDED_SQL = """
+WITH seq AS (
+  SELECT * FROM read_parquet('/tmp/xmlschema_ray/validate_sequences_seeded/corpus/sequences/*.parquet')
+), dims AS (
+  SELECT source FROM read_parquet('/tmp/xmlschema_ray/validate_sequences_seeded/corpus/sources.parquet')
+), counts AS (
+  SELECT 'fk_source' AS constraint_name,
+         (SELECT COUNT(*) FROM seq WHERE source NOT IN (SELECT source FROM dims)) AS n_violations
+  UNION ALL
+  SELECT 'n_tok_equals_len_tokens',
+         (SELECT COUNT(*) FROM seq WHERE n_tok <> length(tokens))
+  UNION ALL
+  SELECT 'tokens.items[minInclusive(0),maxExclusive(50257)]',
+         (SELECT COUNT(*) FROM seq
+          WHERE length(list_filter(tokens, t -> t < 0 OR t >= 50257)) > 0)
+  UNION ALL
+  SELECT 'unique_doc_id',
+         (SELECT COUNT(*) FROM (SELECT doc_id FROM seq GROUP BY doc_id HAVING COUNT(*) > 1))
+), expected AS (
+  SELECT * FROM (VALUES
+    ('fk_source', 5),
+    ('n_tok_equals_len_tokens', 6),
+    ('tokens.items[minInclusive(0),maxExclusive(50257)]', 9),
+    ('unique_doc_id', 7)) AS e(constraint_name, n_expected)
+)
+SELECT c.constraint_name,
+       CAST(c.n_violations AS BIGINT) AS n_violations,
+       CAST(e.n_expected AS BIGINT) AS n_expected
+FROM counts c JOIN expected e USING (constraint_name)
+ORDER BY constraint_name
+"""
+
+ORACLES: Dict[str, str] = {"validate_sequences_seeded": SEEDED_SQL}
 QUERIES = {
     "validate_sequences": validate_sequences,
     "validate_sequences_seeded": validate_sequences_seeded,

@@ -83,14 +83,36 @@ QUALIFY row_number() OVER (
   PARTITION BY q.qid
   ORDER BY list_cosine_similarity(e.embedding, q.qe) DESC, e.vec_id
 ) <= {TOP_K}
-ORDER BY query_id, vec_id
+ORDER BY 1, 2
 """
 
 
-def knn_lsh(sf_dir: str, k: int = TOP_K, n_planes: int = 8) -> pd.DataFrame:
+ORACLE_DUMP_DIR = "/tmp/xmlschema_ray_oracle"
+
+
+def _dump(ds: "rd.Dataset", tag: str) -> bool:
+    import os
+    import shutil
+
+    if os.environ.get("GRAFT_SKIP_ORACLE_DUMP"):  # benchmarking: skip
+        return False
+    d = os.path.join(ORACLE_DUMP_DIR, tag)
+    shutil.rmtree(d, ignore_errors=True)
+    ds.write_parquet(d)
+    return True
+
+
+def knn_lsh(
+    sf_dir: str, k: int = TOP_K, n_planes: int = 8, oracle_dump: bool = True
+) -> pd.DataFrame:
     """LSH-bucketed ANN: hyperplane sign buckets on both corpus and
-    queries; candidates = same-bucket vectors only. Approximate (recall<1)
-    ⇒ rows-only check. At scale the bucket column is the shuffle key."""
+    queries; candidates = same-bucket vectors only. At scale the bucket
+    column is the shuffle key.
+
+    Oracle: the per-vector bucket assignments are dumped to parquet and the
+    DuckDB SQL (KNN_LSH_SQL) recomputes the bucket-restricted exact top-k
+    from them — the candidate pruning + ranking is fully cross-checked; the
+    hyperplane hashing itself is implementation-defined (like MinHash)."""
     qids, qmat = _query_matrix(sf_dir)
     dim = qmat.shape[1]
     planes = hyperplane_planes(dim, n_planes)
@@ -119,9 +141,7 @@ def knn_lsh(sf_dir: str, k: int = TOP_K, n_planes: int = 8) -> pd.DataFrame:
                     {
                         "query_id": pd.array([b_qids[qi]] * len(order), dtype="int64"),
                         "vec_id": pd.array(ids[order], dtype="int64"),
-                        "cos_e6": pd.array(
-                            np.floor(cos[order] * 1e6 + 0.5).astype(np.int64), dtype="int64"
-                        ),
+                        "cos": cos[order],
                     }
                 )
             )
@@ -131,18 +151,53 @@ def knn_lsh(sf_dir: str, k: int = TOP_K, n_planes: int = 8) -> pd.DataFrame:
             {
                 "query_id": pd.array([], dtype="int64"),
                 "vec_id": pd.array([], dtype="int64"),
-                "cos_e6": pd.array([], dtype="int64"),
+                "cos": pd.array([], dtype="float64"),
             }
         )
 
     ds = rd.read_parquet(table_path(sf_dir, "embeddings"), columns=["vec_id", "embedding"])
+    if oracle_dump:
+
+        def assign_buckets(batch: pd.DataFrame) -> pd.DataFrame:
+            vecs = np.stack(batch["embedding"].to_numpy())
+            return pd.DataFrame(
+                {
+                    "vec_id": pd.array(batch["vec_id"].to_numpy(), dtype="int64"),
+                    "bucket": pd.array(hyperplane_bucket(vecs, planes), dtype="int64"),
+                }
+            )
+
+        _dump(ds.map_batches(assign_buckets, batch_format="pandas"), "knn_lsh_buckets")
     partials = ds.map_batches(bucket_topk, batch_format="pandas").to_pandas()
-    return (
-        partials.sort_values(["query_id", "cos_e6", "vec_id"], ascending=[True, False, True])
+    out = (
+        partials.sort_values(["query_id", "cos", "vec_id"], ascending=[True, False, True])
         .groupby("query_id", sort=True)
         .head(k)
         .reset_index(drop=True)
     )
+    # ids only: float cosines differ from the oracle at the last ulp
+    # (summation order); the ranking is stable (same argument as knn_cosine)
+    return out[["query_id", "vec_id"]].sort_values(["query_id", "vec_id"]).reset_index(drop=True)
+
+
+KNN_LSH_SQL = f"""
+WITH vb AS (
+  SELECT vec_id, bucket FROM read_parquet('{ORACLE_DUMP_DIR}/knn_lsh_buckets/*.parquet')
+), q AS (
+  SELECT vec_id AS qid, embedding AS qe FROM embeddings WHERE vec_id < {N_QUERIES}
+), qb AS (
+  SELECT q.qid, q.qe, vb.bucket FROM q JOIN vb ON vb.vec_id = q.qid
+)
+SELECT qb.qid AS query_id, e.vec_id AS vec_id
+FROM embeddings e
+JOIN vb ON vb.vec_id = e.vec_id
+JOIN qb ON vb.bucket = qb.bucket
+QUALIFY row_number() OVER (
+  PARTITION BY qb.qid
+  ORDER BY list_cosine_similarity(e.embedding, qb.qe) DESC, e.vec_id
+) <= {TOP_K}
+ORDER BY 1, 2
+"""
 
 
 def knn_ivf(
@@ -151,14 +206,19 @@ def knn_ivf(
     n_centroids: int = 16,
     n_probe: int = 6,
     sample_size: int = 4096,
+    oracle_dump: bool = True,
 ) -> pd.DataFrame:
     """IVF-bucketed ANN — the scale path for similarity search.
 
     Driver fits spherical k-means centroids on a SAMPLE; the centroid
     matrix is the broadcast model. Per batch, vectors assign to their
     nearest centroid with one matmul and each query only scores vectors
-    whose centroid is in its ``n_probe`` closest centroids. Approximate
-    (recall < 1) ⇒ rows-only check.
+    whose centroid is in its ``n_probe`` closest centroids.
+
+    Oracle: the per-vector centroid assignments and per-query probe sets
+    are dumped to parquet; KNN_IVF_SQL recomputes the probe-restricted
+    exact top-k from them (candidate pruning + ranking fully checked; the
+    k-means fit itself is implementation-defined).
     """
     from xmlschema_ray.functions.vector import ivf_assign, kmeans_fit
 
@@ -193,9 +253,7 @@ def knn_ivf(
                     {
                         "query_id": pd.array([b_qids[qi]] * len(order), dtype="int64"),
                         "vec_id": pd.array(cand_ids[order], dtype="int64"),
-                        "cos_e6": pd.array(
-                            np.floor(cos[order] * 1e6 + 0.5).astype(np.int64), dtype="int64"
-                        ),
+                        "cos": cos[order],
                     }
                 )
             )
@@ -205,19 +263,65 @@ def knn_ivf(
             {
                 "query_id": pd.array([], dtype="int64"),
                 "vec_id": pd.array([], dtype="int64"),
-                "cos_e6": pd.array([], dtype="int64"),
+                "cos": pd.array([], dtype="float64"),
             }
         )
 
+    if oracle_dump:
+
+        def assign_fn(batch: pd.DataFrame) -> pd.DataFrame:
+            vecs = np.stack(batch["embedding"].to_numpy())
+            return pd.DataFrame(
+                {
+                    "vec_id": pd.array(batch["vec_id"].to_numpy(), dtype="int64"),
+                    "centroid": pd.array(ivf_assign(vecs, centroids), dtype="int64"),
+                }
+            )
+
+        _dump(ds.map_batches(assign_fn, batch_format="pandas"), "knn_ivf_assign")
+        probe_rows = pd.DataFrame(
+            {
+                "query_id": pd.array(np.repeat(qids, n_probe), dtype="int64"),
+                "centroid": pd.array(probe_sets.reshape(-1), dtype="int64"),
+            }
+        )
+        _dump(rd.from_pandas(probe_rows), "knn_ivf_probes")
+
     partials = ds.map_batches(ivf_topk, batch_format="pandas").to_pandas()
-    return (
-        partials.sort_values(["query_id", "cos_e6", "vec_id"], ascending=[True, False, True])
+    out = (
+        partials.sort_values(["query_id", "cos", "vec_id"], ascending=[True, False, True])
         .groupby("query_id", sort=True)
         .head(k)
         .reset_index(drop=True)
     )
+    return out[["query_id", "vec_id"]].sort_values(["query_id", "vec_id"]).reset_index(drop=True)
 
 
-ORACLES: Dict[str, str] = {"knn_cosine": KNN_SQL}
+KNN_IVF_SQL = f"""
+WITH va AS (
+  SELECT vec_id, centroid FROM read_parquet('{ORACLE_DUMP_DIR}/knn_ivf_assign/*.parquet')
+), probes AS (
+  SELECT query_id, centroid FROM read_parquet('{ORACLE_DUMP_DIR}/knn_ivf_probes/*.parquet')
+), q AS (
+  SELECT vec_id AS qid, embedding AS qe FROM embeddings WHERE vec_id < {N_QUERIES}
+)
+SELECT p.query_id AS query_id, e.vec_id AS vec_id
+FROM embeddings e
+JOIN va ON va.vec_id = e.vec_id
+JOIN probes p ON p.centroid = va.centroid
+JOIN q ON q.qid = p.query_id
+QUALIFY row_number() OVER (
+  PARTITION BY p.query_id
+  ORDER BY list_cosine_similarity(e.embedding, q.qe) DESC, e.vec_id
+) <= {TOP_K}
+ORDER BY 1, 2
+"""
+
+
+ORACLES: Dict[str, str] = {
+    "knn_cosine": KNN_SQL,
+    "knn_lsh": KNN_LSH_SQL,
+    "knn_ivf": KNN_IVF_SQL,
+}
 
 QUERIES = {"knn_cosine": knn_cosine, "knn_lsh": knn_lsh, "knn_ivf": knn_ivf}

@@ -86,19 +86,56 @@ def language_id_counts(sf_dir: str) -> pd.DataFrame:
 
 
 def fingerprints(sf_dir: str):
-    """(doc_id, fp64 hex) stable content fingerprints (rows-only)."""
+    """(doc_id, fp) portable content fingerprints — MD5/16 over the
+    whitespace-collapsed text, recomputable by any engine (oracle-checked
+    against DuckDB ``md5()``)."""
     ds = rd.read_parquet(table_path(sf_dir, "documents"), columns=["doc_id", "text"])
 
     def fn(batch: pd.DataFrame) -> pd.DataFrame:
-        fp = T.fingerprint64(batch["text"])
-        return pd.DataFrame({"doc_id": batch["doc_id"], "fp": fp.map("{:016x}".format)})
+        return pd.DataFrame(
+            {"doc_id": batch["doc_id"], "fp": T.fingerprint_md5_16(batch["text"])}
+        )
 
     return ds.map_batches(fn, batch_format="pandas")
+
+
+FINGERPRINTS_SQL = r"""
+SELECT doc_id,
+       substring(md5(trim(regexp_replace(text, '[ \t\n\r\f\v]+', ' ', 'g'), ' ')), 1, 16) AS fp
+FROM documents
+"""
+
+
+LANGUAGE_ID_SQL = r"""
+WITH s AS (
+  SELECT regexp_split_to_array(trim(lower(text)), '\s+') AS ws FROM documents
+), scored AS (
+  SELECT
+    length(list_filter(ws, w -> w IN ('der','die','das','und','ist','nicht','mit','für','von','ein'))) AS s_de,
+    length(list_filter(ws, w -> w IN ('the','and','of','to','is','in','that','with','for','are'))) AS s_en,
+    length(list_filter(ws, w -> w IN ('el','la','los','y','es','en','que','para','con','una'))) AS s_es,
+    length(list_filter(ws, w -> w IN ('le','la','les','et','est','dans','pour','que','une','avec'))) AS s_fr,
+    length(list_filter(ws, w -> w IN ('的','是','在','了','我','有','和','不','人','这'))) AS s_zh
+  FROM s
+), pred AS (
+  SELECT CASE
+    WHEN s_de > 0 AND s_de >= s_en AND s_de >= s_es AND s_de >= s_fr AND s_de >= s_zh THEN 'de'
+    WHEN s_en > 0 AND s_en >= s_es AND s_en >= s_fr AND s_en >= s_zh THEN 'en'
+    WHEN s_es > 0 AND s_es >= s_fr AND s_es >= s_zh THEN 'es'
+    WHEN s_fr > 0 AND s_fr >= s_zh THEN 'fr'
+    WHEN s_zh > 0 THEN 'zh'
+    ELSE 'und' END AS pred_lang
+  FROM scored
+)
+SELECT pred_lang, COUNT(*) AS n FROM pred GROUP BY pred_lang ORDER BY pred_lang
+"""
 
 
 ORACLES: Dict[str, str] = {
     "token_counts": TOKEN_COUNTS_SQL,
     "doc_quality": DOC_QUALITY_SQL,
+    "fingerprints": FINGERPRINTS_SQL,
+    "language_id_counts": LANGUAGE_ID_SQL,
 }
 
 QUERIES = {
