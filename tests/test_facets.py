@@ -84,3 +84,65 @@ def test_lint_contradictory_bounds():
         F.lint_facet_stack(pa.string(), [F.Pattern("([")])
     # consistent stack passes
     F.lint_facet_stack(pa.string(), [F.MinLength(1), F.MaxLength(10), F.Pattern("x+")])
+
+
+def test_binary_encoded_lengths():
+    # hexBinary: XSD length = decoded OCTETS = len(lexical)/2
+    hx = pa.array(["00ff", "aabbcc", "12"])
+    m, _ = F.Length(2, encoding="hex").check(hx)
+    assert m.tolist() == [False, True, True]
+    # base64Binary: decoded = 3*len/4 - padding (reference facets.py:208-215)
+    b64 = pa.array(["TWFu", "TWE=", "TQ==", "TWFuTWFu"])  # 3, 2, 1, 6 bytes
+    m, _ = F.MaxLength(2, encoding="base64").check(b64)
+    assert m.tolist() == [True, False, False, True]
+    m, _ = F.MinLength(3, encoding="base64").check(b64)
+    assert m.tolist() == [False, True, True, False]
+    with pytest.raises(F.SpecError):
+        F.Length(2, encoding="hex").lint(pa.binary())
+    with pytest.raises(F.SpecError):
+        F.Length(2, encoding="nope").lint(pa.string())
+
+
+def test_explicit_timezone():
+    tz = pa.array([0, 1, None], type=pa.timestamp("us", tz="UTC"))
+    naive = pa.array([0, 1, None], type=pa.timestamp("us"))
+    m, _ = F.ExplicitTimezone("required").check(naive)
+    assert m.tolist() == [True, True, False]  # nulls never fire
+    m, _ = F.ExplicitTimezone("required").check(tz)
+    assert not m.any()
+    m, _ = F.ExplicitTimezone("prohibited").check(tz)
+    assert m.tolist() == [True, True, False]
+    m, _ = F.ExplicitTimezone("optional").check(naive)
+    assert not m.any()
+    F.ExplicitTimezone("required").lint(pa.timestamp("us", tz="UTC"))
+    with pytest.raises(F.SpecError):
+        F.ExplicitTimezone("required").lint(pa.timestamp("us"))
+    with pytest.raises(F.SpecError):
+        F.ExplicitTimezone("sometimes").lint(pa.timestamp("us"))
+    with pytest.raises(F.SpecError):
+        F.ExplicitTimezone("optional").lint(pa.string())
+
+
+def test_struct_field_facets():
+    t = pa.struct([("qty", pa.int64()), ("tag", pa.string())])
+    arr = pa.array(
+        [
+            {"qty": 5, "tag": "ok"},
+            {"qty": 50, "tag": "ok"},
+            {"qty": 5, "tag": None},
+            None,  # null struct never fires
+        ],
+        type=t,
+    )
+    m, reprs = F.StructField("qty", (F.MaxInclusive(10),)).check(arr)
+    assert m.tolist() == [False, True, False, False]
+    assert reprs[1] == "qty=50"
+    m, _ = F.StructField("tag", required=True).check(arr)
+    assert m.tolist() == [False, False, True, False]
+    F.StructField("qty", (F.MaxInclusive(10),)).lint(t)
+    with pytest.raises(F.SpecError):
+        F.StructField("missing").lint(t)
+    with pytest.raises(F.SpecError):
+        F.StructField("qty").lint(pa.int64())
+    with pytest.raises(F.SpecError):
+        F.StructField("qty", (F.Pattern("x"),)).lint(t)  # facet/dtype clash

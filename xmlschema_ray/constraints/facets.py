@@ -138,8 +138,21 @@ class MaxExclusive(Facet):
         return f"maxExclusive({self.value})"
 
 
-def _length_of(arr: pa.Array | pa.ChunkedArray) -> pa.Array:
+def _length_of(arr: pa.Array | pa.ChunkedArray, encoding: str = "none") -> pa.Array:
     t = arr.type
+    if encoding != "none":
+        # hexBinary / base64Binary lexical forms: XSD length counts DECODED
+        # OCTETS, not characters (reference facets.py:165-172,208-215,
+        # 251-258: ``len(value) // 2`` for hex, padding arithmetic for b64)
+        if not (pa.types.is_string(t) or pa.types.is_large_string(t)):
+            raise SpecError(f"encoding={encoding!r} length applies to lexical strings, got {t}")
+        n = pc.utf8_length(arr)
+        if encoding == "hex":
+            return pc.divide(n, 2)
+        if encoding == "base64":
+            pad = pc.count_substring(arr, "=")
+            return pc.subtract(pc.multiply(pc.divide(n, 4), 3), pad)
+        raise SpecError(f"unknown length encoding {encoding!r}")
     if pa.types.is_list(t) or pa.types.is_large_list(t):
         return pc.list_value_length(arr)
     if pa.types.is_string(t) or pa.types.is_large_string(t):
@@ -149,7 +162,13 @@ def _length_of(arr: pa.Array | pa.ChunkedArray) -> pa.Array:
     raise SpecError(f"length facet not applicable to dtype {t}")
 
 
-def _lint_length(dtype: pa.DataType, name: str) -> None:
+def _lint_length(dtype: pa.DataType, name: str, encoding: str = "none") -> None:
+    if encoding not in ("none", "hex", "base64"):
+        raise SpecError(f"{name}: unknown encoding {encoding!r}")
+    if encoding != "none":
+        if not (pa.types.is_string(dtype) or pa.types.is_large_string(dtype)):
+            raise SpecError(f"{name} with encoding={encoding!r} requires a string column, got {dtype}")
+        return
     ok = (
         pa.types.is_list(dtype)
         or pa.types.is_large_list(dtype)
@@ -167,18 +186,20 @@ class MinLength(Facet):
     """len(x) >= k (reference ``facets.py:175-215``)."""
 
     k: int = 0
+    encoding: str = "none"
 
     def check(self, arr):
-        n = _length_of(arr)
+        n = _length_of(arr, self.encoding)
         return _cmp_violation(n, pc.greater_equal, self.k), None
 
     def lint(self, dtype):
-        _lint_length(dtype, "minLength")
+        _lint_length(dtype, "minLength", self.encoding)
         if self.k < 0:
             raise SpecError("minLength must be >= 0")
 
     def describe(self):
-        return f"minLength({self.k})"
+        enc = f",{self.encoding}" if self.encoding != "none" else ""
+        return f"minLength({self.k}{enc})"
 
 
 @dataclass(frozen=True)
@@ -186,35 +207,76 @@ class MaxLength(Facet):
     """len(x) <= k (reference ``facets.py:218-258``)."""
 
     k: int = 0
+    encoding: str = "none"
 
     def check(self, arr):
-        n = _length_of(arr)
+        n = _length_of(arr, self.encoding)
         return _cmp_violation(n, pc.less_equal, self.k), None
 
     def lint(self, dtype):
-        _lint_length(dtype, "maxLength")
+        _lint_length(dtype, "maxLength", self.encoding)
         if self.k < 0:
             raise SpecError("maxLength must be >= 0")
 
     def describe(self):
-        return f"maxLength({self.k})"
+        enc = f",{self.encoding}" if self.encoding != "none" else ""
+        return f"maxLength({self.k}{enc})"
+
+
+@dataclass(frozen=True)
+class ExplicitTimezone(Facet):
+    """XSD 1.1 explicitTimezone facet (reference ``facets.py:458-487``):
+    ``required`` / ``prohibited`` / ``optional``. In the columnar world
+    timezone-ness is a TYPE property (``pa.timestamp(unit, tz)``), so the
+    check resolves per column: a mismatched column flags every non-null row
+    (and lint rejects the spec at compile time where the dtype is known)."""
+
+    value: str = "optional"
+
+    def check(self, arr):
+        t = arr.type
+        has_tz = getattr(t, "tz", None) is not None
+        if (self.value == "required" and not has_tz) or (
+            self.value == "prohibited" and has_tz
+        ):
+            return ~_null_mask(arr), None
+        return np.zeros(len(arr), dtype=bool), None
+
+    def lint(self, dtype):
+        if self.value not in ("required", "prohibited", "optional"):
+            raise SpecError(f"explicitTimezone must be required|prohibited|optional, got {self.value!r}")
+        if not pa.types.is_timestamp(dtype):
+            raise SpecError(f"explicitTimezone facet requires a timestamp column, got {dtype}")
+        has_tz = dtype.tz is not None
+        if self.value == "required" and not has_tz:
+            raise SpecError("explicitTimezone=required but column type has no timezone")
+        if self.value == "prohibited" and has_tz:
+            raise SpecError("explicitTimezone=prohibited but column type carries a timezone")
+
+    def describe(self):
+        return f"explicitTimezone({self.value})"
 
 
 @dataclass(frozen=True)
 class Length(Facet):
-    """len(x) == k exactly (reference ``facets.py:132-172``)."""
+    """len(x) == k exactly (reference ``facets.py:132-172``).
+
+    ``encoding`` in {'none','hex','base64'} switches to decoded-octet
+    counting for lexical hexBinary/base64Binary strings."""
 
     k: int = 0
+    encoding: str = "none"
 
     def check(self, arr):
-        n = _length_of(arr)
+        n = _length_of(arr, self.encoding)
         return _cmp_violation(n, pc.equal, self.k), None
 
     def lint(self, dtype):
-        _lint_length(dtype, "length")
+        _lint_length(dtype, "length", self.encoding)
 
     def describe(self):
-        return f"length({self.k})"
+        enc = f",{self.encoding}" if self.encoding != "none" else ""
+        return f"length({self.k}{enc})"
 
 
 @dataclass(frozen=True)
@@ -491,6 +553,60 @@ class UnionFacets(Facet):
     def describe(self):
         alts = "|".join("+".join(f.describe() for f in stack) for stack in self.alternatives)
         return f"union[{alts}]"
+
+
+@dataclass(frozen=True)
+class StructField(Facet):
+    """Apply inner facets to ONE field of a struct column — the complex-type
+    attribute/child validation analog (reference
+    ``validators/complex_types.py:532-575``; required-attribute presence
+    ``validators/attributes.py:578-581``), columnar: the child array is
+    extracted once with ``pc.struct_field`` (zero-copy) and the inner facet
+    stack runs over it vectorized.
+
+    A row violates if its field value violates any inner facet; a NULL
+    struct never fires; a null FIELD inside a non-null struct fires only
+    when ``required=True``.
+    """
+
+    name: str = ""
+    facets: Tuple[Facet, ...] = ()
+    required: bool = False
+
+    def check(self, arr):
+        if isinstance(arr, pa.ChunkedArray):
+            arr = arr.combine_chunks()
+        child = pc.struct_field(arr, self.name)
+        viol = np.zeros(len(arr), dtype=bool)
+        reprs = np.full(len(arr), None, dtype=object)
+        child_viol = np.zeros(len(arr), dtype=bool)
+        for f in self.facets:
+            m, _ = f.check(child)
+            child_viol |= m
+        if self.required:
+            child_viol |= _to_numpy_bool(pc.is_null(child)) & ~_null_mask(arr)
+        if child_viol.any():
+            bad = np.flatnonzero(child_viol)
+            viol[bad] = True
+            vals = child.take(pa.array(bad)).to_pylist()
+            for p, v in zip(bad, vals):
+                reprs[p] = f"{self.name}={v!r}"
+        return viol, reprs
+
+    def lint(self, dtype):
+        if not pa.types.is_struct(dtype):
+            raise SpecError(f"struct-field facet requires a struct column, got {dtype}")
+        names = [dtype.field(i).name for i in range(dtype.num_fields)]
+        if self.name not in names:
+            raise SpecError(f"struct has no field {self.name!r}; fields: {names}")
+        ftype = dtype.field(names.index(self.name)).type
+        for f in self.facets:
+            f.lint(ftype)
+
+    def describe(self):
+        inner = ",".join(f.describe() for f in self.facets)
+        req = "required," if self.required else ""
+        return f"field({self.name})[{req}{inner}]"
 
 
 def lint_facet_stack(dtype: pa.DataType, facets: Sequence[Facet]) -> None:

@@ -84,19 +84,76 @@ class MediaFeatureExtractor:
         return out
 
 
-def multimodal_features(sf_dir: str) -> "rd.Dataset":
-    """binary payloads → actor-pool feature extraction (fake decoder)."""
-    return to_binary_payloads(sf_dir).map_batches(
-        MediaFeatureExtractor,
-        fn_constructor_kwargs=dict(fake=True),
-        batch_format="pandas",
-        batch_size=256,  # wide binary rows → small batches
-        # autoscaling pool with min=1: a FIXED pool sized to the cluster
-        # would reserve every CPU and starve the upstream read (deadlock
-        # on small clusters); min 1 actor always leaves room to progress.
-        concurrency=(1, 4),
+def multimodal_features(sf_dir: str, max_payload_bytes: int = 1 << 20) -> "rd.Dataset":
+    """binary payloads → length-gate → actor-pool feature extraction.
+
+    The length gate is the binary MaxLength facet applied to the payload
+    column (XSD binary length semantics, reference facets.py:218-258):
+    oversized payloads are dropped BEFORE the decode pool so a corrupt
+    multi-GB blob can't blow a worker heap."""
+    from xmlschema_ray.constraints import facets as F
+
+    gate = F.MaxLength(max_payload_bytes)
+
+    def length_gate(batch: pa.Table) -> pa.Table:
+        viol, _ = gate.check(batch["payload"])
+        if viol.any():
+            return batch.filter(pa.array(~viol))
+        return batch
+
+    return (
+        to_binary_payloads(sf_dir)
+        .map_batches(length_gate, batch_format="pyarrow", zero_copy_batch=True)
+        .map_batches(
+            MediaFeatureExtractor,
+            fn_constructor_kwargs=dict(fake=True),
+            batch_format="pandas",
+            batch_size=256,  # wide binary rows → small batches
+            # autoscaling pool with min=1: a FIXED pool sized to the cluster
+            # would reserve every CPU and starve the upstream read (deadlock
+            # on small clusters); min 1 actor always leaves room to progress.
+            concurrency=(1, 4),
+        )
     )
 
 
-ORACLES: Dict[str, str] = {}
-QUERIES = {"multimodal_features": multimodal_features}
+def val_payload_length(sf_dir: str) -> "rd.Dataset":
+    """Binary length facet on the payload column, oracle-checked: one
+    violation row per payload longer than 500 bytes (XSD length counts
+    OCTETS of the binary value — ``pc.binary_length``)."""
+    from xmlschema_ray.constraints import facets as F
+    from xmlschema_ray.constraints.spec import ColumnSpec, TableConstraints
+    from xmlschema_ray.pipelines.validation_queries import TypedViolations
+
+    spec = TableConstraints(
+        name="payload_checks",
+        columns=[
+            ColumnSpec("item_id", pa.int64()),
+            ColumnSpec("payload", pa.binary(), facets=(F.MaxLength(500),)),
+        ],
+        key_columns=("item_id",),
+    )
+    state: dict = {}
+
+    def fn(batch: pa.Table) -> pa.Table:
+        tv = state.get("tv")
+        if tv is None:
+            tv = state["tv"] = TypedViolations(spec, ["item_id"])
+        return tv(batch)
+
+    return to_binary_payloads(sf_dir).map_batches(
+        fn, batch_format="pyarrow", zero_copy_batch=True
+    )
+
+
+VAL_PAYLOAD_LENGTH_SQL = """
+SELECT doc_id AS item_id, 'payload.maxLength(500)' AS constraint_name, 'payload' AS col_name
+FROM documents WHERE NOT (octet_length(encode(text)) <= 500)
+"""
+
+
+ORACLES: Dict[str, str] = {"val_payload_length": VAL_PAYLOAD_LENGTH_SQL}
+QUERIES = {
+    "multimodal_features": multimodal_features,
+    "val_payload_length": val_payload_length,
+}

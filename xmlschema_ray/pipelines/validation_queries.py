@@ -164,6 +164,91 @@ FROM documents WHERE NOT regexp_matches(source, '^(src[0-9]{1,2})$')
 """
 
 
+# -- nested struct column: per-field facet stacks (complex-type analog) ---
+
+
+def val_nested_struct(sf_dir: str):
+    """Complex-type/struct validation (reference
+    ``validators/complex_types.py:532-575``): lineitem rows are packed into
+    a ``pa.struct`` column (the nested-metadata shape real training tables
+    carry) and validated with per-FIELD facet stacks — range on
+    ``quantity``, enumeration on ``flag``, and required-presence on ``tax``
+    (made null when l_tax = 0, the attribute ``use='required'`` analog)."""
+    struct_type = pa.struct(
+        [
+            pa.field("quantity", pa.float64()),
+            pa.field("flag", pa.string()),
+            pa.field("tax", pa.float64()),
+        ]
+    )
+
+    def pack(t: pa.Table) -> pa.Table:
+        import pyarrow.compute as pc
+
+        tax = pc.if_else(
+            pc.greater(t["l_tax"], 0.0), t["l_tax"], pa.nulls(t.num_rows, pa.float64())
+        )
+        props = pa.StructArray.from_arrays(
+            [
+                t["l_quantity"].combine_chunks(),
+                t["l_returnflag"].combine_chunks(),
+                tax.combine_chunks() if isinstance(tax, pa.ChunkedArray) else tax,
+            ],
+            fields=list(struct_type),
+        )
+        return pa.table(
+            {
+                "l_orderkey": t["l_orderkey"],
+                "l_linenumber": t["l_linenumber"],
+                "props": props,
+            }
+        )
+
+    spec = TableConstraints(
+        name="nested_checks",
+        columns=[
+            ColumnSpec("l_orderkey", pa.int64()),
+            ColumnSpec("l_linenumber", pa.int32()),
+            ColumnSpec(
+                "props",
+                struct_type,
+                facets=(
+                    F.StructField("quantity", (F.MaxInclusive(46.0),)),
+                    F.StructField("flag", (F.Enumeration(("A", "N")),)),
+                    F.StructField("tax", required=True),
+                ),
+            ),
+        ],
+        key_columns=("l_orderkey", "l_linenumber"),
+    )
+    ds = rd.read_parquet(
+        table_path(sf_dir, "lineitem"),
+        columns=["l_orderkey", "l_linenumber", "l_quantity", "l_returnflag", "l_tax"],
+    ).map_batches(pack, batch_format="pyarrow", zero_copy_batch=True)
+    state: dict = {}
+
+    def fn(batch: pa.Table) -> pa.Table:
+        tv = state.get("tv")
+        if tv is None:
+            tv = state["tv"] = TypedViolations(spec, ["l_orderkey", "l_linenumber"])
+        return tv(batch)
+
+    return ds.map_batches(fn, batch_format="pyarrow", zero_copy_batch=True)
+
+
+VAL_NESTED_STRUCT_SQL = """
+SELECT l_orderkey, l_linenumber,
+       'props.field(quantity)[maxInclusive(46.0)]' AS constraint_name, 'props' AS col_name
+FROM lineitem WHERE NOT (l_quantity <= 46.0)
+UNION ALL
+SELECT l_orderkey, l_linenumber, 'props.field(flag)[enumeration([''A'', ''N''])]', 'props'
+FROM lineitem WHERE l_returnflag NOT IN ('A', 'N')
+UNION ALL
+SELECT l_orderkey, l_linenumber, 'props.field(tax)[required,]', 'props'
+FROM lineitem WHERE NOT (l_tax > 0.0)
+"""
+
+
 # -- referential: events.user_id ⊆ active customers (broadcast anti-join) -
 
 
@@ -260,6 +345,7 @@ ORACLES: Dict[str, str] = {
     "val_lineitem_ranges": VAL_LINEITEM_SQL,
     "val_events_enum": VAL_EVENTS_ENUM_SQL,
     "val_documents": VAL_DOCUMENTS_SQL,
+    "val_nested_struct": VAL_NESTED_STRUCT_SQL,
     "val_events_fk": VAL_EVENTS_FK_SQL,
     "stats_profile_lineitem": STATS_PROFILE_SQL,
 }
@@ -268,6 +354,7 @@ QUERIES = {
     "val_lineitem_ranges": val_lineitem_ranges,
     "val_events_enum": val_events_enum,
     "val_documents": val_documents,
+    "val_nested_struct": val_nested_struct,
     "val_events_fk": val_events_fk,
     "stats_profile_lineitem": stats_profile_lineitem,
 }
