@@ -85,3 +85,37 @@ def test_pattern_facet_xsd_mode():
     f.lint(pa.string())
     m, _ = f.check(pa.array(["aacc", "abc"]))
     assert m.tolist() == [False, True]
+
+def _re2_full_match(pattern: str, values):
+    import pyarrow.compute as pc
+
+    return pc.match_substring_regex(pa.array(values), f"^(?:{pattern})$").to_pylist()
+
+
+def test_xsd_regex_full_block_table():
+    # complete W3C XSD 1.0 block table: blocks well beyond the old 11-entry
+    # subset resolve, including supplementary-plane blocks
+    assert _re2_full_match(translate_xsd_regex(r"\p{IsThai}+"), ["สวัสดี", "abc"]) == [True, False]
+    assert _re2_full_match(translate_xsd_regex(r"\p{IsGothic}"), ["\U00010330", "a"]) == [True, False]
+    assert _re2_full_match(translate_xsd_regex(r"\P{IsThai}+"), ["abc", "สวัสดี"]) == [True, False]
+    from xmlschema_ray.constraints.xsd_regex import _BLOCKS
+
+    assert len(_BLOCKS) > 90
+
+
+def test_xsd_regex_category_passthrough_to_re2():
+    # \p{L} is invalid in Python re but native in RE2 — translation must
+    # validate against the execution engine, not re.compile
+    p = translate_xsd_regex(r"\p{L}+")
+    assert _re2_full_match(p, ["héllo", "h1"]) == [True, False]
+
+
+def test_xsd_regex_block_inside_subtraction():
+    p = translate_xsd_regex(r"[\p{IsBasicLatin}-[aeiou]]+")
+    assert _re2_full_match(p, ["xyz", "ae"]) == [True, False]
+
+
+def test_xsd_regex_invalid_syntax_raises_at_compile():
+    for bad in [r"(unclosed", r"a{2,1}"]:
+        with pytest.raises(F.SpecError):
+            translate_xsd_regex(bad)
