@@ -32,6 +32,35 @@ def test_distributed_components_match_union_find(ray_session):
     assert got == truth
 
 
+def test_joined_components_match_union_find(ray_session):
+    from xmlschema_ray.ops.graph import connected_components_joined
+
+    rng = np.random.default_rng(7)
+    nodes = np.arange(300, dtype=np.int64)
+    pairs = [tuple(sorted(p)) for p in rng.integers(0, 300, size=(180, 2)) if p[0] != p[1]]
+    # add a long chain so convergence needs pointer jumping, not just
+    # 1-hop propagation
+    pairs += [(i, i + 1) for i in range(200, 260)]
+    truth = union_find(nodes, pairs)
+    edges = rd.from_pandas(pd.DataFrame(pairs, columns=["a", "b"]).astype("int64"))
+    nodes_ds = rd.from_pandas(pd.DataFrame({"node": nodes}))
+    cc = connected_components_joined(edges, nodes_ds, num_partitions=4).to_pandas()
+    got = dict(zip(cc["node"], cc["root"]))
+    assert got == truth
+    # all three paths identical
+    cc_b = connected_components_distributed(edges, nodes, max_rounds=30)
+    assert dict(zip(cc_b["node"], cc_b["root"])) == truth
+
+
+def test_joined_components_empty_edges(ray_session):
+    from xmlschema_ray.ops.graph import connected_components_joined
+
+    nodes_ds = rd.from_pandas(pd.DataFrame({"node": np.arange(5, dtype=np.int64)}))
+    edges = rd.from_pandas(pd.DataFrame({"a": [], "b": []}).astype("int64"))
+    cc = connected_components_joined(edges, nodes_ds).to_pandas().sort_values("node")
+    assert cc["root"].tolist() == list(range(5))
+
+
 def test_read_table_csv_json_with_coercion(tmp_path, ray_session):
     from xmlschema_ray.constraints.spec import ColumnSpec, TableConstraints
     from xmlschema_ray.sources.readers import read_table

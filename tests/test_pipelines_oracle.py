@@ -134,6 +134,15 @@ def test_dedup_forced_distributed_paths_match(ray_session):
             SF_DIR, distributed_threshold_bytes=0, cc_pairs_threshold=-1
         )
         pd.testing.assert_frame_equal(m_fast, m_cc)
+        # and the beyond-broadcast joined-CC finalize (labels never
+        # broadcast — Dataset-join label propagation)
+        m_join = minhash_lsh_dedup(
+            SF_DIR,
+            distributed_threshold_bytes=0,
+            cc_pairs_threshold=-1,
+            cc_broadcast_nodes_threshold=-1,
+        )
+        pd.testing.assert_frame_equal(m_fast, m_join)
 
 
 def test_embedding_dup_pairs_ivf_subset_of_exact(ray_session):

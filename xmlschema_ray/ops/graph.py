@@ -21,11 +21,13 @@ from typing import Dict, Iterable, Tuple
 
 import numpy as np
 import pandas as pd
+import pyarrow as pa
+import pyarrow.compute as pc
 
 import ray
 import ray.data as rd
 
-from xmlschema_ray.ops.relational import combiner_aggregate
+from xmlschema_ray.ops.relational import combiner_aggregate, hash_bucket_join
 
 
 def union_find(nodes: Iterable[int], pairs: Iterable[Tuple[int, int]]) -> Dict[int, int]:
@@ -101,3 +103,101 @@ def connected_components_distributed(
             f"({changed} labels still changing) — raise max_rounds"
         )
     return pd.DataFrame({"node": labels.index.to_numpy(), "root": labels.to_numpy()})
+
+
+def connected_components_joined(
+    edges: rd.Dataset,
+    nodes: rd.Dataset,
+    max_rounds: int = 50,
+    num_partitions: int = 32,
+) -> rd.Dataset:
+    """(node, root) labels with the label table kept DISTRIBUTED — the
+    beyond-broadcast path: per round the driver touches only one int64
+    scalar, never the labels.
+
+    ``edges`` has int64 columns ``a``/``b``; ``nodes`` one int64 column
+    ``node``. Each round: (1) every node proposes the min label over its
+    neighborhood via a bucketed edge⋈label join + combiner-min, (2) one
+    pointer-jumping self-join (``label[x] <- label[label[x]]``) collapses
+    chains so convergence is O(log diameter) rounds, (3) convergence is
+    detected from the total label sum — labels only ever decrease, so an
+    unchanged sum means a fixpoint. Partitioning assumption: edges and
+    labels hash-partition by node id (the same guarantee every bucketed
+    join here relies on).
+    """
+    labels = nodes.map_batches(
+        lambda t: pa.table(
+            {"node": pc.cast(t["node"], pa.int64()), "label": pc.cast(t["node"], pa.int64())}
+        ),
+        batch_format="pyarrow",
+        zero_copy_batch=True,
+    ).materialize()
+    und = edges.map_batches(
+        lambda t: pa.table(
+            {
+                "s": pa.concat_arrays(
+                    [pc.cast(t["a"], pa.int64()).combine_chunks(), pc.cast(t["b"], pa.int64()).combine_chunks()]
+                ),
+                "t": pa.concat_arrays(
+                    [pc.cast(t["b"], pa.int64()).combine_chunks(), pc.cast(t["a"], pa.int64()).combine_chunks()]
+                ),
+            }
+        ),
+        batch_format="pyarrow",
+        zero_copy_batch=True,
+    ).materialize()
+
+    if und.count() == 0:
+        return labels.map_batches(
+            lambda t: t.rename_columns(["node", "root"]), batch_format="pyarrow"
+        )
+
+    total = labels.sum("label")
+    for _ in range(max_rounds):
+        # neighbor proposals: edge (s, t) ships t's current label to s
+        nb = hash_bucket_join(
+            und,
+            labels.map_batches(
+                lambda t: t.rename_columns(["t_node", "label"]), batch_format="pyarrow"
+            ),
+            "t",
+            "t_node",
+            num_partitions=num_partitions,
+        ).map_batches(
+            lambda t: t.select(["s", "label"]).rename_columns(["node", "label"]),
+            batch_format="pyarrow",
+        )
+        merged = combiner_aggregate(
+            labels.union(nb),
+            keys="node",
+            aggs={"label": ("label", "min")},
+            num_partitions=num_partitions,
+        )
+        # pointer jump: label[x] <- label[label[x]] (labels are monotone,
+        # label[x] <= x, so the jumped label can only be <=)
+        jumped = hash_bucket_join(
+            merged,
+            merged.map_batches(
+                lambda t: t.rename_columns(["j_node", "j_label"]), batch_format="pyarrow"
+            ),
+            "label",
+            "j_node",
+            num_partitions=num_partitions,
+        ).map_batches(
+            lambda t: pa.table(
+                {"node": t["node"], "label": pc.min_element_wise(t["label"], t["j_label"])}
+            ),
+            batch_format="pyarrow",
+        )
+        labels = jumped.materialize()
+        new_total = labels.sum("label")
+        if new_total == total:
+            break
+        total = new_total
+    else:
+        raise RuntimeError(
+            f"connected_components_joined did not converge in {max_rounds} rounds — raise max_rounds"
+        )
+    return labels.map_batches(
+        lambda t: t.rename_columns(["node", "root"]), batch_format="pyarrow"
+    )

@@ -28,6 +28,7 @@ from typing import Dict, List, Tuple
 import numpy as np
 import pandas as pd
 import pyarrow as pa
+import pyarrow.compute as pc
 
 import ray
 import ray.data as rd
@@ -211,6 +212,7 @@ def minhash_lsh_dedup(
     n_bands: int = 32,
     threshold: float = 0.5,
     cc_pairs_threshold: int = 100_000,
+    cc_broadcast_nodes_threshold: int = 20_000_000,
     distributed_threshold_bytes: "int | None" = None,
     oracle_dump: bool = True,
 ) -> pd.DataFrame:
@@ -364,8 +366,21 @@ def minhash_lsh_dedup(
         out = pd.DataFrame(
             sorted(roots.items()), columns=["doc_id", "cluster_root"]
         ).astype("int64")
-    else:
+    elif nodes.size <= cc_broadcast_nodes_threshold:
         cc = connected_components_distributed(edges, nodes)
+        out = cc.rename(columns={"node": "doc_id", "root": "cluster_root"}).sort_values("doc_id")
+        out = out.reset_index(drop=True).astype("int64")
+    else:
+        # beyond-broadcast finalize: the label table never touches the
+        # driver until this result-sized collect
+        from xmlschema_ray.ops.graph import connected_components_joined
+
+        nodes_ds = ds.map_batches(
+            lambda t: pa.table({"node": pc.cast(t["doc_id"], pa.int64())}),
+            batch_format="pyarrow",
+            zero_copy_batch=True,
+        )
+        cc = connected_components_joined(edges, nodes_ds).to_pandas()
         out = cc.rename(columns={"node": "doc_id", "root": "cluster_root"}).sort_values("doc_id")
         out = out.reset_index(drop=True).astype("int64")
     return out
