@@ -59,3 +59,32 @@ def test_pickled_spec_validates_identically(tmp_path, ray_session):
     g1 = res1.violations().groupby("constraint_name").size().to_dict()
     g2 = res2.violations().groupby("constraint_name").size().to_dict()
     assert g1 == g2 == exp
+
+
+def test_builders_registry_swap_roundtrip():
+    """BUILDERS class-map (reference schema.py:1202-1214): re-registering a
+    kind with a Facet subclass swaps which checker a spec document builds."""
+    import pyarrow as pa
+
+    from xmlschema_ray.constraints import facets as F
+    from xmlschema_ray.constraints import serde
+
+    class LooseMaxLength(F.MaxLength):
+        pass
+
+    orig = serde.BUILDERS["maxLength"]
+    try:
+        serde.register_facet_builder(
+            "maxLength",
+            LooseMaxLength,
+            orig.to_json,
+            lambda d: LooseMaxLength(d["value"], encoding=d.get("encoding", "none")),
+        )
+        built = serde.facet_from_json({"kind": "maxLength", "value": 3})
+        assert type(built) is LooseMaxLength
+        # subclass serializes through its registered builder; unregistered
+        # subclasses fall back to the nearest registered base
+        assert serde.facet_to_json(built) == {"kind": "maxLength", "value": 3}
+    finally:
+        serde.register_facet_builder("maxLength", F.MaxLength, orig.to_json, orig.from_json)
+    assert type(serde.facet_from_json({"kind": "maxLength", "value": 3})) is F.MaxLength

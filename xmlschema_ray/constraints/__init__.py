@@ -17,3 +17,13 @@ __all__ = [
     "TableConstraints",
     "UniqueKey",
 ]
+from xmlschema_ray.constraints.occurs import (  # noqa: F401
+    ContentGroup,
+    OccursBounds,
+    Particle,
+    group_occurs_check,
+)
+from xmlschema_ray.constraints.serde import (  # noqa: F401
+    BUILDERS,
+    register_facet_builder,
+)

@@ -48,76 +48,182 @@ _DTYPE_NAMES = {str(v): k for k, v in _DTYPES.items()}
 
 
 def _dtype_to_name(dt: pa.DataType) -> str:
+    if pa.types.is_struct(dt):
+        inner = ",".join(
+            f"{dt.field(i).name}:{_dtype_to_name(dt.field(i).type)}" for i in range(dt.num_fields)
+        )
+        return f"struct<{inner}>"
     name = _DTYPE_NAMES.get(str(dt))
     if name is None:
         raise SpecError(f"dtype {dt} has no JSON name")
     return name
 
 
+def _split_fields(body: str) -> List[str]:
+    """Split ``a:t1,b:struct<c:t2,...>`` on top-level commas only."""
+    parts, depth, cur = [], 0, []
+    for ch in body:
+        if ch == "<":
+            depth += 1
+        elif ch == ">":
+            depth -= 1
+        elif ch == "," and depth == 0:
+            parts.append("".join(cur))
+            cur = []
+            continue
+        cur.append(ch)
+    if cur:
+        parts.append("".join(cur))
+    return parts
+
+
 def _dtype_from_name(name: str) -> pa.DataType:
+    if name.startswith("struct<") and name.endswith(">"):
+        fields = []
+        for part in _split_fields(name[len("struct<") : -1]):
+            fname, _, ftype = part.partition(":")
+            if not fname or not ftype:
+                raise SpecError(f"malformed struct dtype name {name!r}")
+            fields.append(pa.field(fname, _dtype_from_name(ftype)))
+        return pa.struct(fields)
     if name not in _DTYPES:
         raise SpecError(f"unknown dtype name {name!r}")
     return _DTYPES[name]
 
 
+# -- BUILDERS registry ----------------------------------------------------
+#
+# The facet-kind -> (class, serializer, parser) class-map, the analog of the
+# reference's per-version BUILDERS registries (``facets.py:679-707``
+# ``XSD_10_FACETS_BUILDERS``/``XSD_11_...``; wired into the schema class at
+# ``schema.py:1202-1214``). Swapping an entry (re-registering a kind with a
+# Facet subclass) changes which checker implementation a spec document
+# compiles to — the tabular form of selecting component classes per XSD
+# version / ``cls=`` engine subclass.
+
+
+class FacetBuilder:
+    __slots__ = ("kind", "cls", "to_json", "from_json")
+
+    def __init__(self, kind, cls, to_json, from_json):
+        self.kind = kind
+        self.cls = cls
+        self.to_json = to_json
+        self.from_json = from_json
+
+
+BUILDERS: Dict[str, FacetBuilder] = {}
+_CLS_BUILDERS: Dict[type, FacetBuilder] = {}
+
+
+def register_facet_builder(kind: str, cls: type, to_json, from_json) -> None:
+    """Register (or replace — latest wins) the builder for a facet kind.
+
+    ``to_json(facet) -> params dict`` (without ``kind``);
+    ``from_json(doc) -> facet``. Registering a subclass under an existing
+    kind swaps the implementation every subsequent ``load_spec`` builds.
+    """
+    b = FacetBuilder(kind, cls, to_json, from_json)
+    BUILDERS[kind] = b
+    _CLS_BUILDERS[cls] = b
+
+
 def facet_to_json(f: F.Facet) -> Dict[str, Any]:
-    if isinstance(f, F.MinInclusive):
-        return {"kind": "minInclusive", "value": f.value}
-    if isinstance(f, F.MaxInclusive):
-        return {"kind": "maxInclusive", "value": f.value}
-    if isinstance(f, F.MinExclusive):
-        return {"kind": "minExclusive", "value": f.value}
-    if isinstance(f, F.MaxExclusive):
-        return {"kind": "maxExclusive", "value": f.value}
-    if isinstance(f, F.MinLength):
-        return {"kind": "minLength", "value": f.k}
-    if isinstance(f, F.MaxLength):
-        return {"kind": "maxLength", "value": f.k}
-    if isinstance(f, F.Length):
-        return {"kind": "length", "value": f.k}
-    if isinstance(f, F.Pattern):
-        return {"kind": "pattern", "value": f.pattern, "xsd": f.xsd}
-    if isinstance(f, F.Enumeration):
-        return {"kind": "enumeration", "values": list(f.values)}
-    if isinstance(f, F.WhiteSpace):
-        return {"kind": "whiteSpace", "value": f.policy}
-    if isinstance(f, F.TotalDigits):
-        return {"kind": "totalDigits", "value": f.k}
-    if isinstance(f, F.FractionDigits):
-        return {"kind": "fractionDigits", "value": f.k}
-    if isinstance(f, F.ItemFacets):
-        return {"kind": "items", "facets": [facet_to_json(x) for x in f.facets]}
-    if isinstance(f, F.UnionFacets):
-        return {
-            "kind": "union",
-            "alternatives": [[facet_to_json(x) for x in alt] for alt in f.alternatives],
-        }
-    raise SpecError(f"facet {f!r} is not JSON-serializable")
+    b = _CLS_BUILDERS.get(type(f))
+    if b is None:
+        # unregistered subclass: fall back to the nearest registered base
+        for base in type(f).__mro__[1:]:
+            b = _CLS_BUILDERS.get(base)
+            if b is not None:
+                break
+    if b is None:
+        raise SpecError(f"facet {f!r} is not JSON-serializable (no registered builder)")
+    return {"kind": b.kind, **b.to_json(f)}
 
 
 def facet_from_json(d: Dict[str, Any]) -> F.Facet:
     kind = d.get("kind")
-    simple = {
-        "minInclusive": lambda: F.MinInclusive(d["value"]),
-        "maxInclusive": lambda: F.MaxInclusive(d["value"]),
-        "minExclusive": lambda: F.MinExclusive(d["value"]),
-        "maxExclusive": lambda: F.MaxExclusive(d["value"]),
-        "minLength": lambda: F.MinLength(d["value"]),
-        "maxLength": lambda: F.MaxLength(d["value"]),
-        "length": lambda: F.Length(d["value"]),
-        "pattern": lambda: F.Pattern(d["value"], xsd=d.get("xsd", False)),
-        "enumeration": lambda: F.Enumeration(tuple(d["values"])),
-        "whiteSpace": lambda: F.WhiteSpace(d["value"]),
-        "totalDigits": lambda: F.TotalDigits(d["value"]),
-        "fractionDigits": lambda: F.FractionDigits(d["value"]),
-        "items": lambda: F.ItemFacets(tuple(facet_from_json(x) for x in d["facets"])),
-        "union": lambda: F.UnionFacets(
-            tuple(tuple(facet_from_json(x) for x in alt) for alt in d["alternatives"])
-        ),
-    }
-    if kind not in simple:
+    b = BUILDERS.get(kind)
+    if b is None:
         raise SpecError(f"unknown facet kind {kind!r}")
-    return simple[kind]()
+    return b.from_json(d)
+
+
+def _length_params(f) -> Dict[str, Any]:
+    out: Dict[str, Any] = {"value": f.k}
+    if f.encoding != "none":
+        out["encoding"] = f.encoding
+    return out
+
+
+register_facet_builder(
+    "minInclusive", F.MinInclusive, lambda f: {"value": f.value}, lambda d: F.MinInclusive(d["value"])
+)
+register_facet_builder(
+    "maxInclusive", F.MaxInclusive, lambda f: {"value": f.value}, lambda d: F.MaxInclusive(d["value"])
+)
+register_facet_builder(
+    "minExclusive", F.MinExclusive, lambda f: {"value": f.value}, lambda d: F.MinExclusive(d["value"])
+)
+register_facet_builder(
+    "maxExclusive", F.MaxExclusive, lambda f: {"value": f.value}, lambda d: F.MaxExclusive(d["value"])
+)
+register_facet_builder(
+    "minLength", F.MinLength, _length_params,
+    lambda d: F.MinLength(d["value"], encoding=d.get("encoding", "none")),
+)
+register_facet_builder(
+    "maxLength", F.MaxLength, _length_params,
+    lambda d: F.MaxLength(d["value"], encoding=d.get("encoding", "none")),
+)
+register_facet_builder(
+    "length", F.Length, _length_params,
+    lambda d: F.Length(d["value"], encoding=d.get("encoding", "none")),
+)
+register_facet_builder(
+    "pattern", F.Pattern, lambda f: {"value": f.pattern, "xsd": f.xsd},
+    lambda d: F.Pattern(d["value"], xsd=d.get("xsd", False)),
+)
+register_facet_builder(
+    "enumeration", F.Enumeration, lambda f: {"values": list(f.values)},
+    lambda d: F.Enumeration(tuple(d["values"])),
+)
+register_facet_builder(
+    "whiteSpace", F.WhiteSpace, lambda f: {"value": f.policy}, lambda d: F.WhiteSpace(d["value"])
+)
+register_facet_builder(
+    "totalDigits", F.TotalDigits, lambda f: {"value": f.k}, lambda d: F.TotalDigits(d["value"])
+)
+register_facet_builder(
+    "fractionDigits", F.FractionDigits, lambda f: {"value": f.k}, lambda d: F.FractionDigits(d["value"])
+)
+register_facet_builder(
+    "explicitTimezone", F.ExplicitTimezone, lambda f: {"value": f.value},
+    lambda d: F.ExplicitTimezone(d["value"]),
+)
+register_facet_builder(
+    "items", F.ItemFacets, lambda f: {"facets": [facet_to_json(x) for x in f.facets]},
+    lambda d: F.ItemFacets(tuple(facet_from_json(x) for x in d["facets"])),
+)
+register_facet_builder(
+    "union", F.UnionFacets,
+    lambda f: {"alternatives": [[facet_to_json(x) for x in alt] for alt in f.alternatives]},
+    lambda d: F.UnionFacets(
+        tuple(tuple(facet_from_json(x) for x in alt) for alt in d["alternatives"])
+    ),
+)
+register_facet_builder(
+    "structField", F.StructField,
+    lambda f: {
+        "name": f.name,
+        "facets": [facet_to_json(x) for x in f.facets],
+        "required": f.required,
+    },
+    lambda d: F.StructField(
+        d["name"], tuple(facet_from_json(x) for x in d.get("facets", [])),
+        required=d.get("required", False),
+    ),
+)
 
 
 def spec_to_json(spec: TableConstraints) -> Dict[str, Any]:
