@@ -155,3 +155,10 @@ def test_embedding_dup_pairs_ivf_subset_of_exact(ray_session):
     exact_set = set(map(tuple, exact.to_numpy()))
     ivf_set = set(map(tuple, ivf.to_numpy()))
     assert ivf_set <= exact_set
+
+
+def test_ngram_jaccard_refuses_large_corpus(ray_session):
+    from xmlschema_ray.pipelines.dedup import ngram_jaccard_pairs
+
+    with pytest.raises(ValueError, match="minhash_lsh_dedup"):
+        ngram_jaccard_pairs(SF_DIR, max_corpus_bytes=1)

@@ -153,11 +153,25 @@ def _word_sets(sf_dir: str) -> Tuple[np.ndarray, List[np.ndarray]]:
     return ids[order], [sets[i] for i in order]
 
 
-def ngram_jaccard_pairs(sf_dir: str, threshold: float = 0.9):
+def ngram_jaccard_pairs(
+    sf_dir: str, threshold: float = 0.9, max_corpus_bytes: int = 64 << 20
+):
     """Exact word-set Jaccard near-dup pairs (a < b, jac >= threshold).
 
     Corpus word-sets broadcast once (``ray.put``); stateless tasks compare
-    each batch's docs against every corpus doc with a greater doc_id."""
+    each batch's docs against every corpus doc with a greater doc_id.
+
+    This is the EXACT all-pairs oracle shape — O(n²) comparisons against a
+    whole-corpus broadcast — so it refuses corpora beyond
+    ``max_corpus_bytes``; the scale path for near-dup pairs is
+    :func:`minhash_lsh_dedup` (bucketed candidates, no all-pairs)."""
+    corpus_bytes = os.path.getsize(table_path(sf_dir, "documents"))
+    if corpus_bytes > max_corpus_bytes:
+        raise ValueError(
+            f"ngram_jaccard_pairs is an exact all-pairs baseline; corpus is "
+            f"{corpus_bytes >> 20} MiB > max_corpus_bytes={max_corpus_bytes >> 20} MiB. "
+            f"Use minhash_lsh_dedup for large corpora."
+        )
     corpus_ref = ray.put(_word_sets(sf_dir))
     ds = rd.read_parquet(table_path(sf_dir, "documents"), columns=["doc_id", "text"])
     state: dict = {}

@@ -169,7 +169,24 @@ FROM counts c JOIN expected e USING (constraint_name)
 ORDER BY constraint_name
 """
 
-ORACLES: Dict[str, str] = {"validate_sequences_seeded": SEEDED_SQL}
+# The flagship's verdict table over the CLEAN derived corpus is itself
+# SQL-expressible: one partition, row count = documents row count, zero
+# violations, everything `valid` (the PSVI summary a correct engine must
+# produce for defect-free input).
+VALIDATE_SEQUENCES_SQL = """
+SELECT CAST(0 AS BIGINT) AS partition_id,
+       'valid' AS validity,
+       'full' AS validation_attempted,
+       CAST(COUNT(*) AS BIGINT) AS n_rows,
+       CAST(0 AS BIGINT) AS n_violations,
+       'valid' AS job_validity
+FROM documents
+"""
+
+ORACLES: Dict[str, str] = {
+    "validate_sequences": VALIDATE_SEQUENCES_SQL,
+    "validate_sequences_seeded": SEEDED_SQL,
+}
 QUERIES = {
     "validate_sequences": validate_sequences,
     "validate_sequences_seeded": validate_sequences_seeded,
