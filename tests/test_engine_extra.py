@@ -160,3 +160,59 @@ def test_actor_pool_path_matches_tasks(tmp_path, ray_session):
     got_t = res_t.violations().groupby("constraint_name").size().to_dict()
     got_a = res_a.violations().groupby("constraint_name").size().to_dict()
     assert got_t == got_a == exp
+
+
+def test_engine_struct_column_spec(tmp_path, ray_session):
+    """Struct-column validation through the FULL engine path (not just the
+    TypedViolations kernel): per-field facet violations land in the unified
+    violation stream with usable value reprs."""
+    import pyarrow as pa
+    import pyarrow.parquet as pq
+    import ray.data as rd
+
+    from xmlschema_ray.constraints import facets as F
+    from xmlschema_ray.constraints.spec import ColumnSpec, TableConstraints
+    from xmlschema_ray.engine.engine import ValidationEngine
+
+    st = pa.struct([("qty", pa.int64()), ("tag", pa.string())])
+    tbl = pa.table(
+        {
+            "doc_id": pa.array([f"d{i}" for i in range(50)], type=pa.string()),
+            "props": pa.array(
+                [{"qty": i, "tag": "ok" if i != 7 else None} for i in range(50)],
+                type=st,
+            ),
+        }
+    )
+    src = tmp_path / "in"
+    src.mkdir()
+    pq.write_table(tbl, src / "part0.parquet")
+
+    spec = TableConstraints(
+        name="structs",
+        columns=[
+            ColumnSpec("doc_id", pa.string()),
+            ColumnSpec(
+                "props",
+                st,
+                facets=(
+                    F.StructField("qty", (F.MaxInclusive(45),)),
+                    F.StructField("tag", required=True),
+                ),
+            ),
+        ],
+        key_columns=("doc_id",),
+    )
+    res = ValidationEngine(spec, batch_size=16, n_shards=1).run(
+        str(src), out_dir=str(tmp_path / "out"), resume=False
+    )
+    v = res.violations()
+    # qty 46..49 exceed the bound (4 rows) + d7's null tag (1 row)
+    by = v.groupby("constraint_name").size().to_dict()
+    assert by == {
+        "props.field(qty)[maxInclusive(45)]": 4,
+        "props.field(tag)[required,]": 1,
+    }, by
+    assert set(v.loc[v["constraint_name"].str.contains("qty"), "key"]) == {
+        "d46", "d47", "d48", "d49"
+    }

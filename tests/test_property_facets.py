@@ -96,3 +96,50 @@ def test_enumeration_matches_oracle(vals, allowed):
     m, _ = F.Enumeration(tuple(allowed)).check(arr)
     allowed_set = set(allowed)
     assert m.tolist() == [v is not None and v not in allowed_set for v in vals]
+
+
+# -- occurs interval arithmetic (reference helpers.py:224-254) ------------
+
+_bounds = st.builds(
+    lambda lo, extra: __import__(
+        "xmlschema_ray.constraints.occurs", fromlist=["OccursBounds"]
+    ).OccursBounds(lo, None if extra is None else lo + extra),
+    st.integers(0, 20),
+    st.one_of(st.none(), st.integers(0, 20)),
+)
+
+
+@given(a=_bounds, b=_bounds, n=st.integers(0, 2000))
+@settings(max_examples=200, deadline=None)
+def test_occurs_add_is_minkowski_sum(a, b, n):
+    """x∈a and y∈b ⟹ x+y ∈ a+b, and the composed interval is tight at
+    its endpoints — the ParticleCounter sequence-concatenation contract."""
+    s = a + b
+    assert s.contains(a.min_occurs + b.min_occurs)
+    if a.max_occurs is not None and b.max_occurs is not None:
+        assert s.max_occurs == a.max_occurs + b.max_occurs
+        assert not s.contains(s.max_occurs + 1)
+    else:
+        assert s.max_occurs is None and s.contains(n + s.min_occurs)
+
+
+@given(a=_bounds, b=_bounds)
+@settings(max_examples=200, deadline=None)
+def test_occurs_mul_matches_reference_cases(a, b):
+    m = a * b
+    assert m.min_occurs == a.min_occurs * b.min_occurs
+    if a.max_occurs == 0 or b.max_occurs == 0:
+        assert m.max_occurs == 0
+    elif a.max_occurs is None or b.max_occurs is None:
+        assert m.max_occurs is None
+    else:
+        assert m.max_occurs == a.max_occurs * b.max_occurs
+
+
+@given(a=_bounds, b=_bounds, n=st.integers(0, 60))
+@settings(max_examples=200, deadline=None)
+def test_occurs_choice_envelope_is_sound(a, b, n):
+    """anything admitted by either branch is admitted by the envelope."""
+    e = a | b
+    if a.contains(n) or b.contains(n):
+        assert e.contains(n)
