@@ -733,10 +733,139 @@ ORDER BY e.event_id
 """
 
 
+def events_lag_delta(sf_dir: str) -> pd.DataFrame:
+    """Per-user LAG window: microseconds since the user's previous event
+    (NULL for the first). The per-group ordered-window shape: hash-partition
+    by user (co-location guarantee), ONE vectorized sort + shift per
+    partition — never a per-row or per-group Python loop. Ordered by
+    (ts, event_id) so ties are deterministic."""
+    from xmlschema_ray.ops.relational import hash_partition_apply
+
+    ds = rd.read_parquet(table_path(sf_dir, "events"), columns=["event_id", "user_id", "ts"])
+
+    def lag_part(part: pd.DataFrame) -> pd.DataFrame:
+        p = part.sort_values(["user_id", "ts", "event_id"], kind="mergesort")
+        # integer microsecond arithmetic end-to-end — float seconds would
+        # round 2^53-scale epoch values
+        v = p["ts"].astype("datetime64[us]").astype("int64").to_numpy()
+        d = np.zeros(len(v), dtype=np.int64)
+        if len(v):
+            d[1:] = v[1:] - v[:-1]
+        same_user = p["user_id"].eq(p["user_id"].shift()).to_numpy()
+        # float64 with NaN for the first-event rows: nullable BIGINT comes
+        # back from SQL as float64, and µs deltas are far below 2^53 so the
+        # integer values survive exactly
+        out = d.astype(np.float64)
+        out[~same_user] = np.nan
+        return pd.DataFrame(
+            {"event_id": p["event_id"], "user_id": p["user_id"], "delta_us": out}
+        )
+
+    out = hash_partition_apply(ds, "user_id", lag_part).to_pandas()
+    return out.sort_values("event_id").reset_index(drop=True)
+
+
+LAG_DELTA_SQL = """
+SELECT event_id, user_id,
+       date_diff('microsecond',
+                 lag(ts) OVER (PARTITION BY user_id ORDER BY ts, event_id),
+                 ts) AS delta_us
+FROM events ORDER BY event_id
+"""
+
+
+def events_rolling_value_sum(sf_dir: str) -> pd.DataFrame:
+    """Per-user rolling window (current + 2 preceding rows, ordered by
+    ts/event_id): sum of ``value`` in scaled cents — integer window sums
+    are order-exact, so the result hash-matches SQL window arithmetic at
+    any parallelism (pandas' incremental rolling-sum over floats would
+    not)."""
+    from xmlschema_ray.ops.relational import hash_partition_apply
+    from xmlschema_ray.pipelines.common import cents
+
+    ds = rd.read_parquet(
+        table_path(sf_dir, "events"), columns=["event_id", "user_id", "ts", "value"]
+    )
+
+    def roll_part(part: pd.DataFrame) -> pd.DataFrame:
+        p = part.sort_values(["user_id", "ts", "event_id"], kind="mergesort")
+        c = pd.Series(cents(p["value"]), index=p.index)
+        roll = c.groupby(p["user_id"], sort=False).rolling(3, min_periods=1).sum()
+        return pd.DataFrame(
+            {
+                "event_id": p["event_id"].to_numpy(),
+                "user_id": p["user_id"].to_numpy(),
+                "roll3_sum_c": roll.to_numpy(dtype=np.int64),
+            }
+        )
+
+    out = hash_partition_apply(ds, "user_id", roll_part).to_pandas()
+    return out.sort_values("event_id").reset_index(drop=True)
+
+
+ROLLING_SUM_SQL = """
+SELECT event_id, user_id,
+       CAST(SUM(CAST(floor(value * 100 + 0.5) AS BIGINT))
+            OVER (PARTITION BY user_id ORDER BY ts, event_id
+                  ROWS BETWEEN 2 PRECEDING AND CURRENT ROW) AS BIGINT) AS roll3_sum_c
+FROM events ORDER BY event_id
+"""
+
+
+def orders_pivot_status_priority(sf_dir: str) -> pd.DataFrame:
+    """Pivot: total order value (cents) by status × priority class. The
+    wide aggregate is a combiner shuffle on the (status, priority) pair;
+    the pivot itself reshapes the RESULT-sized frame on the driver."""
+    from xmlschema_ray.ops.relational import combiner_aggregate
+    from xmlschema_ray.pipelines.common import cents
+
+    ds = rd.read_parquet(
+        table_path(sf_dir, "orders"), columns=["o_orderstatus", "o_orderpriority", "o_totalprice"]
+    )
+
+    def to_cents(batch: pd.DataFrame) -> pd.DataFrame:
+        return pd.DataFrame(
+            {
+                "status": batch["o_orderstatus"],
+                "prio": batch["o_orderpriority"].str.slice(0, 1),
+                "c": cents(batch["o_totalprice"]),
+            }
+        )
+
+    agg = combiner_aggregate(
+        ds.map_batches(to_cents, batch_format="pandas"),
+        keys=["status", "prio"],
+        aggs={"total_c": ("c", "sum")},
+    ).to_pandas()
+    wide = agg.pivot_table(
+        index="status", columns="prio", values="total_c", aggfunc="sum", fill_value=0
+    )
+    wide = wide.reindex(columns=[str(i) for i in range(1, 6)], fill_value=0)
+    wide.columns = [f"p{c}_cents" for c in wide.columns]
+    out = wide.reset_index().rename(columns={"status": "o_orderstatus"})
+    for c in out.columns[1:]:
+        out[c] = out[c].astype("int64")
+    return out.sort_values("o_orderstatus").reset_index(drop=True)
+
+
+PIVOT_SQL = """
+SELECT o_orderstatus,
+       CAST(COALESCE(SUM(CASE WHEN substr(o_orderpriority,1,1)='1' THEN CAST(floor(o_totalprice*100+0.5) AS BIGINT) END),0) AS BIGINT) AS p1_cents,
+       CAST(COALESCE(SUM(CASE WHEN substr(o_orderpriority,1,1)='2' THEN CAST(floor(o_totalprice*100+0.5) AS BIGINT) END),0) AS BIGINT) AS p2_cents,
+       CAST(COALESCE(SUM(CASE WHEN substr(o_orderpriority,1,1)='3' THEN CAST(floor(o_totalprice*100+0.5) AS BIGINT) END),0) AS BIGINT) AS p3_cents,
+       CAST(COALESCE(SUM(CASE WHEN substr(o_orderpriority,1,1)='4' THEN CAST(floor(o_totalprice*100+0.5) AS BIGINT) END),0) AS BIGINT) AS p4_cents,
+       CAST(COALESCE(SUM(CASE WHEN substr(o_orderpriority,1,1)='5' THEN CAST(floor(o_totalprice*100+0.5) AS BIGINT) END),0) AS BIGINT) AS p5_cents
+FROM orders GROUP BY o_orderstatus ORDER BY o_orderstatus
+"""
+
+
 ORACLES = {
     "q1_pricing_summary": Q1_SQL,
     "orders_priority_counts": ORDERS_PRIORITY_SQL,
     "union_entity_keys": UNION_SQL,
+    "events_lag_delta": LAG_DELTA_SQL,
+    "events_rolling_value_sum": ROLLING_SUM_SQL,
+    "orders_pivot_status_priority": PIVOT_SQL,
     "asof_latest_order_before_event": ASOF_SQL,
     "q3_top_orders": Q3_SQL,
     "q5_nation_revenue": Q5_SQL,
@@ -756,6 +885,9 @@ QUERIES = {
     "q1_pricing_summary": q1_pricing_summary,
     "orders_priority_counts": orders_priority_counts,
     "union_entity_keys": union_entity_keys,
+    "events_lag_delta": events_lag_delta,
+    "events_rolling_value_sum": events_rolling_value_sum,
+    "orders_pivot_status_priority": orders_pivot_status_priority,
     "asof_latest_order_before_event": asof_latest_order_before_event,
     "q3_top_orders": q3_top_orders,
     "q5_nation_revenue": q5_nation_revenue,
