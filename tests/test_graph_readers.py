@@ -130,3 +130,44 @@ def test_knn_ivf_recall(ray_session):
         got = set(approx[approx["query_id"] == q]["vec_id"])
         recalls.append(len(truth & got) / len(truth))
     assert np.mean(recalls) >= 0.5, recalls
+
+
+def test_resumable_write_skips_finished_shards(tmp_path, ray_session):
+    import glob
+
+    import pyarrow.dataset as pads
+    import pyarrow.parquet as pq
+
+    from xmlschema_ray.sources.sinks import chunk_files, resumable_write
+
+    src = tmp_path / "in"
+    src.mkdir()
+    for i in range(4):
+        pq.write_table(pa.table({"x": list(range(i * 10, i * 10 + 10))}), src / f"f{i}.parquet")
+    shards = chunk_files(glob.glob(str(src / "*.parquet")), 2)
+    assert [len(s) for s in shards] == [2, 2]
+
+    calls = []
+
+    def make(shard):
+        calls.append(tuple(shard))
+        return rd.read_parquet(shard).map_batches(
+            lambda t: t, batch_format="pyarrow", zero_copy_batch=True
+        )
+
+    out = tmp_path / "out"
+    r1 = resumable_write(make, shards, str(out))
+    assert r1 == {"n_shards": 2, "n_skipped": 0, "n_rows": 40}
+    assert len(calls) == 2
+    # resume: nothing recomputed, totals stable
+    r2 = resumable_write(make, shards, str(out))
+    assert r2 == {"n_shards": 2, "n_skipped": 2, "n_rows": 40}
+    assert len(calls) == 2
+    # partial-failure sim: drop shard 1's manifest line; only it re-runs
+    mf = out / "manifest.jsonl"
+    lines = mf.read_text().strip().splitlines()
+    mf.write_text(lines[0] + "\n")
+    r3 = resumable_write(make, shards, str(out))
+    assert r3 == {"n_shards": 2, "n_skipped": 1, "n_rows": 40}
+    assert len(calls) == 3
+    assert pads.dataset(str(out / "unified")).count_rows() == 40

@@ -73,6 +73,49 @@ def cmd_gen(args) -> int:
     return 0
 
 
+def cmd_query(args) -> int:
+    ray = _ray_session(args.num_cpus)
+    import os
+
+    sys.path.insert(0, os.path.dirname(os.path.dirname(os.path.abspath(__file__))))
+    import __ray_entry__ as E
+
+    qs = E.queries()
+    if args.list or args.name is None:
+        for name in sorted(qs):
+            marker = "sql-oracled" if name in E.oracle_sql() else "rows-only"
+            print(f"{name}\t{marker}")
+        ray.shutdown()
+        return 0
+    if args.name not in qs:
+        print(f"unknown query {args.name!r}; use --list", file=sys.stderr)
+        ray.shutdown()
+        return 2
+    res = qs[args.name](args.sf_dir)
+    if args.out:
+        # args.out is a DIRECTORY in both cases (partitioned output layout)
+        if hasattr(res, "write_parquet"):
+            res.write_parquet(args.out)
+        else:
+            import os
+
+            import pyarrow as pa
+            import pyarrow.parquet as pq
+
+            tbl = res if isinstance(res, pa.Table) else pa.Table.from_pandas(
+                res, preserve_index=False
+            )
+            os.makedirs(args.out, exist_ok=True)
+            pq.write_table(tbl, os.path.join(args.out, "part-0.parquet"))
+        print(f"wrote {args.out}")
+    else:
+        df = res.to_pandas() if hasattr(res, "to_pandas") else res
+        print(df.head(args.head).to_string())
+        print(f"[{len(df)} rows]")
+    ray.shutdown()
+    return 0
+
+
 def main(argv=None) -> int:
     p = argparse.ArgumentParser(prog="xmlschema_ray")
     sub = p.add_subparsers(dest="cmd", required=True)
@@ -98,6 +141,15 @@ def main(argv=None) -> int:
     g.add_argument("--files", type=int, default=16)
     g.add_argument("--seed", type=int, default=42)
     g.set_defaults(fn=cmd_gen)
+
+    q = sub.add_parser("query", help="run a named pipeline over an sf dir")
+    q.add_argument("name", nargs="?", default=None)
+    q.add_argument("--sf-dir", default="/root/testdata/sf0.001")
+    q.add_argument("--out", default=None, help="write parquet instead of printing")
+    q.add_argument("--head", type=int, default=10)
+    q.add_argument("--num-cpus", type=int, default=None)
+    q.add_argument("--list", action="store_true")
+    q.set_defaults(fn=cmd_query)
 
     args = p.parse_args(argv)
     return args.fn(args)
