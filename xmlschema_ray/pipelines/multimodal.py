@@ -84,6 +84,104 @@ class MediaFeatureExtractor:
         return out
 
 
+class MediaResizer:
+    """Actor-pool resize stage (image-shaped payloads).
+
+    Same seam pattern as :class:`MediaFeatureExtractor`: the real
+    implementation would load the codec once per actor in ``__init__`` and
+    decode→resize→re-encode per batch; ``fake=True`` emits a deterministic
+    pseudo-resized payload (hash-seeded bytes of exactly
+    ``target_w*target_h*3`` octets) so schema, sizing and ordering are
+    testable without codec libraries. Binary payloads stay opaque
+    ``binary`` columns with typed metadata (width/height/n_bytes).
+    """
+
+    def __init__(self, target_w: int = 32, target_h: int = 32, fake: bool = False):
+        self.target_w = target_w
+        self.target_h = target_h
+        self.fake = fake
+        if not fake:
+            raise NotImplementedError(
+                "image decode/resize requires codec libraries not present in "
+                "this environment; construct with fake=True for the stub"
+            )
+
+    def __call__(self, batch: pd.DataFrame) -> pd.DataFrame:
+        n_out = self.target_w * self.target_h * 3
+        h = hash64(np.array([bytes(p) for p in batch["payload"]], dtype=object))
+        payloads = []
+        for seed in h:
+            rng = np.random.default_rng(int(seed))
+            payloads.append(rng.integers(0, 256, size=n_out, dtype=np.uint8).tobytes())
+        return pd.DataFrame(
+            {
+                "item_id": batch["item_id"],
+                "payload": payloads,
+                "media_type": "image/raw-rgb",
+                "width": np.int32(self.target_w),
+                "height": np.int32(self.target_h),
+                "n_bytes": np.int64(n_out),
+            }
+        )
+
+
+class FrameSampler:
+    """Actor-pool frame-sampling stage (video-shaped payloads): one input
+    row fans out to ``n_frames`` rows — the flat-map shape. ``fake=True``
+    slices the payload into ``n_frames`` contiguous chunks (deterministic;
+    a real implementation would seek keyframes with pyav per actor)."""
+
+    def __init__(self, n_frames: int = 4, fake: bool = False):
+        self.n_frames = n_frames
+        if not fake:
+            raise NotImplementedError(
+                "video demux requires codec libraries not present in this "
+                "environment; construct with fake=True for the stub"
+            )
+
+    def __call__(self, batch: pd.DataFrame) -> pd.DataFrame:
+        ids, frames, idxs = [], [], []
+        for item_id, p in zip(batch["item_id"], batch["payload"]):
+            b = bytes(p)
+            step = max(1, len(b) // self.n_frames)
+            for i in range(self.n_frames):
+                ids.append(item_id)
+                idxs.append(i)
+                frames.append(b[i * step : (i + 1) * step])
+        return pd.DataFrame(
+            {
+                "item_id": pd.array(ids, dtype="int64"),
+                "frame_idx": pd.array(idxs, dtype="int32"),
+                "payload": frames,
+            }
+        )
+
+
+def multimodal_resize_pipeline(
+    sf_dir: str, target_w: int = 32, target_h: int = 32
+) -> "rd.Dataset":
+    """payloads → length gate → resize pool → feature pool, each stage an
+    independently sized actor pool (resize is allocation-heavy → smaller
+    batches; features are hash-cheap → larger)."""
+    return (
+        to_binary_payloads(sf_dir)
+        .map_batches(
+            MediaResizer,
+            fn_constructor_kwargs=dict(target_w=target_w, target_h=target_h, fake=True),
+            batch_format="pandas",
+            batch_size=128,
+            concurrency=(1, 4),
+        )
+        .map_batches(
+            MediaFeatureExtractor,
+            fn_constructor_kwargs=dict(fake=True),
+            batch_format="pandas",
+            batch_size=256,
+            concurrency=(1, 4),
+        )
+    )
+
+
 def multimodal_features(sf_dir: str, max_payload_bytes: int = 1 << 20) -> "rd.Dataset":
     """binary payloads → length-gate → actor-pool feature extraction.
 
