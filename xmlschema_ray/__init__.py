@@ -39,6 +39,7 @@ from xmlschema_ray.constraints.spec import (
     UniqueKey,
 )
 from xmlschema_ray.constraints import facets
+from xmlschema_ray.constraints.occurs import ContentGroup, OccursBounds, Particle, group_occurs_check
 from xmlschema_ray.engine.engine import ValidationEngine, ValidationResult
 
 __all__ = [
@@ -51,6 +52,10 @@ __all__ = [
     "UniqueKey",
     "ValidationEngine",
     "ValidationResult",
+    "ContentGroup",
+    "OccursBounds",
+    "Particle",
+    "group_occurs_check",
     "facets",
 ]
 

@@ -1,3 +1,4 @@
+from xmlschema_ray.sources.sinks import chunk_files, resumable_write
 from xmlschema_ray.sources.synthetic import (
     VOCAB,
     generate_sequences,
@@ -8,6 +9,8 @@ from xmlschema_ray.sources.synthetic import (
 
 __all__ = [
     "VOCAB",
+    "chunk_files",
+    "resumable_write",
     "generate_sequences",
     "sequences_from_documents",
     "sequences_spec",
