@@ -41,6 +41,8 @@ QUERY_NAMES = [
     "exact_dedup",
     "minhash_lsh_dedup",
     "knn_cosine",
+    "events_lag_delta",
+    "orders_pivot_status_priority",
 ]
 
 
