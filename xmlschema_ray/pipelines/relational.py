@@ -302,12 +302,21 @@ def join_order_lineitem_status(sf_dir: str) -> pd.DataFrame:
         table_path(sf_dir, "lineitem"), columns=["l_orderkey", "l_extendedprice", "l_discount"]
     )
 
-    def revenue_e4(batch: pd.DataFrame) -> pd.DataFrame:
-        pc_ = cents(batch["l_extendedprice"])
-        d100 = scaled_int(batch["l_discount"], 100.0)
-        return pd.DataFrame({"l_orderkey": batch["l_orderkey"], "rev_e4": pc_ * (100 - d100)})
+    def revenue_e4(batch: pa.Table) -> pa.Table:
+        import pyarrow.compute as pac
 
-    li2 = li.map_batches(revenue_e4, batch_format="pandas")
+        # floor(x*scale + 0.5) in Arrow kernels — zero pandas conversion on
+        # the fact-table side of the join (same arithmetic as common.cents)
+        p100 = pac.cast(
+            pac.floor(pac.add(pac.multiply(batch["l_extendedprice"], 100.0), 0.5)), pa.int64()
+        )
+        d100 = pac.cast(
+            pac.floor(pac.add(pac.multiply(batch["l_discount"], 100.0), 0.5)), pa.int64()
+        )
+        rev = pac.multiply(p100, pac.subtract(pa.scalar(100, pa.int64()), d100))
+        return pa.table({"l_orderkey": batch["l_orderkey"], "rev_e4": rev})
+
+    li2 = li.map_batches(revenue_e4, batch_format="pyarrow", zero_copy_batch=True)
     joined = li2.join(
         orders,
         join_type="inner",
