@@ -30,6 +30,24 @@ from xmlschema_ray.pipelines.common import cents, scaled_int, table_path
 # -- q1: pricing summary (combiner aggregate; TPC-H Q1 shape) ------------
 
 
+def _revenue_map(li: "rd.Dataset") -> "rd.Dataset":
+    """lineitem → (l_orderkey, rev_e4) with floor(x*100+0.5) scaled-int
+    arithmetic done in Arrow kernels — zero-copy on the fact-table side of
+    every revenue join/aggregate (same arithmetic as ``common.cents``)."""
+
+    def revenue_e4(batch: pa.Table) -> pa.Table:
+        p100 = pc.cast(
+            pc.floor(pc.add(pc.multiply(batch["l_extendedprice"], 100.0), 0.5)), pa.int64()
+        )
+        d100 = pc.cast(
+            pc.floor(pc.add(pc.multiply(batch["l_discount"], 100.0), 0.5)), pa.int64()
+        )
+        rev = pc.multiply(p100, pc.subtract(pa.scalar(100, pa.int64()), d100))
+        return pa.table({"l_orderkey": batch["l_orderkey"], "rev_e4": rev})
+
+    return li.map_batches(revenue_e4, batch_format="pyarrow", zero_copy_batch=True)
+
+
 def q1_pricing_summary(sf_dir: str) -> pd.DataFrame:
     """Grouped pricing summary with integer-scaled partial aggregation.
 
@@ -160,12 +178,7 @@ def q3_top_orders(
         filter=(pc.field("l_shipdate") > pa.scalar(pd.Timestamp("1998-01-01"))),
     )
 
-    def revenue_e4(batch: pd.DataFrame) -> pd.DataFrame:
-        pc_ = cents(batch["l_extendedprice"])
-        d100 = scaled_int(batch["l_discount"], 100.0)
-        return pd.DataFrame({"l_orderkey": batch["l_orderkey"], "rev_e4": pc_ * (100 - d100)})
-
-    rev = li.map_batches(revenue_e4, batch_format="pandas")
+    rev = _revenue_map(li)
     if os.path.getsize(table_path(sf_dir, "orders")) <= distributed_threshold_bytes:
         joined = broadcast_join(
             rev, orders.to_pandas(), left_on="l_orderkey", right_on="o_orderkey", how="inner"
@@ -224,12 +237,7 @@ def q5_nation_revenue(
         table_path(sf_dir, "lineitem"), columns=["l_orderkey", "l_extendedprice", "l_discount"]
     )
 
-    def revenue_e4(batch: pd.DataFrame) -> pd.DataFrame:
-        pc_ = cents(batch["l_extendedprice"])
-        d100 = scaled_int(batch["l_discount"], 100.0)
-        return pd.DataFrame({"l_orderkey": batch["l_orderkey"], "rev_e4": pc_ * (100 - d100)})
-
-    rev = li.map_batches(revenue_e4, batch_format="pandas")
+    rev = _revenue_map(li)
     nation = rd.read_parquet(
         table_path(sf_dir, "nation"), columns=["n_nationkey", "n_name"]
     ).to_pandas()
@@ -302,21 +310,7 @@ def join_order_lineitem_status(sf_dir: str) -> pd.DataFrame:
         table_path(sf_dir, "lineitem"), columns=["l_orderkey", "l_extendedprice", "l_discount"]
     )
 
-    def revenue_e4(batch: pa.Table) -> pa.Table:
-        import pyarrow.compute as pac
-
-        # floor(x*scale + 0.5) in Arrow kernels — zero pandas conversion on
-        # the fact-table side of the join (same arithmetic as common.cents)
-        p100 = pac.cast(
-            pac.floor(pac.add(pac.multiply(batch["l_extendedprice"], 100.0), 0.5)), pa.int64()
-        )
-        d100 = pac.cast(
-            pac.floor(pac.add(pac.multiply(batch["l_discount"], 100.0), 0.5)), pa.int64()
-        )
-        rev = pac.multiply(p100, pac.subtract(pa.scalar(100, pa.int64()), d100))
-        return pa.table({"l_orderkey": batch["l_orderkey"], "rev_e4": rev})
-
-    li2 = li.map_batches(revenue_e4, batch_format="pyarrow", zero_copy_batch=True)
+    li2 = _revenue_map(li)
     joined = li2.join(
         orders,
         join_type="inner",
