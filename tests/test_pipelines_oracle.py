@@ -162,3 +162,16 @@ def test_ngram_jaccard_refuses_large_corpus(ray_session):
 
     with pytest.raises(ValueError, match="minhash_lsh_dedup"):
         ngram_jaccard_pairs(SF_DIR, max_corpus_bytes=1)
+
+
+def test_simhash_clusters_forced_cc_paths_match(ray_session):
+    from xmlschema_ray.pipelines.dedup import simhash_clusters
+
+    fast = simhash_clusters(SF_DIR)
+    assert (fast["doc_id"] != fast["cluster_root"]).any(), "vacuous — no clusters"
+    dist = simhash_clusters(SF_DIR, cc_pairs_threshold=-1)
+    pd.testing.assert_frame_equal(fast, dist)
+    joined = simhash_clusters(
+        SF_DIR, cc_pairs_threshold=-1, cc_broadcast_nodes_threshold=-1
+    )
+    pd.testing.assert_frame_equal(fast, joined)

@@ -568,6 +568,72 @@ ORDER BY doc_id_a, doc_id_b
 """
 
 
+def simhash_clusters(
+    sf_dir: str,
+    max_hamming: int = 8,
+    cc_pairs_threshold: int = 100_000,
+    cc_broadcast_nodes_threshold: int = 20_000_000,
+    oracle_dump: bool = True,
+) -> pd.DataFrame:
+    """SimHash near-dup CLUSTERS: the bucketed pair pipeline composed with
+    the same three-tier connected-components finalize minhash uses (driver
+    union-find → broadcast min-label → Dataset-join label propagation).
+    Oracle: transitive closure over the SQL-re-derived verified pairs
+    (recursive CTE on the dumped signatures)."""
+    from xmlschema_ray.ops.graph import (
+        connected_components_distributed,
+        connected_components_joined,
+        union_find,
+    )
+
+    pairs = simhash_pairs(sf_dir, max_hamming=max_hamming, oracle_dump=oracle_dump)
+    ds = rd.read_parquet(table_path(sf_dir, "documents"), columns=["doc_id"])
+    nodes = np.sort(ds.to_pandas()["doc_id"].to_numpy(dtype=np.int64))
+    if len(pairs) <= cc_pairs_threshold:
+        roots = union_find(nodes, list(zip(pairs["doc_id_a"], pairs["doc_id_b"])))
+        return pd.DataFrame(sorted(roots.items()), columns=["doc_id", "cluster_root"]).astype(
+            "int64"
+        )
+    edges = rd.from_pandas(
+        pairs.rename(columns={"doc_id_a": "a", "doc_id_b": "b"})[["a", "b"]].astype("int64")
+    )
+    if nodes.size <= cc_broadcast_nodes_threshold:
+        cc = connected_components_distributed(edges, nodes)
+    else:
+        nodes_ds = ds.map_batches(
+            lambda t: pa.table({"node": pc.cast(t["doc_id"], pa.int64())}),
+            batch_format="pyarrow",
+            zero_copy_batch=True,
+        )
+        cc = connected_components_joined(edges, nodes_ds).to_pandas()
+    out = cc.rename(columns={"node": "doc_id", "root": "cluster_root"}).sort_values("doc_id")
+    return out.reset_index(drop=True).astype("int64")
+
+
+SIMHASH_CLUSTERS_SQL = """
+WITH RECURSIVE s AS (
+  SELECT doc_id, simhash
+  FROM read_parquet('/tmp/xmlschema_ray_oracle/simhash/*.parquet')
+), verified AS (
+  SELECT a.doc_id AS a, b.doc_id AS b
+  FROM s a JOIN s b ON a.doc_id < b.doc_id
+  WHERE bit_count(xor(a.simhash, b.simhash)) <= 8
+    AND ( (a.simhash & 65535) = (b.simhash & 65535)
+       OR ((a.simhash >> 16) & 65535) = ((b.simhash >> 16) & 65535)
+       OR ((a.simhash >> 32) & 65535) = ((b.simhash >> 32) & 65535)
+       OR ((a.simhash >> 48) & 65535) = ((b.simhash >> 48) & 65535) )
+), edges AS (
+  SELECT a AS s, b AS t FROM verified UNION ALL SELECT b AS s, a AS t FROM verified
+), r(n, m) AS (
+  SELECT doc_id, doc_id FROM s
+  UNION
+  SELECT r.n, e.t FROM r JOIN edges e ON e.s = r.m
+)
+SELECT n AS doc_id, CAST(MIN(m) AS BIGINT) AS cluster_root
+FROM r GROUP BY n ORDER BY doc_id
+"""
+
+
 # -- embedding cosine near-dup -------------------------------------------
 
 
@@ -696,6 +762,7 @@ ORACLES: Dict[str, str] = {
     "ngram_jaccard_pairs": NGRAM_JACCARD_SQL,
     "embedding_dup_pairs": EMBEDDING_DUP_SQL,
     "simhash_pairs": SIMHASH_SQL,
+    "simhash_clusters": SIMHASH_CLUSTERS_SQL,
     "minhash_lsh_dedup": MINHASH_SQL,
 }
 
@@ -704,6 +771,7 @@ QUERIES = {
     "ngram_jaccard_pairs": ngram_jaccard_pairs,
     "minhash_lsh_dedup": minhash_lsh_dedup,
     "simhash_pairs": simhash_pairs,
+    "simhash_clusters": simhash_clusters,
     "embedding_dup_pairs": embedding_dup_pairs,
     "embedding_dup_pairs_ivf": embedding_dup_pairs_ivf,
 }
