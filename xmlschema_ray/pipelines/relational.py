@@ -736,6 +736,39 @@ ORDER BY e.event_id
 """
 
 
+def customers_without_recent_orders(sf_dir: str, cutoff: str = "1998-06-01") -> pd.DataFrame:
+    """Anti-join: customers with no order at/after ``cutoff``. The fact
+    side is predicate-pushed at the read and collapsed to its DISTINCT key
+    set with a combiner shuffle (one row per custkey per batch →
+    hash-partitioned dedup, so the collect is bounded by the DIMENSION
+    size, never the fact size), then broadcast into a vectorized NOT-IN
+    filter over the customer scan."""
+    from xmlschema_ray.ops.relational import anti_join, hash_partition_apply
+
+    okeys = hash_partition_apply(
+        rd.read_parquet(
+            table_path(sf_dir, "orders"),
+            columns=["o_custkey"],
+            filter=(pc.field("o_orderdate") >= pa.scalar(pd.Timestamp(cutoff))),
+        ).map_batches(lambda b: b.drop_duplicates(), batch_format="pandas"),
+        "o_custkey",
+        lambda p: p.drop_duplicates(),
+    ).to_pandas()
+    cust = rd.read_parquet(table_path(sf_dir, "customer"), columns=["c_custkey", "c_name"])
+    out = anti_join(cust, okeys, on="c_custkey", key="o_custkey").to_pandas()
+    if "c_custkey" not in out.columns:  # all-empty blocks lose the schema
+        out = pd.DataFrame({"c_custkey": pd.array([], dtype="int64"), "c_name": []})
+    return out.sort_values("c_custkey").reset_index(drop=True)
+
+
+CUSTOMERS_WITHOUT_RECENT_SQL = """
+SELECT c_custkey, c_name FROM customer
+WHERE c_custkey NOT IN
+  (SELECT o_custkey FROM orders WHERE o_orderdate >= TIMESTAMP '1998-06-01')
+ORDER BY c_custkey
+"""
+
+
 def events_lag_delta(sf_dir: str) -> pd.DataFrame:
     """Per-user LAG window: microseconds since the user's previous event
     (NULL for the first). The per-group ordered-window shape: hash-partition
@@ -866,6 +899,7 @@ ORACLES = {
     "q1_pricing_summary": Q1_SQL,
     "orders_priority_counts": ORDERS_PRIORITY_SQL,
     "union_entity_keys": UNION_SQL,
+    "customers_without_recent_orders": CUSTOMERS_WITHOUT_RECENT_SQL,
     "events_lag_delta": LAG_DELTA_SQL,
     "events_rolling_value_sum": ROLLING_SUM_SQL,
     "orders_pivot_status_priority": PIVOT_SQL,
@@ -888,6 +922,7 @@ QUERIES = {
     "q1_pricing_summary": q1_pricing_summary,
     "orders_priority_counts": orders_priority_counts,
     "union_entity_keys": union_entity_keys,
+    "customers_without_recent_orders": customers_without_recent_orders,
     "events_lag_delta": events_lag_delta,
     "events_rolling_value_sum": events_rolling_value_sum,
     "orders_pivot_status_priority": orders_pivot_status_priority,
