@@ -101,6 +101,12 @@ def test_binary_encoded_lengths():
         F.Length(2, encoding="hex").lint(pa.binary())
     with pytest.raises(F.SpecError):
         F.Length(2, encoding="nope").lint(pa.string())
+    # lexically invalid forms can never satisfy an exact length; XSD-legal
+    # embedded spaces in base64 do not count; outer whitespace collapses
+    m, _ = F.Length(1, encoding="hex").check(pa.array(["abc", "ab", " ab "]))
+    assert m.tolist() == [True, False, False]
+    m, _ = F.Length(3, encoding="base64").check(pa.array(["TWFu", "TWF u", "TWFuX"]))
+    assert m.tolist() == [False, False, True]
 
 
 def test_explicit_timezone():

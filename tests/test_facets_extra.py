@@ -119,3 +119,19 @@ def test_xsd_regex_invalid_syntax_raises_at_compile():
     for bad in [r"(unclosed", r"a{2,1}"]:
         with pytest.raises(F.SpecError):
             translate_xsd_regex(bad)
+
+
+def test_xsd_regex_blocks_inside_classes():
+    # expansion inside [...] must be the bare range body — a nested
+    # bracket form is parsed by RE2 as literal '['/']' and matches nothing
+    p = translate_xsd_regex(r"[\p{IsHebrew}\p{IsArabic}]+")
+    assert _re2_full_match(p, ["שלום", "سلام", "abc"]) == [True, True, False]
+    assert _re2_full_match(translate_xsd_regex(r"[\i@]+"), ["name@x", "1bad"]) == [True, False]
+    assert _re2_full_match(translate_xsd_regex(r"[^\p{IsThai}]+"), ["abc", "สวัสดี"]) == [
+        True,
+        False,
+    ]
+    assert _re2_full_match(translate_xsd_regex(r"[\p{L}0-9]+"), ["héllo9", "!"]) == [True, False]
+    for bad in [r"[\P{IsThai}]", r"[\I]", r"[\C]"]:
+        with pytest.raises(F.SpecError):
+            translate_xsd_regex(bad)

@@ -98,3 +98,11 @@ def test_hyperplane_bucket_deterministic():
     planes = hyperplane_planes(16, 8)
     v = np.random.default_rng(1).standard_normal((10, 16))
     assert np.array_equal(hyperplane_bucket(v, planes), hyperplane_bucket(v.copy(), planes))
+
+
+def test_fingerprint_md5_null_safe():
+    from xmlschema_ray.functions.text import fingerprint_md5_16
+
+    out = fingerprint_md5_16(pd.Series(["a  b", None, "a b"]))
+    assert out.iloc[1] is None
+    assert out.iloc[0] == out.iloc[2]  # whitespace-collapse identity

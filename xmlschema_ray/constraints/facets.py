@@ -143,15 +143,23 @@ def _length_of(arr: pa.Array | pa.ChunkedArray, encoding: str = "none") -> pa.Ar
     if encoding != "none":
         # hexBinary / base64Binary lexical forms: XSD length counts DECODED
         # OCTETS, not characters (reference facets.py:165-172,208-215,
-        # 251-258: ``len(value) // 2`` for hex, padding arithmetic for b64)
+        # 251-258). Computed in FLOAT so lexically invalid forms (odd-length
+        # hex, base64 not a multiple of 4) yield a fractional octet count
+        # that can never equal/reach an integer bound — Length always fires
+        # on them instead of flooring to a plausible value. whiteSpace:
+        # both types collapse (outer trim); base64 additionally permits
+        # embedded single spaces, which do not count.
         if not (pa.types.is_string(t) or pa.types.is_large_string(t)):
             raise SpecError(f"encoding={encoding!r} length applies to lexical strings, got {t}")
-        n = pc.utf8_length(arr)
+        a = pc.utf8_trim_whitespace(arr)
         if encoding == "hex":
-            return pc.divide(n, 2)
+            n = pc.cast(pc.utf8_length(a), pa.float64())
+            return pc.divide(n, 2.0)
         if encoding == "base64":
-            pad = pc.count_substring(arr, "=")
-            return pc.subtract(pc.multiply(pc.divide(n, 4), 3), pad)
+            a = pc.replace_substring(a, " ", "")
+            n = pc.cast(pc.utf8_length(a), pa.float64())
+            pad = pc.cast(pc.count_substring(a, "="), pa.float64())
+            return pc.subtract(pc.divide(pc.multiply(n, 3.0), 4.0), pad)
         raise SpecError(f"unknown length encoding {encoding!r}")
     if pa.types.is_list(t) or pa.types.is_large_list(t):
         return pc.list_value_length(arr)

@@ -224,23 +224,67 @@ def translate_xsd_regex(pattern: str) -> str:
 
         out = _SUBTRACT_RE.sub(sub, out)
 
-    # \i \I \c \C shorthands
-    out = re.sub(r"(?<!\\)\\i", f"[{_NAME_START}]", out)
-    out = re.sub(r"(?<!\\)\\I", f"[^{_NAME_START}]", out)
-    out = re.sub(r"(?<!\\)\\c", f"[{_NAME_CHAR}]", out)
-    out = re.sub(r"(?<!\\)\\C", f"[^{_NAME_CHAR}]", out)
-
-    # \p{IsBlock} block names → literal ranges (categories pass through)
-    def block_sub(m: "re.Match") -> str:
-        name = m.group(2)
-        if name.startswith("Is"):
-            if name not in _BLOCKS:
-                raise SpecError(f"unsupported Unicode block {name!r} in XSD pattern")
-            rng = _BLOCKS[name]
-            return f"[^{rng}]" if m.group(1) == "P" else f"[{rng}]"
-        return m.group(0)  # general category: RE2-native
-
-    out = re.sub(r"\\([pP])\{([A-Za-z0-9-]+)\}", block_sub, out)
+    # \i \I \c \C shorthands and \p{IsBlock} block names, expanded with a
+    # CLASS-CONTEXT-AWARE scan: inside [...] the expansion must be the bare
+    # range body (a bracketed form would nest, which RE2 parses as literal
+    # '['/']' and the class silently matches nothing). Negated shorthands
+    # inside a class have no body form → SpecError (documented subset).
+    # General categories (\p{L} etc.) pass through — RE2-native in and out
+    # of classes.
+    pieces: List[str] = []
+    in_class = False
+    i = 0
+    while i < len(out):
+        ch = out[i]
+        if ch == "\\" and i + 1 < len(out):
+            nxt = out[i + 1]
+            if nxt in "iIcC":
+                body = _NAME_START if nxt in "iI" else _NAME_CHAR
+                neg = nxt.isupper()
+                if in_class:
+                    if neg:
+                        raise SpecError(
+                            f"\\{nxt} inside a character class is not expressible "
+                            f"as a class body (negated shorthand)"
+                        )
+                    pieces.append(body)
+                else:
+                    pieces.append(("[^" if neg else "[") + body + "]")
+                i += 2
+                continue
+            if nxt in "pP" and i + 2 < len(out) and out[i + 2] == "{":
+                close = out.find("}", i + 3)
+                if close == -1:
+                    raise SpecError(f"unterminated \\{nxt}{{...}} in XSD pattern")
+                name = out[i + 3 : close]
+                if name.startswith("Is"):
+                    if name not in _BLOCKS:
+                        raise SpecError(f"unsupported Unicode block {name!r} in XSD pattern")
+                    rng = _BLOCKS[name]
+                    neg = nxt == "P"
+                    if in_class:
+                        if neg:
+                            raise SpecError(
+                                f"\\P{{{name}}} inside a character class is not "
+                                f"expressible as a class body"
+                            )
+                        pieces.append(rng)
+                    else:
+                        pieces.append(("[^" if neg else "[") + rng + "]")
+                else:
+                    pieces.append(out[i : close + 1])  # RE2-native category
+                i = close + 1
+                continue
+            pieces.append(out[i : i + 2])
+            i += 2
+            continue
+        if ch == "[" and not in_class:
+            in_class = True
+        elif ch == "]" and in_class:
+            in_class = False
+        pieces.append(ch)
+        i += 1
+    out = "".join(pieces)
 
     # validate against the ENGINE that will run the facet — Arrow's RE2
     # kernel — not Python re (re lacks \p{...} categories, RE2 lacks

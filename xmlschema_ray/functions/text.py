@@ -127,7 +127,8 @@ def fingerprint_md5_16(texts: pd.Series) -> pd.Series:
     import hashlib
 
     norm = texts.str.replace(r"[ \t\n\r\f\v]+", " ", regex=True).str.strip(" ")
+    # null-safe like SQL md5(NULL) -> NULL (str accessors pass None through)
     return pd.Series(
-        [hashlib.md5(s.encode("utf-8")).hexdigest()[:16] for s in norm],
+        [None if s is None else hashlib.md5(s.encode("utf-8")).hexdigest()[:16] for s in norm],
         index=texts.index,
     )

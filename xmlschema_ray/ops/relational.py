@@ -310,7 +310,10 @@ def asof_join(
     """Adaptive as-of join: broadcast the right side when it fits comfortably
     in worker heap, else co-partitioned ``asof_join_bucketed``."""
     if isinstance(right, pd.DataFrame):
-        if right.memory_usage(deep=False).sum() <= broadcast_threshold_bytes:
+        # deep=True: shallow usage counts 8-byte POINTERS for object/string
+        # columns, so a multi-GB string frame would pass the gate and be
+        # broadcast into every worker heap
+        if right.memory_usage(deep=True).sum() <= broadcast_threshold_bytes:
             return asof_join_broadcast(ds, right, left_on, right_on, left_by, right_by)
         right = rd.from_pandas(right)
     if (right.size_bytes() or 0) <= broadcast_threshold_bytes:

@@ -35,3 +35,24 @@ def scaled_int(x, scale: float) -> np.ndarray:
 
 
 SQL_CENTS = "CAST(floor({col} * 100 + 0.5) AS BIGINT)"
+
+
+# Shared oracle-dump side channel: hash-model pipelines (MinHash/SimHash/
+# LSH) dump intermediate signatures here so the DuckDB oracle can re-derive
+# everything downstream of them. bench.py sets GRAFT_SKIP_ORACLE_DUMP=1 so
+# the timed pipelines never pay for the dump.
+ORACLE_DUMP_DIR = "/tmp/xmlschema_ray_oracle"
+
+
+def oracle_dump(ds, tag: str, enabled: bool = True) -> bool:
+    """Write ``ds`` under ``ORACLE_DUMP_DIR/tag`` unless dumping is off
+    (``enabled=False`` or the GRAFT_SKIP_ORACLE_DUMP env var is set).
+    Returns whether the dump happened."""
+    import shutil
+
+    if not enabled or os.environ.get("GRAFT_SKIP_ORACLE_DUMP"):
+        return False
+    d = os.path.join(ORACLE_DUMP_DIR, tag)
+    shutil.rmtree(d, ignore_errors=True)
+    ds.write_parquet(d)
+    return True

@@ -35,7 +35,7 @@ import ray.data as rd
 
 from xmlschema_ray.engine.stats import hash64
 from xmlschema_ray.functions import hashing as H
-from xmlschema_ray.pipelines.common import table_path
+from xmlschema_ray.pipelines.common import oracle_dump as _oracle_dump, table_path
 
 _WS = re.compile(r"\s+")
 
@@ -290,12 +290,11 @@ def minhash_lsh_dedup(
     )
 
     brows = ds.map_batches(band_rows, batch_format="pandas")
-    if _dump_enabled(oracle_dump):
-        # (band_hash, doc_id) rows let the DuckDB oracle re-derive candidate
-        # pairs, re-verify with TRUE shingle-string Jaccard, and re-cluster
-        # with a recursive CTE (MINHASH_SQL) — everything downstream of the
-        # signatures is cross-checked
-        _dump_ds(brows, "minhash_bands")
+    # (band_hash, doc_id) rows let the DuckDB oracle re-derive candidate
+    # pairs, re-verify with TRUE shingle-string Jaccard, and re-cluster
+    # with a recursive CTE (MINHASH_SQL) — everything downstream of the
+    # signatures is cross-checked
+    _oracle_dump(brows, "minhash_bands", oracle_dump)
     cand = hash_partition_apply(brows, "band_hash", bucket_pairs)
 
     # node set = every document id (isolated docs keep their own label);
@@ -443,24 +442,6 @@ FROM r GROUP BY n ORDER BY doc_id
 # -- SimHash --------------------------------------------------------------
 
 
-ORACLE_DUMP_DIR = "/tmp/xmlschema_ray_oracle"
-
-
-def _dump_enabled(flag: bool) -> bool:
-    """Oracle dumps are skipped when benchmarking (bench.py sets the env):
-    they exist purely so the DuckDB oracle can cross-check the hash-model
-    stages, and must not tax the timed pipelines."""
-    return flag and not os.environ.get("GRAFT_SKIP_ORACLE_DUMP")
-
-
-def _dump_ds(ds: "rd.Dataset", tag: str) -> None:
-    import shutil
-
-    d = os.path.join(ORACLE_DUMP_DIR, tag)
-    shutil.rmtree(d, ignore_errors=True)
-    ds.write_parquet(d)
-
-
 def simhash_pairs(sf_dir: str, max_hamming: int = 8, oracle_dump: bool = True) -> pd.DataFrame:
     """SimHash near-dup pairs (a < b, hamming <= k), fully distributed:
     explode each doc to 4 (16-bit-band, doc_id, simhash) rows, hash-
@@ -541,11 +522,11 @@ def simhash_pairs(sf_dir: str, max_hamming: int = 8, oracle_dump: bool = True) -
         .astype({"doc_id_a": "int64", "doc_id_b": "int64", "hamming": "int64"})
     )
 
-    if _dump_enabled(oracle_dump):
-        _dump_ds(
-            rows.filter(expr="band_key < 65536").select_columns(["doc_id", "simhash"]),
-            "simhash",
-        )
+    _oracle_dump(
+        rows.filter(expr="band_key < 65536").select_columns(["doc_id", "simhash"]),
+        "simhash",
+        oracle_dump,
+    )
     return pairs
 
 

@@ -87,19 +87,7 @@ ORDER BY 1, 2
 """
 
 
-ORACLE_DUMP_DIR = "/tmp/xmlschema_ray_oracle"
-
-
-def _dump(ds: "rd.Dataset", tag: str) -> bool:
-    import os
-    import shutil
-
-    if os.environ.get("GRAFT_SKIP_ORACLE_DUMP"):  # benchmarking: skip
-        return False
-    d = os.path.join(ORACLE_DUMP_DIR, tag)
-    shutil.rmtree(d, ignore_errors=True)
-    ds.write_parquet(d)
-    return True
+from xmlschema_ray.pipelines.common import ORACLE_DUMP_DIR, oracle_dump as _dump
 
 
 def knn_lsh(

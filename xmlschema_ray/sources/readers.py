@@ -30,6 +30,31 @@ def _lexical_to_null(arr: "pa.ChunkedArray | pa.Array", dtype: pa.DataType) -> p
     Arrow cast failed, so clean data never pays this cost."""
     s = arr.to_pandas()
     if pa.types.is_integer(dtype):
+        src = arr.type
+        if pa.types.is_string(src) or pa.types.is_large_string(src):
+            # exact path — NO float64 round-trip: a single bad cell must not
+            # corrupt valid keys above 2^53, and the XSD integer lexical
+            # space excludes '1.0'/'1e3' (reference simple_types.py:501-540
+            # errors on them; here they decode to null and surface in the
+            # not_null check)
+            a = arr.combine_chunks() if isinstance(arr, pa.ChunkedArray) else arr
+            trimmed = pc.utf8_trim_whitespace(pc.cast(a, pa.string()))
+            ok = pc.fill_null(pc.match_substring_regex(trimmed, r"^[+-]?[0-9]+$"), False)
+            masked = pc.if_else(ok, trimmed, pa.nulls(len(a), pa.string()))
+            try:
+                return pc.cast(masked, dtype)
+            except pa.ArrowInvalid:
+                # out-of-range survivors of the regex: per-element exact parse
+                info = np.iinfo(np.dtype(dtype.to_pandas_dtype()))
+                out = []
+                for v in masked.to_pylist():
+                    if v is None:
+                        out.append(None)
+                        continue
+                    iv = int(v)
+                    out.append(iv if info.min <= iv <= info.max else None)
+                return pa.array(out, type=dtype)
+        # numeric (already-lossy float) source: integral in-range values keep
         num = pd.to_numeric(s, errors="coerce")
         info = np.iinfo(np.dtype(dtype.to_pandas_dtype()))
         num = num.where((num >= info.min) & (num <= info.max) & (np.floor(num) == num))
