@@ -143,23 +143,30 @@ def _length_of(arr: pa.Array | pa.ChunkedArray, encoding: str = "none") -> pa.Ar
     if encoding != "none":
         # hexBinary / base64Binary lexical forms: XSD length counts DECODED
         # OCTETS, not characters (reference facets.py:165-172,208-215,
-        # 251-258). Computed in FLOAT so lexically invalid forms (odd-length
-        # hex, base64 not a multiple of 4) yield a fractional octet count
-        # that can never equal/reach an integer bound — Length always fires
-        # on them instead of flooring to a plausible value. whiteSpace:
-        # both types collapse (outer trim); base64 additionally permits
-        # embedded single spaces, which do not count.
+        # 251-258). Length-level lexical invalidity (odd hex, base64 not a
+        # multiple of 4 or with doubled spaces) yields a NaN octet count:
+        # every IEEE comparison with NaN is false, so Length, MinLength AND
+        # MaxLength all fire on such values — matching the reference, where
+        # an undecodable lexical form errors before any facet passes.
+        # Character-level validity stays the Pattern/type check's job.
+        # whiteSpace: both types collapse (outer trim); base64 additionally
+        # permits SINGLE embedded spaces, which do not count.
         if not (pa.types.is_string(t) or pa.types.is_large_string(t)):
             raise SpecError(f"encoding={encoding!r} length applies to lexical strings, got {t}")
         a = pc.utf8_trim_whitespace(arr)
+        nan = pa.scalar(float("nan"), pa.float64())
         if encoding == "hex":
-            n = pc.cast(pc.utf8_length(a), pa.float64())
-            return pc.divide(n, 2.0)
+            half = pc.divide(pc.cast(pc.utf8_length(a), pa.float64()), 2.0)
+            odd = pc.not_equal(pc.floor(half), half)
+            return pc.if_else(odd, nan, half)
         if encoding == "base64":
-            a = pc.replace_substring(a, " ", "")
-            n = pc.cast(pc.utf8_length(a), pa.float64())
-            pad = pc.cast(pc.count_substring(a, "="), pa.float64())
-            return pc.subtract(pc.divide(pc.multiply(n, 3.0), 4.0), pad)
+            bad_ws = pc.match_substring(a, "  ")
+            stripped = pc.replace_substring(a, " ", "")
+            quarters = pc.divide(pc.cast(pc.utf8_length(stripped), pa.float64()), 4.0)
+            bad_len = pc.not_equal(pc.floor(quarters), quarters)
+            pad = pc.cast(pc.count_substring(stripped, "="), pa.float64())
+            dec = pc.subtract(pc.multiply(quarters, 3.0), pad)
+            return pc.if_else(pc.or_(bad_ws, bad_len), nan, dec)
         raise SpecError(f"unknown length encoding {encoding!r}")
     if pa.types.is_list(t) or pa.types.is_large_list(t):
         return pc.list_value_length(arr)

@@ -219,6 +219,47 @@ WHERE a.doc_id < b.doc_id
 # -- MinHash + LSH --------------------------------------------------------
 
 
+def _cc_finalize(
+    edges: "rd.Dataset",
+    n_pairs: int,
+    nodes: np.ndarray,
+    docs_ds: "rd.Dataset",
+    cc_pairs_threshold: int,
+    cc_broadcast_nodes_threshold: int,
+) -> pd.DataFrame:
+    """Shared three-tier connected-components finalize for the dedup
+    clustering family: driver union-find for small pair sets → broadcast
+    min-label propagation → Dataset-join label propagation beyond broadcast
+    node counts. ``edges`` has int64 ``a``/``b``; ``docs_ds`` carries a
+    ``doc_id`` column for the beyond-broadcast node stream. Forced-path
+    tests prove all three tiers identical."""
+    from xmlschema_ray.ops.graph import (
+        connected_components_distributed,
+        connected_components_joined,
+        union_find,
+    )
+
+    if n_pairs <= cc_pairs_threshold:
+        verified = list(edges.select_columns(["a", "b"]).to_pandas().itertuples(index=False, name=None))
+        roots = union_find(nodes, verified)
+        return pd.DataFrame(sorted(roots.items()), columns=["doc_id", "cluster_root"]).astype(
+            "int64"
+        )
+    if nodes.size <= cc_broadcast_nodes_threshold:
+        cc = connected_components_distributed(edges, nodes)
+    else:
+        # beyond-broadcast finalize: the label table never touches the
+        # driver until this result-sized collect
+        nodes_ds = docs_ds.map_batches(
+            lambda t: pa.table({"node": pc.cast(t["doc_id"], pa.int64())}),
+            batch_format="pyarrow",
+            zero_copy_batch=True,
+        )
+        cc = connected_components_joined(edges, nodes_ds).to_pandas()
+    out = cc.rename(columns={"node": "doc_id", "root": "cluster_root"}).sort_values("doc_id")
+    return out.reset_index(drop=True).astype("int64")
+
+
 def minhash_lsh_dedup(
     sf_dir: str,
     shingle_n: int = 3,
@@ -276,7 +317,7 @@ def minhash_lsh_dedup(
             {"a": np.concatenate(outs_a), "b": np.concatenate(outs_b)}
         ).drop_duplicates()
 
-    from xmlschema_ray.ops.graph import connected_components_distributed, union_find
+    from xmlschema_ray.ops.graph import union_find
     from xmlschema_ray.ops.relational import (
         hash_bucket_join,
         hash_partition_apply,
@@ -371,32 +412,9 @@ def minhash_lsh_dedup(
         )
 
     edges = j.map_batches(verify, batch_format="pandas").materialize()
-    n_pairs = edges.count()
-
-    if n_pairs <= cc_pairs_threshold:
-        verified = list(edges.to_pandas().itertuples(index=False, name=None))
-        roots = union_find(nodes, verified)
-        out = pd.DataFrame(
-            sorted(roots.items()), columns=["doc_id", "cluster_root"]
-        ).astype("int64")
-    elif nodes.size <= cc_broadcast_nodes_threshold:
-        cc = connected_components_distributed(edges, nodes)
-        out = cc.rename(columns={"node": "doc_id", "root": "cluster_root"}).sort_values("doc_id")
-        out = out.reset_index(drop=True).astype("int64")
-    else:
-        # beyond-broadcast finalize: the label table never touches the
-        # driver until this result-sized collect
-        from xmlschema_ray.ops.graph import connected_components_joined
-
-        nodes_ds = ds.map_batches(
-            lambda t: pa.table({"node": pc.cast(t["doc_id"], pa.int64())}),
-            batch_format="pyarrow",
-            zero_copy_batch=True,
-        )
-        cc = connected_components_joined(edges, nodes_ds).to_pandas()
-        out = cc.rename(columns={"node": "doc_id", "root": "cluster_root"}).sort_values("doc_id")
-        out = out.reset_index(drop=True).astype("int64")
-    return out
+    return _cc_finalize(
+        edges, edges.count(), nodes, ds, cc_pairs_threshold, cc_broadcast_nodes_threshold
+    )
 
 
 # DuckDB cross-check of everything downstream of the MinHash signatures:
@@ -561,34 +579,15 @@ def simhash_clusters(
     union-find → broadcast min-label → Dataset-join label propagation).
     Oracle: transitive closure over the SQL-re-derived verified pairs
     (recursive CTE on the dumped signatures)."""
-    from xmlschema_ray.ops.graph import (
-        connected_components_distributed,
-        connected_components_joined,
-        union_find,
-    )
-
     pairs = simhash_pairs(sf_dir, max_hamming=max_hamming, oracle_dump=oracle_dump)
     ds = rd.read_parquet(table_path(sf_dir, "documents"), columns=["doc_id"])
     nodes = np.sort(ds.to_pandas()["doc_id"].to_numpy(dtype=np.int64))
-    if len(pairs) <= cc_pairs_threshold:
-        roots = union_find(nodes, list(zip(pairs["doc_id_a"], pairs["doc_id_b"])))
-        return pd.DataFrame(sorted(roots.items()), columns=["doc_id", "cluster_root"]).astype(
-            "int64"
-        )
     edges = rd.from_pandas(
         pairs.rename(columns={"doc_id_a": "a", "doc_id_b": "b"})[["a", "b"]].astype("int64")
     )
-    if nodes.size <= cc_broadcast_nodes_threshold:
-        cc = connected_components_distributed(edges, nodes)
-    else:
-        nodes_ds = ds.map_batches(
-            lambda t: pa.table({"node": pc.cast(t["doc_id"], pa.int64())}),
-            batch_format="pyarrow",
-            zero_copy_batch=True,
-        )
-        cc = connected_components_joined(edges, nodes_ds).to_pandas()
-    out = cc.rename(columns={"node": "doc_id", "root": "cluster_root"}).sort_values("doc_id")
-    return out.reset_index(drop=True).astype("int64")
+    return _cc_finalize(
+        edges, len(pairs), nodes, ds, cc_pairs_threshold, cc_broadcast_nodes_threshold
+    )
 
 
 SIMHASH_CLUSTERS_SQL = """

@@ -757,7 +757,14 @@ def customers_without_recent_orders(sf_dir: str, cutoff: str = "1998-06-01") -> 
     cust = rd.read_parquet(table_path(sf_dir, "customer"), columns=["c_custkey", "c_name"])
     out = anti_join(cust, okeys, on="c_custkey", key="o_custkey").to_pandas()
     if "c_custkey" not in out.columns:  # all-empty blocks lose the schema
-        out = pd.DataFrame({"c_custkey": pd.array([], dtype="int64"), "c_name": []})
+        out = pd.DataFrame(
+            {
+                "c_custkey": pd.array([], dtype="int64"),
+                # dtype=object: a bare [] would infer float64 and fail the
+                # oracle's strict dtype compare against DuckDB's varchar
+                "c_name": pd.Series([], dtype=object),
+            }
+        )
     return out.sort_values("c_custkey").reset_index(drop=True)
 
 

@@ -28,7 +28,6 @@ def _lexical_to_null(arr: "pa.ChunkedArray | pa.Array", dtype: pa.DataType) -> p
     decode-with-errors, ``simple_types.py:501-540``). Vectorized pandas
     fast paths per target family; only runs for batches where the strict
     Arrow cast failed, so clean data never pays this cost."""
-    s = arr.to_pandas()
     if pa.types.is_integer(dtype):
         src = arr.type
         if pa.types.is_string(src) or pa.types.is_large_string(src):
@@ -40,6 +39,9 @@ def _lexical_to_null(arr: "pa.ChunkedArray | pa.Array", dtype: pa.DataType) -> p
             a = arr.combine_chunks() if isinstance(arr, pa.ChunkedArray) else arr
             trimmed = pc.utf8_trim_whitespace(pc.cast(a, pa.string()))
             ok = pc.fill_null(pc.match_substring_regex(trimmed, r"^[+-]?[0-9]+$"), False)
+            # Arrow's string->int parser rejects a leading '+' (XSD-legal);
+            # strip it so '+5' stays on the vectorized path
+            trimmed = pc.replace_substring_regex(trimmed, r"^\+", "")
             masked = pc.if_else(ok, trimmed, pa.nulls(len(a), pa.string()))
             try:
                 return pc.cast(masked, dtype)
@@ -55,10 +57,11 @@ def _lexical_to_null(arr: "pa.ChunkedArray | pa.Array", dtype: pa.DataType) -> p
                     out.append(iv if info.min <= iv <= info.max else None)
                 return pa.array(out, type=dtype)
         # numeric (already-lossy float) source: integral in-range values keep
-        num = pd.to_numeric(s, errors="coerce")
+        num = pd.to_numeric(arr.to_pandas(), errors="coerce")
         info = np.iinfo(np.dtype(dtype.to_pandas_dtype()))
         num = num.where((num >= info.min) & (num <= info.max) & (np.floor(num) == num))
         return pa.Array.from_pandas(num, type=dtype, safe=False)
+    s = arr.to_pandas()
     if pa.types.is_floating(dtype):
         return pa.Array.from_pandas(pd.to_numeric(s, errors="coerce"), type=dtype)
     if pa.types.is_timestamp(dtype) or pa.types.is_date(dtype):
