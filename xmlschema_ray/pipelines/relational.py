@@ -736,6 +736,36 @@ ORDER BY e.event_id
 """
 
 
+def median_quantity_by_flag(sf_dir: str) -> pd.DataFrame:
+    """EXACT grouped median via key co-location: hash-partitioning on the
+    group key guarantees every group lands whole in one partition, where a
+    single vectorized ``groupby().median()`` computes the exact statistic.
+    Partitioning assumption: bounded key cardinality with per-group data
+    fitting a worker (true for categorical flags at any corpus size;
+    high-cardinality or giant-group quantiles use the engine's mergeable
+    histogram quantiles, ``engine/stats.py``, instead)."""
+    from xmlschema_ray.ops.relational import hash_partition_apply
+
+    ds = rd.read_parquet(
+        table_path(sf_dir, "lineitem"), columns=["l_returnflag", "l_quantity"]
+    )
+
+    def med(part: pd.DataFrame) -> pd.DataFrame:
+        g = part.assign(q=part["l_quantity"].astype("int64")).groupby(
+            "l_returnflag", sort=False
+        )["q"]
+        return pd.DataFrame({"med": g.median()}).reset_index()
+
+    out = hash_partition_apply(ds, "l_returnflag", med).to_pandas()
+    return out.sort_values("l_returnflag").reset_index(drop=True)
+
+
+MEDIAN_QUANTITY_SQL = """
+SELECT l_returnflag, median(CAST(l_quantity AS BIGINT)) AS med
+FROM lineitem GROUP BY l_returnflag ORDER BY l_returnflag
+"""
+
+
 def customers_without_recent_orders(sf_dir: str, cutoff: str = "1998-06-01") -> pd.DataFrame:
     """Anti-join: customers with no order at/after ``cutoff``. The fact
     side is predicate-pushed at the read and collapsed to its DISTINCT key
@@ -907,6 +937,7 @@ ORACLES = {
     "orders_priority_counts": ORDERS_PRIORITY_SQL,
     "union_entity_keys": UNION_SQL,
     "customers_without_recent_orders": CUSTOMERS_WITHOUT_RECENT_SQL,
+    "median_quantity_by_flag": MEDIAN_QUANTITY_SQL,
     "events_lag_delta": LAG_DELTA_SQL,
     "events_rolling_value_sum": ROLLING_SUM_SQL,
     "orders_pivot_status_priority": PIVOT_SQL,
@@ -930,6 +961,7 @@ QUERIES = {
     "orders_priority_counts": orders_priority_counts,
     "union_entity_keys": union_entity_keys,
     "customers_without_recent_orders": customers_without_recent_orders,
+    "median_quantity_by_flag": median_quantity_by_flag,
     "events_lag_delta": events_lag_delta,
     "events_rolling_value_sum": events_rolling_value_sum,
     "orders_pivot_status_priority": orders_pivot_status_priority,
