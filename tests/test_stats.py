@@ -88,3 +88,20 @@ def test_histogram_quantiles():
     # empty histogram -> NaNs
     qe = S.histogram_quantiles(np.zeros(10), edges)
     assert all(np.isnan(v) for v in qe.values())
+
+
+def test_isin_sorted_matches_np_isin():
+    rng = np.random.default_rng(7)
+    vals = rng.integers(0, 1 << 62, 20000).astype(np.uint64)
+    cands = np.sort(
+        np.concatenate([rng.choice(vals, 40, replace=False), rng.integers(0, 1 << 62, 10).astype(np.uint64)])
+    )
+    got = S.isin_sorted(vals, cands)
+    assert (got == np.isin(vals, cands)).all()
+    # boundary values: below min, equal min/max, above max
+    edge = np.array([cands[0] - 1, cands[0], cands[-1], cands[-1] + 1], dtype=np.uint64)
+    assert S.isin_sorted(edge, cands).tolist() == [
+        bool(np.isin(e, cands)) for e in edge
+    ]
+    assert S.isin_sorted(vals, np.array([], dtype=np.uint64)).sum() == 0
+    assert len(S.isin_sorted(np.array([], dtype=np.uint64), cands)) == 0

@@ -81,9 +81,34 @@ class Facet:
 
 
 def _cmp_violation(arr, op, value) -> np.ndarray:
-    """Violation mask for a comparison facet: True where NOT op(value)."""
+    """Violation mask for a comparison facet: True where NOT op(value).
+
+    Null-free numeric arrays take a zero-copy numpy compare: the pyarrow
+    array-vs-scalar kernel promotes through a scalar wrapper and measured
+    23 ms on a 4M-item int32 array vs ~1.5 ms for the numpy ufunc — this
+    is the innermost kernel of per-token range validation.
+    """
+    if isinstance(arr, pa.ChunkedArray):
+        arr = arr.combine_chunks()
+    np_op = _NUMPY_CMP.get(op)
+    if (
+        np_op is not None
+        and arr.null_count == 0
+        and (pa.types.is_integer(arr.type) or pa.types.is_floating(arr.type))
+        and isinstance(value, (int, float, np.integer, np.floating))
+        and not isinstance(value, bool)
+    ):
+        return ~np_op(arr.to_numpy(), value)
     ok = op(arr, value)
     return ~_to_numpy_bool(ok) & ~_null_mask(arr)
+
+
+_NUMPY_CMP = {
+    pc.greater_equal: np.greater_equal,
+    pc.greater: np.greater,
+    pc.less_equal: np.less_equal,
+    pc.less: np.less,
+}
 
 
 @dataclass(frozen=True)
@@ -384,14 +409,25 @@ class ItemFacets(Facet):
         # materializing per-item masks — the overwhelmingly common case.
         if values.null_count == 0 and self._batch_within_bounds(values):
             return viol, reprs
-        parent_idx = pc.list_parent_indices(arr).to_numpy(zero_copy_only=False)
         item_viol = np.zeros(len(values), dtype=bool)
         for f in self.facets:
             m, _ = f.check(values)
             item_viol |= m
         if item_viol.any():
             bad_pos = np.flatnonzero(item_viol)
-            bad_parent = parent_idx[bad_pos]
+            if arr.null_count == 0:
+                # parents of only the violating items via binary search on
+                # the list offsets — list_parent_indices materializes one
+                # int64 per ITEM (15 ms on a 4M-item batch) when a handful
+                # of violations need mapping. Offsets of a sliced array
+                # don't start at 0; positions are relative to offsets[0].
+                off = arr.offsets.to_numpy(zero_copy_only=False).astype(np.int64)
+                bad_parent = np.searchsorted(off[1:] - off[0], bad_pos, side="right")
+            else:
+                # null lists are skipped by list_flatten, so flat positions
+                # no longer align with offsets — use the consistent kernel.
+                parent_idx = pc.list_parent_indices(arr).to_numpy(zero_copy_only=False)
+                bad_parent = parent_idx[bad_pos]
             # first offending item per parent
             uniq_parent, first_ix = np.unique(bad_parent, return_index=True)
             viol[uniq_parent] = True

@@ -383,7 +383,7 @@ class ValidationEngine:
         CANDIDATE, never a false violation.
         """
         from xmlschema_ray.engine.row_validator import unique_key_column
-        from xmlschema_ray.engine.stats import hash64
+        from xmlschema_ray.engine.stats import hash64, isin_sorted
 
         out_cols = ["constraint_name", "column", "key", "total", "first_pid"]
         frames: List[pd.DataFrame] = []
@@ -399,7 +399,7 @@ class ValidationEngine:
                 tbl = pads.dataset(source).to_table(columns=ukcols)
                 keycol = unique_key_column(tbl, ukcols).drop_null()
                 vals = keycol.to_numpy(zero_copy_only=False)
-                m = np.isin(hash64(vals), cand_hashes)
+                m = isin_sorted(hash64(vals), cand_hashes)
                 uniq, cnt = np.unique(vals[m], return_counts=True)
             else:
                 cand_ref = ray.put(cand_hashes)
@@ -411,7 +411,7 @@ class ValidationEngine:
                         ch = state["ch"] = ray.get(cand_ref)
                     keycol = unique_key_column(batch, ukcols).drop_null()
                     v = keycol.to_numpy(zero_copy_only=False)
-                    mm = np.isin(hash64(v), ch)
+                    mm = isin_sorted(hash64(v), ch)
                     u, c = np.unique(v[mm], return_counts=True)
                     return pa.table(
                         {"key": pa.array(u, type=pa.string()), "partial": pa.array(c, type=pa.int64())}
@@ -528,7 +528,9 @@ class ValidationEngine:
                     cand = np.unique(np.concatenate([adj, h[cnts > 1]]))
                     if not cand.size:
                         continue
-                    m = np.isin(h, cand)
+                    from xmlschema_ray.engine.stats import isin_sorted
+
+                    m = isin_sorted(h, cand)
                     pid = sub["partition_id"].to_numpy(zero_copy_only=False)
                     gb = pd.DataFrame(
                         {"key_hash": h[m], "count": cnts[m], "pid": pid[m]}

@@ -42,6 +42,24 @@ def hash64(values: np.ndarray) -> np.ndarray:
     return pd.util.hash_array(values, categorize=False)
 
 
+def isin_sorted(values: np.ndarray, sorted_cands: np.ndarray) -> np.ndarray:
+    """Membership of ``values`` in an ascending-sorted candidate array.
+
+    O(n log m) binary search. ``np.isin`` degenerates to an O(n*m)
+    elementwise sweep when the candidate set is small relative to the
+    value array — measured at 2.4 s for 4M uint64 hashes against ~100
+    candidates on this box, vs ~30 ms for this form — which made the
+    membership test (not the parquet scan) the dominant cost of the
+    stage-B exact-recovery rescan.
+    """
+    values = np.asarray(values)
+    if not len(sorted_cands) or not len(values):
+        return np.zeros(len(values), dtype=bool)
+    idx = np.searchsorted(sorted_cands, values)
+    idx[idx == len(sorted_cands)] = 0
+    return sorted_cands[idx] == values
+
+
 def hll_new() -> np.ndarray:
     return np.zeros(_HLL_M, dtype=np.uint8)
 

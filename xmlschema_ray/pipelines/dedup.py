@@ -714,7 +714,9 @@ def embedding_dup_pairs_ivf(
         probes = np.argsort(-(vecs @ cent.T), axis=1)[:, :n_probe]
         out_a, out_b = [], []
         for i in range(len(bids)):
-            m = np.isin(cassign, probes[i]) & (cids > bids[i])
+            lut = np.zeros(len(cent), dtype=bool)
+            lut[probes[i]] = True
+            m = lut[cassign] & (cids > bids[i])
             if not m.any():
                 continue
             cos = cmat[m] @ vecs[i]

@@ -230,7 +230,11 @@ def knn_ivf(
         ids = batch["vec_id"].to_numpy()
         frames = []
         for qi in range(len(b_qids)):
-            mask = np.isin(assign, b_probe[qi])
+            # O(n) lookup-table membership: np.isin against a small probe
+            # set degrades to an elementwise sweep per probe
+            lut = np.zeros(len(b_cent), dtype=bool)
+            lut[b_probe[qi]] = True
+            mask = lut[assign]
             if not mask.any():
                 continue
             cos = nvecs[mask] @ b_nq[qi]
