@@ -185,3 +185,57 @@ def test_asof_join_bucketed_matches_broadcast(ray_session):
         .reset_index(drop=True)
     )
     pd.testing.assert_frame_equal(ad[cols], bc[cols])
+
+
+def test_hash_partition_apply_empty_partitions_keep_schema(ray_session):
+    """Forced-empty partitions: 2 distinct keys over 32 partitions and 16
+    input blocks leave most shuffle ranges empty — every output block must
+    still carry the declared columns, and to_pandas must keep the schema."""
+    from xmlschema_ray.ops.relational import to_pandas_with_schema
+
+    df = pd.DataFrame({"k": np.repeat([1, 2], 500), "v": np.arange(1000.0)})
+    ds = rd.from_pandas(df).repartition(16)
+
+    def per(g: pd.DataFrame) -> pd.DataFrame:
+        gb = g.groupby("k", sort=False)
+        return pd.DataFrame({"s": gb["v"].sum()}).reset_index()
+
+    out = hash_partition_apply(ds, "k", per, num_partitions=32)
+    blocks = list(out.iter_batches(batch_size=None, batch_format="pandas"))
+    assert blocks, "no output blocks"
+    for b in blocks:
+        assert list(b.columns) == ["k", "s"], list(b.columns)
+    got = out.to_pandas()
+    got = got[got["s"].notna()].astype({"k": "int64"}) if got["k"].isna().any() else got
+    got = got.sort_values("k").reset_index(drop=True)
+    exp = df.groupby("k")["v"].sum().rename("s").reset_index()
+    pd.testing.assert_frame_equal(got[got["s"] > 0].reset_index(drop=True), exp)
+
+    # all-filtered result keeps columns through the helper
+    empty = to_pandas_with_schema(out.filter(expr="s < 0"))
+    assert list(empty.columns) == ["k", "s"] and len(empty) == 0
+
+
+def test_copartition_empty_partitions_keep_schema(ray_session):
+    from xmlschema_ray.ops.relational import hash_bucket_join
+
+    left = pd.DataFrame({"k": [1, 1, 2], "a": [10, 20, 30]})
+    right = pd.DataFrame({"k2": [1, 2, 2], "b": ["x", "y", "z"]})
+    out = hash_bucket_join(
+        rd.from_pandas(left).repartition(4),
+        rd.from_pandas(right).repartition(4),
+        "k",
+        "k2",
+        num_partitions=16,
+    )
+    blocks = list(out.iter_batches(batch_size=None, batch_format="pandas"))
+    cols = {tuple(b.columns) for b in blocks}
+    assert cols == {("k", "a", "b")}, cols
+    got = out.to_pandas().sort_values(["k", "a", "b"]).reset_index(drop=True)
+    exp = (
+        left.merge(right, left_on="k", right_on="k2")
+        .drop(columns="k2")
+        .sort_values(["k", "a", "b"])
+        .reset_index(drop=True)
+    )
+    pd.testing.assert_frame_equal(got, exp)

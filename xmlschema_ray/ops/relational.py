@@ -229,6 +229,18 @@ def copartition_apply(
         part = (h % np.uint64(num_partitions)).astype(np.int64)
         return batch.append_column("__part", pa.array(part))
 
+    empty_l = pa.schema([lschema.field(c) for c in lcols]).empty_table().to_pandas()
+    empty_r = (
+        pa.schema(
+            [pa.field(right_key, rschema.field(right_key).type)]
+            + [rschema.field(c) for c in rcols_out]
+        )
+        .empty_table()
+        .to_pandas()
+    )
+    l_dtypes = dict(empty_l.dtypes)
+    r_dtypes = dict(empty_r.dtypes)
+
     def per_part(g: pa.Table) -> pd.DataFrame:
         side = g["__side"].to_numpy(zero_copy_only=False)
         lmask = side == 0
@@ -236,12 +248,31 @@ def copartition_apply(
         rt = g.select([left_key] + rcols_out).filter(pa.array(~lmask)).rename_columns(
             [right_key] + rcols_out
         )
-        return fn(lf, rt.to_pandas())
+        # the shuffle carried this partition as a pandas block, so the
+        # padded typed nulls degraded int64 -> float64; the pad rows are
+        # filtered out by now, so the declared dtypes are restorable
+        return fn(
+            _restore_dtypes(lf, l_dtypes), _restore_dtypes(rt.to_pandas(), r_dtypes)
+        )
+
+    # output-schema template for empty shuffle partitions (see
+    # _derive_template): typed empty sides built straight from the two
+    # Arrow schemas — no extra plan execution needed here.
+    template = _derive_template(fn, empty_l, empty_r)
+
+    def per_block(block: pa.Table):
+        if block.num_rows == 0:
+            if template is not None:
+                yield template.copy()
+            return
+        parts = block["__part"].to_numpy(zero_copy_only=False)
+        for p in np.unique(parts):
+            yield per_part(block.filter(pa.array(parts == p)).drop_columns(["__part"]))
 
     return (
         unified.map_batches(add_part, batch_format="pyarrow", zero_copy_batch=True)
-        .groupby("__part")
-        .map_groups(per_part, batch_format="pyarrow")
+        .sort("__part")
+        .map_batches(per_block, batch_size=None, batch_format="pyarrow")
     )
 
 
@@ -328,6 +359,78 @@ def asof_join(
 # -- hash-partitioned apply ----------------------------------------------
 
 
+def _restore_dtypes(df: pd.DataFrame, dtypes: Dict[str, "np.dtype"]) -> pd.DataFrame:
+    """Best-effort cast back to declared dtypes after a pandas round-trip.
+
+    Ray's sort/shuffle path carries blocks as pandas frames, where typed
+    Arrow nulls turn int64 into float64 (values below 2^53 stay exact).
+    Columns that still hold NaN (genuine nulls) are left as-is.
+    """
+    for c, dt in dtypes.items():
+        if c in df.columns and df[c].dtype != dt:
+            try:
+                df[c] = df[c].astype(dt)
+            except (ValueError, TypeError):
+                pass
+    return df
+
+
+def _empty_like(ds: rd.Dataset) -> Optional[pd.DataFrame]:
+    """Typed empty pandas frame matching ``ds``'s schema (None if unknown)."""
+    try:
+        base = ds.schema().base_schema
+    except Exception:
+        return None
+    if base is None:
+        return None
+    if isinstance(base, pa.Schema):
+        return base.empty_table().to_pandas()
+    return pd.DataFrame({n: pd.Series([], dtype=t) for n, t in zip(base.names, base.types)})
+
+
+def _derive_template(fn, *empty_inputs) -> Optional[pd.DataFrame]:
+    """Output-schema template: ``fn`` applied to typed empty inputs.
+
+    Empty shuffle partitions never reach ``fn`` in Ray's group machinery,
+    so their blocks carry NO schema (``PandasBlockSchema(names=[])``) —
+    downstream ``to_pandas`` then loses the columns entirely and the
+    streaming executor logs schema-divergence warnings. Emitting this
+    template for empty partitions keeps every bundle on one schema.
+    None when the schema is unknown or ``fn`` can't run on empty input
+    (callers then fall back to yielding nothing for empty partitions).
+    """
+    if any(e is None for e in empty_inputs):
+        return None
+    try:
+        out = fn(*(e.copy() for e in empty_inputs))
+        return out.head(0) if isinstance(out, pd.DataFrame) else None
+    except Exception:
+        return None
+
+
+def to_pandas_with_schema(ds: rd.Dataset) -> pd.DataFrame:
+    """``Dataset.to_pandas`` that keeps columns/dtypes for all-empty results.
+
+    Ray's ``to_pandas`` returns a column-less ``DataFrame()`` whenever the
+    dataset has zero rows, even when every block carries a schema — this
+    recovers the schema from the executed plan instead.
+    """
+    df = ds.to_pandas()
+    if len(df.columns):
+        return df
+    try:
+        base = ds.schema().base_schema
+    except Exception:
+        return df
+    if base is None:
+        return df
+    if isinstance(base, pa.Schema):
+        return base.empty_table().to_pandas()
+    if base.names:
+        return pd.DataFrame({n: pd.Series([], dtype=t) for n, t in zip(base.names, base.types)})
+    return df
+
+
 def hash_partition_apply(
     ds: rd.Dataset,
     key_cols: Union[str, List[str]],
@@ -344,8 +447,17 @@ def hash_partition_apply(
     per-partition work fully vectorized; ``fn`` must do its own
     ``groupby(keys)`` inside the partition. All rows of one key land in
     one partition (hash-partition co-location guarantee).
+
+    Physical plan: ``sort(__part)`` + block-wise map with ``batch_size=None``
+    — the same sort-then-whole-block shape ``groupby().map_groups`` lowers
+    to (its batch==block note), inlined so that EMPTY sort ranges (ranges
+    that received no partition value) emit a typed empty template instead
+    of a schema-less block.
     """
     keys = [key_cols] if isinstance(key_cols, str) else list(key_cols)
+    empty_in = _empty_like(ds)
+    template = _derive_template(fn, empty_in)
+    in_dtypes = dict(empty_in.dtypes) if empty_in is not None else {}
 
     def add_part(batch: pd.DataFrame) -> pd.DataFrame:
         h = pd.util.hash_pandas_object(batch[keys], index=False).to_numpy()
@@ -353,13 +465,18 @@ def hash_partition_apply(
         batch["__part"] = (h % np.uint64(num_partitions)).astype(np.int64)
         return batch
 
-    def per_part(g: pd.DataFrame) -> pd.DataFrame:
-        return fn(g.drop(columns="__part"))
+    def per_block(block: pd.DataFrame):
+        if len(block) == 0:
+            if template is not None:
+                yield template.copy()
+            return
+        for _, g in block.groupby("__part", sort=False):
+            yield fn(_restore_dtypes(g.drop(columns="__part"), in_dtypes))
 
     return (
         ds.map_batches(add_part, batch_format="pandas")
-        .groupby("__part")
-        .map_groups(per_part, batch_format="pandas")
+        .sort("__part")
+        .map_batches(per_block, batch_size=None, batch_format="pandas")
     )
 
 

@@ -65,7 +65,11 @@ def exact_dedup(
     driver-side on the (result-sized) partials; above it they are hash
     shuffles.
     """
-    from xmlschema_ray.ops.relational import hash_partition_apply, semi_join
+    from xmlschema_ray.ops.relational import (
+        hash_partition_apply,
+        semi_join,
+        to_pandas_with_schema,
+    )
 
     if distributed_threshold_bytes is None:
         distributed_threshold_bytes = DEDUP_DISTRIBUTED_THRESHOLD_BYTES
@@ -116,9 +120,7 @@ def exact_dedup(
     else:
         hcounts = hash_partition_apply(partials, "h", merge_h).materialize()
         uniq = hcounts.filter(expr="n == 1").select_columns(["keep_id", "n"]).to_pandas()
-        dup_h_df = hcounts.filter(expr="n > 1").select_columns(["h"]).to_pandas()
-        # all-empty blocks lose the schema through to_pandas
-        dup_h = dup_h_df["h"] if "h" in dup_h_df.columns else pd.Series([], dtype="uint64")
+        dup_h = to_pandas_with_schema(hcounts.filter(expr="n > 1").select_columns(["h"]))["h"]
         if len(dup_h):
             cand = semi_join(
                 ds.map_batches(add_h, batch_format="pandas"), dup_h.to_numpy(), on="h"
@@ -617,13 +619,27 @@ FROM r GROUP BY n ORDER BY doc_id
 # -- embedding cosine near-dup -------------------------------------------
 
 
-def embedding_dup_pairs(sf_dir: str, threshold: float = 0.5):
+def embedding_dup_pairs(
+    sf_dir: str, threshold: float = 0.5, max_corpus_bytes: int = 256 << 20
+):
     """Embedding-cosine near-dup pairs vs broadcast normalized matrix.
 
     Threshold 0.5 keeps the oracle row non-vacuous on the driver testdata
-    (the synthetic embeddings have no >0.8 pairs)."""
+    (the synthetic embeddings have no >0.8 pairs).
+
+    This is the EXACT all-pairs baseline — a whole-corpus broadcast and an
+    O(n²) similarity matrix — so it refuses corpora beyond
+    ``max_corpus_bytes``; the scale path is
+    :func:`embedding_dup_pairs_ivf` (centroid-bucketed compares)."""
     from xmlschema_ray.functions.vector import normalize_rows
 
+    corpus_bytes = os.path.getsize(table_path(sf_dir, "embeddings"))
+    if corpus_bytes > max_corpus_bytes:
+        raise ValueError(
+            f"embedding_dup_pairs is an exact all-pairs baseline; corpus is "
+            f"{corpus_bytes >> 20} MiB > max_corpus_bytes={max_corpus_bytes >> 20} MiB. "
+            f"Use embedding_dup_pairs_ivf for large corpora."
+        )
     tbl = rd.read_parquet(table_path(sf_dir, "embeddings"), columns=["vec_id", "embedding"])
     corpus = tbl.to_pandas()
     ids = corpus["vec_id"].to_numpy()
@@ -649,11 +665,9 @@ def embedding_dup_pairs(sf_dir: str, threshold: float = 0.5):
             }
         )
 
-    out = tbl.map_batches(cosine_pairs, batch_format="pandas").to_pandas()
-    if out.empty:  # all-empty blocks lose the schema through to_pandas
-        out = pd.DataFrame(
-            {"vec_id_a": pd.array([], dtype="int64"), "vec_id_b": pd.array([], dtype="int64")}
-        )
+    from xmlschema_ray.ops.relational import to_pandas_with_schema
+
+    out = to_pandas_with_schema(tbl.map_batches(cosine_pairs, batch_format="pandas"))
     return out.sort_values(["vec_id_a", "vec_id_b"]).reset_index(drop=True)
 
 

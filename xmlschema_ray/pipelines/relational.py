@@ -773,7 +773,11 @@ def customers_without_recent_orders(sf_dir: str, cutoff: str = "1998-06-01") -> 
     hash-partitioned dedup, so the collect is bounded by the DIMENSION
     size, never the fact size), then broadcast into a vectorized NOT-IN
     filter over the customer scan."""
-    from xmlschema_ray.ops.relational import anti_join, hash_partition_apply
+    from xmlschema_ray.ops.relational import (
+        anti_join,
+        hash_partition_apply,
+        to_pandas_with_schema,
+    )
 
     okeys = hash_partition_apply(
         rd.read_parquet(
@@ -785,16 +789,7 @@ def customers_without_recent_orders(sf_dir: str, cutoff: str = "1998-06-01") -> 
         lambda p: p.drop_duplicates(),
     ).to_pandas()
     cust = rd.read_parquet(table_path(sf_dir, "customer"), columns=["c_custkey", "c_name"])
-    out = anti_join(cust, okeys, on="c_custkey", key="o_custkey").to_pandas()
-    if "c_custkey" not in out.columns:  # all-empty blocks lose the schema
-        out = pd.DataFrame(
-            {
-                "c_custkey": pd.array([], dtype="int64"),
-                # dtype=object: a bare [] would infer float64 and fail the
-                # oracle's strict dtype compare against DuckDB's varchar
-                "c_name": pd.Series([], dtype=object),
-            }
-        )
+    out = to_pandas_with_schema(anti_join(cust, okeys, on="c_custkey", key="o_custkey"))
     return out.sort_values("c_custkey").reset_index(drop=True)
 
 
