@@ -164,6 +164,13 @@ def test_ngram_jaccard_refuses_large_corpus(ray_session):
         ngram_jaccard_pairs(SF_DIR, max_corpus_bytes=1)
 
 
+def test_embedding_dup_pairs_refuses_large_corpus(ray_session):
+    from xmlschema_ray.pipelines.dedup import embedding_dup_pairs
+
+    with pytest.raises(ValueError, match="embedding_dup_pairs_ivf"):
+        embedding_dup_pairs(SF_DIR, max_corpus_bytes=1)
+
+
 def test_simhash_clusters_forced_cc_paths_match(ray_session):
     from xmlschema_ray.pipelines.dedup import simhash_clusters
 

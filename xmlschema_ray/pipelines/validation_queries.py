@@ -249,6 +249,257 @@ FROM lineitem WHERE NOT (l_tax > 0.0)
 """
 
 
+# -- binary-lexical lengths: hexBinary / base64Binary decoded octets ------
+
+
+def val_hex_length(sf_dir: str):
+    """Decoded-octet length facets over DERIVED lexical binary columns
+    (reference ``facets.py:165-172,208-215,251-258``: XSD length counts
+    decoded octets, and an undecodable lexical form fails every length
+    facet). Columns are derived from ``md5(text)`` prefixes whose length
+    varies with ``doc_id`` so odd-hex / non-multiple-of-4 base64 forms
+    (NaN octet count → every comparison fires) appear deterministically;
+    the SQL oracle re-derives the same prefixes with DuckDB's ``md5``.
+    """
+    import hashlib
+
+    spec = TableConstraints(
+        name="binary_length_checks",
+        columns=[
+            ColumnSpec("doc_id", pa.int64()),
+            ColumnSpec("hexcol", pa.string(), facets=(F.Length(4, encoding="hex"),)),
+            ColumnSpec(
+                "b64col",
+                pa.string(),
+                facets=(F.MinLength(4, encoding="base64"), F.MaxLength(6, encoding="base64")),
+            ),
+        ],
+        key_columns=("doc_id",),
+    )
+
+    def derive(batch: pd.DataFrame) -> pd.DataFrame:
+        digests = [hashlib.md5(t.encode()).hexdigest() for t in batch["text"]]
+        ids = batch["doc_id"].to_numpy()
+        return pd.DataFrame(
+            {
+                "doc_id": ids,
+                "hexcol": [d[: 8 + int(i) % 3] for d, i in zip(digests, ids)],
+                "b64col": [d[: 8 + int(i) % 5] for d, i in zip(digests, ids)],
+            }
+        )
+
+    ds = rd.read_parquet(table_path(sf_dir, "documents"), columns=["doc_id", "text"]).map_batches(
+        derive, batch_format="pandas"
+    )
+    state: dict = {}
+
+    def fn(batch: pa.Table) -> pa.Table:
+        tv = state.get("tv")
+        if tv is None:
+            tv = state["tv"] = TypedViolations(spec, ["doc_id"])
+        return tv(batch)
+
+    return ds.map_batches(fn, batch_format="pyarrow", zero_copy_batch=True)
+
+
+VAL_HEX_LENGTH_SQL = """
+WITH d AS (
+  SELECT doc_id,
+         substr(md5(text), 1, CAST(8 + doc_id % 3 AS INTEGER)) AS hexcol,
+         substr(md5(text), 1, CAST(8 + doc_id % 5 AS INTEGER)) AS b64col
+  FROM documents
+), l AS (
+  SELECT doc_id,
+         CASE WHEN length(hexcol) % 2 = 0 THEN length(hexcol) / 2 END AS hex_octets,
+         CASE WHEN length(b64col) % 4 = 0 THEN length(b64col) / 4 * 3 END AS b64_octets
+  FROM d
+)
+SELECT doc_id, 'hexcol.length(4,hex)' AS constraint_name, 'hexcol' AS col_name
+FROM l WHERE hex_octets IS NULL OR hex_octets <> 4
+UNION ALL
+SELECT doc_id, 'b64col.minLength(4,base64)', 'b64col'
+FROM l WHERE b64_octets IS NULL OR b64_octets < 4
+UNION ALL
+SELECT doc_id, 'b64col.maxLength(6,base64)', 'b64col'
+FROM l WHERE b64_octets IS NULL OR b64_octets > 6
+"""
+
+
+# -- lexical-form facets: union, whiteSpace, digits, explicitTimezone -----
+
+
+def val_lexical_forms(sf_dir: str):
+    """One query through the remaining simple-type facet families
+    (reference ``facets.py:96-129,401-455,458-487``,
+    ``simple_types.py:879-930``):
+
+    * ``UnionFacets`` — ``event_type`` valid if in {click, view} OR
+      matching ``s.*`` (ordered-coalesce member validity);
+    * ``WhiteSpace(collapse)`` — a derived column with a deterministic
+      leading space every 7th event;
+    * ``TotalDigits(2)`` — significant digits of ``user_id`` (int lexical
+      form, exact in any engine);
+    * ``FractionDigits(2)`` — over ``q = (user_id % 1000) / 8.0``: eighths
+      have exact shortest-repr decimals, so Python and DuckDB print the
+      same lexical form;
+    * ``ExplicitTimezone(required)`` — the spec DECLARES a tz-aware
+      timestamp but the data arrives tz-naive (schema drift), so the
+      row-level check flags every non-null row — the runtime complement
+      of the compile-time lint that rejects a statically-wrong spec.
+    """
+    spec = TableConstraints(
+        name="lexical_checks",
+        columns=[
+            ColumnSpec("event_id", pa.int64()),
+            ColumnSpec(
+                "ts",
+                pa.timestamp("us", tz="UTC"),
+                facets=(F.ExplicitTimezone("required"),),
+            ),
+            ColumnSpec(
+                "event_type",
+                pa.string(),
+                facets=(
+                    F.UnionFacets(
+                        ((F.Enumeration(("click", "view")),), (F.Pattern("s.*"),))
+                    ),
+                ),
+            ),
+            ColumnSpec("event_type_padded", pa.string(), facets=(F.WhiteSpace("collapse"),)),
+            ColumnSpec("user_id", pa.int64(), facets=(F.TotalDigits(2),)),
+            ColumnSpec("q", pa.float64(), facets=(F.FractionDigits(2),)),
+        ],
+        key_columns=("event_id",),
+    )
+
+    def derive(batch: pd.DataFrame) -> pd.DataFrame:
+        ids = batch["event_id"].to_numpy()
+        et = batch["event_type"].astype(str)
+        return pd.DataFrame(
+            {
+                "event_id": ids,
+                "ts": batch["ts"],
+                "event_type": et,
+                "event_type_padded": np.where(ids % 7 == 0, " " + et, et),
+                "user_id": batch["user_id"],
+                "q": (batch["user_id"].to_numpy() % 1000) / 8.0,
+            }
+        )
+
+    ds = rd.read_parquet(
+        table_path(sf_dir, "events"), columns=["event_id", "ts", "event_type", "user_id"]
+    ).map_batches(derive, batch_format="pandas")
+    state: dict = {}
+
+    def fn(batch: pa.Table) -> pa.Table:
+        tv = state.get("tv")
+        if tv is None:
+            tv = state["tv"] = TypedViolations(spec, ["event_id"])
+        return tv(batch)
+
+    return ds.map_batches(fn, batch_format="pyarrow", zero_copy_batch=True)
+
+
+VAL_LEXICAL_SQL = """
+SELECT event_id, 'ts.explicitTimezone(required)' AS constraint_name, 'ts' AS col_name
+FROM events WHERE ts IS NOT NULL
+UNION ALL
+SELECT event_id,
+       'event_type.union[enumeration([''click'', ''view''])|pattern(''s.*'')]',
+       'event_type'
+FROM events
+WHERE NOT (event_type IN ('click', 'view') OR regexp_matches(event_type, '^(s.*)$'))
+UNION ALL
+SELECT event_id, 'event_type_padded.whiteSpace(collapse)', 'event_type_padded'
+FROM events WHERE event_id % 7 = 0
+UNION ALL
+SELECT event_id, 'user_id.totalDigits(2)', 'user_id'
+FROM events WHERE length(trim(CAST(user_id AS VARCHAR), '0')) > 2
+UNION ALL
+SELECT event_id, 'q.fractionDigits(2)', 'q'
+FROM events
+WHERE length(split_part(trim(CAST((user_id % 1000) / 8.0 AS VARCHAR), '0'), '.', 2)) > 2
+"""
+
+
+# -- composed occurs group: ParticleCounter interval over list columns ----
+
+
+def val_group_occurs(sf_dir: str):
+    """Composed content-model occurs check (reference ``helpers.py:224-254``
+    ParticleCounter arithmetic, ``groups.py`` ModelGroup composition):
+    ``sequence(title_words[1,3], choice(tags[0,2], refs[1,4])[1,2])``
+    derives bounds (1, 11) at COMPILE time; the scan checks the summed
+    list lengths against those two constants. List lengths are derived
+    deterministically from ``doc_id`` (contents are irrelevant to occurs),
+    and the SQL oracle re-derives the same lengths — so a regression in
+    the interval arithmetic breaks the hash match."""
+    from xmlschema_ray.constraints.occurs import ContentGroup, Particle, group_occurs_check
+
+    group = ContentGroup(
+        "sequence",
+        (
+            Particle("title_words", min_occurs=1, max_occurs=3),
+            ContentGroup(
+                "choice",
+                (Particle("tags", 0, 2), Particle("refs", 1, 4)),
+                min_occurs=1,
+                max_occurs=2,
+            ),
+        ),
+    )
+    spec = TableConstraints(
+        name="occurs_checks",
+        columns=[
+            ColumnSpec("doc_id", pa.int64()),
+            ColumnSpec("title_words", pa.list_(pa.int64())),
+            ColumnSpec("tags", pa.list_(pa.int64())),
+            ColumnSpec("refs", pa.list_(pa.int64())),
+        ],
+        key_columns=("doc_id",),
+        row_checks=(group_occurs_check(group, name="doc_parts_occurs"),),
+    )
+
+    def derive(batch: pa.Table) -> pa.Table:
+        ids = batch["doc_id"].to_numpy(zero_copy_only=False)
+
+        def lists_of(lengths: np.ndarray) -> pa.ListArray:
+            offsets = np.concatenate([[0], np.cumsum(lengths)])
+            values = np.concatenate([np.arange(n) for n in lengths]) if lengths.sum() else np.array([], dtype=np.int64)
+            return pa.ListArray.from_arrays(
+                pa.array(offsets, type=pa.int32()), pa.array(values, type=pa.int64())
+            )
+
+        return pa.table(
+            {
+                "doc_id": batch["doc_id"],
+                "title_words": lists_of(ids % 4),
+                "tags": lists_of(ids % 5),
+                "refs": lists_of(ids % 9),
+            }
+        )
+
+    ds = rd.read_parquet(table_path(sf_dir, "documents"), columns=["doc_id"]).map_batches(
+        derive, batch_format="pyarrow", zero_copy_batch=True
+    )
+    state: dict = {}
+
+    def fn(batch: pa.Table) -> pa.Table:
+        tv = state.get("tv")
+        if tv is None:
+            tv = state["tv"] = TypedViolations(spec, ["doc_id"])
+        return tv(batch)
+
+    return ds.map_batches(fn, batch_format="pyarrow", zero_copy_batch=True)
+
+
+VAL_GROUP_OCCURS_SQL = """
+SELECT doc_id, 'doc_parts_occurs' AS constraint_name, 'title_words' AS col_name
+FROM documents
+WHERE NOT ((doc_id % 4 + doc_id % 5 + doc_id % 9) BETWEEN 1 AND 11)
+"""
+
+
 # -- referential: events.user_id ⊆ active customers (broadcast anti-join) -
 
 
@@ -346,6 +597,9 @@ ORACLES: Dict[str, str] = {
     "val_events_enum": VAL_EVENTS_ENUM_SQL,
     "val_documents": VAL_DOCUMENTS_SQL,
     "val_nested_struct": VAL_NESTED_STRUCT_SQL,
+    "val_hex_length": VAL_HEX_LENGTH_SQL,
+    "val_lexical_forms": VAL_LEXICAL_SQL,
+    "val_group_occurs": VAL_GROUP_OCCURS_SQL,
     "val_events_fk": VAL_EVENTS_FK_SQL,
     "stats_profile_lineitem": STATS_PROFILE_SQL,
 }
@@ -355,6 +609,9 @@ QUERIES = {
     "val_events_enum": val_events_enum,
     "val_documents": val_documents,
     "val_nested_struct": val_nested_struct,
+    "val_hex_length": val_hex_length,
+    "val_lexical_forms": val_lexical_forms,
+    "val_group_occurs": val_group_occurs,
     "val_events_fk": val_events_fk,
     "stats_profile_lineitem": stats_profile_lineitem,
 }
