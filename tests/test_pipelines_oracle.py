@@ -120,28 +120,30 @@ def test_dedup_forced_distributed_paths_match(ray_session):
     must reproduce the fast path byte-for-byte."""
     from xmlschema_ray.pipelines.dedup import exact_dedup, minhash_lsh_dedup
 
-    fast = exact_dedup(SF_DIR)
-    dist = exact_dedup(SF_DIR, distributed_threshold_bytes=0)
-    pd.testing.assert_frame_equal(fast, dist)
+    fast = _to_pandas(exact_dedup(SF_DIR)).reset_index(drop=True)
+    dist = _to_pandas(exact_dedup(SF_DIR, distributed_threshold_bytes=0)).reset_index(drop=True)
+    pd.testing.assert_frame_equal(fast, dist[fast.columns], check_dtype=False)
 
-    m_fast = minhash_lsh_dedup(SF_DIR)
-    m_dist = minhash_lsh_dedup(SF_DIR, distributed_threshold_bytes=0)
+    m_fast = _to_pandas(minhash_lsh_dedup(SF_DIR)).reset_index(drop=True)
+    m_dist = _to_pandas(minhash_lsh_dedup(SF_DIR, distributed_threshold_bytes=0)).reset_index(drop=True)
     pd.testing.assert_frame_equal(m_fast, m_dist)
     # force the distributed min-label CC finalize too (only meaningful when
     # verified pairs exist — skip-proof: assert we actually clustered)
     if (m_fast["doc_id"] != m_fast["cluster_root"]).any():
-        m_cc = minhash_lsh_dedup(
-            SF_DIR, distributed_threshold_bytes=0, cc_pairs_threshold=-1
-        )
+        m_cc = _to_pandas(
+            minhash_lsh_dedup(SF_DIR, distributed_threshold_bytes=0, cc_pairs_threshold=-1)
+        ).reset_index(drop=True)
         pd.testing.assert_frame_equal(m_fast, m_cc)
         # and the beyond-broadcast joined-CC finalize (labels never
         # broadcast — Dataset-join label propagation)
-        m_join = minhash_lsh_dedup(
-            SF_DIR,
-            distributed_threshold_bytes=0,
-            cc_pairs_threshold=-1,
-            cc_broadcast_nodes_threshold=-1,
-        )
+        m_join = _to_pandas(
+            minhash_lsh_dedup(
+                SF_DIR,
+                distributed_threshold_bytes=0,
+                cc_pairs_threshold=-1,
+                cc_broadcast_nodes_threshold=-1,
+            )
+        ).reset_index(drop=True)
         pd.testing.assert_frame_equal(m_fast, m_join)
 
 
@@ -174,11 +176,11 @@ def test_embedding_dup_pairs_refuses_large_corpus(ray_session):
 def test_simhash_clusters_forced_cc_paths_match(ray_session):
     from xmlschema_ray.pipelines.dedup import simhash_clusters
 
-    fast = simhash_clusters(SF_DIR)
+    fast = _to_pandas(simhash_clusters(SF_DIR)).reset_index(drop=True)
     assert (fast["doc_id"] != fast["cluster_root"]).any(), "vacuous — no clusters"
-    dist = simhash_clusters(SF_DIR, cc_pairs_threshold=-1)
+    dist = _to_pandas(simhash_clusters(SF_DIR, cc_pairs_threshold=-1)).reset_index(drop=True)
     pd.testing.assert_frame_equal(fast, dist)
-    joined = simhash_clusters(
-        SF_DIR, cc_pairs_threshold=-1, cc_broadcast_nodes_threshold=-1
-    )
+    joined = _to_pandas(
+        simhash_clusters(SF_DIR, cc_pairs_threshold=-1, cc_broadcast_nodes_threshold=-1)
+    ).reset_index(drop=True)
     pd.testing.assert_frame_equal(fast, joined)

@@ -118,17 +118,21 @@ def exact_dedup(
         else:
             out = uniq
     else:
+        # fully distributed: the result stays a Dataset — unique-hash rows
+        # unioned with the exact dup groups, canonical sort in Ray, no
+        # fact-sized (or result-sized) driver collect
         hcounts = hash_partition_apply(partials, "h", merge_h).materialize()
-        uniq = hcounts.filter(expr="n == 1").select_columns(["keep_id", "n"]).to_pandas()
+        uniq_ds = hcounts.filter(expr="n == 1").select_columns(["keep_id", "n"])
         dup_h = to_pandas_with_schema(hcounts.filter(expr="n > 1").select_columns(["h"]))["h"]
         if len(dup_h):
             cand = semi_join(
                 ds.map_batches(add_h, batch_format="pandas"), dup_h.to_numpy(), on="h"
             )
-            dups = hash_partition_apply(cand, "text", exact_groups).to_pandas()
-            out = pd.concat([uniq, dups], ignore_index=True)
+            dups_ds = hash_partition_apply(cand, "text", exact_groups)
+            out_ds = uniq_ds.union(dups_ds)
         else:
-            out = uniq
+            out_ds = uniq_ds
+        return out_ds.sort("keep_id")
     return out.sort_values("keep_id").reset_index(drop=True)[["keep_id", "n"]]
 
 
@@ -221,20 +225,55 @@ WHERE a.doc_id < b.doc_id
 # -- MinHash + LSH --------------------------------------------------------
 
 
+def _label_stream(docs_ds: "rd.Dataset", roots: Dict[int, int]) -> "rd.Dataset":
+    """Label every doc with its cluster root, streaming: the (small,
+    pair-touched-only) root map is broadcast once and applied per batch
+    with a sorted-key lookup; docs absent from the map label themselves.
+    Returns the canonical (doc_id, cluster_root) Dataset sorted in Ray."""
+    keys = np.fromiter(roots.keys(), dtype=np.int64, count=len(roots))
+    vals = np.fromiter(roots.values(), dtype=np.int64, count=len(roots))
+    order = np.argsort(keys)
+    map_ref = ray.put((keys[order], vals[order]))
+    state: dict = {}
+
+    def lab(t: pa.Table) -> pa.Table:
+        kv = state.get("kv")
+        if kv is None:
+            kv = state["kv"] = ray.get(map_ref)
+        k, v = kv
+        ids = pc.cast(t["doc_id"], pa.int64()).combine_chunks().to_numpy(zero_copy_only=False)
+        if len(k):
+            pos = np.clip(np.searchsorted(k, ids), 0, len(k) - 1)
+            hit = k[pos] == ids
+            out = np.where(hit, v[pos], ids)
+        else:
+            out = ids
+        return pa.table(
+            {
+                "doc_id": pa.array(ids, type=pa.int64()),
+                "cluster_root": pa.array(out, type=pa.int64()),
+            }
+        )
+
+    return docs_ds.map_batches(lab, batch_format="pyarrow", zero_copy_batch=True).sort("doc_id")
+
+
 def _cc_finalize(
     edges: "rd.Dataset",
     n_pairs: int,
-    nodes: np.ndarray,
+    n_nodes: int,
     docs_ds: "rd.Dataset",
     cc_pairs_threshold: int,
     cc_broadcast_nodes_threshold: int,
-) -> pd.DataFrame:
+) -> "rd.Dataset":
     """Shared three-tier connected-components finalize for the dedup
-    clustering family: driver union-find for small pair sets → broadcast
-    min-label propagation → Dataset-join label propagation beyond broadcast
-    node counts. ``edges`` has int64 ``a``/``b``; ``docs_ds`` carries a
-    ``doc_id`` column for the beyond-broadcast node stream. Forced-path
-    tests prove all three tiers identical."""
+    clustering family: pair-scoped driver union-find + broadcast label map
+    for small pair sets → broadcast min-label propagation → Dataset-join
+    label propagation beyond broadcast node counts. ``edges`` has int64
+    ``a``/``b``; ``docs_ds`` carries a ``doc_id`` column. Every tier
+    returns the (doc_id, cluster_root) labels as a DATASET sorted in Ray —
+    no per-doc driver collect on any tier. Forced-path tests prove all
+    three tiers identical."""
     from xmlschema_ray.ops.graph import (
         connected_components_distributed,
         connected_components_joined,
@@ -242,24 +281,37 @@ def _cc_finalize(
     )
 
     if n_pairs <= cc_pairs_threshold:
+        # PAIR-sized collect only: union-find over the nodes touched by
+        # some edge, then label the doc STREAM against the broadcast root
+        # map (untouched docs default to self) — no node-set collect, so
+        # a 10^12-doc corpus with a handful of dup pairs stays streaming.
         verified = list(edges.select_columns(["a", "b"]).to_pandas().itertuples(index=False, name=None))
-        roots = union_find(nodes, verified)
-        return pd.DataFrame(sorted(roots.items()), columns=["doc_id", "cluster_root"]).astype(
-            "int64"
+        touched = sorted({x for p in verified for x in p})
+        return _label_stream(docs_ds, union_find(touched, verified))
+    if n_nodes <= cc_broadcast_nodes_threshold:
+        nodes = np.sort(
+            docs_ds.select_columns(["doc_id"]).to_pandas()["doc_id"].to_numpy(dtype=np.int64)
         )
-    if nodes.size <= cc_broadcast_nodes_threshold:
         cc = connected_components_distributed(edges, nodes)
-    else:
-        # beyond-broadcast finalize: the label table never touches the
-        # driver until this result-sized collect
-        nodes_ds = docs_ds.map_batches(
-            lambda t: pa.table({"node": pc.cast(t["doc_id"], pa.int64())}),
-            batch_format="pyarrow",
-            zero_copy_batch=True,
+        out = cc.rename(columns={"node": "doc_id", "root": "cluster_root"}).sort_values("doc_id")
+        return rd.from_pandas(out.reset_index(drop=True).astype("int64"))
+    # beyond-broadcast finalize: labels STAY a Dataset end to end
+    nodes_ds = docs_ds.map_batches(
+        lambda t: pa.table({"node": pc.cast(t["doc_id"], pa.int64())}),
+        batch_format="pyarrow",
+        zero_copy_batch=True,
+    )
+    cc_ds = connected_components_joined(edges, nodes_ds)
+
+    def shape(t: pa.Table) -> pa.Table:
+        return pa.table(
+            {
+                "doc_id": pc.cast(t["node"], pa.int64()),
+                "cluster_root": pc.cast(t["root"], pa.int64()),
+            }
         )
-        cc = connected_components_joined(edges, nodes_ds).to_pandas()
-    out = cc.rename(columns={"node": "doc_id", "root": "cluster_root"}).sort_values("doc_id")
-    return out.reset_index(drop=True).astype("int64")
+
+    return cc_ds.map_batches(shape, batch_format="pyarrow", zero_copy_batch=True).sort("doc_id")
 
 
 def minhash_lsh_dedup(
@@ -272,8 +324,9 @@ def minhash_lsh_dedup(
     cc_broadcast_nodes_threshold: int = 20_000_000,
     distributed_threshold_bytes: "int | None" = None,
     oracle_dump: bool = True,
-) -> pd.DataFrame:
-    """MinHash-LSH near-dup clusters: (doc_id, cluster_root).
+) -> "rd.Dataset":
+    """MinHash-LSH near-dup clusters: a (doc_id, cluster_root) Dataset,
+    canonically sorted in Ray (no per-doc driver collect).
 
     Pipeline (ray_guide near-dup pattern): per-batch signatures → explode
     (band_hash, doc_id) → bucket groupby (the corpus-wide shuffle) →
@@ -340,11 +393,10 @@ def minhash_lsh_dedup(
     _oracle_dump(brows, "minhash_bands", oracle_dump)
     cand = hash_partition_apply(brows, "band_hash", bucket_pairs)
 
-    # node set = every document id (isolated docs keep their own label);
-    # this collect is result-sized -- the query's output is one row per doc
-    nodes = np.sort(
-        ds.select_columns(["doc_id"]).to_pandas()["doc_id"].to_numpy(dtype=np.int64)
-    )
+    # node COUNT only (metadata-cheap) — tier selection never collects the
+    # node set; labels are produced by streaming the doc ids through the
+    # broadcast root map (_label_stream) or the distributed CC tiers
+    n_nodes = ds.count()
 
     def shingle_rows(batch: pd.DataFrame) -> pd.DataFrame:
         return pd.DataFrame(
@@ -359,7 +411,7 @@ def minhash_lsh_dedup(
         # shingle sets of docs that appear in some pair (never the corpus)
         cand_pdf = cand.to_pandas().drop_duplicates()
         if cand_pdf.empty:
-            return pd.DataFrame({"doc_id": nodes, "cluster_root": nodes}).astype("int64")
+            return _label_stream(ds, {})
         cand_ids = pd.unique(pd.concat([cand_pdf["a"], cand_pdf["b"]]))
         srows = semi_join(
             ds.map_batches(shingle_rows, batch_format="pandas"), cand_ids, on="doc_id"
@@ -373,10 +425,8 @@ def minhash_lsh_dedup(
             for x, y in zip(cand_pdf["a"], cand_pdf["b"])
             if H.jaccard(sets[int(x)], sets[int(y)]) >= threshold
         ]
-        roots = union_find(nodes, verified)
-        return pd.DataFrame(
-            sorted(roots.items()), columns=["doc_id", "cluster_root"]
-        ).astype("int64")
+        touched = sorted({x for p in verified for x in p})
+        return _label_stream(ds, union_find(touched, verified))
 
     # distributed verify: dedup the pair set with one pair-keyed shuffle
     # (pair-sized, not corpus-sized), semi-join shingles to candidate docs,
@@ -385,7 +435,7 @@ def minhash_lsh_dedup(
     cand_pdf_ids = cand.select_columns(["a", "b"]).to_pandas()
     cand_ids = pd.unique(pd.concat([cand_pdf_ids["a"], cand_pdf_ids["b"]]))
     if cand_ids.size == 0:
-        return pd.DataFrame({"doc_id": nodes, "cluster_root": nodes}).astype("int64")
+        return _label_stream(ds, {})
 
     scand = semi_join(
         ds.map_batches(shingle_rows, batch_format="pandas"), cand_ids, on="doc_id"
@@ -415,7 +465,7 @@ def minhash_lsh_dedup(
 
     edges = j.map_batches(verify, batch_format="pandas").materialize()
     return _cc_finalize(
-        edges, edges.count(), nodes, ds, cc_pairs_threshold, cc_broadcast_nodes_threshold
+        edges, edges.count(), n_nodes, ds, cc_pairs_threshold, cc_broadcast_nodes_threshold
     )
 
 
@@ -575,20 +625,21 @@ def simhash_clusters(
     cc_pairs_threshold: int = 100_000,
     cc_broadcast_nodes_threshold: int = 20_000_000,
     oracle_dump: bool = True,
-) -> pd.DataFrame:
+) -> "rd.Dataset":
     """SimHash near-dup CLUSTERS: the bucketed pair pipeline composed with
-    the same three-tier connected-components finalize minhash uses (driver
-    union-find → broadcast min-label → Dataset-join label propagation).
-    Oracle: transitive closure over the SQL-re-derived verified pairs
-    (recursive CTE on the dumped signatures)."""
+    the same three-tier connected-components finalize minhash uses
+    (pair-scoped union-find + broadcast label map → broadcast min-label →
+    Dataset-join label propagation); returns the (doc_id, cluster_root)
+    Dataset sorted in Ray. Oracle: transitive closure over the
+    SQL-re-derived verified pairs (recursive CTE on the dumped
+    signatures)."""
     pairs = simhash_pairs(sf_dir, max_hamming=max_hamming, oracle_dump=oracle_dump)
     ds = rd.read_parquet(table_path(sf_dir, "documents"), columns=["doc_id"])
-    nodes = np.sort(ds.to_pandas()["doc_id"].to_numpy(dtype=np.int64))
     edges = rd.from_pandas(
         pairs.rename(columns={"doc_id_a": "a", "doc_id_b": "b"})[["a", "b"]].astype("int64")
     )
     return _cc_finalize(
-        edges, len(pairs), nodes, ds, cc_pairs_threshold, cc_broadcast_nodes_threshold
+        edges, len(pairs), ds.count(), ds, cc_pairs_threshold, cc_broadcast_nodes_threshold
     )
 
 

@@ -705,7 +705,7 @@ ORDER BY entity, key
 """
 
 
-def asof_latest_order_before_event(sf_dir: str) -> pd.DataFrame:
+def asof_latest_order_before_event(sf_dir: str) -> "rd.Dataset":
     """As-of join: for every event, the user's latest order date at or
     before the event timestamp (matched DATE is unique per match, so the
     result is deterministic even when order keys tie on a date).
@@ -720,12 +720,19 @@ def asof_latest_order_before_event(sf_dir: str) -> pd.DataFrame:
     orders = rd.read_parquet(
         table_path(sf_dir, "orders"), columns=["o_custkey", "o_orderdate"]
     )
-    out = asof_join(
+    joined = asof_join(
         ev, orders, left_on="ts", right_on="o_orderdate", left_by="user_id", right_by="o_custkey"
-    ).to_pandas()
-    out = out[["event_id", "user_id", "o_orderdate"]].rename(columns={"o_orderdate": "last_orderdate"})
-    out["last_orderdate"] = out["last_orderdate"].astype("datetime64[us]")  # match DuckDB
-    return out.sort_values("event_id").reset_index(drop=True)
+    )
+
+    def shape(b: pd.DataFrame) -> pd.DataFrame:
+        out = b[["event_id", "user_id", "o_orderdate"]].rename(
+            columns={"o_orderdate": "last_orderdate"}
+        )
+        out["last_orderdate"] = out["last_orderdate"].astype("datetime64[us]")  # match DuckDB
+        return out
+
+    # result stays a Dataset; the canonical sort runs in Ray
+    return joined.map_batches(shape, batch_format="pandas").sort("event_id")
 
 
 ASOF_SQL = """
@@ -801,7 +808,7 @@ ORDER BY c_custkey
 """
 
 
-def events_lag_delta(sf_dir: str) -> pd.DataFrame:
+def events_lag_delta(sf_dir: str) -> "rd.Dataset":
     """Per-user LAG window: microseconds since the user's previous event
     (NULL for the first). The per-group ordered-window shape: hash-partition
     by user (co-location guarantee), ONE vectorized sort + shift per
@@ -829,8 +836,8 @@ def events_lag_delta(sf_dir: str) -> pd.DataFrame:
             {"event_id": p["event_id"], "user_id": p["user_id"], "delta_us": out}
         )
 
-    out = hash_partition_apply(ds, "user_id", lag_part).to_pandas()
-    return out.sort_values("event_id").reset_index(drop=True)
+    # result stays a Dataset; the canonical sort runs in Ray
+    return hash_partition_apply(ds, "user_id", lag_part).sort("event_id")
 
 
 LAG_DELTA_SQL = """
@@ -842,7 +849,7 @@ FROM events ORDER BY event_id
 """
 
 
-def events_rolling_value_sum(sf_dir: str) -> pd.DataFrame:
+def events_rolling_value_sum(sf_dir: str) -> "rd.Dataset":
     """Per-user rolling window (current + 2 preceding rows, ordered by
     ts/event_id): sum of ``value`` in scaled cents — integer window sums
     are order-exact, so the result hash-matches SQL window arithmetic at
@@ -867,8 +874,8 @@ def events_rolling_value_sum(sf_dir: str) -> pd.DataFrame:
             }
         )
 
-    out = hash_partition_apply(ds, "user_id", roll_part).to_pandas()
-    return out.sort_values("event_id").reset_index(drop=True)
+    # result stays a Dataset; the canonical sort runs in Ray
+    return hash_partition_apply(ds, "user_id", roll_part).sort("event_id")
 
 
 ROLLING_SUM_SQL = """
