@@ -147,7 +147,7 @@ class ValidationEngine:
         spec: TableConstraints,
         batch_size: int = 16384,
         concurrency: Optional[int] = None,
-        n_shards: int = 4,
+        n_shards: Optional[int] = None,
         use_actors: bool = False,
     ):
         self.spec = spec.compile()
@@ -259,7 +259,15 @@ class ValidationEngine:
             files = _resolve_files(source)
             if not files:
                 raise FileNotFoundError(f"no parquet inputs under {source!r}")
-            shards = _chunk(files, self.n_shards)
+            n_shards = self.n_shards
+            if n_shards is None:
+                # shards are RESUME units processed one pipeline at a time:
+                # few enough that each shard saturates the cluster, fine
+                # enough that a mid-run failure skips completed work —
+                # ~8 GiB of input per shard, clamped to [1, 64]
+                total = sum(map(os.path.getsize, files))
+                n_shards = min(64, max(1, -(-total // (8 << 30))))
+            shards = _chunk(files, n_shards)
             ds_direct = None
 
         fk_sets = self._load_fk_sets(dims or {}) if self.spec.foreign_keys else {}
@@ -561,7 +569,7 @@ class ValidationEngine:
                     ).reset_index()
                     return out[out["total"] > 1]
 
-                cand_pdf = hash_partition_apply(kc, gkeys, merge_counts, num_partitions=32).to_pandas()
+                cand_pdf = hash_partition_apply(kc, gkeys, merge_counts).to_pandas()
 
             # Phase 2 — EXACT key recovery: rescan only the unique-key
             # columns, keep rows whose key hashes into the candidate set,

@@ -1,9 +1,11 @@
 """Connected components over candidate-pair edges.
 
-Dedup clustering needs components of the verified near-dup pair graph
-(ray_guide near-dup pattern: "connected components — iterate a few rounds
-of min-label propagation with groupby, or union-find on the driver only if
-the candidate set is provably small").
+Dedup clustering needs components of the verified near-dup pair graph.
+Tiering rationale: union-find on the driver is exact and O(pairs α) but
+only when the pair set is provably small; past that, a few rounds of
+min-label propagation (each a bounded groupby over edge endpoints)
+converge in O(diameter) rounds; past broadcastable node counts the labels
+themselves must stay a Dataset (bucketed joins + pointer jumping).
 
 * ``union_find`` — driver-side, for small pair sets.
 * ``connected_components_distributed`` — iterative min-label propagation:

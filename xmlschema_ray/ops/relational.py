@@ -36,6 +36,31 @@ def _as_pandas(small: Union[pd.DataFrame, pa.Table]) -> pd.DataFrame:
     return small.to_pandas() if isinstance(small, pa.Table) else small
 
 
+def derive_num_partitions(
+    input_bytes: Optional[int] = None,
+    target_partition_bytes: int = 256 << 20,
+    min_partitions: int = 8,
+    max_partitions: int = 4096,
+) -> int:
+    """Shuffle partition count from the CLUSTER size and (when known) the
+    input size, instead of a constant that only fits one machine:
+
+    * ~2× cluster CPUs gives every slot work through the tail without
+      drowning the scheduler in tiny partitions;
+    * floored at ``input_bytes / 256 MiB`` so one partition's rows fit a
+      worker heap even when the cluster is small relative to the data;
+    * clamped to [min_partitions, max_partitions].
+    """
+    try:
+        cpus = int(ray.cluster_resources().get("CPU", 0)) or 8
+    except Exception:  # no ray session (unit contexts)
+        cpus = 8
+    p = max(min_partitions, 2 * cpus)
+    if input_bytes:
+        p = max(p, -(-int(input_bytes) // target_partition_bytes))
+    return min(p, max_partitions)
+
+
 def broadcast_join(
     ds: rd.Dataset,
     small: Union[pd.DataFrame, pa.Table],
@@ -164,7 +189,7 @@ def copartition_apply(
     left_key: str,
     right_key: str,
     fn,
-    num_partitions: int = 32,
+    num_partitions: Optional[int] = None,
 ) -> rd.Dataset:
     """Co-partition two Datasets by hash of their key and call
     ``fn(lf, rf) -> pd.DataFrame`` once per partition with the two sides as
@@ -177,6 +202,8 @@ def copartition_apply(
     merge_asof need. One all-to-all exchange total, versus two for a
     classic repartition-both-sides hash join.
     """
+    if num_partitions is None:
+        num_partitions = derive_num_partitions()
     # normalize to Arrow blocks so the sampled schema is an Arrow schema
     # even when an upstream pandas map produced pandas blocks (zero-copy)
     if not isinstance(left.schema().base_schema, pa.Schema):
@@ -282,7 +309,7 @@ def hash_bucket_join(
     left_on: str,
     right_on: str,
     how: str = "inner",
-    num_partitions: int = 32,
+    num_partitions: Optional[int] = None,
 ) -> rd.Dataset:
     """Large-large equi-join via :func:`copartition_apply` — one bounded
     shuffle, one vectorized ``pd.merge`` per partition. The lighter-weight
@@ -306,7 +333,7 @@ def asof_join_bucketed(
     right_on: str,
     left_by: str,
     right_by: str,
-    num_partitions: int = 32,
+    num_partitions: Optional[int] = None,
 ) -> rd.Dataset:
     """Large-large as-of join: co-partition BOTH sides by hash of the `by`
     key, then one vectorized ``pd.merge_asof`` per partition. This is the
@@ -336,7 +363,7 @@ def asof_join(
     left_by: str,
     right_by: str,
     broadcast_threshold_bytes: int = 256 * 1024 * 1024,
-    num_partitions: int = 32,
+    num_partitions: Optional[int] = None,
 ) -> rd.Dataset:
     """Adaptive as-of join: broadcast the right side when it fits comfortably
     in worker heap, else co-partitioned ``asof_join_bucketed``."""
@@ -435,7 +462,7 @@ def hash_partition_apply(
     ds: rd.Dataset,
     key_cols: Union[str, List[str]],
     fn,
-    num_partitions: int = 32,
+    num_partitions: Optional[int] = None,
 ) -> rd.Dataset:
     """Partition rows by ``hash(key) % num_partitions`` and apply ``fn``
     (pandas in/out) once per PARTITION — not per key group.
@@ -455,6 +482,8 @@ def hash_partition_apply(
     of a schema-less block.
     """
     keys = [key_cols] if isinstance(key_cols, str) else list(key_cols)
+    if num_partitions is None:
+        num_partitions = derive_num_partitions()
     empty_in = _empty_like(ds)
     template = _derive_template(fn, empty_in)
     in_dtypes = dict(empty_in.dtypes) if empty_in is not None else {}
@@ -504,7 +533,7 @@ def combiner_aggregate(
     keys: Union[str, List[str]],
     aggs: Dict[str, Tuple[Optional[str], str]],
     batch_size: int = 65536,
-    num_partitions: int = 32,
+    num_partitions: Optional[int] = None,
 ) -> rd.Dataset:
     """Pre-aggregated grouped aggregate, fully vectorized end to end.
 

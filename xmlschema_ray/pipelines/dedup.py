@@ -328,7 +328,8 @@ def minhash_lsh_dedup(
     """MinHash-LSH near-dup clusters: a (doc_id, cluster_root) Dataset,
     canonically sorted in Ray (no per-doc driver collect).
 
-    Pipeline (ray_guide near-dup pattern): per-batch signatures → explode
+    Pipeline (the standard MinHash-LSH shape, SURVEY §2.9): per-batch
+    signatures → explode
     (band_hash, doc_id) → bucket groupby (the corpus-wide shuffle) →
     candidate pairs → exact-Jaccard verify → connected components.
 

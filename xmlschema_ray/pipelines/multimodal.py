@@ -10,9 +10,9 @@ tests, keeps the Ray-side plumbing — schema, batch size, actor signature,
 output layout — real), otherwise ``NotImplementedError`` marks the seam
 where Pillow/torchaudio/pyav would plug in.
 
-Small batches are the memory rule for wide binary rows (SURVEY §4 /
-ray_guide memory notes): ``batch_size=256`` default here vs 16k for
-narrow rows.
+Small batches are the memory rule for wide binary rows (SURVEY §4):
+batch_size × row width × concurrency must fit the worker heap, so
+``batch_size=256`` default here vs 16k for narrow rows.
 """
 
 from __future__ import annotations

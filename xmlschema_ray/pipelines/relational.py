@@ -310,11 +310,15 @@ def join_order_lineitem_status(sf_dir: str) -> pd.DataFrame:
         table_path(sf_dir, "lineitem"), columns=["l_orderkey", "l_extendedprice", "l_discount"]
     )
 
+    from xmlschema_ray.ops.relational import derive_num_partitions
+
     li2 = _revenue_map(li)
     joined = li2.join(
         orders,
         join_type="inner",
-        num_partitions=16,
+        num_partitions=derive_num_partitions(
+            os.path.getsize(table_path(sf_dir, "lineitem"))
+        ),
         on=("l_orderkey",),
         right_on=("o_orderkey",),
     )
@@ -405,7 +409,7 @@ def distinct_part_count(sf_dir: str) -> pd.DataFrame:
         return pd.DataFrame({"n": pd.array([part["l_partkey"].nunique()], dtype="int64")})
 
     partials = ds.map_batches(batch_distinct, batch_format="pandas")
-    counts = hash_partition_apply(partials, "l_partkey", count_partition, num_partitions=16)
+    counts = hash_partition_apply(partials, "l_partkey", count_partition)
     n = int(counts.to_pandas()["n"].sum())
     return pd.DataFrame({"n_distinct_parts": pd.array([n], dtype="int64")})
 
@@ -565,9 +569,10 @@ ORDER BY user_id, window_end
 
 def sessionize_events(sf_dir: str, gap_minutes: int = 30) -> pd.DataFrame:
     """Gap-based sessionization per user: ``groupby(user).map_groups`` over
-    ts-sorted groups (ordering assumption: per-user group fits in memory
-    and is sorted inside the group — stated per ray_guide streaming
-    pattern)."""
+    ts-sorted groups. Partitioning assumption (SURVEY §2.11): one user's
+    events fit a worker and are sorted INSIDE the group — cross-partition
+    session splits are impossible because the groupby co-locates each
+    user."""
     ds = rd.read_parquet(table_path(sf_dir, "events"), columns=["user_id", "ts"])
     gap = pd.Timedelta(minutes=gap_minutes)
 
