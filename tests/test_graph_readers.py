@@ -190,3 +190,27 @@ def test_lexical_decode_exact_big_ints(tmp_path, ray_session):
     batch = ds.take_batch(10, batch_format="pyarrow")
     assert batch.schema.field("id").type == pa.int64()
     assert batch["id"].to_pylist() == [9007199254740993, None, None, None, -7]
+
+
+def test_knn_ivf_index_path_matches_streaming(ray_session, tmp_path):
+    """The bucket-partitioned index plan (probed-bucket reads) must produce
+    exactly the streaming plan's rows — IO pruning, same candidates."""
+    from xmlschema_ray.pipelines.similarity import build_ivf_index, knn_ivf
+
+    sf = "/root/testdata/sf0.001"
+    stream = knn_ivf(sf, oracle_dump=False)
+    idx = str(tmp_path / "ivf_index")
+    indexed = knn_ivf(sf, oracle_dump=False, index_dir=idx)
+    import pandas as pd
+
+    pd.testing.assert_frame_equal(stream, indexed)
+    # index layout: hive centroid partitions + saved centroid matrix
+    import os
+
+    assert os.path.exists(os.path.join(idx, "centroids.npy"))
+    assert any(d.startswith("centroid=") for d in os.listdir(idx))
+    # rebuild is a cache hit (centroids loaded, no rewrite)
+    import numpy as np
+
+    c1 = build_ivf_index(sf, idx)
+    assert isinstance(c1, np.ndarray) and c1.ndim == 2

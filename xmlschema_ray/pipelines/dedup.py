@@ -740,56 +740,68 @@ def embedding_dup_pairs_ivf(
 ) -> pd.DataFrame:
     """IVF-bucketed embedding near-dup pairs — the 100-TB scale path.
 
-    Driver fits spherical k-means on a sample, broadcasts the centroids;
-    each vector assigns to its nearest centroid and ONLY same/probed-bucket
-    vectors are compared (one matmul per batch against the bucket-filtered
-    broadcast matrix). Every emitted pair is exact-cosine-verified, so
-    precision is 1.0 vs :func:`embedding_dup_pairs`; recall < 1 is possible
-    when a near-dup pair straddles unprobed buckets ⇒ rows-only check with
-    a subset invariant (tests assert pairs ⊆ exact pairs).
+    NO whole-corpus broadcast anywhere: the only broadcast is the tiny
+    centroid matrix. Each vector is exploded to (bucket, vec_id, vec)
+    rows — once as a HOME row in its nearest-centroid bucket, once as a
+    PROBER row in each of its ``n_probe`` closest buckets — and ONE
+    bounded hash shuffle co-locates each bucket, where a single matmul
+    compares the bucket's probers against its homes (``prober id <
+    home id`` orders the pair; a pair surfaces exactly once, in the home
+    bucket of its larger id). The exchange ships ``(1 + n_probe) x corpus``
+    rows — the standard inverted-list ANN trade against all-pairs.
+
+    Every emitted pair is exact-cosine-verified, so precision is 1.0 vs
+    :func:`embedding_dup_pairs`; recall < 1 is possible when a near-dup
+    pair straddles unprobed buckets ⇒ rows-only check with a subset
+    invariant (tests assert pairs ⊆ exact pairs).
     """
-    from xmlschema_ray.functions.vector import ivf_assign, kmeans_fit, normalize_rows
+    from xmlschema_ray.functions.vector import kmeans_fit, normalize_rows
+    from xmlschema_ray.ops.relational import hash_partition_apply, to_pandas_with_schema
 
     tbl = rd.read_parquet(table_path(sf_dir, "embeddings"), columns=["vec_id", "embedding"])
     sample = np.stack(
         tbl.limit(sample_size).to_pandas()["embedding"].to_numpy()
     ).astype(np.float64)
     centroids = kmeans_fit(sample, k=n_centroids)
-
-    # corpus side: (id, normalized vec, centroid assignment), broadcast once.
-    # At 100 TB this side would instead be written bucket-partitioned and
-    # each task would fetch only its probed buckets; the broadcast keeps the
-    # single-node test cheap while preserving the bucket-pruned compare.
-    corpus = tbl.to_pandas()
-    ids = corpus["vec_id"].to_numpy()
-    mat = normalize_rows(np.stack(corpus["embedding"].to_numpy()))
-    assign = ivf_assign(mat, centroids)
-    order = np.argsort(ids)
-    ids, mat, assign = ids[order], mat[order], assign[order]
-    corpus_ref = ray.put((ids, mat, assign, centroids))
+    cent_ref = ray.put(centroids)
     state: dict = {}
 
-    def bucket_pairs(batch: pd.DataFrame) -> pd.DataFrame:
-        c = state.get("c")
-        if c is None:
-            c = state["c"] = ray.get(corpus_ref)
-        cids, cmat, cassign, cent = c
+    def explode(batch: pd.DataFrame) -> pd.DataFrame:
+        cent = state.get("c")
+        if cent is None:
+            cent = state["c"] = ray.get(cent_ref)
         vecs = normalize_rows(np.stack(batch["embedding"].to_numpy()))
-        bids = batch["vec_id"].to_numpy()
-        # probe sets per batch vector: its n_probe closest centroids
-        probes = np.argsort(-(vecs @ cent.T), axis=1)[:, :n_probe]
+        ids = batch["vec_id"].to_numpy().astype(np.int64)
+        probes = np.argsort(-(vecs @ cent.T), axis=1)[:, :n_probe]  # col 0 = home
+        vb = np.array([v.tobytes() for v in vecs], dtype=object)
+        n = len(ids)
+        return pd.DataFrame(
+            {
+                "bucket": np.concatenate([probes[:, 0], probes.reshape(-1)]),
+                "vec_id": np.concatenate([ids, np.repeat(ids, n_probe)]),
+                "vec": np.concatenate([vb, np.repeat(vb, n_probe)]),
+                "role": np.concatenate(
+                    [np.zeros(n, np.int8), np.ones(n * n_probe, np.int8)]
+                ),
+            }
+        )
+
+    def per_bucket(part: pd.DataFrame) -> pd.DataFrame:
         out_a, out_b = [], []
-        for i in range(len(bids)):
-            lut = np.zeros(len(cent), dtype=bool)
-            lut[probes[i]] = True
-            m = lut[cassign] & (cids > bids[i])
-            if not m.any():
+        for _, g in part.groupby("bucket", sort=False):
+            hm = g[g["role"] == 0]
+            pr = g[g["role"] == 1]
+            if hm.empty or pr.empty:
                 continue
-            cos = cmat[m] @ vecs[i]
-            hits = cos >= threshold
-            if hits.any():
-                out_a.extend([bids[i]] * int(hits.sum()))
-                out_b.extend(cids[m][hits].tolist())
+            hmat = np.stack([np.frombuffer(b) for b in hm["vec"]])
+            pmat = np.stack([np.frombuffer(b) for b in pr["vec"]])
+            hid = hm["vec_id"].to_numpy()
+            pid_ = pr["vec_id"].to_numpy()
+            cos = pmat @ hmat.T
+            mask = (cos >= threshold) & (pid_[:, None] < hid[None, :])
+            pi, hi = np.nonzero(mask)
+            out_a.extend(pid_[pi].tolist())
+            out_b.extend(hid[hi].tolist())
         return pd.DataFrame(
             {
                 "vec_id_a": pd.array(out_a, dtype="int64"),
@@ -797,12 +809,13 @@ def embedding_dup_pairs_ivf(
             }
         )
 
-    out = tbl.map_batches(bucket_pairs, batch_format="pandas").to_pandas()
-    if out.empty:
-        out = pd.DataFrame(
-            {"vec_id_a": pd.array([], dtype="int64"), "vec_id_b": pd.array([], dtype="int64")}
-        )
-    return out.sort_values(["vec_id_a", "vec_id_b"]).reset_index(drop=True)
+    rows = tbl.map_batches(explode, batch_format="pandas")
+    out = to_pandas_with_schema(hash_partition_apply(rows, "bucket", per_bucket))
+    return (
+        out.drop_duplicates()
+        .sort_values(["vec_id_a", "vec_id_b"])
+        .reset_index(drop=True)
+    )
 
 
 ORACLES: Dict[str, str] = {

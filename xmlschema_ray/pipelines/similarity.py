@@ -9,6 +9,7 @@ driver's value-hash compare is robust to float formatting.
 
 from __future__ import annotations
 
+import os
 from typing import Dict
 
 import numpy as np
@@ -188,6 +189,61 @@ ORDER BY 1, 2
 """
 
 
+def build_ivf_index(
+    sf_dir: str,
+    index_dir: str,
+    n_centroids: int = 16,
+    sample_size: int = 4096,
+) -> np.ndarray:
+    """Write the embeddings corpus BUCKET-PARTITIONED by nearest centroid.
+
+    The 100-TB ANN corpus layout: one hive partition (``centroid=K/``) per
+    inverted list, so a query reads ONLY its probed buckets off storage
+    instead of streaming (or broadcasting) the whole corpus. The build is
+    one assign pass + one partitioned write; the directory is produced
+    atomically (tmp + rename, with the centroid matrix saved alongside) so
+    an interrupted build is restarted, never half-read. Returns the
+    centroid matrix.
+    """
+    import shutil
+
+    from xmlschema_ray.functions.vector import ivf_assign, kmeans_fit
+
+    cent_path = os.path.join(index_dir, "centroids.npy")
+    if os.path.exists(cent_path):
+        return np.load(cent_path)
+    ds = rd.read_parquet(table_path(sf_dir, "embeddings"), columns=["vec_id", "embedding"])
+    sample = np.stack(ds.limit(sample_size).to_pandas()["embedding"].to_numpy()).astype(np.float64)
+    centroids = kmeans_fit(sample, k=n_centroids)
+    cent_ref = ray.put(centroids)
+    state: dict = {}
+
+    def assign(batch: pd.DataFrame) -> pd.DataFrame:
+        c = state.get("c")
+        if c is None:
+            c = state["c"] = ray.get(cent_ref)
+        batch = batch.copy(deep=False)
+        batch["centroid"] = ivf_assign(np.stack(batch["embedding"].to_numpy()), c)
+        return batch
+
+    tmp = index_dir + ".tmp"
+    shutil.rmtree(tmp, ignore_errors=True)
+    os.makedirs(os.path.dirname(index_dir) or ".", exist_ok=True)
+    ds.map_batches(assign, batch_format="pandas").write_parquet(
+        tmp, partition_cols=["centroid"]
+    )
+    np.save(os.path.join(tmp, "centroids.npy"), centroids)
+    shutil.rmtree(index_dir, ignore_errors=True)
+    os.replace(tmp, index_dir)
+    return centroids
+
+
+# corpora past this size get (or reuse) a bucket-partitioned index under
+# /tmp so the probed-bucket reads replace whole-corpus streaming — the
+# same adaptive-plan pattern as the engine's driver_threshold_bytes
+IVF_INDEX_THRESHOLD_BYTES = 256 << 20
+
+
 def knn_ivf(
     sf_dir: str,
     k: int = TOP_K,
@@ -195,13 +251,22 @@ def knn_ivf(
     n_probe: int = 6,
     sample_size: int = 4096,
     oracle_dump: bool = True,
+    index_dir: "str | None" = None,
 ) -> pd.DataFrame:
     """IVF-bucketed ANN — the scale path for similarity search.
 
-    Driver fits spherical k-means centroids on a SAMPLE; the centroid
-    matrix is the broadcast model. Per batch, vectors assign to their
-    nearest centroid with one matmul and each query only scores vectors
-    whose centroid is in its ``n_probe`` closest centroids.
+    Driver fits spherical k-means centroids on a SAMPLE; the broadcast
+    model is ONLY (queries, centroids, probe sets) — never the corpus.
+    Per batch, vectors assign to their nearest centroid with one matmul
+    and each query only scores vectors whose centroid is in its
+    ``n_probe`` closest centroids.
+
+    Physical plans: small corpora stream every batch and prune by
+    assignment in compute; past ``IVF_INDEX_THRESHOLD_BYTES`` (or when
+    ``index_dir`` is passed) the corpus is laid out bucket-partitioned by
+    :func:`build_ivf_index` and the scan reads ONLY the union of the
+    queries' probed buckets — IO-level pruning. A forced-path test proves
+    both plans produce identical rows.
 
     Oracle: the per-vector centroid assignments and per-query probe sets
     are dumped to parquet; KNN_IVF_SQL recomputes the probe-restricted
@@ -211,9 +276,39 @@ def knn_ivf(
     from xmlschema_ray.functions.vector import ivf_assign, kmeans_fit
 
     qids, qmat = _query_matrix(sf_dir)
-    ds = rd.read_parquet(table_path(sf_dir, "embeddings"), columns=["vec_id", "embedding"])
-    sample = np.stack(ds.limit(sample_size).to_pandas()["embedding"].to_numpy()).astype(np.float64)
-    centroids = kmeans_fit(sample, k=n_centroids)
+    if index_dir is None and (
+        os.path.getsize(table_path(sf_dir, "embeddings")) > IVF_INDEX_THRESHOLD_BYTES
+    ):
+        index_dir = os.path.join(
+            "/tmp/xmlschema_ray_ivf", os.path.basename(os.path.normpath(sf_dir))
+        )
+    if index_dir is not None:
+        centroids = build_ivf_index(
+            sf_dir, index_dir, n_centroids=n_centroids, sample_size=sample_size
+        )
+        n_centroids = len(centroids)
+        nq0 = normalize_rows(qmat)
+        probed = np.unique(
+            np.argsort(-(nq0 @ centroids.T), axis=1)[:, :n_probe].reshape(-1)
+        )
+        import glob as _glob
+
+        paths = [
+            f
+            for c in probed
+            for f in sorted(
+                _glob.glob(os.path.join(index_dir, f"centroid={int(c)}", "*.parquet"))
+            )
+        ]
+        ds = rd.read_parquet(paths, columns=["vec_id", "embedding"])
+    else:
+        ds = rd.read_parquet(
+            table_path(sf_dir, "embeddings"), columns=["vec_id", "embedding"]
+        )
+        sample = np.stack(
+            ds.limit(sample_size).to_pandas()["embedding"].to_numpy()
+        ).astype(np.float64)
+        centroids = kmeans_fit(sample, k=n_centroids)
     nq = normalize_rows(qmat)
     probe_sets = np.argsort(-(nq @ centroids.T), axis=1)[:, :n_probe]  # (q, n_probe)
     model_ref = ray.put((qids, nq, centroids, probe_sets))
