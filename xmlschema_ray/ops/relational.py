@@ -402,19 +402,6 @@ def _restore_dtypes(df: pd.DataFrame, dtypes: Dict[str, "np.dtype"]) -> pd.DataF
     return df
 
 
-def _empty_like(ds: rd.Dataset) -> Optional[pd.DataFrame]:
-    """Typed empty pandas frame matching ``ds``'s schema (None if unknown)."""
-    try:
-        base = ds.schema().base_schema
-    except Exception:
-        return None
-    if base is None:
-        return None
-    if isinstance(base, pa.Schema):
-        return base.empty_table().to_pandas()
-    return pd.DataFrame({n: pd.Series([], dtype=t) for n, t in zip(base.names, base.types)})
-
-
 def _derive_template(fn, *empty_inputs) -> Optional[pd.DataFrame]:
     """Output-schema template: ``fn`` applied to typed empty inputs.
 
@@ -484,9 +471,6 @@ def hash_partition_apply(
     keys = [key_cols] if isinstance(key_cols, str) else list(key_cols)
     if num_partitions is None:
         num_partitions = derive_num_partitions()
-    empty_in = _empty_like(ds)
-    template = _derive_template(fn, empty_in)
-    in_dtypes = dict(empty_in.dtypes) if empty_in is not None else {}
 
     def add_part(batch: pd.DataFrame) -> pd.DataFrame:
         h = pd.util.hash_pandas_object(batch[keys], index=False).to_numpy()
@@ -494,13 +478,28 @@ def hash_partition_apply(
         batch["__part"] = (h % np.uint64(num_partitions)).astype(np.int64)
         return batch
 
+    # Output template for EMPTY sort ranges, derived lazily per worker from
+    # ``fn`` on a zero-row slice of the first non-empty block: a driver-side
+    # ds.schema() probe would execute an upstream block (~0.25 s per query),
+    # and the slice's dtypes match the real blocks exactly. Workers that see
+    # only empty blocks yield nothing (rare; downstream recovers schema from
+    # the non-empty blocks).
+    state: dict = {}
+
     def per_block(block: pd.DataFrame):
+        tmpl = state.get("t", False)
         if len(block) == 0:
-            if template is not None:
-                yield template.copy()
+            if isinstance(tmpl, pd.DataFrame):
+                yield tmpl.copy()
             return
+        if tmpl is False:
+            try:
+                out0 = fn(block.head(0).drop(columns="__part"))
+                state["t"] = out0.head(0) if isinstance(out0, pd.DataFrame) else None
+            except Exception:
+                state["t"] = None
         for _, g in block.groupby("__part", sort=False):
-            yield fn(_restore_dtypes(g.drop(columns="__part"), in_dtypes))
+            yield fn(g.drop(columns="__part"))
 
     return (
         ds.map_batches(add_part, batch_format="pandas")

@@ -310,15 +310,24 @@ def join_order_lineitem_status(sf_dir: str) -> pd.DataFrame:
         table_path(sf_dir, "lineitem"), columns=["l_orderkey", "l_extendedprice", "l_discount"]
     )
 
-    from xmlschema_ray.ops.relational import derive_num_partitions
+    import ray
+
+    # Dataset.join spins up num_partitions hash-shuffle AGGREGATOR actors
+    # that coexist with the read/map tasks: sizing them at 2x CPUs
+    # oversubscribes the node and serializes the join (measured 33 s vs
+    # 3.4 s at 32 CPUs). ~CPUs/2 aggregators, floored by the per-partition
+    # byte target, keeps the pool and the upstream pipeline co-resident.
+    cpus = int(ray.cluster_resources().get("CPU", 8))
+    num_partitions = max(
+        max(8, cpus // 2),
+        -(-os.path.getsize(table_path(sf_dir, "lineitem")) // (256 << 20)),
+    )
 
     li2 = _revenue_map(li)
     joined = li2.join(
         orders,
         join_type="inner",
-        num_partitions=derive_num_partitions(
-            os.path.getsize(table_path(sf_dir, "lineitem"))
-        ),
+        num_partitions=num_partitions,
         on=("l_orderkey",),
         right_on=("o_orderkey",),
     )
