@@ -737,6 +737,7 @@ def embedding_dup_pairs_ivf(
     n_centroids: int = 16,
     n_probe: int = 8,
     sample_size: int = 4096,
+    oracle_dump: bool = True,
 ) -> pd.DataFrame:
     """IVF-bucketed embedding near-dup pairs — the 100-TB scale path.
 
@@ -752,8 +753,10 @@ def embedding_dup_pairs_ivf(
 
     Every emitted pair is exact-cosine-verified, so precision is 1.0 vs
     :func:`embedding_dup_pairs`; recall < 1 is possible when a near-dup
-    pair straddles unprobed buckets ⇒ rows-only check with a subset
-    invariant (tests assert pairs ⊆ exact pairs).
+    pair straddles unprobed buckets. The (bucket, vec_id, role) assignment
+    rows are dumped to parquet so EMBEDDING_DUP_IVF_SQL can re-derive the
+    probe-restricted pair set exactly in DuckDB (same dumped-state pattern
+    as ``knn_ivf``); tests additionally assert pairs ⊆ exact pairs.
     """
     from xmlschema_ray.functions.vector import kmeans_fit, normalize_rows
     from xmlschema_ray.ops.relational import hash_partition_apply, to_pandas_with_schema
@@ -810,12 +813,39 @@ def embedding_dup_pairs_ivf(
         )
 
     rows = tbl.map_batches(explode, batch_format="pandas")
+    _oracle_dump(
+        rows.map_batches(
+            lambda b: b[["bucket", "vec_id", "role"]], batch_format="pandas"
+        ),
+        "ivf_dup_assign",
+        oracle_dump,
+    )
     out = to_pandas_with_schema(hash_partition_apply(rows, "bucket", per_bucket))
     return (
         out.drop_duplicates()
         .sort_values(["vec_id_a", "vec_id_b"])
         .reset_index(drop=True)
     )
+
+
+EMBEDDING_DUP_IVF_SQL = """
+WITH homes AS (
+  SELECT vec_id, bucket
+  FROM read_parquet('/tmp/xmlschema_ray_oracle/ivf_dup_assign/*.parquet')
+  WHERE role = 0
+), probes AS (
+  SELECT DISTINCT vec_id, bucket
+  FROM read_parquet('/tmp/xmlschema_ray_oracle/ivf_dup_assign/*.parquet')
+  WHERE role = 1
+)
+SELECT DISTINCT p.vec_id AS vec_id_a, h.vec_id AS vec_id_b
+FROM probes p
+JOIN homes h ON p.bucket = h.bucket AND p.vec_id < h.vec_id
+JOIN embeddings a ON a.vec_id = p.vec_id
+JOIN embeddings b ON b.vec_id = h.vec_id
+WHERE list_cosine_similarity(a.embedding, b.embedding) >= 0.5
+ORDER BY vec_id_a, vec_id_b
+"""
 
 
 ORACLES: Dict[str, str] = {
@@ -825,6 +855,7 @@ ORACLES: Dict[str, str] = {
     "simhash_pairs": SIMHASH_SQL,
     "simhash_clusters": SIMHASH_CLUSTERS_SQL,
     "minhash_lsh_dedup": MINHASH_SQL,
+    "embedding_dup_pairs_ivf": EMBEDDING_DUP_IVF_SQL,
 }
 
 QUERIES = {

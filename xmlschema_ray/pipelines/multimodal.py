@@ -57,8 +57,9 @@ class MediaFeatureExtractor:
 
     ``__init__`` is where a real implementation loads the codec/model once
     per actor. ``fake=True`` derives a deterministic FEAT_DIM-dim feature
-    vector from the payload hash — stable across processes, so tests can
-    assert exact outputs.
+    vector from the payload's MD5 digest — stable across processes AND
+    portable to SQL (DuckDB ``md5()``), so the query carries a full value
+    oracle (MULTIMODAL_FEATURES_SQL) despite the stubbed codec.
     """
 
     def __init__(self, fake: bool = False):
@@ -72,12 +73,14 @@ class MediaFeatureExtractor:
             )
 
     def __call__(self, batch: pd.DataFrame) -> pd.DataFrame:
-        payloads = batch["payload"]
-        h = hash64(np.array([bytes(p) for p in payloads], dtype=object))
-        # deterministic pseudo-features: split the 64-bit hash into bytes
-        feats = ((h[:, None] >> (np.arange(FEAT_DIM, dtype=np.uint64) * np.uint64(8))) & np.uint64(0xFF)).astype(
-            np.float64
-        ) / 255.0
+        import hashlib
+
+        # first FEAT_DIM digest bytes / 255 — a per-item C-level hash (the
+        # stub stands in for an inherently per-item codec decode)
+        feats = np.frombuffer(
+            b"".join(hashlib.md5(bytes(p)).digest()[:FEAT_DIM] for p in batch["payload"]),
+            dtype=np.uint8,
+        ).reshape(-1, FEAT_DIM).astype(np.float64) / 255.0
         out = pd.DataFrame({"item_id": batch["item_id"], "n_bytes": batch["n_bytes"].astype("int64")})
         for i in range(FEAT_DIM):
             out[f"feat_{i}"] = feats[:, i]
@@ -250,7 +253,29 @@ FROM documents WHERE NOT (octet_length(encode(text)) <= 500)
 """
 
 
-ORACLES: Dict[str, str] = {"val_payload_length": VAL_PAYLOAD_LENGTH_SQL}
+def _md5_byte_expr(i: int) -> str:
+    """SQL for digest byte ``i`` of md5(text): hex-pair → int via strpos."""
+    hx = "'0123456789abcdef'"
+    return (
+        f"((strpos({hx}, substr(md5(text), {2 * i + 1}, 1)) - 1) * 16"
+        f" + strpos({hx}, substr(md5(text), {2 * i + 2}, 1)) - 1)"
+    )
+
+
+# Full value oracle for the stubbed feature extractor: the fake decode is
+# md5-digest bytes / 255, which DuckDB reproduces exactly (md5 of the same
+# UTF-8 payload bytes; integer/255.0 is the identical IEEE division).
+MULTIMODAL_FEATURES_SQL = (
+    "SELECT doc_id AS item_id, CAST(octet_length(encode(text)) AS BIGINT) AS n_bytes, "
+    + ", ".join(f"{_md5_byte_expr(i)} / 255.0 AS feat_{i}" for i in range(FEAT_DIM))
+    + " FROM documents WHERE octet_length(encode(text)) <= 1048576"
+)
+
+
+ORACLES: Dict[str, str] = {
+    "val_payload_length": VAL_PAYLOAD_LENGTH_SQL,
+    "multimodal_features": MULTIMODAL_FEATURES_SQL,
+}
 QUERIES = {
     "multimodal_features": multimodal_features,
     "val_payload_length": val_payload_length,

@@ -118,18 +118,70 @@ def drift_check(sf_dir: str) -> pd.DataFrame:
     res_b = ValidationEngine(spec_gated, batch_size=4096, n_shards=1).run(
         half_b, out_dir=out_b, dims=dims, resume=False
     )
+    # Scaled-int metrics (pipelines/common.py convention) so the DuckDB
+    # oracle can recompute KS/PSI exactly: histogram counts are integers,
+    # the per-bin divisions are identical IEEE ops on both sides, and e6
+    # scaling puts any last-ulp summation-order difference ~9 orders of
+    # magnitude away from a rounding boundary.
     return pd.DataFrame(
         [
             {
                 "name": d.name,
                 "column": d.column,
-                "ks": d.ks,
-                "psi": d.psi,
+                "n_ref": np.int64(sum(ref_hist)),
+                "n_cur": np.int64(sum(d.observed_hist)),
+                "ks_e6": np.int64(np.floor(d.ks * 1e6 + 0.5)),
+                "psi_e6": np.int64(np.floor(d.psi * 1e6 + 0.5)),
                 "passed": bool(d.passed),
             }
             for d in res_b.drift
         ]
     )
+
+
+# DuckDB re-derivation of the whole drift pipeline: re-tokenize documents
+# (same whitespace split the green token_counts oracle validates), split
+# halves by n_tok parity, bin into the spec's 256 fixed-width bins
+# (max_tok=8192 / 256 bins = width 32; np.histogram closes the last bin ⇒
+# LEAST(bin, 255)), then recompute the binned-ECDF KS statistic and
+# eps-clipped PSI exactly as engine/stats.py does.
+DRIFT_SQL = """
+WITH toks AS (
+  SELECT CAST(length(regexp_split_to_array(trim(text), '\\s+')) AS BIGINT) AS n_tok
+  FROM documents
+), binned AS (
+  SELECT LEAST(CAST(FLOOR(n_tok / 32.0) AS BIGINT), 255) AS bin, n_tok % 2 AS par
+  FROM toks WHERE n_tok BETWEEN 0 AND 8192
+), grid AS (
+  SELECT range AS bin FROM range(0, 256)
+), h AS (
+  SELECT g.bin,
+         CAST(COALESCE(SUM(CASE WHEN par = 0 THEN 1 END), 0) AS DOUBLE) AS ca,
+         CAST(COALESCE(SUM(CASE WHEN par = 1 THEN 1 END), 0) AS DOUBLE) AS cb
+  FROM grid g LEFT JOIN binned b ON b.bin = g.bin GROUP BY g.bin
+), tot AS (
+  SELECT SUM(ca) AS na, SUM(cb) AS nb FROM h
+), cum AS (
+  SELECT SUM(ca) OVER (ORDER BY bin) / (SELECT na FROM tot) AS fa,
+         SUM(cb) OVER (ORDER BY bin) / (SELECT nb FROM tot) AS fb
+  FROM h
+), ks AS (
+  SELECT MAX(ABS(fa - fb)) AS ks FROM cum
+), terms AS (
+  SELECT GREATEST(ca / (SELECT na FROM tot), 1e-6) AS pe,
+         GREATEST(cb / (SELECT nb FROM tot), 1e-6) AS pa
+  FROM h
+), psi AS (
+  SELECT SUM((pa - pe) * LN(pa / pe)) AS psi FROM terms
+)
+SELECT 'drift_token_length' AS name,
+       'tokens' AS "column",
+       CAST((SELECT na FROM tot) AS BIGINT) AS n_ref,
+       CAST((SELECT nb FROM tot) AS BIGINT) AS n_cur,
+       CAST(FLOOR((SELECT ks FROM ks) * 1e6 + 0.5) AS BIGINT) AS ks_e6,
+       CAST(FLOOR((SELECT psi FROM psi) * 1e6 + 0.5) AS BIGINT) AS psi_e6,
+       ((SELECT ks FROM ks) <= 0.15 AND (SELECT psi FROM psi) <= 0.25) AS passed
+"""
 
 
 # DuckDB cross-check of the seeded run: recomputes every constraint's
@@ -186,6 +238,7 @@ FROM documents
 ORACLES: Dict[str, str] = {
     "validate_sequences": VALIDATE_SEQUENCES_SQL,
     "validate_sequences_seeded": SEEDED_SQL,
+    "drift_check": DRIFT_SQL,
 }
 QUERIES = {
     "validate_sequences": validate_sequences,
