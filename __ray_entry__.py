@@ -26,6 +26,7 @@ def entry() -> Any:
 def _modules():
     from xmlschema_ray.pipelines import (
         cleaning,
+        curation,
         dedup,
         multimodal,
         relational,
@@ -40,6 +41,7 @@ def _modules():
         validation_queries,
         cleaning,
         textstats,
+        curation,
         dedup,
         similarity,
         multimodal,

@@ -84,8 +84,11 @@ def test_item_facets_match_oracle(lists, vocab):
 def test_pattern_matches_re_oracle(vals, pattern):
     arr = pa.array(vals, type=pa.string())
     m, _ = F.Pattern(pattern).check(arr)
-    rx = re.compile(f"^(?:{pattern})$")
-    truth = [v is not None and not rx.match(v) for v in vals]
+    # fullmatch, not ^...$: Python's `$` matches before a trailing newline,
+    # but XSD patterns (and RE2's end-of-text `$`) must cover the WHOLE value,
+    # so 'a\n' does not satisfy '[a-z]+'.
+    rx = re.compile(pattern)
+    truth = [v is not None and not rx.fullmatch(v) for v in vals]
     assert m.tolist() == truth
 
 

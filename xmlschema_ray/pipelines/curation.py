@@ -1,0 +1,307 @@
+"""Training-data curation operators over the documents table.
+
+The four operations a large-scale pretraining-data pipeline runs between
+raw crawl and tokenizer — each Ray-Data-first (per-batch vectorized maps;
+pre-aggregated partials before any shuffle; broadcast small sides) and
+each carrying a full DuckDB value oracle:
+
+* ``top_words`` — corpus vocabulary counts → global top-k. The wide
+  groupby ships ONE row per (word, batch) partial, never one per
+  occurrence (``combiner_aggregate``), then partial top-k with no global
+  sort.
+* ``decontamination`` — training-vs-benchmark n-gram overlap (the eval-set
+  leakage check run before every serious pretraining job). The benchmark
+  side is small by construction ⇒ broadcast gram set + per-batch
+  membership, NOT a join shuffle.
+* ``repetition_ratio`` — per-document duplicate-n-gram fraction (the
+  Gopher/C4-style quality signal); entirely per-row ⇒ embarrassingly
+  parallel map_batches.
+* ``stratified_sample`` — deterministic hash-based per-source sampling
+  (data-mixture rebalancing); pure per-row predicate on (md5(doc_id),
+  md5(source)) ⇒ no state, no shuffle, reproducible on any engine.
+
+Word splitting matches the green ``token_counts`` oracle
+(``regexp_split_to_array(trim(text), '\\s+')`` ≡ Arrow
+``ascii_split_whitespace``). Reference analogs: enumeration/membership
+facets (facets.py:426-487) for the gram-set check; assertions
+(facets.py:606-628) for the per-row quality predicate.
+"""
+
+from __future__ import annotations
+
+import hashlib
+from typing import Dict, Tuple
+
+import numpy as np
+import pandas as pd
+import pyarrow as pa
+import pyarrow.compute as pc
+
+import ray
+import ray.data as rd
+
+from xmlschema_ray.pipelines.common import table_path
+
+_HEX = "0123456789abcdef"
+
+
+def _word_grams(text: "pa.ChunkedArray | pa.Array", n: int) -> Tuple[np.ndarray, np.ndarray]:
+    """(row_index, gram_string) arrays for all word n-grams in a batch.
+
+    Vectorized over the FLAT word array of the whole batch: one Arrow
+    split, one searchsorted for row membership, n-1 elementwise string
+    concats. Grams never cross row boundaries, so per-batch evaluation is
+    exact for per-document statistics.
+    """
+    if isinstance(text, pa.ChunkedArray):
+        text = text.combine_chunks()
+    words = pc.ascii_split_whitespace(text)
+    if isinstance(words, pa.ChunkedArray):
+        words = words.combine_chunks()
+    offsets = words.offsets.to_numpy()
+    flat = words.values.to_numpy(zero_copy_only=False)
+    total = len(flat)
+    if total == 0:
+        return np.array([], dtype=np.int64), np.array([], dtype=object)
+    starts = np.arange(total, dtype=np.int64)
+    row_idx = np.searchsorted(offsets, starts, side="right") - 1
+    valid = starts + n <= offsets[row_idx + 1]
+    vs = starts[valid]
+    grams = flat[vs].astype(object)
+    for j in range(1, n):
+        grams = grams + " " + flat[vs + j]
+    return row_idx[valid], grams
+
+
+def _md5_hex(values) -> np.ndarray:
+    """Lowercase md5 hexdigests of ``str(v)`` — matches DuckDB
+    ``md5(CAST(v AS VARCHAR))`` for int64 ids and plain ``md5(v)`` for
+    strings."""
+    return np.array(
+        [hashlib.md5(str(v).encode("utf-8")).hexdigest() for v in values], dtype=object
+    )
+
+
+# -- vocabulary ----------------------------------------------------------
+
+
+def top_words(sf_dir: str, k: int = 20) -> pd.DataFrame:
+    """Global word-frequency top-k over the corpus.
+
+    Per-batch ``value_counts`` partials (one row per distinct word per
+    batch) → hash-partitioned merge → partial top-k. The full-corpus
+    word→count table never exists in one place; the driver sees k rows.
+    """
+    from xmlschema_ray.ops.relational import combiner_aggregate, topk
+
+    ds = rd.read_parquet(table_path(sf_dir, "documents"), columns=["text"])
+
+    def partial(batch: pa.Table) -> pd.DataFrame:
+        _, grams = _word_grams(batch["text"], 1)
+        w, c = np.unique(grams.astype(str), return_counts=True)
+        return pd.DataFrame({"word": w, "n": c.astype(np.int64)})
+
+    partials = ds.map_batches(partial, batch_format="pyarrow")
+    counts = combiner_aggregate(partials, "word", {"n": ("n", "sum")})
+    out = topk(counts, "n", k, descending=True, tiebreak=["word"]).to_pandas()
+    out["n"] = out["n"].astype("int64")
+    return out.reset_index(drop=True)
+
+
+TOP_WORDS_SQL = r"""
+WITH w AS (
+  SELECT unnest(regexp_split_to_array(trim(text), '\s+')) AS word FROM documents
+)
+SELECT word, CAST(COUNT(*) AS BIGINT) AS n
+FROM w WHERE word <> ''
+GROUP BY word
+ORDER BY n DESC, word
+LIMIT 20
+"""
+
+
+# -- decontamination -----------------------------------------------------
+
+
+def decontamination(sf_dir: str, n: int = 5) -> pd.DataFrame:
+    """Benchmark-leakage check: training docs sharing any word ``n``-gram
+    with the held-out set (doc_ids whose md5 starts with '0' — the
+    deterministic 1/16 split both engines can recompute).
+
+    The benchmark side is small by construction (real eval sets are MBs
+    against a 100-TB training corpus): its gram set is built once,
+    ``ray.put`` once, and every training batch does a vectorized membership
+    probe — no all-to-all join anywhere. Counts are complete per batch
+    because a document never spans batches.
+    """
+    ds = rd.read_parquet(table_path(sf_dir, "documents"), columns=["doc_id", "text"])
+
+    def is_eval(batch: pa.Table) -> pa.Table:
+        ids = batch["doc_id"].to_numpy(zero_copy_only=False)
+        mask = np.array([h[0] == "0" for h in _md5_hex(ids)])
+        return batch.filter(pa.array(mask))
+
+    eval_docs = ds.map_batches(is_eval, batch_format="pyarrow")
+
+    def eval_grams(batch: pa.Table) -> pd.DataFrame:
+        _, grams = _word_grams(batch["text"], n)
+        return pd.DataFrame({"gram": pd.unique(grams)})
+
+    gram_set = frozenset(
+        eval_grams_df["gram"]
+        if len(eval_grams_df := eval_docs.map_batches(eval_grams, batch_format="pyarrow").to_pandas())
+        else []
+    )
+    gram_ref = ray.put(gram_set)
+    state: dict = {}
+
+    def probe(batch: pa.Table) -> pd.DataFrame:
+        gs = state.get("g")
+        if gs is None:
+            gs = state["g"] = ray.get(gram_ref)
+        ids = batch["doc_id"].to_numpy(zero_copy_only=False)
+        keep = np.array([h[0] != "0" for h in _md5_hex(ids)])
+        row_idx, grams = _word_grams(batch["text"], n)
+        empty = pd.DataFrame(
+            {
+                "doc_id": pd.Series([], dtype="int64"),
+                "n_contaminated": pd.Series([], dtype="int64"),
+            }
+        )
+        if len(grams) == 0:
+            return empty
+        hit = np.array([g in gs for g in grams], dtype=bool)
+        hit &= keep[row_idx]
+        if not hit.any():
+            return empty
+        rows, cnt = np.unique(row_idx[hit], return_counts=True)
+        return pd.DataFrame(
+            {"doc_id": ids[rows].astype(np.int64), "n_contaminated": cnt.astype(np.int64)}
+        )
+
+    out = ds.map_batches(probe, batch_format="pyarrow").to_pandas()
+    out["n_contaminated"] = out["n_contaminated"].astype("int64")
+    return out.sort_values("doc_id").reset_index(drop=True)
+
+
+DECONTAMINATION_SQL = r"""
+WITH w AS (
+  SELECT doc_id, regexp_split_to_array(trim(text), '\s+') AS ws FROM documents
+), g AS (
+  SELECT doc_id, array_to_string(ws[i:i+4], ' ') AS gram
+  FROM w, LATERAL unnest(generate_series(1, len(ws) - 4)) AS t(i)
+), eval_ids AS (
+  SELECT doc_id FROM documents WHERE substring(md5(CAST(doc_id AS VARCHAR)), 1, 1) = '0'
+), eg AS (
+  SELECT DISTINCT gram FROM g JOIN eval_ids USING (doc_id)
+)
+SELECT g.doc_id, CAST(COUNT(*) AS BIGINT) AS n_contaminated
+FROM g JOIN eg USING (gram)
+WHERE g.doc_id NOT IN (SELECT doc_id FROM eval_ids)
+GROUP BY g.doc_id
+ORDER BY doc_id
+"""
+
+
+# -- repetition ratio ----------------------------------------------------
+
+
+def repetition_ratio(sf_dir: str, n: int = 3) -> "rd.Dataset":
+    """Per-document duplicate word-``n``-gram fraction (quality signal).
+
+    Entirely per-row, so it streams: counts and distinct-counts per
+    document inside each batch; the single int→double division matches the
+    SQL oracle bit-for-bit.
+    """
+    ds = rd.read_parquet(table_path(sf_dir, "documents"), columns=["doc_id", "text"])
+
+    def fn(batch: pa.Table) -> pd.DataFrame:
+        ids = batch["doc_id"].to_numpy(zero_copy_only=False)
+        row_idx, grams = _word_grams(batch["text"], n)
+        if len(grams) == 0:
+            return pd.DataFrame(
+                {
+                    "doc_id": pd.Series([], dtype="int64"),
+                    "n_grams": pd.Series([], dtype="int64"),
+                    "n_distinct": pd.Series([], dtype="int64"),
+                    "rep_ratio": pd.Series([], dtype="float64"),
+                }
+            )
+        df = pd.DataFrame({"r": row_idx, "g": grams})
+        agg = df.groupby("r")["g"].agg(["size", "nunique"])
+        tot = agg["size"].to_numpy(np.int64)
+        uni = agg["nunique"].to_numpy(np.int64)
+        return pd.DataFrame(
+            {
+                "doc_id": ids[agg.index.to_numpy()].astype(np.int64),
+                "n_grams": tot,
+                "n_distinct": uni,
+                "rep_ratio": (tot - uni) / tot.astype(np.float64),
+            }
+        )
+
+    return ds.map_batches(fn, batch_format="pyarrow")
+
+
+REPETITION_RATIO_SQL = r"""
+WITH w AS (
+  SELECT doc_id, regexp_split_to_array(trim(text), '\s+') AS ws FROM documents
+), g AS (
+  SELECT doc_id, array_to_string(ws[i:i+2], ' ') AS gram
+  FROM w, LATERAL unnest(generate_series(1, len(ws) - 2)) AS t(i)
+)
+SELECT doc_id,
+       CAST(COUNT(*) AS BIGINT) AS n_grams,
+       CAST(COUNT(DISTINCT gram) AS BIGINT) AS n_distinct,
+       (COUNT(*) - COUNT(DISTINCT gram)) / CAST(COUNT(*) AS DOUBLE) AS rep_ratio
+FROM g
+GROUP BY doc_id
+"""
+
+
+# -- stratified sampling -------------------------------------------------
+
+
+def stratified_sample(sf_dir: str) -> "rd.Dataset":
+    """Deterministic per-source downsampling (data-mixture rebalancing).
+
+    Each source gets a rate in {1/8, 2/8, 3/8, 4/8} derived from
+    md5(source); a document is kept iff the first hex digit of
+    md5(doc_id) < 2·rate·8 — integer logic on hex digits, so the sample is
+    bit-reproducible by any engine with md5 and needs no state, no
+    shuffle, and no coordination between partitions.
+    """
+    ds = rd.read_parquet(table_path(sf_dir, "documents"), columns=["doc_id", "source"])
+
+    def fn(batch: pa.Table) -> pa.Table:
+        ids = batch["doc_id"].to_numpy(zero_copy_only=False)
+        srcs = batch["source"].to_pylist()
+        d_digit = np.array([_HEX.index(h[0]) for h in _md5_hex(ids)], dtype=np.int64)
+        s_digit = np.array([_HEX.index(h[0]) for h in _md5_hex(srcs)], dtype=np.int64)
+        keep = d_digit < 2 * (1 + s_digit % 4)
+        return batch.filter(pa.array(keep))
+
+    return ds.map_batches(fn, batch_format="pyarrow", zero_copy_batch=True)
+
+
+STRATIFIED_SAMPLE_SQL = """
+SELECT doc_id, source
+FROM documents
+WHERE strpos('0123456789abcdef', substring(md5(CAST(doc_id AS VARCHAR)), 1, 1)) - 1
+      < 2 * (1 + (strpos('0123456789abcdef', substring(md5(source), 1, 1)) - 1) % 4)
+"""
+
+
+ORACLES: Dict[str, str] = {
+    "top_words": TOP_WORDS_SQL,
+    "decontamination": DECONTAMINATION_SQL,
+    "repetition_ratio": REPETITION_RATIO_SQL,
+    "stratified_sample": STRATIFIED_SAMPLE_SQL,
+}
+
+QUERIES = {
+    "top_words": top_words,
+    "decontamination": decontamination,
+    "repetition_ratio": repetition_ratio,
+    "stratified_sample": stratified_sample,
+}
