@@ -186,8 +186,18 @@ def bench_once() -> dict:
     # raw-numpy probe), so a single draw measures the host's mood as much
     # as the engine. Peak sustained throughput is the stable quantity.
     n_runs = int(os.environ.get("BENCH_HEADLINE_RUNS", "3"))
-    head = min((run_headline(num_cpus) for _ in range(n_runs)), key=lambda h: h["sec"])
-    probe = host_probe()
+    runs = []
+    for _ in range(n_runs):
+        # probe IMMEDIATELY before each repetition: the host's fast/slow
+        # phase flips on minute timescales, so a single probe drawn after
+        # the whole best-of-N loop can describe a different phase than the
+        # run it is recorded next to
+        p = host_probe()
+        h = run_headline(num_cpus)
+        h["probe"] = p
+        runs.append(h)
+    head = min(runs, key=lambda h: h["sec"])
+    probe = head["probe"]
     if os.environ.get("BENCH_SKIP_QUERIES") != "1":
         # per-query best-of-2 for the same reason: one sweep in a slow host
         # phase would record ~1.5x on every query at once

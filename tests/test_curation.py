@@ -49,3 +49,34 @@ def test_stratified_rates_deterministic():
     keep2 = d < 2 * (1 + s % 4)
     assert (keep1 == keep2).all()
     assert 0 < keep1.sum() < 64
+
+
+def test_chunk_batch_windows_and_tail():
+    from xmlschema_ray.pipelines.curation import _chunk_batch
+
+    batch = pa.table({"doc_id": [7, 8, 9], "text": ["a b c d e", "x", ""]})
+    out = _chunk_batch(batch, 2)
+    # '' splits to [''] on BOTH engines (Arrow ascii_split_whitespace and
+    # DuckDB regexp_split_to_array) → one empty 1-"word" chunk for doc 9
+    assert out["doc_id"].tolist() == [7, 7, 7, 8, 9]
+    assert out["chunk_idx"].tolist() == [1, 2, 3, 1, 1]
+    assert out["chunk_text"].tolist() == ["a b", "c d", "e", "x", ""]
+    assert out["n_words"].tolist() == [2, 2, 1, 1, 1]
+
+
+def test_chunk_batch_empty_inputs_keep_schema():
+    from xmlschema_ray.pipelines.curation import _chunk_batch
+
+    out = _chunk_batch(pa.table({"doc_id": pa.array([], type=pa.int64()),
+                                 "text": pa.array([], type=pa.string())}), 4)
+    assert list(out.columns) == ["doc_id", "chunk_idx", "chunk_text", "n_words"]
+    assert len(out) == 0 and str(out["doc_id"].dtype) == "int64"
+
+
+def test_stopword_batch_all_stop_and_case():
+    from xmlschema_ray.pipelines.curation import _stopword_batch
+
+    batch = pa.table({"doc_id": [1, 2, 3], "text": ["The a AND", "keep the word", "solo"]})
+    out = _stopword_batch(batch)
+    assert out["clean_text"].tolist() == ["", "keep word", "solo"]
+    assert out["n_removed"].tolist() == [3, 1, 0]

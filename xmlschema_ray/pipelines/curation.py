@@ -292,11 +292,145 @@ WHERE strpos('0123456789abcdef', substring(md5(CAST(doc_id AS VARCHAR)), 1, 1)) 
 """
 
 
+# -- document chunking ---------------------------------------------------
+
+
+def _split_offsets(text: "pa.ChunkedArray | pa.Array"):
+    """(offsets int64[R+1], flat object words[W]) for a batch's texts."""
+    if isinstance(text, pa.ChunkedArray):
+        text = text.combine_chunks()
+    words = pc.ascii_split_whitespace(text)
+    if isinstance(words, pa.ChunkedArray):
+        words = words.combine_chunks()
+    return words.offsets.to_numpy().astype(np.int64), words.values.to_numpy(
+        zero_copy_only=False
+    )
+
+
+_CHUNK_EMPTY = {
+    "doc_id": "int64",
+    "chunk_idx": "int64",
+    "chunk_text": object,
+    "n_words": "int64",
+}
+
+
+def _chunk_batch(batch: pa.Table, w: int) -> pd.DataFrame:
+    """One batch of (doc_id, text) → exploded (doc_id, chunk_idx,
+    chunk_text, n_words) word windows; pure integer array math over the
+    flat word array plus one grouped join per chunk."""
+    ids = batch["doc_id"].to_numpy(zero_copy_only=False)
+    offsets, flat = _split_offsets(batch["text"])
+    n_words_row = np.diff(offsets)
+    chunks_per_row = -(-n_words_row // w)
+    total = int(chunks_per_row.sum())
+    if total == 0:
+        return pd.DataFrame({c: pd.Series([], dtype=t) for c, t in _CHUNK_EMPTY.items()})
+    base = np.concatenate(([0], np.cumsum(chunks_per_row)[:-1]))
+    starts = np.arange(len(flat), dtype=np.int64)
+    row_idx = np.searchsorted(offsets, starts, side="right") - 1
+    pos = starts - offsets[row_idx]
+    cid = base[row_idx] + pos // w
+    chunk_text = pd.Series(flat.astype(object)).groupby(cid).agg(" ".join)
+    chunk_idx = np.arange(total, dtype=np.int64) - np.repeat(base, chunks_per_row) + 1
+    n_words_c = np.minimum(w, np.repeat(n_words_row, chunks_per_row) - (chunk_idx - 1) * w)
+    return pd.DataFrame(
+        {
+            "doc_id": np.repeat(ids, chunks_per_row).astype(np.int64),
+            "chunk_idx": chunk_idx,
+            "chunk_text": chunk_text.to_numpy(),
+            "n_words": n_words_c.astype(np.int64),
+        }
+    )
+
+
+def chunk_documents(sf_dir: str, w: int = 32) -> "rd.Dataset":
+    """Explode each document into fixed-size word windows (the
+    chunk-before-tokenize step of a training-data pipeline; the output has
+    MORE rows than the input — the flat_map family).
+
+    Entirely per-row and stateless, so it streams at any corpus size: one
+    Arrow split per batch, chunk ids assigned with integer array math over
+    the flat word array, one grouped join per chunk. A document never
+    spans batches, so per-batch evaluation is exact."""
+    ds = rd.read_parquet(table_path(sf_dir, "documents"), columns=["doc_id", "text"])
+    return ds.map_batches(lambda b: _chunk_batch(b, w), batch_format="pyarrow")
+
+
+CHUNK_DOCUMENTS_SQL = r"""
+WITH w AS (
+  SELECT doc_id, regexp_split_to_array(trim(text), '\s+') AS ws FROM documents
+)
+SELECT doc_id,
+       CAST(i AS BIGINT) AS chunk_idx,
+       array_to_string(ws[(i-1)*32+1:least((i-1)*32+32, len(ws))], ' ') AS chunk_text,
+       CAST(least(32, len(ws) - (i-1)*32) AS BIGINT) AS n_words
+FROM w, LATERAL unnest(generate_series(1, CAST(ceil(len(ws)/32.0) AS BIGINT))) AS t(i)
+"""
+
+
+# -- stopword removal ----------------------------------------------------
+
+
+_STOPWORDS = (
+    "the a an and or of to in is are was were be been it this that with for on as at by"
+).split()
+
+
+def stopword_removal(sf_dir: str) -> "rd.Dataset":
+    """Rewrite each document with stopwords dropped, plus the removed-word
+    count (the classic text-normalization map; same word list as the green
+    ``doc_quality`` stopword_ratio oracle).
+
+    Stateless per-row transform: split once per batch, one vectorized
+    ``np.isin`` membership mask over the flat word array, one grouped join
+    per surviving document — no shuffle, no state, streams at any size."""
+    ds = rd.read_parquet(table_path(sf_dir, "documents"), columns=["doc_id", "text"])
+    return ds.map_batches(_stopword_batch, batch_format="pyarrow")
+
+
+def _stopword_batch(batch: pa.Table) -> pd.DataFrame:
+    ids = batch["doc_id"].to_numpy(zero_copy_only=False)
+    offsets, flat = _split_offsets(batch["text"])
+    n_rows = len(ids)
+    flat_obj = flat.astype(object)
+    keep = ~np.isin(np.char.lower(flat.astype(str)), np.array(_STOPWORDS, dtype=object))
+    starts = np.arange(len(flat), dtype=np.int64)
+    row_idx = np.searchsorted(offsets, starts, side="right") - 1
+    clean = np.full(n_rows, "", dtype=object)
+    if keep.any():
+        joined = pd.Series(flat_obj[keep]).groupby(row_idx[keep]).agg(" ".join)
+        clean[joined.index.to_numpy()] = joined.to_numpy()
+    n_removed = np.bincount(row_idx[~keep], minlength=n_rows)
+    return pd.DataFrame(
+        {
+            "doc_id": ids.astype(np.int64),
+            "clean_text": clean,
+            "n_removed": n_removed.astype(np.int64),
+        }
+    )
+
+
+_STOP_SQL_LIST = ",".join(f"'{s}'" for s in _STOPWORDS)
+
+STOPWORD_REMOVAL_SQL = rf"""
+WITH w AS (
+  SELECT doc_id, regexp_split_to_array(trim(text), '\s+') AS ws FROM documents
+)
+SELECT doc_id,
+       array_to_string(list_filter(ws, x -> lower(x) NOT IN ({_STOP_SQL_LIST})), ' ') AS clean_text,
+       CAST(len(ws) - len(list_filter(ws, x -> lower(x) NOT IN ({_STOP_SQL_LIST}))) AS BIGINT) AS n_removed
+FROM w
+"""
+
+
 ORACLES: Dict[str, str] = {
     "top_words": TOP_WORDS_SQL,
     "decontamination": DECONTAMINATION_SQL,
     "repetition_ratio": REPETITION_RATIO_SQL,
     "stratified_sample": STRATIFIED_SAMPLE_SQL,
+    "chunk_documents": CHUNK_DOCUMENTS_SQL,
+    "stopword_removal": STOPWORD_REMOVAL_SQL,
 }
 
 QUERIES = {
@@ -304,4 +438,6 @@ QUERIES = {
     "decontamination": decontamination,
     "repetition_ratio": repetition_ratio,
     "stratified_sample": stratified_sample,
+    "chunk_documents": chunk_documents,
+    "stopword_removal": stopword_removal,
 }

@@ -948,6 +948,118 @@ FROM orders GROUP BY o_orderstatus ORDER BY o_orderstatus
 """
 
 
+# -- rollup: multi-level grouped aggregate (GROUPING SETS shape) ---------
+
+
+def revenue_rollup(sf_dir: str) -> pd.DataFrame:
+    """Revenue at three grouping levels — (flag, status), (flag), () — the
+    ``GROUP BY ROLLUP`` shape (SURVEY §2.7 grouped-aggregate family).
+
+    The wide work happens ONCE at the finest level (per-batch scaled-int
+    partials → bounded shuffle, same as q1); the coarser levels are exact
+    re-sums of the finest-level cube, which is group-cardinality-sized
+    (|flags|×|statuses| rows), so deriving them driver-side is free at any
+    corpus size. NULL rollup keys are COALESCEd to 'ALL' on both engines to
+    keep the compare away from NULL-ordering/NaN-hashing differences."""
+    ds = rd.read_parquet(
+        table_path(sf_dir, "lineitem"),
+        columns=["l_returnflag", "l_linestatus", "l_extendedprice", "l_discount"],
+    )
+
+    def add_scaled(batch: pd.DataFrame) -> pd.DataFrame:
+        price_c = cents(batch["l_extendedprice"])
+        disc100 = scaled_int(batch["l_discount"], 100.0)
+        return pd.DataFrame(
+            {
+                "l_returnflag": batch["l_returnflag"],
+                "l_linestatus": batch["l_linestatus"],
+                "rev_e4": price_c * (100 - disc100),
+            }
+        )
+
+    fine = combiner_aggregate(
+        ds.map_batches(add_scaled, batch_format="pandas"),
+        keys=["l_returnflag", "l_linestatus"],
+        aggs={"rev_e4": ("rev_e4", "sum"), "n_items": (None, "count")},
+    ).to_pandas()
+
+    levels = [fine]
+    by_flag = fine.groupby("l_returnflag", as_index=False)[["rev_e4", "n_items"]].sum()
+    by_flag["l_linestatus"] = "ALL"
+    levels.append(by_flag)
+    total = pd.DataFrame(
+        {
+            "l_returnflag": ["ALL"],
+            "l_linestatus": ["ALL"],
+            "rev_e4": [fine["rev_e4"].sum()],
+            "n_items": [fine["n_items"].sum()],
+        }
+    )
+    levels.append(total)
+    out = pd.concat(levels, ignore_index=True)
+    out = pd.DataFrame(
+        {
+            "l_returnflag": out["l_returnflag"],
+            "l_linestatus": out["l_linestatus"],
+            "revenue": out["rev_e4"].astype("int64") / 10000.0,
+            "n_items": out["n_items"].astype("int64"),
+        }
+    )
+    return out.sort_values(["l_returnflag", "l_linestatus"]).reset_index(drop=True)
+
+
+REVENUE_ROLLUP_SQL = """
+SELECT COALESCE(l_returnflag, 'ALL') AS l_returnflag,
+       COALESCE(l_linestatus, 'ALL') AS l_linestatus,
+       CAST(SUM(CAST(floor(l_extendedprice * 100 + 0.5) AS BIGINT)
+                * (100 - CAST(floor(l_discount * 100 + 0.5) AS BIGINT))) AS DOUBLE) / 10000.0 AS revenue,
+       COUNT(*) AS n_items
+FROM lineitem
+GROUP BY ROLLUP (l_returnflag, l_linestatus)
+ORDER BY l_returnflag, l_linestatus
+"""
+
+
+# -- argmin per group with carried columns (first-order-per-customer) ----
+
+
+def first_order_per_customer(sf_dir: str) -> "rd.Dataset":
+    """Each customer's earliest order (tiebreak: lowest orderkey), with the
+    full order row carried through — the argmin-per-group pattern.
+
+    Per-batch pre-reduce (one candidate row per custkey per batch) before
+    the shuffle, so the exchange ships at most |customers| rows per batch
+    instead of the orders fact; the hash-partitioned merge re-applies the
+    same vectorized sort+first, which is associative. Result stays a
+    Dataset with the canonical sort done in Ray."""
+    from xmlschema_ray.ops.relational import hash_partition_apply
+
+    ds = rd.read_parquet(
+        table_path(sf_dir, "orders"),
+        columns=["o_custkey", "o_orderkey", "o_orderdate", "o_totalprice"],
+    )
+
+    def first_per_key(b: pd.DataFrame) -> pd.DataFrame:
+        b = b.sort_values(["o_custkey", "o_orderdate", "o_orderkey"])
+        b = b.drop_duplicates("o_custkey", keep="first")
+        b["o_orderdate"] = pd.to_datetime(b["o_orderdate"]).astype("datetime64[us]")
+        return b.reset_index(drop=True)
+
+    partials = ds.map_batches(first_per_key, batch_format="pandas")
+    return hash_partition_apply(partials, "o_custkey", first_per_key).sort("o_custkey")
+
+
+FIRST_ORDER_SQL = """
+SELECT o_custkey, o_orderkey, o_orderdate, o_totalprice
+FROM (
+  SELECT o_custkey, o_orderkey, o_orderdate, o_totalprice,
+         row_number() OVER (PARTITION BY o_custkey ORDER BY o_orderdate, o_orderkey) AS rn
+  FROM orders
+) WHERE rn = 1
+ORDER BY o_custkey
+"""
+
+
 ORACLES = {
     "q1_pricing_summary": Q1_SQL,
     "orders_priority_counts": ORDERS_PRIORITY_SQL,
@@ -970,6 +1082,8 @@ ORACLES = {
     "events_sliding_window": SLIDING_WINDOW_SQL,
     "sessionize_events": SESSIONIZE_SQL,
     "json_extract_events": JSON_EXTRACT_SQL,
+    "revenue_rollup": REVENUE_ROLLUP_SQL,
+    "first_order_per_customer": FIRST_ORDER_SQL,
 }
 
 QUERIES = {
@@ -994,4 +1108,6 @@ QUERIES = {
     "events_sliding_window": events_sliding_window,
     "sessionize_events": sessionize_events,
     "json_extract_events": json_extract_events,
+    "revenue_rollup": revenue_rollup,
+    "first_order_per_customer": first_order_per_customer,
 }

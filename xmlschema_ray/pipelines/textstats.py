@@ -131,11 +131,62 @@ SELECT pred_lang, COUNT(*) AS n FROM pred GROUP BY pred_lang ORDER BY pred_lang
 """
 
 
+def chars_quartiles_by_source(sf_dir: str) -> pd.DataFrame:
+    """Per-source p25/p50/p75 of document length — EXACT grouped quantiles
+    via key co-location (the ``median_quantity_by_flag`` pattern widened to
+    arbitrary quantiles).
+
+    Hash-partitioning on ``source`` lands every group whole in one
+    partition, where one vectorized ``np.percentile`` computes the exact
+    linear-interpolated quantile. Quartile interpolation weights
+    (0, .25, .5, .75) and int inputs are all exactly representable in
+    doubles, so numpy's linear method and DuckDB's ``quantile_cont`` produce
+    bit-identical results. Partitioning assumption: bounded source
+    cardinality with per-source data fitting a worker — true for corpus
+    provenance labels at any size; high-cardinality quantiles use the
+    engine's mergeable histogram sketches (engine/stats.py) instead."""
+    from xmlschema_ray.ops.relational import hash_partition_apply
+
+    ds = rd.read_parquet(table_path(sf_dir, "documents"), columns=["source", "n_chars"])
+
+    def quartiles(part: pd.DataFrame) -> pd.DataFrame:
+        rows = []
+        for src, g in part.groupby("source", sort=False):
+            x = g["n_chars"].to_numpy(np.float64)
+            p25, p50, p75 = np.percentile(x, [25.0, 50.0, 75.0])
+            rows.append((src, len(x), p25, p50, p75))
+        return pd.DataFrame(
+            {
+                "source": pd.Series([r[0] for r in rows], dtype=object),
+                "n_docs": pd.Series([r[1] for r in rows], dtype="int64"),
+                "p25": pd.Series([r[2] for r in rows], dtype="float64"),
+                "p50": pd.Series([r[3] for r in rows], dtype="float64"),
+                "p75": pd.Series([r[4] for r in rows], dtype="float64"),
+            }
+        )
+
+    out = hash_partition_apply(ds, "source", quartiles).to_pandas()
+    return out.sort_values("source").reset_index(drop=True)
+
+
+CHARS_QUARTILES_SQL = """
+SELECT source,
+       COUNT(*) AS n_docs,
+       quantile_cont(CAST(n_chars AS DOUBLE), 0.25) AS p25,
+       quantile_cont(CAST(n_chars AS DOUBLE), 0.50) AS p50,
+       quantile_cont(CAST(n_chars AS DOUBLE), 0.75) AS p75
+FROM documents
+GROUP BY source
+ORDER BY source
+"""
+
+
 ORACLES: Dict[str, str] = {
     "token_counts": TOKEN_COUNTS_SQL,
     "doc_quality": DOC_QUALITY_SQL,
     "fingerprints": FINGERPRINTS_SQL,
     "language_id_counts": LANGUAGE_ID_SQL,
+    "chars_quartiles_by_source": CHARS_QUARTILES_SQL,
 }
 
 QUERIES = {
@@ -143,4 +194,5 @@ QUERIES = {
     "doc_quality": doc_quality,
     "language_id_counts": language_id_counts,
     "fingerprints": fingerprints,
+    "chars_quartiles_by_source": chars_quartiles_by_source,
 }
