@@ -132,6 +132,42 @@ def test_xsd_regex_blocks_inside_classes():
         False,
     ]
     assert _re2_full_match(translate_xsd_regex(r"[\p{L}0-9]+"), ["héllo9", "!"]) == [True, False]
-    for bad in [r"[\P{IsThai}]", r"[\I]", r"[\C]"]:
-        with pytest.raises(F.SpecError):
-            translate_xsd_regex(bad)
+    # complemented members inside classes now expand via interval algebra
+    assert _re2_full_match(translate_xsd_regex(r"[\P{IsThai}]"), ["a", "ส"]) == [True, False]
+    assert _re2_full_match(translate_xsd_regex(r"[\I]"), ["1", "a"]) == [True, False]
+    assert _re2_full_match(translate_xsd_regex(r"[\C]"), ["!", "a"]) == [True, False]
+
+
+def test_xsd_regex_interval_algebra():
+    """General subset algebra: nested/negated subtraction, complemented
+    shorthand + block-complement class members (reference
+    codepoints.py:126-480 UnicodeSubset semantics)."""
+    import pyarrow as pa
+    import pyarrow.compute as pc
+
+    def m(p, vals):
+        t = translate_xsd_regex(p)
+        return pc.match_substring_regex(pa.array(vals), f"^(?:{t})$").to_pylist()
+
+    assert m(r"[a-z-[m-p-[n]]]+", ["an", "am"]) == [True, False]
+    assert m(r"[^a-z-[A-Z]]+", ["0!", "A", "a"]) == [True, False, False]
+    assert m(r"[\S-[x]]+", ["ab", "x", "a b"]) == [True, False, False]
+    assert m(r"[\P{IsThai}]+", ["abc", "สวัสดี"]) == [True, False]
+    assert m(r"[\w]+", ["héllo9", "a,b"]) == [True, False]
+
+
+def test_xsd_regex_spec_shorthand_semantics():
+    """\\d/\\s/\\w carry the XSD App. F definitions (reference
+    regex.py:59-90), not RE2's ASCII defaults."""
+    import pyarrow as pa
+    import pyarrow.compute as pc
+
+    def m(p, vals):
+        t = translate_xsd_regex(p)
+        return pc.match_substring_regex(pa.array(vals), f"^(?:{t})$").to_pylist()
+
+    assert m(r"\d+", ["123", "١٢٣", "a1"]) == [True, True, False]  # Nd, not [0-9]
+    assert m(r"a\sb", ["a b", "a\fb"]) == [True, False]  # \f not in XSD \s
+    assert m(r"\W+", ["., !", "ab"]) == [True, False]
+    with pytest.raises(F.SpecError):
+        translate_xsd_regex(r"\p{Greek}+")  # scripts: not XSD

@@ -354,8 +354,13 @@ class Pattern(Facet):
         if not (pa.types.is_string(dtype) or pa.types.is_large_string(dtype)):
             raise SpecError(f"pattern facet requires a string column, got {dtype}")
         try:
-            re.compile(self._translated())
-        except re.error as e:  # pragma: no cover - message detail
+            # validate against the EXECUTION engine (Arrow's RE2 kernel),
+            # not Python re — re lacks \p{...} categories that RE2-native
+            # translations (e.g. XSD \d → \p{Nd}) legitimately emit. The
+            # 1-element probe matters: the kernel skips regex compilation
+            # entirely on empty input.
+            pc.match_substring_regex(pa.array([""], type=pa.string()), self._anchored())
+        except pa.ArrowInvalid as e:
             raise SpecError(f"invalid pattern {self.pattern!r}: {e}") from e
 
     def describe(self):

@@ -9,27 +9,35 @@ then runs as an anchored ``pc.match_substring_regex``, which is RE2):
 
 * ``\\i`` / ``\\I`` — XML name-start chars (and complement),
 * ``\\c`` / ``\\C`` — XML name chars (and complement),
-* character-class subtraction ``[a-z-[aeiou]]`` → expanded literal class,
+* multi-character escapes with their XSD-SPEC definitions (App. F /
+  reference ``CHARACTER_ESCAPES``, ``regex.py:59-90``): ``\\d = \\p{Nd}``,
+  ``\\s = [#x20\\t\\n\\r]``, ``\\w = [^\\p{P}\\p{Z}\\p{C}]`` and their
+  complements — NOT RE2's ASCII defaults,
+* general character-class ALGEBRA via codepoint-interval sets (the
+  reference's ``UnicodeSubset``, ``codepoints.py:126-480``): subtraction
+  ``[a-z-[aeiou]]`` incl. nested operands ``[a-z-[m-p-[n]]]`` and negated
+  bases ``[^...-[...]]``, complemented shorthands and block complements as
+  class MEMBERS (``[\\S-[x]]``, ``[\\P{IsThai}]``) — combined exactly and
+  re-emitted as one literal class,
 * ``\\p{IsBasicLatin}``-style BLOCK names — the COMPLETE XSD 1.0 block
   table (W3C Schema Part 2 / Unicode 3.1 Blocks.txt; general categories
-  like ``\\p{L}`` pass through — RE2 supports them natively; block escapes
-  are also expanded inside subtracted classes),
+  like ``\\p{L}`` pass through — RE2 supports them natively; unknown
+  category names are rejected at compile),
 * implicit anchoring is applied by the Pattern facet, matching the
   reference's ``^(...)$`` wrapping (``validators/facets.py:585-593``).
 
 Translated patterns are validated against the EXECUTION engine (Arrow's
 RE2 kernel). Unsupported constructs raise ``SpecError`` at compile time
 (the analog of the reference failing at schema build) rather than
-mis-matching at scan time. Documented subset: nested subtraction of
-complemented classes and ``\\P{...}``/shorthand escapes inside subtracted
-classes are out of scope; surrogate blocks are omitted (meaningless over
-UTF-8 Arrow strings).
+mis-matching at scan time. Remaining documented subset: surrogate
+codepoints are dropped at class emission (meaningless over UTF-8 Arrow
+strings); script names (``\\p{Greek}``) are rejected (XSD defines only
+categories and blocks).
 """
 
 from __future__ import annotations
 
-import re
-from typing import List, Set
+from typing import List
 
 from xmlschema_ray.constraints.facets import SpecError
 
@@ -150,88 +158,336 @@ _BLOCK_RANGES = {
 _BLOCKS = {f"Is{name}": f"{chr(lo)}-{chr(hi)}" for name, (lo, hi) in _BLOCK_RANGES.items()}
 
 
-def _expand_class_body(body: str) -> Set[int]:
-    """Expand a (non-negated, subtraction-free) class body to codepoints."""
-    out: Set[int] = set()
-    i = 0
-    while i < len(body):
-        ch = body[i]
-        if ch == "\\" and i + 1 < len(body):
-            esc = body[i + 1]
-            simple = {"n": "\n", "r": "\r", "t": "\t", "\\": "\\", "-": "-", "]": "]", "[": "[", ".": "."}
-            if esc in simple:
-                out.add(ord(simple[esc]))
-                i += 2
-                continue
-            if esc == "p" and i + 2 < len(body) and body[i + 2] == "{":
-                close = body.find("}", i + 3)
-                name = body[i + 3 : close] if close != -1 else ""
-                if close != -1 and name.startswith("Is") and name[2:] in _BLOCK_RANGES:
-                    lo, hi = _BLOCK_RANGES[name[2:]]
-                    out.update(range(lo, hi + 1))
-                    i = close + 1
-                    continue
-            raise SpecError(f"cannot expand escape \\{esc} inside subtracted class")
-        if i + 2 < len(body) and body[i + 1] == "-" and body[i + 2] != "[":
-            lo, hi = ord(ch), ord(body[i + 2])
-            if lo > hi:
-                raise SpecError(f"bad range {ch}-{body[i + 2]}")
-            out.update(range(lo, hi + 1))
-            i += 3
-            continue
-        out.add(ord(ch))
-        i += 1
+# ---- general Unicode subset algebra (interval lists) -------------------
+#
+# The reference's ``UnicodeSubset`` (``codepoints.py:218-480``) represents
+# character groups as sorted codepoint intervals with union / subtraction /
+# complement; this is the same algebra, kept to exactly the operations the
+# XSD charClassExpr grammar needs. Intervals are sorted, disjoint,
+# inclusive ``[lo, hi]`` pairs over U+0000..U+10FFFF.
+
+_MAX_CP = 0x10FFFF
+# Surrogates can't be encoded in the UTF-8 the RE2 kernel sees, so they are
+# dropped at EMISSION time only (complements still compute over the full
+# range, matching the reference's integer algebra).
+_NON_SURROGATE = [[0x0, 0xD7FF], [0xE000, _MAX_CP]]
+
+
+def _norm(pairs: List[List[int]]) -> List[List[int]]:
+    ivs = sorted([lo, hi] for lo, hi in pairs if lo <= hi)
+    out: List[List[int]] = []
+    for lo, hi in ivs:
+        if out and lo <= out[-1][1] + 1:
+            if hi > out[-1][1]:
+                out[-1][1] = hi
+        else:
+            out.append([lo, hi])
     return out
 
 
-def _codepoints_to_class(points: Set[int]) -> str:
-    """Codepoint set → compact char-class string with ranges."""
-    if not points:
-        raise SpecError("character-class subtraction produced an empty class")
-    sorted_pts = sorted(points)
-    parts: List[str] = []
-    start = prev = sorted_pts[0]
-    for p in sorted_pts[1:] + [None]:
-        if p is not None and p == prev + 1:
-            prev = p
+def _complement(ivs: List[List[int]]) -> List[List[int]]:
+    out: List[List[int]] = []
+    prev = 0
+    for lo, hi in _norm(ivs):
+        if lo > prev:
+            out.append([prev, lo - 1])
+        prev = hi + 1
+    if prev <= _MAX_CP:
+        out.append([prev, _MAX_CP])
+    return out
+
+
+def _intersect(a: List[List[int]], b: List[List[int]]) -> List[List[int]]:
+    out: List[List[int]] = []
+    i = j = 0
+    a, b = _norm(a), _norm(b)
+    while i < len(a) and j < len(b):
+        lo = max(a[i][0], b[j][0])
+        hi = min(a[i][1], b[j][1])
+        if lo <= hi:
+            out.append([lo, hi])
+        if a[i][1] < b[j][1]:
+            i += 1
+        else:
+            j += 1
+    return out
+
+
+def _subtract(a: List[List[int]], b: List[List[int]]) -> List[List[int]]:
+    return _intersect(a, _complement(b))
+
+
+_CATEGORY_IV: dict | None = None
+
+
+def _category_intervals() -> dict:
+    """{two-letter Unicode category: interval list}, built lazily from one
+    run-length scan of ``unicodedata`` (the reference ships the same data
+    pre-generated, ``unicode_categories.json`` via ``codepoints.py``).
+    Only patterns that need set algebra over categories pay the one-time
+    ~1 s scan, cached per process (per actor, in ``__init__``-compiled
+    specs)."""
+    global _CATEGORY_IV
+    if _CATEGORY_IV is None:
+        import unicodedata
+
+        cats: dict = {}
+        run_cat = None
+        run_start = 0
+        for cp in range(_MAX_CP + 1):
+            c = unicodedata.category(chr(cp))
+            if c != run_cat:
+                if run_cat is not None:
+                    cats.setdefault(run_cat, []).append([run_start, cp - 1])
+                run_cat, run_start = c, cp
+        cats.setdefault(run_cat, []).append([run_start, _MAX_CP])
+        _CATEGORY_IV = cats
+    return _CATEGORY_IV
+
+
+def _cat_set(name: str) -> List[List[int]]:
+    """Interval set for a general category ('Nd') or category group ('L')."""
+    cats = _category_intervals()
+    if name in cats:
+        return [list(p) for p in cats[name]]
+    if len(name) == 1:
+        ivs = [list(p) for k, v in cats.items() if k[0] == name for p in v]
+        if ivs:
+            return _norm(ivs)
+    raise SpecError(f"unknown Unicode category {name!r} in XSD pattern")
+
+
+def _class_body_to_iv(body: str) -> List[List[int]]:
+    """Parse a bare class BODY (no brackets / negation / subtraction) into
+    intervals — used for the \\i / \\c literal range tables."""
+    ivs, i = [], 0
+    while i < len(body):
+        cp, multi, i = _parse_item(body, i)
+        if multi is not None:
+            ivs.extend(multi)
             continue
-        lo, hi = start, prev
-        def esc(c):
-            ch = chr(c)
-            return "\\" + ch if ch in r"\^]-[" else ch
-        parts.append(esc(lo) if lo == hi else f"{esc(lo)}-{esc(hi)}")
-        if p is not None:
-            start = prev = p
+        if i + 1 < len(body) and body[i] == "-" and body[i + 1] != "[":
+            cp2, m2, i = _parse_item(body, i + 1)
+            if m2 is not None or cp > cp2:
+                raise SpecError(f"bad range in class body {body!r}")
+            ivs.append([cp, cp2])
+        else:
+            ivs.append([cp, cp])
+    return _norm(ivs)
+
+
+def _shorthand_set(letter: str) -> List[List[int]]:
+    """XSD multi-character-escape sets (W3C Schema Part 2 App. F; the
+    reference's ``CHARACTER_ESCAPES`` table, ``regex.py:59-90``):
+    \\s = [#x20\\t\\n\\r], \\d = \\p{Nd}, \\w = [^\\p{P}\\p{Z}\\p{C}]."""
+    if letter == "s":
+        return [[0x9, 0xA], [0xD, 0xD], [0x20, 0x20]]
+    if letter == "d":
+        return _cat_set("Nd")
+    if letter == "w":
+        return _complement(_norm(_cat_set("P") + _cat_set("Z") + _cat_set("C")))
+    if letter == "i":
+        return _class_body_to_iv(_NAME_START)
+    if letter == "c":
+        return _class_body_to_iv(_NAME_CHAR)
+    raise SpecError(f"unknown shorthand \\{letter}")
+
+
+def _pname_set(name: str) -> List[List[int]]:
+    if name.startswith("Is"):
+        if name[2:] not in _BLOCK_RANGES:
+            raise SpecError(f"unsupported Unicode block {name!r} in XSD pattern")
+        lo, hi = _BLOCK_RANGES[name[2:]]
+        return [[lo, hi]]
+    return _cat_set(name)
+
+
+_SIMPLE_ESCAPES = {
+    "n": "\n", "r": "\r", "t": "\t", "\\": "\\", "|": "|", ".": ".", "-": "-",
+    "^": "^", "?": "?", "*": "*", "+": "+", "{": "{", "}": "}", "(": "(",
+    ")": ")", "[": "[", "]": "]",
+}
+
+
+def _parse_item(s: str, i: int):
+    """One class member at ``s[i]`` → (codepoint, None, next_i) for a
+    single char or (None, intervals, next_i) for a multi-char escape."""
+    ch = s[i]
+    if ch == "\\":
+        if i + 1 >= len(s):
+            raise SpecError("dangling backslash in character class")
+        e = s[i + 1]
+        if e in _SIMPLE_ESCAPES:
+            return ord(_SIMPLE_ESCAPES[e]), None, i + 2
+        if e in "sSdDwWiIcC":
+            iv = _shorthand_set(e.lower())
+            if e.isupper():
+                iv = _complement(iv)
+            return None, iv, i + 2
+        if e in "pP" and i + 2 < len(s) and s[i + 2] == "{":
+            close = s.find("}", i + 3)
+            if close == -1:
+                raise SpecError(f"unterminated \\{e}{{...}} in XSD pattern")
+            iv = _pname_set(s[i + 3 : close])
+            if e == "P":
+                iv = _complement(iv)
+            return None, iv, close + 1
+        raise SpecError(f"unsupported escape \\{e} in character class")
+    return ord(ch), None, i + 1
+
+
+def _parse_class(s: str, i: int):
+    """Parse a full charClassExpr ``[ ^? body ( - charClassExpr )? ]``
+    starting at ``s[i] == '['`` → (intervals, index after ']'). Handles
+    negation, nested subtraction, and every escape ``_parse_item`` knows —
+    the general form of the reference's ``XsdRegexCharGroup`` parse
+    (``regex.py:93-247``)."""
+    i += 1
+    neg = i < len(s) and s[i] == "^"
+    if neg:
+        i += 1
+    ivs: List[List[int]] = []
+    while True:
+        if i >= len(s):
+            raise SpecError("unterminated character class in XSD pattern")
+        ch = s[i]
+        if ch == "]":
+            i += 1
+            break
+        if ch == "-" and i + 1 < len(s) and s[i + 1] == "[":
+            sub, j = _parse_class(s, i + 1)
+            if j >= len(s) or s[j] != "]":
+                raise SpecError("character-class subtraction must end the class")
+            base = _complement(_norm(ivs)) if neg else _norm(ivs)
+            return _subtract(base, sub), j + 1
+        cp, multi, i = _parse_item(s, i)
+        if multi is not None:
+            ivs.extend(multi)
+            continue
+        if i + 1 < len(s) and s[i] == "-" and s[i + 1] not in "][":
+            cp2, m2, i = _parse_item(s, i + 1)
+            if m2 is not None or cp > cp2:
+                raise SpecError("bad range in character class")
+            ivs.append([cp, cp2])
+        else:
+            ivs.append([cp, cp])
+    base = _norm(ivs)
+    return (_complement(base) if neg else base), i
+
+
+def _iv_to_class(ivs: List[List[int]]) -> str:
+    """Interval set → compact RE2 char-class string (raw codepoints —
+    RE2 rejects \\uXXXX escapes; surrogates dropped at emission)."""
+    ivs = _intersect(ivs, _NON_SURROGATE)
+    if not ivs:
+        raise SpecError("character-class subtraction produced an empty class")
+
+    def esc(c: int) -> str:
+        ch = chr(c)
+        return "\\" + ch if ch in r"\^]-[" else ch
+
+    parts = [esc(lo) if lo == hi else f"{esc(lo)}-{esc(hi)}" for lo, hi in ivs]
     return "[" + "".join(parts) + "]"
 
 
-_SUBTRACT_RE = re.compile(r"\[((?:\\.|[^\[\]\\])*)-\[((?:\\.|[^\[\]\\])*)\]\]")
+def _class_extent(s: str, start: int) -> int:
+    """Index just past the ']' closing the class opened at ``s[start]``,
+    counting nested subtraction brackets and skipping escapes."""
+    depth = 0
+    i = start
+    while i < len(s):
+        ch = s[i]
+        if ch == "\\":
+            i += 2
+            continue
+        if ch == "[":
+            depth += 1
+        elif ch == "]":
+            depth -= 1
+            if depth == 0:
+                return i + 1
+        i += 1
+    raise SpecError("unterminated character class in XSD pattern")
+
+
+# Valid XSD general-category names (W3C Schema Part 2 App. F table; 'Cn'
+# included — "not assigned" is a queryable category).
+_CATEGORY_NAMES = frozenset(
+    "L Lu Ll Lt Lm Lo M Mn Mc Me N Nd Nl No P Pc Pd Ps Pe Pi Pf Po "
+    "S Sm Sc Sk So Z Zs Zl Zp C Cc Cf Co Cn".split()
+)
+
+
+def _category_names() -> frozenset:
+    return _CATEGORY_NAMES
+
+
+def _needs_algebra(body: str) -> bool:
+    """Does this class (full '[...]' text) need interval-set algebra —
+    subtraction, a complemented shorthand member (\\S \\w \\I \\C), or a
+    block complement (\\P{Is...})? Escape-aware scan; anything textual
+    (\\s \\d \\W \\i \\c \\p{...}, \\P{category}) stays on the cheap path."""
+    i = 1
+    while i < len(body):
+        ch = body[i]
+        if ch == "\\":
+            nxt = body[i + 1] if i + 1 < len(body) else ""
+            if nxt in "SwIC":
+                return True
+            if nxt == "P" and body[i + 2 : i + 3] == "{" and body[i + 3 : i + 5] == "Is":
+                return True
+            i += 2
+            continue
+        if ch == "-" and i + 1 < len(body) and body[i + 1] == "[":
+            return True
+        i += 1
+    return False
 
 
 def translate_xsd_regex(pattern: str) -> str:
     """Translate an XSD regex to an RE2-compatible pattern (unanchored —
-    the Pattern facet anchors with ``^(?:...)$`` like the reference)."""
-    # class subtraction first (innermost, repeat until fixpoint)
-    prev = None
-    out = pattern
-    while prev != out:
-        prev = out
+    the Pattern facet anchors with ``^(?:...)$`` like the reference).
 
-        def sub(m: "re.Match") -> str:
-            base = _expand_class_body(m.group(1))
-            minus = _expand_class_body(m.group(2))
-            return _codepoints_to_class(base - minus)
-
-        out = _SUBTRACT_RE.sub(sub, out)
-
-    # \i \I \c \C shorthands and \p{IsBlock} block names, expanded with a
-    # CLASS-CONTEXT-AWARE scan: inside [...] the expansion must be the bare
-    # range body (a bracketed form would nest, which RE2 parses as literal
-    # '['/']' and the class silently matches nothing). Negated shorthands
-    # inside a class have no body form → SpecError (documented subset).
-    # General categories (\p{L} etc.) pass through — RE2-native in and out
-    # of classes.
+    Classes involving set ALGEBRA — subtraction (incl. nested / negated
+    operands), complemented shorthands (``\\S \\w \\I \\C``) or block
+    complements (``\\P{Is...}``) as members — are parsed into codepoint
+    intervals, combined exactly, and re-emitted as one literal class.
+    Everything else translates textually: ``\\i \\c \\p{IsBlock}`` expand
+    to literal ranges; ``\\d → \\p{Nd}``, ``\\s → [#x20\\t\\n\\r]``,
+    ``\\w → [^\\p{P}\\p{Z}\\p{C}]`` (and their complements) take their
+    XSD-spec definitions (the reference's ``CHARACTER_ESCAPES``,
+    ``regex.py:59-90``) rather than RE2's ASCII defaults; general
+    categories ``\\p{L}`` pass through (RE2-native)."""
+    # Phase 1: classes needing interval algebra → exact literal classes.
     pieces: List[str] = []
+    i = 0
+    while i < len(pattern):
+        ch = pattern[i]
+        if ch == "\\" and i + 1 < len(pattern):
+            pieces.append(pattern[i : i + 2])
+            i += 2
+            continue
+        if ch == "[":
+            end = _class_extent(pattern, i)
+            body = pattern[i:end]
+            if _needs_algebra(body):
+                ivs, j = _parse_class(pattern, i)
+                if j != end:
+                    raise SpecError(f"malformed character class {body!r}")
+                pieces.append(_iv_to_class(ivs))
+            else:
+                pieces.append(body)
+            i = end
+            continue
+        pieces.append(ch)
+        i += 1
+    out = "".join(pieces)
+
+    # Phase 2: textual escape translation with a CLASS-CONTEXT-AWARE scan:
+    # inside [...] expansions must be bare range bodies (a bracketed form
+    # would nest, which RE2 parses as literal '['/']' and the class
+    # silently matches nothing).
+    pieces = []
     in_class = False
     i = 0
     while i < len(out):
@@ -242,14 +498,32 @@ def translate_xsd_regex(pattern: str) -> str:
                 body = _NAME_START if nxt in "iI" else _NAME_CHAR
                 neg = nxt.isupper()
                 if in_class:
-                    if neg:
-                        raise SpecError(
-                            f"\\{nxt} inside a character class is not expressible "
-                            f"as a class body (negated shorthand)"
-                        )
+                    # negated shorthand members were routed to phase 1
                     pieces.append(body)
                 else:
                     pieces.append(("[^" if neg else "[") + body + "]")
+                i += 2
+                continue
+            if nxt == "d" or nxt == "D":
+                # XSD \d is \p{Nd} (all decimal digits), not RE2's ASCII
+                # [0-9]; \p/\P{Nd} is RE2-native in and out of classes
+                pieces.append("\\p{Nd}" if nxt == "d" else "\\P{Nd}")
+                i += 2
+                continue
+            if nxt == "s" or nxt == "S":
+                if in_class:  # \S member routed to phase 1
+                    pieces.append(" \\t\\n\\r")
+                else:
+                    pieces.append("[ \\t\\n\\r]" if nxt == "s" else "[^ \\t\\n\\r]")
+                i += 2
+                continue
+            if nxt == "w" or nxt == "W":
+                if in_class:  # \w member routed to phase 1
+                    pieces.append("\\p{P}\\p{Z}\\p{C}")
+                else:
+                    pieces.append(
+                        "[^\\p{P}\\p{Z}\\p{C}]" if nxt == "w" else "[\\p{P}\\p{Z}\\p{C}]"
+                    )
                 i += 2
                 continue
             if nxt in "pP" and i + 2 < len(out) and out[i + 2] == "{":
@@ -263,15 +537,13 @@ def translate_xsd_regex(pattern: str) -> str:
                     rng = _BLOCKS[name]
                     neg = nxt == "P"
                     if in_class:
-                        if neg:
-                            raise SpecError(
-                                f"\\P{{{name}}} inside a character class is not "
-                                f"expressible as a class body"
-                            )
+                        # \P{Is...} members were routed to phase 1
                         pieces.append(rng)
                     else:
                         pieces.append(("[^" if neg else "[") + rng + "]")
                 else:
+                    if name not in _category_names():
+                        raise SpecError(f"unknown Unicode category {name!r} in XSD pattern")
                     pieces.append(out[i : close + 1])  # RE2-native category
                 i = close + 1
                 continue
