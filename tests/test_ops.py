@@ -239,3 +239,34 @@ def test_copartition_empty_partitions_keep_schema(ray_session):
         .reset_index(drop=True)
     )
     pd.testing.assert_frame_equal(got, exp)
+
+
+def test_orders_price_ntile_ties_across_partitions(tmp_path, ray_session):
+    """NTILE with heavy ties: duplicate prices must rank by the unique key
+    across range-partition boundaries, matching a pandas window oracle."""
+    import numpy as np
+    import pandas as pd
+    import pyarrow as pa
+    import pyarrow.parquet as pq
+
+    from xmlschema_ray.pipelines.relational import orders_price_ntile
+
+    rng = np.random.default_rng(7)
+    n = 4000
+    df = pd.DataFrame(
+        {
+            "o_orderkey": np.arange(n, dtype=np.int64),
+            # only 5 distinct prices -> every range boundary lands inside a tie run
+            "o_totalprice": rng.choice([10.0, 10.01, 20.5, 20.5, 99.99], size=n),
+        }
+    )
+    pq.write_table(pa.Table.from_pandas(df), str(tmp_path / "orders.parquet"))
+
+    out = orders_price_ntile(str(tmp_path), n_buckets=4).to_pandas()
+    ref = df.sort_values(["o_totalprice", "o_orderkey"]).reset_index(drop=True)
+    q, r = divmod(n, 4)
+    sizes = [q + 1] * r + [q] * (4 - r)
+    ref["bucket"] = np.repeat(np.arange(1, 5), sizes)
+    ref = ref.sort_values("o_orderkey").reset_index(drop=True)
+    got = out.sort_values("o_orderkey").reset_index(drop=True)
+    assert got["bucket"].tolist() == ref["bucket"].tolist()

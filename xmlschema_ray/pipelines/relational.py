@@ -1060,6 +1060,118 @@ ORDER BY o_custkey
 """
 
 
+# -- global rank / NTILE via range partitioning --------------------------
+
+
+def orders_price_ntile(sf_dir: str, n_buckets: int = 4) -> "rd.Dataset":
+    """Exact global NTILE over a total order WITHOUT a driver-side sort —
+    the distributed global-rank pattern (SURVEY §2.8 sort family):
+
+    1. a deterministic systematic sample of sort keys picks range
+       boundaries (driver state = one small boundary array);
+    2. every row gets its range-partition id from a vectorized
+       lexicographic compare against the boundaries;
+    3. per-partition row COUNTS (a tiny combiner aggregate, one row per
+       partition) prefix-sum into rank offsets on the driver — metadata-
+       sized at any corpus size, never row data;
+    4. each partition sorts locally and emits offset + local rank; the
+       NTILE bucket is a closed-form function of (global rank, total).
+
+    The total order is (price cents, orderkey) — ties broken by the unique
+    key so both engines produce the identical permutation."""
+    from xmlschema_ray.ops.relational import combiner_aggregate, derive_num_partitions, hash_partition_apply
+
+    ds = rd.read_parquet(
+        table_path(sf_dir, "orders"), columns=["o_orderkey", "o_totalprice"]
+    )
+
+    def keyed(batch: pd.DataFrame) -> pd.DataFrame:
+        return pd.DataFrame(
+            {
+                "o_orderkey": batch["o_orderkey"].astype("int64"),
+                "o_totalprice": batch["o_totalprice"],
+                "price_c": cents(batch["o_totalprice"]),
+            }
+        )
+
+    keyed_ds = ds.map_batches(keyed, batch_format="pandas")
+
+    def systematic_sample(batch: pd.DataFrame) -> pd.DataFrame:
+        return batch.iloc[::512][["price_c", "o_orderkey"]]
+
+    samp = (
+        keyed_ds.map_batches(systematic_sample, batch_format="pandas")
+        .to_pandas()
+        .sort_values(["price_c", "o_orderkey"])
+        .reset_index(drop=True)
+    )
+    n_parts = derive_num_partitions()
+    if len(samp) >= n_parts > 1:
+        idx = (np.arange(1, n_parts) * len(samp)) // n_parts
+        b_price = samp["price_c"].to_numpy()[idx]
+        b_key = samp["o_orderkey"].to_numpy()[idx]
+    else:
+        b_price = np.array([], dtype=np.int64)
+        b_key = np.array([], dtype=np.int64)
+
+    def add_pid(batch: pd.DataFrame) -> pd.DataFrame:
+        p = batch["price_c"].to_numpy()[:, None]
+        k = batch["o_orderkey"].to_numpy()[:, None]
+        # partition = #boundaries lexicographically <= (price, key); the
+        # boundary arrays are ~num_partitions ints, broadcast-compared
+        pid = ((b_price[None, :] < p) | ((b_price[None, :] == p) & (b_key[None, :] <= k))).sum(
+            axis=1
+        )
+        batch = batch.copy(deep=False)
+        batch["part_id"] = pid.astype(np.int64)
+        return batch
+
+    with_pid = keyed_ds.map_batches(add_pid, batch_format="pandas")
+    counts = (
+        combiner_aggregate(with_pid, keys="part_id", aggs={"n": (None, "count")})
+        .to_pandas()
+        .sort_values("part_id")
+    )
+    total = int(counts["n"].sum())
+    offsets = {}
+    run = 0
+    for pid, n in zip(counts["part_id"], counts["n"]):
+        offsets[int(pid)] = run
+        run += int(n)
+    q, r = divmod(total, n_buckets)
+    cut = r * (q + 1)
+
+    def per_part(g: pd.DataFrame) -> pd.DataFrame:
+        outs = []
+        for pid, gg in g.groupby("part_id", sort=False):
+            gg = gg.sort_values(["price_c", "o_orderkey"])
+            rank = offsets[int(pid)] + np.arange(1, len(gg) + 1, dtype=np.int64)
+            if q == 0:
+                bucket = rank
+            else:
+                bucket = np.where(rank <= cut, (rank - 1) // (q + 1) + 1, r + (rank - cut - 1) // q + 1)
+            outs.append(
+                pd.DataFrame(
+                    {
+                        "o_orderkey": gg["o_orderkey"].to_numpy(),
+                        "o_totalprice": gg["o_totalprice"].to_numpy(),
+                        "bucket": bucket.astype(np.int64),
+                    }
+                )
+            )
+        return pd.concat(outs, ignore_index=True)
+
+    return hash_partition_apply(with_pid, "part_id", per_part).sort("o_orderkey")
+
+
+NTILE_SQL = """
+SELECT o_orderkey, o_totalprice,
+       CAST(NTILE(4) OVER (ORDER BY CAST(floor(o_totalprice * 100 + 0.5) AS BIGINT), o_orderkey) AS BIGINT) AS bucket
+FROM orders
+ORDER BY o_orderkey
+"""
+
+
 ORACLES = {
     "q1_pricing_summary": Q1_SQL,
     "orders_priority_counts": ORDERS_PRIORITY_SQL,
@@ -1084,6 +1196,7 @@ ORACLES = {
     "json_extract_events": JSON_EXTRACT_SQL,
     "revenue_rollup": REVENUE_ROLLUP_SQL,
     "first_order_per_customer": FIRST_ORDER_SQL,
+    "orders_price_ntile": NTILE_SQL,
 }
 
 QUERIES = {
@@ -1110,4 +1223,5 @@ QUERIES = {
     "json_extract_events": json_extract_events,
     "revenue_rollup": revenue_rollup,
     "first_order_per_customer": first_order_per_customer,
+    "orders_price_ntile": orders_price_ntile,
 }
