@@ -424,6 +424,123 @@ FROM w
 """
 
 
+# -- sequence packing ----------------------------------------------------
+
+
+def pack_token_windows(sf_dir: str, window: int = 256) -> "rd.Dataset":
+    """Cross-document sequence packing: concatenate all documents in
+    doc_id order and cut fixed-size training windows; emit one row per
+    (window, document) overlap segment — the packing manifest a trainer
+    consumes (which docs feed window w, and how many tokens each
+    contributes).
+
+    The only global state is the running token offset, computed the
+    scale-safe way (the ``orders_price_ntile`` machinery): range-partition
+    by doc_id via sampled boundaries, per-partition token TOTALS (one row
+    per partition) prefix-sum on the driver, then every partition derives
+    its documents' absolute offsets locally — windows crossing partition
+    boundaries agree because offsets are exact. No fact-sized driver
+    state at any corpus size."""
+    import ray
+
+    from xmlschema_ray.ops.relational import (
+        combiner_aggregate,
+        derive_num_partitions,
+        hash_partition_apply,
+    )
+
+    ds = rd.read_parquet(table_path(sf_dir, "documents"), columns=["doc_id", "text"])
+
+    def counts(batch: pa.Table) -> pd.DataFrame:
+        offsets, _ = _split_offsets(batch["text"])
+        return pd.DataFrame(
+            {
+                "doc_id": batch["doc_id"].to_numpy(zero_copy_only=False).astype(np.int64),
+                "nw": np.diff(offsets).astype(np.int64),
+            }
+        )
+
+    cnt = ds.map_batches(counts, batch_format="pyarrow")
+
+    samp = (
+        cnt.map_batches(lambda b: b.iloc[::512][["doc_id"]], batch_format="pandas")
+        .to_pandas()
+        .sort_values("doc_id")
+    )
+    n_parts = derive_num_partitions()
+    if len(samp) >= n_parts > 1:
+        idx = (np.arange(1, n_parts) * len(samp)) // n_parts
+        bounds = samp["doc_id"].to_numpy()[idx]
+    else:
+        bounds = np.array([], dtype=np.int64)
+
+    def add_pid(batch: pd.DataFrame) -> pd.DataFrame:
+        batch = batch.copy(deep=False)
+        batch["part_id"] = np.searchsorted(bounds, batch["doc_id"].to_numpy(), side="right").astype(
+            np.int64
+        )
+        return batch
+
+    with_pid = cnt.map_batches(add_pid, batch_format="pandas")
+    totals = (
+        combiner_aggregate(with_pid, keys="part_id", aggs={"w": ("nw", "sum")})
+        .to_pandas()
+        .sort_values("part_id")
+    )
+    base: Dict[int, int] = {}
+    run = 0
+    for pid, w in zip(totals["part_id"], totals["w"]):
+        base[int(pid)] = run
+        run += int(w)
+
+    def per_part(g: pd.DataFrame) -> pd.DataFrame:
+        outs = []
+        for pid, gg in g.groupby("part_id", sort=False):
+            gg = gg.sort_values("doc_id")
+            nw = gg["nw"].to_numpy(np.int64)
+            start = base[int(pid)] + np.concatenate(([0], np.cumsum(nw)[:-1]))
+            end = start + nw - 1
+            n_seg = end // window - start // window + 1
+            seg = np.arange(int(n_seg.sum()), dtype=np.int64) - np.repeat(
+                np.concatenate(([0], np.cumsum(n_seg)[:-1])), n_seg
+            )
+            wid = np.repeat(start // window, n_seg) + seg
+            s_rep, e_rep = np.repeat(start, n_seg), np.repeat(end, n_seg)
+            n_words = np.minimum((wid + 1) * window - 1, e_rep) - np.maximum(wid * window, s_rep) + 1
+            outs.append(
+                pd.DataFrame(
+                    {
+                        "window_id": wid,
+                        "doc_id": np.repeat(gg["doc_id"].to_numpy(np.int64), n_seg),
+                        "n_words": n_words.astype(np.int64),
+                    }
+                )
+            )
+        return pd.concat(outs, ignore_index=True)
+
+    return hash_partition_apply(with_pid, "part_id", per_part).sort(["window_id", "doc_id"])
+
+
+PACK_TOKEN_WINDOWS_SQL = r"""
+WITH w AS (
+  SELECT doc_id,
+         CAST(len(regexp_split_to_array(trim(text), '\s+')) AS BIGINT) AS nw
+  FROM documents
+), o AS (
+  SELECT doc_id, nw,
+         COALESCE(SUM(nw) OVER (ORDER BY doc_id
+                                ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING), 0) AS s
+  FROM w
+)
+SELECT CAST(wid AS BIGINT) AS window_id,
+       doc_id,
+       CAST(least((wid + 1) * 256 - 1, s + nw - 1) - greatest(wid * 256, s) + 1 AS BIGINT) AS n_words
+FROM o, LATERAL unnest(generate_series(CAST(s // 256 AS BIGINT),
+                                       CAST((s + nw - 1) // 256 AS BIGINT))) AS t(wid)
+ORDER BY window_id, doc_id
+"""
+
+
 ORACLES: Dict[str, str] = {
     "top_words": TOP_WORDS_SQL,
     "decontamination": DECONTAMINATION_SQL,
@@ -431,6 +548,7 @@ ORACLES: Dict[str, str] = {
     "stratified_sample": STRATIFIED_SAMPLE_SQL,
     "chunk_documents": CHUNK_DOCUMENTS_SQL,
     "stopword_removal": STOPWORD_REMOVAL_SQL,
+    "pack_token_windows": PACK_TOKEN_WINDOWS_SQL,
 }
 
 QUERIES = {
@@ -440,4 +558,5 @@ QUERIES = {
     "stratified_sample": stratified_sample,
     "chunk_documents": chunk_documents,
     "stopword_removal": stopword_removal,
+    "pack_token_windows": pack_token_windows,
 }
