@@ -43,6 +43,8 @@ QUERY_NAMES = [
     "knn_cosine",
     "events_lag_delta",
     "orders_pivot_status_priority",
+    "orders_price_ntile",
+    "pack_token_windows",
 ]
 
 
