@@ -405,10 +405,123 @@ ORDER BY 1, 2
 """
 
 
+# -- embedding clustering ------------------------------------------------
+
+
+def embedding_kmeans(
+    sf_dir: str, n_clusters: int = 8, sample_size: int = 4096, oracle_dump: bool = True
+) -> pd.DataFrame:
+    """Corpus clustering summary: spherical k-means fit on a driver
+    SAMPLE (the broadcast model), one assignment matmul per batch, then
+    per-cluster count + representative (member closest to the centroid,
+    tiebreak lowest vec_id) via per-batch partials merged associatively —
+    cluster-cardinality-sized state everywhere.
+
+    Oracle: assignments + centroid vectors are dumped; DuckDB recounts the
+    clusters and re-derives each representative by ranking its OWN cosine
+    scores (ranking-based compare, robust to last-ulp float differences —
+    the ``knn_ivf`` dumped-state pattern)."""
+    from xmlschema_ray.functions.vector import ivf_assign, kmeans_fit
+    from xmlschema_ray.ops.relational import hash_partition_apply
+
+    ds = rd.read_parquet(table_path(sf_dir, "embeddings"), columns=["vec_id", "embedding"])
+    sample = np.stack(ds.limit(sample_size).to_pandas()["embedding"].to_numpy()).astype(
+        np.float64
+    )
+    centroids = kmeans_fit(sample, k=n_clusters)
+    cent_ref = ray.put(centroids)
+    state: dict = {}
+
+    def partial(batch: pd.DataFrame) -> pd.DataFrame:
+        c = state.get("c")
+        if c is None:
+            c = state["c"] = ray.get(cent_ref)
+        vecs = normalize_rows(np.stack(batch["embedding"].to_numpy()).astype(np.float64))
+        sims = vecs @ c.T
+        cl = sims.argmax(axis=1)
+        best = sims[np.arange(len(cl)), cl]
+        vids = batch["vec_id"].to_numpy()
+        df = pd.DataFrame({"cluster": cl.astype(np.int64), "vec_id": vids, "sim": best})
+        # one row per cluster per batch: count + local argmax(sim, -vec_id)
+        df = df.sort_values(["cluster", "sim", "vec_id"], ascending=[True, False, True])
+        head = df.drop_duplicates("cluster", keep="first")
+        n = df.groupby("cluster", sort=False).size()
+        return pd.DataFrame(
+            {
+                "cluster": head["cluster"].to_numpy(),
+                "n_vecs": n.loc[head["cluster"]].to_numpy().astype(np.int64),
+                "top_vec_id": head["vec_id"].to_numpy().astype(np.int64),
+                "sim": head["sim"].to_numpy(),
+            }
+        )
+
+    def merge(part: pd.DataFrame) -> pd.DataFrame:
+        part = part.sort_values(["cluster", "sim", "top_vec_id"], ascending=[True, False, True])
+        head = part.drop_duplicates("cluster", keep="first")
+        n = part.groupby("cluster", sort=False)["n_vecs"].sum()
+        return pd.DataFrame(
+            {
+                "cluster": head["cluster"].to_numpy(),
+                "n_vecs": n.loc[head["cluster"]].to_numpy().astype(np.int64),
+                "top_vec_id": head["top_vec_id"].to_numpy().astype(np.int64),
+            }
+        )
+
+    if oracle_dump:
+
+        def assign_fn(batch: pd.DataFrame) -> pd.DataFrame:
+            vecs = np.stack(batch["embedding"].to_numpy())
+            return pd.DataFrame(
+                {
+                    "vec_id": pd.array(batch["vec_id"].to_numpy(), dtype="int64"),
+                    "cluster": pd.array(ivf_assign(vecs, centroids), dtype="int64"),
+                }
+            )
+
+        _dump(ds.map_batches(assign_fn, batch_format="pandas"), "kmeans_assign")
+        cent_rows = pd.DataFrame(
+            {
+                "cluster": pd.array(np.arange(len(centroids)), dtype="int64"),
+                "cvec": pd.Series(list(centroids), dtype=object),
+            }
+        )
+        _dump(rd.from_pandas(cent_rows), "kmeans_centroids")
+
+    partials = ds.map_batches(partial, batch_format="pandas")
+    out = hash_partition_apply(partials, "cluster", merge).to_pandas()
+    return out.sort_values("cluster").reset_index(drop=True)
+
+
+EMBEDDING_KMEANS_SQL = f"""
+WITH a AS (
+  SELECT vec_id, cluster FROM read_parquet('{ORACLE_DUMP_DIR}/kmeans_assign/*.parquet')
+), c AS (
+  SELECT cluster, cvec FROM read_parquet('{ORACLE_DUMP_DIR}/kmeans_centroids/*.parquet')
+), reps AS (
+  SELECT a.cluster, e.vec_id,
+         row_number() OVER (
+           PARTITION BY a.cluster
+           ORDER BY list_cosine_similarity(e.embedding, c.cvec) DESC, e.vec_id
+         ) AS rn,
+         COUNT(*) OVER (PARTITION BY a.cluster) AS n_vecs
+  FROM embeddings e JOIN a ON a.vec_id = e.vec_id JOIN c ON c.cluster = a.cluster
+)
+SELECT cluster, CAST(n_vecs AS BIGINT) AS n_vecs, vec_id AS top_vec_id
+FROM reps WHERE rn = 1
+ORDER BY cluster
+"""
+
+
 ORACLES: Dict[str, str] = {
     "knn_cosine": KNN_SQL,
     "knn_lsh": KNN_LSH_SQL,
     "knn_ivf": KNN_IVF_SQL,
+    "embedding_kmeans": EMBEDDING_KMEANS_SQL,
 }
 
-QUERIES = {"knn_cosine": knn_cosine, "knn_lsh": knn_lsh, "knn_ivf": knn_ivf}
+QUERIES = {
+    "knn_cosine": knn_cosine,
+    "knn_lsh": knn_lsh,
+    "knn_ivf": knn_ivf,
+    "embedding_kmeans": embedding_kmeans,
+}
