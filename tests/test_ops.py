@@ -270,3 +270,42 @@ def test_orders_price_ntile_ties_across_partitions(tmp_path, ray_session):
     ref = ref.sort_values("o_orderkey").reset_index(drop=True)
     got = out.sort_values("o_orderkey").reset_index(drop=True)
     assert got["bucket"].tolist() == ref["bucket"].tolist()
+
+
+def test_combiner_aggregate_salt_and_consolidate_equivalent(ray_session):
+    """Skew controls are exact: plain, salted, and consolidated merges all
+    produce identical aggregates on a hot-key distribution (one key holds
+    half the rows), including mean finalization."""
+    import numpy as np
+    import pandas as pd
+    import ray.data as rd
+
+    from xmlschema_ray.ops.relational import combiner_aggregate, to_pandas_with_schema
+
+    rng = np.random.default_rng(11)
+    n = 20000
+    keys = np.where(rng.random(n) < 0.5, "HOT", rng.choice([f"k{i}" for i in range(50)], n))
+    df = pd.DataFrame({"k": keys, "v": rng.integers(0, 1000, n)})
+    ds = rd.from_pandas(df).repartition(8)
+    aggs = {"s": ("v", "sum"), "m": ("v", "mean"), "lo": ("v", "min"), "n": (None, "count")}
+
+    def run(**kw):
+        out = to_pandas_with_schema(combiner_aggregate(ds, "k", aggs, batch_size=512, **kw))
+        return out.sort_values("k").reset_index(drop=True)
+
+    plain = run()
+    salted = run(salt=4)
+    consolidated = run(consolidate=True)
+    both = run(salt=4, consolidate=True)
+    for other in (salted, consolidated, both):
+        pd.testing.assert_frame_equal(plain, other[plain.columns.tolist()])
+    truth = (
+        df.groupby("k")
+        .agg(s=("v", "sum"), m=("v", "mean"), lo=("v", "min"), n=("v", "size"))
+        .reset_index()
+        .sort_values("k")
+        .reset_index(drop=True)
+    )
+    assert plain["s"].tolist() == truth["s"].tolist()
+    assert plain["n"].tolist() == truth["n"].tolist()
+    assert np.allclose(plain["m"], truth["m"])

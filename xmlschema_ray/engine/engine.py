@@ -562,6 +562,21 @@ class ValidationEngine:
                     filter=(pc.field("record_kind") == "keycount"),
                 )
 
+                def consolidate(b: pd.DataFrame) -> pd.DataFrame:
+                    # key-AGNOSTIC combining pass before the key shuffle
+                    # (the skew defense the north-star's "explicit skew
+                    # salting" calls for, in its high-cardinality form): a
+                    # pathological key present in every stage-A batch emits
+                    # #batches partial rows; merging within arbitrary 64k
+                    # blocks collapses them by the blocking factor no
+                    # matter which key is hot, so no single reducer
+                    # partition can be handed a fact-sized group. See
+                    # ops.relational.combiner_aggregate(consolidate=True).
+                    gb = b.groupby(gkeys, sort=False)
+                    return pd.DataFrame(
+                        {"count": gb["count"].sum(), "partition_id": gb["partition_id"].min()}
+                    ).reset_index()
+
                 def merge_counts(g: pd.DataFrame) -> pd.DataFrame:
                     gb = g.groupby(gkeys, sort=False)
                     out = pd.DataFrame(
@@ -569,6 +584,7 @@ class ValidationEngine:
                     ).reset_index()
                     return out[out["total"] > 1]
 
+                kc = kc.map_batches(consolidate, batch_format="pandas", batch_size=65536)
                 cand_pdf = hash_partition_apply(kc, gkeys, merge_counts).to_pandas()
 
             # Phase 2 — EXACT key recovery: rescan only the unique-key

@@ -533,6 +533,8 @@ def combiner_aggregate(
     aggs: Dict[str, Tuple[Optional[str], str]],
     batch_size: int = 65536,
     num_partitions: Optional[int] = None,
+    salt: int = 1,
+    consolidate: bool = False,
 ) -> rd.Dataset:
     """Pre-aggregated grouped aggregate, fully vectorized end to end.
 
@@ -544,6 +546,25 @@ def combiner_aggregate(
     :func:`hash_partition_apply` for why Ray's native aggregate is avoided).
     ``mean`` is expanded to mergeable sum+count partials and finalized
     after the shuffle.
+
+    Two skew controls, both exact because every merge kind is associative
+    (sum/count→sum, min/max idempotent, mean stays in sum+count parts
+    until the last step):
+
+    * ``consolidate=True`` — a key-AGNOSTIC combining pass over the
+      partial stream (vectorized merge within arbitrary 64k-row blocks,
+      no partitioning) before the key shuffle. At 10^12-row scale a
+      pathological key present in every batch emits ~10^8 partial rows;
+      consolidation collapses them by the blocking factor regardless of
+      which key is hot, bounding any key's final-partition rows by the
+      number of partial BLOCKS. Costs one streaming pass, no extra
+      exchange — the default skew defense for high-cardinality keys.
+    * ``salt > 1`` — EXPLICIT SKEW SALTING: stage 2a merges on
+      (key, __salt = row % salt) so a hot key splits across ``salt``
+      co-located sub-groups; stage 2b re-merges the ≤ salt rows per key.
+      Right for LOW/MODERATE key cardinality with extreme skew (the
+      second exchange moves ≤ salt × |keys| rows — do NOT use it when
+      |keys| is itself fact-sized; use ``consolidate`` there).
     """
     keys = [keys] if isinstance(keys, str) else list(keys)
     partial_aggs: Dict[str, Tuple[Optional[str], str]] = {}
@@ -564,13 +585,44 @@ def combiner_aggregate(
         out: ("sum" if kind in ("sum", "count") else kind) for out, (col, kind) in partial_aggs.items()
     }
 
-    def merge_partition(g: pd.DataFrame) -> pd.DataFrame:
-        gb = g.groupby(keys, sort=False, dropna=False)
-        out = pd.DataFrame({o: gb[o].agg(k) for o, k in merge_kinds.items()}).reset_index()
+    def _merge(g: pd.DataFrame, by: List[str]) -> pd.DataFrame:
+        gb = g.groupby(by, sort=False, dropna=False)
+        return pd.DataFrame({o: gb[o].agg(k) for o, k in merge_kinds.items()}).reset_index()
+
+    def _finalize(out: pd.DataFrame) -> pd.DataFrame:
         for o, (s, c) in finalize_means.items():
             out[o] = out[s] / out[c]
         drop = [x for pair in finalize_means.values() for x in pair]
         return out.drop(columns=[d for d in drop if d in out.columns])
+
+    if consolidate:
+        partials = partials.map_batches(
+            lambda b: _merge(b, keys), batch_format="pandas", batch_size=batch_size
+        )
+
+    if salt > 1:
+
+        def add_salt(batch: pd.DataFrame) -> pd.DataFrame:
+            batch = batch.copy(deep=False)
+            batch["__salt"] = np.arange(len(batch), dtype=np.int64) % salt
+            return batch
+
+        salted = partials.map_batches(add_salt, batch_format="pandas")
+        stage_a = hash_partition_apply(
+            salted,
+            keys + ["__salt"],
+            lambda g: _merge(g, keys + ["__salt"]),
+            num_partitions=num_partitions,
+        )
+        return hash_partition_apply(
+            stage_a,
+            keys,
+            lambda g: _finalize(_merge(g.drop(columns="__salt"), keys)),
+            num_partitions=num_partitions,
+        )
+
+    def merge_partition(g: pd.DataFrame) -> pd.DataFrame:
+        return _finalize(_merge(g, keys))
 
     return hash_partition_apply(partials, keys, merge_partition, num_partitions=num_partitions)
 
