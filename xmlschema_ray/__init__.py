@@ -39,6 +39,7 @@ from xmlschema_ray.constraints.spec import (
     UniqueKey,
 )
 from xmlschema_ray.constraints import facets
+from xmlschema_ray.constraints.derive import extend, restrict
 from xmlschema_ray.constraints.occurs import ContentGroup, OccursBounds, Particle, group_occurs_check
 from xmlschema_ray.engine.engine import ValidationEngine, ValidationResult
 
@@ -57,6 +58,8 @@ __all__ = [
     "Particle",
     "group_occurs_check",
     "facets",
+    "restrict",
+    "extend",
 ]
 
 __version__ = "0.1.0"
