@@ -309,3 +309,57 @@ def test_combiner_aggregate_salt_and_consolidate_equivalent(ray_session):
     assert plain["s"].tolist() == truth["s"].tolist()
     assert plain["n"].tolist() == truth["n"].tolist()
     assert np.allclose(plain["m"], truth["m"])
+
+
+def test_except_keys_matches_set_difference(ray_session):
+    from xmlschema_ray.ops.relational import except_keys
+
+    rng = np.random.default_rng(7)
+    a = pd.DataFrame({"ka": rng.integers(0, 400, size=3000)})
+    b = pd.DataFrame({"kb": rng.integers(200, 600, size=3000)})
+    out = (
+        except_keys(rd.from_pandas(a), rd.from_pandas(b), "ka", "kb")
+        .to_pandas()["ka"]
+        .sort_values()
+        .to_numpy()
+    )
+    expect = np.array(sorted(set(a["ka"]) - set(b["kb"])))
+    assert np.array_equal(out, expect)
+    assert len(out) > 0  # non-vacuous by construction
+
+
+def test_except_keys_empty_difference(ray_session):
+    from xmlschema_ray.ops.relational import except_keys, to_pandas_with_schema
+
+    a = pd.DataFrame({"k": np.arange(10, dtype=np.int64)})
+    b = pd.DataFrame({"k": np.arange(20, dtype=np.int64)})
+    out = to_pandas_with_schema(except_keys(rd.from_pandas(a), rd.from_pandas(b), "k", "k"))
+    assert len(out) == 0 and list(out.columns) == ["k"]
+
+
+def test_global_rank_exact_with_ties(ray_session):
+    from xmlschema_ray.ops.relational import global_rank
+
+    rng = np.random.default_rng(11)
+    df = pd.DataFrame(
+        {
+            "v": rng.integers(0, 20, size=4000),  # heavy ties across ranges
+            "uid": rng.permutation(4000).astype("int64"),
+        }
+    )
+    ranked, total = global_rank(
+        rd.from_pandas(df).repartition(8), ["v", "uid"], rank_col="r"
+    )
+    assert total == 4000
+    out = ranked.to_pandas().sort_values(["v", "uid"]).reset_index(drop=True)
+    assert np.array_equal(out["r"].to_numpy(), np.arange(1, 4001))
+
+
+def test_global_rank_string_keys_and_small_input(ray_session):
+    from xmlschema_ray.ops.relational import global_rank
+
+    df = pd.DataFrame({"s": list("dcabe"), "uid": np.arange(5, dtype=np.int64)})
+    ranked, total = global_rank(rd.from_pandas(df), ["s", "uid"], rank_col="r")
+    assert total == 5
+    out = ranked.to_pandas().sort_values("r")
+    assert list(out["s"]) == sorted("dcabe")

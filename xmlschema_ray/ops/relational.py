@@ -627,6 +627,132 @@ def combiner_aggregate(
     return hash_partition_apply(partials, keys, merge_partition, num_partitions=num_partitions)
 
 
+def global_rank(
+    ds: rd.Dataset,
+    sort_cols: List[str],
+    rank_col: str = "rank",
+    sample_stride: int = 512,
+    num_partitions: Optional[int] = None,
+) -> Tuple[rd.Dataset, int]:
+    """Exact global 1-based rank over a total order WITHOUT a global sort
+    (the SURVEY §2.8 distributed-rank pattern shared by NTILE, percentile
+    filters, and deterministic shuffle export).
+
+    ``sort_cols`` must define a total order (include a unique tie-break
+    column). Plan: (1) a systematic sample of sort keys picks range
+    boundaries — driver state is one ~num_partitions-row frame; (2) every
+    row gets its range id from a vectorized lexicographic compare against
+    the boundaries; (3) per-range row COUNTS (a combiner aggregate, one
+    row per range) prefix-sum into offsets on the driver — metadata-sized
+    at any corpus size; (4) each range sorts locally and emits
+    offset + local rank. Returns ``(dataset + rank_col, total_rows)``.
+    """
+    if num_partitions is None:
+        num_partitions = derive_num_partitions()
+
+    def systematic_sample(batch: pd.DataFrame) -> pd.DataFrame:
+        return batch.iloc[::sample_stride][sort_cols]
+
+    samp = (
+        ds.map_batches(systematic_sample, batch_format="pandas")
+        .to_pandas()
+        .sort_values(sort_cols)
+        .reset_index(drop=True)
+    )
+    if len(samp) >= num_partitions > 1:
+        idx = (np.arange(1, num_partitions) * len(samp)) // num_partitions
+        bounds = [samp[c].to_numpy()[idx] for c in sort_cols]
+    else:
+        bounds = None
+
+    def add_pid(batch: pd.DataFrame) -> pd.DataFrame:
+        batch = batch.copy(deep=False)
+        if bounds is None:
+            batch["__rpid"] = np.int64(0)
+            return batch
+        cols = [batch[c].to_numpy() for c in sort_cols]
+        pid = np.zeros(len(batch), dtype=np.int64)
+        for b in zip(*bounds):
+            # lexicographic boundary <= row, innermost column first
+            le = b[-1] <= cols[-1]
+            for j in range(len(cols) - 2, -1, -1):
+                le = (b[j] < cols[j]) | ((b[j] == cols[j]) & le)
+            pid += le
+        batch["__rpid"] = pid
+        return batch
+
+    with_pid = ds.map_batches(add_pid, batch_format="pandas")
+    counts = (
+        combiner_aggregate(with_pid, keys="__rpid", aggs={"n": (None, "count")})
+        .to_pandas()
+        .sort_values("__rpid")
+    )
+    total = int(counts["n"].sum())
+    offsets: Dict[int, int] = {}
+    run = 0
+    for pid, n in zip(counts["__rpid"], counts["n"]):
+        offsets[int(pid)] = run
+        run += int(n)
+
+    def per_part(g: pd.DataFrame) -> pd.DataFrame:
+        outs = []
+        for pid, gg in g.groupby("__rpid", sort=False):
+            gg = gg.sort_values(sort_cols).drop(columns="__rpid")
+            gg[rank_col] = offsets[int(pid)] + np.arange(1, len(gg) + 1, dtype=np.int64)
+            outs.append(gg)
+        if not outs:
+            out0 = g.drop(columns="__rpid")
+            out0[rank_col] = pd.Series([], dtype="int64")
+            return out0
+        return pd.concat(outs, ignore_index=True)
+
+    ranked = hash_partition_apply(
+        with_pid, "__rpid", per_part, num_partitions=num_partitions
+    )
+    return ranked, total
+
+
+def except_keys(
+    ds_a: rd.Dataset,
+    ds_b: rd.Dataset,
+    key_a: str,
+    key_b: str,
+    out_name: Optional[str] = None,
+    num_partitions: Optional[int] = None,
+) -> rd.Dataset:
+    """Distributed ``EXCEPT`` (set difference with DISTINCT): the distinct
+    ``key_a`` values of ``ds_a`` that never appear as ``key_b`` in ``ds_b``.
+
+    Both sides reduce to per-batch distinct partials inside
+    :func:`combiner_aggregate` (one row per key per batch), so the single
+    all-to-all exchange ships key-space-sized data, never fact-sized: each
+    side is tagged 0/1, unioned, and merged with an associative ``max`` —
+    a key survives iff its merged tag is 0 (present in A, absent from B).
+    No driver state at any size; skew defenses of the combiner apply.
+    """
+    out = out_name or key_a
+
+    def tag(key: str, side: int):
+        def fn(batch: pd.DataFrame) -> pd.DataFrame:
+            return pd.DataFrame(
+                {out: batch[key].to_numpy(), "__side": np.int64(side)}
+            )
+
+        return fn
+
+    tagged = ds_a.map_batches(tag(key_a, 0), batch_format="pandas").union(
+        ds_b.map_batches(tag(key_b, 1), batch_format="pandas")
+    )
+    agg = combiner_aggregate(
+        tagged, out, {"mx": ("__side", "max")}, num_partitions=num_partitions
+    )
+
+    def keep(batch: pd.DataFrame) -> pd.DataFrame:
+        return batch.loc[batch["mx"] == 0, [out]]
+
+    return agg.map_batches(keep, batch_format="pandas")
+
+
 def topk(
     ds: rd.Dataset,
     sort_col: str,

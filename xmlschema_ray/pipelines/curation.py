@@ -120,6 +120,91 @@ LIMIT 20
 """
 
 
+def top_bigrams(sf_dir: str, k: int = 20) -> pd.DataFrame:
+    """Global word-bigram top-k (collocation mining / tokenizer-merge
+    candidates). Same shape as ``top_words``: one partial row per distinct
+    bigram per batch, hash-partitioned merge, partial top-k — the corpus
+    bigram table never materializes in one place."""
+    from xmlschema_ray.ops.relational import combiner_aggregate, topk
+
+    ds = rd.read_parquet(table_path(sf_dir, "documents"), columns=["text"])
+
+    def partial(batch: pa.Table) -> pd.DataFrame:
+        _, grams = _word_grams(batch["text"], 2)
+        if len(grams) == 0:
+            return pd.DataFrame(
+                {"bigram": pd.Series([], dtype=object), "n": pd.Series([], dtype="int64")}
+            )
+        w, c = np.unique(grams.astype(str), return_counts=True)
+        return pd.DataFrame({"bigram": w, "n": c.astype(np.int64)})
+
+    partials = ds.map_batches(partial, batch_format="pyarrow")
+    counts = combiner_aggregate(partials, "bigram", {"n": ("n", "sum")})
+    out = topk(counts, "n", k, descending=True, tiebreak=["bigram"]).to_pandas()
+    out["n"] = out["n"].astype("int64")
+    return out.reset_index(drop=True)
+
+
+TOP_BIGRAMS_SQL = r"""
+WITH w AS (
+  SELECT regexp_split_to_array(trim(text), '\s+') AS ws FROM documents
+), g AS (
+  SELECT array_to_string(ws[i:i+1], ' ') AS bigram
+  FROM w, LATERAL unnest(generate_series(1, len(ws) - 1)) AS t(i)
+)
+SELECT bigram, CAST(COUNT(*) AS BIGINT) AS n
+FROM g
+GROUP BY bigram
+ORDER BY n DESC, bigram
+LIMIT 20
+"""
+
+
+# -- sensitive-term redaction ---------------------------------------------
+
+
+_REDACT_PATTERN = r"\b[a-z]*(?:key|hash)[a-z]*\b"
+
+
+def redact_terms(sf_dir: str) -> "rd.Dataset":
+    """Scrub sensitive terms from every document (the PII/secret-redaction
+    map of a crawl pipeline; here the term class is any word containing
+    'key' or 'hash' — the classes a real pipeline uses, emails/SSNs/API
+    keys, are the same one-regex shape).
+
+    Pure per-row transform on two RE2 kernels
+    (``pc.replace_substring_regex`` + ``pc.count_substring_regex``), so it
+    streams zero-copy at any corpus size; DuckDB's regexp functions are
+    RE2 too, making the oracle byte-exact. Reference analog: pattern
+    facets (facets.py:591-603) — the same compiled-regex-per-worker
+    discipline, applied as a rewrite instead of a check."""
+    ds = rd.read_parquet(table_path(sf_dir, "documents"), columns=["doc_id", "text"])
+
+    def fn(batch: pa.Table) -> pa.Table:
+        text = batch["text"]
+        return pa.table(
+            {
+                "doc_id": batch["doc_id"],
+                "redacted_text": pc.replace_substring_regex(
+                    text, _REDACT_PATTERN, "[TERM]"
+                ),
+                "n_redacted": pc.cast(
+                    pc.count_substring_regex(text, _REDACT_PATTERN), pa.int64()
+                ),
+            }
+        )
+
+    return ds.map_batches(fn, batch_format="pyarrow", zero_copy_batch=True)
+
+
+REDACT_TERMS_SQL = r"""
+SELECT doc_id,
+       regexp_replace(text, '\b[a-z]*(?:key|hash)[a-z]*\b', '[TERM]', 'g') AS redacted_text,
+       CAST(len(regexp_extract_all(text, '\b[a-z]*(?:key|hash)[a-z]*\b')) AS BIGINT) AS n_redacted
+FROM documents
+"""
+
+
 # -- decontamination -----------------------------------------------------
 
 
@@ -424,6 +509,105 @@ FROM w
 """
 
 
+# -- deterministic shuffle export ------------------------------------------
+
+
+def deterministic_shuffle(sf_dir: str, n_shards: int = 8, seed: str = "s42") -> "rd.Dataset":
+    """Seeded global shuffle for training export: every document gets an
+    exact global position in the md5(seed:doc_id) order plus a round-robin
+    shard id — the reshuffle a trainer runs between epochs, made
+    bit-reproducible on any engine.
+
+    The total order is (hash, doc_id); the exact position comes from the
+    shared :func:`~xmlschema_ray.ops.relational.global_rank` machinery
+    (sampled range boundaries + metadata-sized prefix sums — no global
+    sort, no fact-sized driver state). md5 is the portable-hash choice the
+    oracle can recompute; a closed deployment would swap in a vectorized
+    128-bit hash behind the same two columns."""
+    from xmlschema_ray.ops.relational import global_rank
+
+    ds = rd.read_parquet(table_path(sf_dir, "documents"), columns=["doc_id"])
+
+    def keyed(batch: pa.Table) -> pd.DataFrame:
+        ids = batch["doc_id"].to_numpy(zero_copy_only=False).astype(np.int64)
+        return pd.DataFrame(
+            {"doc_id": ids, "__h": _md5_hex([f"{seed}:{i}" for i in ids])}
+        )
+
+    ranked, _total = global_rank(
+        ds.map_batches(keyed, batch_format="pyarrow"), ["__h", "doc_id"], rank_col="pos"
+    )
+
+    def finish(batch: pd.DataFrame) -> pd.DataFrame:
+        pos = batch["pos"].to_numpy(np.int64)
+        return pd.DataFrame(
+            {
+                "doc_id": batch["doc_id"].to_numpy(np.int64),
+                "pos": pos,
+                "shard": (pos - 1) % n_shards,
+            }
+        )
+
+    return ranked.map_batches(finish, batch_format="pandas").sort("pos")
+
+
+DETERMINISTIC_SHUFFLE_SQL = """
+WITH r AS (
+  SELECT doc_id,
+         row_number() OVER (ORDER BY md5('s42:' || CAST(doc_id AS VARCHAR)), doc_id) AS pos
+  FROM documents
+)
+SELECT doc_id, CAST(pos AS BIGINT) AS pos, CAST((pos - 1) % 8 AS BIGINT) AS shard
+FROM r
+ORDER BY pos
+"""
+
+
+# -- percentile length filter ----------------------------------------------
+
+
+def longest_quartile_docs(sf_dir: str) -> "rd.Dataset":
+    """Quantile-based curation filter: keep the longest 25% of the corpus
+    by exact global rank (the length-percentile cut of a C4-style cleaning
+    stack, with ties broken by doc_id so both engines keep the identical
+    set). Rank is exact and distributed (:func:`global_rank`); only the
+    per-range counts touch the driver."""
+    from xmlschema_ray.ops.relational import global_rank
+
+    ds = rd.read_parquet(table_path(sf_dir, "documents"), columns=["doc_id", "n_chars"])
+
+    def keyed(batch: pd.DataFrame) -> pd.DataFrame:
+        batch = batch.copy(deep=False)
+        batch["__neg"] = -batch["n_chars"].to_numpy(np.int64)
+        return batch
+
+    ranked, total = global_rank(
+        ds.map_batches(keyed, batch_format="pandas"), ["__neg", "doc_id"], rank_col="len_rank"
+    )
+    cut = total // 4
+
+    def finish(batch: pd.DataFrame) -> pd.DataFrame:
+        keep = batch.loc[batch["len_rank"] <= cut]
+        return pd.DataFrame(
+            {
+                "doc_id": keep["doc_id"].to_numpy(np.int64),
+                "n_chars": keep["n_chars"].to_numpy(np.int64),
+                "len_rank": keep["len_rank"].to_numpy(np.int64),
+            }
+        )
+
+    return ranked.map_batches(finish, batch_format="pandas").sort("len_rank")
+
+
+LONGEST_QUARTILE_SQL = """
+SELECT doc_id, n_chars,
+       CAST(row_number() OVER (ORDER BY n_chars DESC, doc_id) AS BIGINT) AS len_rank
+FROM documents
+QUALIFY len_rank <= (SELECT count(*) // 4 FROM documents)
+ORDER BY len_rank
+"""
+
+
 # -- sequence packing ----------------------------------------------------
 
 
@@ -543,6 +727,10 @@ ORDER BY window_id, doc_id
 
 ORACLES: Dict[str, str] = {
     "top_words": TOP_WORDS_SQL,
+    "top_bigrams": TOP_BIGRAMS_SQL,
+    "redact_terms": REDACT_TERMS_SQL,
+    "deterministic_shuffle": DETERMINISTIC_SHUFFLE_SQL,
+    "longest_quartile_docs": LONGEST_QUARTILE_SQL,
     "decontamination": DECONTAMINATION_SQL,
     "repetition_ratio": REPETITION_RATIO_SQL,
     "stratified_sample": STRATIFIED_SAMPLE_SQL,
@@ -553,6 +741,10 @@ ORACLES: Dict[str, str] = {
 
 QUERIES = {
     "top_words": top_words,
+    "top_bigrams": top_bigrams,
+    "redact_terms": redact_terms,
+    "deterministic_shuffle": deterministic_shuffle,
+    "longest_quartile_docs": longest_quartile_docs,
     "decontamination": decontamination,
     "repetition_ratio": repetition_ratio,
     "stratified_sample": stratified_sample,

@@ -1078,8 +1078,10 @@ def orders_price_ntile(sf_dir: str, n_buckets: int = 4) -> "rd.Dataset":
        NTILE bucket is a closed-form function of (global rank, total).
 
     The total order is (price cents, orderkey) — ties broken by the unique
-    key so both engines produce the identical permutation."""
-    from xmlschema_ray.ops.relational import combiner_aggregate, derive_num_partitions, hash_partition_apply
+    key so both engines produce the identical permutation. The rank itself
+    comes from the shared :func:`~xmlschema_ray.ops.relational.global_rank`
+    op; the NTILE bucket is a closed-form function of (rank, total)."""
+    from xmlschema_ray.ops.relational import global_rank
 
     ds = rd.read_parquet(
         table_path(sf_dir, "orders"), columns=["o_orderkey", "o_totalprice"]
@@ -1094,74 +1096,29 @@ def orders_price_ntile(sf_dir: str, n_buckets: int = 4) -> "rd.Dataset":
             }
         )
 
-    keyed_ds = ds.map_batches(keyed, batch_format="pandas")
-
-    def systematic_sample(batch: pd.DataFrame) -> pd.DataFrame:
-        return batch.iloc[::512][["price_c", "o_orderkey"]]
-
-    samp = (
-        keyed_ds.map_batches(systematic_sample, batch_format="pandas")
-        .to_pandas()
-        .sort_values(["price_c", "o_orderkey"])
-        .reset_index(drop=True)
+    ranked, total = global_rank(
+        ds.map_batches(keyed, batch_format="pandas"),
+        ["price_c", "o_orderkey"],
+        rank_col="__rank",
     )
-    n_parts = derive_num_partitions()
-    if len(samp) >= n_parts > 1:
-        idx = (np.arange(1, n_parts) * len(samp)) // n_parts
-        b_price = samp["price_c"].to_numpy()[idx]
-        b_key = samp["o_orderkey"].to_numpy()[idx]
-    else:
-        b_price = np.array([], dtype=np.int64)
-        b_key = np.array([], dtype=np.int64)
-
-    def add_pid(batch: pd.DataFrame) -> pd.DataFrame:
-        p = batch["price_c"].to_numpy()[:, None]
-        k = batch["o_orderkey"].to_numpy()[:, None]
-        # partition = #boundaries lexicographically <= (price, key); the
-        # boundary arrays are ~num_partitions ints, broadcast-compared
-        pid = ((b_price[None, :] < p) | ((b_price[None, :] == p) & (b_key[None, :] <= k))).sum(
-            axis=1
-        )
-        batch = batch.copy(deep=False)
-        batch["part_id"] = pid.astype(np.int64)
-        return batch
-
-    with_pid = keyed_ds.map_batches(add_pid, batch_format="pandas")
-    counts = (
-        combiner_aggregate(with_pid, keys="part_id", aggs={"n": (None, "count")})
-        .to_pandas()
-        .sort_values("part_id")
-    )
-    total = int(counts["n"].sum())
-    offsets = {}
-    run = 0
-    for pid, n in zip(counts["part_id"], counts["n"]):
-        offsets[int(pid)] = run
-        run += int(n)
     q, r = divmod(total, n_buckets)
     cut = r * (q + 1)
 
-    def per_part(g: pd.DataFrame) -> pd.DataFrame:
-        outs = []
-        for pid, gg in g.groupby("part_id", sort=False):
-            gg = gg.sort_values(["price_c", "o_orderkey"])
-            rank = offsets[int(pid)] + np.arange(1, len(gg) + 1, dtype=np.int64)
-            if q == 0:
-                bucket = rank
-            else:
-                bucket = np.where(rank <= cut, (rank - 1) // (q + 1) + 1, r + (rank - cut - 1) // q + 1)
-            outs.append(
-                pd.DataFrame(
-                    {
-                        "o_orderkey": gg["o_orderkey"].to_numpy(),
-                        "o_totalprice": gg["o_totalprice"].to_numpy(),
-                        "bucket": bucket.astype(np.int64),
-                    }
-                )
-            )
-        return pd.concat(outs, ignore_index=True)
+    def finish(batch: pd.DataFrame) -> pd.DataFrame:
+        rank = batch["__rank"].to_numpy(np.int64)
+        if q == 0:
+            bucket = rank
+        else:
+            bucket = np.where(rank <= cut, (rank - 1) // (q + 1) + 1, r + (rank - cut - 1) // q + 1)
+        return pd.DataFrame(
+            {
+                "o_orderkey": batch["o_orderkey"].to_numpy(),
+                "o_totalprice": batch["o_totalprice"].to_numpy(),
+                "bucket": bucket.astype(np.int64),
+            }
+        )
 
-    return hash_partition_apply(with_pid, "part_id", per_part).sort("o_orderkey")
+    return ranked.map_batches(finish, batch_format="pandas").sort("o_orderkey")
 
 
 NTILE_SQL = """
@@ -1169,6 +1126,26 @@ SELECT o_orderkey, o_totalprice,
        CAST(NTILE(4) OVER (ORDER BY CAST(floor(o_totalprice * 100 + 0.5) AS BIGINT), o_orderkey) AS BIGINT) AS bucket
 FROM orders
 ORDER BY o_orderkey
+"""
+
+
+def customers_without_events(sf_dir: str) -> "rd.Dataset":
+    """Set difference (EXCEPT DISTINCT, SURVEY §2.9 set-op family):
+    customers with no event activity. Both sides collapse to per-batch
+    distinct partials before the one key-space-sized exchange — see
+    :func:`xmlschema_ray.ops.relational.except_keys`."""
+    from xmlschema_ray.ops.relational import except_keys
+
+    cust = rd.read_parquet(table_path(sf_dir, "customer"), columns=["c_custkey"])
+    ev = rd.read_parquet(table_path(sf_dir, "events"), columns=["user_id"])
+    return except_keys(cust, ev, "c_custkey", "user_id").sort("c_custkey")
+
+
+CUSTOMERS_WITHOUT_EVENTS_SQL = """
+SELECT c_custkey FROM customer
+EXCEPT
+SELECT user_id FROM events
+ORDER BY c_custkey
 """
 
 
@@ -1197,6 +1174,7 @@ ORACLES = {
     "revenue_rollup": REVENUE_ROLLUP_SQL,
     "first_order_per_customer": FIRST_ORDER_SQL,
     "orders_price_ntile": NTILE_SQL,
+    "customers_without_events": CUSTOMERS_WITHOUT_EVENTS_SQL,
 }
 
 QUERIES = {
@@ -1224,4 +1202,5 @@ QUERIES = {
     "revenue_rollup": revenue_rollup,
     "first_order_per_customer": first_order_per_customer,
     "orders_price_ntile": orders_price_ntile,
+    "customers_without_events": customers_without_events,
 }
