@@ -1,0 +1,124 @@
+"""XSD 1.1 conditional type assignment (xs:alternative analog): per-row
+type dispatch, first-match-wins order, derivation lint, serde round-trip.
+Reference semantics: /root/reference/xmlschema/validators/elements.py:758-857.
+"""
+
+import numpy as np
+import pyarrow as pa
+import pytest
+
+from xmlschema_ray.constraints import facets as F
+from xmlschema_ray.constraints.serde import spec_from_json, spec_to_json
+from xmlschema_ray.constraints.spec import (
+    AltCase,
+    ColumnSpec,
+    SpecError,
+    TableConstraints,
+    TypeAlternatives,
+)
+from xmlschema_ray.engine.row_validator import iter_row_checks
+
+
+def _spec(cases, declared=(F.MinInclusive(0.0), F.MaxInclusive(100.0))):
+    return TableConstraints(
+        name="t",
+        columns=[
+            ColumnSpec("id", pa.int64()),
+            ColumnSpec("kind", pa.string(), nullable=True),
+            ColumnSpec("v", pa.float64(), facets=declared),
+        ],
+        type_alternatives=[TypeAlternatives(column="v", cases=tuple(cases))],
+        key_columns=("id",),
+    ).compile()
+
+
+CASES = (
+    AltCase("kind", "==", "a", (F.MinInclusive(10.0),), "type_a"),
+    AltCase("kind", "in", ("a", "b"), (F.MaxInclusive(50.0),), "type_ab"),
+)
+
+
+def _violations(spec, table):
+    out = {}
+    for cname, col, mask, _r, _v in iter_row_checks(table, spec):
+        out[cname] = set(np.flatnonzero(mask).tolist())
+    return out
+
+
+def test_first_match_wins_and_default_applies():
+    spec = _spec(CASES)
+    table = pa.table(
+        {
+            "id": pa.array([0, 1, 2, 3, 4], type=pa.int64()),
+            "kind": pa.array(["a", "a", "b", "c", None]),
+            #        a: min10   a: ok   b: max50   c: default  null: default
+            "v": pa.array([5.0, 20.0, 60.0, 150.0, -1.0], type=pa.float64()),
+        }
+    )
+    v = _violations(spec, table)
+    # row0 kind=a matched FIRST case only (not the 'in' case): min10 fires,
+    # max50 must NOT fire even though 5.0<=50 passes trivially; check row2
+    # (kind=b) got the second case
+    assert v.get("v.alt[type_a].minInclusive(10.0)") == {0}
+    assert v.get("v.alt[type_ab].maxInclusive(50.0)") == {2}
+    # default stack applies to kind=c and null discriminant
+    assert v.get("v.maxInclusive(100.0)") == {3}
+    assert v.get("v.minInclusive(0.0)") == {4}
+
+
+def test_first_match_shadowing():
+    """A row matching case 0 is never validated by case 1 even when both
+    tests match (reference get_type returns the FIRST matching alternative)."""
+    spec = _spec(CASES)
+    table = pa.table(
+        {
+            "id": pa.array([0], type=pa.int64()),
+            "kind": pa.array(["a"]),
+            "v": pa.array([80.0], type=pa.float64()),  # violates type_ab's max50
+        }
+    )
+    v = _violations(spec, table)
+    assert "v.alt[type_ab].maxInclusive(50.0)" not in v  # shadowed by type_a
+
+
+def test_alternative_must_restrict_declared():
+    with pytest.raises(SpecError, match="loosens"):
+        _spec((AltCase("kind", "==", "a", (F.MaxInclusive(200.0),), "loose"),))
+
+
+def test_alternative_unknown_columns_raise():
+    with pytest.raises(SpecError, match="unknown"):
+        _spec((AltCase("missing", "==", "a", (F.MinInclusive(1.0),), "x"),))
+    with pytest.raises(SpecError):
+        TableConstraints(
+            name="t",
+            columns=[ColumnSpec("id", pa.int64())],
+            type_alternatives=[
+                TypeAlternatives(column="nope", cases=(AltCase("id", "==", 1, (), "x"),))
+            ],
+        ).compile()
+
+
+def test_bad_op_raises():
+    with pytest.raises(SpecError, match="op"):
+        AltCase("kind", "~=", "a", (), "x")
+
+
+def test_serde_round_trip():
+    spec = _spec(CASES)
+    doc = spec_to_json(spec)
+    back = spec_from_json(doc)
+    assert len(back.type_alternatives) == 1
+    ta = back.type_alternatives[0]
+    assert ta.column == "v" and len(ta.cases) == 2
+    assert ta.cases[0].op == "==" and ta.cases[0].type_name == "type_a"
+    assert ta.cases[1].op == "in" and tuple(ta.cases[1].value) == ("a", "b")
+    # behavioral equality after round-trip
+    table = pa.table(
+        {
+            "id": pa.array([0, 1], type=pa.int64()),
+            "kind": pa.array(["a", "b"]),
+            "v": pa.array([5.0, 60.0], type=pa.float64()),
+        }
+    )
+    assert _violations(spec, table) == _violations(back, table)

@@ -30,12 +30,14 @@ Validation semantics follow the reference: validation is decode-with-errors
 """
 
 from xmlschema_ray.constraints.spec import (
+    AltCase,
     ColumnSpec,
     DriftSpec,
     ForeignKey,
     LengthEquals,
     SpecError,
     TableConstraints,
+    TypeAlternatives,
     UniqueKey,
 )
 from xmlschema_ray.constraints import facets
@@ -44,12 +46,14 @@ from xmlschema_ray.constraints.occurs import ContentGroup, OccursBounds, Particl
 from xmlschema_ray.engine.engine import ValidationEngine, ValidationResult
 
 __all__ = [
+    "AltCase",
     "ColumnSpec",
     "DriftSpec",
     "ForeignKey",
     "LengthEquals",
     "SpecError",
     "TableConstraints",
+    "TypeAlternatives",
     "UniqueKey",
     "ValidationEngine",
     "ValidationResult",

@@ -1,20 +1,24 @@
 from xmlschema_ray.constraints.spec import (
+    AltCase,
     ColumnSpec,
     DriftSpec,
     ForeignKey,
     LengthEquals,
     SpecError,
     TableConstraints,
+    TypeAlternatives,
     UniqueKey,
 )
 
 __all__ = [
+    "AltCase",
     "ColumnSpec",
     "DriftSpec",
     "ForeignKey",
     "LengthEquals",
     "SpecError",
     "TableConstraints",
+    "TypeAlternatives",
     "UniqueKey",
 ]
 from xmlschema_ray.constraints.occurs import (  # noqa: F401

@@ -16,12 +16,14 @@ import pyarrow as pa
 
 from xmlschema_ray.constraints import facets as F
 from xmlschema_ray.constraints.spec import (
+    AltCase,
     ColumnSpec,
     DriftSpec,
     ForeignKey,
     LengthEquals,
     SpecError,
     TableConstraints,
+    TypeAlternatives,
     UniqueKey,
 )
 
@@ -244,6 +246,25 @@ def spec_to_json(spec: TableConstraints) -> Dict[str, Any]:
             for c in spec.columns
         ],
         "row_checks": [],
+        "type_alternatives": [
+            {
+                "name": ta.name,
+                "column": ta.column,
+                "cases": [
+                    {
+                        "column": c.column,
+                        "op": c.op,
+                        "value": list(c.value)
+                        if isinstance(c.value, (tuple, set, frozenset))
+                        else c.value,
+                        "type_name": c.type_name,
+                        "facets": [facet_to_json(f) for f in c.facets],
+                    }
+                    for c in ta.cases
+                ],
+            }
+            for ta in spec.type_alternatives
+        ],
         "unique_keys": [{"name": u.name, "columns": list(u.columns)} for u in spec.unique_keys],
         "foreign_keys": [
             {"name": k.name, "column": k.column, "dim_name": k.dim_name, "dim_key": k.dim_key}
@@ -291,10 +312,28 @@ def spec_from_json(doc: Dict[str, Any]) -> TableConstraints:
         check = LengthEquals(rc["list_col"], rc["int_col"], name=rc.get("name"))
         object.__setattr__(check, "_serde", rc)
         row_checks.append(check)
+    type_alternatives = [
+        TypeAlternatives(
+            column=ta["column"],
+            cases=tuple(
+                AltCase(
+                    column=c["column"],
+                    op=c["op"],
+                    value=tuple(c["value"]) if isinstance(c["value"], list) else c["value"],
+                    facets=tuple(facet_from_json(f) for f in c.get("facets", [])),
+                    type_name=c["type_name"],
+                )
+                for c in ta.get("cases", [])
+            ),
+            name=ta.get("name"),
+        )
+        for ta in doc.get("type_alternatives", [])
+    ]
     spec = TableConstraints(
         name=doc["name"],
         columns=columns,
         row_checks=row_checks,
+        type_alternatives=type_alternatives,
         unique_keys=[UniqueKey(tuple(u["columns"]), name=u.get("name")) for u in doc.get("unique_keys", [])],
         foreign_keys=[
             ForeignKey(k["column"], k["dim_name"], k["dim_key"], name=k.get("name"))

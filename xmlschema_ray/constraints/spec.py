@@ -28,6 +28,7 @@ import pyarrow as pa
 from xmlschema_ray.constraints.facets import Facet, SpecError, lint_facet_stack
 
 __all__ = [
+    "AltCase",
     "ColumnSpec",
     "DriftSpec",
     "ForeignKey",
@@ -35,6 +36,7 @@ __all__ = [
     "RowCheck",
     "SpecError",
     "TableConstraints",
+    "TypeAlternatives",
     "UniqueKey",
 ]
 
@@ -117,6 +119,58 @@ def LengthEquals(list_col: str, int_col: str, name: Optional[str] = None) -> Row
         {"kind": "length_equals", "list_col": list_col, "int_col": int_col, "name": check.name},
     )
     return check
+
+
+_ALT_OPS = ("==", "!=", "<", "<=", ">", ">=", "in", "is_null", "not_null")
+
+
+@dataclass(frozen=True)
+class AltCase:
+    """One ``xs:alternative``: a declarative test over a discriminant
+    column plus the facet stack of the alternative type.
+
+    The reference's test is an XPath over the element's attributes
+    (``validators/elements.py:803-857`` ``XsdAlternative``); the columnar
+    analog is a single vectorizable comparison on a sibling column. The
+    test is declarative (column/op/value) so specs stay JSON-serializable
+    and the engine can evaluate it with one Arrow kernel."""
+
+    column: str  # discriminant column the test reads
+    op: str  # one of _ALT_OPS
+    value: Any  # literal; sequence for "in"; ignored for is_null/not_null
+    facets: Tuple[Facet, ...]
+    type_name: str  # label used in constraint names
+
+    def __post_init__(self):
+        if not isinstance(self.facets, tuple):
+            object.__setattr__(self, "facets", tuple(self.facets))
+        if self.op not in _ALT_OPS:
+            raise SpecError(f"alternative test op {self.op!r} not in {_ALT_OPS}")
+
+
+@dataclass(frozen=True)
+class TypeAlternatives:
+    """XSD 1.1 conditional type assignment for one value column.
+
+    The analog of an element's ``xs:alternative`` list
+    (``validators/elements.py:758-791`` ``_parse_alternatives`` +
+    ``get_type``): per row, the FIRST case whose test matches selects the
+    facet stack that validates ``column``; when no case matches, the
+    column's declared ``ColumnSpec.facets`` apply (the default type).
+    Compile-time, every case stack must be a valid RESTRICTION of the
+    declared stack — the reference's ``type.is_derived(parent.type)``
+    check (``elements.py:850-851``), enforced facet-by-facet with the
+    derivation algebra in ``constraints/derive.py``."""
+
+    column: str  # the value column being validated
+    cases: Tuple[AltCase, ...]
+    name: Optional[str] = None
+
+    def __post_init__(self):
+        if not isinstance(self.cases, tuple):
+            object.__setattr__(self, "cases", tuple(self.cases))
+        if self.name is None:
+            object.__setattr__(self, "name", f"alt_{self.column}")
 
 
 @dataclass(frozen=True)
@@ -209,6 +263,7 @@ class TableConstraints:
     unique_keys: List[UniqueKey] = field(default_factory=list)
     foreign_keys: List[ForeignKey] = field(default_factory=list)
     drift: List[DriftSpec] = field(default_factory=list)
+    type_alternatives: List[TypeAlternatives] = field(default_factory=list)
     key_columns: Tuple[str, ...] = ()
     allow_extra_columns: bool = True
     # stats collection targets: numeric columns profiled min/max/mean/null;
@@ -277,6 +332,32 @@ class TableConstraints:
         for col in self.key_columns + self.stats_columns + self.distinct_columns:
             if col not in known:
                 raise SpecError(f"unknown column {col!r} in key/stats/distinct columns")
+        alt_owned = set()
+        for ta in self.type_alternatives:
+            if ta.column not in known:
+                raise SpecError(
+                    f"type alternatives {ta.name!r} reference unknown column {ta.column!r}"
+                )
+            if ta.column in alt_owned:
+                raise SpecError(f"column {ta.column!r} has multiple type-alternative lists")
+            alt_owned.add(ta.column)
+            declared = self.column(ta.column)
+            from xmlschema_ray.constraints.derive import _check_one  # lazy: derive imports spec
+
+            for case in ta.cases:
+                if case.column not in known:
+                    raise SpecError(
+                        f"alternative {ta.name!r}/{case.type_name!r} tests unknown "
+                        f"column {case.column!r}"
+                    )
+                try:
+                    lint_facet_stack(declared.dtype, case.facets)
+                except SpecError as e:
+                    raise SpecError(f"alternative {case.type_name!r}: {e}") from e
+                # each alternative type must be a valid restriction of the
+                # declared (default) type — the is_derived check
+                for f in case.facets:
+                    _check_one(declared.facets, f, ta.column)
         return self
 
     def _constraint_names(self) -> List[str]:
@@ -284,6 +365,10 @@ class TableConstraints:
         for c in self.columns:
             for f in c.facets:
                 out.append(f"{c.name}.{f.describe()}")
+        for ta in self.type_alternatives:
+            for case in ta.cases:
+                for f in case.facets:
+                    out.append(f"{ta.column}.alt[{case.type_name}].{f.describe()}")
         out += [rc.name for rc in self.row_checks]
         out += [uk.name for uk in self.unique_keys]
         out += [fk.name for fk in self.foreign_keys]

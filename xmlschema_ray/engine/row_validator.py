@@ -100,6 +100,39 @@ def format_values(col: pa.ChunkedArray | pa.Array, idx: np.ndarray, limit: int =
     return out
 
 
+_ALT_CMP = {}
+
+
+def _eval_alt_test(table: pa.Table, case) -> np.ndarray:
+    """Vectorized xs:alternative test: one Arrow kernel over the
+    discriminant column; null discriminants never match a comparison
+    (they fall through to later cases / the default type), matching the
+    reference where an XPath test over a missing attribute is false."""
+    if not _ALT_CMP:
+        _ALT_CMP.update(
+            {
+                "==": pc.equal,
+                "!=": pc.not_equal,
+                "<": pc.less,
+                "<=": pc.less_equal,
+                ">": pc.greater,
+                ">=": pc.greater_equal,
+            }
+        )
+    col = table[case.column]
+    if case.op == "is_null":
+        m = pc.is_null(col)
+    elif case.op == "not_null":
+        m = pc.is_valid(col)
+    elif case.op == "in":
+        m = pc.is_in(col, value_set=pa.array(list(case.value)))
+    else:
+        m = _ALT_CMP[case.op](col, case.value)
+    if isinstance(m, pa.ChunkedArray):
+        m = m.combine_chunks()
+    return m.fill_null(False).to_numpy(zero_copy_only=False)
+
+
 def iter_row_checks(
     table: pa.Table, spec: TableConstraints
 ) -> Iterator[Tuple[str, str, np.ndarray, str, Optional[np.ndarray]]]:
@@ -108,10 +141,13 @@ def iter_row_checks(
 
     Checks: per-column not-null (required-value analog,
     ``validators/attributes.py:578-581``), every facet in each column's
-    facet stack, and every row-level assertion.
+    facet stack (conditionally per row when the column carries XSD 1.1
+    type alternatives — ``validators/elements.py:778-791`` ``get_type``),
+    and every row-level assertion.
     """
     present = set(table.column_names)
     n = table.num_rows
+    alt_owned = {ta.column for ta in spec.type_alternatives}
     for c in spec.columns:
         if c.name not in present:
             continue  # missing-column handled at partition level
@@ -120,10 +156,40 @@ def iter_row_checks(
             nulls = pc.is_null(col).combine_chunks().to_numpy(zero_copy_only=False)
             if nulls.any():
                 yield (f"{c.name}.not_null", c.name, nulls, "null value in non-nullable column", None)
+        if c.name in alt_owned:
+            continue  # facets applied per selected type below
         for f in c.facets:
             mask, reprs = f.check(col)
             if mask.any():
                 yield (f"{c.name}.{f.describe()}", c.name, mask, f"facet {f.describe()} violated", reprs)
+    for ta in spec.type_alternatives:
+        if ta.column not in present or not all(c.column in present for c in ta.cases):
+            continue
+        col = table[ta.column]
+        # first matching case wins (reference get_type order); -1 = default
+        sel = np.full(n, -1, dtype=np.int64)
+        for i, case in enumerate(ta.cases):
+            hit = _eval_alt_test(table, case)
+            np.copyto(sel, i, where=(sel < 0) & hit)
+        declared = spec.column(ta.column)
+        stacks = [
+            (sel == i, case.facets, f"alt[{case.type_name}].", f" (type {case.type_name})")
+            for i, case in enumerate(ta.cases)
+        ] + [(sel < 0, declared.facets, "", "")]
+        for rows, facets, label, note in stacks:
+            if not rows.any():
+                continue
+            for f in facets:
+                mask, reprs = f.check(col)
+                mask = mask & rows
+                if mask.any():
+                    yield (
+                        f"{ta.column}.{label}{f.describe()}",
+                        ta.column,
+                        mask,
+                        f"facet {f.describe()} violated{note}",
+                        reprs,
+                    )
     for rc in spec.row_checks:
         if not all(col in present for col in rc.columns):
             continue

@@ -181,8 +181,122 @@ ORDER BY source
 """
 
 
+_BM25_TERMS = ("table", "window", "join", "hash")
+_BM25_K1, _BM25_B = 1.2, 0.75
+
+
+def bm25_scores(sf_dir: str) -> "rd.Dataset":
+    """BM25 relevance of every document against a fixed query term set —
+    the retrieval/quality scorer of a data-curation stack, in its
+    distributed shape: ONE streaming pass over the text produces a narrow
+    per-doc table (doc_id, dl, tf per query term); corpus statistics
+    (N, Σdl, per-term document frequencies) reduce from that table as
+    metadata-sized partials; scoring is then a stateless vectorized map
+    with the ≤|terms| df values closed over — no join, no second text
+    pass, no fact-sized driver state.
+
+    Output is one row per (doc, matched term) — per-term contributions
+    rather than the per-doc sum, so no cross-term float summation order
+    exists to disagree on. The idf uses BM25's rational odds form
+    ``(N - df + 0.5)/(df + 0.5)`` WITHOUT the log: the log is monotone
+    (per-term rankings identical) but ``ln`` differs between libm and
+    DuckDB in the last ulp, while the log-free form is all IEEE +,*,/
+    — bit-exact on both engines."""
+    from xmlschema_ray.pipelines.curation import _split_offsets
+
+    ds = rd.read_parquet(table_path(sf_dir, "documents"), columns=["doc_id", "text"])
+
+    def per_doc(batch) -> pd.DataFrame:
+        ids = batch["doc_id"].to_numpy(zero_copy_only=False).astype(np.int64)
+        offsets, flat = _split_offsets(batch["text"])
+        n_rows = len(ids)
+        starts = np.arange(len(flat), dtype=np.int64)
+        row_idx = np.searchsorted(offsets, starts, side="right") - 1
+        cols = {"doc_id": ids, "dl": np.diff(offsets).astype(np.int64)}
+        for t in _BM25_TERMS:
+            hit = flat == t
+            cols[f"tf_{t}"] = np.bincount(row_idx[hit], minlength=n_rows).astype(np.int64)
+        return pd.DataFrame(cols)
+
+    narrow = ds.map_batches(per_doc, batch_format="pyarrow").materialize()
+
+    def stat_partial(batch: pd.DataFrame) -> pd.DataFrame:
+        row = {"n": np.int64(len(batch)), "tot": batch["dl"].sum()}
+        for t in _BM25_TERMS:
+            row[f"df_{t}"] = np.int64((batch[f"tf_{t}"] > 0).sum())
+        return pd.DataFrame([row])
+
+    stats = narrow.map_batches(stat_partial, batch_format="pandas").to_pandas().sum()
+    n_docs, tot = int(stats["n"]), int(stats["tot"])
+    avgdl = np.float64(tot) / n_docs
+    idf = {
+        t: (n_docs - int(stats[f"df_{t}"]) + 0.5) / (int(stats[f"df_{t}"]) + 0.5)
+        for t in _BM25_TERMS
+    }
+
+    def score(batch: pd.DataFrame) -> pd.DataFrame:
+        outs = []
+        dl = batch["dl"].to_numpy(np.int64)
+        denom_tail = _BM25_K1 * (1 - _BM25_B + _BM25_B * dl / avgdl)
+        for t in _BM25_TERMS:
+            tf = batch[f"tf_{t}"].to_numpy(np.int64)
+            m = tf > 0
+            if not m.any():
+                continue
+            s = idf[t] * (tf[m] * (_BM25_K1 + 1)) / (tf[m] + denom_tail[m])
+            outs.append(
+                pd.DataFrame(
+                    {
+                        "doc_id": batch["doc_id"].to_numpy(np.int64)[m],
+                        "word": t,
+                        "tf": tf[m],
+                        "bm25": s,
+                    }
+                )
+            )
+        if not outs:
+            return pd.DataFrame(
+                {
+                    "doc_id": pd.Series([], dtype="int64"),
+                    "word": pd.Series([], dtype=object),
+                    "tf": pd.Series([], dtype="int64"),
+                    "bm25": pd.Series([], dtype="float64"),
+                }
+            )
+        return pd.concat(outs, ignore_index=True)
+
+    return narrow.map_batches(score, batch_format="pandas").sort(["doc_id", "word"])
+
+
+BM25_SQL = r"""
+WITH w AS (
+  SELECT doc_id, regexp_split_to_array(trim(text), '\s+') AS ws FROM documents
+), d AS (
+  SELECT doc_id, CAST(len(ws) AS BIGINT) AS dl FROM w
+), t AS (
+  SELECT doc_id, unnest(ws) AS word FROM w
+), tf AS (
+  SELECT doc_id, word, CAST(count(*) AS BIGINT) AS tf FROM t
+  WHERE word IN ('table','window','join','hash') GROUP BY doc_id, word
+), df AS (
+  SELECT word, CAST(count(DISTINCT doc_id) AS BIGINT) AS df FROM t
+  WHERE word IN ('table','window','join','hash') GROUP BY word
+), s AS (
+  SELECT CAST(count(*) AS BIGINT) AS n, CAST(sum(dl) AS BIGINT) AS tot FROM d
+)
+SELECT tf.doc_id, tf.word, tf.tf,
+       -- every literal cast to DOUBLE: DuckDB parses bare 0.5/1.2/2.2 as
+       -- DECIMAL, whose intermediate rounding differs from IEEE doubles
+       (n - df + 0.5::DOUBLE) / (df + 0.5::DOUBLE) * (tf * 2.2::DOUBLE)
+         / (tf + 1.2::DOUBLE * (1 - 0.75::DOUBLE + 0.75::DOUBLE * dl / (CAST(tot AS DOUBLE) / n))) AS bm25
+FROM tf JOIN df USING (word) JOIN d ON tf.doc_id = d.doc_id CROSS JOIN s
+ORDER BY tf.doc_id, tf.word
+"""
+
+
 ORACLES: Dict[str, str] = {
     "token_counts": TOKEN_COUNTS_SQL,
+    "bm25_scores": BM25_SQL,
     "doc_quality": DOC_QUALITY_SQL,
     "fingerprints": FINGERPRINTS_SQL,
     "language_id_counts": LANGUAGE_ID_SQL,
@@ -191,6 +305,7 @@ ORACLES: Dict[str, str] = {
 
 QUERIES = {
     "token_counts": token_counts,
+    "bm25_scores": bm25_scores,
     "doc_quality": doc_quality,
     "language_id_counts": language_id_counts,
     "fingerprints": fingerprints,

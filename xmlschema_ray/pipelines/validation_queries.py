@@ -592,6 +592,77 @@ FROM lineitem
 """
 
 
+def val_conditional_types(sf_dir: str):
+    """XSD 1.1 conditional type assignment (``xs:alternative``,
+    reference ``validators/elements.py:758-857``): the ``value`` column's
+    effective type depends on ``event_type`` — purchases validate against
+    a [1, 350] window, errors against [0, 300], everything else against
+    the declared default [0, 400]. Each alternative stack is verified at
+    compile time to be a valid restriction of the declared type (the
+    ``is_derived`` check), and per-row dispatch is one Arrow kernel per
+    case — same single streaming pass as every other facet."""
+    from xmlschema_ray.constraints.spec import AltCase, TypeAlternatives
+
+    spec = TableConstraints(
+        name="events_conditional",
+        columns=[
+            ColumnSpec("event_id", pa.int64()),
+            ColumnSpec("event_type", pa.string()),
+            ColumnSpec(
+                "value",
+                pa.float64(),
+                facets=(F.MinInclusive(0.0), F.MaxInclusive(400.0)),
+            ),
+        ],
+        type_alternatives=[
+            TypeAlternatives(
+                column="value",
+                cases=(
+                    AltCase(
+                        column="event_type",
+                        op="==",
+                        value="purchase",
+                        facets=(F.MinInclusive(1.0), F.MaxInclusive(350.0)),
+                        type_name="purchase_value",
+                    ),
+                    AltCase(
+                        column="event_type",
+                        op="==",
+                        value="error",
+                        facets=(F.MinInclusive(0.0), F.MaxInclusive(300.0)),
+                        type_name="error_value",
+                    ),
+                ),
+            )
+        ],
+        key_columns=("event_id",),
+    )
+    return _run_typed(
+        sf_dir, "events", spec, ["event_id"], ["event_id", "event_type", "value"]
+    )
+
+
+VAL_CONDITIONAL_SQL = """
+SELECT event_id, 'value.alt[purchase_value].minInclusive(1.0)' AS constraint_name, 'value' AS col_name
+FROM events WHERE event_type = 'purchase' AND NOT (value >= 1.0)
+UNION ALL
+SELECT event_id, 'value.alt[purchase_value].maxInclusive(350.0)', 'value'
+FROM events WHERE event_type = 'purchase' AND NOT (value <= 350.0)
+UNION ALL
+SELECT event_id, 'value.alt[error_value].minInclusive(0.0)', 'value'
+FROM events WHERE event_type = 'error' AND NOT (value >= 0.0)
+UNION ALL
+SELECT event_id, 'value.alt[error_value].maxInclusive(300.0)', 'value'
+FROM events WHERE event_type = 'error' AND NOT (value <= 300.0)
+UNION ALL
+SELECT event_id, 'value.minInclusive(0.0)', 'value'
+FROM events WHERE event_type NOT IN ('purchase', 'error') AND NOT (value >= 0.0)
+UNION ALL
+SELECT event_id, 'value.maxInclusive(400.0)', 'value'
+FROM events WHERE event_type NOT IN ('purchase', 'error') AND NOT (value <= 400.0)
+"""
+
+
 ORACLES: Dict[str, str] = {
     "val_lineitem_ranges": VAL_LINEITEM_SQL,
     "val_events_enum": VAL_EVENTS_ENUM_SQL,
@@ -600,6 +671,7 @@ ORACLES: Dict[str, str] = {
     "val_hex_length": VAL_HEX_LENGTH_SQL,
     "val_lexical_forms": VAL_LEXICAL_SQL,
     "val_group_occurs": VAL_GROUP_OCCURS_SQL,
+    "val_conditional_types": VAL_CONDITIONAL_SQL,
     "val_events_fk": VAL_EVENTS_FK_SQL,
     "stats_profile_lineitem": STATS_PROFILE_SQL,
 }
@@ -612,6 +684,7 @@ QUERIES = {
     "val_hex_length": val_hex_length,
     "val_lexical_forms": val_lexical_forms,
     "val_group_occurs": val_group_occurs,
+    "val_conditional_types": val_conditional_types,
     "val_events_fk": val_events_fk,
     "stats_profile_lineitem": stats_profile_lineitem,
 }
