@@ -160,6 +160,68 @@ LIMIT 20
 """
 
 
+def inverted_index(sf_dir: str, min_df: int = 100) -> "rd.Dataset":
+    """Distributed inverted-index build (term → sorted posting list), the
+    core retrieval structure over a corpus: per-batch DISTINCT (word,
+    doc_id) pairs (complete per batch — a document never spans batches),
+    ONE hash shuffle on the term, then a vectorized per-partition group
+    merge emits df + the canonical comma-joined posting string for terms
+    with df ≥ ``min_df``.
+
+    Scale note: the exported joined-string postings are the toy/debug
+    form; the production layout keeps postings as (term, doc_id) ROWS
+    sorted within each term partition (exactly what this pipeline holds
+    right before the join step), which shards hot terms across blocks
+    instead of building one giant string."""
+    from xmlschema_ray.ops.relational import hash_partition_apply
+
+    ds = rd.read_parquet(table_path(sf_dir, "documents"), columns=["doc_id", "text"])
+
+    def pairs(batch: pa.Table) -> pd.DataFrame:
+        ids = batch["doc_id"].to_numpy(zero_copy_only=False).astype(np.int64)
+        row_idx, words = _word_grams(batch["text"], 1)
+        df = pd.DataFrame({"word": words.astype(str), "doc_id": ids[row_idx]})
+        return df.drop_duplicates()
+
+    def per_part(g: pd.DataFrame) -> pd.DataFrame:
+        g = g.sort_values(["word", "doc_id"])
+        gb = g.groupby("word", sort=False)
+        df_counts = gb.size()
+        keep = df_counts[df_counts >= min_df]
+        if not len(keep):
+            return pd.DataFrame(
+                {
+                    "word": pd.Series([], dtype=object),
+                    "df": pd.Series([], dtype="int64"),
+                    "postings": pd.Series([], dtype=object),
+                }
+            )
+        postings = gb["doc_id"].agg(lambda s: ",".join(map(str, s)))
+        return pd.DataFrame(
+            {
+                "word": keep.index.to_numpy(dtype=object),
+                "df": keep.to_numpy(np.int64),
+                "postings": postings[keep.index].to_numpy(dtype=object),
+            }
+        )
+
+    return hash_partition_apply(
+        ds.map_batches(pairs, batch_format="pyarrow"), "word", per_part
+    ).sort("word")
+
+
+INVERTED_INDEX_SQL = r"""
+WITH t AS (
+  SELECT DISTINCT doc_id,
+         unnest(regexp_split_to_array(trim(text), '\s+')) AS word
+  FROM documents
+)
+SELECT word, CAST(count(*) AS BIGINT) AS df,
+       string_agg(CAST(doc_id AS VARCHAR), ',' ORDER BY doc_id) AS postings
+FROM t GROUP BY word HAVING count(*) >= 100 ORDER BY word
+"""
+
+
 # -- sensitive-term redaction ---------------------------------------------
 
 
@@ -730,6 +792,7 @@ ORACLES: Dict[str, str] = {
     "top_bigrams": TOP_BIGRAMS_SQL,
     "redact_terms": REDACT_TERMS_SQL,
     "deterministic_shuffle": DETERMINISTIC_SHUFFLE_SQL,
+    "inverted_index": INVERTED_INDEX_SQL,
     "longest_quartile_docs": LONGEST_QUARTILE_SQL,
     "decontamination": DECONTAMINATION_SQL,
     "repetition_ratio": REPETITION_RATIO_SQL,
@@ -744,6 +807,7 @@ QUERIES = {
     "top_bigrams": top_bigrams,
     "redact_terms": redact_terms,
     "deterministic_shuffle": deterministic_shuffle,
+    "inverted_index": inverted_index,
     "longest_quartile_docs": longest_quartile_docs,
     "decontamination": decontamination,
     "repetition_ratio": repetition_ratio,

@@ -1020,6 +1020,74 @@ ORDER BY l_returnflag, l_linestatus
 """
 
 
+def orders_cube(sf_dir: str) -> pd.DataFrame:
+    """Order counts + revenue at ALL FOUR grouping levels of
+    (status, priority) — the ``GROUP BY CUBE`` shape. Same plan as
+    :func:`revenue_rollup`: the wide pass aggregates ONCE at the finest
+    level (scaled-int partials → bounded shuffle); every coarser face of
+    the cube is an exact re-sum of that group-cardinality-sized table, so
+    deriving them driver-side is free at any corpus size."""
+    ds = rd.read_parquet(
+        table_path(sf_dir, "orders"),
+        columns=["o_orderstatus", "o_orderpriority", "o_totalprice"],
+    )
+
+    def add_scaled(batch: pd.DataFrame) -> pd.DataFrame:
+        return pd.DataFrame(
+            {
+                "o_orderstatus": batch["o_orderstatus"],
+                "o_orderpriority": batch["o_orderpriority"],
+                "price_c": cents(batch["o_totalprice"]),
+            }
+        )
+
+    fine = combiner_aggregate(
+        ds.map_batches(add_scaled, batch_format="pandas"),
+        keys=["o_orderstatus", "o_orderpriority"],
+        aggs={"price_c": ("price_c", "sum"), "n_orders": (None, "count")},
+    ).to_pandas()
+
+    levels = [fine]
+    for keep, alled in (
+        (["o_orderstatus"], "o_orderpriority"),
+        (["o_orderpriority"], "o_orderstatus"),
+    ):
+        lv = fine.groupby(keep, as_index=False)[["price_c", "n_orders"]].sum()
+        lv[alled] = "ALL"
+        levels.append(lv)
+    levels.append(
+        pd.DataFrame(
+            {
+                "o_orderstatus": ["ALL"],
+                "o_orderpriority": ["ALL"],
+                "price_c": [fine["price_c"].sum()],
+                "n_orders": [fine["n_orders"].sum()],
+            }
+        )
+    )
+    out = pd.concat(levels, ignore_index=True)
+    out = pd.DataFrame(
+        {
+            "o_orderstatus": out["o_orderstatus"],
+            "o_orderpriority": out["o_orderpriority"],
+            "total_price": out["price_c"].astype("int64") / 100.0,
+            "n_orders": out["n_orders"].astype("int64"),
+        }
+    )
+    return out.sort_values(["o_orderstatus", "o_orderpriority"]).reset_index(drop=True)
+
+
+ORDERS_CUBE_SQL = """
+SELECT COALESCE(o_orderstatus, 'ALL') AS o_orderstatus,
+       COALESCE(o_orderpriority, 'ALL') AS o_orderpriority,
+       CAST(SUM(CAST(floor(o_totalprice * 100 + 0.5) AS BIGINT)) AS DOUBLE) / 100.0 AS total_price,
+       COUNT(*) AS n_orders
+FROM orders
+GROUP BY CUBE (o_orderstatus, o_orderpriority)
+ORDER BY o_orderstatus, o_orderpriority
+"""
+
+
 # -- argmin per group with carried columns (first-order-per-customer) ----
 
 
@@ -1172,6 +1240,7 @@ ORACLES = {
     "sessionize_events": SESSIONIZE_SQL,
     "json_extract_events": JSON_EXTRACT_SQL,
     "revenue_rollup": REVENUE_ROLLUP_SQL,
+    "orders_cube": ORDERS_CUBE_SQL,
     "first_order_per_customer": FIRST_ORDER_SQL,
     "orders_price_ntile": NTILE_SQL,
     "customers_without_events": CUSTOMERS_WITHOUT_EVENTS_SQL,
@@ -1200,6 +1269,7 @@ QUERIES = {
     "sessionize_events": sessionize_events,
     "json_extract_events": json_extract_events,
     "revenue_rollup": revenue_rollup,
+    "orders_cube": orders_cube,
     "first_order_per_customer": first_order_per_customer,
     "orders_price_ntile": orders_price_ntile,
     "customers_without_events": customers_without_events,

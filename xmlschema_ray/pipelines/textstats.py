@@ -181,6 +181,78 @@ ORDER BY source
 """
 
 
+def zscore_doc_length(sf_dir: str) -> "rd.Dataset":
+    """Per-source z-score normalization of document length — the grouped
+    feature-standardization map of a curation stack, in its distributed
+    shape: per-group (count, Σx, Σx²) reduce as integer combiner partials
+    (exact, associative, one row per source per batch), the per-source
+    stats table is metadata-sized (bounded by source cardinality) and
+    closed over the scoring map — no join, no second pass.
+
+    Float parity: all sums stay integers until ONE division each
+    (mean = Σx/n, mean-square = Σx²/n), variance = msq - mean·mean, and
+    ``sqrt`` is IEEE-correctly-rounded on both engines, so z-scores are
+    bit-exact vs the SQL oracle. (At 10^12-row scale Σx² outgrows int64 —
+    the production form switches the partial to a 128-bit/compensated
+    accumulator; the shape is unchanged.)"""
+    from xmlschema_ray.ops.relational import combiner_aggregate
+
+    ds = rd.read_parquet(table_path(sf_dir, "documents"), columns=["doc_id", "source", "n_chars"])
+
+    def with_sq(batch: pd.DataFrame) -> pd.DataFrame:
+        batch = batch.copy(deep=False)
+        nc = batch["n_chars"].to_numpy(np.int64)
+        batch["__sq"] = nc * nc
+        return batch
+
+    stats = (
+        combiner_aggregate(
+            ds.map_batches(with_sq, batch_format="pandas"),
+            keys="source",
+            aggs={"n": (None, "count"), "s": ("n_chars", "sum"), "sq": ("__sq", "sum")},
+        )
+        .to_pandas()
+        .set_index("source")
+    )
+    params = {}
+    for src, row in stats.iterrows():
+        n, s, sq = int(row["n"]), int(row["s"]), int(row["sq"])
+        mean = np.float64(s) / n
+        var = np.float64(sq) / n - mean * mean
+        params[src] = (mean, np.sqrt(var))
+
+    def score(batch: pd.DataFrame) -> pd.DataFrame:
+        nc = batch["n_chars"].to_numpy(np.int64)
+        srcs = batch["source"].to_numpy()
+        mean = np.array([params[s][0] for s in srcs])
+        std = np.array([params[s][1] for s in srcs])
+        return pd.DataFrame(
+            {
+                "doc_id": batch["doc_id"].to_numpy(np.int64),
+                "source": srcs,
+                "n_chars": nc,
+                "z": (nc - mean) / std,
+            }
+        )
+
+    return ds.map_batches(score, batch_format="pandas")
+
+
+ZSCORE_SQL = """
+WITH g AS (
+  SELECT source,
+         CAST(count(*) AS BIGINT) AS n,
+         CAST(sum(n_chars) AS BIGINT) AS s,
+         CAST(sum(n_chars * n_chars) AS BIGINT) AS sq
+  FROM documents GROUP BY source
+)
+SELECT d.doc_id, d.source, d.n_chars,
+       (d.n_chars - CAST(s AS DOUBLE) / n)
+         / sqrt(CAST(sq AS DOUBLE) / n - (CAST(s AS DOUBLE) / n) * (CAST(s AS DOUBLE) / n)) AS z
+FROM documents d JOIN g ON d.source = g.source
+"""
+
+
 _BM25_TERMS = ("table", "window", "join", "hash")
 _BM25_K1, _BM25_B = 1.2, 0.75
 
@@ -297,6 +369,7 @@ ORDER BY tf.doc_id, tf.word
 ORACLES: Dict[str, str] = {
     "token_counts": TOKEN_COUNTS_SQL,
     "bm25_scores": BM25_SQL,
+    "zscore_doc_length": ZSCORE_SQL,
     "doc_quality": DOC_QUALITY_SQL,
     "fingerprints": FINGERPRINTS_SQL,
     "language_id_counts": LANGUAGE_ID_SQL,
@@ -306,6 +379,7 @@ ORACLES: Dict[str, str] = {
 QUERIES = {
     "token_counts": token_counts,
     "bm25_scores": bm25_scores,
+    "zscore_doc_length": zscore_doc_length,
     "doc_quality": doc_quality,
     "language_id_counts": language_id_counts,
     "fingerprints": fingerprints,
