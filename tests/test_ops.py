@@ -363,3 +363,52 @@ def test_global_rank_string_keys_and_small_input(ray_session):
     assert total == 5
     out = ranked.to_pandas().sort_values("r")
     assert list(out["s"]) == sorted("dcabe")
+
+
+def test_range_join_bucketed_matches_bruteforce(ray_session):
+    from xmlschema_ray.ops.relational import range_join_bucketed
+
+    rng = np.random.default_rng(13)
+    left = pd.DataFrame(
+        {
+            "k": rng.integers(0, 20, size=800).astype("int64"),
+            "t": rng.integers(0, 1000, size=800).astype("int64"),
+            "lid": np.arange(800, dtype=np.int64),
+        }
+    )
+    right = pd.DataFrame(
+        {
+            "rk": rng.integers(0, 20, size=600).astype("int64"),
+            "rt": rng.integers(0, 1000, size=600).astype("int64"),
+            "rid": np.arange(600, dtype=np.int64),
+        }
+    )
+    out = (
+        range_join_bucketed(
+            rd.from_pandas(left).repartition(4),
+            rd.from_pandas(right).repartition(4),
+            "k", "rk", "t", "rt", lo_offset=-50, hi_offset=10,
+        )
+        .to_pandas()
+        .sort_values(["lid", "rid"])
+        .reset_index(drop=True)
+    )
+    brute = left.merge(right, left_on="k", right_on="rk")
+    brute = brute[(brute["rt"] - brute["t"] >= -50) & (brute["rt"] - brute["t"] < 10)]
+    brute = brute.sort_values(["lid", "rid"]).reset_index(drop=True)
+    assert len(out) == len(brute) and len(out) > 0
+    assert np.array_equal(out["lid"].to_numpy(), brute["lid"].to_numpy())
+    assert np.array_equal(out["rid"].to_numpy(), brute["rid"].to_numpy())
+
+
+def test_range_join_bucketed_no_matches(ray_session):
+    from xmlschema_ray.ops.relational import range_join_bucketed, to_pandas_with_schema
+
+    left = pd.DataFrame({"k": [1, 2], "t": [0, 0], "lid": [0, 1]})
+    right = pd.DataFrame({"rk": [1, 2], "rt": [500, 600], "rid": [0, 1]})
+    out = to_pandas_with_schema(
+        range_join_bucketed(
+            rd.from_pandas(left), rd.from_pandas(right), "k", "rk", "t", "rt", -10, 10
+        )
+    )
+    assert len(out) == 0

@@ -627,6 +627,77 @@ def combiner_aggregate(
     return hash_partition_apply(partials, keys, merge_partition, num_partitions=num_partitions)
 
 
+def range_join_bucketed(
+    left: rd.Dataset,
+    right: rd.Dataset,
+    left_key: str,
+    right_key: str,
+    left_time: str,
+    right_time: str,
+    lo_offset,
+    hi_offset,
+    num_partitions: Optional[int] = None,
+) -> rd.Dataset:
+    """Per-key non-equi RANGE (band) join: all pairs with matching keys and
+    ``right_time - left_time ∈ [lo_offset, hi_offset)`` — the temporal
+    window join Ray Data lacks natively (repeat-purchase detection,
+    exposure↔outcome attribution windows).
+
+    Shape: ONE co-partitioning exchange on the key
+    (:func:`copartition_apply`), then per key the right times are sorted
+    once and every left row locates its matches with two binary searches;
+    pair materialization is integer array math (repeat + cumsum offsets) —
+    never a per-key cross product, so cost is O(n log n + matches) per
+    key. Partitioning assumption: one KEY's rows fit a worker (same as
+    every grouped merge here); offsets must be exact-width (timedelta for
+    datetimes, numeric for numbers).
+    """
+    out_r_cols: List[str] = [c for c in right.schema().names if c != right_key]
+
+    def per_part(lf: pd.DataFrame, rf: pd.DataFrame) -> pd.DataFrame:
+        empty = pd.concat(
+            [lf.head(0).reset_index(drop=True), rf.head(0)[out_r_cols].reset_index(drop=True)],
+            axis=1,
+        )
+        if not len(lf) or not len(rf):
+            return empty
+        outs = []
+        rg = {k: g for k, g in rf.groupby(right_key, sort=False)}
+        for k, lg in lf.groupby(left_key, sort=False):
+            rgk = rg.get(k)
+            if rgk is None:
+                continue
+            rt = rgk[right_time].to_numpy()
+            order = np.argsort(rt, kind="mergesort")
+            rt = rt[order]
+            lt = lg[left_time].to_numpy()
+            lo = np.searchsorted(rt, lt + lo_offset, side="left")
+            hi = np.searchsorted(rt, lt + hi_offset, side="left")
+            k_i = hi - lo
+            total = int(k_i.sum())
+            if total == 0:
+                continue
+            l_idx = np.repeat(np.arange(len(lg)), k_i)
+            intra = np.arange(total, dtype=np.int64) - np.repeat(
+                np.concatenate(([0], np.cumsum(k_i)[:-1])), k_i
+            )
+            r_idx = order[np.repeat(lo, k_i) + intra]
+            outs.append(
+                pd.concat(
+                    [
+                        lg.iloc[l_idx].reset_index(drop=True),
+                        rgk.iloc[r_idx][out_r_cols].reset_index(drop=True),
+                    ],
+                    axis=1,
+                )
+            )
+        return pd.concat(outs, ignore_index=True) if outs else empty
+
+    return copartition_apply(
+        left, right, left_key, right_key, per_part, num_partitions=num_partitions
+    )
+
+
 def global_rank(
     ds: rd.Dataset,
     sort_cols: List[str],

@@ -1197,6 +1197,101 @@ ORDER BY o_orderkey
 """
 
 
+def repeat_orders_within_30d(sf_dir: str) -> "rd.Dataset":
+    """Per-customer temporal RANGE join (SURVEY §2.6 custom-join family):
+    every (order, earlier order of the same customer within 30 days) pair
+    — the repeat-purchase window join. One co-partitioning exchange on the
+    customer key, per-key binary-search matching, pair materialization as
+    integer array math (:func:`~xmlschema_ray.ops.relational.range_join_bucketed`)."""
+    import numpy as np
+
+    from xmlschema_ray.ops.relational import range_join_bucketed
+
+    cols = ["o_orderkey", "o_custkey", "o_orderdate"]
+    left = rd.read_parquet(table_path(sf_dir, "orders"), columns=cols)
+    right = rd.read_parquet(table_path(sf_dir, "orders"), columns=cols)
+
+    def rename_prev(batch: pd.DataFrame) -> pd.DataFrame:
+        return pd.DataFrame(
+            {
+                "prev_custkey": batch["o_custkey"].to_numpy(),
+                "prev_orderkey": batch["o_orderkey"].to_numpy(),
+                "prev_orderdate": batch["o_orderdate"].to_numpy(),
+            }
+        )
+
+    pairs = range_join_bucketed(
+        left,
+        right.map_batches(rename_prev, batch_format="pandas"),
+        left_key="o_custkey",
+        right_key="prev_custkey",
+        left_time="o_orderdate",
+        right_time="prev_orderdate",
+        lo_offset=np.timedelta64(-30, "D"),
+        hi_offset=np.timedelta64(0, "D"),
+    )
+
+    def finish(batch: pd.DataFrame) -> pd.DataFrame:
+        return pd.DataFrame(
+            {
+                "o_orderkey": batch["o_orderkey"].astype("int64"),
+                "o_custkey": batch["o_custkey"].astype("int64"),
+                "o_orderdate": batch["o_orderdate"].astype("datetime64[us]"),
+                "prev_orderkey": batch["prev_orderkey"].astype("int64"),
+                "prev_orderdate": batch["prev_orderdate"].astype("datetime64[us]"),
+            }
+        )
+
+    return pairs.map_batches(finish, batch_format="pandas").sort(
+        ["o_orderkey", "prev_orderkey"]
+    )
+
+
+REPEAT_ORDERS_SQL = """
+SELECT a.o_orderkey, a.o_custkey, a.o_orderdate,
+       b.o_orderkey AS prev_orderkey, b.o_orderdate AS prev_orderdate
+FROM orders a JOIN orders b
+  ON a.o_custkey = b.o_custkey
+ AND b.o_orderdate >= a.o_orderdate - INTERVAL 30 DAY
+ AND b.o_orderdate < a.o_orderdate
+ORDER BY a.o_orderkey, prev_orderkey
+"""
+
+
+def customer_event_counts(sf_dir: str) -> "rd.Dataset":
+    """LEFT OUTER join with genuine unmatched rows: every customer with
+    their event count, 0 for the ~2/3 of customers with no events. The
+    fact side pre-aggregates to key-space-sized counts (combiner) BEFORE
+    the single co-partitioning exchange, then one vectorized left merge
+    per partition (``hash_bucket_join(how='left')``)."""
+    from xmlschema_ray.ops.relational import combiner_aggregate, hash_bucket_join
+
+    cust = rd.read_parquet(table_path(sf_dir, "customer"), columns=["c_custkey"])
+    ev = rd.read_parquet(table_path(sf_dir, "events"), columns=["user_id"])
+    counts = combiner_aggregate(ev, keys="user_id", aggs={"n_events": (None, "count")})
+    joined = hash_bucket_join(cust, counts, "c_custkey", "user_id", how="left")
+
+    def finish(batch: pd.DataFrame) -> pd.DataFrame:
+        return pd.DataFrame(
+            {
+                "c_custkey": batch["c_custkey"].astype("int64"),
+                "n_events": batch["n_events"].fillna(0).astype("int64"),
+            }
+        )
+
+    return joined.map_batches(finish, batch_format="pandas").sort("c_custkey")
+
+
+CUSTOMER_EVENT_COUNTS_SQL = """
+SELECT c_custkey,
+       CAST(COALESCE(e.n, 0) AS BIGINT) AS n_events
+FROM customer
+LEFT JOIN (SELECT user_id, count(*) AS n FROM events GROUP BY user_id) e
+  ON c_custkey = e.user_id
+ORDER BY c_custkey
+"""
+
+
 def customers_without_events(sf_dir: str) -> "rd.Dataset":
     """Set difference (EXCEPT DISTINCT, SURVEY §2.9 set-op family):
     customers with no event activity. Both sides collapse to per-batch
@@ -1244,6 +1339,8 @@ ORACLES = {
     "first_order_per_customer": FIRST_ORDER_SQL,
     "orders_price_ntile": NTILE_SQL,
     "customers_without_events": CUSTOMERS_WITHOUT_EVENTS_SQL,
+    "repeat_orders_within_30d": REPEAT_ORDERS_SQL,
+    "customer_event_counts": CUSTOMER_EVENT_COUNTS_SQL,
 }
 
 QUERIES = {
@@ -1273,4 +1370,6 @@ QUERIES = {
     "first_order_per_customer": first_order_per_customer,
     "orders_price_ntile": orders_price_ntile,
     "customers_without_events": customers_without_events,
+    "repeat_orders_within_30d": repeat_orders_within_30d,
+    "customer_event_counts": customer_event_counts,
 }
