@@ -596,8 +596,8 @@ def val_conditional_types(sf_dir: str):
     """XSD 1.1 conditional type assignment (``xs:alternative``,
     reference ``validators/elements.py:758-857``): the ``value`` column's
     effective type depends on ``event_type`` — purchases validate against
-    a [1, 350] window, errors against [0, 300], everything else against
-    the declared default [0, 400]. Each alternative stack is verified at
+    a [2, 250] window, errors against [0.5, 150], everything else against
+    the declared default [0.1, 300]. Each alternative stack is verified at
     compile time to be a valid restriction of the declared type (the
     ``is_derived`` check), and per-row dispatch is one Arrow kernel per
     case — same single streaming pass as every other facet."""
@@ -611,7 +611,7 @@ def val_conditional_types(sf_dir: str):
             ColumnSpec(
                 "value",
                 pa.float64(),
-                facets=(F.MinInclusive(0.0), F.MaxInclusive(400.0)),
+                facets=(F.MinInclusive(0.1), F.MaxInclusive(300.0)),
             ),
         ],
         type_alternatives=[
@@ -622,14 +622,14 @@ def val_conditional_types(sf_dir: str):
                         column="event_type",
                         op="==",
                         value="purchase",
-                        facets=(F.MinInclusive(1.0), F.MaxInclusive(350.0)),
+                        facets=(F.MinInclusive(2.0), F.MaxInclusive(250.0)),
                         type_name="purchase_value",
                     ),
                     AltCase(
                         column="event_type",
                         op="==",
                         value="error",
-                        facets=(F.MinInclusive(0.0), F.MaxInclusive(300.0)),
+                        facets=(F.MinInclusive(0.5), F.MaxInclusive(150.0)),
                         type_name="error_value",
                     ),
                 ),
@@ -643,23 +643,23 @@ def val_conditional_types(sf_dir: str):
 
 
 VAL_CONDITIONAL_SQL = """
-SELECT event_id, 'value.alt[purchase_value].minInclusive(1.0)' AS constraint_name, 'value' AS col_name
-FROM events WHERE event_type = 'purchase' AND NOT (value >= 1.0)
+SELECT event_id, 'value.alt[purchase_value].minInclusive(2.0)' AS constraint_name, 'value' AS col_name
+FROM events WHERE event_type = 'purchase' AND NOT (value >= 2.0)
 UNION ALL
-SELECT event_id, 'value.alt[purchase_value].maxInclusive(350.0)', 'value'
-FROM events WHERE event_type = 'purchase' AND NOT (value <= 350.0)
+SELECT event_id, 'value.alt[purchase_value].maxInclusive(250.0)', 'value'
+FROM events WHERE event_type = 'purchase' AND NOT (value <= 250.0)
 UNION ALL
-SELECT event_id, 'value.alt[error_value].minInclusive(0.0)', 'value'
-FROM events WHERE event_type = 'error' AND NOT (value >= 0.0)
+SELECT event_id, 'value.alt[error_value].minInclusive(0.5)', 'value'
+FROM events WHERE event_type = 'error' AND NOT (value >= 0.5)
 UNION ALL
-SELECT event_id, 'value.alt[error_value].maxInclusive(300.0)', 'value'
-FROM events WHERE event_type = 'error' AND NOT (value <= 300.0)
+SELECT event_id, 'value.alt[error_value].maxInclusive(150.0)', 'value'
+FROM events WHERE event_type = 'error' AND NOT (value <= 150.0)
 UNION ALL
-SELECT event_id, 'value.minInclusive(0.0)', 'value'
-FROM events WHERE event_type NOT IN ('purchase', 'error') AND NOT (value >= 0.0)
+SELECT event_id, 'value.minInclusive(0.1)', 'value'
+FROM events WHERE event_type NOT IN ('purchase', 'error') AND NOT (value >= 0.1)
 UNION ALL
-SELECT event_id, 'value.maxInclusive(400.0)', 'value'
-FROM events WHERE event_type NOT IN ('purchase', 'error') AND NOT (value <= 400.0)
+SELECT event_id, 'value.maxInclusive(300.0)', 'value'
+FROM events WHERE event_type NOT IN ('purchase', 'error') AND NOT (value <= 300.0)
 """
 
 
