@@ -571,6 +571,79 @@ FROM w
 """
 
 
+def encode_documents(sf_dir: str, vocab_size: int = 256) -> "rd.Dataset":
+    """Tokenizer-encode step: build a frequency-ranked vocabulary (the
+    ``top_words`` reduce), broadcast the word→id map, and rewrite every
+    document as its comma-joined token-id sequence plus an OOV count.
+
+    The vocab map is vocab_size entries — metadata — so encoding is a
+    stateless vectorized map (one sorted-array ``searchsorted`` per batch
+    over the flat word array, no per-word Python); ids are 1-based in
+    (count desc, word) order with 0 = OOV, the convention both engines can
+    rederive."""
+    from xmlschema_ray.ops.relational import combiner_aggregate, topk
+
+    ds = rd.read_parquet(table_path(sf_dir, "documents"), columns=["doc_id", "text"])
+
+    def partial(batch: pa.Table) -> pd.DataFrame:
+        _, grams = _word_grams(batch["text"], 1)
+        w, c = np.unique(grams.astype(str), return_counts=True)
+        return pd.DataFrame({"word": w, "n": c.astype(np.int64)})
+
+    counts = combiner_aggregate(
+        ds.map_batches(partial, batch_format="pyarrow"), "word", {"n": ("n", "sum")}
+    )
+    vocab = topk(counts, "n", vocab_size, descending=True, tiebreak=["word"]).to_pandas()
+    words_sorted = np.sort(vocab["word"].to_numpy(dtype=object).astype(str))
+    rank_of = {w: i + 1 for i, w in enumerate(vocab["word"])}
+    ids_sorted = np.array([rank_of[w] for w in words_sorted], dtype=np.int64)
+
+    def encode(batch: pa.Table) -> pd.DataFrame:
+        ids = batch["doc_id"].to_numpy(zero_copy_only=False).astype(np.int64)
+        offsets, flat = _split_offsets(batch["text"])
+        n_rows = len(ids)
+        flat_s = flat.astype(str)
+        pos = np.searchsorted(words_sorted, flat_s)
+        pos_c = np.clip(pos, 0, len(words_sorted) - 1)
+        tok = np.where(words_sorted[pos_c] == flat_s, ids_sorted[pos_c], 0)
+        starts = np.arange(len(flat), dtype=np.int64)
+        row_idx = np.searchsorted(offsets, starts, side="right") - 1
+        joined = np.full(n_rows, "", dtype=object)
+        if len(tok):
+            s = pd.Series(tok.astype(str), dtype=object).groupby(row_idx).agg(",".join)
+            joined[s.index.to_numpy()] = s.to_numpy()
+        n_oov = np.bincount(row_idx[tok == 0], minlength=n_rows) if len(tok) else np.zeros(n_rows, dtype=np.int64)
+        return pd.DataFrame(
+            {
+                "doc_id": ids,
+                "token_ids": joined,
+                "n_oov": n_oov.astype(np.int64),
+            }
+        )
+
+    return ds.map_batches(encode, batch_format="pyarrow")
+
+
+ENCODE_DOCUMENTS_SQL = r"""
+WITH w AS (
+  SELECT doc_id, regexp_split_to_array(trim(text), '\s+') AS ws FROM documents
+), cnt AS (
+  SELECT word, count(*) AS n FROM (SELECT unnest(ws) AS word FROM w) GROUP BY word
+), vocab AS (
+  SELECT word, row_number() OVER (ORDER BY n DESC, word) AS id
+  FROM cnt ORDER BY n DESC, word LIMIT 256
+), tok AS (
+  SELECT doc_id, i, ws[i] AS word
+  FROM w, LATERAL unnest(generate_series(1, len(ws))) AS t(i)
+)
+SELECT tok.doc_id,
+       string_agg(CAST(COALESCE(vocab.id, 0) AS VARCHAR), ',' ORDER BY i) AS token_ids,
+       CAST(count(*) FILTER (WHERE vocab.id IS NULL) AS BIGINT) AS n_oov
+FROM tok LEFT JOIN vocab USING (word)
+GROUP BY tok.doc_id
+"""
+
+
 # -- deterministic shuffle export ------------------------------------------
 
 
@@ -793,6 +866,7 @@ ORACLES: Dict[str, str] = {
     "redact_terms": REDACT_TERMS_SQL,
     "deterministic_shuffle": DETERMINISTIC_SHUFFLE_SQL,
     "inverted_index": INVERTED_INDEX_SQL,
+    "encode_documents": ENCODE_DOCUMENTS_SQL,
     "longest_quartile_docs": LONGEST_QUARTILE_SQL,
     "decontamination": DECONTAMINATION_SQL,
     "repetition_ratio": REPETITION_RATIO_SQL,
@@ -808,6 +882,7 @@ QUERIES = {
     "redact_terms": redact_terms,
     "deterministic_shuffle": deterministic_shuffle,
     "inverted_index": inverted_index,
+    "encode_documents": encode_documents,
     "longest_quartile_docs": longest_quartile_docs,
     "decontamination": decontamination,
     "repetition_ratio": repetition_ratio,
