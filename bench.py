@@ -45,6 +45,8 @@ QUERY_NAMES = [
     "orders_pivot_status_priority",
     "orders_price_ntile",
     "pack_token_windows",
+    "repeat_orders_within_30d",
+    "inverted_index",
 ]
 
 

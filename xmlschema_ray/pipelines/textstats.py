@@ -224,8 +224,10 @@ def zscore_doc_length(sf_dir: str) -> "rd.Dataset":
     def score(batch: pd.DataFrame) -> pd.DataFrame:
         nc = batch["n_chars"].to_numpy(np.int64)
         srcs = batch["source"].to_numpy()
-        mean = np.array([params[s][0] for s in srcs])
-        std = np.array([params[s][1] for s in srcs])
+        # factorize once per batch (C-level), then two O(#sources) lookups
+        codes, uniq = pd.factorize(batch["source"])
+        mean = np.array([params[s][0] for s in uniq])[codes]
+        std = np.array([params[s][1] for s in uniq])[codes]
         return pd.DataFrame(
             {
                 "doc_id": batch["doc_id"].to_numpy(np.int64),
