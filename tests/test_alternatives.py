@@ -122,3 +122,35 @@ def test_serde_round_trip():
         }
     )
     assert _violations(spec, table) == _violations(back, table)
+
+
+def test_declared_facets_inherited_by_alternatives():
+    """An alternative is a RESTRICTION, so the declared stack still
+    validates matched rows: omitting maxInclusive from a case must not
+    loosen the column (the silent-loosening hazard)."""
+    spec = _spec((AltCase("kind", "==", "a", (F.MinInclusive(10.0),), "type_a"),))
+    table = pa.table(
+        {
+            "id": pa.array([0], type=pa.int64()),
+            "kind": pa.array(["a"]),
+            "v": pa.array([500.0], type=pa.float64()),  # matched case has no max
+        }
+    )
+    v = _violations(spec, table)
+    assert v.get("v.maxInclusive(100.0)") == {0}
+
+
+def test_missing_discriminant_column_falls_back_to_declared():
+    """A batch without the discriminant column still validates the value
+    column with the declared stack (a test over a missing attribute is
+    false -> every row is the default type)."""
+    spec = _spec(CASES)
+    table = pa.table(
+        {
+            "id": pa.array([0, 1], type=pa.int64()),
+            "v": pa.array([-50.0, 20.0], type=pa.float64()),
+        }
+    )
+    v = _violations(spec, table)
+    assert v.get("v.minInclusive(0.0)") == {0}
+    assert not any("alt[" in k for k in v)

@@ -155,12 +155,15 @@ class TypeAlternatives:
     The analog of an element's ``xs:alternative`` list
     (``validators/elements.py:758-791`` ``_parse_alternatives`` +
     ``get_type``): per row, the FIRST case whose test matches selects the
-    facet stack that validates ``column``; when no case matches, the
-    column's declared ``ColumnSpec.facets`` apply (the default type).
-    Compile-time, every case stack must be a valid RESTRICTION of the
-    declared stack — the reference's ``type.is_derived(parent.type)``
+    alternative type. Every alternative type must be a valid RESTRICTION
+    of the declared type — the reference's ``type.is_derived(parent.type)``
     check (``elements.py:850-851``), enforced facet-by-facet with the
-    derivation algebra in ``constraints/derive.py``."""
+    derivation algebra in ``constraints/derive.py`` — and therefore
+    INHERITS the declared ``ColumnSpec.facets`` (which validate every row,
+    like any XSD base-type facet survives restriction) and ADDS its own
+    ``case.facets`` to the rows it matches. Rows matching no case (or
+    whose discriminant column is absent) are the default type: declared
+    facets only."""
 
     column: str  # the value column being validated
     cases: Tuple[AltCase, ...]

@@ -100,7 +100,14 @@ def format_values(col: pa.ChunkedArray | pa.Array, idx: np.ndarray, limit: int =
     return out
 
 
-_ALT_CMP = {}
+_ALT_CMP = {
+    "==": pc.equal,
+    "!=": pc.not_equal,
+    "<": pc.less,
+    "<=": pc.less_equal,
+    ">": pc.greater,
+    ">=": pc.greater_equal,
+}
 
 
 def _eval_alt_test(table: pa.Table, case) -> np.ndarray:
@@ -108,17 +115,6 @@ def _eval_alt_test(table: pa.Table, case) -> np.ndarray:
     discriminant column; null discriminants never match a comparison
     (they fall through to later cases / the default type), matching the
     reference where an XPath test over a missing attribute is false."""
-    if not _ALT_CMP:
-        _ALT_CMP.update(
-            {
-                "==": pc.equal,
-                "!=": pc.not_equal,
-                "<": pc.less,
-                "<=": pc.less_equal,
-                ">": pc.greater,
-                ">=": pc.greater_equal,
-            }
-        )
     col = table[case.column]
     if case.op == "is_null":
         m = pc.is_null(col)
@@ -147,7 +143,6 @@ def iter_row_checks(
     """
     present = set(table.column_names)
     n = table.num_rows
-    alt_owned = {ta.column for ta in spec.type_alternatives}
     for c in spec.columns:
         if c.name not in present:
             continue  # missing-column handled at partition level
@@ -156,12 +151,15 @@ def iter_row_checks(
             nulls = pc.is_null(col).combine_chunks().to_numpy(zero_copy_only=False)
             if nulls.any():
                 yield (f"{c.name}.not_null", c.name, nulls, "null value in non-nullable column", None)
-        if c.name in alt_owned:
-            continue  # facets applied per selected type below
         for f in c.facets:
             mask, reprs = f.check(col)
             if mask.any():
                 yield (f"{c.name}.{f.describe()}", c.name, mask, f"facet {f.describe()} violated", reprs)
+    # XSD 1.1 conditional type assignment: each alternative type is a
+    # RESTRICTION of the declared type, so it INHERITS the declared stack
+    # (which ran unconditionally above, for every row — including rows
+    # whose discriminant column is absent from the batch, which all fall
+    # to the default type) and ADDS its own facets to the selected rows.
     for ta in spec.type_alternatives:
         if ta.column not in present or not all(c.column in present for c in ta.cases):
             continue
@@ -171,23 +169,19 @@ def iter_row_checks(
         for i, case in enumerate(ta.cases):
             hit = _eval_alt_test(table, case)
             np.copyto(sel, i, where=(sel < 0) & hit)
-        declared = spec.column(ta.column)
-        stacks = [
-            (sel == i, case.facets, f"alt[{case.type_name}].", f" (type {case.type_name})")
-            for i, case in enumerate(ta.cases)
-        ] + [(sel < 0, declared.facets, "", "")]
-        for rows, facets, label, note in stacks:
+        for i, case in enumerate(ta.cases):
+            rows = sel == i
             if not rows.any():
                 continue
-            for f in facets:
+            for f in case.facets:
                 mask, reprs = f.check(col)
                 mask = mask & rows
                 if mask.any():
                     yield (
-                        f"{ta.column}.{label}{f.describe()}",
+                        f"{ta.column}.alt[{case.type_name}].{f.describe()}",
                         ta.column,
                         mask,
-                        f"facet {f.describe()} violated{note}",
+                        f"facet {f.describe()} violated (type {case.type_name})",
                         reprs,
                     )
     for rc in spec.row_checks:

@@ -85,6 +85,23 @@ def _md5_hex(values) -> np.ndarray:
 # -- vocabulary ----------------------------------------------------------
 
 
+def _gram_count_partial(n: int, out_col: str):
+    """Shared per-batch partial: distinct word n-gram counts (one row per
+    distinct gram per batch — the combiner shape all vocabulary reduces
+    here use)."""
+
+    def partial(batch: pa.Table) -> pd.DataFrame:
+        _, grams = _word_grams(batch["text"], n)
+        if len(grams) == 0:
+            return pd.DataFrame(
+                {out_col: pd.Series([], dtype=object), "n": pd.Series([], dtype="int64")}
+            )
+        w, c = np.unique(grams.astype(str), return_counts=True)
+        return pd.DataFrame({out_col: w, "n": c.astype(np.int64)})
+
+    return partial
+
+
 def top_words(sf_dir: str, k: int = 20) -> pd.DataFrame:
     """Global word-frequency top-k over the corpus.
 
@@ -95,13 +112,7 @@ def top_words(sf_dir: str, k: int = 20) -> pd.DataFrame:
     from xmlschema_ray.ops.relational import combiner_aggregate, topk
 
     ds = rd.read_parquet(table_path(sf_dir, "documents"), columns=["text"])
-
-    def partial(batch: pa.Table) -> pd.DataFrame:
-        _, grams = _word_grams(batch["text"], 1)
-        w, c = np.unique(grams.astype(str), return_counts=True)
-        return pd.DataFrame({"word": w, "n": c.astype(np.int64)})
-
-    partials = ds.map_batches(partial, batch_format="pyarrow")
+    partials = ds.map_batches(_gram_count_partial(1, "word"), batch_format="pyarrow")
     counts = combiner_aggregate(partials, "word", {"n": ("n", "sum")})
     out = topk(counts, "n", k, descending=True, tiebreak=["word"]).to_pandas()
     out["n"] = out["n"].astype("int64")
@@ -128,17 +139,7 @@ def top_bigrams(sf_dir: str, k: int = 20) -> pd.DataFrame:
     from xmlschema_ray.ops.relational import combiner_aggregate, topk
 
     ds = rd.read_parquet(table_path(sf_dir, "documents"), columns=["text"])
-
-    def partial(batch: pa.Table) -> pd.DataFrame:
-        _, grams = _word_grams(batch["text"], 2)
-        if len(grams) == 0:
-            return pd.DataFrame(
-                {"bigram": pd.Series([], dtype=object), "n": pd.Series([], dtype="int64")}
-            )
-        w, c = np.unique(grams.astype(str), return_counts=True)
-        return pd.DataFrame({"bigram": w, "n": c.astype(np.int64)})
-
-    partials = ds.map_batches(partial, batch_format="pyarrow")
+    partials = ds.map_batches(_gram_count_partial(2, "bigram"), batch_format="pyarrow")
     counts = combiner_aggregate(partials, "bigram", {"n": ("n", "sum")})
     out = topk(counts, "n", k, descending=True, tiebreak=["bigram"]).to_pandas()
     out["n"] = out["n"].astype("int64")
@@ -185,8 +186,7 @@ def inverted_index(sf_dir: str, min_df: int = 100) -> "rd.Dataset":
 
     def per_part(g: pd.DataFrame) -> pd.DataFrame:
         g = g.sort_values(["word", "doc_id"])
-        gb = g.groupby("word", sort=False)
-        df_counts = gb.size()
+        df_counts = g.groupby("word", sort=False).size()
         keep = df_counts[df_counts >= min_df]
         if not len(keep):
             return pd.DataFrame(
@@ -196,7 +196,12 @@ def inverted_index(sf_dir: str, min_df: int = 100) -> "rd.Dataset":
                     "postings": pd.Series([], dtype=object),
                 }
             )
-        postings = gb["doc_id"].agg(lambda s: ",".join(map(str, s)))
+        # filter to surviving terms BEFORE the per-group string build: with
+        # a selective min_df the posting-join work is the expensive part
+        kept = g[g["word"].isin(keep.index)]
+        postings = kept.groupby("word", sort=False)["doc_id"].agg(
+            lambda s: ",".join(map(str, s))
+        )
         return pd.DataFrame(
             {
                 "word": keep.index.to_numpy(dtype=object),
@@ -584,14 +589,10 @@ def encode_documents(sf_dir: str, vocab_size: int = 256) -> "rd.Dataset":
     from xmlschema_ray.ops.relational import combiner_aggregate, topk
 
     ds = rd.read_parquet(table_path(sf_dir, "documents"), columns=["doc_id", "text"])
-
-    def partial(batch: pa.Table) -> pd.DataFrame:
-        _, grams = _word_grams(batch["text"], 1)
-        w, c = np.unique(grams.astype(str), return_counts=True)
-        return pd.DataFrame({"word": w, "n": c.astype(np.int64)})
-
     counts = combiner_aggregate(
-        ds.map_batches(partial, batch_format="pyarrow"), "word", {"n": ("n", "sum")}
+        ds.map_batches(_gram_count_partial(1, "word"), batch_format="pyarrow"),
+        "word",
+        {"n": ("n", "sum")},
     )
     vocab = topk(counts, "n", vocab_size, descending=True, tiebreak=["word"]).to_pandas()
     words_sorted = np.sort(vocab["word"].to_numpy(dtype=object).astype(str))
@@ -626,7 +627,10 @@ def encode_documents(sf_dir: str, vocab_size: int = 256) -> "rd.Dataset":
 
 ENCODE_DOCUMENTS_SQL = r"""
 WITH w AS (
-  SELECT doc_id, regexp_split_to_array(trim(text), '\s+') AS ws FROM documents
+  -- filter '' so an empty/whitespace-only document has ZERO words, matching
+  -- Arrow's ascii_split_whitespace (regexp_split of '' yields [''])
+  SELECT doc_id, list_filter(regexp_split_to_array(trim(text), '\s+'), x -> x <> '') AS ws
+  FROM documents
 ), cnt AS (
   SELECT word, count(*) AS n FROM (SELECT unnest(ws) AS word FROM w) GROUP BY word
 ), vocab AS (

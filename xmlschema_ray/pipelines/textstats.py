@@ -344,7 +344,9 @@ def bm25_scores(sf_dir: str) -> "rd.Dataset":
 
 BM25_SQL = r"""
 WITH w AS (
-  SELECT doc_id, regexp_split_to_array(trim(text), '\s+') AS ws FROM documents
+  -- '' filtered so empty documents have dl = 0, matching the Arrow split
+  SELECT doc_id, list_filter(regexp_split_to_array(trim(text), '\s+'), x -> x <> '') AS ws
+  FROM documents
 ), d AS (
   SELECT doc_id, CAST(len(ws) AS BIGINT) AS dl FROM w
 ), t AS (

@@ -595,9 +595,9 @@ FROM lineitem
 def val_conditional_types(sf_dir: str):
     """XSD 1.1 conditional type assignment (``xs:alternative``,
     reference ``validators/elements.py:758-857``): the ``value`` column's
-    effective type depends on ``event_type`` — purchases validate against
-    a [2, 250] window, errors against [0.5, 150], everything else against
-    the declared default [0.1, 300]. Each alternative stack is verified at
+    declared type [0.1, 300] validates EVERY row (alternatives are
+    restrictions, so they inherit it); purchases additionally validate
+    against [2, 250] and errors against [0.5, 150]. Each alternative stack is verified at
     compile time to be a valid restriction of the declared type (the
     ``is_derived`` check), and per-row dispatch is one Arrow kernel per
     case — same single streaming pass as every other facet."""
@@ -643,7 +643,13 @@ def val_conditional_types(sf_dir: str):
 
 
 VAL_CONDITIONAL_SQL = """
-SELECT event_id, 'value.alt[purchase_value].minInclusive(2.0)' AS constraint_name, 'value' AS col_name
+SELECT event_id, 'value.minInclusive(0.1)' AS constraint_name, 'value' AS col_name
+FROM events WHERE NOT (value >= 0.1)
+UNION ALL
+SELECT event_id, 'value.maxInclusive(300.0)', 'value'
+FROM events WHERE NOT (value <= 300.0)
+UNION ALL
+SELECT event_id, 'value.alt[purchase_value].minInclusive(2.0)', 'value'
 FROM events WHERE event_type = 'purchase' AND NOT (value >= 2.0)
 UNION ALL
 SELECT event_id, 'value.alt[purchase_value].maxInclusive(250.0)', 'value'
@@ -654,12 +660,6 @@ FROM events WHERE event_type = 'error' AND NOT (value >= 0.5)
 UNION ALL
 SELECT event_id, 'value.alt[error_value].maxInclusive(150.0)', 'value'
 FROM events WHERE event_type = 'error' AND NOT (value <= 150.0)
-UNION ALL
-SELECT event_id, 'value.minInclusive(0.1)', 'value'
-FROM events WHERE event_type NOT IN ('purchase', 'error') AND NOT (value >= 0.1)
-UNION ALL
-SELECT event_id, 'value.maxInclusive(300.0)', 'value'
-FROM events WHERE event_type NOT IN ('purchase', 'error') AND NOT (value <= 300.0)
 """
 
 
