@@ -412,3 +412,38 @@ def test_range_join_bucketed_no_matches(ray_session):
         )
     )
     assert len(out) == 0
+
+
+def test_range_self_join_matches_two_input_path(ray_session):
+    from xmlschema_ray.ops.relational import range_join_bucketed, range_self_join
+
+    rng = np.random.default_rng(23)
+    df = pd.DataFrame(
+        {
+            "k": rng.integers(0, 15, size=600).astype("int64"),
+            "t": rng.integers(0, 500, size=600).astype("int64"),
+            "id": np.arange(600, dtype=np.int64),
+        }
+    )
+    self_out = (
+        range_self_join(
+            rd.from_pandas(df).repartition(4), "k", "t", -40, 0,
+            rename={"id": "prev_id", "t": "prev_t"},
+        )
+        .to_pandas()
+        .sort_values(["id", "prev_id"])
+        .reset_index(drop=True)
+    )
+    right = df.rename(columns={"k": "rk", "t": "rt", "id": "rid"})
+    two_out = (
+        range_join_bucketed(
+            rd.from_pandas(df).repartition(4), rd.from_pandas(right),
+            "k", "rk", "t", "rt", -40, 0,
+        )
+        .to_pandas()
+        .sort_values(["id", "rid"])
+        .reset_index(drop=True)
+    )
+    assert len(self_out) == len(two_out) and len(self_out) > 0
+    assert np.array_equal(self_out["prev_id"].to_numpy(), two_out["rid"].to_numpy())
+    assert np.array_equal(self_out["prev_t"].to_numpy(), two_out["rt"].to_numpy())

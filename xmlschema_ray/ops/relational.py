@@ -698,6 +698,63 @@ def range_join_bucketed(
     )
 
 
+def range_self_join(
+    ds: rd.Dataset,
+    key: str,
+    time_col: str,
+    lo_offset,
+    hi_offset,
+    rename: Dict[str, str],
+    num_partitions: Optional[int] = None,
+) -> rd.Dataset:
+    """Self variant of :func:`range_join_bucketed`: pairs (a, b) within
+    the same key where ``b.time - a.time ∈ [lo_offset, hi_offset)``.
+
+    A self band join through the two-input path would read and exchange
+    the fact twice (left + right unioned); here the single input is
+    hash-partitioned ONCE and each key group serves as both sides —
+    half the read and shuffle volume. ``rename`` maps the b-side columns
+    into the output (e.g. ``{"o_orderkey": "prev_orderkey"}``); b-side
+    columns not in ``rename`` are dropped.
+    """
+    b_cols = list(rename)
+
+    def per_part(g: pd.DataFrame) -> pd.DataFrame:
+        a_empty = g.head(0).reset_index(drop=True)
+        b_empty = g.head(0)[b_cols].rename(columns=rename).reset_index(drop=True)
+        empty = pd.concat([a_empty, b_empty], axis=1)
+        outs = []
+        for _k, gg in g.groupby(key, sort=False):
+            t = gg[time_col].to_numpy()
+            order = np.argsort(t, kind="mergesort")
+            ts = t[order]
+            lo = np.searchsorted(ts, t + lo_offset, side="left")
+            hi = np.searchsorted(ts, t + hi_offset, side="left")
+            k_i = hi - lo
+            total = int(k_i.sum())
+            if total == 0:
+                continue
+            a_idx = np.repeat(np.arange(len(gg)), k_i)
+            intra = np.arange(total, dtype=np.int64) - np.repeat(
+                np.concatenate(([0], np.cumsum(k_i)[:-1])), k_i
+            )
+            b_idx = order[np.repeat(lo, k_i) + intra]
+            outs.append(
+                pd.concat(
+                    [
+                        gg.iloc[a_idx].reset_index(drop=True),
+                        gg.iloc[b_idx][b_cols]
+                        .rename(columns=rename)
+                        .reset_index(drop=True),
+                    ],
+                    axis=1,
+                )
+            )
+        return pd.concat(outs, ignore_index=True) if outs else empty
+
+    return hash_partition_apply(ds, key, per_part, num_partitions=num_partitions)
+
+
 def global_rank(
     ds: rd.Dataset,
     sort_cols: List[str],

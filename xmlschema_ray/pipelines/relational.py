@@ -1200,35 +1200,24 @@ ORDER BY o_orderkey
 def repeat_orders_within_30d(sf_dir: str) -> "rd.Dataset":
     """Per-customer temporal RANGE join (SURVEY §2.6 custom-join family):
     every (order, earlier order of the same customer within 30 days) pair
-    — the repeat-purchase window join. One co-partitioning exchange on the
-    customer key, per-key binary-search matching, pair materialization as
-    integer array math (:func:`~xmlschema_ray.ops.relational.range_join_bucketed`)."""
+    — the repeat-purchase window join. The self-join path reads and
+    exchanges the fact ONCE (each co-located key group serves as both
+    sides), per-key binary-search matching, pair materialization as
+    integer array math (:func:`~xmlschema_ray.ops.relational.range_self_join`)."""
     import numpy as np
 
-    from xmlschema_ray.ops.relational import range_join_bucketed
+    from xmlschema_ray.ops.relational import range_self_join
 
     cols = ["o_orderkey", "o_custkey", "o_orderdate"]
-    left = rd.read_parquet(table_path(sf_dir, "orders"), columns=cols)
-    right = rd.read_parquet(table_path(sf_dir, "orders"), columns=cols)
+    orders = rd.read_parquet(table_path(sf_dir, "orders"), columns=cols)
 
-    def rename_prev(batch: pd.DataFrame) -> pd.DataFrame:
-        return pd.DataFrame(
-            {
-                "prev_custkey": batch["o_custkey"].to_numpy(),
-                "prev_orderkey": batch["o_orderkey"].to_numpy(),
-                "prev_orderdate": batch["o_orderdate"].to_numpy(),
-            }
-        )
-
-    pairs = range_join_bucketed(
-        left,
-        right.map_batches(rename_prev, batch_format="pandas"),
-        left_key="o_custkey",
-        right_key="prev_custkey",
-        left_time="o_orderdate",
-        right_time="prev_orderdate",
+    pairs = range_self_join(
+        orders,
+        key="o_custkey",
+        time_col="o_orderdate",
         lo_offset=np.timedelta64(-30, "D"),
         hi_offset=np.timedelta64(0, "D"),
+        rename={"o_orderkey": "prev_orderkey", "o_orderdate": "prev_orderdate"},
     )
 
     def finish(batch: pd.DataFrame) -> pd.DataFrame:
