@@ -107,3 +107,32 @@ def test_pack_token_windows_conservation(tmp_path, ray_session):
     assert per_doc.tolist() == [len(t.split()) for t in texts]
     # serial-oracle spot check: first doc starts window 0 at offset 0
     assert out.iloc[0][["window_id", "doc_id"]].tolist() == [0, 0]
+
+
+def test_dup_gram_fraction_invariants(tmp_path, ray_session):
+    """Cross-doc dup fraction: a gram shared by two docs counts for BOTH,
+    within-doc repeats alone do NOT count, and bounds hold."""
+    import pandas as pd
+    import pyarrow as pa
+    import pyarrow.parquet as pq
+
+    from xmlschema_ray.pipelines.curation import dup_gram_fraction
+
+    docs = pd.DataFrame(
+        {
+            "doc_id": [1, 2, 3, 4],
+            "text": [
+                "a b c x y z",          # shares "a b c" with doc 2
+                "a b c q r s",
+                "k k k k k",            # only within-doc repeats: not cross-doc dup
+                "u v w",                # unique single gram
+            ],
+        }
+    )
+    pq.write_table(pa.Table.from_pandas(docs), str(tmp_path / "documents.parquet"))
+    out = dup_gram_fraction(str(tmp_path), n=3).to_pandas().set_index("doc_id")
+    assert out.loc[1, "n_dup"] == 1 and out.loc[2, "n_dup"] == 1
+    assert out.loc[3, "n_dup"] == 0 and out.loc[3, "n_distinct"] == 1
+    assert out.loc[4, "n_dup"] == 0
+    assert ((out["dup_frac"] >= 0) & (out["dup_frac"] <= 1)).all()
+    assert out.loc[1, "dup_frac"] == 0.25  # 1 of 4 distinct grams

@@ -105,3 +105,31 @@ def test_isin_sorted_matches_np_isin():
     ]
     assert S.isin_sorted(vals, np.array([], dtype=np.uint64)).sum() == 0
     assert len(S.isin_sorted(np.array([], dtype=np.uint64), cands)) == 0
+
+
+def test_mad_outlier_docs_invariants(tmp_path, ray_session):
+    """MAD flags only genuine per-group outliers and is robust to them:
+    a constant group plus one spike flags exactly the spike."""
+    import numpy as np
+    import pandas as pd
+    import pyarrow as pa
+    import pyarrow.parquet as pq
+
+    from xmlschema_ray.pipelines.textstats import mad_outlier_docs
+
+    rows = []
+    # group A: tight cluster around 100 with one huge spike
+    for i in range(9):
+        rows.append((i, "A", 100 + (i % 3)))
+    rows.append((9, "A", 10_000))
+    # group B: linear spread, no 3-MAD outliers
+    for i in range(10, 20):
+        rows.append((i, "B", 50 + (i - 10)))
+    df = pd.DataFrame(rows, columns=["doc_id", "source", "n_chars"])
+    df["text"] = "x"
+    pq.write_table(pa.Table.from_pandas(df), str(tmp_path / "documents.parquet"))
+
+    out = mad_outlier_docs(str(tmp_path)).to_pandas()
+    assert out["doc_id"].tolist() == [9]
+    assert out.loc[0, "source"] == "A" and out.loc[0, "n_chars"] == 10_000
+    assert out.loc[0, "med"] == 101.0  # median untouched by the spike

@@ -864,6 +864,112 @@ ORDER BY window_id, doc_id
 """
 
 
+def dup_gram_fraction(sf_dir: str, n: int = 3) -> "rd.Dataset":
+    """Cross-document duplicate-gram fraction (the corpus-level
+    complement of :func:`repetition_ratio`): for every document, the
+    fraction of its DISTINCT word ``n``-grams that also occur in at
+    least one OTHER document — the Gopher-style "duplicated content"
+    filter signal that drives near-boilerplate removal.
+
+    Scale shape: each distinct (doc, gram) pair is emitted ONCE (per-doc
+    dedup inside the batch; a document never spans batches, so per-batch
+    distinct pairs are globally distinct). One gram-keyed exchange
+    co-locates all holders of a gram, so the global doc-frequency of
+    every gram is complete inside its partition — each partition emits
+    per-doc (dup, total) PARTIALS, and a second combiner-sized exchange
+    on doc_id sums them. Strings ship exactly once; the second exchange
+    moves O(docs × partitions-touched) partial rows, not pairs. A
+    corpus-wide hot gram bounds one partition at #docs rows — at that
+    extreme, pre-count per-batch (gram, batch_df) partials and broadcast
+    the dup-gram set instead; the pair exchange here is the general
+    exact path.
+    """
+    from xmlschema_ray.ops.relational import combiner_aggregate, hash_partition_apply
+
+    ds = rd.read_parquet(table_path(sf_dir, "documents"), columns=["doc_id", "text"])
+
+    def pairs(batch: pa.Table) -> pd.DataFrame:
+        ids = batch["doc_id"].to_numpy(zero_copy_only=False)
+        row_idx, grams = _word_grams(batch["text"], n)
+        if len(grams) == 0:
+            return pd.DataFrame(
+                {
+                    "doc_id": pd.Series([], dtype="int64"),
+                    "gram": pd.Series([], dtype=object),
+                }
+            )
+        return pd.DataFrame(
+            {"doc_id": ids[row_idx].astype(np.int64), "gram": grams.astype(str)}
+        ).drop_duplicates(ignore_index=True)
+
+    pair_ds = ds.map_batches(pairs, batch_format="pyarrow")
+
+    def per_part(g: pd.DataFrame) -> pd.DataFrame:
+        if len(g) == 0:
+            return pd.DataFrame(
+                {
+                    "doc_id": pd.Series([], dtype="int64"),
+                    "dup_part": pd.Series([], dtype="int64"),
+                    "tot_part": pd.Series([], dtype="int64"),
+                }
+            )
+        # distinct pairs ⇒ per-gram row count IS the doc-frequency
+        df_per_pair = g.groupby("gram", sort=False)["gram"].transform("size")
+        dup = (df_per_pair.to_numpy() >= 2).astype(np.int64)
+        agg = (
+            pd.DataFrame({"doc_id": g["doc_id"].to_numpy(), "dup": dup})
+            .groupby("doc_id", sort=False)["dup"]
+            .agg(["sum", "size"])
+        )
+        return pd.DataFrame(
+            {
+                "doc_id": agg.index.to_numpy().astype(np.int64),
+                "dup_part": agg["sum"].to_numpy(np.int64),
+                "tot_part": agg["size"].to_numpy(np.int64),
+            }
+        )
+
+    partials = hash_partition_apply(pair_ds, "gram", per_part)
+    out = combiner_aggregate(
+        partials,
+        "doc_id",
+        {"n_dup": ("dup_part", "sum"), "n_distinct": ("tot_part", "sum")},
+    )
+
+    def finish(b: pd.DataFrame) -> pd.DataFrame:
+        nd = b["n_dup"].to_numpy(np.int64)
+        nt = b["n_distinct"].to_numpy(np.int64)
+        return pd.DataFrame(
+            {
+                "doc_id": b["doc_id"].to_numpy(np.int64),
+                "n_dup": nd,
+                "n_distinct": nt,
+                "dup_frac": nd / nt.astype(np.float64),
+            }
+        )
+
+    return out.map_batches(finish, batch_format="pandas").sort("doc_id")
+
+
+DUP_GRAM_FRACTION_SQL = r"""
+WITH w AS (
+  SELECT doc_id, regexp_split_to_array(trim(text), '\s+') AS ws FROM documents
+), g AS (
+  SELECT DISTINCT doc_id, array_to_string(ws[i:i+2], ' ') AS gram
+  FROM w, LATERAL unnest(generate_series(1, len(ws) - 2)) AS t(i)
+), df AS (
+  SELECT gram, COUNT(*) AS df FROM g GROUP BY gram
+)
+SELECT g.doc_id,
+       CAST(SUM(CASE WHEN df.df >= 2 THEN 1 ELSE 0 END) AS BIGINT) AS n_dup,
+       CAST(COUNT(*) AS BIGINT) AS n_distinct,
+       SUM(CASE WHEN df.df >= 2 THEN 1 ELSE 0 END) / CAST(COUNT(*) AS DOUBLE) AS dup_frac
+FROM g JOIN df USING (gram)
+GROUP BY g.doc_id
+ORDER BY doc_id
+"""
+
+
 ORACLES: Dict[str, str] = {
     "top_words": TOP_WORDS_SQL,
     "top_bigrams": TOP_BIGRAMS_SQL,
@@ -878,6 +984,7 @@ ORACLES: Dict[str, str] = {
     "chunk_documents": CHUNK_DOCUMENTS_SQL,
     "stopword_removal": STOPWORD_REMOVAL_SQL,
     "pack_token_windows": PACK_TOKEN_WINDOWS_SQL,
+    "dup_gram_fraction": DUP_GRAM_FRACTION_SQL,
 }
 
 QUERIES = {
@@ -894,4 +1001,5 @@ QUERIES = {
     "chunk_documents": chunk_documents,
     "stopword_removal": stopword_removal,
     "pack_token_windows": pack_token_windows,
+    "dup_gram_fraction": dup_gram_fraction,
 }

@@ -370,6 +370,80 @@ ORDER BY tf.doc_id, tf.word
 """
 
 
+def mad_outlier_docs(sf_dir: str) -> "rd.Dataset":
+    """Robust per-source outlier detection on document length: flag docs
+    with ``|n_chars - median| > 3 × MAD`` (median absolute deviation) —
+    the outlier filter a curation stack uses where :func:`zscore_doc_length`
+    would be dragged by the very outliers it hunts (median/MAD have a 50%
+    breakdown point; mean/std have 0%).
+
+    Medians are holistic, so groups must co-locate: ONE source-keyed
+    exchange (:func:`~xmlschema_ray.ops.relational.hash_partition_apply`),
+    then both medians + the flag entirely in-partition (two ``np.median``
+    passes per group — linear-interpolation semantics match DuckDB's
+    ``median`` exactly, so the comparison is bit-stable). Source
+    cardinality bounds the skew: at 100 TB with few giant sources the
+    production form switches to sampled/sketched quantiles
+    (cf. the NTILE range-partition sampler) — this is the exact path.
+    """
+    from xmlschema_ray.ops.relational import hash_partition_apply
+
+    ds = rd.read_parquet(
+        table_path(sf_dir, "documents"), columns=["doc_id", "source", "n_chars"]
+    )
+
+    def per_part(g: pd.DataFrame) -> pd.DataFrame:
+        empty = pd.DataFrame(
+            {
+                "doc_id": pd.Series([], dtype="int64"),
+                "source": pd.Series([], dtype=object),
+                "n_chars": pd.Series([], dtype="int64"),
+                "med": pd.Series([], dtype="float64"),
+                "mad": pd.Series([], dtype="float64"),
+            }
+        )
+        outs = []
+        for _src, gg in g.groupby("source", sort=False):
+            x = gg["n_chars"].to_numpy(np.int64)
+            med = np.median(x)
+            adev = np.abs(x - med)
+            mad = np.median(adev)
+            mask = adev > 3.0 * mad
+            k = int(mask.sum())
+            if k == 0:
+                continue
+            outs.append(
+                pd.DataFrame(
+                    {
+                        "doc_id": gg["doc_id"].to_numpy(np.int64)[mask],
+                        "source": gg["source"].to_numpy()[mask],
+                        "n_chars": x[mask],
+                        "med": np.full(k, med),
+                        "mad": np.full(k, mad),
+                    }
+                )
+            )
+        return pd.concat(outs, ignore_index=True) if outs else empty
+
+    return hash_partition_apply(ds, "source", per_part).sort("doc_id")
+
+
+MAD_OUTLIER_SQL = """
+WITH m AS (
+  SELECT source, median(n_chars) AS med FROM documents GROUP BY source
+), d AS (
+  SELECT doc_id, documents.source AS source, n_chars, med
+  FROM documents JOIN m USING (source)
+), m2 AS (
+  SELECT source, median(abs(n_chars - med)) AS mad FROM d GROUP BY source
+)
+SELECT doc_id, d.source AS source, n_chars, med, mad
+FROM d JOIN m2 USING (source)
+WHERE abs(n_chars - med) > 3 * mad
+ORDER BY doc_id
+"""
+
+
 ORACLES: Dict[str, str] = {
     "token_counts": TOKEN_COUNTS_SQL,
     "bm25_scores": BM25_SQL,
@@ -378,6 +452,7 @@ ORACLES: Dict[str, str] = {
     "fingerprints": FINGERPRINTS_SQL,
     "language_id_counts": LANGUAGE_ID_SQL,
     "chars_quartiles_by_source": CHARS_QUARTILES_SQL,
+    "mad_outlier_docs": MAD_OUTLIER_SQL,
 }
 
 QUERIES = {
@@ -388,4 +463,5 @@ QUERIES = {
     "language_id_counts": language_id_counts,
     "fingerprints": fingerprints,
     "chars_quartiles_by_source": chars_quartiles_by_source,
+    "mad_outlier_docs": mad_outlier_docs,
 }
