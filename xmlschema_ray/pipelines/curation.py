@@ -951,6 +951,107 @@ def dup_gram_fraction(sf_dir: str, n: int = 3) -> "rd.Dataset":
     return out.map_batches(finish, batch_format="pandas").sort("doc_id")
 
 
+def distinctive_terms_by_source(sf_dir: str, k: int = 5) -> pd.DataFrame:
+    """Per-source distinctive vocabulary: top-``k`` words ranked by the
+    share of a word's GLOBAL occurrences concentrated in that source
+    (``tf_source / tf_global`` — the exact-rational cousin of per-group
+    TF-IDF; a word used only by one source scores 1.0). The data-mixture
+    diagnostic that surfaces what each source uniquely contributes.
+
+    Scale shape: per-batch (source, word) count partials (combiner — one
+    row per distinct pair per batch, never per occurrence) collapse to
+    the vocab×sources table, which is metadata-sized relative to the
+    corpus. Global totals attach inside a word-keyed exchange (every
+    holder of a word co-located ⇒ the partition-local sum IS the global
+    tf), per-source top-k inside a source-keyed exchange — partial top-k
+    only, no global sort. All counts stay integers until one division,
+    so ranks and shares are bit-exact vs the SQL oracle.
+    """
+    from xmlschema_ray.ops.relational import combiner_aggregate, hash_partition_apply
+
+    ds = rd.read_parquet(table_path(sf_dir, "documents"), columns=["source", "text"])
+
+    def partial(batch: pa.Table) -> pd.DataFrame:
+        srcs = batch["source"].to_numpy(zero_copy_only=False)
+        row_idx, words = _word_grams(batch["text"], 1)
+        if len(words) == 0:
+            return pd.DataFrame(
+                {
+                    "source": pd.Series([], dtype=object),
+                    "word": pd.Series([], dtype=object),
+                    "tf": pd.Series([], dtype="int64"),
+                }
+            )
+        agg = (
+            pd.DataFrame({"source": srcs[row_idx], "word": words.astype(str)})
+            .groupby(["source", "word"], sort=False)
+            .size()
+        )
+        return agg.rename("tf").reset_index()
+
+    sw = combiner_aggregate(
+        ds.map_batches(partial, batch_format="pyarrow"),
+        ["source", "word"],
+        {"tf": ("tf", "sum")},
+    )
+
+    def attach_global(g: pd.DataFrame) -> pd.DataFrame:
+        out = g.copy(deep=False)
+        out["gtf"] = (
+            g.groupby("word", sort=False)["tf"].transform("sum").to_numpy().astype(np.int64)
+        )
+        return out
+
+    def per_source_topk(g: pd.DataFrame) -> pd.DataFrame:
+        g = g.copy(deep=False)
+        g["share"] = g["tf"].to_numpy(np.int64) / g["gtf"].to_numpy(np.int64).astype(
+            np.float64
+        )
+        outs = [
+            gg.sort_values(
+                ["share", "tf", "word"], ascending=[False, False, True], kind="mergesort"
+            ).head(k)
+            for _, gg in g.groupby("source", sort=False)
+        ]
+        return (
+            pd.concat(outs, ignore_index=True)
+            if outs
+            else g.head(0).reset_index(drop=True)
+        )
+
+    out = hash_partition_apply(
+        hash_partition_apply(sw, "word", attach_global), "source", per_source_topk
+    ).to_pandas()
+    out["tf"] = out["tf"].astype("int64")
+    out["gtf"] = out["gtf"].astype("int64")
+    return out.sort_values(
+        ["source", "share", "tf", "word"], ascending=[True, False, False, True]
+    ).reset_index(drop=True)
+
+
+DISTINCTIVE_TERMS_SQL = r"""
+WITH w AS (
+  SELECT source, unnest(regexp_split_to_array(trim(text), '\s+')) AS word
+  FROM documents
+), sw AS (
+  SELECT source, word, COUNT(*) AS tf FROM w WHERE word <> '' GROUP BY source, word
+), g AS (
+  SELECT word, SUM(tf) AS gtf FROM sw GROUP BY word
+), r AS (
+  SELECT sw.source, sw.word,
+         CAST(tf AS BIGINT) AS tf, CAST(gtf AS BIGINT) AS gtf,
+         tf / CAST(gtf AS DOUBLE) AS share,
+         row_number() OVER (
+           PARTITION BY sw.source
+           ORDER BY tf / CAST(gtf AS DOUBLE) DESC, tf DESC, sw.word
+         ) AS rn
+  FROM sw JOIN g USING (word)
+)
+SELECT source, word, tf, gtf, share FROM r WHERE rn <= 5
+ORDER BY source, share DESC, tf DESC, word
+"""
+
+
 DUP_GRAM_FRACTION_SQL = r"""
 WITH w AS (
   SELECT doc_id, regexp_split_to_array(trim(text), '\s+') AS ws FROM documents
@@ -985,6 +1086,7 @@ ORACLES: Dict[str, str] = {
     "stopword_removal": STOPWORD_REMOVAL_SQL,
     "pack_token_windows": PACK_TOKEN_WINDOWS_SQL,
     "dup_gram_fraction": DUP_GRAM_FRACTION_SQL,
+    "distinctive_terms_by_source": DISTINCTIVE_TERMS_SQL,
 }
 
 QUERIES = {
@@ -1002,4 +1104,5 @@ QUERIES = {
     "stopword_removal": stopword_removal,
     "pack_token_windows": pack_token_windows,
     "dup_gram_fraction": dup_gram_fraction,
+    "distinctive_terms_by_source": distinctive_terms_by_source,
 }
