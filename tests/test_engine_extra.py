@@ -216,3 +216,56 @@ def test_engine_struct_column_spec(tmp_path, ray_session):
     assert set(v.loc[v["constraint_name"].str.contains("qty"), "key"]) == {
         "d46", "d47", "d48", "d49"
     }
+
+
+def test_composite_unique_key_end_to_end(tmp_path, ray_session):
+    """Multi-column xs:key: the tuple (source, doc_id) must be globally
+    unique; the SAME doc_id reused by different sources is legal. Runs
+    through both finalize plans (driver and forced-distributed) — the
+    composite tuple survives the hashed candidate sieve and the exact
+    recovery scan identically."""
+    import os
+
+    import pandas as pd
+    import pyarrow as pa
+    import pyarrow.parquet as pq
+
+    from xmlschema_ray.constraints.spec import ColumnSpec, TableConstraints, UniqueKey
+    from xmlschema_ray.engine.engine import ValidationEngine
+
+    seq_dir = os.path.join(str(tmp_path), "seq")
+    os.makedirs(seq_dir)
+    # every doc_id appears in BOTH sources (legal); the true dups are
+    # ("A","d3") ×2 and ("B","d7") ×3, split across different files so the
+    # candidate sieve must work cross-shard.
+    base = [(f"d{i}", s, i) for s in ("A", "B") for i in range(20)]
+    extra = [("d3", "A", 100), ("d7", "B", 101), ("d7", "B", 102)]
+    rows = base + extra
+    for j in range(4):
+        part = rows[j::4]
+        df = pd.DataFrame(part, columns=["doc_id", "source", "val"])
+        pq.write_table(pa.Table.from_pandas(df), os.path.join(seq_dir, f"p{j}.parquet"))
+
+    spec = TableConstraints(
+        name="composite",
+        columns=[
+            ColumnSpec("doc_id", pa.string(), nullable=False),
+            ColumnSpec("source", pa.string(), nullable=False),
+            ColumnSpec("val", pa.int64(), nullable=False),
+        ],
+        unique_keys=[UniqueKey(("source", "doc_id"), name="unique_source_doc")],
+        key_columns=("doc_id",),
+    )
+
+    for forced, out in ((False, "drv"), (True, "dst")):
+        eng = ValidationEngine(spec, batch_size=8, n_shards=2)
+        if forced:
+            eng.driver_threshold_bytes = 0
+        res = eng.run(seq_dir, out_dir=os.path.join(str(tmp_path), out))
+        viol = res.violations()
+        uviol = viol[viol["constraint_name"] == "unique_source_doc"]
+        assert len(uviol) == 2, uviol
+        assert set(uviol["key"]) == {"A|d3", "B|d7"}
+        msgs = dict(zip(uviol["key"], uviol["reason"]))
+        assert "count=2" in msgs["A|d3"] and "count=3" in msgs["B|d7"]
+        assert res.job_validity == "invalid"
