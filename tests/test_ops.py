@@ -447,3 +447,18 @@ def test_range_self_join_matches_two_input_path(ray_session):
     assert len(self_out) == len(two_out) and len(self_out) > 0
     assert np.array_equal(self_out["prev_id"].to_numpy(), two_out["rid"].to_numpy())
     assert np.array_equal(self_out["prev_t"].to_numpy(), two_out["rt"].to_numpy())
+
+
+def test_snapshot_diff_classifies_all_three(ray_session):
+    from xmlschema_ray.ops.relational import snapshot_diff
+
+    a = pd.DataFrame({"k": [1, 2, 3, 4], "v": [10.0, 20.0, 30.0, 40.0]})
+    b = pd.DataFrame({"k": [2, 3, 4, 5], "v": [20.0, 31.0, 40.0, 50.0]})
+    out = (
+        snapshot_diff(rd.from_pandas(a).repartition(2), rd.from_pandas(b).repartition(2), "k", ["v"])
+        .to_pandas()
+        .sort_values("k")
+        .reset_index(drop=True)
+    )
+    assert out["k"].tolist() == [1, 3, 5]
+    assert out["change"].tolist() == ["removed", "changed", "added"]

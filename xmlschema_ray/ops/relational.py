@@ -755,6 +755,50 @@ def range_self_join(
     return hash_partition_apply(ds, key, per_part, num_partitions=num_partitions)
 
 
+def snapshot_diff(
+    left: rd.Dataset,
+    right: rd.Dataset,
+    key: str,
+    compare_cols: List[str],
+    num_partitions: Optional[int] = None,
+) -> rd.Dataset:
+    """Set reconciliation between two versions of a keyed table (the
+    CDC / snapshot-diff operator): one row per key that was ``added``
+    (right only), ``removed`` (left only), or ``changed`` (both sides,
+    any ``compare_cols`` value differs). Unchanged keys are dropped.
+
+    Both snapshots stream through ONE co-partitioning exchange on the
+    key (:func:`copartition_apply` — union + single shuffle, not two),
+    then each partition classifies with one vectorized outer merge.
+    Null comparison follows pandas ``!=`` (null vs null counts as
+    changed) — pre-fill sentinel values if null-stable semantics are
+    needed.
+    """
+    rename = {c: f"{c}__b" for c in compare_cols}
+
+    def rename_right(t: pa.Table) -> pa.Table:
+        return t.rename_columns([rename.get(c, c) for c in t.column_names])
+
+    right = right.map_batches(rename_right, batch_format="pyarrow", zero_copy_batch=True)
+
+    def per_part(lf: pd.DataFrame, rf: pd.DataFrame) -> pd.DataFrame:
+        m = lf.merge(rf, on=key, how="outer", indicator=True)
+        flag = m["_merge"].to_numpy()
+        changed = np.zeros(len(m), dtype=bool)
+        both = flag == "both"
+        for c in compare_cols:
+            changed |= both & (m[c].to_numpy() != m[f"{c}__b"].to_numpy())
+        change = np.where(
+            flag == "right_only", "added", np.where(flag == "left_only", "removed", "changed")
+        )
+        keep = (flag != "both") | changed
+        return pd.DataFrame(
+            {key: m[key].to_numpy()[keep], "change": change[keep].astype(object)}
+        )
+
+    return copartition_apply(left, right, key, key, per_part, num_partitions=num_partitions)
+
+
 def global_rank(
     ds: rd.Dataset,
     sort_cols: List[str],

@@ -1301,6 +1301,58 @@ ORDER BY c_custkey
 """
 
 
+def orders_snapshot_diff(sf_dir: str) -> "rd.Dataset":
+    """Snapshot reconciliation (CDC diff) between two versions of the
+    orders table: version B is derived deterministically from version A
+    (delete keys ≡0 mod 97, bump totalprice on keys ≡0 mod 89, clone
+    keys ≡0 mod 101 under key+10^9), then
+    :func:`~xmlschema_ray.ops.relational.snapshot_diff` classifies every
+    key as added / removed / changed through one co-partitioning
+    exchange. The incremental-ingest audit a production table pipeline
+    runs between snapshot loads."""
+    from xmlschema_ray.ops.relational import snapshot_diff
+
+    cols = ["o_orderkey", "o_totalprice"]
+    a = rd.read_parquet(table_path(sf_dir, "orders"), columns=cols)
+
+    def derive_b(batch: pd.DataFrame) -> pd.DataFrame:
+        k = batch["o_orderkey"].to_numpy(np.int64)
+        v = batch["o_totalprice"].to_numpy(np.float64)
+        keep = k % 97 != 0
+        kk, vv = k[keep], v[keep].copy()
+        vv[kk % 89 == 0] += 1.0
+        clone = k % 101 == 0
+        return pd.DataFrame(
+            {
+                "o_orderkey": np.concatenate([kk, k[clone] + 1_000_000_000]),
+                "o_totalprice": np.concatenate([vv, v[clone]]),
+            }
+        )
+
+    b = rd.read_parquet(table_path(sf_dir, "orders"), columns=cols).map_batches(
+        derive_b, batch_format="pandas"
+    )
+    return snapshot_diff(a, b, "o_orderkey", ["o_totalprice"]).sort("o_orderkey")
+
+
+ORDERS_SNAPSHOT_DIFF_SQL = """
+WITH a AS (
+  SELECT o_orderkey AS k, o_totalprice AS v FROM orders
+), b AS (
+  SELECT k, CASE WHEN k % 89 = 0 THEN v + 1 ELSE v END AS v FROM a WHERE k % 97 <> 0
+  UNION ALL
+  SELECT k + 1000000000 AS k, v FROM a WHERE k % 101 = 0
+)
+SELECT COALESCE(a.k, b.k) AS o_orderkey,
+       CASE WHEN a.k IS NULL THEN 'added'
+            WHEN b.k IS NULL THEN 'removed'
+            ELSE 'changed' END AS change
+FROM a FULL OUTER JOIN b ON a.k = b.k
+WHERE a.k IS NULL OR b.k IS NULL OR a.v <> b.v
+ORDER BY o_orderkey
+"""
+
+
 ORACLES = {
     "q1_pricing_summary": Q1_SQL,
     "orders_priority_counts": ORDERS_PRIORITY_SQL,
@@ -1329,6 +1381,7 @@ ORACLES = {
     "orders_price_ntile": NTILE_SQL,
     "customers_without_events": CUSTOMERS_WITHOUT_EVENTS_SQL,
     "repeat_orders_within_30d": REPEAT_ORDERS_SQL,
+    "orders_snapshot_diff": ORDERS_SNAPSHOT_DIFF_SQL,
     "customer_event_counts": CUSTOMER_EVENT_COUNTS_SQL,
 }
 
@@ -1360,5 +1413,6 @@ QUERIES = {
     "orders_price_ntile": orders_price_ntile,
     "customers_without_events": customers_without_events,
     "repeat_orders_within_30d": repeat_orders_within_30d,
+    "orders_snapshot_diff": orders_snapshot_diff,
     "customer_event_counts": customer_event_counts,
 }
