@@ -576,6 +576,62 @@ ORDER BY user_id, window_end
 """
 
 
+def weekly_active_users(sf_dir: str, window_days: int = 7) -> pd.DataFrame:
+    """Rolling COUNT DISTINCT: active users over the trailing
+    ``window_days`` days per window-end day (the DAU/WAU engagement
+    metric). Distinct counting is holistic, so the shape differs from
+    the additive sliding window above: each event explodes to its
+    ``window_days`` window keys and the per-batch partial COMPRESSES to
+    distinct (window_end, user_id, count) triples — repeats within a
+    batch ship once. One window-keyed exchange co-locates every holder
+    of a window, where ``nunique`` is exact regardless of how many
+    batches re-emitted a pair; event totals stay additive partials.
+    Window cardinality ≈ days, so the result is metadata-sized."""
+    from xmlschema_ray.ops.relational import hash_partition_apply
+
+    ds = rd.read_parquet(table_path(sf_dir, "events"), columns=["user_id", "ts"])
+
+    def explode(batch: pd.DataFrame) -> pd.DataFrame:
+        day = batch["ts"].dt.floor("D")
+        frames = [
+            pd.DataFrame(
+                {"user_id": batch["user_id"], "window_end": day + pd.Timedelta(days=o)}
+            )
+            for o in range(window_days)
+        ]
+        return (
+            pd.concat(frames, ignore_index=True)
+            .groupby(["window_end", "user_id"], sort=False)
+            .size()
+            .rename("n")
+            .reset_index()
+        )
+
+    def per_part(g: pd.DataFrame) -> pd.DataFrame:
+        agg = g.groupby("window_end", sort=False).agg(
+            n_active_users=("user_id", "nunique"), n_events=("n", "sum")
+        )
+        return agg.reset_index()
+
+    out = hash_partition_apply(
+        ds.map_batches(explode, batch_format="pandas"), "window_end", per_part
+    ).to_pandas()
+    out["window_end"] = out["window_end"].astype("datetime64[us]")
+    out["n_active_users"] = out["n_active_users"].astype("int64")
+    out["n_events"] = out["n_events"].astype("int64")
+    return out.sort_values("window_end").reset_index(drop=True)
+
+
+WEEKLY_ACTIVE_SQL = """
+SELECT date_trunc('day', ts) + to_days(o) AS window_end,
+       CAST(COUNT(DISTINCT user_id) AS BIGINT) AS n_active_users,
+       CAST(COUNT(*) AS BIGINT) AS n_events
+FROM events, (VALUES (0), (1), (2), (3), (4), (5), (6)) AS offs(o)
+GROUP BY 1
+ORDER BY 1
+"""
+
+
 def sessionize_events(sf_dir: str, gap_minutes: int = 30) -> pd.DataFrame:
     """Gap-based sessionization per user: ``groupby(user).map_groups`` over
     ts-sorted groups. Partitioning assumption (SURVEY §2.11): one user's
@@ -1382,6 +1438,7 @@ ORACLES = {
     "customers_without_events": CUSTOMERS_WITHOUT_EVENTS_SQL,
     "repeat_orders_within_30d": REPEAT_ORDERS_SQL,
     "orders_snapshot_diff": ORDERS_SNAPSHOT_DIFF_SQL,
+    "weekly_active_users": WEEKLY_ACTIVE_SQL,
     "customer_event_counts": CUSTOMER_EVENT_COUNTS_SQL,
 }
 
@@ -1414,5 +1471,6 @@ QUERIES = {
     "customers_without_events": customers_without_events,
     "repeat_orders_within_30d": repeat_orders_within_30d,
     "orders_snapshot_diff": orders_snapshot_diff,
+    "weekly_active_users": weekly_active_users,
     "customer_event_counts": customer_event_counts,
 }
