@@ -269,3 +269,52 @@ def test_composite_unique_key_end_to_end(tmp_path, ray_session):
         msgs = dict(zip(uviol["key"], uviol["reason"]))
         assert "count=2" in msgs["A|d3"] and "count=3" in msgs["B|d7"]
         assert res.job_validity == "invalid"
+
+
+def test_override_spec_compose():
+    """xs:override/xs:redefine analog: same-name replaces, new name
+    appends, remove deletes, and the merged document recompiles (or
+    fails the compile lint exactly like a from-scratch spec)."""
+    import pytest
+
+    from xmlschema_ray.constraints.serde import (
+        SpecError,
+        override_spec,
+        spec_from_json,
+        spec_to_json,
+    )
+    from xmlschema_ray.sources.synthetic import sequences_spec
+
+    base = spec_to_json(sequences_spec())
+    override = {
+        "columns": [
+            {
+                # REPLACE: doc_id now a plain non-null string (pattern dropped)
+                "name": "doc_id",
+                "dtype": "string",
+                "nullable": False,
+                "facets": [],
+            }
+        ],
+        "unique_keys": [
+            # APPEND a composite key alongside the base one
+            {"name": "unique_source_doc", "columns": ["source", "doc_id"]}
+        ],
+        "drift": [{"name": "drift_token_length", "remove": True}],
+    }
+    merged = override_spec(base, override)
+    spec = spec_from_json(merged)
+
+    doc_id = next(c for c in spec.columns if c.name == "doc_id")
+    assert doc_id.facets == ()  # replaced entry, not merged
+    assert len(spec.columns) == len(base["columns"])  # replace, not append
+    assert {u.name for u in spec.unique_keys} == {"unique_doc_id", "unique_source_doc"}
+    assert spec.drift == []
+
+    # removing an unknown entry is an error, like the reference's
+    # "cannot redefine schema" path
+    with pytest.raises(SpecError):
+        override_spec(base, {"columns": [{"name": "nope", "remove": True}]})
+    # entries must be named
+    with pytest.raises(SpecError):
+        override_spec(base, {"unique_keys": [{"columns": ["a"]}]})

@@ -359,6 +359,57 @@ def spec_from_json(doc: Dict[str, Any]) -> TableConstraints:
     return spec.compile()
 
 
+_OVERRIDE_SECTIONS = (
+    ("columns", "name"),
+    ("unique_keys", "name"),
+    ("foreign_keys", "name"),
+    ("drift", "name"),
+    ("row_checks", "name"),
+    ("type_alternatives", "name"),
+)
+
+
+def override_spec(base: Dict[str, Any], override: Dict[str, Any]) -> Dict[str, Any]:
+    """Compose two spec JSON documents — the ``xs:override``/``xs:redefine``
+    analog (reference: ``validators/schema.py:749-775`` processes redefine/
+    override children by replacing same-named global components, additions
+    appended; ``validators/globals_.py:345``).
+
+    For each list section (columns, unique_keys, foreign_keys, drift,
+    row_checks, type_alternatives): an override entry REPLACES the base
+    entry with the same ``name``, a new name APPENDS, and an entry of the
+    form ``{"name": ..., "remove": true}`` DELETES. Scalar/tuple fields
+    (``name``, ``key_columns``, ``allow_extra_columns``, ...) are taken
+    from the override document when present. The merged document is plain
+    JSON — compile through :func:`spec_from_json`, which re-lints the
+    result exactly like a from-scratch spec (a broken override fails at
+    compile, the reference's "cannot redefine schema" error path)."""
+    out: Dict[str, Any] = {k: v for k, v in base.items()}
+    for key, val in override.items():
+        if key not in {s for s, _ in _OVERRIDE_SECTIONS}:
+            out[key] = val
+    for section, name_key in _OVERRIDE_SECTIONS:
+        if section not in override:
+            continue
+        merged = list(base.get(section, []))
+        index = {e.get(name_key): i for i, e in enumerate(merged)}
+        for entry in override[section]:
+            nm = entry.get(name_key)
+            if nm is None:
+                raise SpecError(f"override entry in {section!r} must carry {name_key!r}")
+            if entry.get("remove"):
+                if nm not in index:
+                    raise SpecError(f"cannot remove unknown {section} entry {nm!r}")
+                merged[index[nm]] = None
+            elif nm in index:
+                merged[index[nm]] = entry
+            else:
+                index[nm] = len(merged)
+                merged.append(entry)
+        out[section] = [e for e in merged if e is not None]
+    return out
+
+
 def save_spec(spec: TableConstraints, path: str) -> None:
     with open(path, "w") as f:
         json.dump(spec_to_json(spec), f, indent=2)
