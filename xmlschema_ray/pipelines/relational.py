@@ -592,20 +592,28 @@ def weekly_active_users(sf_dir: str, window_days: int = 7) -> pd.DataFrame:
     ds = rd.read_parquet(table_path(sf_dir, "events"), columns=["user_id", "ts"])
 
     def explode(batch: pd.DataFrame) -> pd.DataFrame:
-        day = batch["ts"].dt.floor("D")
-        frames = [
+        # compress FIRST (distinct (day, user) counts), THEN explode: the
+        # window_days× blowup applies to distinct pairs, not raw events
+        day_user = (
             pd.DataFrame(
-                {"user_id": batch["user_id"], "window_end": day + pd.Timedelta(days=o)}
+                {"user_id": batch["user_id"], "day": batch["ts"].dt.floor("D")}
             )
-            for o in range(window_days)
-        ]
-        return (
-            pd.concat(frames, ignore_index=True)
-            .groupby(["window_end", "user_id"], sort=False)
+            .groupby(["day", "user_id"], sort=False)
             .size()
             .rename("n")
             .reset_index()
         )
+        frames = [
+            pd.DataFrame(
+                {
+                    "window_end": day_user["day"] + pd.Timedelta(days=o),
+                    "user_id": day_user["user_id"],
+                    "n": day_user["n"],
+                }
+            )
+            for o in range(window_days)
+        ]
+        return pd.concat(frames, ignore_index=True)
 
     def per_part(g: pd.DataFrame) -> pd.DataFrame:
         agg = g.groupby("window_end", sort=False).agg(
