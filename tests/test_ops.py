@@ -4,6 +4,7 @@ balance under skew."""
 import numpy as np
 import pandas as pd
 import pyarrow as pa
+import pytest
 
 import ray.data as rd
 
@@ -462,3 +463,15 @@ def test_snapshot_diff_classifies_all_three(ray_session):
     )
     assert out["k"].tolist() == [1, 3, 5]
     assert out["change"].tolist() == ["removed", "changed", "added"]
+
+
+def test_broadcast_join_size_gate(ray_session):
+    from xmlschema_ray.ops.relational import broadcast_join
+
+    big = pd.DataFrame({"k": np.arange(1000, dtype=np.int64), "v": np.ones(1000)})
+    ds = rd.from_pandas(pd.DataFrame({"k": [1, 2]}))
+    with pytest.raises(ValueError, match="hash_bucket_join"):
+        broadcast_join(ds, big, "k", max_broadcast_bytes=1024)
+    # under the gate it still joins
+    out = broadcast_join(ds, big.head(5), "k").to_pandas()
+    assert out["v"].tolist() == [1.0, 1.0]

@@ -69,14 +69,31 @@ def broadcast_join(
     how: str = "inner",
     batch_size: int = 65536,
     suffix: str = "_r",
+    max_broadcast_bytes: int = 512 << 20,
 ) -> rd.Dataset:
     """Stream-side ⋈ broadcast-side. ``how`` in {inner, left}.
 
     Stateless tasks + a ``ray.put`` broadcast fetched lazily (zero-copy)
     once per task: a FIXED-size actor pool can reserve every CPU of a
     small cluster and starve the upstream read — tasks cannot deadlock.
+
+    The broadcast side is replicated into every worker's heap, so it is
+    gated at ``max_broadcast_bytes`` — beyond that the join must shuffle
+    (``hash_bucket_join`` / ``Dataset.join``), not broadcast.
     """
     assert how in ("inner", "left")
+    nbytes = (
+        small.nbytes
+        if isinstance(small, pa.Table)
+        else int(small.memory_usage(deep=True).sum())
+    )
+    if nbytes > max_broadcast_bytes:
+        raise ValueError(
+            f"broadcast_join: build side is {nbytes >> 20} MiB > "
+            f"max_broadcast_bytes={max_broadcast_bytes >> 20} MiB; a side this "
+            "large must go through hash_bucket_join / Dataset.join instead of "
+            "being replicated to every worker"
+        )
     right_on = right_on or left_on
     small_ref = ray.put(small)
     state: dict = {}
