@@ -1365,6 +1365,86 @@ ORDER BY c_custkey
 """
 
 
+def winsorized_price_by_flag(sf_dir: str) -> pd.DataFrame:
+    """Grouped winsorization (outlier-robust feature clipping): per
+    return flag, clip extendedprice to the group's [p25, p75] and report
+    clip counts plus the winsorized sum. The robust-aggregate companion
+    to the MAD filter — bounds what extreme rows can contribute instead
+    of dropping them.
+
+    Quantiles are holistic ⇒ one flag-keyed co-location exchange (3
+    groups; the ``chars_quartiles_by_source`` pattern). Float parity is
+    engineered, not hoped for: prices become integer cents first, the
+    .25/.75 interpolation weights make each quantile an exact multiple
+    of 0.25, and sums of exact quarter-cent multiples stay exact below
+    2^53 — so the winsorized sum is order-independent and bit-equal to
+    DuckDB's parallel SUM regardless of partitioning."""
+    from xmlschema_ray.ops.relational import hash_partition_apply
+
+    ds = rd.read_parquet(
+        table_path(sf_dir, "lineitem"), columns=["l_returnflag", "l_extendedprice"]
+    )
+
+    def to_cents(batch: pd.DataFrame) -> pd.DataFrame:
+        return pd.DataFrame(
+            {
+                "l_returnflag": batch["l_returnflag"],
+                "cents": cents(batch["l_extendedprice"]),
+            }
+        )
+
+    def per_part(g: pd.DataFrame) -> pd.DataFrame:
+        rows = []
+        for flag, gg in g.groupby("l_returnflag", sort=False):
+            x = gg["cents"].to_numpy(np.float64)
+            lo, hi = np.percentile(x, [25.0, 75.0])
+            rows.append(
+                (
+                    flag,
+                    len(x),
+                    int((x < lo).sum()),
+                    int((x > hi).sum()),
+                    float(np.sum(np.clip(x, lo, hi))) / 100.0,
+                )
+            )
+        return pd.DataFrame(
+            {
+                "l_returnflag": pd.Series([r[0] for r in rows], dtype=object),
+                "n": pd.Series([r[1] for r in rows], dtype="int64"),
+                "n_clipped_low": pd.Series([r[2] for r in rows], dtype="int64"),
+                "n_clipped_high": pd.Series([r[3] for r in rows], dtype="int64"),
+                "winsorized_sum": pd.Series([r[4] for r in rows], dtype="float64"),
+            }
+        )
+
+    out = hash_partition_apply(
+        ds.map_batches(to_cents, batch_format="pandas"), "l_returnflag", per_part
+    ).to_pandas()
+    return out.sort_values("l_returnflag").reset_index(drop=True)
+
+
+WINSORIZED_PRICE_SQL = """
+WITH c AS (
+  SELECT l_returnflag,
+         CAST(floor(l_extendedprice * 100 + 0.5) AS BIGINT) AS cents
+  FROM lineitem
+), q AS (
+  SELECT l_returnflag,
+         quantile_cont(CAST(cents AS DOUBLE), 0.25) AS lo,
+         quantile_cont(CAST(cents AS DOUBLE), 0.75) AS hi
+  FROM c GROUP BY l_returnflag
+)
+SELECT c.l_returnflag,
+       CAST(COUNT(*) AS BIGINT) AS n,
+       CAST(SUM(CASE WHEN cents < lo THEN 1 ELSE 0 END) AS BIGINT) AS n_clipped_low,
+       CAST(SUM(CASE WHEN cents > hi THEN 1 ELSE 0 END) AS BIGINT) AS n_clipped_high,
+       SUM(least(greatest(CAST(cents AS DOUBLE), lo), hi)) / 100.0 AS winsorized_sum
+FROM c JOIN q USING (l_returnflag)
+GROUP BY c.l_returnflag
+ORDER BY c.l_returnflag
+"""
+
+
 def orders_snapshot_diff(sf_dir: str) -> "rd.Dataset":
     """Snapshot reconciliation (CDC diff) between two versions of the
     orders table: version B is derived deterministically from version A
@@ -1447,6 +1527,7 @@ ORACLES = {
     "repeat_orders_within_30d": REPEAT_ORDERS_SQL,
     "orders_snapshot_diff": ORDERS_SNAPSHOT_DIFF_SQL,
     "weekly_active_users": WEEKLY_ACTIVE_SQL,
+    "winsorized_price_by_flag": WINSORIZED_PRICE_SQL,
     "customer_event_counts": CUSTOMER_EVENT_COUNTS_SQL,
 }
 
@@ -1480,5 +1561,6 @@ QUERIES = {
     "repeat_orders_within_30d": repeat_orders_within_30d,
     "orders_snapshot_diff": orders_snapshot_diff,
     "weekly_active_users": weekly_active_users,
+    "winsorized_price_by_flag": winsorized_price_by_flag,
     "customer_event_counts": customer_event_counts,
 }
