@@ -1071,6 +1071,88 @@ ORDER BY doc_id
 """
 
 
+def curation_pipeline(sf_dir: str, prefix_words: int = 5) -> "rd.Dataset":
+    """The composed curation showpiece — quality filter → boilerplate
+    dedup → token accounting, fused into ONE streaming plan (the
+    raw-crawl-to-training-set path every pretraining job runs):
+
+    1. per-batch quality gate (stopword ratio ≥ .05, alpha ratio ≥ .5,
+       ≥ 10 tokens — the same vectorized kernels as ``doc_quality``);
+    2. leading-``prefix_words`` boilerplate dedup: survivors sharing
+       their first words collapse to the lowest doc_id (one fp-keyed
+       exchange, argmin in-partition — the ``exact_dedup`` shape with
+       a short derived key, so the only all-to-all ships ~40-byte
+       prefixes of FILTERED rows, not documents);
+    3. per-survivor token counts, canonical sort kept in Ray.
+
+    Stage order matters at scale: filtering before the exchange means
+    the shuffle pays only for rows that can still win.
+    """
+    ds = rd.read_parquet(table_path(sf_dir, "documents"), columns=["doc_id", "text"])
+
+    from xmlschema_ray.functions import text as T
+    from xmlschema_ray.ops.relational import hash_partition_apply
+
+    def stage(batch: pa.Table) -> pd.DataFrame:
+        texts = batch["text"].to_pandas()
+        feats = T.quality_features(texts)
+        keep = (
+            (feats["stopword_ratio"].to_numpy() >= 0.05)
+            & (feats["alpha_ratio"].to_numpy() >= 0.5)
+            & (feats["n_tokens"].to_numpy() >= 10)
+        )
+        words = pc.ascii_split_whitespace(batch["text"])
+        prefix = pc.binary_join(pc.list_slice(words, 0, prefix_words), " ")
+        return pd.DataFrame(
+            {
+                "doc_id": batch["doc_id"].to_numpy(zero_copy_only=False)[keep].astype(np.int64),
+                "prefix": prefix.to_numpy(zero_copy_only=False)[keep],
+                "n_tokens": feats["n_tokens"].to_numpy()[keep],
+            }
+        )
+
+    survivors = ds.map_batches(stage, batch_format="pyarrow")
+
+    def keep_first(g: pd.DataFrame) -> pd.DataFrame:
+        if len(g) == 0:
+            return g.reset_index(drop=True)
+        idx = g.groupby("prefix", sort=False)["doc_id"].idxmin()
+        return g.loc[idx].reset_index(drop=True)
+
+    return (
+        hash_partition_apply(survivors, "prefix", keep_first)
+        .select_columns(["doc_id", "n_tokens"])
+        .sort("doc_id")
+    )
+
+
+CURATION_PIPELINE_SQL = r"""
+WITH q AS (
+  SELECT doc_id, text,
+         CAST(length(regexp_split_to_array(trim(text), '\s+')) AS BIGINT) AS n_tokens,
+         CAST(length(list_filter(regexp_split_to_array(trim(lower(text)), '\s+'),
+                                 w -> w IN ('the','a','an','and','or','of','to','in','is','are',
+                                            'was','were','be','been','it','this','that','with',
+                                            'for','on','as','at','by'))) AS DOUBLE)
+           / length(regexp_split_to_array(trim(text), '\s+')) AS stopword_ratio,
+         CAST(length(regexp_replace(text, '[^A-Za-z]', '', 'g')) AS DOUBLE)
+           / length(text) AS alpha_ratio
+  FROM documents
+), f AS (
+  SELECT doc_id, n_tokens,
+         array_to_string((regexp_split_to_array(trim(text), '\s+'))[1:5], ' ') AS prefix
+  FROM q
+  WHERE stopword_ratio >= 0.05 AND alpha_ratio >= 0.5 AND n_tokens >= 10
+), d AS (
+  SELECT doc_id, n_tokens,
+         row_number() OVER (PARTITION BY prefix ORDER BY doc_id) AS rn
+  FROM f
+)
+SELECT doc_id, n_tokens FROM d WHERE rn = 1
+ORDER BY doc_id
+"""
+
+
 ORACLES: Dict[str, str] = {
     "top_words": TOP_WORDS_SQL,
     "top_bigrams": TOP_BIGRAMS_SQL,
@@ -1087,6 +1169,7 @@ ORACLES: Dict[str, str] = {
     "pack_token_windows": PACK_TOKEN_WINDOWS_SQL,
     "dup_gram_fraction": DUP_GRAM_FRACTION_SQL,
     "distinctive_terms_by_source": DISTINCTIVE_TERMS_SQL,
+    "curation_pipeline": CURATION_PIPELINE_SQL,
 }
 
 QUERIES = {
@@ -1105,4 +1188,5 @@ QUERIES = {
     "pack_token_windows": pack_token_windows,
     "dup_gram_fraction": dup_gram_fraction,
     "distinctive_terms_by_source": distinctive_terms_by_source,
+    "curation_pipeline": curation_pipeline,
 }
