@@ -209,7 +209,10 @@ def bench_once() -> dict:
     if n_runs > 1:  # skip inside scaling subprocesses (single-rep by design)
         deadline = time.time() + float(os.environ.get("BENCH_FAST_WAIT_SEC", "300"))
         extra = 0
-        while head["sec"] > 8.5 and extra < 2 and time.time() < deadline:
+        # probe-based, not wall-time-based: an absolute seconds bar would
+        # misfire on non-default configs (8-cpu or 16M-row runs are slower
+        # than any bar at ANY phase and would burn the wait for nothing)
+        while min(h["probe"] for h in runs) >= 1.65 and extra < 2 and time.time() < deadline:
             p = host_probe()
             if p >= 1.65:
                 time.sleep(20)

@@ -475,3 +475,13 @@ def test_broadcast_join_size_gate(ray_session):
     # under the gate it still joins
     out = broadcast_join(ds, big.head(5), "k").to_pandas()
     assert out["v"].tolist() == [1.0, 1.0]
+
+
+def test_range_self_join_rejects_rename_collision(ray_session):
+    from xmlschema_ray.ops.relational import range_self_join
+
+    df = pd.DataFrame({"k": [1, 1], "t": [0, 10], "id": [1, 2]})
+    with pytest.raises(Exception, match="collide"):
+        range_self_join(
+            rd.from_pandas(df), "k", "t", -40, 0, rename={"id": "t"}
+        ).materialize()

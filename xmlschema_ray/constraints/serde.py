@@ -391,9 +391,12 @@ def override_spec(base: Dict[str, Any], override: Dict[str, Any]) -> Dict[str, A
     for section, name_key in _OVERRIDE_SECTIONS:
         if section not in override:
             continue
+        entries = override[section]
+        if not isinstance(entries, list) or not all(isinstance(e, dict) for e in entries):
+            raise SpecError(f"override section {section!r} must be a list of objects")
         merged = list(base.get(section, []))
         index = {e.get(name_key): i for i, e in enumerate(merged)}
-        for entry in override[section]:
+        for entry in entries:
             nm = entry.get(name_key)
             if nm is None:
                 raise SpecError(f"override entry in {section!r} must carry {name_key!r}")

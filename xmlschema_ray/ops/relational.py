@@ -684,21 +684,11 @@ def range_join_bucketed(
             rgk = rg.get(k)
             if rgk is None:
                 continue
-            rt = rgk[right_time].to_numpy()
-            order = np.argsort(rt, kind="mergesort")
-            rt = rt[order]
-            lt = lg[left_time].to_numpy()
-            lo = np.searchsorted(rt, lt + lo_offset, side="left")
-            hi = np.searchsorted(rt, lt + hi_offset, side="left")
-            k_i = hi - lo
-            total = int(k_i.sum())
-            if total == 0:
-                continue
-            l_idx = np.repeat(np.arange(len(lg)), k_i)
-            intra = np.arange(total, dtype=np.int64) - np.repeat(
-                np.concatenate(([0], np.cumsum(k_i)[:-1])), k_i
+            l_idx, r_idx = _band_pairs(
+                lg[left_time].to_numpy(), rgk[right_time].to_numpy(), lo_offset, hi_offset
             )
-            r_idx = order[np.repeat(lo, k_i) + intra]
+            if l_idx is None:
+                continue
             outs.append(
                 pd.concat(
                     [
@@ -713,6 +703,28 @@ def range_join_bucketed(
     return copartition_apply(
         left, right, left_key, right_key, per_part, num_partitions=num_partitions
     )
+
+
+def _band_pairs(lt: np.ndarray, rt: np.ndarray, lo_offset, hi_offset):
+    """Index pairs (l_idx, r_idx) with ``rt[r_idx] - lt[l_idx] ∈
+    [lo_offset, hi_offset)`` — the per-group band-match kernel shared by
+    :func:`range_join_bucketed` and :func:`range_self_join` (sort the
+    right side once, two binary searches per left row, pair
+    materialization as integer array math). Returns ``(None, None)``
+    when the band is empty."""
+    order = np.argsort(rt, kind="mergesort")
+    rts = rt[order]
+    lo = np.searchsorted(rts, lt + lo_offset, side="left")
+    hi = np.searchsorted(rts, lt + hi_offset, side="left")
+    k_i = hi - lo
+    total = int(k_i.sum())
+    if total == 0:
+        return None, None
+    l_idx = np.repeat(np.arange(len(lt)), k_i)
+    intra = np.arange(total, dtype=np.int64) - np.repeat(
+        np.concatenate(([0], np.cumsum(k_i)[:-1])), k_i
+    )
+    return l_idx, order[np.repeat(lo, k_i) + intra]
 
 
 def range_self_join(
@@ -737,25 +749,21 @@ def range_self_join(
     b_cols = list(rename)
 
     def per_part(g: pd.DataFrame) -> pd.DataFrame:
+        clash = set(rename.values()) & set(g.columns)
+        if clash:
+            raise ValueError(
+                f"range_self_join: rename targets {sorted(clash)} collide with "
+                "kept a-side columns (the two-input path rejects this too)"
+            )
         a_empty = g.head(0).reset_index(drop=True)
         b_empty = g.head(0)[b_cols].rename(columns=rename).reset_index(drop=True)
         empty = pd.concat([a_empty, b_empty], axis=1)
         outs = []
         for _k, gg in g.groupby(key, sort=False):
             t = gg[time_col].to_numpy()
-            order = np.argsort(t, kind="mergesort")
-            ts = t[order]
-            lo = np.searchsorted(ts, t + lo_offset, side="left")
-            hi = np.searchsorted(ts, t + hi_offset, side="left")
-            k_i = hi - lo
-            total = int(k_i.sum())
-            if total == 0:
+            a_idx, b_idx = _band_pairs(t, t, lo_offset, hi_offset)
+            if a_idx is None:
                 continue
-            a_idx = np.repeat(np.arange(len(gg)), k_i)
-            intra = np.arange(total, dtype=np.int64) - np.repeat(
-                np.concatenate(([0], np.cumsum(k_i)[:-1])), k_i
-            )
-            b_idx = order[np.repeat(lo, k_i) + intra]
             outs.append(
                 pd.concat(
                     [

@@ -1090,24 +1090,44 @@ def curation_pipeline(sf_dir: str, prefix_words: int = 5) -> "rd.Dataset":
     """
     ds = rd.read_parquet(table_path(sf_dir, "documents"), columns=["doc_id", "text"])
 
-    from xmlschema_ray.functions import text as T
+    from xmlschema_ray.functions.text import STOPWORDS
     from xmlschema_ray.ops.relational import hash_partition_apply
 
+    stop_set = pa.array(sorted(STOPWORDS))
+
     def stage(batch: pa.Table) -> pd.DataFrame:
-        texts = batch["text"].to_pandas()
-        feats = T.quality_features(texts)
-        keep = (
-            (feats["stopword_ratio"].to_numpy() >= 0.05)
-            & (feats["alpha_ratio"].to_numpy() >= 0.5)
-            & (feats["n_tokens"].to_numpy() >= 10)
+        # ONE tokenization serves all three gate features AND the dedup
+        # prefix (the quality_features kernels would tokenize a second
+        # time and pay for mean_tok_len, which this gate discards)
+        text = batch["text"]
+        if isinstance(text, pa.ChunkedArray):
+            text = text.combine_chunks()
+        words = pc.ascii_split_whitespace(text)
+        if isinstance(words, pa.ChunkedArray):
+            words = words.combine_chunks()
+        n_tokens = pc.list_value_length(words).to_numpy(zero_copy_only=False).astype(np.int64)
+        offsets = words.offsets.to_numpy()
+        is_stop = pc.is_in(pc.utf8_lower(words.values), value_set=stop_set).to_numpy(
+            zero_copy_only=False
         )
-        words = pc.ascii_split_whitespace(batch["text"])
+        cs = np.concatenate(([0], np.cumsum(is_stop.astype(np.int64))))
+        stop_counts = cs[offsets[1:]] - cs[offsets[:-1]]
+        n_chars = pc.utf8_length(text).to_numpy(zero_copy_only=False).astype(np.int64)
+        n_alpha = (
+            pc.count_substring_regex(text, "[A-Za-z]")
+            .to_numpy(zero_copy_only=False)
+            .astype(np.int64)
+        )
+        keep = n_tokens >= 10
+        with np.errstate(divide="ignore", invalid="ignore"):
+            keep &= stop_counts / n_tokens.astype(np.float64) >= 0.05
+            keep &= n_alpha / n_chars.astype(np.float64) >= 0.5
         prefix = pc.binary_join(pc.list_slice(words, 0, prefix_words), " ")
         return pd.DataFrame(
             {
                 "doc_id": batch["doc_id"].to_numpy(zero_copy_only=False)[keep].astype(np.int64),
                 "prefix": prefix.to_numpy(zero_copy_only=False)[keep],
-                "n_tokens": feats["n_tokens"].to_numpy()[keep],
+                "n_tokens": n_tokens[keep],
             }
         )
 
