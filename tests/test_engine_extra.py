@@ -318,3 +318,65 @@ def test_override_spec_compose():
     # entries must be named
     with pytest.raises(SpecError):
         override_spec(base, {"unique_keys": [{"columns": ["a"]}]})
+
+
+def test_grouped_drift_catches_single_bad_source(tmp_path, ray_session):
+    """DriftSpec(group_by=...): a drifted source hiding inside a healthy
+    aggregate mix — the aggregate gate passes, the per-group gate fails
+    exactly the bad source. Round-trips through spec JSON."""
+    import numpy as np
+    import pyarrow as pa
+    import pyarrow.parquet as pq
+
+    from xmlschema_ray.constraints.serde import spec_from_json, spec_to_json
+    from xmlschema_ray.constraints.spec import ColumnSpec, DriftSpec, TableConstraints
+    from xmlschema_ray.engine.engine import ValidationEngine
+
+    seq_dir = os.path.join(str(tmp_path), "seq")
+    os.makedirs(seq_dir)
+    # source A: uniform over [0, 50) — matches the uniform reference.
+    # source B: all mass in the last bin — drifted, but only ~4% of rows.
+    a_vals = np.arange(1000, dtype=np.int64) % 50
+    b_vals = np.full(40, 45, dtype=np.int64)
+    df = pd.DataFrame(
+        {
+            "doc_id": np.arange(1040, dtype=np.int64),
+            "n_tok": np.concatenate([a_vals, b_vals]),
+            "source": ["A"] * 1000 + ["B"] * 40,
+        }
+    )
+    for j in range(4):
+        pq.write_table(
+            pa.Table.from_pandas(df.iloc[j::4]), os.path.join(seq_dir, f"p{j}.parquet")
+        )
+
+    spec = TableConstraints(
+        name="grouped_drift",
+        columns=[
+            ColumnSpec("doc_id", pa.int64(), nullable=False),
+            ColumnSpec("n_tok", pa.int64(), nullable=False),
+            ColumnSpec("source", pa.string(), nullable=False),
+        ],
+        drift=[
+            DriftSpec(
+                column="n_tok",
+                bin_edges=tuple(float(x) for x in range(0, 60, 10)),
+                reference_hist=(100, 100, 100, 100, 100),
+                group_by="source",
+                name="drift_n_tok",
+            )
+        ],
+        key_columns=("doc_id",),
+    )
+    # group_by survives the JSON round-trip
+    spec = spec_from_json(spec_to_json(spec))
+    assert spec.drift[0].group_by == "source"
+
+    res = ValidationEngine(spec, batch_size=128, n_shards=2).run(
+        seq_dir, out_dir=os.path.join(str(tmp_path), "out")
+    )
+    by_name = {d.name: d for d in res.drift}
+    assert by_name["drift_n_tok"].passed  # aggregate mix looks healthy
+    assert by_name["drift_n_tok[A]"].passed
+    assert not by_name["drift_n_tok[B]"].passed  # the hidden bad source
+    assert "drift_n_tok[B]" in res.summary["drift_failed"]

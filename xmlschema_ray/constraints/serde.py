@@ -279,6 +279,7 @@ def spec_to_json(spec: TableConstraints) -> Dict[str, Any]:
                 "ks_threshold": d.ks_threshold,
                 "psi_threshold": d.psi_threshold,
                 "use_list_length": d.use_list_length,
+                "group_by": d.group_by,
             }
             for d in spec.drift
         ],
@@ -347,6 +348,7 @@ def spec_from_json(doc: Dict[str, Any]) -> TableConstraints:
                 ks_threshold=d.get("ks_threshold", 0.15),
                 psi_threshold=d.get("psi_threshold", 0.25),
                 use_list_length=d.get("use_list_length", False),
+                group_by=d.get("group_by"),
                 name=d.get("name"),
             )
             for d in doc.get("drift", [])

@@ -227,6 +227,13 @@ class DriftSpec:
     ``reference_hist`` with a two-sample KS statistic over the binned ECDFs
     and PSI. Exceeding either threshold fails the drift verdict — the stats
     channel, never the row-violation channel.
+
+    ``group_by`` additionally gates every GROUP of the named column
+    against the same reference (one histogram per group value, merged
+    through the normal stats channel): a single bad provenance source
+    stays visible even when the aggregate mix still matches the
+    reference. Group cardinality must be metadata-sized (provenance
+    labels, not keys) — each group adds one ~2 KB histogram per shard.
     """
 
     column: str
@@ -235,6 +242,7 @@ class DriftSpec:
     ks_threshold: float = 0.15
     psi_threshold: float = 0.25
     use_list_length: bool = False
+    group_by: Optional[str] = None
     name: Optional[str] = None
 
     def __post_init__(self):

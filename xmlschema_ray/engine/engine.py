@@ -759,4 +759,25 @@ class ValidationEngine:
             p = psi(ref, hist)
             passed = ks <= d.ks_threshold and p <= d.psi_threshold
             out.append(DriftResult(d.name, d.column, ks, p, passed, hist.tolist()))
+            if d.group_by:
+                # per-group gates against the SAME reference profile: a
+                # drifted source stays visible even when the aggregate mix
+                # still matches (KS/PSI normalize to densities, so group
+                # size does not bias the comparison)
+                prefix = f"{qname}@"
+                for hname in sorted(h for h in merged.histograms if h.startswith(prefix)):
+                    gh = merged.histograms[hname]
+                    gks = ks_statistic(ref, gh)
+                    gp = psi(ref, gh)
+                    gpassed = gks <= d.ks_threshold and gp <= d.psi_threshold
+                    out.append(
+                        DriftResult(
+                            f"{d.name}[{hname[len(prefix):]}]",
+                            d.column,
+                            gks,
+                            gp,
+                            gpassed,
+                            gh.tolist(),
+                        )
+                    )
         return out

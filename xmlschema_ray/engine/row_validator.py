@@ -247,7 +247,8 @@ class RowValidator:
             histogram_specs = {}
             for d in spec.drift:
                 qname = f"len({d.column})" if d.use_list_length else d.column
-                histogram_specs[qname] = np.asarray(d.bin_edges, dtype=np.float64)
+                edges = np.asarray(d.bin_edges, dtype=np.float64)
+                histogram_specs[qname] = (edges, d.group_by) if d.group_by else edges
         self.histogram_specs = histogram_specs
         # Broadcast dimension key sets for xs:keyref-style referential checks
         # (``validators/identities.py:290-318``): the engine ``ray.put``s the

@@ -201,8 +201,12 @@ def collect_batch_stats(
 ) -> BatchStats:
     """Compute one BatchStats for an Arrow batch — all vectorized.
 
-    ``histogram_specs`` maps quantity-name -> bin_edges. A quantity named
-    ``len(<col>)`` histograms ``pc.list_value_length(col)``.
+    ``histogram_specs`` maps quantity-name -> bin_edges, or ->
+    ``(bin_edges, group_by_column)`` for grouped drift gates: the grouped
+    form ALSO emits one histogram per observed group value under the key
+    ``"<qname>@<group>"`` (keys merge across batches/shards through the
+    normal ``BatchStats.merge`` addition). A quantity named ``len(<col>)``
+    histograms ``pc.list_value_length(col)``.
     """
     bs = BatchStats(n_rows=table.num_rows)
     for name in stats_columns:
@@ -225,7 +229,8 @@ def collect_batch_stats(
         reg = hll_new()
         hll_add_hashes(reg, hash64(vals))
         bs.hlls[name] = reg
-    for qname, edges in histogram_specs.items():
+    for qname, spec_v in histogram_specs.items():
+        edges, group_by = spec_v if isinstance(spec_v, tuple) else (spec_v, None)
         if qname.startswith("len(") and qname.endswith(")"):
             src = qname[4:-1]
             if src not in table.column_names:
@@ -238,6 +243,17 @@ def collect_batch_stats(
         vals, _ = _column_numeric_values(q)
         hist, _ = np.histogram(vals, bins=edges)
         bs.histograms[qname] = hist.astype(np.int64)
+        if group_by and group_by in table.column_names:
+            # pairwise null mask keeps quantity and group values ALIGNED
+            # (_column_numeric_values drops nulls and would misalign)
+            q_pd = q.to_pandas()
+            g_pd = table[group_by].to_pandas()
+            ok = q_pd.notna().to_numpy() & g_pd.notna().to_numpy()
+            qv = q_pd.to_numpy()[ok]
+            gv_arr = g_pd.to_numpy()[ok]
+            for gv in pd.unique(gv_arr):
+                h, _ = np.histogram(qv[gv_arr == gv], bins=edges)
+                bs.histograms[f"{qname}@{gv}"] = h.astype(np.int64)
     return bs
 
 
