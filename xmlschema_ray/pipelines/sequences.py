@@ -184,6 +184,96 @@ SELECT 'drift_token_length' AS name,
 """
 
 
+def drift_by_source(sf_dir: str) -> pd.DataFrame:
+    """Per-PROVENANCE drift gates (``DriftSpec(group_by=...)`` through the
+    full engine): the corpus aggregate token-length profile becomes the
+    reference, and every source's own distribution is gated against it —
+    the source-mix diagnostic that catches one bad provenance feed hiding
+    inside a healthy aggregate. Scaled-int KS/PSI outputs per source, the
+    ``drift_check`` oracle convention."""
+    seq = sequences_from_documents(sf_dir)
+    dims = {"sources": _sources_dim(sf_dir)}
+
+    res_a = ValidationEngine(sequences_spec(), batch_size=4096, n_shards=1).run(
+        seq, out_dir=_scratch("drift_src_profile"), dims=dims, resume=False
+    )
+    ref_hist = tuple(int(x) for x in res_a.summary["histograms"]["len(tokens)"])
+
+    res_b = ValidationEngine(
+        sequences_spec(reference_hist=ref_hist, drift_group_by="source"),
+        batch_size=4096,
+        n_shards=1,
+    ).run(seq, out_dir=_scratch("drift_src_gated"), dims=dims, resume=False)
+
+    rows = []
+    for d in res_b.drift:
+        if "[" not in d.name:
+            continue  # the aggregate gate (trivially ks=0 vs itself)
+        rows.append(
+            {
+                "source": d.name.split("[", 1)[1][:-1],
+                "n_cur": np.int64(sum(d.observed_hist)),
+                "ks_e6": np.int64(np.floor(d.ks * 1e6 + 0.5)),
+                "psi_e6": np.int64(np.floor(d.psi * 1e6 + 0.5)),
+                "passed": bool(d.passed),
+            }
+        )
+    return pd.DataFrame(rows).sort_values("source").reset_index(drop=True)
+
+
+# DuckDB re-derivation of the grouped gates: same binning as DRIFT_SQL,
+# but the reference side is the corpus aggregate and the current side is
+# each source's own histogram over the complete source×bin grid.
+DRIFT_BY_SOURCE_SQL = """
+WITH toks AS (
+  SELECT source,
+         CAST(length(regexp_split_to_array(trim(text), '\\s+')) AS BIGINT) AS n_tok
+  FROM documents
+), binned AS (
+  SELECT source, LEAST(CAST(FLOOR(n_tok / 32.0) AS BIGINT), 255) AS bin
+  FROM toks WHERE n_tok BETWEEN 0 AND 8192
+), srcs AS (
+  SELECT DISTINCT source FROM binned
+), grid AS (
+  SELECT s.source, r.range AS bin FROM srcs s, range(0, 256) r
+), h AS (
+  SELECT g.source, g.bin, CAST(COUNT(b.bin) AS DOUBLE) AS cb
+  FROM grid g LEFT JOIN binned b ON b.source = g.source AND b.bin = g.bin
+  GROUP BY g.source, g.bin
+), aggh AS (
+  SELECT r.range AS bin, CAST(COALESCE(a.n, 0) AS DOUBLE) AS ca
+  FROM range(0, 256) r
+  LEFT JOIN (SELECT bin, COUNT(*) AS n FROM binned GROUP BY bin) a ON a.bin = r.range
+), tot AS (
+  SELECT SUM(ca) AS na FROM aggh
+), stot AS (
+  SELECT source, SUM(cb) AS nb FROM h GROUP BY source
+), cum AS (
+  SELECT h.source,
+         SUM(a.ca) OVER (PARTITION BY h.source ORDER BY h.bin) / (SELECT na FROM tot) AS fa,
+         SUM(h.cb) OVER (PARTITION BY h.source ORDER BY h.bin) / s.nb AS fb
+  FROM h JOIN aggh a USING (bin) JOIN stot s USING (source)
+), ks AS (
+  SELECT source, MAX(ABS(fa - fb)) AS ks FROM cum GROUP BY source
+), terms AS (
+  SELECT h.source,
+         GREATEST(a.ca / (SELECT na FROM tot), 1e-6) AS pe,
+         GREATEST(h.cb / s.nb, 1e-6) AS pa
+  FROM h JOIN aggh a USING (bin) JOIN stot s USING (source)
+), psi AS (
+  SELECT source, SUM((pa - pe) * LN(pa / pe)) AS psi FROM terms GROUP BY source
+)
+SELECT s.source,
+       CAST(st.nb AS BIGINT) AS n_cur,
+       CAST(FLOOR(k.ks * 1e6 + 0.5) AS BIGINT) AS ks_e6,
+       CAST(FLOOR(p.psi * 1e6 + 0.5) AS BIGINT) AS psi_e6,
+       (k.ks <= 0.15 AND p.psi <= 0.25) AS passed
+FROM srcs s
+JOIN stot st USING (source) JOIN ks k USING (source) JOIN psi p USING (source)
+ORDER BY s.source
+"""
+
+
 # DuckDB cross-check of the seeded run: recomputes every constraint's
 # violation count from the corpus the query just wrote to its deterministic
 # scratch dir (the reference's `--errors N` manifest convention,
@@ -239,9 +329,11 @@ ORACLES: Dict[str, str] = {
     "validate_sequences": VALIDATE_SEQUENCES_SQL,
     "validate_sequences_seeded": SEEDED_SQL,
     "drift_check": DRIFT_SQL,
+    "drift_by_source": DRIFT_BY_SOURCE_SQL,
 }
 QUERIES = {
     "validate_sequences": validate_sequences,
     "validate_sequences_seeded": validate_sequences_seeded,
     "drift_check": drift_check,
+    "drift_by_source": drift_by_source,
 }

@@ -53,6 +53,7 @@ def sequences_spec(
     vocab: int = VOCAB,
     max_tok: int = MAX_TOK,
     sources_dim: str = "sources",
+    drift_group_by: Optional[str] = None,
 ) -> TableConstraints:
     """The flagship constraint spec over the sequence table.
 
@@ -101,6 +102,7 @@ def sequences_spec(
                 bin_edges=bin_edges,
                 reference_hist=reference_hist,
                 use_list_length=True,
+                group_by=drift_group_by,
                 name="drift_token_length",
             )
         ],
