@@ -380,3 +380,30 @@ def test_grouped_drift_catches_single_bad_source(tmp_path, ray_session):
     assert by_name["drift_n_tok[A]"].passed
     assert not by_name["drift_n_tok[B]"].passed  # the hidden bad source
     assert "drift_n_tok[B]" in res.summary["drift_failed"]
+
+
+def test_violation_cap_keeps_exact_counts(tmp_path, ray_session):
+    """max_violations_per_batch truncates MATERIALIZED violation rows but
+    verdicts/n_violations stay exact via overflow count records — the
+    pathological-corpus guard (a fully-broken input must not materialize
+    one output row per input row)."""
+    seq_dir, dim, exp = write_sequences_corpus(
+        str(tmp_path / "c"), n_rows=600, n_files=4, defects={"bad_token_range": 60}
+    )
+    capped = ValidationEngine(
+        sequences_spec(), batch_size=64, n_shards=2, max_violations_per_batch=2
+    ).run(seq_dir, out_dir=str(tmp_path / "o"), dims={"sources": dim})
+
+    assert capped.job_validity == "invalid"
+    assert capped.n_violations == 60  # exact despite truncation
+    assert int(capped.verdicts["n_violations"].sum()) == 60
+    viol = capped.violations()
+    assert 0 < len(viol) < 60  # exemplars materialized, tail truncated
+    assert sum(capped.summary["violations_truncated"].values()) == 60 - len(viol)
+
+    # uncapped control on the same corpus: identical verdict counts
+    full = ValidationEngine(sequences_spec(), batch_size=64, n_shards=2).run(
+        seq_dir, out_dir=str(tmp_path / "f"), dims={"sources": dim}
+    )
+    assert full.n_violations == 60 and len(full.violations()) == 60
+    assert full.summary["violations_truncated"] == {}

@@ -149,6 +149,7 @@ class ValidationEngine:
         concurrency: Optional[int] = None,
         n_shards: Optional[int] = None,
         use_actors: bool = False,
+        max_violations_per_batch: Optional[int] = None,
     ):
         self.spec = spec.compile()
         self.batch_size = batch_size
@@ -160,6 +161,10 @@ class ValidationEngine:
         # multi-second cold start that dominates short jobs. Set
         # ``use_actors=True`` when per-worker setup is genuinely expensive.
         self.use_actors = use_actors
+        # violation-row materialization cap per (batch, constraint) — the
+        # pathological-corpus guard; counts stay exact via overflow records
+        # (see RowValidator). None = materialize everything (default).
+        self.max_violations_per_batch = max_violations_per_batch
         # adaptive-plan threshold: below this many bytes the finalize
         # phases run driver-side (arrow aggregate / sort / stats fold);
         # above it they run as distributed Ray pipelines. Exposed for
@@ -300,6 +305,7 @@ class ValidationEngine:
                 partition_id=pid,
                 mode=mode,
                 fk_sets_ref=fk_ref,
+                max_violations_per_batch=self.max_violations_per_batch,
             )
             if self.use_actors:
                 unified = ds.map_batches(
@@ -365,6 +371,11 @@ class ValidationEngine:
         t = d.to_table(columns=["record_kind", "count"])
         kinds = t["record_kind"]
         n_viol = int(pc.sum(pc.cast(pc.equal(kinds, "violation"), pa.int64())).as_py() or 0)
+        # capped-materialization overflow records carry the exact count of
+        # violation rows that were NOT materialized (see RowValidator)
+        n_viol += int(
+            pc.sum(t.filter(pc.equal(kinds, "viol_overflow"))["count"]).as_py() or 0
+        )
         stats_counts = t.filter(pc.equal(kinds, "stats"))["count"]
         n_rows = int(pc.sum(stats_counts).as_py() or 0)
         chash = ""
@@ -689,6 +700,22 @@ class ValidationEngine:
             vc = pc.value_counts(vc_tbl["partition_id"].combine_chunks())
             for pid, n in zip(vc.field("values").to_pylist(), vc.field("counts").to_pylist()):
                 verdict_by_pid.setdefault(int(pid), V.PartitionVerdict(int(pid))).mark(int(n))
+        violations_truncated: Dict[int, int] = {}
+        if self.max_violations_per_batch is not None and unified_has_data:
+            # dropped-row counts from the capped materialization: the
+            # written violations undercount by exactly these overflow
+            # records — add them back so verdicts stay exact
+            ot = pads.dataset(unified_dir).to_table(
+                columns=["partition_id", "count"],
+                filter=pads.field("record_kind") == "viol_overflow",
+            )
+            if ot.num_rows:
+                sums = ot.to_pandas().groupby("partition_id")["count"].sum()
+                for pid, n in sums.items():
+                    violations_truncated[int(pid)] = int(n)
+                    verdict_by_pid.setdefault(
+                        int(pid), V.PartitionVerdict(int(pid))
+                    ).mark(int(n))
         _t = _mark("verdict counts", _t)
         verdicts = V.verdicts_frame(list(verdict_by_pid.values()))
         job = V.job_validity(list(verdict_by_pid.values()))
@@ -701,6 +728,7 @@ class ValidationEngine:
             "n_partitions": len(verdicts),
             "n_rows": int(verdicts["n_rows"].sum()) if len(verdicts) else 0,
             "n_violations": n_violations,
+            "violations_truncated": violations_truncated,
             "columns": {k: cs.to_dict() for k, cs in merged.columns.items()},
             "distinct_estimates": {k: hll_estimate(reg) for k, reg in merged.hlls.items()},
             "histograms": {k: h.tolist() for k, h in merged.histograms.items()},

@@ -39,7 +39,9 @@ from xmlschema_ray.engine.stats import BatchStats, collect_batch_stats
 # lifted per block.
 UNIFIED_SCHEMA = pa.schema(
     [
-        pa.field("record_kind", pa.string()),  # "violation" | "stats" | "keycount"
+        # "violation" | "stats" | "keycount" | "viol_overflow" (capped-
+        # materialization count records, see max_violations_per_batch)
+        pa.field("record_kind", pa.string()),
         pa.field("partition_id", pa.int32()),
         pa.field("key", pa.string()),
         pa.field("constraint_name", pa.string()),
@@ -229,6 +231,7 @@ class RowValidator:
         emit_keycounts: bool = True,
         histogram_specs: Optional[Dict[str, np.ndarray]] = None,
         fk_sets_ref=None,
+        max_violations_per_batch: Optional[int] = None,
     ):
         assert mode in ("collect", "failfast", "stats_only")
         # Each pool actor is one logical CPU; Arrow's default intra-kernel
@@ -243,6 +246,14 @@ class RowValidator:
         self.mode = mode
         self.emit_stats = emit_stats
         self.emit_keycounts = emit_keycounts
+        # Scale guard for pathological corpora: a 100%-broken input would
+        # otherwise MATERIALIZE one violation row per input row (10^12 rows
+        # of output for 10^12 broken rows). The cap truncates materialized
+        # rows per (batch, constraint); dropped rows are still COUNTED
+        # exactly through a "viol_overflow" count record, so verdicts and
+        # n_violations stay exact — only which exemplar rows are kept
+        # becomes parallelism-dependent. None (default) disables.
+        self.max_violations_per_batch = max_violations_per_batch
         if histogram_specs is None:
             histogram_specs = {}
             for d in spec.drift:
@@ -306,6 +317,18 @@ class RowValidator:
                 if self.mode == "failfast":
                     k = _key_strings(table, self.spec, idx[:1])[0]
                     raise ValidationFailure(f"{cname} violated at key={k!r}: {reason}")
+                cap = self.max_violations_per_batch
+                if cap is not None and len(idx) > cap:
+                    n_drop = len(idx) - cap
+                    idx = idx[:cap]
+                    kinds.append("viol_overflow")
+                    keys.append(None)
+                    names.append(cname)
+                    columns.append(col)
+                    reasons.append(reason)
+                    vreprs.append(None)
+                    counts.append(int(n_drop))
+                    blobs.append(None)
                 ks = _key_strings(table, self.spec, idx)
                 if reprs is not None:
                     vr = [reprs[i] if reprs[i] is not None else "" for i in idx]
