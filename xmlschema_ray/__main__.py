@@ -4,7 +4,8 @@ Usage::
 
     python -m xmlschema_ray validate --input DIR_OR_GLOB --spec spec.json \
         --out OUT_DIR [--dim name=path ...] [--mode collect|failfast|stats_only] \
-        [--num-cpus N] [--shards K] [--batch-size B] [--no-resume]
+        [--num-cpus N] [--shards K] [--batch-size B] [--no-resume] \
+        [--max-violations K]
     python -m xmlschema_ray spec-example            # print the flagship spec JSON
     python -m xmlschema_ray gen --out DIR --rows N  # deterministic corpus
 
@@ -47,7 +48,10 @@ def cmd_validate(args) -> int:
             return 2
         dims[name] = path
     eng = ValidationEngine(
-        spec, batch_size=args.batch_size, n_shards=args.shards
+        spec,
+        batch_size=args.batch_size,
+        n_shards=args.shards,
+        max_violations_per_batch=args.max_violations,
     )
     res = eng.run(args.input, out_dir=args.out, dims=dims, mode=args.mode, resume=not args.no_resume)
     print(json.dumps(res.summary, indent=2, default=float))
@@ -130,6 +134,13 @@ def main(argv=None) -> int:
     v.add_argument("--shards", type=int, default=4)
     v.add_argument("--batch-size", type=int, default=16384)
     v.add_argument("--no-resume", action="store_true")
+    v.add_argument(
+        "--max-violations",
+        type=int,
+        default=None,
+        help="cap MATERIALIZED violation rows per batch per constraint "
+        "(counts stay exact; guard for fully-broken corpora)",
+    )
     v.set_defaults(fn=cmd_validate)
 
     s = sub.add_parser("spec-example", help="print the flagship sequence spec as JSON")
