@@ -105,3 +105,53 @@ def test_extend_appends_and_compiles():
     assert [c.name for c in d.columns] == ["id", "qty", "code", "extra"]
     # inherited columns unchanged
     assert d.columns[1].facets == _base().columns[1].facets
+
+
+def test_spec_compat_classifies_changes():
+    """Evolution audit: loosening is compatible, tightening is breaking,
+    cross-kind bound implication is sound."""
+    import pyarrow as pa
+
+    from xmlschema_ray.constraints import facets as F
+    from xmlschema_ray.constraints.derive import spec_compat
+    from xmlschema_ray.constraints.spec import ColumnSpec, TableConstraints, UniqueKey
+
+    old = TableConstraints(
+        name="v1",
+        columns=[
+            ColumnSpec("id", pa.int64(), nullable=False,
+                       facets=(F.MinExclusive(5), F.MaxInclusive(100))),
+            ColumnSpec("tag", pa.string(), nullable=False,
+                       facets=(F.Enumeration(("a", "b")),)),
+            ColumnSpec("legacy", pa.string(), nullable=True),
+        ],
+        unique_keys=[UniqueKey(("id",), name="uk_id")],
+        key_columns=("id",),
+    )
+    new = TableConstraints(
+        name="v2",
+        columns=[
+            # MinInclusive(5) is IMPLIED by old MinExclusive(5); Max loosened
+            ColumnSpec("id", pa.int64(), nullable=True,
+                       facets=(F.MinInclusive(5), F.MaxInclusive(200))),
+            # enum widened (compatible) — values drawn from {a,b} still pass
+            ColumnSpec("tag", pa.string(), nullable=False,
+                       facets=(F.Enumeration(("a", "b", "c")), F.MinLength(2))),
+            # new optional column: compatible; new required column: breaking
+            ColumnSpec("extra_opt", pa.string(), required=False),
+            ColumnSpec("extra_req", pa.string()),
+        ],
+        unique_keys=[UniqueKey(("id",), name="uk_id"), UniqueKey(("tag",), name="uk_tag")],
+        key_columns=("id",),
+    )
+    findings = spec_compat(old, new)
+    broken = {(f["item"], f["change"]) for f in findings if not f["compatible"]}
+    # exactly these four breaks: the tightened MinLength, the dropped
+    # column under allow_extra default True is compatible, the required
+    # new column, and the added unique key
+    assert ("column tag", "facet added/tightened: minLength(2)") in broken
+    assert ("column extra_req", "added") in broken
+    assert ("unique_key uk_tag", "added") in broken
+    assert not any(f["item"] == "column id" and not f["compatible"] for f in findings)
+    assert any(f["item"] == "column legacy" and f["compatible"] for f in findings)
+    assert any(f["item"] == "column extra_opt" and f["compatible"] for f in findings)

@@ -173,3 +173,148 @@ def extend(
         columns=list(base.columns) + list(new_columns),
         row_checks=list(base.row_checks) + list(row_checks),
     )
+
+
+# -- backward-compatibility audit -----------------------------------------
+
+
+def _min_implied(old_facets: Sequence[Facet], new: Facet) -> bool:
+    """Does some old lower bound imply the new one for all old-valid x?"""
+    w = _facet_value(new)
+    for b in old_facets:
+        if isinstance(b, (MinInclusive, MinExclusive)):
+            v = _facet_value(b)
+            if isinstance(new, MinInclusive):
+                if v >= w:  # x >= v (or x > v) and v >= w  =>  x >= w
+                    return True
+            else:  # new MinExclusive: need x > w
+                if (isinstance(b, MinInclusive) and v > w) or (
+                    isinstance(b, MinExclusive) and v >= w
+                ):
+                    return True
+    return False
+
+
+def _max_implied(old_facets: Sequence[Facet], new: Facet) -> bool:
+    w = _facet_value(new)
+    for b in old_facets:
+        if isinstance(b, (MaxInclusive, MaxExclusive)):
+            v = _facet_value(b)
+            if isinstance(new, MaxInclusive):
+                if v <= w:
+                    return True
+            else:  # new MaxExclusive: need x < w
+                if (isinstance(b, MaxInclusive) and v < w) or (
+                    isinstance(b, MaxExclusive) and v <= w
+                ):
+                    return True
+    return False
+
+
+def _facet_implied(old_facets: Sequence[Facet], new: Facet) -> bool:
+    """True iff every value accepted by the OLD stack also satisfies ``new``
+    (sound, not complete: undecidable/unmodeled cases return False)."""
+    # identical facet present → trivially implied
+    if any(type(b) is type(new) and b.describe() == new.describe() for b in old_facets):
+        return True
+    if isinstance(new, (MinInclusive, MinExclusive)):
+        return _min_implied(old_facets, new)
+    if isinstance(new, (MaxInclusive, MaxExclusive)):
+        return _max_implied(old_facets, new)
+    if isinstance(new, MinLength):
+        for b in old_facets:
+            if isinstance(b, MinLength) and _facet_value(b) >= new.k:
+                return True
+            if isinstance(b, Length) and b.k >= new.k:
+                return True
+        return False
+    if isinstance(new, (MaxLength, TotalDigits, FractionDigits)):
+        for b in old_facets:
+            if type(b) is type(new) and _facet_value(b) <= _facet_value(new):
+                return True
+            if isinstance(new, MaxLength) and isinstance(b, Length) and b.k <= new.k:
+                return True
+        return False
+    if isinstance(new, Length):
+        return any(isinstance(b, Length) and b.k == new.k for b in old_facets)
+    if isinstance(new, Enumeration):
+        for b in old_facets:
+            if isinstance(b, Enumeration) and set(b.values) <= set(new.values):
+                return True
+        return False
+    if isinstance(new, ExplicitTimezone):
+        return new.value == "optional"
+    # Pattern containment is undecidable; WhiteSpace changes normalization
+    # semantics; nested stacks (ItemFacets/UnionFacets/StructField) only
+    # match on identity above.
+    return False
+
+
+def spec_compat(old: TableConstraints, new: TableConstraints) -> List[Dict]:
+    """Schema-evolution audit: is every table VALID under ``old`` still
+    valid under ``new``?  The gate a production deployment runs before
+    re-validating a 100-TB corpus against an updated spec — a breaking
+    change means previously-green partitions may now fail.
+
+    Returns one finding per change: ``{"item", "change", "compatible",
+    "detail"}``; backward-compatible iff all ``compatible``. Sound, not
+    complete (pattern containment and nested-stack implication are only
+    recognized on identity, so some safe changes report breaking — never
+    the reverse). The evolution counterpart of :func:`restrict` /
+    :func:`extend` (reference: ``simple_types.py:879-930`` runs the same
+    facet algebra at build time)."""
+    out: List[Dict] = []
+
+    def add(item: str, change: str, compatible: bool, detail: str = "") -> None:
+        out.append(
+            {"item": item, "change": change, "compatible": compatible, "detail": detail}
+        )
+
+    old_cols = {c.name: c for c in old.columns}
+    new_cols = {c.name: c for c in new.columns}
+    for name, oc in old_cols.items():
+        nc = new_cols.get(name)
+        if nc is None:
+            add(
+                f"column {name}",
+                "dropped",
+                bool(new.allow_extra_columns),
+                "now unchecked" if new.allow_extra_columns else "extra columns rejected",
+            )
+            continue
+        if str(oc.dtype) != str(nc.dtype):
+            add(f"column {name}", "dtype changed", False, f"{oc.dtype} -> {nc.dtype}")
+        if oc.nullable and not nc.nullable:
+            add(f"column {name}", "nullable -> non-null", False, "old nulls now fail")
+        if not oc.required and nc.required:
+            add(f"column {name}", "optional -> required", False, "absent column now fails")
+        for f in nc.facets:
+            if not _facet_implied(oc.facets, f):
+                add(
+                    f"column {name}",
+                    f"facet added/tightened: {f.describe()}",
+                    False,
+                    "old-valid values may fail",
+                )
+    for name, nc in new_cols.items():
+        if name not in old_cols:
+            add(
+                f"column {name}",
+                "added",
+                not nc.required,
+                "required column absent from old data" if nc.required else "optional",
+            )
+
+    for kind, old_items, new_items in (
+        ("unique_key", old.unique_keys, new.unique_keys),
+        ("foreign_key", old.foreign_keys, new.foreign_keys),
+        ("row_check", old.row_checks, new.row_checks),
+    ):
+        old_names = {k.name for k in old_items}
+        new_names = {k.name for k in new_items}
+        for n in sorted(new_names - old_names):
+            add(f"{kind} {n}", "added", False, "old data never checked against it")
+        for n in sorted(old_names - new_names):
+            add(f"{kind} {n}", "removed", True, "")
+
+    return out
