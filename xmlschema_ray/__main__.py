@@ -120,6 +120,17 @@ def cmd_query(args) -> int:
     return 0
 
 
+def cmd_compat(args) -> int:
+    """Schema-evolution audit between two spec JSON documents; exit 0 iff
+    every change is backward-compatible (old-valid data stays valid)."""
+    from xmlschema_ray.constraints.derive import spec_compat
+    from xmlschema_ray.constraints.serde import load_spec
+
+    findings = spec_compat(load_spec(args.old), load_spec(args.new))
+    print(json.dumps({"findings": findings, "backward_compatible": all(f["compatible"] for f in findings)}, indent=2))
+    return 0 if all(f["compatible"] for f in findings) else 1
+
+
 def main(argv=None) -> int:
     p = argparse.ArgumentParser(prog="xmlschema_ray")
     sub = p.add_subparsers(dest="cmd", required=True)
@@ -161,6 +172,13 @@ def main(argv=None) -> int:
     q.add_argument("--num-cpus", type=int, default=None)
     q.add_argument("--list", action="store_true")
     q.set_defaults(fn=cmd_query)
+
+    c = sub.add_parser(
+        "compat", help="audit spec evolution: old-valid data still valid under new?"
+    )
+    c.add_argument("--old", required=True)
+    c.add_argument("--new", required=True)
+    c.set_defaults(fn=cmd_compat)
 
     args = p.parse_args(argv)
     return args.fn(args)
