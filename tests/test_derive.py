@@ -127,6 +127,7 @@ def test_spec_compat_classifies_changes():
         ],
         unique_keys=[UniqueKey(("id",), name="uk_id")],
         key_columns=("id",),
+        allow_extra_columns=False,  # old data cannot carry undeclared columns
     )
     new = TableConstraints(
         name="v2",
@@ -155,3 +156,51 @@ def test_spec_compat_classifies_changes():
     assert not any(f["item"] == "column id" and not f["compatible"] for f in findings)
     assert any(f["item"] == "column legacy" and f["compatible"] for f in findings)
     assert any(f["item"] == "column extra_opt" and f["compatible"] for f in findings)
+
+
+def test_spec_compat_soundness_holes_closed():
+    """Review-found unsound classifications: same-name definition changes,
+    allow_extra True->False, encoding-changed lengths, cross-dtype facet
+    values, and added-optional columns under old allow_extra=True are ALL
+    reported breaking (sound: never breaking-as-compatible)."""
+    import datetime
+
+    import pyarrow as pa
+
+    from xmlschema_ray.constraints import facets as F
+    from xmlschema_ray.constraints.derive import spec_compat
+    from xmlschema_ray.constraints.spec import ColumnSpec, TableConstraints, UniqueKey
+
+    old = TableConstraints(
+        name="v1",
+        columns=[
+            ColumnSpec("id", pa.int64(), nullable=False, facets=(F.MinInclusive(5),)),
+            ColumnSpec("s", pa.string(), facets=(F.MaxLength(10),)),
+        ],
+        unique_keys=[UniqueKey(("id", "s"), name="uk")],
+        key_columns=("id",),
+        allow_extra_columns=True,
+    )
+    new = TableConstraints(
+        name="v2",
+        columns=[
+            # dtype changed: flagged once, facet domain not compared (no crash)
+            ColumnSpec("id", pa.timestamp("us"), nullable=False,
+                       facets=(F.MinInclusive(datetime.datetime(2020, 1, 1)),)),
+            # same numeric bound but bytes-not-chars: breaking
+            ColumnSpec("s", pa.string(), facets=(F.MaxLength(10, encoding="hex"),)),
+            ColumnSpec("x", pa.int64(), required=False),  # may exist unchecked in old data
+        ],
+        unique_keys=[UniqueKey(("id",), name="uk")],  # same name, tighter definition
+        key_columns=("id",),
+        allow_extra_columns=False,
+    )
+    findings = spec_compat(old, new)
+    broken = {(f["item"], f["change"]) for f in findings if not f["compatible"]}
+    assert ("column id", "dtype changed") in broken
+    assert ("column s", "facet added/tightened: maxLength(10)[hex]") in broken or any(
+        f["item"] == "column s" and not f["compatible"] for f in findings
+    )
+    assert ("column x", "added") in broken
+    assert ("allow_extra_columns", "True -> False") in broken
+    assert ("unique_key uk", "definition changed") in broken

@@ -407,3 +407,53 @@ def test_violation_cap_keeps_exact_counts(tmp_path, ray_session):
     )
     assert full.n_violations == 60 and len(full.violations()) == 60
     assert full.summary["violations_truncated"] == {}
+
+
+def test_drift_group_by_unknown_column_fails_compile():
+    """A typo'd group_by would silently disable every per-group gate —
+    compile must reject it like every other cross-reference."""
+    import pyarrow as pa
+    import pytest
+
+    from xmlschema_ray.constraints.spec import (
+        ColumnSpec,
+        DriftSpec,
+        SpecError,
+        TableConstraints,
+    )
+
+    spec = TableConstraints(
+        name="t",
+        columns=[ColumnSpec("n", pa.int64(), nullable=False)],
+        drift=[DriftSpec(column="n", bin_edges=(0.0, 1.0), group_by="soruce")],
+        key_columns=("n",),
+    )
+    with pytest.raises(SpecError, match="group_by"):
+        spec.compile()
+
+
+def test_negative_violation_cap_rejected():
+    import pytest
+
+    with pytest.raises(ValueError, match="max_violations_per_batch"):
+        ValidationEngine(sequences_spec(), max_violations_per_batch=-5)
+
+
+def test_capped_run_resumed_uncapped_keeps_exact_counts(tmp_path, ray_session):
+    """Resume a capped run with an UNCAPPED engine: the checkpointed
+    overflow records must still fold into the verdicts (the re-add is
+    unconditional, not gated on the resuming engine's cap setting)."""
+    seq_dir, dim, _ = write_sequences_corpus(
+        str(tmp_path / "c"), n_rows=600, n_files=4, defects={"bad_token_range": 60}
+    )
+    out = str(tmp_path / "o")
+    capped = ValidationEngine(
+        sequences_spec(), batch_size=64, n_shards=2, max_violations_per_batch=2
+    ).run(seq_dir, out_dir=out, dims={"sources": dim})
+    assert capped.n_violations == 60
+
+    resumed = ValidationEngine(sequences_spec(), batch_size=64, n_shards=2).run(
+        seq_dir, out_dir=out, dims={"sources": dim}
+    )
+    assert resumed.n_violations == 60
+    assert sum(resumed.summary["violations_truncated"].values()) > 0

@@ -222,21 +222,32 @@ def _facet_implied(old_facets: Sequence[Facet], new: Facet) -> bool:
     if isinstance(new, (MaxInclusive, MaxExclusive)):
         return _max_implied(old_facets, new)
     if isinstance(new, MinLength):
+        # length units differ per encoding (chars vs decoded octets):
+        # cross-encoding implication is unsound, compare same-encoding only
         for b in old_facets:
-            if isinstance(b, MinLength) and _facet_value(b) >= new.k:
+            if isinstance(b, MinLength) and b.encoding == new.encoding and b.k >= new.k:
                 return True
-            if isinstance(b, Length) and b.k >= new.k:
+            if isinstance(b, Length) and b.encoding == new.encoding and b.k >= new.k:
                 return True
         return False
     if isinstance(new, (MaxLength, TotalDigits, FractionDigits)):
         for b in old_facets:
             if type(b) is type(new) and _facet_value(b) <= _facet_value(new):
-                return True
-            if isinstance(new, MaxLength) and isinstance(b, Length) and b.k <= new.k:
+                if not isinstance(new, MaxLength) or b.encoding == new.encoding:
+                    return True
+            if (
+                isinstance(new, MaxLength)
+                and isinstance(b, Length)
+                and b.encoding == new.encoding
+                and b.k <= new.k
+            ):
                 return True
         return False
     if isinstance(new, Length):
-        return any(isinstance(b, Length) and b.k == new.k for b in old_facets)
+        return any(
+            isinstance(b, Length) and b.encoding == new.encoding and b.k == new.k
+            for b in old_facets
+        )
     if isinstance(new, Enumeration):
         for b in old_facets:
             if isinstance(b, Enumeration) and set(b.values) <= set(new.values):
@@ -284,12 +295,17 @@ def spec_compat(old: TableConstraints, new: TableConstraints) -> List[Dict]:
             continue
         if str(oc.dtype) != str(nc.dtype):
             add(f"column {name}", "dtype changed", False, f"{oc.dtype} -> {nc.dtype}")
+            continue  # facet values live in the old dtype's domain — not comparable
         if oc.nullable and not nc.nullable:
             add(f"column {name}", "nullable -> non-null", False, "old nulls now fail")
         if not oc.required and nc.required:
             add(f"column {name}", "optional -> required", False, "absent column now fails")
         for f in nc.facets:
-            if not _facet_implied(oc.facets, f):
+            try:
+                implied = _facet_implied(oc.facets, f)
+            except TypeError:  # un-comparable values: report, don't crash
+                implied = False
+            if not implied:
                 add(
                     f"column {name}",
                     f"facet added/tightened: {f.describe()}",
@@ -298,23 +314,52 @@ def spec_compat(old: TableConstraints, new: TableConstraints) -> List[Dict]:
                 )
     for name, nc in new_cols.items():
         if name not in old_cols:
-            add(
-                f"column {name}",
-                "added",
-                not nc.required,
-                "required column absent from old data" if nc.required else "optional",
-            )
+            if nc.required:
+                compatible, detail = False, "required column absent from old data"
+            elif old.allow_extra_columns:
+                # old data MAY already carry this column (it was an
+                # unchecked extra); the new spec now checks its dtype and
+                # facets — sound classification is breaking
+                compatible, detail = False, (
+                    "optional, but old data may carry this column unchecked "
+                    "(old allow_extra_columns=True) and now fail its checks"
+                )
+            else:
+                compatible, detail = True, "optional; old data cannot contain it"
+            add(f"column {name}", "added", compatible, detail)
+
+    if old.allow_extra_columns and not new.allow_extra_columns:
+        add(
+            "allow_extra_columns",
+            "True -> False",
+            False,
+            "old files carrying extra columns now fail schema.unexpected_column",
+        )
+
+    def _defn(kind: str, k) -> str:
+        if kind == "unique_key":
+            return f"columns={tuple(k.columns)}"
+        if kind == "foreign_key":
+            return f"{k.column}->{k.dim_name}.{k.dim_key}"
+        meta = getattr(k, "_serde", None)
+        return str(meta) if meta is not None else repr(k)
 
     for kind, old_items, new_items in (
         ("unique_key", old.unique_keys, new.unique_keys),
         ("foreign_key", old.foreign_keys, new.foreign_keys),
         ("row_check", old.row_checks, new.row_checks),
     ):
-        old_names = {k.name for k in old_items}
-        new_names = {k.name for k in new_items}
-        for n in sorted(new_names - old_names):
+        old_by = {k.name: k for k in old_items}
+        new_by = {k.name: k for k in new_items}
+        for n in sorted(set(new_by) - set(old_by)):
             add(f"{kind} {n}", "added", False, "old data never checked against it")
-        for n in sorted(old_names - new_names):
+        for n in sorted(set(old_by) - set(new_by)):
             add(f"{kind} {n}", "removed", True, "")
+        for n in sorted(set(old_by) & set(new_by)):
+            od, nd = _defn(kind, old_by[n]), _defn(kind, new_by[n])
+            if od != nd:
+                # a same-named constraint with a different definition is an
+                # added constraint in disguise (may be strictly tighter)
+                add(f"{kind} {n}", "definition changed", False, f"{od} -> {nd}")
 
     return out

@@ -340,6 +340,13 @@ class TableConstraints:
                     f"drift spec {d.name!r}: use_list_length={d.use_list_length} "
                     f"inconsistent with dtype {col.dtype}"
                 )
+            if d.group_by is not None and d.group_by not in known:
+                # a typo here would otherwise silently disable every
+                # per-group gate (the grouped stats path skips absent
+                # columns, and the read is pruned to declared columns)
+                raise SpecError(
+                    f"drift spec {d.name!r} group_by references unknown column {d.group_by!r}"
+                )
         for col in self.key_columns + self.stats_columns + self.distinct_columns:
             if col not in known:
                 raise SpecError(f"unknown column {col!r} in key/stats/distinct columns")

@@ -164,6 +164,8 @@ class ValidationEngine:
         # violation-row materialization cap per (batch, constraint) — the
         # pathological-corpus guard; counts stay exact via overflow records
         # (see RowValidator). None = materialize everything (default).
+        if max_violations_per_batch is not None and max_violations_per_batch < 0:
+            raise ValueError("max_violations_per_batch must be >= 0 or None")
         self.max_violations_per_batch = max_violations_per_batch
         # adaptive-plan threshold: below this many bytes the finalize
         # phases run driver-side (arrow aggregate / sort / stats fold);
@@ -701,7 +703,11 @@ class ValidationEngine:
             for pid, n in zip(vc.field("values").to_pylist(), vc.field("counts").to_pylist()):
                 verdict_by_pid.setdefault(int(pid), V.PartitionVerdict(int(pid))).mark(int(n))
         violations_truncated: Dict[int, int] = {}
-        if self.max_violations_per_batch is not None and unified_has_data:
+        # UNCONDITIONAL (not gated on this engine's cap setting): a capped
+        # run resumed by an uncapped engine still has overflow records in
+        # its checkpointed unified stream, and skipping them would silently
+        # undercount verdicts
+        if unified_has_data:
             # dropped-row counts from the capped materialization: the
             # written violations undercount by exactly these overflow
             # records — add them back so verdicts stay exact

@@ -253,6 +253,8 @@ class RowValidator:
         # exactly through a "viol_overflow" count record, so verdicts and
         # n_violations stay exact — only which exemplar rows are kept
         # becomes parallelism-dependent. None (default) disables.
+        if max_violations_per_batch is not None and max_violations_per_batch < 0:
+            raise ValueError("max_violations_per_batch must be >= 0 or None")
         self.max_violations_per_batch = max_violations_per_batch
         if histogram_specs is None:
             histogram_specs = {}
