@@ -1146,6 +1146,68 @@ def curation_pipeline(sf_dir: str, prefix_words: int = 5) -> "rd.Dataset":
     )
 
 
+def quota_sample(sf_dir: str, quota: int = 20) -> "rd.Dataset":
+    """EXACT-quota deterministic sampling: the ``quota`` docs with the
+    smallest ``md5(doc_id)`` per source — fixed-size per-stratum
+    selection (eval-set construction, per-source debugging samples),
+    reproducible on any engine, vs :func:`stratified_sample`'s
+    rate-based thinning whose output size is only expected.
+
+    Combiner shape: each batch pre-trims to its own per-source
+    smallest-``quota`` rows (a batch can contribute at most ``quota``
+    winners per source), so the single source-keyed exchange moves
+    O(sources × quota × batches) candidate rows, never the corpus; the
+    final trim is one vectorized sort+head per co-located source.
+    """
+    from xmlschema_ray.ops.relational import hash_partition_apply
+
+    ds = rd.read_parquet(table_path(sf_dir, "documents"), columns=["doc_id", "source"])
+
+    def keyed_partial(batch: pa.Table) -> pd.DataFrame:
+        ids = batch["doc_id"].to_numpy(zero_copy_only=False).astype(np.int64)
+        df = pd.DataFrame(
+            {
+                "doc_id": ids,
+                "source": batch["source"].to_numpy(zero_copy_only=False),
+                "h": _md5_hex(ids),
+            }
+        )
+        return (
+            df.sort_values(["source", "h", "doc_id"], kind="mergesort")
+            .groupby("source", sort=False)
+            .head(quota)
+            .reset_index(drop=True)
+        )
+
+    def per_part(g: pd.DataFrame) -> pd.DataFrame:
+        return (
+            g.sort_values(["source", "h", "doc_id"], kind="mergesort")
+            .groupby("source", sort=False)
+            .head(quota)
+            .reset_index(drop=True)
+        )
+
+    return (
+        hash_partition_apply(ds.map_batches(keyed_partial, batch_format="pyarrow"), "source", per_part)
+        .select_columns(["doc_id", "source"])
+        .sort("doc_id")
+    )
+
+
+QUOTA_SAMPLE_SQL = """
+WITH r AS (
+  SELECT doc_id, source,
+         row_number() OVER (
+           PARTITION BY source
+           ORDER BY md5(CAST(doc_id AS VARCHAR)), doc_id
+         ) AS rn
+  FROM documents
+)
+SELECT doc_id, source FROM r WHERE rn <= 20
+ORDER BY doc_id
+"""
+
+
 CURATION_PIPELINE_SQL = r"""
 WITH q AS (
   SELECT doc_id, text,
@@ -1190,6 +1252,7 @@ ORACLES: Dict[str, str] = {
     "dup_gram_fraction": DUP_GRAM_FRACTION_SQL,
     "distinctive_terms_by_source": DISTINCTIVE_TERMS_SQL,
     "curation_pipeline": CURATION_PIPELINE_SQL,
+    "quota_sample": QUOTA_SAMPLE_SQL,
 }
 
 QUERIES = {
@@ -1209,4 +1272,5 @@ QUERIES = {
     "dup_gram_fraction": dup_gram_fraction,
     "distinctive_terms_by_source": distinctive_terms_by_source,
     "curation_pipeline": curation_pipeline,
+    "quota_sample": quota_sample,
 }
