@@ -457,3 +457,82 @@ def test_capped_run_resumed_uncapped_keeps_exact_counts(tmp_path, ray_session):
     )
     assert resumed.n_violations == 60
     assert sum(resumed.summary["violations_truncated"].values()) > 0
+
+
+def test_group_references_gate_per_group(tmp_path, ray_session):
+    """group_references: each group gated against ITS OWN reference —
+    group A passes against A's profile while the SAME histogram would
+    fail against B's; serde round-trips the per-group map."""
+    import numpy as np
+    import pyarrow as pa
+    import pyarrow.parquet as pq
+
+    from xmlschema_ray.constraints.serde import spec_from_json, spec_to_json
+    from xmlschema_ray.constraints.spec import (
+        ColumnSpec,
+        DriftSpec,
+        SpecError,
+        TableConstraints,
+    )
+
+    seq_dir = os.path.join(str(tmp_path), "seq")
+    os.makedirs(seq_dir)
+    # A: uniform over [0,50); B: all in the last bin. Each matches its own
+    # profile; B would fail the shared/corpus reference.
+    df = pd.DataFrame(
+        {
+            "doc_id": np.arange(1040, dtype=np.int64),
+            "n_tok": np.concatenate(
+                [np.arange(1000, dtype=np.int64) % 50, np.full(40, 45, dtype=np.int64)]
+            ),
+            "source": ["A"] * 1000 + ["B"] * 40,
+        }
+    )
+    pq.write_table(pa.Table.from_pandas(df), os.path.join(seq_dir, "p0.parquet"))
+
+    spec = TableConstraints(
+        name="gr",
+        columns=[
+            ColumnSpec("doc_id", pa.int64(), nullable=False),
+            ColumnSpec("n_tok", pa.int64(), nullable=False),
+            ColumnSpec("source", pa.string(), nullable=False),
+        ],
+        drift=[
+            DriftSpec(
+                column="n_tok",
+                bin_edges=tuple(float(x) for x in range(0, 60, 10)),
+                reference_hist=(100, 100, 100, 100, 100),
+                group_by="source",
+                group_references={
+                    "A": (200, 200, 200, 200, 200),
+                    "B": (0, 0, 0, 0, 40),
+                },
+                name="d",
+            )
+        ],
+        key_columns=("doc_id",),
+    )
+    spec = spec_from_json(spec_to_json(spec))  # round-trip preserves the map
+    assert spec.drift[0].group_references["B"] == (0, 0, 0, 0, 40)
+
+    res = ValidationEngine(spec, batch_size=256, n_shards=1).run(
+        seq_dir, out_dir=os.path.join(str(tmp_path), "o")
+    )
+    by_name = {d.name: d for d in res.drift}
+    assert by_name["d[A]"].passed
+    assert by_name["d[B]"].passed  # against B's OWN profile
+    assert by_name["d"].passed  # aggregate vs shared reference
+
+    # mismatched group reference length fails at spec build
+    with pytest.raises(SpecError, match="group_references"):
+        DriftSpec(
+            column="n_tok",
+            bin_edges=(0.0, 1.0, 2.0),
+            group_by="source",
+            group_references={"A": (1,)},
+        )
+    # group_references without group_by is rejected
+    with pytest.raises(SpecError, match="requires group_by"):
+        DriftSpec(
+            column="n_tok", bin_edges=(0.0, 1.0, 2.0), group_references={"A": (1,)}
+        )

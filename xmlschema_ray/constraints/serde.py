@@ -280,6 +280,11 @@ def spec_to_json(spec: TableConstraints) -> Dict[str, Any]:
                 "psi_threshold": d.psi_threshold,
                 "use_list_length": d.use_list_length,
                 "group_by": d.group_by,
+                "group_references": (
+                    {g: list(h) for g, h in d.group_references.items()}
+                    if d.group_references is not None
+                    else None
+                ),
             }
             for d in spec.drift
         ],
@@ -349,6 +354,11 @@ def spec_from_json(doc: Dict[str, Any]) -> TableConstraints:
                 psi_threshold=d.get("psi_threshold", 0.25),
                 use_list_length=d.get("use_list_length", False),
                 group_by=d.get("group_by"),
+                group_references=(
+                    {g: tuple(h) for g, h in d["group_references"].items()}
+                    if d.get("group_references")
+                    else None
+                ),
                 name=d.get("name"),
             )
             for d in doc.get("drift", [])

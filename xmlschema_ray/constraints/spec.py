@@ -229,11 +229,15 @@ class DriftSpec:
     channel, never the row-violation channel.
 
     ``group_by`` additionally gates every GROUP of the named column
-    against the same reference (one histogram per group value, merged
-    through the normal stats channel): a single bad provenance source
-    stays visible even when the aggregate mix still matches the
-    reference. Group cardinality must be metadata-sized (provenance
-    labels, not keys) — each group adds one ~2 KB histogram per shard.
+    (one histogram per group value, merged through the normal stats
+    channel): a single bad provenance source stays visible even when
+    the aggregate mix still matches the reference. Each group compares
+    against ``group_references[group]`` when provided (within-source
+    drift vs that source's OWN prior profile — the production shape),
+    falling back to the shared ``reference_hist`` (source-vs-corpus
+    mix diagnostic). Group cardinality must be metadata-sized
+    (provenance labels, not keys) — each group adds one ~2 KB
+    histogram per shard.
     """
 
     column: str
@@ -243,6 +247,7 @@ class DriftSpec:
     psi_threshold: float = 0.25
     use_list_length: bool = False
     group_by: Optional[str] = None
+    group_references: Optional[Dict[str, Tuple[int, ...]]] = None
     name: Optional[str] = None
 
     def __post_init__(self):
@@ -256,6 +261,17 @@ class DriftSpec:
             raise SpecError("drift bin_edges needs >= 2 edges")
         if self.reference_hist is not None and len(self.reference_hist) != len(self.bin_edges) - 1:
             raise SpecError("reference_hist length must be len(bin_edges) - 1")
+        if self.group_references is not None:
+            if self.group_by is None:
+                raise SpecError("group_references requires group_by")
+            fixed = {}
+            for g, h in self.group_references.items():
+                if len(h) != len(self.bin_edges) - 1:
+                    raise SpecError(
+                        f"group_references[{g!r}] length must be len(bin_edges) - 1"
+                    )
+                fixed[g] = tuple(h)
+            object.__setattr__(self, "group_references", fixed)
 
 
 @dataclass

@@ -794,15 +794,20 @@ class ValidationEngine:
             passed = ks <= d.ks_threshold and p <= d.psi_threshold
             out.append(DriftResult(d.name, d.column, ks, p, passed, hist.tolist()))
             if d.group_by:
-                # per-group gates against the SAME reference profile: a
-                # drifted source stays visible even when the aggregate mix
-                # still matches (KS/PSI normalize to densities, so group
-                # size does not bias the comparison)
+                # per-group gates: each group compares against ITS OWN
+                # reference when given (within-source drift), else the
+                # shared profile (source-vs-corpus mix). KS/PSI normalize
+                # to densities, so group size does not bias the comparison.
                 prefix = f"{qname}@"
                 for hname in sorted(h for h in merged.histograms if h.startswith(prefix)):
                     gh = merged.histograms[hname]
-                    gks = ks_statistic(ref, gh)
-                    gp = psi(ref, gh)
+                    gref = ref
+                    if d.group_references is not None:
+                        gr = d.group_references.get(hname[len(prefix):])
+                        if gr is not None:
+                            gref = np.asarray(gr, dtype=np.int64)
+                    gks = ks_statistic(gref, gh)
+                    gp = psi(gref, gh)
                     gpassed = gks <= d.ks_threshold and gp <= d.psi_threshold
                     out.append(
                         DriftResult(

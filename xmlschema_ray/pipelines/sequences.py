@@ -274,6 +274,114 @@ ORDER BY s.source
 """
 
 
+def drift_by_source_windowed(sf_dir: str) -> pd.DataFrame:
+    """WITHIN-source drift over time (``DriftSpec.group_references``):
+    each source's first-window profile (n_tok-parity half A) becomes that
+    source's OWN reference, and its second window (half B) is gated
+    against it — the production drift shape (is source X's feed changing
+    vs its own history?), vs :func:`drift_by_source`'s source-vs-corpus
+    mix diagnostic. Same-distribution halves ⇒ all pass; scaled-int
+    KS/PSI per source."""
+    import pyarrow.compute as pc
+
+    seq = sequences_from_documents(sf_dir)
+    dims = {"sources": _sources_dim(sf_dir)}
+
+    def _half(parity: int):
+        def fn(t: pa.Table) -> pa.Table:
+            return t.filter(pc.equal(pc.bit_wise_and(t["n_tok"], 1), parity))
+
+        return seq.map_batches(fn, batch_format="pyarrow", zero_copy_batch=True)
+
+    res_a = ValidationEngine(
+        sequences_spec(drift_group_by="source"), batch_size=4096, n_shards=1
+    ).run(_half(0), out_dir=_scratch("drift_win_profile"), dims=dims, resume=False)
+    prefix = "len(tokens)@"
+    group_refs = {
+        k[len(prefix):]: tuple(int(x) for x in h)
+        for k, h in res_a.summary["histograms"].items()
+        if k.startswith(prefix)
+    }
+    ref_totals = {g: sum(h) for g, h in group_refs.items()}
+
+    res_b = ValidationEngine(
+        sequences_spec(
+            reference_hist=tuple(
+                int(x) for x in res_a.summary["histograms"]["len(tokens)"]
+            ),
+            drift_group_by="source",
+            drift_group_references=group_refs,
+        ),
+        batch_size=4096,
+        n_shards=1,
+    ).run(_half(1), out_dir=_scratch("drift_win_gated"), dims=dims, resume=False)
+
+    rows = []
+    for d in res_b.drift:
+        if "[" not in d.name:
+            continue
+        src = d.name.split("[", 1)[1][:-1]
+        rows.append(
+            {
+                "source": src,
+                "n_ref": np.int64(ref_totals.get(src, 0)),
+                "n_cur": np.int64(sum(d.observed_hist)),
+                "ks_e6": np.int64(np.floor(d.ks * 1e6 + 0.5)),
+                "psi_e6": np.int64(np.floor(d.psi * 1e6 + 0.5)),
+                "passed": bool(d.passed),
+            }
+        )
+    return pd.DataFrame(rows).sort_values("source").reset_index(drop=True)
+
+
+DRIFT_BY_SOURCE_WINDOWED_SQL = """
+WITH toks AS (
+  SELECT source,
+         CAST(length(regexp_split_to_array(trim(text), '\\s+')) AS BIGINT) AS n_tok
+  FROM documents
+), binned AS (
+  SELECT source, LEAST(CAST(FLOOR(n_tok / 32.0) AS BIGINT), 255) AS bin,
+         n_tok % 2 AS par
+  FROM toks WHERE n_tok BETWEEN 0 AND 8192
+), srcs AS (
+  SELECT DISTINCT source FROM binned WHERE par = 1
+), grid AS (
+  SELECT s.source, r.range AS bin FROM srcs s, range(0, 256) r
+), h AS (
+  SELECT g.source, g.bin,
+         CAST(COALESCE(SUM(CASE WHEN par = 0 THEN 1 END), 0) AS DOUBLE) AS ca,
+         CAST(COALESCE(SUM(CASE WHEN par = 1 THEN 1 END), 0) AS DOUBLE) AS cb
+  FROM grid g LEFT JOIN binned b ON b.source = g.source AND b.bin = g.bin
+  GROUP BY g.source, g.bin
+), stot AS (
+  SELECT source, SUM(ca) AS na, SUM(cb) AS nb FROM h GROUP BY source
+), cum AS (
+  SELECT h.source,
+         SUM(h.ca) OVER (PARTITION BY h.source ORDER BY h.bin) / s.na AS fa,
+         SUM(h.cb) OVER (PARTITION BY h.source ORDER BY h.bin) / s.nb AS fb
+  FROM h JOIN stot s USING (source)
+), ks AS (
+  SELECT source, MAX(ABS(fa - fb)) AS ks FROM cum GROUP BY source
+), terms AS (
+  SELECT h.source,
+         GREATEST(h.ca / s.na, 1e-6) AS pe,
+         GREATEST(h.cb / s.nb, 1e-6) AS pa
+  FROM h JOIN stot s USING (source)
+), psi AS (
+  SELECT source, SUM((pa - pe) * LN(pa / pe)) AS psi FROM terms GROUP BY source
+)
+SELECT s.source,
+       CAST(st.na AS BIGINT) AS n_ref,
+       CAST(st.nb AS BIGINT) AS n_cur,
+       CAST(FLOOR(k.ks * 1e6 + 0.5) AS BIGINT) AS ks_e6,
+       CAST(FLOOR(p.psi * 1e6 + 0.5) AS BIGINT) AS psi_e6,
+       (k.ks <= 0.15 AND p.psi <= 0.25) AS passed
+FROM srcs s
+JOIN stot st USING (source) JOIN ks k USING (source) JOIN psi p USING (source)
+ORDER BY s.source
+"""
+
+
 # DuckDB cross-check of the seeded run: recomputes every constraint's
 # violation count from the corpus the query just wrote to its deterministic
 # scratch dir (the reference's `--errors N` manifest convention,
@@ -330,10 +438,12 @@ ORACLES: Dict[str, str] = {
     "validate_sequences_seeded": SEEDED_SQL,
     "drift_check": DRIFT_SQL,
     "drift_by_source": DRIFT_BY_SOURCE_SQL,
+    "drift_by_source_windowed": DRIFT_BY_SOURCE_WINDOWED_SQL,
 }
 QUERIES = {
     "validate_sequences": validate_sequences,
     "validate_sequences_seeded": validate_sequences_seeded,
     "drift_check": drift_check,
     "drift_by_source": drift_by_source,
+    "drift_by_source_windowed": drift_by_source_windowed,
 }

@@ -54,6 +54,7 @@ def sequences_spec(
     max_tok: int = MAX_TOK,
     sources_dim: str = "sources",
     drift_group_by: Optional[str] = None,
+    drift_group_references: Optional[Dict[str, Tuple[int, ...]]] = None,
 ) -> TableConstraints:
     """The flagship constraint spec over the sequence table.
 
@@ -103,6 +104,7 @@ def sequences_spec(
                 reference_hist=reference_hist,
                 use_list_length=True,
                 group_by=drift_group_by,
+                group_references=drift_group_references,
                 name="drift_token_length",
             )
         ],
