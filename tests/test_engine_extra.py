@@ -536,3 +536,43 @@ def test_group_references_gate_per_group(tmp_path, ray_session):
         DriftSpec(
             column="n_tok", bin_edges=(0.0, 1.0, 2.0), group_references={"A": (1,)}
         )
+
+
+def test_infer_spec_self_consistency(tmp_path, ray_session):
+    """infer → validate the SAME corpus → valid with zero violations;
+    the inferred spec round-trips through JSON; and the inferred
+    enumeration/range facets catch genuinely novel values."""
+    import pyarrow.parquet as pq
+
+    from xmlschema_ray.constraints.infer import infer_spec
+    from xmlschema_ray.constraints.serde import spec_from_json, spec_to_json
+
+    seq_dir, dim, _ = write_sequences_corpus(str(tmp_path / "c"), n_rows=800, n_files=4)
+    spec = infer_spec(seq_dir)
+    spec = spec_from_json(spec_to_json(spec))  # serializable like any spec
+
+    res = ValidationEngine(spec, batch_size=256, n_shards=2).run(
+        seq_dir, out_dir=str(tmp_path / "o")
+    )
+    assert res.job_validity == "valid" and res.n_violations == 0
+
+    by_name = {c.name: c for c in spec.columns}
+    # tokens inferred as a list with item range + length bounds
+    tok_kinds = {type(f).__name__ for f in by_name["tokens"].facets}
+    assert "ItemFacets" in tok_kinds and "MaxLength" in tok_kinds
+
+    # novel out-of-window value on a perturbed copy IS caught
+    t = pq.read_table(os.path.join(seq_dir, sorted(os.listdir(seq_dir))[0]))
+    df = t.to_pandas()
+    df.loc[0, "n_tok"] = int(df["n_tok"].max()) + 10_000
+    bad_dir = str(tmp_path / "bad")
+    os.makedirs(bad_dir)
+    import pyarrow as pa
+
+    pq.write_table(pa.Table.from_pandas(df, schema=t.schema), os.path.join(bad_dir, "p0.parquet"))
+    res_bad = ValidationEngine(spec, batch_size=256, n_shards=1).run(
+        bad_dir, out_dir=str(tmp_path / "ob")
+    )
+    viol = res_bad.violations()
+    assert res_bad.job_validity == "invalid"
+    assert (viol["column"] == "n_tok").any()

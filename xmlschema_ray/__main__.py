@@ -120,6 +120,18 @@ def cmd_query(args) -> int:
     return 0
 
 
+def cmd_infer(args) -> int:
+    """Bootstrap a spec from a parquet corpus (print JSON to stdout)."""
+    ray = _ray_session(args.num_cpus)
+    from xmlschema_ray.constraints.infer import infer_spec
+    from xmlschema_ray.constraints.serde import spec_to_json
+
+    spec = infer_spec(args.input, enum_threshold=args.enum_threshold)
+    print(json.dumps(spec_to_json(spec), indent=2))
+    ray.shutdown()
+    return 0
+
+
 def cmd_compat(args) -> int:
     """Schema-evolution audit between two spec JSON documents; exit 0 iff
     every change is backward-compatible (old-valid data stays valid)."""
@@ -172,6 +184,12 @@ def main(argv=None) -> int:
     q.add_argument("--num-cpus", type=int, default=None)
     q.add_argument("--list", action="store_true")
     q.set_defaults(fn=cmd_query)
+
+    i = sub.add_parser("infer", help="bootstrap a spec JSON from a parquet corpus")
+    i.add_argument("--input", required=True)
+    i.add_argument("--enum-threshold", type=int, default=16)
+    i.add_argument("--num-cpus", type=int, default=None)
+    i.set_defaults(fn=cmd_infer)
 
     c = sub.add_parser(
         "compat", help="audit spec evolution: old-valid data still valid under new?"

@@ -55,6 +55,10 @@ def _dtype_to_name(dt: pa.DataType) -> str:
             f"{dt.field(i).name}:{_dtype_to_name(dt.field(i).type)}" for i in range(dt.num_fields)
         )
         return f"struct<{inner}>"
+    if pa.types.is_list(dt) or pa.types.is_large_list(dt):
+        # normalize the list element FIELD NAME: parquet readers spell it
+        # "element", pa.list_ spells it "item" — same logical type
+        dt = pa.list_(dt.value_type)
     name = _DTYPE_NAMES.get(str(dt))
     if name is None:
         raise SpecError(f"dtype {dt} has no JSON name")
