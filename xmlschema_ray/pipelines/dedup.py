@@ -35,6 +35,7 @@ import ray.data as rd
 
 from xmlschema_ray.engine.stats import hash64
 from xmlschema_ray.functions import hashing as H
+from xmlschema_ray.ops.sample import seeded_embedding_sample
 from xmlschema_ray.pipelines.common import oracle_dump as _oracle_dump, table_path
 
 _WS = re.compile(r"\s+")
@@ -762,9 +763,7 @@ def embedding_dup_pairs_ivf(
     from xmlschema_ray.ops.relational import hash_partition_apply, to_pandas_with_schema
 
     tbl = rd.read_parquet(table_path(sf_dir, "embeddings"), columns=["vec_id", "embedding"])
-    sample = np.stack(
-        tbl.limit(sample_size).to_pandas()["embedding"].to_numpy()
-    ).astype(np.float64)
+    sample = seeded_embedding_sample(tbl, sample_size)
     centroids = kmeans_fit(sample, k=n_centroids)
     cent_ref = ray.put(centroids)
     state: dict = {}

@@ -24,6 +24,7 @@ from xmlschema_ray.functions.vector import (
     hyperplane_planes,
     normalize_rows,
 )
+from xmlschema_ray.ops.sample import seeded_embedding_sample
 from xmlschema_ray.pipelines.common import table_path
 
 N_QUERIES = 5
@@ -213,7 +214,7 @@ def build_ivf_index(
     if os.path.exists(cent_path):
         return np.load(cent_path)
     ds = rd.read_parquet(table_path(sf_dir, "embeddings"), columns=["vec_id", "embedding"])
-    sample = np.stack(ds.limit(sample_size).to_pandas()["embedding"].to_numpy()).astype(np.float64)
+    sample = seeded_embedding_sample(ds, sample_size)
     centroids = kmeans_fit(sample, k=n_centroids)
     cent_ref = ray.put(centroids)
     state: dict = {}
@@ -305,9 +306,7 @@ def knn_ivf(
         ds = rd.read_parquet(
             table_path(sf_dir, "embeddings"), columns=["vec_id", "embedding"]
         )
-        sample = np.stack(
-            ds.limit(sample_size).to_pandas()["embedding"].to_numpy()
-        ).astype(np.float64)
+        sample = seeded_embedding_sample(ds, sample_size)
         centroids = kmeans_fit(sample, k=n_centroids)
     nq = normalize_rows(qmat)
     probe_sets = np.argsort(-(nq @ centroids.T), axis=1)[:, :n_probe]  # (q, n_probe)
@@ -425,9 +424,7 @@ def embedding_kmeans(
     from xmlschema_ray.ops.relational import hash_partition_apply
 
     ds = rd.read_parquet(table_path(sf_dir, "embeddings"), columns=["vec_id", "embedding"])
-    sample = np.stack(ds.limit(sample_size).to_pandas()["embedding"].to_numpy()).astype(
-        np.float64
-    )
+    sample = seeded_embedding_sample(ds, sample_size)
     centroids = kmeans_fit(sample, k=n_clusters)
     cent_ref = ray.put(centroids)
     state: dict = {}
