@@ -151,6 +151,35 @@ def host_probe() -> float:
     return round(time.time() - t0, 2)
 
 
+def _drop_known_benign_ray_warnings() -> None:
+    """Filter ONE Ray-internal warning class from the bench log tail.
+
+    Ray 2.49's sort shuffle emits schema-less empty pandas blocks
+    (``PandasBlockSchema(names=[])``) for sample-boundary ranges that got
+    no rows, and logs a schema-divergence WARNING per block. This is
+    benign BY RAY'S OWN DESIGN: its map operators skip the UDF on empty
+    blocks and pass them through verbatim
+    (``ray/data/_internal/planner/plan_udf_map_op.py:451-462`` — Ray's own
+    TODO notes all-to-all ops output schema-less empties), so no user code
+    can re-type them, and every consumption boundary here tolerates them
+    (``ops/relational.py`` note above ``to_pandas_with_schema``;
+    ``tests/test_distributed_paths.py::test_forced_empty_partitions``).
+    Only the exact names=[] divergence message is dropped — any OTHER
+    schema divergence still prints.
+    """
+    import logging
+
+    class _F(logging.Filter):
+        def filter(self, record: logging.LogRecord) -> bool:
+            msg = record.getMessage()
+            return not (
+                "RefBundle with a different schema" in msg
+                and "names=[], types=[]" in msg
+            )
+
+    logging.getLogger("ray.data").addFilter(_F())
+
+
 def bench_once() -> dict:
     import ray
     from ray.data import DataContext
@@ -178,6 +207,7 @@ def bench_once() -> dict:
         object_store_memory=48 * 1024**3,
     )
     DataContext.get_current().enable_progress_bars = False
+    _drop_known_benign_ray_warnings()
     # honest N-vs-4N: cap the DRIVER's Arrow thread pool to the cluster
     # size too, else driver-side merges use the whole machine at any N.
     import pyarrow as _pa

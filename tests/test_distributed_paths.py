@@ -55,3 +55,38 @@ def test_distributed_paths_match_driver_paths(tmp_path, ray_session):
             got_schema = pq.read_schema(f)
             assert got_schema.names == VIOLATION_SCHEMA.names, (d, f, got_schema.names)
             assert [t for t in got_schema.types] == [t for t in VIOLATION_SCHEMA.types], (d, f)
+
+
+def test_forced_empty_partitions(ray_session):
+    """A shuffle where most sort ranges are EMPTY (num_partitions far above
+    the distinct-key count) must still produce correct rows and dtypes.
+
+    Ray's sort emits schema-less empty blocks for empty ranges and its map
+    operators pass them through without calling the UDF (Ray's own
+    workaround, plan_udf_map_op.py) — so correctness rests on the
+    consumption boundary: to_pandas_with_schema must survive the empties,
+    and a
+    fn that RAISES on empty input must never see one.
+    """
+    import numpy as np
+    import pandas as pd
+    import ray.data as rd
+
+    from xmlschema_ray.ops.relational import hash_partition_apply, to_pandas_with_schema
+
+    def fn(g: pd.DataFrame) -> pd.DataFrame:
+        # np.stack raises on empty input — proves empty partitions never
+        # reach the UDF
+        arr = np.stack([np.array([v]) for v in g["v"]])
+        return pd.DataFrame({"k": [g["k"].iloc[0]], "s": [int(arr.sum())]})
+
+    df = pd.DataFrame({"k": ["a"] * 50 + ["b"] * 50, "v": range(100)})
+    ds = rd.from_pandas(df).repartition(8)
+    out = hash_partition_apply(ds, "k", fn, num_partitions=64)
+    got = to_pandas_with_schema(out).sort_values("k").reset_index(drop=True)
+    expect = pd.DataFrame({"k": ["a", "b"], "s": [1225, 3725]})
+    pd.testing.assert_frame_equal(got, expect)
+
+    # all-empty result: schema still recoverable at the consumption boundary
+    empty = to_pandas_with_schema(out.filter(expr="s < 0"))
+    assert list(empty.columns) == ["k", "s"] and len(empty) == 0

@@ -299,16 +299,9 @@ def copartition_apply(
             _restore_dtypes(lf, l_dtypes), _restore_dtypes(rt.to_pandas(), r_dtypes)
         )
 
-    # output-schema template for empty shuffle partitions (see
-    # _derive_template): typed empty sides built straight from the two
-    # Arrow schemas — no extra plan execution needed here.
-    template = _derive_template(fn, empty_l, empty_r)
-
     def per_block(block: pa.Table):
-        if block.num_rows == 0:
-            if template is not None:
-                yield template.copy()
-            return
+        # empty sort ranges never reach this UDF (Ray skips them; see the
+        # schema-less-empty-block note above to_pandas_with_schema)
         parts = block["__part"].to_numpy(zero_copy_only=False)
         for p in np.unique(parts):
             yield per_part(block.filter(pa.array(parts == p)).drop_columns(["__part"]))
@@ -419,24 +412,25 @@ def _restore_dtypes(df: pd.DataFrame, dtypes: Dict[str, "np.dtype"]) -> pd.DataF
     return df
 
 
-def _derive_template(fn, *empty_inputs) -> Optional[pd.DataFrame]:
-    """Output-schema template: ``fn`` applied to typed empty inputs.
-
-    Empty shuffle partitions never reach ``fn`` in Ray's group machinery,
-    so their blocks carry NO schema (``PandasBlockSchema(names=[])``) —
-    downstream ``to_pandas`` then loses the columns entirely and the
-    streaming executor logs schema-divergence warnings. Emitting this
-    template for empty partitions keeps every bundle on one schema.
-    None when the schema is unknown or ``fn`` can't run on empty input
-    (callers then fall back to yielding nothing for empty partitions).
-    """
-    if any(e is None for e in empty_inputs):
-        return None
-    try:
-        out = fn(*(e.copy() for e in empty_inputs))
-        return out.head(0) if isinstance(out, pd.DataFrame) else None
-    except Exception:
-        return None
+# -- Why empty sort ranges stay schema-less ------------------------------
+#
+# Ray 2.49's sort-based shuffle emits a schema-less empty pandas block
+# (``PandasBlockSchema(names=[])``) for every sample-boundary range that
+# received no rows, and the streaming executor logs a schema-divergence
+# WARNING for each. This is NOT fixable from user code: Ray's map operators
+# deliberately skip the UDF for empty input blocks and pass them through
+# verbatim (``ray/data/_internal/planner/plan_udf_map_op.py:451-462``,
+# including Ray's own TODO acknowledging that all-to-all operators output
+# empty blocks with no schema) — so no ``map_batches`` downstream of the
+# sort can ever re-type them. The alternative HASH_SHUFFLE strategy emits
+# no empties but pays multi-second aggregator-actor startup per exchange
+# (measured 5.5 s vs 1.5 s on a toy input), which would dominate the
+# flagship suite. The engineering consequence: the warning is benign by
+# construction here, and every CONSUMPTION boundary must tolerate empty
+# schema-less blocks — ``to_pandas_with_schema`` below recovers the schema
+# for driver collects, parquet writes skip empty blocks, and
+# ``tests/test_distributed_paths.py::test_forced_empty_partitions`` proves
+# results and dtypes survive a shuffle where most ranges are empty.
 
 
 def to_pandas_with_schema(ds: rd.Dataset) -> pd.DataFrame:
@@ -481,9 +475,10 @@ def hash_partition_apply(
 
     Physical plan: ``sort(__part)`` + block-wise map with ``batch_size=None``
     — the same sort-then-whole-block shape ``groupby().map_groups`` lowers
-    to (its batch==block note), inlined so that EMPTY sort ranges (ranges
-    that received no partition value) emit a typed empty template instead
-    of a schema-less block.
+    to (its batch==block note). EMPTY sort ranges pass through as
+    schema-less blocks by Ray design (see the note above
+    ``to_pandas_with_schema``); consume results through that helper or a
+    parquet write, both of which tolerate them.
     """
     keys = [key_cols] if isinstance(key_cols, str) else list(key_cols)
     if num_partitions is None:
@@ -495,26 +490,10 @@ def hash_partition_apply(
         batch["__part"] = (h % np.uint64(num_partitions)).astype(np.int64)
         return batch
 
-    # Output template for EMPTY sort ranges, derived lazily per worker from
-    # ``fn`` on a zero-row slice of the first non-empty block: a driver-side
-    # ds.schema() probe would execute an upstream block (~0.25 s per query),
-    # and the slice's dtypes match the real blocks exactly. Workers that see
-    # only empty blocks yield nothing (rare; downstream recovers schema from
-    # the non-empty blocks).
-    state: dict = {}
-
     def per_block(block: pd.DataFrame):
-        tmpl = state.get("t", False)
-        if len(block) == 0:
-            if isinstance(tmpl, pd.DataFrame):
-                yield tmpl.copy()
-            return
-        if tmpl is False:
-            try:
-                out0 = fn(block.head(0).drop(columns="__part"))
-                state["t"] = out0.head(0) if isinstance(out0, pd.DataFrame) else None
-            except Exception:
-                state["t"] = None
+        # empty sort ranges never reach this UDF (Ray skips them; see the
+        # schema-less-empty-block note above to_pandas_with_schema) —
+        # downstream consumption recovers schema via to_pandas_with_schema
         for _, g in block.groupby("__part", sort=False):
             yield fn(g.drop(columns="__part"))
 
