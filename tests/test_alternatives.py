@@ -154,3 +154,49 @@ def test_missing_discriminant_column_falls_back_to_declared():
     v = _violations(spec, table)
     assert v.get("v.minInclusive(0.0)") == {0}
     assert not any("alt[" in k for k in v)
+
+
+def test_alternative_case_with_absent_discriminant_is_nonmatching():
+    """A case whose discriminant column is missing from the batch is FALSE
+    (reference evaluates each xs:alternative test independently,
+    elements.py:778-791) — other cases with present discriminants still
+    match; the whole alternatives list is NOT disabled."""
+    import numpy as np
+    import pyarrow as pa
+
+    from xmlschema_ray.constraints import facets as F
+    from xmlschema_ray.constraints.spec import (
+        AltCase,
+        ColumnSpec,
+        TableConstraints,
+        TypeAlternatives,
+    )
+    from xmlschema_ray.engine.row_validator import iter_row_checks
+
+    spec = TableConstraints(
+        name="t",
+        columns=[
+            ColumnSpec("v", pa.int64()),
+            ColumnSpec("kind", pa.string(), nullable=True),
+            # declared in the spec but absent from the batch below
+            ColumnSpec("missing_col", pa.string(), nullable=True, required=False),
+        ],
+        key_columns=("v",),
+        type_alternatives=(
+            TypeAlternatives(
+                column="v",
+                cases=(
+                    # discriminant 'missing_col' absent from the batch
+                    AltCase("missing_col", "==", "x", (F.MaxInclusive(0),), "neverType"),
+                    AltCase("kind", "==", "big", (F.MinInclusive(100),), "bigType"),
+                ),
+            ),
+        ),
+    ).compile()
+
+    table = pa.table({"v": [5, 150], "kind": ["big", "big"]})
+    found = {name for name, *_ in iter_row_checks(table, spec)}
+    # the 'big' case matched both rows; v=5 violates MinInclusive(100)
+    assert any("bigType" in n for n in found), found
+    # the absent-column case never matched — its facet fired on no row
+    assert not any("neverType" in n for n in found), found

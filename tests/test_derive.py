@@ -204,3 +204,35 @@ def test_spec_compat_soundness_holes_closed():
     assert ("column x", "added") in broken
     assert ("allow_extra_columns", "True -> False") in broken
     assert ("unique_key uk", "definition changed") in broken
+
+
+def test_spec_compat_programmatic_row_checks_not_spuriously_changed():
+    """Two programmatic builds of the SAME row check (distinct closures,
+    distinct reprs) must NOT read as 'definition changed'; same-name
+    same-columns programmatic checks compare clean, and a columns change
+    is still caught."""
+    import numpy as np
+    import pyarrow as pa
+
+    from xmlschema_ray.constraints.derive import spec_compat
+    from xmlschema_ray.constraints.spec import ColumnSpec, RowCheck, TableConstraints
+
+    def build(columns=("a",)):
+        fn = lambda t: np.zeros(t.num_rows, dtype=bool)  # noqa: E731
+        return TableConstraints(
+            name="t",
+            columns=[ColumnSpec("a", pa.int64()), ColumnSpec("b", pa.int64())],
+            key_columns=("a",),
+            row_checks=(RowCheck("chk", tuple(columns), fn),),
+        ).compile()
+
+    findings = spec_compat(build(), build())
+    assert not any(
+        f["change"] == "definition changed" and "chk" in f["item"] for f in findings
+    ), findings
+
+    changed = spec_compat(build(("a",)), build(("a", "b")))
+    assert any(
+        f["change"] == "definition changed" and "chk" in f["item"] and not f["compatible"]
+        for f in changed
+    ), changed

@@ -576,3 +576,66 @@ def test_infer_spec_self_consistency(tmp_path, ray_session):
     viol = res_bad.violations()
     assert res_bad.job_validity == "invalid"
     assert (viol["column"] == "n_tok").any()
+
+def test_infer_spec_nan_columns(tmp_path, ray_session):
+    """NaN in a float column must not poison the inferred bounds (Arrow
+    min_max does not skip NaN) — the column gets NO range facet, the
+    invariant infer→validate==zero-violations still holds, and clean
+    float columns still get their window."""
+    import numpy as np
+    import pandas as pd
+    import pyarrow as pa
+    import pyarrow.parquet as pq
+
+    from xmlschema_ray.constraints import facets as F
+    from xmlschema_ray.constraints.infer import infer_spec
+
+    d = str(tmp_path / "nan")
+    os.makedirs(d)
+    # build from raw numpy so NaN stays a VALUE (from_pandas would convert
+    # NaN to Arrow null, which min_max already skips — not the bug)
+    score = np.array([np.nan if i % 7 == 0 else float(i) for i in range(100)])
+    tbl = pa.table(
+        {
+            "doc_id": pa.array([f"d{i}" for i in range(100)]),
+            "score": pa.array(score, from_pandas=False),
+            "clean": pa.array(np.arange(100) * 0.5, from_pandas=False),
+            "vals": pa.array(
+                [[1.0, np.nan] if i % 9 == 0 else [1.0, 2.0] for i in range(100)],
+                type=pa.list_(pa.float64()),
+            ),
+        }
+    )
+    assert pa.compute.sum(pa.compute.is_nan(tbl["score"])).as_py() > 0
+    pq.write_table(tbl, os.path.join(d, "p0.parquet"))
+    spec = infer_spec(d)
+    by_name = {c.name: c for c in spec.columns}
+
+    kinds = lambda c: {type(f).__name__ for f in by_name[c].facets}
+    # NaN-bearing: no range facets at all (not MinInclusive(nan))
+    assert "MinInclusive" not in kinds("score") and "MaxInclusive" not in kinds("score")
+    assert not any(isinstance(f, F.ItemFacets) for f in by_name["vals"].facets)
+    # but length facets on the list survive, and the clean column keeps its window
+    assert "MaxLength" in kinds("vals")
+    mins = [f for f in by_name["clean"].facets if isinstance(f, F.MinInclusive)]
+    assert mins and mins[0].value == 0.0
+
+    res = ValidationEngine(spec, batch_size=64, n_shards=1).run(
+        d, out_dir=str(tmp_path / "o")
+    )
+    assert res.job_validity == "valid" and res.n_violations == 0
+
+def test_driftspec_group_reference_keys_normalize_to_str():
+    """Python-built specs with int group keys must behave like JSON-loaded
+    ones (serde yields str keys; the engine looks references up by the
+    stringified histogram suffix)."""
+    from xmlschema_ray.constraints.spec import DriftSpec
+
+    d = DriftSpec(
+        column="n_tok",
+        bin_edges=(0.0, 1.0, 2.0),
+        group_by="source",
+        group_references={3: (1, 2), "7": (2, 3)},
+    )
+    assert set(d.group_references) == {"3", "7"}
+    assert d.group_references["3"] == (1, 2)

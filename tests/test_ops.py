@@ -485,3 +485,32 @@ def test_range_self_join_rejects_rename_collision(ray_session):
         range_self_join(
             rd.from_pandas(df), "k", "t", -40, 0, rename={"id": "t"}
         ).materialize()
+
+
+def test_global_rank_bounded_sample_shrink_path(ray_session):
+    """Force the distributed boundary-sample reduce (sample > driver cap
+    via stride=1) — ranks stay exact and the driver-collected candidate
+    set is bounded, whatever the corpus size."""
+    import numpy as np
+    import pandas as pd
+    import ray.data as rd
+
+    from xmlschema_ray.ops.relational import (
+        global_rank,
+        sample_range_bounds,
+        to_pandas_with_schema,
+    )
+
+    rng = np.random.default_rng(5)
+    df = pd.DataFrame({"v": rng.permutation(10_000), "id": np.arange(10_000)})
+    ds = rd.from_pandas(df).repartition(8)
+
+    bounds = sample_range_bounds(ds, ["v", "id"], num_partitions=4, sample_stride=1)
+    assert bounds is not None and len(bounds[0]) == 3
+
+    ranked, total = global_rank(ds, ["v", "id"], sample_stride=1, num_partitions=4)
+    out = to_pandas_with_schema(ranked).sort_values("rank").reset_index(drop=True)
+    assert total == 10_000
+    # exact: rank order == value order
+    assert (out["v"].to_numpy() == np.sort(df["v"].to_numpy())).all()
+    assert (out["rank"].to_numpy() == np.arange(1, 10_001)).all()

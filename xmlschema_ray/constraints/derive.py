@@ -336,13 +336,21 @@ def spec_compat(old: TableConstraints, new: TableConstraints) -> List[Dict]:
             "old files carrying extra columns now fail schema.unexpected_column",
         )
 
-    def _defn(kind: str, k) -> str:
+    def _defn(kind: str, k) -> "str | None":
+        """Stable structural identity, or None when not comparable.
+
+        Row checks carry a stable identity only when built through serde
+        (``_serde`` dict); for programmatically-built checks ``repr(fn)``
+        embeds a memory address, so two builds of the SAME closure would
+        spuriously read as "definition changed" — those compare as
+        ``None`` (not comparable) instead.
+        """
         if kind == "unique_key":
             return f"columns={tuple(k.columns)}"
         if kind == "foreign_key":
             return f"{k.column}->{k.dim_name}.{k.dim_key}"
         meta = getattr(k, "_serde", None)
-        return str(meta) if meta is not None else repr(k)
+        return str(meta) if meta is not None else None
 
     for kind, old_items, new_items in (
         ("unique_key", old.unique_keys, new.unique_keys),
@@ -357,7 +365,26 @@ def spec_compat(old: TableConstraints, new: TableConstraints) -> List[Dict]:
             add(f"{kind} {n}", "removed", True, "")
         for n in sorted(set(old_by) & set(new_by)):
             od, nd = _defn(kind, old_by[n]), _defn(kind, new_by[n])
-            if od != nd:
+            if od is None or nd is None:
+                if od is not None or nd is not None:
+                    # one side serde-built, one programmatic: honestly
+                    # undecidable — surface as non-breaking "not comparable"
+                    # rather than guessing either way
+                    add(
+                        f"{kind} {n}",
+                        "not comparable",
+                        True,
+                        "row-check body has no stable serde identity on "
+                        "one side; compare columns/semantics manually",
+                    )
+                elif tuple(old_by[n].columns) != tuple(new_by[n].columns):
+                    add(
+                        f"{kind} {n}",
+                        "definition changed",
+                        False,
+                        f"columns {tuple(old_by[n].columns)} -> {tuple(new_by[n].columns)}",
+                    )
+            elif od != nd:
                 # a same-named constraint with a different definition is an
                 # added constraint in disguise (may be strictly tighter)
                 add(f"{kind} {n}", "definition changed", False, f"{od} -> {nd}")

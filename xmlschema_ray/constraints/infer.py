@@ -42,6 +42,7 @@ def _fold(state: dict, part: dict, enum_cap: int) -> None:
                 s[lo] = rec[lo] if s.get(lo) is None else min(s[lo], rec[lo])
                 s[hi] = rec[hi] if s.get(hi) is None else max(s[hi], rec[hi])
         s["nulls"] += rec["nulls"]
+        s["nan"] = s.get("nan", 0) + rec.get("nan", 0)
         if rec.get("overflow"):
             s["overflow"] = True
         if not s["overflow"]:
@@ -80,6 +81,22 @@ def infer_spec(
     schema = ds.schema().base_schema
     enum_cap = enum_threshold
 
+    def nan_aware_min_max(arr) -> tuple:
+        """(min, max, nan_count) — Arrow ``min_max`` does NOT skip NaN
+        (a single NaN poisons both bounds into NaN), so float inputs are
+        filtered to non-NaN first and the NaN count is carried so the
+        final assembly can skip range facets for NaN-bearing columns
+        (a range facet would flag every NaN row and break the
+        infer→validate zero-violation invariant)."""
+        n_nan = 0
+        if pa.types.is_floating(arr.type):
+            nan_mask = pc.is_nan(arr)
+            n_nan = pc.sum(nan_mask).as_py() or 0
+            if n_nan:
+                arr = arr.filter(pc.invert(nan_mask))
+        mm = pc.min_max(arr)
+        return mm["min"].as_py(), mm["max"].as_py(), n_nan
+
     def partial(batch: pa.Table) -> pa.Table:
         out: dict = {}
         for col_name in batch.column_names:
@@ -89,10 +106,10 @@ def infer_spec(
             if pa.types.is_list(t) or pa.types.is_large_list(t):
                 flat = col.combine_chunks().flatten() if isinstance(col, pa.ChunkedArray) else col.flatten()
                 lens = pc.list_value_length(col)
-                for sub, key in ((flat, ""), (lens, "len_")):
-                    mm = pc.min_max(sub)
-                    rec[f"{key}min" if key else "min"] = mm["min"].as_py()
-                    rec[f"{key}max" if key else "max"] = mm["max"].as_py()
+                rec["min"], rec["max"], rec["nan"] = nan_aware_min_max(flat)
+                mm = pc.min_max(lens)
+                rec["len_min"] = mm["min"].as_py()
+                rec["len_max"] = mm["max"].as_py()
             elif pa.types.is_string(t) or pa.types.is_large_string(t):
                 uniq = pc.unique(col.combine_chunks() if isinstance(col, pa.ChunkedArray) else col)
                 uniq = uniq.drop_null()
@@ -103,9 +120,8 @@ def infer_spec(
             elif pa.types.is_binary(t) or pa.types.is_large_binary(t) or pa.types.is_struct(t):
                 pass  # shape-only columns: dtype + nullability
             else:
-                mm = pc.min_max(col)
-                rec["min"] = mm["min"].as_py()
-                rec["max"] = mm["max"].as_py()
+                arr = col.combine_chunks() if isinstance(col, pa.ChunkedArray) else col
+                rec["min"], rec["max"], rec["nan"] = nan_aware_min_max(arr)
             out[col_name] = rec
         import pickle
 
@@ -125,8 +141,12 @@ def infer_spec(
         s = state.get(field.name, {"min": None, "max": None, "nulls": 0, "distinct": set(), "overflow": True})
         facets: list = []
         t = field.type
+        # NaN-bearing float columns get NO range facet: NaN fails every
+        # ordered comparison, so MinInclusive(observed_min) would flag the
+        # NaN rows and break the infer→validate zero-violation invariant
+        has_nan = s.get("nan", 0) > 0
         if pa.types.is_list(t) or pa.types.is_large_list(t):
-            if s["min"] is not None:
+            if s["min"] is not None and not has_nan:
                 facets.append(
                     F.ItemFacets((F.MinInclusive(s["min"]), F.MaxInclusive(s["max"])))
                 )
@@ -136,7 +156,7 @@ def infer_spec(
         elif pa.types.is_string(t) or pa.types.is_large_string(t):
             if not s["overflow"] and s["distinct"]:
                 facets.append(F.Enumeration(tuple(sorted(s["distinct"]))))
-        elif s["min"] is not None:
+        elif s["min"] is not None and not has_nan:
             facets.append(F.MinInclusive(s["min"]))
             facets.append(F.MaxInclusive(s["max"]))
         columns.append(

@@ -270,7 +270,11 @@ class DriftSpec:
                     raise SpecError(
                         f"group_references[{g!r}] length must be len(bin_edges) - 1"
                     )
-                fixed[g] = tuple(h)
+                # keys normalize to str: the engine looks references up by
+                # the STRINGIFIED histogram suffix (f"{qname}@{gv}"), so a
+                # Python-built spec with int source codes must behave like
+                # the JSON-loaded equivalent (serde always yields str keys)
+                fixed[str(g)] = tuple(h)
             object.__setattr__(self, "group_references", fixed)
 
 

@@ -163,12 +163,18 @@ def iter_row_checks(
     # whose discriminant column is absent from the batch, which all fall
     # to the default type) and ADDS its own facets to the selected rows.
     for ta in spec.type_alternatives:
-        if ta.column not in present or not all(c.column in present for c in ta.cases):
+        if ta.column not in present:
             continue
         col = table[ta.column]
-        # first matching case wins (reference get_type order); -1 = default
+        # first matching case wins (reference get_type order); -1 = default.
+        # Each case's test is evaluated INDEPENDENTLY (reference
+        # ``validators/elements.py:778-791``): a test over a column absent
+        # from the batch is false for every row — later cases whose
+        # discriminants ARE present can still match.
         sel = np.full(n, -1, dtype=np.int64)
         for i, case in enumerate(ta.cases):
+            if case.column not in present:
+                continue
             hit = _eval_alt_test(table, case)
             np.copyto(sel, i, where=(sel < 0) & hit)
         for i, case in enumerate(ta.cases):

@@ -803,6 +803,65 @@ def snapshot_diff(
     return copartition_apply(left, right, key, key, per_part, num_partitions=num_partitions)
 
 
+def sample_range_bounds(
+    ds: rd.Dataset,
+    sort_cols: List[str],
+    num_partitions: int,
+    sample_stride: int = 512,
+    keep_per_partition: int = 64,
+) -> Optional[List[np.ndarray]]:
+    """Range-partition boundaries from a BOUNDED-driver systematic sample.
+
+    The 1/``sample_stride`` sample stream is collected with a cap; when it
+    exceeds the cap (large corpora — a fixed stride alone would ship
+    rows/512 to the driver, ~2e9 rows at 10^12 scale) the sample is
+    reduced DISTRIBUTEDLY first: hash-spread over ``num_partitions``
+    reduce partitions, each keeping ``keep_per_partition`` evenly-spaced
+    rows after a local sort, so the driver never sees more than
+    ``keep_per_partition × num_partitions`` boundary candidates at any
+    corpus size. Boundaries only steer range BALANCE — exactness of
+    rank/offset computations built on them never depends on the sample.
+
+    Returns per-column boundary arrays of length ``num_partitions - 1``,
+    or None when the corpus is too small to split.
+    """
+
+    def systematic_sample(batch: pd.DataFrame) -> pd.DataFrame:
+        return batch.iloc[::sample_stride][sort_cols]
+
+    samp_ds = ds.map_batches(systematic_sample, batch_format="pandas")
+    cap = max(num_partitions * keep_per_partition, 4096)
+    head = samp_ds.limit(cap + 1).to_pandas()
+    if len(head) > cap:
+
+        def spread(batch: pd.DataFrame) -> pd.DataFrame:
+            batch = batch.copy(deep=False)
+            h = pd.util.hash_pandas_object(batch[sort_cols], index=False).to_numpy()
+            batch["__sp"] = (h % np.uint64(num_partitions)).astype(np.int64)
+            return batch
+
+        def shrink(part: pd.DataFrame) -> pd.DataFrame:
+            part = part.sort_values(sort_cols)
+            if len(part) > keep_per_partition:
+                idx = (np.arange(keep_per_partition) * len(part)) // keep_per_partition
+                part = part.iloc[idx]
+            return part[sort_cols]
+
+        head = to_pandas_with_schema(
+            hash_partition_apply(
+                samp_ds.map_batches(spread, batch_format="pandas"),
+                "__sp",
+                shrink,
+                num_partitions=num_partitions,
+            )
+        )
+    samp = head.sort_values(sort_cols).reset_index(drop=True)
+    if len(samp) >= num_partitions > 1:
+        idx = (np.arange(1, num_partitions) * len(samp)) // num_partitions
+        return [samp[c].to_numpy()[idx] for c in sort_cols]
+    return None
+
+
 def global_rank(
     ds: rd.Dataset,
     sort_cols: List[str],
@@ -815,31 +874,18 @@ def global_rank(
     filters, and deterministic shuffle export).
 
     ``sort_cols`` must define a total order (include a unique tie-break
-    column). Plan: (1) a systematic sample of sort keys picks range
-    boundaries — driver state is one ~num_partitions-row frame; (2) every
-    row gets its range id from a vectorized lexicographic compare against
-    the boundaries; (3) per-range row COUNTS (a combiner aggregate, one
-    row per range) prefix-sum into offsets on the driver — metadata-sized
-    at any corpus size; (4) each range sorts locally and emits
-    offset + local rank. Returns ``(dataset + rank_col, total_rows)``.
+    column). Plan: (1) a bounded systematic sample of sort keys picks
+    range boundaries (:func:`sample_range_bounds` — driver state
+    O(num_partitions) at ANY corpus size); (2) every row gets its range id
+    from a vectorized lexicographic compare against the boundaries; (3)
+    per-range row COUNTS (a combiner aggregate, one row per range)
+    prefix-sum into offsets on the driver — metadata-sized at any corpus
+    size; (4) each range sorts locally and emits offset + local rank.
+    Returns ``(dataset + rank_col, total_rows)``.
     """
     if num_partitions is None:
         num_partitions = derive_num_partitions()
-
-    def systematic_sample(batch: pd.DataFrame) -> pd.DataFrame:
-        return batch.iloc[::sample_stride][sort_cols]
-
-    samp = (
-        ds.map_batches(systematic_sample, batch_format="pandas")
-        .to_pandas()
-        .sort_values(sort_cols)
-        .reset_index(drop=True)
-    )
-    if len(samp) >= num_partitions > 1:
-        idx = (np.arange(1, num_partitions) * len(samp)) // num_partitions
-        bounds = [samp[c].to_numpy()[idx] for c in sort_cols]
-    else:
-        bounds = None
+    bounds = sample_range_bounds(ds, sort_cols, num_partitions, sample_stride)
 
     def add_pid(batch: pd.DataFrame) -> pd.DataFrame:
         batch = batch.copy(deep=False)

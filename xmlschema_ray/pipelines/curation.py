@@ -770,6 +770,7 @@ def pack_token_windows(sf_dir: str, window: int = 256) -> "rd.Dataset":
         combiner_aggregate,
         derive_num_partitions,
         hash_partition_apply,
+        sample_range_bounds,
     )
 
     ds = rd.read_parquet(table_path(sf_dir, "documents"), columns=["doc_id", "text"])
@@ -785,17 +786,10 @@ def pack_token_windows(sf_dir: str, window: int = 256) -> "rd.Dataset":
 
     cnt = ds.map_batches(counts, batch_format="pyarrow")
 
-    samp = (
-        cnt.map_batches(lambda b: b.iloc[::512][["doc_id"]], batch_format="pandas")
-        .to_pandas()
-        .sort_values("doc_id")
-    )
     n_parts = derive_num_partitions()
-    if len(samp) >= n_parts > 1:
-        idx = (np.arange(1, n_parts) * len(samp)) // n_parts
-        bounds = samp["doc_id"].to_numpy()[idx]
-    else:
-        bounds = np.array([], dtype=np.int64)
+    # bounded-driver boundary sample (O(n_parts) at any corpus size)
+    b = sample_range_bounds(cnt, ["doc_id"], n_parts)
+    bounds = b[0] if b is not None else np.array([], dtype=np.int64)
 
     def add_pid(batch: pd.DataFrame) -> pd.DataFrame:
         batch = batch.copy(deep=False)
