@@ -3,6 +3,8 @@ type dispatch, first-match-wins order, derivation lint, serde round-trip.
 Reference semantics: /root/reference/xmlschema/validators/elements.py:758-857.
 """
 
+import os
+
 import numpy as np
 import pyarrow as pa
 import pytest
@@ -200,3 +202,82 @@ def test_alternative_case_with_absent_discriminant_is_nonmatching():
     assert any("bigType" in n for n in found), found
     # the absent-column case never matched — its facet fired on no row
     assert not any("neverType" in n for n in found), found
+
+
+def test_substitution_alias_expansion(tmp_path, ray_session):
+    """ColumnAlias (xs:substitutionGroup analog): one facet stack declared
+    on a head expands to optional member clones at compile; members are
+    validated by the head's stack when present, fine when absent; a
+    conflicting explicit member spec is a compile error; serde round-trips
+    and re-compile is idempotent."""
+    import pyarrow as pa
+    import pyarrow.parquet as pq
+    import pytest as _pytest
+
+    from xmlschema_ray.constraints import facets as F
+    from xmlschema_ray.constraints.serde import spec_from_json, spec_to_json
+    from xmlschema_ray.constraints.spec import (
+        ColumnAlias,
+        ColumnSpec,
+        SpecError,
+        TableConstraints,
+    )
+    from xmlschema_ray.engine.engine import ValidationEngine
+
+    def build():
+        return TableConstraints(
+            name="t",
+            columns=[
+                ColumnSpec("doc_id", pa.string()),
+                ColumnSpec("score", pa.int64(), facets=(F.MinInclusive(0), F.MaxInclusive(100))),
+            ],
+            key_columns=("doc_id",),
+            aliases=(ColumnAlias("score", ("score_alt", "score_legacy")),),
+        )
+
+    spec = build().compile()
+    names = [c.name for c in spec.columns]
+    assert names == ["doc_id", "score", "score_alt", "score_legacy"]
+    alt = spec.column("score_alt")
+    assert not alt.required and {type(f).__name__ for f in alt.facets} == {
+        "MinInclusive",
+        "MaxInclusive",
+    }
+
+    # serde round-trip (expanded members serialize as explicit clones +
+    # the alias; reload+recompile is idempotent, not duplicating)
+    doc = spec_to_json(spec)
+    spec2 = spec_from_json(doc).compile()
+    assert [c.name for c in spec2.columns] == names
+    assert spec_to_json(spec2) == doc
+
+    # conflicting explicit member spec -> compile error
+    bad = build()
+    bad.columns.append(ColumnSpec("score_alt", pa.string()))
+    with _pytest.raises(SpecError, match="conflicts"):
+        bad.compile()
+
+    # engine: member column present -> validated with the head's stack;
+    # corpus WITHOUT the member column -> no violation
+    d = str(tmp_path / "c")
+    os.makedirs(d)
+    pq.write_table(
+        pa.table({"doc_id": ["a", "b"], "score": [5, 7], "score_alt": [50, 300]}),
+        os.path.join(d, "p0.parquet"),
+    )
+    res = ValidationEngine(build().compile(), batch_size=64, n_shards=1).run(
+        d, out_dir=str(tmp_path / "o")
+    )
+    v = res.violations()
+    assert res.job_validity == "invalid"
+    assert (v["column"] == "score_alt").sum() == 1  # 300 > 100
+
+    d2 = str(tmp_path / "c2")
+    os.makedirs(d2)
+    pq.write_table(
+        pa.table({"doc_id": ["a"], "score": [5]}), os.path.join(d2, "p0.parquet")
+    )
+    res2 = ValidationEngine(build().compile(), batch_size=64, n_shards=1).run(
+        d2, out_dir=str(tmp_path / "o2")
+    )
+    assert res2.job_validity == "valid" and res2.n_violations == 0

@@ -236,3 +236,67 @@ def test_spec_compat_programmatic_row_checks_not_spuriously_changed():
         f["change"] == "definition changed" and "chk" in f["item"] and not f["compatible"]
         for f in changed
     ), changed
+
+
+def test_row_check_registry_roundtrip(ray_session):
+    """Custom row checks round-trip through spec JSON via the registered-
+    name indirection (the RowCheck counterpart of the facet BUILDERS);
+    unregistered kinds raise at load; group_occurs checks now serialize."""
+    import numpy as np
+    import pyarrow as pa
+    import pytest as _pytest
+
+    from xmlschema_ray.constraints.occurs import ContentGroup, Particle, group_occurs_check
+    from xmlschema_ray.constraints.serde import (
+        make_row_check,
+        register_row_check_builder,
+        spec_from_json,
+        spec_to_json,
+    )
+    from xmlschema_ray.constraints.spec import ColumnSpec, RowCheck, TableConstraints
+
+    class _NonNegFn:
+        def __init__(self, col):
+            self.col = col
+
+        def __call__(self, table):
+            v = table[self.col].combine_chunks().to_numpy(zero_copy_only=False)
+            return v < 0
+
+    register_row_check_builder(
+        "non_negative",
+        lambda d: RowCheck(
+            name=d.get("name") or f"{d['col']}_non_negative",
+            columns=(d["col"],),
+            fn=_NonNegFn(d["col"]),
+            reason="negative value",
+        ),
+    )
+
+    spec = TableConstraints(
+        name="t",
+        columns=[ColumnSpec("a", pa.int64()), ColumnSpec("xs", pa.list_(pa.int64()), nullable=True)],
+        key_columns=("a",),
+        row_checks=(
+            make_row_check("non_negative", col="a"),
+            group_occurs_check(
+                ContentGroup("sequence", (Particle("xs", 1, 3),)), name="grp"
+            ),
+        ),
+    ).compile()
+
+    doc = spec_to_json(spec)
+    spec2 = spec_from_json(doc)
+    assert spec_to_json(spec2) == doc  # byte-stable round-trip
+
+    # reloaded custom check still computes
+    table = pa.table({"a": [1, -2], "xs": [[1], [1, 2, 3, 4]]})
+    masks = {rc.name: rc.fn(table) for rc in spec2.row_checks}
+    assert masks["a_non_negative"].tolist() == [False, True]
+    assert masks["grp"].tolist() == [False, True]
+
+    # unregistered kind raises at load with a registration hint
+    bad = dict(doc)
+    bad["row_checks"] = [{"kind": "no_such_kind"}]
+    with _pytest.raises(Exception, match="register_row_check_builder"):
+        spec_from_json(bad)

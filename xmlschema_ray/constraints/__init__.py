@@ -1,5 +1,6 @@
 from xmlschema_ray.constraints.spec import (
     AltCase,
+    ColumnAlias,
     ColumnSpec,
     DriftSpec,
     ForeignKey,
@@ -12,6 +13,7 @@ from xmlschema_ray.constraints.spec import (
 
 __all__ = [
     "AltCase",
+    "ColumnAlias",
     "ColumnSpec",
     "DriftSpec",
     "ForeignKey",

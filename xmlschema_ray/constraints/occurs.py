@@ -197,4 +197,19 @@ def group_occurs_check(group: ContentGroup, name: Optional[str] = None) -> RowCh
         fn=_GroupOccursFn(cols, b.min_occurs, b.max_occurs),
         reason=f"total occurs outside {b!r}",
     )
+    # serde identity (the derived-interval form, not the group tree: the
+    # interval arithmetic already ran, so the JSON carries the compiled
+    # bounds) — round-trips via the "group_occurs" row-check builder
+    object.__setattr__(
+        check,
+        "_serde",
+        {
+            "kind": "group_occurs",
+            "name": check.name,
+            "columns": list(cols),
+            "min_occurs": b.min_occurs,
+            "max_occurs": b.max_occurs,
+            "reason": check.reason,
+        },
+    )
     return check

@@ -17,10 +17,12 @@ import pyarrow as pa
 from xmlschema_ray.constraints import facets as F
 from xmlschema_ray.constraints.spec import (
     AltCase,
+    ColumnAlias,
     ColumnSpec,
     DriftSpec,
     ForeignKey,
     LengthEquals,
+    RowCheck,
     SpecError,
     TableConstraints,
     TypeAlternatives,
@@ -155,6 +157,69 @@ def facet_from_json(d: Dict[str, Any]) -> F.Facet:
     return b.from_json(d)
 
 
+# -- row-check registry ---------------------------------------------------
+#
+# The RowCheck counterpart of the facet BUILDERS map: arbitrary (vectorized)
+# row predicates round-trip through spec JSON via a registered-name
+# indirection, the same shape the reference uses to resolve assertion
+# implementations at schema build (``facets.py:631-676`` XsdAssertionFacet
+# compiled from its stored XPath source). A builder takes the params dict
+# and returns a RowCheck; the loaded check carries the doc as its
+# ``_serde`` identity so it re-serializes byte-identically and
+# ``spec_compat`` can compare definitions structurally.
+
+ROW_CHECK_BUILDERS: Dict[str, Any] = {}
+
+
+def register_row_check_builder(kind: str, from_json) -> None:
+    """Register (or replace — latest wins) the builder for a row-check
+    kind: ``from_json(params_dict) -> RowCheck``. The builder's callable
+    (and anything it closes over) must be plain-picklable — module-level
+    classes, not closures — since compiled specs ship to workers."""
+    ROW_CHECK_BUILDERS[kind] = from_json
+
+
+def row_check_from_json(doc: Dict[str, Any]) -> RowCheck:
+    kind = doc.get("kind")
+    b = ROW_CHECK_BUILDERS.get(kind)
+    if b is None:
+        raise SpecError(
+            f"unknown row check kind {kind!r}; register it with "
+            "register_row_check_builder(kind, from_json)"
+        )
+    check = b(dict(doc))
+    object.__setattr__(check, "_serde", dict(doc))
+    return check
+
+
+def make_row_check(kind: str, **params) -> RowCheck:
+    """Build a registered row check WITH its serde identity attached —
+    the portable way to put a custom predicate in a spec (a bare
+    ``RowCheck(fn=...)`` works in-process but cannot serialize)."""
+    return row_check_from_json({"kind": kind, **params})
+
+
+register_row_check_builder(
+    "length_equals",
+    lambda d: LengthEquals(d["list_col"], d["int_col"], name=d.get("name")),
+)
+
+
+def _group_occurs_from_json(d: Dict[str, Any]) -> RowCheck:
+    from xmlschema_ray.constraints.occurs import _GroupOccursFn
+
+    cols = tuple(d["columns"])
+    return RowCheck(
+        name=d["name"],
+        columns=cols,
+        fn=_GroupOccursFn(cols, int(d["min_occurs"]), d.get("max_occurs")),
+        reason=d.get("reason", "total occurs outside bounds"),
+    )
+
+
+register_row_check_builder("group_occurs", _group_occurs_from_json)
+
+
 def _length_params(f) -> Dict[str, Any]:
     out: Dict[str, Any] = {"value": f.k}
     if f.encoding != "none":
@@ -239,6 +304,9 @@ def spec_to_json(spec: TableConstraints) -> Dict[str, Any]:
         "key_columns": list(spec.key_columns),
         "stats_columns": list(spec.stats_columns),
         "distinct_columns": list(spec.distinct_columns),
+        "aliases": [
+            {"head": a.head, "members": list(a.members)} for a in spec.aliases
+        ],
         "columns": [
             {
                 "name": c.name,
@@ -297,8 +365,9 @@ def spec_to_json(spec: TableConstraints) -> Dict[str, Any]:
         meta = getattr(rc, "_serde", None)
         if meta is None:
             raise SpecError(
-                f"row check {rc.name!r} is a Python callable and not JSON-serializable; "
-                "only declarative checks (length_equals) serialize"
+                f"row check {rc.name!r} is a bare Python callable and not "
+                "JSON-serializable; build it via make_row_check(kind, ...) "
+                "after register_row_check_builder(kind, from_json)"
             )
         doc["row_checks"].append(meta)
     return doc
@@ -315,13 +384,7 @@ def spec_from_json(doc: Dict[str, Any]) -> TableConstraints:
         )
         for c in doc["columns"]
     ]
-    row_checks = []
-    for rc in doc.get("row_checks", []):
-        if rc.get("kind") != "length_equals":
-            raise SpecError(f"unknown row check kind {rc.get('kind')!r}")
-        check = LengthEquals(rc["list_col"], rc["int_col"], name=rc.get("name"))
-        object.__setattr__(check, "_serde", rc)
-        row_checks.append(check)
+    row_checks = [row_check_from_json(rc) for rc in doc.get("row_checks", [])]
     type_alternatives = [
         TypeAlternatives(
             column=ta["column"],
@@ -371,6 +434,10 @@ def spec_from_json(doc: Dict[str, Any]) -> TableConstraints:
         allow_extra_columns=doc.get("allow_extra_columns", True),
         stats_columns=tuple(doc.get("stats_columns", ())),
         distinct_columns=tuple(doc.get("distinct_columns", ())),
+        aliases=tuple(
+            ColumnAlias(a["head"], tuple(a["members"]))
+            for a in doc.get("aliases", [])
+        ),
     )
     return spec.compile()
 

@@ -121,6 +121,30 @@ def LengthEquals(list_col: str, int_col: str, name: Optional[str] = None) -> Row
     return check
 
 
+@dataclass(frozen=True)
+class ColumnAlias:
+    """Substitution-group analog: one facet stack declared once on a HEAD
+    column applies to every MEMBER column name.
+
+    The reference expands ``xs:substitutionGroup`` at schema build — member
+    elements substitute for the head and inherit its type
+    (``validators/elements.py:282-332`` builds the map, ``430-434`` walks
+    it at decode). The tabular analog expands at :meth:`TableConstraints
+    .compile`: each member becomes a clone of the head's ``ColumnSpec``
+    (dtype, nullability, facets) with ``required=False`` — a member column
+    may appear in place of (or alongside) the head and is validated by the
+    head's stack; a batch without it is fine. Expansion is idempotent and
+    a member that conflicts with an explicitly-declared different spec is
+    a compile error."""
+
+    head: str
+    members: Tuple[str, ...]
+
+    def __post_init__(self):
+        if not isinstance(self.members, tuple):
+            object.__setattr__(self, "members", tuple(self.members))
+
+
 _ALT_OPS = ("==", "!=", "<", "<=", ">", ">=", "in", "is_null", "not_null")
 
 
@@ -301,6 +325,9 @@ class TableConstraints:
     # distinct-sketch columns tracked with HyperLogLog.
     stats_columns: Tuple[str, ...] = ()
     distinct_columns: Tuple[str, ...] = ()
+    # substitution-group alias sets, expanded into member ColumnSpecs at
+    # compile (see ColumnAlias)
+    aliases: Tuple["ColumnAlias", ...] = ()
 
     def __post_init__(self):
         if not self.key_columns and self.columns:
@@ -322,8 +349,35 @@ class TableConstraints:
 
         The analog of validating the schema document against the meta-schema
         before building (``validators/schema.py:350-354``) plus the UPA
-        determinism check (``validators/models.py:186-224``).
+        determinism check (``validators/models.py:186-224``). Substitution
+        aliases expand FIRST (``elements.py:282-332`` analog): each alias
+        member becomes an optional clone of its head's column spec.
         """
+        if self.aliases:
+            from dataclasses import replace as _replace
+
+            if not isinstance(self.aliases, tuple):
+                self.aliases = tuple(self.aliases)
+            cols = list(self.columns)
+            by_name = {c.name: c for c in cols}
+            for al in self.aliases:
+                head = by_name.get(al.head)
+                if head is None:
+                    raise SpecError(f"alias head {al.head!r} is not a declared column")
+                for m in al.members:
+                    if m == al.head:
+                        raise SpecError(f"alias member {m!r} equals its head")
+                    clone = _replace(head, name=m, required=False)
+                    existing = by_name.get(m)
+                    if existing is None:
+                        cols.append(clone)
+                        by_name[m] = clone
+                    elif existing != clone:
+                        raise SpecError(
+                            f"alias member {m!r} conflicts with an explicitly "
+                            "declared column spec"
+                        )
+            self.columns = cols
         names = [c.name for c in self.columns]
         if len(set(names)) != len(names):
             dupes = sorted({n for n in names if names.count(n) > 1})
