@@ -639,3 +639,55 @@ def test_driftspec_group_reference_keys_normalize_to_str():
     )
     assert set(d.group_references) == {"3", "7"}
     assert d.group_references["3"] == (1, 2)
+
+def test_output_formatters_roundtrip(tmp_path, ray_session):
+    """Registered output formatters (the converters analog): canonical
+    parquet is byte-unchanged by default; jsonl-by-key and csv renderings
+    round-trip back to the exact canonical frame; a custom registered
+    formatter resolves by name; unknown names raise."""
+    import hashlib
+
+    import pytest as _pytest
+
+    from xmlschema_ray.engine.formatters import get_formatter, register_formatter
+
+    defects = {"dup_doc_id": 3, "bad_token_range": 4, "bad_ref": 2}
+    seq_dir, dim, _ = write_sequences_corpus(
+        str(tmp_path / "c"), n_rows=800, n_files=4, defects=defects
+    )
+    res = ValidationEngine(sequences_spec(), batch_size=256, n_shards=2).run(
+        seq_dir, out_dir=str(tmp_path / "o"), dims={"sources": dim}
+    )
+    viol_dir = os.path.join(res.out_dir, "violations")
+    digest_before = {
+        f: hashlib.md5(open(os.path.join(viol_dir, f), "rb").read()).hexdigest()
+        for f in sorted(os.listdir(viol_dir))
+    }
+    canonical = res.violations()
+
+    for name in ("jsonl-by-key", "csv"):
+        out = res.export(name, str(tmp_path / f"v.{name}"))
+        back = get_formatter(name).reader(out)
+        pd.testing.assert_frame_equal(
+            back.reset_index(drop=True), canonical.reset_index(drop=True)
+        )
+
+    # canonical parquet untouched by exports
+    digest_after = {
+        f: hashlib.md5(open(os.path.join(viol_dir, f), "rb").read()).hexdigest()
+        for f in sorted(os.listdir(viol_dir))
+    }
+    assert digest_after == digest_before
+
+    # custom formatter via the registry
+    register_formatter(
+        "count-only",
+        lambda vdir, out: open(out, "w").write(
+            str(sum(len(pd.read_parquet(os.path.join(vdir, f))) for f in os.listdir(vdir)))
+        ),
+    )
+    out = res.export("count-only", str(tmp_path / "n.txt"))
+    assert int(open(out).read()) == len(canonical)
+
+    with _pytest.raises(KeyError, match="unknown output format"):
+        res.export("no-such-format", str(tmp_path / "x"))

@@ -27,3 +27,70 @@ def test_parse_booleans(ray_session):
     out = parse_booleans(ds, "f").to_pandas()
     assert out["f"].tolist()[:4] == [True, False, True, False]
     assert pd.isna(out["f"].iloc[4]) and pd.isna(out["f"].iloc[5])
+
+
+def test_normalize_rewrite_sink(tmp_path, ray_session):
+    """Encoder-direction repair sink: whiteSpace-facet normalization,
+    default fill, canonical dtype cast; output validates CLEAN under the
+    same spec; resumable (second run skips every shard)."""
+    import os
+
+    import pyarrow as pa
+    import pyarrow.dataset as pads
+    import pyarrow.parquet as pq
+
+    from xmlschema_ray.constraints import facets as F
+    from xmlschema_ray.constraints.spec import ColumnSpec, TableConstraints
+    from xmlschema_ray.engine.encode import normalize_rewrite
+    from xmlschema_ray.engine.engine import ValidationEngine
+
+    src = str(tmp_path / "src")
+    os.makedirs(src)
+    for i in range(2):
+        pq.write_table(
+            pa.table(
+                {
+                    "doc_id": pa.array([2 * i, 2 * i + 1], type=pa.int64()),
+                    "text": [" a\tb \n", "ok"],
+                    # int32 on disk; spec declares int64 (canonical cast)
+                    "score": pa.array([None, 7], type=pa.int32()),
+                }
+            ),
+            os.path.join(src, f"p{i}.parquet"),
+        )
+
+    spec = TableConstraints(
+        name="t",
+        columns=[
+            ColumnSpec("doc_id", pa.int64()),
+            ColumnSpec("text", pa.string(), facets=(F.WhiteSpace("collapse"),)),
+            ColumnSpec("score", pa.int64(), facets=(F.MinInclusive(0),)),
+        ],
+        key_columns=("doc_id",),
+    ).compile()
+
+    out = str(tmp_path / "norm")
+    stats = normalize_rewrite(src, spec, out, defaults={"score": 0}, n_shards=2)
+    assert stats == {"n_shards": 2, "n_skipped": 0, "n_rows": 4}
+
+    norm_files = sorted(
+        os.path.join(r, x)
+        for r, _, fs in os.walk(out)
+        for x in fs
+        if x.endswith(".parquet")
+    )
+    t = pads.dataset(norm_files).to_table().sort_by("doc_id")
+    assert t.schema.field("score").type == pa.int64()
+    assert t["text"].to_pylist() == ["a b", "ok", "a b", "ok"]
+    assert t["score"].to_pylist() == [0, 7, 0, 7]
+
+    # the rewritten corpus validates clean under the SAME spec
+    res = ValidationEngine(spec, batch_size=64, n_shards=1).run(
+        norm_files,
+        out_dir=str(tmp_path / "v"),
+    )
+    assert res.job_validity == "valid" and res.n_violations == 0
+
+    # resume: everything skips
+    stats2 = normalize_rewrite(src, spec, out, defaults={"score": 0}, n_shards=2)
+    assert stats2 == {"n_shards": 2, "n_skipped": 2, "n_rows": 4}

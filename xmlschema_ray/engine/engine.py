@@ -110,6 +110,18 @@ class ValidationResult:
     def violations_dataset(self) -> "rd.Dataset":
         return rd.read_parquet(os.path.join(self.out_dir, "violations"))
 
+    def export(self, format_name: str, out_path: str) -> str:
+        """Render the canonical violations through a registered output
+        formatter (``engine.formatters`` registry — the converters analog,
+        reference ``converters.py:44-370``). The canonical parquet output
+        is never touched; formatters are additional renderings."""
+        from xmlschema_ray.engine.formatters import get_formatter
+
+        get_formatter(format_name).writer(
+            os.path.join(self.out_dir, "violations"), out_path
+        )
+        return out_path
+
 
 def _resolve_files(source: Union[str, Sequence[str]]) -> List[str]:
     if isinstance(source, str):

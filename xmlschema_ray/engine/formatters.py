@@ -1,0 +1,151 @@
+"""Pluggable output formatters for violations / verdicts.
+
+The converters analog (reference ``converters.py:44-370`` base converter +
+the variant layouts at ``506-958``): the ENGINE always materializes ONE
+canonical representation (sorted violation parquet + verdict parquet —
+byte-identical regardless of registered formatters), and formatters are
+registered post-hoc renderings of that canonical output into alternative
+layouts, resolved by name from a registry exactly like the facet
+``BUILDERS`` map. A formatter that also registers a ``reader`` is
+round-trippable: ``reader(path)`` must reproduce the canonical frame.
+
+Built-ins:
+
+* ``jsonl-by-key`` — nested JSON-lines grouped by row identity (one line
+  per (partition_id, key) with its violation list), the BadgerFish-style
+  nested layout; streamed batch-wise off the sorted parquet so no full
+  materialization at any output size.
+* ``csv`` — flat RFC-4180 CSV of the canonical columns.
+"""
+
+from __future__ import annotations
+
+import json
+import os
+from typing import Callable, Dict, List, Optional
+
+import pandas as pd
+import pyarrow as pa
+import pyarrow.dataset as pads
+
+from xmlschema_ray.engine.row_validator import VIOLATION_SCHEMA
+
+_COLS = [f.name for f in VIOLATION_SCHEMA]
+_SORT = ["partition_id", "key", "constraint_name", "column"]
+
+
+class Formatter:
+    __slots__ = ("name", "writer", "reader")
+
+    def __init__(self, name: str, writer: Callable, reader: Optional[Callable]):
+        self.name = name
+        self.writer = writer
+        self.reader = reader
+
+
+FORMATTERS: Dict[str, Formatter] = {}
+
+
+def register_formatter(name: str, writer: Callable, reader: Optional[Callable] = None) -> None:
+    """Register (or replace — latest wins) an output formatter.
+
+    ``writer(violations_dir, out_path)`` renders the canonical sorted
+    violation parquet directory to ``out_path``; ``reader(out_path) ->
+    DataFrame`` (optional) parses it back to the canonical frame for
+    round-trip verification."""
+    FORMATTERS[name] = Formatter(name, writer, reader)
+
+
+def get_formatter(name: str) -> Formatter:
+    f = FORMATTERS.get(name)
+    if f is None:
+        raise KeyError(
+            f"unknown output format {name!r}; registered: {sorted(FORMATTERS)}"
+        )
+    return f
+
+
+def _iter_canonical_batches(violations_dir: str):
+    """Record batches off the canonically-sorted violation parquet, in
+    file/row order (i.e. canonical order), column-pruned to the schema."""
+    if not os.path.exists(violations_dir) or not os.listdir(violations_dir):
+        return
+    for batch in pads.dataset(violations_dir).to_batches(columns=_COLS):
+        if batch.num_rows:
+            yield batch
+
+
+def _write_jsonl_by_key(violations_dir: str, out_path: str) -> None:
+    """One JSON line per (partition_id, key) row identity with its nested
+    violation list. The canonical sort makes identities CONTIGUOUS, so a
+    streaming batch loop with one carry group needs O(one key's
+    violations) memory at any output size."""
+    carry_id = None
+    carry: List[dict] = []
+
+    def flush(f):
+        if carry_id is not None:
+            f.write(
+                json.dumps(
+                    {
+                        "partition_id": carry_id[0],
+                        "key": carry_id[1],
+                        "violations": carry,
+                    },
+                    sort_keys=True,
+                )
+                + "\n"
+            )
+
+    with open(out_path, "w") as f:
+        for batch in _iter_canonical_batches(violations_dir):
+            df = batch.to_pandas()
+            for (pid, key), g in df.groupby(["partition_id", "key"], sort=False):
+                ident = (int(pid), str(key))
+                items = g[["constraint_name", "column", "reason", "value_repr"]].to_dict(
+                    "records"
+                )
+                if ident == carry_id:
+                    carry.extend(items)
+                else:
+                    flush(f)
+                    carry_id, carry = ident, items
+        flush(f)
+
+
+def _read_jsonl_by_key(path: str) -> pd.DataFrame:
+    rows = []
+    with open(path) as f:
+        for line in f:
+            doc = json.loads(line)
+            for v in doc["violations"]:
+                rows.append(
+                    {"partition_id": doc["partition_id"], "key": doc["key"], **v}
+                )
+    if not rows:
+        return pd.DataFrame(columns=_COLS)
+    df = pd.DataFrame(rows)[_COLS]
+    df["partition_id"] = df["partition_id"].astype("int32")
+    return df.sort_values(_SORT, kind="mergesort").reset_index(drop=True)
+
+
+def _write_csv(violations_dir: str, out_path: str) -> None:
+    import csv
+
+    with open(out_path, "w", newline="") as f:
+        w = csv.writer(f)
+        w.writerow(_COLS)
+        for batch in _iter_canonical_batches(violations_dir):
+            w.writerows(batch.to_pandas().itertuples(index=False, name=None))
+
+
+def _read_csv(path: str) -> pd.DataFrame:
+    df = pd.read_csv(path, dtype={"key": str, "value_repr": str}, keep_default_na=False)
+    if not len(df):
+        return pd.DataFrame(columns=_COLS)
+    df["partition_id"] = df["partition_id"].astype("int32")
+    return df[_COLS].sort_values(_SORT, kind="mergesort").reset_index(drop=True)
+
+
+register_formatter("jsonl-by-key", _write_jsonl_by_key, _read_jsonl_by_key)
+register_formatter("csv", _write_csv, _read_csv)

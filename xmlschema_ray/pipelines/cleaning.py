@@ -18,6 +18,7 @@ from typing import Dict, Optional, Union
 
 import numpy as np
 import pyarrow as pa
+import pyarrow.compute as pc
 
 import ray
 import ray.data as rd
@@ -81,3 +82,45 @@ WHERE l_quantity <= 45.0 AND l_discount <= 0.08 AND l_tax <= 0.05
 
 ORACLES = {"clean_lineitem": CLEAN_LINEITEM_SQL}
 QUERIES = {"clean_lineitem": clean_lineitem}
+
+
+def normalize_documents(sf_dir: str) -> rd.Dataset:
+    """Oracle-checked encoder-direction rewrite (``engine/encode.py``, the
+    ``iter_encode``/``from_json`` analog, reference
+    ``documents.py:109-196``): documents canonicalized under a spec whose
+    ``text`` column carries ``whiteSpace(collapse)`` — tab/CR/LF → space,
+    runs squeezed, ends stripped — plus a ``changed`` marker. The same
+    ``normalize_table`` kernel backs the resumable ``normalize_rewrite``
+    sink; this query exposes it to the DuckDB gate."""
+    from xmlschema_ray.engine.encode import normalize_table
+
+    spec = TableConstraints(
+        name="documents_norm",
+        columns=[
+            ColumnSpec("doc_id", pa.int64()),
+            ColumnSpec("text", pa.string(), facets=(F.WhiteSpace("collapse"),)),
+        ],
+        key_columns=("doc_id",),
+    ).compile()
+    ds = rd.read_parquet(table_path(sf_dir, "documents"), columns=["doc_id", "text"])
+
+    def norm(batch: pa.Table) -> pa.Table:
+        out = normalize_table(batch, spec)
+        changed = pc.invert(pc.equal(out["text"], batch["text"]))
+        return out.rename_columns(["doc_id", "text_norm"]).append_column(
+            "changed", pc.fill_null(changed, True)
+        )
+
+    return ds.map_batches(norm, batch_format="pyarrow", zero_copy_batch=True)
+
+
+NORMALIZE_DOCUMENTS_SQL = r"""
+SELECT doc_id,
+       trim(regexp_replace(regexp_replace(text, '[\t\r\n]', ' ', 'g'), ' +', ' ', 'g'), ' ') AS text_norm,
+       (text IS DISTINCT FROM trim(regexp_replace(regexp_replace(text, '[\t\r\n]', ' ', 'g'), ' +', ' ', 'g'), ' ')) AS changed
+FROM documents
+ORDER BY doc_id
+"""
+
+ORACLES["normalize_documents"] = NORMALIZE_DOCUMENTS_SQL
+QUERIES["normalize_documents"] = normalize_documents
