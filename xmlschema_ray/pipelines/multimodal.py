@@ -272,11 +272,110 @@ MULTIMODAL_FEATURES_SQL = (
 )
 
 
+class _ResizeManifest:
+    """Actor wrapper running the REAL :class:`MediaResizer` stage and
+    emitting the manifest columns the oracle can re-derive (sizes and
+    target geometry; the pseudo-payload itself is hash-seeded and stays
+    out of the compare)."""
+
+    def __init__(self, target_w: int, target_h: int):
+        self.resizer = MediaResizer(target_w, target_h, fake=True)
+
+    def __call__(self, batch: pd.DataFrame) -> pd.DataFrame:
+        out = self.resizer(batch)
+        return pd.DataFrame(
+            {
+                "item_id": out["item_id"].astype("int64"),
+                "n_bytes_in": batch["n_bytes"].to_numpy().astype("int64"),
+                "n_bytes_out": out["n_bytes"].astype("int64"),
+                "width": out["width"].astype("int32"),
+                "height": out["height"].astype("int32"),
+            }
+        )
+
+
+def media_resize_manifest(sf_dir: str, target_w: int = 32, target_h: int = 32) -> "rd.Dataset":
+    """Oracle-checked resize manifest: the :class:`MediaResizer` actor
+    pool over the payload table, reduced to the columns SQL re-derives
+    exactly (in/out octet counts + output geometry) — brings the resize
+    stage under the driver's correctness gate."""
+    return to_binary_payloads(sf_dir).map_batches(
+        _ResizeManifest,
+        fn_constructor_kwargs=dict(target_w=target_w, target_h=target_h),
+        batch_format="pandas",
+        batch_size=128,
+        concurrency=(1, 4),
+    )
+
+
+MEDIA_RESIZE_MANIFEST_SQL = """
+SELECT doc_id AS item_id,
+       CAST(octet_length(encode(text)) AS BIGINT) AS n_bytes_in,
+       CAST(32 * 32 * 3 AS BIGINT) AS n_bytes_out,
+       CAST(32 AS INTEGER) AS width,
+       CAST(32 AS INTEGER) AS height
+FROM documents
+ORDER BY item_id
+"""
+
+
+class _FrameManifest:
+    """Actor wrapper over the REAL :class:`FrameSampler` fan-out, emitting
+    per-frame octet counts (SQL re-derives the contiguous-chunk slicing
+    arithmetic exactly)."""
+
+    def __init__(self, n_frames: int):
+        self.sampler = FrameSampler(n_frames, fake=True)
+
+    def __call__(self, batch: pd.DataFrame) -> pd.DataFrame:
+        out = self.sampler(batch)
+        return pd.DataFrame(
+            {
+                "item_id": out["item_id"],
+                "frame_idx": out["frame_idx"],
+                "n_bytes": pd.array([len(p) for p in out["payload"]], dtype="int64"),
+            }
+        )
+
+
+def frame_sample_manifest(sf_dir: str, n_frames: int = 4) -> "rd.Dataset":
+    """Oracle-checked frame-sampling manifest: one row per (item, frame)
+    with the frame's octet count — the fan-out stage under the gate."""
+    return to_binary_payloads(sf_dir).map_batches(
+        _FrameManifest,
+        fn_constructor_kwargs=dict(n_frames=n_frames),
+        batch_format="pandas",
+        batch_size=256,
+        concurrency=(1, 4),
+    )
+
+
+# chunk i of payload b is b[i*step:(i+1)*step] with step = max(1, n//4):
+# length = max(0, min(n, (i+1)*step) - min(n, i*step))
+FRAME_SAMPLE_MANIFEST_SQL = """
+WITH d AS (
+  SELECT doc_id,
+         octet_length(encode(text)) AS n,
+         greatest(1, octet_length(encode(text)) // 4) AS step
+  FROM documents
+), f AS (SELECT unnest(range(4)) AS i)
+SELECT d.doc_id AS item_id,
+       CAST(f.i AS INTEGER) AS frame_idx,
+       CAST(greatest(0, least(d.n, (f.i + 1) * d.step) - least(d.n, f.i * d.step)) AS BIGINT) AS n_bytes
+FROM d CROSS JOIN f
+ORDER BY 1, 2
+"""
+
+
 ORACLES: Dict[str, str] = {
     "val_payload_length": VAL_PAYLOAD_LENGTH_SQL,
     "multimodal_features": MULTIMODAL_FEATURES_SQL,
+    "media_resize_manifest": MEDIA_RESIZE_MANIFEST_SQL,
+    "frame_sample_manifest": FRAME_SAMPLE_MANIFEST_SQL,
 }
 QUERIES = {
     "multimodal_features": multimodal_features,
     "val_payload_length": val_payload_length,
+    "media_resize_manifest": media_resize_manifest,
+    "frame_sample_manifest": frame_sample_manifest,
 }
