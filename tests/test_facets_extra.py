@@ -171,3 +171,41 @@ def test_xsd_regex_spec_shorthand_semantics():
     assert m(r"\W+", ["., !", "ab"]) == [True, False]
     with pytest.raises(F.SpecError):
         translate_xsd_regex(r"\p{Greek}+")  # scripts: not XSD
+
+
+def test_unicode_subset_algebra():
+    """Public UnicodeSubset (codepoints.py:126-480 analog): construction
+    from class bodies / intervals / categories / blocks; union, intersect,
+    subtract, complement; membership, iteration, re-emission as an RE2
+    class that a Pattern facet accepts."""
+    import pyarrow as pa
+
+    from xmlschema_ray.constraints import facets as F
+    from xmlschema_ray.constraints.xsd_regex import UnicodeSubset
+
+    a = UnicodeSubset("a-z")
+    v = UnicodeSubset("aeiou")
+    cons = a - v
+    assert len(cons) == 21 and "b" in cons and "a" not in cons
+    assert set("bcd") < set(map(chr, cons))
+
+    # complement round-trips
+    assert ~(~cons) == cons
+    # algebra identities
+    assert (cons | v) == a
+    assert (a & v) == v
+    assert len(a & ~a) == 0
+
+    nd = UnicodeSubset.category("Nd")
+    assert "7" in nd and "x" not in nd
+    th = UnicodeSubset.block("Thai")
+    assert 0x0E01 in th and "A" not in th
+
+    # emitted class drives a real Pattern facet end-to-end
+    pat = F.Pattern(f"{cons.to_class()}+")
+    mask, _ = pat.check(pa.chunked_array([pa.array(["bcd", "tree", "xyz"])]))
+    assert mask.tolist() == [False, True, False]
+
+    # intervals constructor + containment by codepoint
+    s = UnicodeSubset([(0x30, 0x39), 0x41])
+    assert 0x35 in s and "A" in s and "B" not in s and len(s) == 11

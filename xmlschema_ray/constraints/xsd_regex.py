@@ -571,3 +571,108 @@ def translate_xsd_regex(pattern: str) -> str:
     except pa.ArrowInvalid as e:
         raise SpecError(f"XSD pattern {pattern!r} translated to invalid regex {out!r}: {e}") from e
     return out
+
+
+class UnicodeSubset:
+    """General codepoint-set algebra — the PUBLIC form of the interval
+    machinery above (the reference's ``UnicodeSubset``,
+    ``codepoints.py:126-480``, same operator surface: ``|  &  -  ~  in``,
+    iteration, length).
+
+    Construct from a class BODY string (anything a bracketed XSD class
+    accepts: ranges, multi-char escapes, ``\\p{...}`` categories/blocks),
+    an iterable of codepoints / ``(lo, hi)`` intervals, or another subset.
+    ``to_class()`` re-emits the set as one literal RE2 character class —
+    the bridge into a ``Pattern`` facet for custom classes XSD syntax
+    can't express directly.
+    """
+
+    __slots__ = ("_ivs",)
+
+    def __init__(self, arg=None):
+        if arg is None:
+            self._ivs: List[List[int]] = []
+        elif isinstance(arg, UnicodeSubset):
+            self._ivs = [iv[:] for iv in arg._ivs]
+        elif isinstance(arg, str):
+            self._ivs = _class_body_to_iv(arg)
+        else:
+            pairs = []
+            for item in arg:
+                if isinstance(item, int):
+                    pairs.append([item, item])
+                else:
+                    lo, hi = item
+                    pairs.append([int(lo), int(hi)])
+            self._ivs = _norm(pairs)
+
+    @classmethod
+    def from_intervals(cls, ivs) -> "UnicodeSubset":
+        return cls(ivs)
+
+    @classmethod
+    def category(cls, name: str) -> "UnicodeSubset":
+        """Unicode general category (``Nd``, ``L``, ...)."""
+        s = cls()
+        s._ivs = _cat_set(name)
+        return s
+
+    @classmethod
+    def block(cls, name: str) -> "UnicodeSubset":
+        """XSD block name (``BasicLatin``, ``IsThai`` with or without the
+        ``Is`` prefix)."""
+        s = cls()
+        s._ivs = _pname_set(name if name.startswith("Is") else "Is" + name)
+        return s
+
+    # -- algebra (each returns a NEW normalized subset) -------------------
+    def __or__(self, other: "UnicodeSubset") -> "UnicodeSubset":
+        s = UnicodeSubset()
+        s._ivs = _norm(self._ivs + other._ivs)
+        return s
+
+    def __and__(self, other: "UnicodeSubset") -> "UnicodeSubset":
+        s = UnicodeSubset()
+        s._ivs = _intersect(self._ivs, other._ivs)
+        return s
+
+    def __sub__(self, other: "UnicodeSubset") -> "UnicodeSubset":
+        s = UnicodeSubset()
+        s._ivs = _subtract(self._ivs, other._ivs)
+        return s
+
+    def __invert__(self) -> "UnicodeSubset":
+        s = UnicodeSubset()
+        s._ivs = _complement(self._ivs)
+        return s
+
+    # -- membership / size / iteration ------------------------------------
+    def __contains__(self, cp) -> bool:
+        if isinstance(cp, str):
+            cp = ord(cp)
+        import bisect
+
+        i = bisect.bisect_right([iv[0] for iv in self._ivs], cp) - 1
+        return i >= 0 and cp <= self._ivs[i][1]
+
+    def __len__(self) -> int:
+        return sum(hi - lo + 1 for lo, hi in self._ivs)
+
+    def __iter__(self):
+        for lo, hi in self._ivs:
+            yield from range(lo, hi + 1)
+
+    def __eq__(self, other) -> bool:
+        return isinstance(other, UnicodeSubset) and self._ivs == other._ivs
+
+    def __repr__(self) -> str:
+        return f"UnicodeSubset({len(self._ivs)} intervals, {len(self)} codepoints)"
+
+    def intervals(self) -> List[List[int]]:
+        return [iv[:] for iv in self._ivs]
+
+    def to_class(self) -> str:
+        """One literal RE2 character class matching exactly this set
+        (surrogates dropped at emission — un-encodable in the UTF-8 the
+        Arrow RE2 kernel sees). Raises on the empty set."""
+        return _iv_to_class(self._ivs)
