@@ -56,3 +56,20 @@ def oracle_dump(ds, tag: str, enabled: bool = True) -> bool:
     shutil.rmtree(d, ignore_errors=True)
     ds.write_parquet(d)
     return True
+
+
+def dataset_or_typed_empty(ds, template: "pd.DataFrame"):
+    """Return ``ds`` unless its (result-sized, already-executed-on-consume)
+    contents are EMPTY — then return the typed empty frame instead.
+
+    A zero-row Dataset that went through a sort exposes ONLY schema-less
+    empty blocks (Ray's sort emits them for empty ranges and map operators
+    pass them through; see ``ops/relational.py``), so the driver's
+    ``to_pandas`` would lose every column and fail the schema compare.
+    ``materialize()`` here is sound only for result-sized outputs
+    (violation lists, outlier sets) — never call it on fact-sized data.
+    """
+    out = ds.materialize()
+    if out.count() == 0:
+        return template
+    return out

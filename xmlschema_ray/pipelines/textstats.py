@@ -17,7 +17,7 @@ import pandas as pd
 import ray.data as rd
 
 from xmlschema_ray.functions import text as T
-from xmlschema_ray.pipelines.common import table_path
+from xmlschema_ray.pipelines.common import dataset_or_typed_empty, table_path
 
 
 def token_counts(sf_dir: str):
@@ -392,8 +392,8 @@ def mad_outlier_docs(sf_dir: str) -> "rd.Dataset":
         table_path(sf_dir, "documents"), columns=["doc_id", "source", "n_chars"]
     )
 
-    def per_part(g: pd.DataFrame) -> pd.DataFrame:
-        empty = pd.DataFrame(
+    def _empty() -> pd.DataFrame:
+        return pd.DataFrame(
             {
                 "doc_id": pd.Series([], dtype="int64"),
                 "source": pd.Series([], dtype=object),
@@ -402,6 +402,9 @@ def mad_outlier_docs(sf_dir: str) -> "rd.Dataset":
                 "mad": pd.Series([], dtype="float64"),
             }
         )
+
+    def per_part(g: pd.DataFrame) -> pd.DataFrame:
+        empty = _empty()
         outs = []
         for _src, gg in g.groupby("source", sort=False):
             x = gg["n_chars"].to_numpy(np.int64)
@@ -425,7 +428,11 @@ def mad_outlier_docs(sf_dir: str) -> "rd.Dataset":
             )
         return pd.concat(outs, ignore_index=True) if outs else empty
 
-    return hash_partition_apply(ds, "source", per_part).sort("doc_id")
+    out = hash_partition_apply(ds, "source", per_part).sort("doc_id")
+    # an all-clean corpus yields ZERO outliers; the sorted empty Dataset
+    # carries no schema (Ray sort emits schema-less empty blocks), so fall
+    # back to the typed empty frame — result-sized, so materialize is safe
+    return dataset_or_typed_empty(out, _empty())
 
 
 MAD_OUTLIER_SQL = """
