@@ -177,7 +177,11 @@ def _drop_known_benign_ray_warnings() -> None:
                 and "names=[], types=[]" in msg
             )
 
-    logging.getLogger("ray.data").addFilter(_F())
+    # logger-level filters only see records logged AT that logger, not at
+    # children — attach to the emitting module's logger directly
+    logging.getLogger(
+        "ray.data._internal.execution.streaming_executor_state"
+    ).addFilter(_F())
 
 
 def bench_once() -> dict:
