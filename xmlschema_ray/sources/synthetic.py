@@ -278,6 +278,35 @@ def write_sequences_corpus(
     return seq_dir, dim_path, expected
 
 
+def _write_clean_seq_file(seq_dir: str, i: int, n_i: int, seed: int, mean_len: int) -> int:
+    """Generate + write clean file ``i`` of a scaled corpus. Fully
+    determined by ``(seed, i)`` — identical bytes whether run serially or
+    as a Ray task."""
+    rng = np.random.default_rng((seed << 20) + i)
+    lens = np.clip(rng.poisson(mean_len, size=n_i), 1, MAX_TOK).astype(np.int64)
+    flat = rng.integers(0, VOCAB, size=int(lens.sum()), dtype=np.int32)
+    offsets = np.zeros(n_i + 1, dtype=np.int64)
+    np.cumsum(lens, out=offsets[1:])
+    # globally unique ids: file index in the high bits
+    base = np.int64(i) << np.int64(28)
+    ids = [f"doc-{int(base + j):012x}" for j in range(n_i)]
+    srcs = np.array(SOURCES, dtype=object)[rng.integers(0, len(SOURCES), size=n_i)]
+    tbl = pa.table(
+        {
+            "doc_id": pa.array(ids, type=pa.string()),
+            "tokens": pa.ListArray.from_arrays(
+                pa.array(offsets, type=pa.int64()).cast(pa.int32()),
+                pa.array(flat, type=pa.int32()),
+            ),
+            "n_tok": pa.array(lens.astype(np.int32), type=pa.int32()),
+            "source": pa.array(srcs, type=pa.string()),
+        },
+        schema=SEQ_SCHEMA,
+    )
+    pq.write_table(tbl, os.path.join(seq_dir, f"seq-{i:04d}.parquet"))
+    return n_i
+
+
 def write_scaled_corpus(
     out_dir: str,
     n_rows: int,
@@ -301,32 +330,21 @@ def write_scaled_corpus(
     seq0, dim, expected = generate_sequences(per, seed=seed, mean_len=mean_len, defects=defects)
     pq.write_table(seq0, os.path.join(seq_dir, "seq-0000.parquet"))
 
-    for i in range(1, n_files):
-        rng = np.random.default_rng((seed << 20) + i)
-        n_i = min(per, n_rows - per * i)
-        if n_i <= 0:
-            break
-        lens = np.clip(rng.poisson(mean_len, size=n_i), 1, MAX_TOK).astype(np.int64)
-        flat = rng.integers(0, VOCAB, size=int(lens.sum()), dtype=np.int32)
-        offsets = np.zeros(n_i + 1, dtype=np.int64)
-        np.cumsum(lens, out=offsets[1:])
-        # globally unique ids: file index in the high bits
-        base = np.int64(i) << np.int64(28)
-        ids = [f"doc-{int(base + j):012x}" for j in range(n_i)]
-        srcs = np.array(SOURCES, dtype=object)[rng.integers(0, len(SOURCES), size=n_i)]
-        tbl = pa.table(
-            {
-                "doc_id": pa.array(ids, type=pa.string()),
-                "tokens": pa.ListArray.from_arrays(
-                    pa.array(offsets, type=pa.int64()).cast(pa.int32()),
-                    pa.array(flat, type=pa.int32()),
-                ),
-                "n_tok": pa.array(lens.astype(np.int32), type=pa.int32()),
-                "source": pa.array(srcs, type=pa.string()),
-            },
-            schema=SEQ_SCHEMA,
+    todo = [i for i in range(1, n_files) if min(per, n_rows - per * i) > 0]
+    # (seed, i) fully determines file i, so clean files generate
+    # INDEPENDENTLY — fan out as Ray tasks when a session is up (a 62 GiB
+    # corpus takes ~2 h single-threaded, minutes wide). Library rule
+    # intact: no ray.init here; the serial path covers sessionless use.
+    import ray as _ray
+
+    if _ray.is_initialized() and len(todo) > 2:
+        gen_remote = _ray.remote(num_cpus=1)(_write_clean_seq_file)
+        _ray.get(
+            [gen_remote.remote(seq_dir, i, min(per, n_rows - per * i), seed, mean_len) for i in todo]
         )
-        pq.write_table(tbl, os.path.join(seq_dir, f"seq-{i:04d}.parquet"))
+    else:
+        for i in todo:
+            _write_clean_seq_file(seq_dir, i, min(per, n_rows - per * i), seed, mean_len)
 
     dim_path = os.path.join(out_dir, "sources.parquet")
     pq.write_table(dim, dim_path)
