@@ -47,6 +47,11 @@ QUERY_NAMES = [
     "pack_token_windows",
     "repeat_orders_within_30d",
     "inverted_index",
+    # kernel-sensitive text-analysis pair (round-4 Arrow kernels): at
+    # sf0.1 these are Ray-overhead-dominated (~0.5 s floor) — tracked so
+    # a kernel regression still shows as a delta against these baselines
+    "doc_quality",
+    "language_id_counts",
 ]
 
 

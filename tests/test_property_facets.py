@@ -146,3 +146,31 @@ def test_occurs_choice_envelope_is_sound(a, b, n):
     e = a | b
     if a.contains(n) or b.contains(n):
         assert e.contains(n)
+
+
+from hypothesis import given, settings, strategies as st
+
+_iv = st.lists(
+    st.tuples(st.integers(0, 0xFFFF), st.integers(0, 0xFFFF)).map(
+        lambda t: (min(t), max(t))
+    ),
+    max_size=6,
+)
+
+
+@settings(max_examples=60, deadline=None)
+@given(_iv, _iv)
+def test_unicode_subset_algebra_laws(a_ivs, b_ivs):
+    """Set-algebra laws over random interval sets: De Morgan, involution,
+    difference-as-intersect-complement, cardinality consistency."""
+    from xmlschema_ray.constraints.xsd_regex import UnicodeSubset
+
+    a, b = UnicodeSubset(a_ivs), UnicodeSubset(b_ivs)
+    assert ~(~a) == a
+    assert ~(a | b) == (~a & ~b)          # De Morgan
+    assert ~(a & b) == (~a | ~b)
+    assert (a - b) == (a & ~b)
+    assert len(a | b) == len(a) + len(b) - len(a & b)
+    # membership agrees with the interval definition on boundary points
+    for lo, hi in a_ivs:
+        assert lo in a and hi in a
