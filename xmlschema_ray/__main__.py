@@ -20,12 +20,27 @@ import json
 import sys
 
 
-def _ray_session(num_cpus):
+def _ray_session(num_cpus, address=None):
+    """Own the CLI's Ray session (the library never calls ``ray.init``).
+
+    ``--address`` selects the cluster: ``local`` (default here) starts an
+    in-process cluster; under ``ray job submit`` pass ``--address auto``
+    (or leave RAY_ADDRESS alone and pass ``--address env``) so the driver
+    ATTACHES to the submitting cluster instead of spinning a private one —
+    the north-rule launch mode (``ray job submit -- python -m
+    xmlschema_ray validate ...``). ``--num-cpus`` only applies when
+    starting a local cluster; an attached cluster's size is the cluster's.
+    """
     import ray
 
     if not ray.is_initialized():
-        kwargs = dict(address="local", include_dashboard=False, logging_level="ERROR")
-        if num_cpus:
+        addr = address or "local"
+        if addr == "env":
+            addr = None  # let Ray resolve RAY_ADDRESS / running cluster
+        kwargs = dict(include_dashboard=False, logging_level="ERROR")
+        if addr is not None:
+            kwargs["address"] = addr
+        if num_cpus and (addr == "local"):
             kwargs["num_cpus"] = num_cpus
         ray.init(**kwargs)
     from ray.data import DataContext
@@ -35,7 +50,7 @@ def _ray_session(num_cpus):
 
 
 def cmd_validate(args) -> int:
-    ray = _ray_session(args.num_cpus)
+    ray = _ray_session(args.num_cpus, getattr(args, 'address', None))
     from xmlschema_ray.constraints.serde import load_spec
     from xmlschema_ray.engine.engine import ValidationEngine
 
@@ -78,7 +93,7 @@ def cmd_gen(args) -> int:
 
 
 def cmd_query(args) -> int:
-    ray = _ray_session(args.num_cpus)
+    ray = _ray_session(args.num_cpus, getattr(args, 'address', None))
     import os
 
     sys.path.insert(0, os.path.dirname(os.path.dirname(os.path.abspath(__file__))))
@@ -122,7 +137,7 @@ def cmd_query(args) -> int:
 
 def cmd_infer(args) -> int:
     """Bootstrap a spec from a parquet corpus (print JSON to stdout)."""
-    ray = _ray_session(args.num_cpus)
+    ray = _ray_session(args.num_cpus, getattr(args, 'address', None))
     from xmlschema_ray.constraints.infer import infer_spec
     from xmlschema_ray.constraints.serde import spec_to_json
 
@@ -154,6 +169,7 @@ def main(argv=None) -> int:
     v.add_argument("--dim", action="append", metavar="NAME=PATH")
     v.add_argument("--mode", default="collect", choices=["collect", "failfast", "stats_only"])
     v.add_argument("--num-cpus", type=int, default=None)
+    v.add_argument("--address", default=None, help="local (default) | auto | env — use auto/env under ray job submit to attach to the cluster")
     v.add_argument("--shards", type=int, default=4)
     v.add_argument("--batch-size", type=int, default=16384)
     v.add_argument("--no-resume", action="store_true")
@@ -182,6 +198,7 @@ def main(argv=None) -> int:
     q.add_argument("--out", default=None, help="write parquet instead of printing")
     q.add_argument("--head", type=int, default=10)
     q.add_argument("--num-cpus", type=int, default=None)
+    q.add_argument("--address", default=None)
     q.add_argument("--list", action="store_true")
     q.set_defaults(fn=cmd_query)
 
@@ -189,6 +206,7 @@ def main(argv=None) -> int:
     i.add_argument("--input", required=True)
     i.add_argument("--enum-threshold", type=int, default=16)
     i.add_argument("--num-cpus", type=int, default=None)
+    i.add_argument("--address", default=None)
     i.set_defaults(fn=cmd_infer)
 
     c = sub.add_parser(
