@@ -69,6 +69,14 @@ def cmd_validate(args) -> int:
         max_violations_per_batch=args.max_violations,
     )
     res = eng.run(args.input, out_dir=args.out, dims=dims, mode=args.mode, resume=not args.no_resume)
+    if args.export_format:
+        import os
+
+        path = res.export(
+            args.export_format,
+            args.export_path or os.path.join(args.out, f"violations.{args.export_format}"),
+        )
+        print(f"exported {args.export_format} -> {path}", file=sys.stderr)
     print(json.dumps(res.summary, indent=2, default=float))
     ray.shutdown()
     return 0 if res.job_validity == "valid" else 1
@@ -180,6 +188,13 @@ def main(argv=None) -> int:
         help="cap MATERIALIZED violation rows per batch per constraint "
         "(counts stay exact; guard for fully-broken corpora)",
     )
+    v.add_argument(
+        "--export-format",
+        default=None,
+        help="additionally render violations through a registered output "
+        "formatter (jsonl-by-key, csv, ...); canonical parquet unchanged",
+    )
+    v.add_argument("--export-path", default=None)
     v.set_defaults(fn=cmd_validate)
 
     s = sub.add_parser("spec-example", help="print the flagship sequence spec as JSON")
