@@ -214,3 +214,21 @@ def test_knn_ivf_index_path_matches_streaming(ray_session, tmp_path):
 
     c1 = build_ivf_index(sf, idx)
     assert isinstance(c1, np.ndarray) and c1.ndim == 2
+
+
+def test_knn_distributed_merge_matches_driver(ray_session, monkeypatch):
+    """Forced-path: the query-keyed distributed top-k reduce must equal
+    the driver concat exactly (associative combiner → same exact top-k)."""
+    from xmlschema_ray.pipelines import similarity as S
+
+    sf = "/root/testdata/sf0.001"
+    driver = S.knn_cosine(sf)
+    monkeypatch.setattr(S, "KNN_DISTRIBUTED_THRESHOLD_BYTES", 0)
+    dist = S.knn_cosine(sf)
+    pd.testing.assert_frame_equal(driver.reset_index(drop=True), dist.reset_index(drop=True))
+
+    lsh_driver = S.knn_lsh(sf, oracle_dump=False)
+    lsh_dist = S.knn_lsh(sf, oracle_dump=False)
+    pd.testing.assert_frame_equal(
+        lsh_driver.reset_index(drop=True), lsh_dist.reset_index(drop=True)
+    )

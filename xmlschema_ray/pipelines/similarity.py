@@ -41,9 +41,60 @@ def _query_matrix(sf_dir: str):
     return q["vec_id"].to_numpy(), np.stack(q["embedding"].to_numpy()).astype(np.float64)
 
 
+# past this corpus size the k×#batches×#queries partial stream is merged
+# DISTRIBUTED (query-keyed exchange → exact per-query top-k → k×Q-row
+# collect) instead of concatenated on the driver; below it the driver
+# concat is faster and the partial stream is a few hundred rows. Same
+# adaptive-plan pattern as the engine's driver_threshold_bytes.
+KNN_DISTRIBUTED_THRESHOLD_BYTES = 256 << 20
+
+
+def _reduce_query_topk(
+    partials: "rd.Dataset",
+    k: int,
+    score_col: str,
+    distributed: bool,
+) -> pd.DataFrame:
+    """Per-query exact top-k over a partial-top-k stream.
+
+    Driver path: one concat + groupby-head (partials are ≤ k×#batches×Q
+    rows — fine at bench scale). Distributed path: the per-batch
+    groupby-head is an associative combiner, so a query-keyed
+    :func:`hash_partition_apply` produces the EXACT per-query top-k with
+    one tiny exchange and the driver collects only k×Q rows regardless of
+    batch count."""
+    from xmlschema_ray.ops.relational import hash_partition_apply, to_pandas_with_schema
+
+    by = ["query_id", score_col, "vec_id"]
+    asc = [True, False, True]
+
+    def head_per_query(g: pd.DataFrame) -> pd.DataFrame:
+        return (
+            g.sort_values(by, ascending=asc, kind="mergesort")
+            .groupby("query_id", sort=False)
+            .head(k)
+        )
+
+    if distributed:
+        merged = to_pandas_with_schema(
+            hash_partition_apply(partials, "query_id", head_per_query)
+        )
+    else:
+        merged = partials.to_pandas()
+    return (
+        merged.sort_values(by, ascending=asc, kind="mergesort")
+        .groupby("query_id", sort=True)
+        .head(k)
+        .reset_index(drop=True)
+    )
+
+
 def knn_cosine(sf_dir: str, k: int = TOP_K) -> pd.DataFrame:
     """Exact top-k neighbors per query: per-batch partial top-k (numpy
-    matmul vs broadcast queries), tiny final reduce on the survivors."""
+    matmul vs broadcast queries), then an adaptive merge — driver concat
+    at toy scale, query-keyed distributed reduce past
+    ``KNN_DISTRIBUTED_THRESHOLD_BYTES`` (driver collect bounded at k×Q
+    rows at any corpus size)."""
     q_ref = ray.put(_query_matrix(sf_dir))
     ds = rd.read_parquet(table_path(sf_dir, "embeddings"), columns=["vec_id", "embedding"])
     state: dict = {}
@@ -64,13 +115,11 @@ def knn_cosine(sf_dir: str, k: int = TOP_K) -> pd.DataFrame:
             }
         )
 
-    partials = ds.map_batches(topk_partial, batch_format="pandas").to_pandas()
-    out = (
-        partials.sort_values(["query_id", "cos_e6", "vec_id"], ascending=[True, False, True])
-        .groupby("query_id", sort=True)
-        .head(k)
-        .reset_index(drop=True)
+    partials = ds.map_batches(topk_partial, batch_format="pandas")
+    distributed = (
+        os.path.getsize(table_path(sf_dir, "embeddings")) > KNN_DISTRIBUTED_THRESHOLD_BYTES
     )
+    out = _reduce_query_topk(partials, k, "cos_e6", distributed)
     # Export ids only: the float cosine differs from the oracle by ~1e-15
     # (summation order), which can flip a fixed-point digit; the RANKING is
     # stable because neighboring scores are far apart relative to 1e-15.
@@ -158,13 +207,11 @@ def knn_lsh(
             )
 
         _dump(ds.map_batches(assign_buckets, batch_format="pandas"), "knn_lsh_buckets")
-    partials = ds.map_batches(bucket_topk, batch_format="pandas").to_pandas()
-    out = (
-        partials.sort_values(["query_id", "cos", "vec_id"], ascending=[True, False, True])
-        .groupby("query_id", sort=True)
-        .head(k)
-        .reset_index(drop=True)
+    partials = ds.map_batches(bucket_topk, batch_format="pandas")
+    distributed = (
+        os.path.getsize(table_path(sf_dir, "embeddings")) > KNN_DISTRIBUTED_THRESHOLD_BYTES
     )
+    out = _reduce_query_topk(partials, k, "cos", distributed)
     # ids only: float cosines differ from the oracle at the last ulp
     # (summation order); the ranking is stable (same argument as knn_cosine)
     return out[["query_id", "vec_id"]].sort_values(["query_id", "vec_id"]).reset_index(drop=True)
