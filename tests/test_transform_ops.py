@@ -94,3 +94,44 @@ def test_normalize_rewrite_sink(tmp_path, ray_session):
     # resume: everything skips
     stats2 = normalize_rewrite(src, spec, out, defaults={"score": 0}, n_shards=2)
     assert stats2 == {"n_shards": 2, "n_skipped": 2, "n_rows": 4}
+
+
+def test_engine_run_repair_out(tmp_path, ray_session):
+    """ValidationEngine.run(repair_out=...): one call validates AND writes
+    the canonicalized rewrite; the rewrite validates clean on whiteSpace."""
+    import os
+
+    import pyarrow as pa
+    import pyarrow.dataset as pads
+    import pyarrow.parquet as pq
+
+    from xmlschema_ray.constraints import facets as F
+    from xmlschema_ray.constraints.spec import ColumnSpec, TableConstraints
+    from xmlschema_ray.engine.engine import ValidationEngine
+
+    src = str(tmp_path / "src")
+    os.makedirs(src)
+    pq.write_table(
+        pa.table({"doc_id": pa.array([1, 2], type=pa.int64()), "text": [" x\ty ", "ok"]}),
+        os.path.join(src, "p0.parquet"),
+    )
+    spec = TableConstraints(
+        name="t",
+        columns=[
+            ColumnSpec("doc_id", pa.int64()),
+            ColumnSpec("text", pa.string(), facets=(F.WhiteSpace("collapse"),)),
+        ],
+        key_columns=("doc_id",),
+    ).compile()
+    rep = str(tmp_path / "rep")
+    res = ValidationEngine(spec, batch_size=64, n_shards=1).run(
+        src, out_dir=str(tmp_path / "o"), repair_out=rep
+    )
+    # input had whiteSpace violations...
+    assert res.job_validity == "invalid"
+    # ...but the repair is canonical
+    files = [
+        os.path.join(r, f) for r, _, fs in os.walk(rep) for f in fs if f.endswith(".parquet")
+    ]
+    t = pads.dataset(sorted(files)).to_table().sort_by("doc_id")
+    assert t["text"].to_pylist() == ["x y", "ok"]

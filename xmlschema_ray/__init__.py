@@ -31,6 +31,7 @@ Validation semantics follow the reference: validation is decode-with-errors
 
 from xmlschema_ray.constraints.spec import (
     AltCase,
+    ColumnAlias,
     ColumnSpec,
     DriftSpec,
     ForeignKey,
@@ -41,7 +42,19 @@ from xmlschema_ray.constraints.spec import (
     UniqueKey,
 )
 from xmlschema_ray.constraints import facets
-from xmlschema_ray.constraints.derive import extend, restrict
+from xmlschema_ray.constraints.derive import extend, restrict, spec_compat
+from xmlschema_ray.constraints.infer import infer_spec
+from xmlschema_ray.constraints.serde import (
+    load_spec,
+    make_row_check,
+    override_spec,
+    register_facet_builder,
+    register_row_check_builder,
+    save_spec,
+)
+from xmlschema_ray.constraints.xsd_regex import UnicodeSubset
+from xmlschema_ray.engine.encode import normalize_rewrite
+from xmlschema_ray.engine.formatters import register_formatter
 from xmlschema_ray.constraints.occurs import ContentGroup, OccursBounds, Particle, group_occurs_check
 from xmlschema_ray.engine.engine import ValidationEngine, ValidationResult
 
@@ -64,6 +77,18 @@ __all__ = [
     "facets",
     "restrict",
     "extend",
+    "ColumnAlias",
+    "UnicodeSubset",
+    "spec_compat",
+    "infer_spec",
+    "load_spec",
+    "save_spec",
+    "override_spec",
+    "make_row_check",
+    "register_facet_builder",
+    "register_row_check_builder",
+    "register_formatter",
+    "normalize_rewrite",
 ]
 
 __version__ = "0.1.0"

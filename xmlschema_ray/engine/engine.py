@@ -265,7 +265,18 @@ class ValidationEngine:
         dims: Optional[Dict[str, Union[str, pa.Table]]] = None,
         mode: str = "collect",
         resume: bool = True,
+        repair_out: Optional[str] = None,
+        repair_defaults: Optional[Dict] = None,
     ) -> ValidationResult:
+        """Validate ``source`` into ``out_dir``; see class docstring.
+
+        ``repair_out``: additionally rewrite the corpus canonicalized
+        under this engine's spec (whiteSpace normal forms,
+        ``repair_defaults`` filled, canonical dtypes) into a resumable
+        partitioned sink at that path — the encoder direction
+        (``engine/encode.py``, reference ``documents.py:109-196``). Runs
+        AFTER validation so the verdicts describe the input as received.
+        """
         os.makedirs(out_dir, exist_ok=True)
         manifest = ckpt.Manifest(out_dir)
         done = manifest.load() if resume else {}
@@ -364,7 +375,14 @@ class ValidationEngine:
         all_files = (
             [f for shard in shards for f in shard] if ds_direct is None else ds_direct
         )
-        return self._finalize(out_dir, schema_viols, verdict_by_pid, mode, all_files)
+        result = self._finalize(out_dir, schema_viols, verdict_by_pid, mode, all_files)
+        if repair_out is not None and ds_direct is None:
+            from xmlschema_ray.engine.encode import normalize_rewrite
+
+            normalize_rewrite(
+                all_files, self.spec, repair_out, defaults=repair_defaults, resume=resume
+            )
+        return result
 
     def _readable_columns(self, shard: List[str]) -> List[str]:
         """Prune the read to spec columns present in every shard file."""
