@@ -691,3 +691,49 @@ def test_output_formatters_roundtrip(tmp_path, ray_session):
 
     with _pytest.raises(KeyError, match="unknown output format"):
         res.export("no-such-format", str(tmp_path / "x"))
+
+def test_output_formatter_multifile_distributed_path(tmp_path, ray_session):
+    """jsonl-by-key over the DISTRIBUTED violations sink (multi-file
+    parquet, driver_threshold_bytes=0) still emits one line per identity
+    and round-trips to the canonical frame."""
+    from xmlschema_ray.engine.formatters import get_formatter
+
+    defects = {"dup_doc_id": 4, "bad_token_range": 5}
+    seq_dir, dim, _ = write_sequences_corpus(
+        str(tmp_path / "c"), n_rows=900, n_files=4, defects=defects
+    )
+    eng = ValidationEngine(sequences_spec(), batch_size=128, n_shards=2)
+    eng.driver_threshold_bytes = 0  # force the distributed sink
+    res = eng.run(seq_dir, out_dir=str(tmp_path / "o"), dims={"sources": dim})
+    out = res.export("jsonl-by-key", str(tmp_path / "v.jsonl"))
+    back = get_formatter("jsonl-by-key").reader(out)
+    pd.testing.assert_frame_equal(back.reset_index(drop=True), res.violations())
+    # one line per identity
+    idents = [
+        (json.loads(l)["partition_id"], json.loads(l)["key"]) for l in open(out)
+    ]
+    assert len(idents) == len(set(idents))
+
+
+def test_normalize_documents_null_text_matches_oracle(tmp_path, ray_session):
+    """`changed` must follow IS DISTINCT FROM semantics on NULL text
+    (null vs null = unchanged/False), matching the registered oracle."""
+    import duckdb
+    import pyarrow as pa
+    import pyarrow.parquet as pq
+
+    from xmlschema_ray.pipelines.cleaning import NORMALIZE_DOCUMENTS_SQL, normalize_documents
+
+    d = str(tmp_path / "sf")
+    os.makedirs(d)
+    pq.write_table(
+        pa.table({"doc_id": pa.array([1, 2, 3], type=pa.int64()),
+                  "text": pa.array([" a\tb ", None, "ok"], type=pa.string())}),
+        os.path.join(d, "documents.parquet"),
+    )
+    ray_df = normalize_documents(d).to_pandas().sort_values("doc_id").reset_index(drop=True)
+    con = duckdb.connect()
+    con.execute(f"CREATE VIEW documents AS SELECT * FROM parquet_scan('{d}/documents.parquet')")
+    sql_df = con.execute(NORMALIZE_DOCUMENTS_SQL).df()
+    assert ray_df["changed"].tolist() == sql_df["changed"].tolist() == [True, False, False]
+    assert ray_df["text_norm"].fillna("∅").tolist() == sql_df["text_norm"].fillna("∅").tolist()

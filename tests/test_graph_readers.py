@@ -222,13 +222,14 @@ def test_knn_distributed_merge_matches_driver(ray_session, monkeypatch):
     from xmlschema_ray.pipelines import similarity as S
 
     sf = "/root/testdata/sf0.001"
+    # BOTH driver-path results computed BEFORE the monkeypatch so each
+    # comparison is genuinely driver-vs-distributed
     driver = S.knn_cosine(sf)
+    lsh_driver = S.knn_lsh(sf, oracle_dump=False)
     monkeypatch.setattr(S, "KNN_DISTRIBUTED_THRESHOLD_BYTES", 0)
     dist = S.knn_cosine(sf)
-    pd.testing.assert_frame_equal(driver.reset_index(drop=True), dist.reset_index(drop=True))
-
-    lsh_driver = S.knn_lsh(sf, oracle_dump=False)
     lsh_dist = S.knn_lsh(sf, oracle_dump=False)
+    pd.testing.assert_frame_equal(driver.reset_index(drop=True), dist.reset_index(drop=True))
     pd.testing.assert_frame_equal(
         lsh_driver.reset_index(drop=True), lsh_dist.reset_index(drop=True)
     )

@@ -31,16 +31,23 @@ def _ray_session(num_cpus, address=None):
     xmlschema_ray validate ...``). ``--num-cpus`` only applies when
     starting a local cluster; an attached cluster's size is the cluster's.
     """
+    import os
+
     import ray
 
     if not ray.is_initialized():
         addr = address or "local"
+        # --num-cpus only makes sense when THIS process starts the
+        # cluster: always for "local"; for "env" only when RAY_ADDRESS is
+        # unset (Ray then starts a fresh local cluster — without the cap
+        # it would grab every core, which --num-cpus exists to prevent)
+        starts_local = addr == "local" or (addr == "env" and not os.environ.get("RAY_ADDRESS"))
         if addr == "env":
             addr = None  # let Ray resolve RAY_ADDRESS / running cluster
         kwargs = dict(include_dashboard=False, logging_level="ERROR")
         if addr is not None:
             kwargs["address"] = addr
-        if num_cpus and (addr == "local"):
+        if num_cpus and starts_local:
             kwargs["num_cpus"] = num_cpus
         ray.init(**kwargs)
     from ray.data import DataContext
@@ -50,6 +57,12 @@ def _ray_session(num_cpus, address=None):
 
 
 def cmd_validate(args) -> int:
+    if args.export_format:
+        # validate the formatter NAME before the (potentially hours-long)
+        # run, not after it
+        from xmlschema_ray.engine.formatters import get_formatter
+
+        get_formatter(args.export_format)
     ray = _ray_session(args.num_cpus, getattr(args, 'address', None))
     from xmlschema_ray.constraints.serde import load_spec
     from xmlschema_ray.engine.engine import ValidationEngine

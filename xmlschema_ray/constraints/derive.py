@@ -366,23 +366,25 @@ def spec_compat(old: TableConstraints, new: TableConstraints) -> List[Dict]:
         for n in sorted(set(old_by) & set(new_by)):
             od, nd = _defn(kind, old_by[n]), _defn(kind, new_by[n])
             if od is None or nd is None:
-                if od is not None or nd is not None:
-                    # one side serde-built, one programmatic: honestly
-                    # undecidable — surface as non-breaking "not comparable"
-                    # rather than guessing either way
-                    add(
-                        f"{kind} {n}",
-                        "not comparable",
-                        True,
-                        "row-check body has no stable serde identity on "
-                        "one side; compare columns/semantics manually",
-                    )
-                elif tuple(old_by[n].columns) != tuple(new_by[n].columns):
+                if tuple(old_by[n].columns) != tuple(new_by[n].columns):
                     add(
                         f"{kind} {n}",
                         "definition changed",
                         False,
                         f"columns {tuple(old_by[n].columns)} -> {tuple(new_by[n].columns)}",
+                    )
+                else:
+                    # at least one side is a programmatic check with no
+                    # stable serde identity: a body change would be
+                    # INVISIBLE here, so always surface the undecidability
+                    # (never silently pass) instead of guessing either way
+                    add(
+                        f"{kind} {n}",
+                        "not comparable",
+                        True,
+                        "row-check body has no stable serde identity on at "
+                        "least one side; compare semantics manually (build "
+                        "via make_row_check for a comparable identity)",
                     )
             elif od != nd:
                 # a same-named constraint with a different definition is an

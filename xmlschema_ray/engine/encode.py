@@ -98,6 +98,8 @@ def normalize_rewrite(
         )
     else:
         files = sorted(source)
+    if not files:
+        raise FileNotFoundError(f"no parquet inputs under {source!r}")
 
     def make_shard(shard_files) -> "rd.Dataset":
         return rd.read_parquet(list(shard_files)).map_batches(

@@ -276,7 +276,15 @@ class ValidationEngine:
         partitioned sink at that path — the encoder direction
         (``engine/encode.py``, reference ``documents.py:109-196``). Runs
         AFTER validation so the verdicts describe the input as received.
+        File-based sources only (a Dataset source has no re-readable
+        lineage for the resumable rewrite) — raises rather than no-ops.
         """
+        if repair_out is not None and isinstance(source, rd.Dataset):
+            raise ValueError(
+                "repair_out requires a file-based source (a Dataset source "
+                "has no re-readable shard lineage for the resumable rewrite); "
+                "call normalize_rewrite on the files directly"
+            )
         os.makedirs(out_dir, exist_ok=True)
         manifest = ckpt.Manifest(out_dir)
         done = manifest.load() if resume else {}

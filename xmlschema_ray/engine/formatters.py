@@ -67,10 +67,25 @@ def get_formatter(name: str) -> Formatter:
 
 def _iter_canonical_batches(violations_dir: str):
     """Record batches off the canonically-sorted violation parquet, in
-    file/row order (i.e. canonical order), column-pruned to the schema."""
-    if not os.path.exists(violations_dir) or not os.listdir(violations_dir):
+    sorted-filename/row order, column-pruned to the schema.
+
+    The distributed sink writes one file per sorted output block with
+    sequential indices, so the EXPLICIT filename sort here (never
+    directory-listing order) preserves the canonical global order across
+    the multi-file path too; the jsonl writer additionally asserts
+    monotonicity and fails loudly rather than silently splitting an
+    identity if that invariant is ever broken."""
+    if not os.path.exists(violations_dir):
         return
-    for batch in pads.dataset(violations_dir).to_batches(columns=_COLS):
+    files = sorted(
+        os.path.join(r, f)
+        for r, _, fs in os.walk(violations_dir)
+        for f in fs
+        if f.endswith(".parquet")
+    )
+    if not files:
+        return
+    for batch in pads.dataset(files).to_batches(columns=_COLS):
         if batch.num_rows:
             yield batch
 
@@ -108,6 +123,13 @@ def _write_jsonl_by_key(violations_dir: str, out_path: str) -> None:
                 if ident == carry_id:
                     carry.extend(items)
                 else:
+                    if carry_id is not None and ident < carry_id:
+                        raise ValueError(
+                            "violations parquet is not in canonical order "
+                            f"({ident} after {carry_id}); the one-line-per-"
+                            "identity contract would be violated — re-sort "
+                            "the canonical output before exporting"
+                        )
                     flush(f)
                     carry_id, carry = ident, items
         flush(f)

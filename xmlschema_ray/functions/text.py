@@ -72,9 +72,11 @@ def _tokenize_arrow(texts: pd.Series):
     Splits every document on whitespace in one C++ pass
     (``utf8_split_whitespace`` yields empty fields at boundaries — the
     NON-empty fields are exactly the ``\\S+`` runs) and returns
-    ``(n_rows, parent_idx, nonempty_mask, flat_lower, flat_len)`` where
-    ``parent_idx[i]`` is the document row of flat token ``i``. Per-row
-    counts then reduce with ``np.bincount`` — no per-row Python loop.
+    ``(arr, parent_idx, nonempty_mask, flat_lower, flat_len)`` where
+    ``parent_idx[i]`` is the document row of flat token ``i`` and ``arr``
+    is the converted Arrow string array (returned so callers don't pay
+    the pandas→Arrow copy twice). Per-row counts then reduce with
+    ``np.bincount`` — no per-row Python loop.
     """
     import pyarrow as pa
     import pyarrow.compute as pc
@@ -86,7 +88,7 @@ def _tokenize_arrow(texts: pd.Series):
     parent = pc.list_parent_indices(lists).to_numpy(zero_copy_only=False).astype("int64")
     nonempty = flat_len > 0
     flat_lower = pc.utf8_lower(flat)
-    return len(arr), parent, nonempty, flat_lower, flat_len
+    return arr, parent, nonempty, flat_lower, flat_len
 
 
 def _member_counts(flat_tokens, parent: np.ndarray, members: frozenset, n_rows: int) -> np.ndarray:
@@ -131,11 +133,11 @@ def quality_features(texts: pd.Series) -> pd.DataFrame:
     import pyarrow as pa
     import pyarrow.compute as pc
 
-    n_rows, parent, nonempty, flat_lower, flat_len = _tokenize_arrow(texts)
+    arr, parent, nonempty, flat_lower, flat_len = _tokenize_arrow(texts)
+    n_rows = len(arr)
     n_tokens = pd.Series(
         np.bincount(parent[nonempty], minlength=n_rows), index=texts.index
     ).astype("int64")
-    arr = pa.array(texts, type=pa.string(), from_pandas=True)
     n_chars = pd.Series(
         pc.utf8_length(arr).to_numpy(zero_copy_only=False), index=texts.index
     ).fillna(0).astype("int64")
@@ -177,7 +179,8 @@ def language_id(texts: pd.Series) -> pd.Series:
     single argmax — ties break to the alphabetically-first language
     because ``_LANGS`` is sorted and argmax takes the first maximum.
     ~6× the per-row-loop version."""
-    n_rows, parent, _nonempty, flat_lower, _flat_len = _tokenize_arrow(texts)
+    arr, parent, _nonempty, flat_lower, _flat_len = _tokenize_arrow(texts)
+    n_rows = len(arr)
     counts = np.column_stack(
         [_member_counts(flat_lower, parent, LANG_MARKERS[lang], n_rows) for lang in _LANGS]
     )

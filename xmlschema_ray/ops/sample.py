@@ -48,8 +48,15 @@ def seeded_sample_pandas(
     """
     n = ds.count()
     if n <= sample_size * oversample:
-        out = ds.select_columns(columns).to_pandas()
-        return out.head(sample_size) if len(out) > sample_size else out
+        cols = columns if key_col in columns else [key_col] + list(columns)
+        out = ds.select_columns(cols).to_pandas()
+        if len(out) > sample_size:
+            # still cut by HASH order, never physical head(): a block-order
+            # head re-introduces exactly the layout bias this module
+            # removes (and changes with repartitioning)
+            h = _seeded_hash(out[key_col].to_numpy(), seed)
+            out = out.iloc[np.argsort(h, kind="stable")[:sample_size]]
+        return out[list(columns)].reset_index(drop=True)
     frac = min(1.0, oversample * sample_size / n)
     thresh = np.uint64(int(frac * float(2**64 - 1)))
 

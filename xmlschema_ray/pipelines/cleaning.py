@@ -107,8 +107,11 @@ def normalize_documents(sf_dir: str) -> rd.Dataset:
     def norm(batch: pa.Table) -> pa.Table:
         out = normalize_table(batch, spec)
         changed = pc.invert(pc.equal(out["text"], batch["text"]))
+        # IS DISTINCT FROM semantics (match the oracle): normalization
+        # never creates or removes nulls, so a null equal-compare can only
+        # mean null-vs-null = unchanged -> False
         return out.rename_columns(["doc_id", "text_norm"]).append_column(
-            "changed", pc.fill_null(changed, True)
+            "changed", pc.fill_null(changed, False)
         )
 
     return ds.map_batches(norm, batch_format="pyarrow", zero_copy_batch=True)
