@@ -233,3 +233,28 @@ def test_knn_distributed_merge_matches_driver(ray_session, monkeypatch):
     pd.testing.assert_frame_equal(
         lsh_driver.reset_index(drop=True), lsh_dist.reset_index(drop=True)
     )
+
+
+def test_ivf_index_interrupted_build_recovers(tmp_path, ray_session):
+    """build_ivf_index is atomic (tmp dir + rename): a leftover .tmp from
+    a crashed build is ignored/cleaned and the rebuilt index is complete;
+    an EXISTING index is reused (centroids loaded, no rebuild)."""
+    import os
+
+    import numpy as np
+
+    from xmlschema_ray.pipelines.similarity import build_ivf_index
+
+    sf = "/root/testdata/sf0.001"
+    idx = str(tmp_path / "ivf")
+    # simulate a crashed build: half-written tmp dir, no final dir
+    os.makedirs(idx + ".tmp/centroid=0", exist_ok=True)
+    open(idx + ".tmp/centroid=0/garbage.parquet", "w").write("not parquet")
+    c1 = build_ivf_index(sf, idx, n_centroids=4, sample_size=256)
+    assert os.path.exists(os.path.join(idx, "centroids.npy"))
+    assert not os.path.exists(idx + ".tmp")
+    buckets = [d for d in os.listdir(idx) if d.startswith("centroid=")]
+    assert buckets, "no bucket partitions written"
+    # second call must REUSE (identical centroids, no rebuild)
+    c2 = build_ivf_index(sf, idx, n_centroids=4, sample_size=256)
+    assert np.array_equal(c1, c2)
