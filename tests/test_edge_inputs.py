@@ -69,3 +69,62 @@ def test_missing_required_column(tmp_path, ray_session):
     viol = res.violations()
     assert "schema.required_column" in set(viol["constraint_name"])
     assert res.job_validity == "invalid"
+
+
+def test_empty_result_queries_keep_schema(tmp_path, ray_session):
+    """Queries whose results are LEGITIMATELY empty (repeat-free orders,
+    identical snapshots, fully-covered customers) must still deliver their
+    declared columns — the sort's schema-less-empty behavior is guarded."""
+    import os
+
+    import numpy as np
+    import pandas as pd
+    import pyarrow as pa
+    import pyarrow.parquet as pq
+
+    from xmlschema_ray.pipelines.relational import (
+        customers_without_events,
+        orders_snapshot_diff,
+        repeat_orders_within_30d,
+    )
+
+    sf = str(tmp_path / "sf")
+    os.makedirs(sf)
+    # one order per customer, far apart -> no repeats-within-30d;
+    # every customer has an event -> empty anti-join
+    n = 50
+    pq.write_table(
+        pa.table(
+            {
+                "o_orderkey": pa.array(np.arange(n, dtype=np.int64)),
+                "o_custkey": pa.array(np.arange(n, dtype=np.int64)),
+                "o_orderdate": pa.array(
+                    pd.to_datetime("2020-01-01") + pd.to_timedelta(np.arange(n) * 90, "D")
+                ),
+                "o_totalprice": pa.array(np.full(n, 10.0)),
+            }
+        ),
+        os.path.join(sf, "orders.parquet"),
+    )
+    pq.write_table(
+        pa.table({"c_custkey": pa.array(np.arange(n, dtype=np.int64))}),
+        os.path.join(sf, "customer.parquet"),
+    )
+    pq.write_table(
+        pa.table(
+            {
+                "user_id": pa.array(np.arange(n, dtype=np.int64)),
+                "event_id": pa.array(np.arange(n, dtype=np.int64)),
+            }
+        ),
+        os.path.join(sf, "events.parquet"),
+    )
+
+    def frame(res):
+        return res.to_pandas() if hasattr(res, "to_pandas") else res
+
+    r = frame(repeat_orders_within_30d(sf))
+    assert len(r) == 0 and "o_orderkey" in r.columns and "prev_orderkey" in r.columns
+
+    c = frame(customers_without_events(sf))
+    assert len(c) == 0 and list(c.columns) == ["c_custkey"]

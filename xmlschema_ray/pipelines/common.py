@@ -73,3 +73,30 @@ def dataset_or_typed_empty(ds, template: "pd.DataFrame"):
     if out.count() == 0:
         return template
     return out
+
+
+def sorted_or_typed_empty(ds, keys, template=None, **sort_kwargs):
+    """Canonical-sort a RESULT-SIZED dataset, falling back to its typed
+    empty frame when the result is corpus-wide EMPTY.
+
+    Ray's sort emits schema-less empty blocks for empty inputs, so a
+    legitimately-empty result (no near-dup pairs, identical snapshots, no
+    anti-join survivors) loses every column at the driver's ``to_pandas``
+    and fails schema compares (found live: ``mad_outlier_docs`` at
+    sf0.1). The pre-sort blocks DO carry their schema (per-partition fns
+    emit typed empties), so materialize first, skip the sort when empty.
+    Result-sized outputs only — never call on fact-sized data.
+
+    ``template`` (typed empty DataFrame) covers pipelines whose WHOLE
+    upstream went through an exchange (every pre-sort block schema-less
+    too — e.g. a self-join that found no pairs); without it the schema is
+    recovered best-effort from the executed plan.
+    """
+    from xmlschema_ray.ops.relational import to_pandas_with_schema
+
+    m = ds.materialize()
+    if m.count() == 0:
+        if template is not None:
+            return template
+        return to_pandas_with_schema(m)
+    return m.sort(keys, **sort_kwargs)

@@ -24,7 +24,7 @@ import pyarrow.compute as pc
 import ray.data as rd
 
 from xmlschema_ray.ops.relational import broadcast_join, combiner_aggregate, topk
-from xmlschema_ray.pipelines.common import cents, scaled_int, table_path
+from xmlschema_ray.pipelines.common import cents, scaled_int, sorted_or_typed_empty, table_path
 
 
 # -- q1: pricing summary (combiner aggregate; TPC-H Q1 shape) ------------
@@ -1295,8 +1295,22 @@ def repeat_orders_within_30d(sf_dir: str) -> "rd.Dataset":
             }
         )
 
-    return pairs.map_batches(finish, batch_format="pandas").sort(
-        ["o_orderkey", "prev_orderkey"]
+    # a repeat-free orders table is a LEGITIMATE empty result — guard the
+    # sort's schema-less-empty behavior (see common.sorted_or_typed_empty);
+    # the whole upstream is exchanges, so supply the typed template
+    template = pd.DataFrame(
+        {
+            "o_orderkey": pd.Series([], dtype="int64"),
+            "o_custkey": pd.Series([], dtype="int64"),
+            "o_orderdate": pd.Series([], dtype="datetime64[us]"),
+            "prev_orderkey": pd.Series([], dtype="int64"),
+            "prev_orderdate": pd.Series([], dtype="datetime64[us]"),
+        }
+    )
+    return sorted_or_typed_empty(
+        pairs.map_batches(finish, batch_format="pandas"),
+        ["o_orderkey", "prev_orderkey"],
+        template=template,
     )
 
 
@@ -1354,7 +1368,10 @@ def customers_without_events(sf_dir: str) -> "rd.Dataset":
 
     cust = rd.read_parquet(table_path(sf_dir, "customer"), columns=["c_custkey"])
     ev = rd.read_parquet(table_path(sf_dir, "events"), columns=["user_id"])
-    return except_keys(cust, ev, "c_custkey", "user_id").sort("c_custkey")
+    template = pd.DataFrame({"c_custkey": pd.Series([], dtype="int64")})
+    return sorted_or_typed_empty(
+        except_keys(cust, ev, "c_custkey", "user_id"), "c_custkey", template=template
+    )
 
 
 CUSTOMERS_WITHOUT_EVENTS_SQL = """
@@ -1476,7 +1493,12 @@ def orders_snapshot_diff(sf_dir: str) -> "rd.Dataset":
     b = rd.read_parquet(table_path(sf_dir, "orders"), columns=cols).map_batches(
         derive_b, batch_format="pandas"
     )
-    return snapshot_diff(a, b, "o_orderkey", ["o_totalprice"]).sort("o_orderkey")
+    template = pd.DataFrame(
+        {"o_orderkey": pd.Series([], dtype="int64"), "change": pd.Series([], dtype=object)}
+    )
+    return sorted_or_typed_empty(
+        snapshot_diff(a, b, "o_orderkey", ["o_totalprice"]), "o_orderkey", template=template
+    )
 
 
 ORDERS_SNAPSHOT_DIFF_SQL = """

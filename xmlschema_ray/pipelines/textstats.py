@@ -17,7 +17,11 @@ import pandas as pd
 import ray.data as rd
 
 from xmlschema_ray.functions import text as T
-from xmlschema_ray.pipelines.common import dataset_or_typed_empty, table_path
+from xmlschema_ray.pipelines.common import (
+    dataset_or_typed_empty,
+    sorted_or_typed_empty,
+    table_path,
+)
 
 
 def token_counts(sf_dir: str):
@@ -339,7 +343,7 @@ def bm25_scores(sf_dir: str) -> "rd.Dataset":
             )
         return pd.concat(outs, ignore_index=True)
 
-    return narrow.map_batches(score, batch_format="pandas").sort(["doc_id", "word"])
+    return sorted_or_typed_empty(narrow.map_batches(score, batch_format="pandas"), ["doc_id", "word"])
 
 
 BM25_SQL = r"""
