@@ -159,6 +159,33 @@ def test_embedding_dup_pairs_ivf_subset_of_exact(ray_session):
     assert ivf_set <= exact_set
 
 
+def test_semantic_dedup_keep_rule(ray_session):
+    """SemDeDup invariants: every vector gets exactly one verdict, the
+    smallest vec_id of every cluster is always kept, and every pruned
+    vector has a kept lower-id in-cluster neighbor above the threshold
+    (verified against the brute-force pair set restricted to the
+    cluster assignment)."""
+    import pandas as pd
+
+    from xmlschema_ray.pipelines.dedup import embedding_dup_pairs, semantic_dedup
+
+    out = semantic_dedup(SF_DIR)
+    n_vecs = len(pd.read_parquet(f"{SF_DIR}/embeddings.parquet"))
+    assert len(out) == n_vecs and out["vec_id"].is_unique
+    # min id per cluster always survives
+    mins = out.groupby("cluster")["vec_id"].min()
+    kept = out[out["keep"]].set_index("vec_id")
+    assert all(m in kept.index for m in mins)
+    # pruned set == {hi | exists lo<hi, same cluster, cos>=threshold}
+    pairs = embedding_dup_pairs(SF_DIR)  # threshold 0.5, all-pairs exact
+    cl = out.set_index("vec_id")["cluster"]
+    same_cluster = pairs[
+        cl.loc[pairs["vec_id_a"]].to_numpy() == cl.loc[pairs["vec_id_b"]].to_numpy()
+    ]
+    expect_pruned = set(same_cluster["vec_id_b"])
+    assert set(out.loc[~out["keep"], "vec_id"]) == expect_pruned
+
+
 def test_ngram_jaccard_refuses_large_corpus(ray_session):
     from xmlschema_ray.pipelines.dedup import ngram_jaccard_pairs
 

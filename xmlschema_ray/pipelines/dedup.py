@@ -847,6 +847,116 @@ ORDER BY vec_id_a, vec_id_b
 """
 
 
+# -- semantic dedup (SemDeDup) --------------------------------------------
+
+SEMDEDUP_THRESHOLD = 0.5
+
+
+def semantic_dedup(
+    sf_dir: str,
+    threshold: float = SEMDEDUP_THRESHOLD,
+    n_clusters: int = 8,
+    sample_size: int = 4096,
+    oracle_dump: bool = True,
+) -> pd.DataFrame:
+    """SemDeDup-style semantic deduplication (Abbas et al. 2023,
+    arXiv:2303.09540): spherical k-means partitions the corpus into
+    semantic clusters and near-duplicates are pruned WITHIN each cluster
+    only — the clustering bounds the quadratic pair search that makes
+    whole-corpus cosine dedup intractable.
+
+    Keep rule (deterministic): a vector is pruned iff a LOWER-``vec_id``
+    member of its own cluster has cosine >= ``threshold``; the smallest
+    id of every in-cluster near-dup neighborhood always survives.
+
+    Scale shape: centroid-only broadcast (the model is fit on a seeded
+    cross-block sample, never first-N rows); one assignment matmul per
+    batch; ONE bounded hash shuffle co-locates each cluster; one matmul
+    per cluster group. At 10^12 rows ``n_clusters`` scales with the
+    corpus (SemDeDup's own regime — cluster membership stays bounded), so
+    per-cluster state is bounded and pair state never leaves the cluster.
+
+    Oracle: the (vec_id, cluster) assignments are dumped to parquet and
+    ``SEMANTIC_DEDUP_SQL`` re-derives the pruned set exactly in DuckDB
+    from those assignments + true cosines (the dumped-state pattern of
+    ``embedding_dup_pairs_ivf``). Returns the full corpus verdict
+    ``(vec_id, cluster, keep)`` sorted by ``vec_id``.
+    """
+    from xmlschema_ray.functions.vector import kmeans_fit, normalize_rows
+    from xmlschema_ray.ops.relational import hash_partition_apply, to_pandas_with_schema
+
+    tbl = rd.read_parquet(table_path(sf_dir, "embeddings"), columns=["vec_id", "embedding"])
+    sample = seeded_embedding_sample(tbl, sample_size)
+    centroids = kmeans_fit(sample, k=n_clusters)
+    cent_ref = ray.put(centroids)
+    state: dict = {}
+
+    def assign(batch: pd.DataFrame) -> pd.DataFrame:
+        cent = state.get("c")
+        if cent is None:
+            cent = state["c"] = ray.get(cent_ref)
+        vecs = normalize_rows(np.stack(batch["embedding"].to_numpy()))
+        ids = batch["vec_id"].to_numpy().astype(np.int64)
+        return pd.DataFrame(
+            {
+                "cluster": (vecs @ cent.T).argmax(axis=1).astype(np.int64),
+                "vec_id": ids,
+                "vec": np.array([v.tobytes() for v in vecs], dtype=object),
+            }
+        )
+
+    def per_cluster(part: pd.DataFrame) -> pd.DataFrame:
+        out: List[pd.DataFrame] = []
+        for _, g in part.groupby("cluster", sort=False):
+            g = g.sort_values("vec_id")
+            ids = g["vec_id"].to_numpy()
+            mat = np.stack([np.frombuffer(b) for b in g["vec"]])
+            cos = mat @ mat.T
+            # row i pruned iff any strictly-lower-id column clears the bar
+            dup = ((cos >= threshold) & (ids[None, :] < ids[:, None])).any(axis=1)
+            out.append(
+                pd.DataFrame(
+                    {"vec_id": ids, "cluster": g["cluster"].to_numpy(), "keep": ~dup}
+                )
+            )
+        if not out:
+            return pd.DataFrame(
+                {
+                    "vec_id": np.array([], dtype=np.int64),
+                    "cluster": np.array([], dtype=np.int64),
+                    "keep": np.array([], dtype=bool),
+                }
+            )
+        return pd.concat(out, ignore_index=True)
+
+    rows = tbl.map_batches(assign, batch_format="pandas")
+    _oracle_dump(
+        rows.map_batches(lambda b: b[["vec_id", "cluster"]], batch_format="pandas"),
+        "semdedup_assign",
+        oracle_dump,
+    )
+    out = to_pandas_with_schema(hash_partition_apply(rows, "cluster", per_cluster))
+    return out.sort_values("vec_id").reset_index(drop=True)
+
+
+SEMANTIC_DEDUP_SQL = f"""
+WITH a AS (
+  SELECT vec_id, cluster
+  FROM read_parquet('/tmp/xmlschema_ray_oracle/semdedup_assign/*.parquet')
+), pruned AS (
+  SELECT DISTINCT hi.vec_id
+  FROM a lo
+  JOIN a hi ON lo.cluster = hi.cluster AND lo.vec_id < hi.vec_id
+  JOIN embeddings ea ON ea.vec_id = lo.vec_id
+  JOIN embeddings eb ON eb.vec_id = hi.vec_id
+  WHERE list_cosine_similarity(ea.embedding, eb.embedding) >= {SEMDEDUP_THRESHOLD}
+)
+SELECT a.vec_id AS vec_id, a.cluster AS cluster, (p.vec_id IS NULL) AS keep
+FROM a LEFT JOIN pruned p ON p.vec_id = a.vec_id
+ORDER BY vec_id
+"""
+
+
 ORACLES: Dict[str, str] = {
     "exact_dedup": EXACT_DEDUP_SQL,
     "ngram_jaccard_pairs": NGRAM_JACCARD_SQL,
@@ -855,6 +965,7 @@ ORACLES: Dict[str, str] = {
     "simhash_clusters": SIMHASH_CLUSTERS_SQL,
     "minhash_lsh_dedup": MINHASH_SQL,
     "embedding_dup_pairs_ivf": EMBEDDING_DUP_IVF_SQL,
+    "semantic_dedup": SEMANTIC_DEDUP_SQL,
 }
 
 QUERIES = {
@@ -865,4 +976,5 @@ QUERIES = {
     "simhash_clusters": simhash_clusters,
     "embedding_dup_pairs": embedding_dup_pairs,
     "embedding_dup_pairs_ivf": embedding_dup_pairs_ivf,
+    "semantic_dedup": semantic_dedup,
 }
