@@ -136,3 +136,48 @@ def test_dup_gram_fraction_invariants(tmp_path, ray_session):
     assert out.loc[4, "n_dup"] == 0
     assert ((out["dup_frac"] >= 0) & (out["dup_frac"] <= 1)).all()
     assert out.loc[1, "dup_frac"] == 0.25  # 1 of 4 distinct grams
+
+
+def test_token_budget_mixture_invariants(tmp_path, ray_session):
+    """Budget semantics: kept docs are exactly the seeded-order prefix per
+    source — every kept doc started under budget, the last kept doc
+    either crosses the budget or exhausts the source, and pick_pos is the
+    contiguous 1..k seeded rank."""
+    import numpy as np
+    import pandas as pd
+    import pyarrow as pa
+    import pyarrow.parquet as pq
+
+    from xmlschema_ray.pipelines.curation import _md5_hex, token_budget_mixture
+
+    rng = np.random.default_rng(11)
+    n = 600
+    srcs = np.array(["a", "b", "c"], dtype=object)[rng.integers(0, 3, size=n)]
+    texts = [" ".join(["w"] * k) for k in rng.integers(1, 30, size=n)]
+    df = pd.DataFrame(
+        {"doc_id": np.arange(n, dtype=np.int64), "text": texts, "source": srcs}
+    )
+    pq.write_table(pa.Table.from_pandas(df), str(tmp_path / "documents.parquet"))
+    budgets = {"a": 500, "b": 50, "c": 10**9}  # cut, tight cut, keep-all
+
+    res = token_budget_mixture(str(tmp_path), budgets=budgets)
+    out = res.to_pandas() if hasattr(res, "to_pandas") else res
+    df["n_tok"] = [len(t.split()) for t in texts]
+    df["h"] = _md5_hex([f"mix42:{i}" for i in df["doc_id"]])
+    for src, budget in budgets.items():
+        g = df[df["source"] == src].sort_values(["h", "doc_id"]).reset_index(drop=True)
+        before = np.concatenate(([0], np.cumsum(g["n_tok"].to_numpy())[:-1]))
+        expect = g.loc[before < budget, "doc_id"].tolist()
+        got = out[out["source"] == src].sort_values("pick_pos")
+        assert got["doc_id"].tolist() == expect, src
+        assert got["pick_pos"].tolist() == list(range(1, len(expect) + 1)), src
+        # all-but-last kept doc strictly under budget; last crosses or exhausts
+        if len(got):
+            assert (got["cum_tokens"].iloc[:-1] < budget + got["n_tok"].iloc[:-1]).all()
+            assert got["cum_tokens"].iloc[-1] >= budget or len(expect) == (srcs == src).sum()
+
+    # zero-budget mixture returns the typed empty frame, schema intact
+    empty = token_budget_mixture(str(tmp_path), budgets={})
+    empty = empty.to_pandas() if hasattr(empty, "to_pandas") else empty
+    assert len(empty) == 0
+    assert list(empty.columns) == ["doc_id", "source", "n_tok", "cum_tokens", "pick_pos"]

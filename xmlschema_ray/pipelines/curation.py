@@ -30,7 +30,7 @@ facets (facets.py:426-487) for the gram-set check; assertions
 from __future__ import annotations
 
 import hashlib
-from typing import Dict, Tuple
+from typing import Dict, Optional, Tuple
 
 import numpy as np
 import pandas as pd
@@ -858,6 +858,164 @@ ORDER BY window_id, doc_id
 """
 
 
+# -- token-budget mixture sampling ----------------------------------------
+
+
+def token_budget_mixture(
+    sf_dir: str, budgets: Optional[Dict[str, int]] = None, seed: str = "mix42"
+) -> "rd.Dataset":
+    """Token-budget mixture sampling: the data-mixing primitive of a
+    pre-training run ("give me B_s tokens from each source s"). Documents
+    are taken per source in a seeded deterministic order (md5(seed:doc_id),
+    the :func:`deterministic_shuffle` hash) until that source's TOKEN
+    budget fills; a document is kept iff the tokens selected before it are
+    still under budget, so the crossing document is included and the kept
+    set is exactly a prefix of the seeded order — bit-reproducible on any
+    engine, no RNG state.
+
+    Scale shape (the :func:`pack_token_windows` machinery): one counting
+    pass, range-partition on the hash via bounded-driver sampled
+    boundaries, per-(partition, source) token+count TOTALS (metadata-sized:
+    partitions × sources rows — mixture source sets are small by nature),
+    driver prefix sums per source, then every partition derives its rows'
+    exact per-source token offsets and ranks locally and applies the
+    budget cut. No global sort, no fact-sized driver state; the budget cut
+    happens before any row leaves its partition.
+
+    ``budgets`` maps source -> token budget; the default derives
+    ``200 + 60*i`` for the synthetic corpus's ``src{i}`` sources so the
+    cut is exercised at every scale factor. Output: one row per kept
+    document ``(doc_id, source, n_tok, cum_tokens, pick_pos)`` sorted by
+    (source, pick_pos), where ``cum_tokens`` is the source's running token
+    total including this document and ``pick_pos`` its 1-based position in
+    the seeded order.
+    """
+    from xmlschema_ray.ops.relational import (
+        combiner_aggregate,
+        derive_num_partitions,
+        hash_partition_apply,
+        sample_range_bounds,
+    )
+
+    def _budget(src: str) -> int:
+        if budgets is not None:
+            return int(budgets.get(src, 0))
+        digits = "".join(ch for ch in src if ch.isdigit())
+        return 200 + 60 * int(digits or 0)
+
+    ds = rd.read_parquet(table_path(sf_dir, "documents"), columns=["doc_id", "text", "source"])
+
+    def keyed(batch: pa.Table) -> pd.DataFrame:
+        offsets, _ = _split_offsets(batch["text"])
+        ids = batch["doc_id"].to_numpy(zero_copy_only=False).astype(np.int64)
+        return pd.DataFrame(
+            {
+                "doc_id": ids,
+                "source": batch["source"].to_numpy(zero_copy_only=False),
+                "n_tok": np.diff(offsets).astype(np.int64),
+                "__h": _md5_hex([f"{seed}:{i}" for i in ids]),
+            }
+        )
+
+    cnt = ds.map_batches(keyed, batch_format="pyarrow")
+    n_parts = derive_num_partitions()
+    b = sample_range_bounds(cnt, ["__h"], n_parts)
+    bounds = b[0] if b is not None else np.array([], dtype=object)
+
+    def add_pid(batch: pd.DataFrame) -> pd.DataFrame:
+        batch = batch.copy(deep=False)
+        batch["part_id"] = np.searchsorted(bounds, batch["__h"].to_numpy(), side="right").astype(
+            np.int64
+        )
+        return batch
+
+    with_pid = cnt.map_batches(add_pid, batch_format="pandas")
+    totals = (
+        combiner_aggregate(
+            with_pid,
+            keys=["part_id", "source"],
+            aggs={"w": ("n_tok", "sum"), "c": ("n_tok", "count")},
+        )
+        .to_pandas()
+        .sort_values(["source", "part_id"])
+    )
+    tok_base: Dict[Tuple[int, str], int] = {}
+    cnt_base: Dict[Tuple[int, str], int] = {}
+    for src, g in totals.groupby("source", sort=False):
+        tw = cr = 0
+        for pid, w, c in zip(g["part_id"], g["w"], g["c"]):
+            tok_base[(int(pid), src)] = tw
+            cnt_base[(int(pid), src)] = cr
+            tw += int(w)
+            cr += int(c)
+
+    def per_part(g: pd.DataFrame) -> pd.DataFrame:
+        outs = []
+        for (pid, src), gg in g.groupby(["part_id", "source"], sort=False):
+            gg = gg.sort_values(["__h", "doc_id"])
+            nt = gg["n_tok"].to_numpy(np.int64)
+            before = tok_base[(int(pid), src)] + np.concatenate(([0], np.cumsum(nt)[:-1]))
+            pos = cnt_base[(int(pid), src)] + np.arange(1, len(gg) + 1, dtype=np.int64)
+            keep = before < _budget(src)
+            if not keep.any():
+                continue
+            outs.append(
+                pd.DataFrame(
+                    {
+                        "doc_id": gg["doc_id"].to_numpy(np.int64)[keep],
+                        "source": gg["source"].to_numpy()[keep],
+                        "n_tok": nt[keep],
+                        "cum_tokens": (before + nt)[keep],
+                        "pick_pos": pos[keep],
+                    }
+                )
+            )
+        if not outs:
+            return _TOKEN_MIX_EMPTY.copy()
+        return pd.concat(outs, ignore_index=True)
+
+    from xmlschema_ray.pipelines.common import sorted_or_typed_empty
+
+    return sorted_or_typed_empty(
+        hash_partition_apply(with_pid, "part_id", per_part),
+        ["source", "pick_pos"],
+        template=_TOKEN_MIX_EMPTY,
+    )
+
+
+_TOKEN_MIX_EMPTY = pd.DataFrame(
+    {
+        "doc_id": np.array([], dtype=np.int64),
+        "source": pd.Series([], dtype=object),
+        "n_tok": np.array([], dtype=np.int64),
+        "cum_tokens": np.array([], dtype=np.int64),
+        "pick_pos": np.array([], dtype=np.int64),
+    }
+)
+
+
+TOKEN_BUDGET_MIXTURE_SQL = r"""
+WITH w AS (
+  SELECT doc_id, source,
+         CAST(len(regexp_split_to_array(trim(text), '\s+')) AS BIGINT) AS n_tok,
+         md5('mix42:' || CAST(doc_id AS VARCHAR)) AS h
+  FROM documents
+), o AS (
+  SELECT doc_id, source, n_tok,
+         COALESCE(SUM(n_tok) OVER (PARTITION BY source ORDER BY h, doc_id
+                                   ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING), 0) AS before,
+         row_number() OVER (PARTITION BY source ORDER BY h, doc_id) AS rk
+  FROM w
+)
+SELECT doc_id, source, n_tok,
+       CAST(before + n_tok AS BIGINT) AS cum_tokens,
+       CAST(rk AS BIGINT) AS pick_pos
+FROM o
+WHERE before < 200 + 60 * CAST(substr(source, 4) AS BIGINT)
+ORDER BY source, pick_pos
+"""
+
+
 def dup_gram_fraction(sf_dir: str, n: int = 3) -> "rd.Dataset":
     """Cross-document duplicate-gram fraction (the corpus-level
     complement of :func:`repetition_ratio`): for every document, the
@@ -1243,6 +1401,7 @@ ORACLES: Dict[str, str] = {
     "chunk_documents": CHUNK_DOCUMENTS_SQL,
     "stopword_removal": STOPWORD_REMOVAL_SQL,
     "pack_token_windows": PACK_TOKEN_WINDOWS_SQL,
+    "token_budget_mixture": TOKEN_BUDGET_MIXTURE_SQL,
     "dup_gram_fraction": DUP_GRAM_FRACTION_SQL,
     "distinctive_terms_by_source": DISTINCTIVE_TERMS_SQL,
     "curation_pipeline": CURATION_PIPELINE_SQL,
@@ -1263,6 +1422,7 @@ QUERIES = {
     "chunk_documents": chunk_documents,
     "stopword_removal": stopword_removal,
     "pack_token_windows": pack_token_windows,
+    "token_budget_mixture": token_budget_mixture,
     "dup_gram_fraction": dup_gram_fraction,
     "distinctive_terms_by_source": distinctive_terms_by_source,
     "curation_pipeline": curation_pipeline,
