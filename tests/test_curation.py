@@ -181,3 +181,39 @@ def test_token_budget_mixture_invariants(tmp_path, ray_session):
     empty = empty.to_pandas() if hasattr(empty, "to_pandas") else empty
     assert len(empty) == 0
     assert list(empty.columns) == ["doc_id", "source", "n_tok", "cum_tokens", "pick_pos"]
+
+
+def test_bigram_lm_scores_exact_counts(tmp_path, ray_session):
+    """Hand-checkable corpus: model counts, context counts, and the pooled
+    score are exact; score_ppm is bounded by 1e6 (a bigram can never be
+    more frequent than its own context); single-token docs are excluded;
+    an over-budget model refuses to broadcast."""
+    import numpy as np
+    import pandas as pd
+    import pyarrow as pa
+    import pyarrow.parquet as pq
+    import pytest
+
+    from xmlschema_ray.pipelines.textstats import bigram_lm_scores
+
+    # doc 0: "a b a b" -> bigrams [ab, ba, ab]; doc 1: "a b"; doc 2: "x"
+    df = pd.DataFrame(
+        {
+            "doc_id": np.array([0, 1, 2], dtype=np.int64),
+            "text": ["a b a b", "a b", "x"],
+        }
+    )
+    pq.write_table(pa.Table.from_pandas(df), str(tmp_path / "documents.parquet"))
+    res = bigram_lm_scores(str(tmp_path))
+    out = (res.to_pandas() if hasattr(res, "to_pandas") else res).set_index("doc_id")
+    # model: C2(a b)=3, C2(b a)=1; ctx: C1(a)=3, C1(b)=1
+    assert list(out.index) == [0, 1]  # doc 2 has no bigram
+    assert out.loc[0, "n_bigrams"] == 3
+    assert out.loc[0, "sum_bigram_n"] == 3 + 1 + 3
+    assert out.loc[0, "sum_context_n"] == 3 + 1 + 3
+    assert out.loc[0, "score_ppm"] == 1_000_000
+    assert out.loc[1, ["n_bigrams", "sum_bigram_n", "sum_context_n"]].tolist() == [1, 3, 3]
+    assert (out["score_ppm"] <= 1_000_000).all()
+
+    with pytest.raises(ValueError, match="max_model_rows"):
+        bigram_lm_scores(str(tmp_path), max_model_rows=1)

@@ -455,8 +455,152 @@ ORDER BY doc_id
 """
 
 
+# -- bigram LM quality scoring ---------------------------------------------
+
+
+def bigram_lm_scores(sf_dir: str, max_model_rows: int = 5_000_000) -> "rd.Dataset":
+    """CCNet/KenLM-style LM quality scoring: every document is scored by
+    how "common" its bigrams are under a corpus-wide bigram model — the
+    language-model filter of a pre-training cleaning stack
+    (perplexity-bucket selection), in its distributed shape.
+
+    Two passes. Pass 1 trains the model: per-batch distinct-bigram count
+    partials (the :func:`~xmlschema_ray.pipelines.curation.top_words`
+    combiner shape) reduce to the global bigram table; CONTEXT counts
+    need no second aggregate — the count of word w as a bigram left-hand
+    side is the sum of the model's own rows with left word w. Pass 2
+    broadcasts the model once (``ray.put``, lazily fetched per worker —
+    exactly CCNet's regime, where a bounded pruned KenLM ships to every
+    node) and scores each batch stateless-vectorized: two
+    ``searchsorted`` lookups per gram, integer per-doc sums via groupby
+    (documents never span batches, so per-batch rows are final).
+
+    A real deployment prunes the model to its top-K rows before the
+    broadcast; ``max_model_rows`` refuses unpruned vocabulary-explosion
+    corpora instead of silently shipping a fact-sized model (the
+    bucketed-join fallback is the `dup_gram_fraction` exchange).
+
+    Float-exactness: per-doc sums stay INTEGER (no float summation order
+    exists); the only float op is the final pooled conditional
+    probability ``score_ppm = floor(1e6 * sum_bigram_n / sum_context_n
+    + 0.5)`` — one division + one multiply of identical int64-derived
+    doubles, bit-equal on both engines. Docs with < 2 tokens have no
+    bigrams and are excluded (as in the SQL's inner join).
+    """
+    import pyarrow as pa
+    import pyarrow.compute as pc
+    import ray
+
+    from xmlschema_ray.ops.relational import combiner_aggregate
+    from xmlschema_ray.pipelines.curation import _gram_count_partial
+
+    ds = rd.read_parquet(table_path(sf_dir, "documents"), columns=["doc_id", "text"])
+    partials = ds.map_batches(_gram_count_partial(2, "bigram"), batch_format="pyarrow")
+    model = combiner_aggregate(partials, "bigram", {"n": ("n", "sum")}).to_pandas()
+    if len(model) > max_model_rows:
+        raise ValueError(
+            f"bigram model has {len(model)} rows > max_model_rows={max_model_rows}; "
+            "prune the model (top-K by count) before broadcast, or use the "
+            "bigram-keyed bucketed-join path (see dup_gram_fraction)"
+        )
+    model = model.sort_values("bigram").reset_index(drop=True)
+    left = model["bigram"].str.split(" ", n=1).str[0]
+    ctx = model.groupby(left)["n"].sum().sort_index()
+    model_ref = ray.put(
+        (
+            model["bigram"].to_numpy(),
+            model["n"].to_numpy(np.int64),
+            ctx.index.to_numpy(),
+            ctx.to_numpy(np.int64),
+        )
+    )
+    state: dict = {}
+
+    def score(batch: pa.Table) -> pd.DataFrame:
+        m = state.get("m")
+        if m is None:
+            m = state["m"] = ray.get(model_ref)
+        bigrams_k, bigrams_n, ctx_k, ctx_n = m
+        ids = batch["doc_id"].to_numpy(zero_copy_only=False).astype(np.int64)
+        words = batch["text"]
+        if isinstance(words, pa.ChunkedArray):
+            words = words.combine_chunks()
+        words = pc.ascii_split_whitespace(words)
+        if isinstance(words, pa.ChunkedArray):
+            words = words.combine_chunks()
+        offsets = words.offsets.to_numpy().astype(np.int64)
+        flat = words.values.to_numpy(zero_copy_only=False)
+        starts = np.arange(len(flat), dtype=np.int64)
+        row_idx = np.searchsorted(offsets, starts, side="right") - 1
+        valid = starts + 2 <= offsets[row_idx + 1]
+        vs = starts[valid]
+        if len(vs) == 0:
+            return _BIGRAM_LM_EMPTY.copy()
+        lefts = flat[vs].astype(object)
+        grams = lefts + " " + flat[vs + 1]
+        n2 = bigrams_n[np.searchsorted(bigrams_k, grams)]
+        n1 = ctx_n[np.searchsorted(ctx_k, lefts)]
+        g = (
+            pd.DataFrame({"doc_id": ids[row_idx[valid]], "n2": n2, "n1": n1})
+            .groupby("doc_id", sort=False)
+            .agg(n_bigrams=("n2", "size"), sum_bigram_n=("n2", "sum"), sum_context_n=("n1", "sum"))
+            .reset_index()
+        )
+        sb = g["sum_bigram_n"].to_numpy(np.int64).astype(np.float64)
+        sc = g["sum_context_n"].to_numpy(np.int64).astype(np.float64)
+        g["score_ppm"] = np.floor(1e6 * (sb / sc) + 0.5).astype(np.int64)
+        return g.astype(
+            {"doc_id": np.int64, "n_bigrams": np.int64, "sum_bigram_n": np.int64,
+             "sum_context_n": np.int64}
+        )
+
+    return sorted_or_typed_empty(
+        ds.map_batches(score, batch_format="pyarrow"), ["doc_id"], template=_BIGRAM_LM_EMPTY
+    )
+
+
+_BIGRAM_LM_EMPTY = pd.DataFrame(
+    {
+        "doc_id": np.array([], dtype=np.int64),
+        "n_bigrams": np.array([], dtype=np.int64),
+        "sum_bigram_n": np.array([], dtype=np.int64),
+        "sum_context_n": np.array([], dtype=np.int64),
+        "score_ppm": np.array([], dtype=np.int64),
+    }
+)
+
+
+BIGRAM_LM_SQL = r"""
+WITH w AS (
+  SELECT doc_id, regexp_split_to_array(trim(text), '\s+') AS ws FROM documents
+), g AS (
+  SELECT doc_id, array_to_string(ws[i:i+1], ' ') AS bigram, ws[i] AS ctx
+  FROM w, LATERAL unnest(generate_series(1, len(ws) - 1)) AS t(i)
+), c2 AS (
+  SELECT bigram, COUNT(*) AS n2 FROM g GROUP BY bigram
+), c1 AS (
+  SELECT ctx, COUNT(*) AS n1 FROM g GROUP BY ctx
+), s AS (
+  SELECT g.doc_id,
+         COUNT(*) AS n_bigrams,
+         SUM(c2.n2) AS sum_bigram_n,
+         SUM(c1.n1) AS sum_context_n
+  FROM g JOIN c2 USING (bigram) JOIN c1 ON c1.ctx = g.ctx
+  GROUP BY g.doc_id
+)
+SELECT doc_id,
+       CAST(n_bigrams AS BIGINT) AS n_bigrams,
+       CAST(sum_bigram_n AS BIGINT) AS sum_bigram_n,
+       CAST(sum_context_n AS BIGINT) AS sum_context_n,
+       CAST(floor(1000000.0 * (CAST(sum_bigram_n AS DOUBLE) / CAST(sum_context_n AS DOUBLE)) + 0.5) AS BIGINT) AS score_ppm
+FROM s
+ORDER BY doc_id
+"""
+
+
 ORACLES: Dict[str, str] = {
     "token_counts": TOKEN_COUNTS_SQL,
+    "bigram_lm_scores": BIGRAM_LM_SQL,
     "bm25_scores": BM25_SQL,
     "zscore_doc_length": ZSCORE_SQL,
     "doc_quality": DOC_QUALITY_SQL,
@@ -468,6 +612,7 @@ ORACLES: Dict[str, str] = {
 
 QUERIES = {
     "token_counts": token_counts,
+    "bigram_lm_scores": bigram_lm_scores,
     "bm25_scores": bm25_scores,
     "zscore_doc_length": zscore_doc_length,
     "doc_quality": doc_quality,
