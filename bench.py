@@ -52,6 +52,11 @@ QUERY_NAMES = [
     # a kernel regression still shows as a delta against these baselines
     "doc_quality",
     "language_id_counts",
+    # round-4 token-axis additions: semantic (cluster-bounded) dedup,
+    # token-budget mixture sampling, bigram-LM quality scoring
+    "semantic_dedup",
+    "token_budget_mixture",
+    "bigram_lm_scores",
 ]
 
 

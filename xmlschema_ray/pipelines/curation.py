@@ -879,8 +879,14 @@ def token_budget_mixture(
     partitions × sources rows — mixture source sets are small by nature),
     driver prefix sums per source, then every partition derives its rows'
     exact per-source token offsets and ranks locally and applies the
-    budget cut. No global sort, no fact-sized driver state; the budget cut
-    happens before any row leaves its partition.
+    budget cut. No global sort, no fact-sized driver state.
+
+    The exchange is BUDGET-bounded, not corpus-bounded: kept documents
+    are by construction the lowest-hash prefix of each source, so any
+    (partition, source) whose driver-known BASE offset already meets the
+    budget is dropped BEFORE the shuffle (a metadata-sized allowed-pair
+    merge). Sampling 1B tokens out of 100 TB ships ~1B tokens' worth of
+    rows through the exchange, not the corpus.
 
     ``budgets`` maps source -> token budget; the default derives
     ``200 + 60*i`` for the synthetic corpus's ``src{i}`` sources so the
@@ -949,6 +955,21 @@ def token_budget_mixture(
             tw += int(w)
             cr += int(c)
 
+    allowed_pairs = [(p, s) for (p, s), base in tok_base.items() if base < _budget(s)]
+    if not allowed_pairs:
+        return _TOKEN_MIX_EMPTY.copy()
+    allowed = pd.DataFrame(
+        {
+            "part_id": np.array([p for p, _ in allowed_pairs], dtype=np.int64),
+            "source": np.array([s for _, s in allowed_pairs], dtype=object),
+        }
+    )
+
+    def prefilter(batch: pd.DataFrame) -> pd.DataFrame:
+        return batch.merge(allowed, on=["part_id", "source"])
+
+    candidates = with_pid.map_batches(prefilter, batch_format="pandas")
+
     def per_part(g: pd.DataFrame) -> pd.DataFrame:
         outs = []
         for (pid, src), gg in g.groupby(["part_id", "source"], sort=False):
@@ -977,7 +998,7 @@ def token_budget_mixture(
     from xmlschema_ray.pipelines.common import sorted_or_typed_empty
 
     return sorted_or_typed_empty(
-        hash_partition_apply(with_pid, "part_id", per_part),
+        hash_partition_apply(candidates, "part_id", per_part),
         ["source", "pick_pos"],
         template=_TOKEN_MIX_EMPTY,
     )
