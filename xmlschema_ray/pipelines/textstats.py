@@ -496,13 +496,18 @@ def bigram_lm_scores(sf_dir: str, max_model_rows: int = 5_000_000) -> "rd.Datase
 
     ds = rd.read_parquet(table_path(sf_dir, "documents"), columns=["doc_id", "text"])
     partials = ds.map_batches(_gram_count_partial(2, "bigram"), batch_format="pyarrow")
-    model = combiner_aggregate(partials, "bigram", {"n": ("n", "sum")}).to_pandas()
-    if len(model) > max_model_rows:
+    # gate BEFORE the driver collect: the reduced model lands in the
+    # (spillable) object store first, so a vocabulary-explosion corpus
+    # raises here instead of OOMing the driver heap on to_pandas()
+    model_ds = combiner_aggregate(partials, "bigram", {"n": ("n", "sum")}).materialize()
+    n_rows = model_ds.count()
+    if n_rows > max_model_rows:
         raise ValueError(
-            f"bigram model has {len(model)} rows > max_model_rows={max_model_rows}; "
+            f"bigram model has {n_rows} rows > max_model_rows={max_model_rows}; "
             "prune the model (top-K by count) before broadcast, or use the "
             "bigram-keyed bucketed-join path (see dup_gram_fraction)"
         )
+    model = model_ds.to_pandas()
     model = model.sort_values("bigram").reset_index(drop=True)
     left = model["bigram"].str.split(" ", n=1).str[0]
     ctx = model.groupby(left)["n"].sum().sort_index()
