@@ -328,21 +328,29 @@ def scaling() -> None:
     # the stable quantity.
     lo, hi = 2, 8
 
-    # Gate the suite start on a fast host phase (bounded wait): the ratio
-    # itself is phase-sensitive (0.79 measured in a slow phase vs 0.884
-    # fast on identical code, BASELINE.md note 6), and phases persist for
-    # minutes — long enough to cover the 4-subprocess suite started inside
-    # one.
+    # Gate EVERY subprocess launch on a fast host phase (bounded shared
+    # wait), not just the suite start: the ratio itself is phase-sensitive
+    # (0.79 measured in a slow phase vs 0.884 fast on identical code,
+    # BASELINE.md note 6) and a lo-level run takes ~80-90 s — long enough
+    # for the phase to flip before the hi run, which skews the RATIO
+    # directly (a slow hi draw deflates it, a slow lo draw inflates it).
+    # Measured the failure mode live: suite-start-only gating drew 0.711
+    # and 0.764 on identical code that reads 0.845 when each level lands
+    # in a fast window.
     deadline = time.time() + float(os.environ.get("BENCH_FAST_WAIT_SEC", "1800"))
-    while host_probe() >= 1.55 and time.time() < deadline:
-        time.sleep(20)
 
-    def best(n):
-        runs = [run_subprocess(n) for _ in range(2)]
-        return min(runs, key=lambda r: r["value"])
+    def gated_run(n):
+        while host_probe() >= 1.55 and time.time() < deadline:
+            time.sleep(20)
+        return run_subprocess(n)
 
-    r_lo = best(lo)
-    r_hi = best(hi)
+    # interleave levels so a phase flip mid-suite hits both symmetrically
+    runs_lo, runs_hi = [], []
+    for _ in range(2):
+        runs_lo.append(gated_run(lo))
+        runs_hi.append(gated_run(hi))
+    r_lo = min(runs_lo, key=lambda r: r["value"])
+    r_hi = min(runs_hi, key=lambda r: r["value"])
     thr_lo = r_lo["sequences_per_sec"]
     thr_hi = r_hi["sequences_per_sec"]
     eff = thr_hi / ((hi / lo) * thr_lo)
@@ -358,6 +366,10 @@ def scaling() -> None:
                 f"sequences_per_sec_{hi}": thr_hi,
                 f"tokens_per_sec_{lo}": r_lo["tokens_per_sec"],
                 f"tokens_per_sec_{hi}": r_hi["tokens_per_sec"],
+                # per-level probes of the BEST draws — a ratio is only
+                # interpretable when both levels landed in the same phase
+                f"host_probe_sec_{lo}": r_lo.get("host_probe_sec"),
+                f"host_probe_sec_{hi}": r_hi.get("host_probe_sec"),
             }
         )
     )

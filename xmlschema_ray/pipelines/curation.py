@@ -30,6 +30,7 @@ facets (facets.py:426-487) for the gram-set check; assertions
 from __future__ import annotations
 
 import hashlib
+import os
 from typing import Dict, Optional, Tuple
 
 import numpy as np
@@ -45,13 +46,18 @@ from xmlschema_ray.pipelines.common import table_path
 _HEX = "0123456789abcdef"
 
 
-def _word_grams(text: "pa.ChunkedArray | pa.Array", n: int) -> Tuple[np.ndarray, np.ndarray]:
-    """(row_index, gram_string) arrays for all word n-grams in a batch.
+def _word_gram_parts(
+    text: "pa.ChunkedArray | pa.Array", n: int
+) -> Tuple[np.ndarray, list]:
+    """(row_index, [word_0 array, …, word_{n-1} array]) for all word
+    n-grams in a batch — the component words, so callers needing both the
+    joined gram and a component (e.g. the bigram's left/context word)
+    share ONE tokenization.
 
     Vectorized over the FLAT word array of the whole batch: one Arrow
-    split, one searchsorted for row membership, n-1 elementwise string
-    concats. Grams never cross row boundaries, so per-batch evaluation is
-    exact for per-document statistics.
+    split, one searchsorted for row membership. Grams never cross row
+    boundaries, so per-batch evaluation is exact for per-document
+    statistics.
     """
     if isinstance(text, pa.ChunkedArray):
         text = text.combine_chunks()
@@ -62,15 +68,22 @@ def _word_grams(text: "pa.ChunkedArray | pa.Array", n: int) -> Tuple[np.ndarray,
     flat = words.values.to_numpy(zero_copy_only=False)
     total = len(flat)
     if total == 0:
-        return np.array([], dtype=np.int64), np.array([], dtype=object)
+        return np.array([], dtype=np.int64), [np.array([], dtype=object)] * n
     starts = np.arange(total, dtype=np.int64)
     row_idx = np.searchsorted(offsets, starts, side="right") - 1
     valid = starts + n <= offsets[row_idx + 1]
     vs = starts[valid]
-    grams = flat[vs].astype(object)
-    for j in range(1, n):
-        grams = grams + " " + flat[vs + j]
-    return row_idx[valid], grams
+    return row_idx[valid], [flat[vs + j].astype(object) for j in range(n)]
+
+
+def _word_grams(text: "pa.ChunkedArray | pa.Array", n: int) -> Tuple[np.ndarray, np.ndarray]:
+    """(row_index, gram_string) arrays for all word n-grams in a batch
+    (joined form of :func:`_word_gram_parts`; n-1 elementwise concats)."""
+    row_idx, parts = _word_gram_parts(text, n)
+    grams = parts[0]
+    for p in parts[1:]:
+        grams = grams + " " + p
+    return row_idx, grams
 
 
 def _md5_hex(values) -> np.ndarray:
@@ -862,7 +875,10 @@ ORDER BY window_id, doc_id
 
 
 def token_budget_mixture(
-    sf_dir: str, budgets: Optional[Dict[str, int]] = None, seed: str = "mix42"
+    sf_dir: str,
+    budgets: Optional[Dict[str, int]] = None,
+    seed: str = "mix42",
+    materialize_below_bytes: int = 1 << 30,
 ) -> "rd.Dataset":
     """Token-budget mixture sampling: the data-mixing primitive of a
     pre-training run ("give me B_s tokens from each source s"). Documents
@@ -873,9 +889,14 @@ def token_budget_mixture(
     set is exactly a prefix of the seeded order — bit-reproducible on any
     engine, no RNG state.
 
-    Scale shape (the :func:`pack_token_windows` machinery): one counting
-    pass, range-partition on the hash via bounded-driver sampled
-    boundaries, per-(partition, source) token+count TOTALS (metadata-sized:
+    Scale shape (the :func:`pack_token_windows` machinery): a counting
+    pass (below ``materialize_below_bytes`` of input the narrow hashed
+    stream is pinned once in the spillable object store, so the boundary
+    sample, the totals pass and the candidate pass share ONE per-row
+    hashing pass; above the gate the stream is fact-sized and lazy
+    re-execution is the streaming-honest choice — the hash then runs once
+    per consuming pass), range-partition on the hash via bounded-driver
+    sampled boundaries, per-(partition, source) token+count TOTALS (metadata-sized:
     partitions × sources rows — mixture source sets are small by nature),
     driver prefix sums per source, then every partition derives its rows'
     exact per-source token offsets and ranks locally and applies the
@@ -924,6 +945,12 @@ def token_budget_mixture(
         )
 
     cnt = ds.map_batches(keyed, batch_format="pyarrow")
+    try:
+        in_bytes = os.path.getsize(table_path(sf_dir, "documents"))
+    except OSError:
+        in_bytes = materialize_below_bytes + 1
+    if in_bytes <= materialize_below_bytes:
+        cnt = cnt.materialize()
     n_parts = derive_num_partitions()
     b = sample_range_bounds(cnt, ["__h"], n_parts)
     bounds = b[0] if b is not None else np.array([], dtype=object)

@@ -488,7 +488,6 @@ def bigram_lm_scores(sf_dir: str, max_model_rows: int = 5_000_000) -> "rd.Datase
     bigrams and are excluded (as in the SQL's inner join).
     """
     import pyarrow as pa
-    import pyarrow.compute as pc
     import ray
 
     from xmlschema_ray.ops.relational import combiner_aggregate
@@ -499,7 +498,12 @@ def bigram_lm_scores(sf_dir: str, max_model_rows: int = 5_000_000) -> "rd.Datase
     # gate BEFORE the driver collect: the reduced model lands in the
     # (spillable) object store first, so a vocabulary-explosion corpus
     # raises here instead of OOMing the driver heap on to_pandas()
-    model_ds = combiner_aggregate(partials, "bigram", {"n": ("n", "sum")}).materialize()
+    # consolidate: bigram keyspace is fact-sized and Zipf-hot ("of the"
+    # emits one partial per batch) — the key-agnostic combining pass
+    # bounds any hot key's final-partition rows (ops/relational.py:550)
+    model_ds = combiner_aggregate(
+        partials, "bigram", {"n": ("n", "sum")}, consolidate=True
+    ).materialize()
     n_rows = model_ds.count()
     if n_rows > max_model_rows:
         raise ValueError(
@@ -521,39 +525,43 @@ def bigram_lm_scores(sf_dir: str, max_model_rows: int = 5_000_000) -> "rd.Datase
     )
     state: dict = {}
 
+    def lookup(keys: np.ndarray, counts: np.ndarray, needles: np.ndarray) -> np.ndarray:
+        """Count lookup that FAILS LOUDLY on a gram absent from the model
+        (searchsorted alone would silently read a neighbor's count) —
+        the invariant is that pass 2 scores the same corpus pass 1
+        trained on; a rewritten input or a foreign corpus raises here
+        instead of producing wrong scores."""
+        idx = np.minimum(np.searchsorted(keys, needles), len(keys) - 1)
+        if not (keys[idx] == needles).all():
+            raise ValueError(
+                "gram absent from the trained bigram model — the scored "
+                "corpus does not match the corpus the model was trained on"
+            )
+        return counts[idx]
+
     def score(batch: pa.Table) -> pd.DataFrame:
+        from xmlschema_ray.pipelines.common import scaled_int
+        from xmlschema_ray.pipelines.curation import _word_gram_parts
+
         m = state.get("m")
         if m is None:
             m = state["m"] = ray.get(model_ref)
         bigrams_k, bigrams_n, ctx_k, ctx_n = m
         ids = batch["doc_id"].to_numpy(zero_copy_only=False).astype(np.int64)
-        words = batch["text"]
-        if isinstance(words, pa.ChunkedArray):
-            words = words.combine_chunks()
-        words = pc.ascii_split_whitespace(words)
-        if isinstance(words, pa.ChunkedArray):
-            words = words.combine_chunks()
-        offsets = words.offsets.to_numpy().astype(np.int64)
-        flat = words.values.to_numpy(zero_copy_only=False)
-        starts = np.arange(len(flat), dtype=np.int64)
-        row_idx = np.searchsorted(offsets, starts, side="right") - 1
-        valid = starts + 2 <= offsets[row_idx + 1]
-        vs = starts[valid]
-        if len(vs) == 0:
+        row_idx, (lefts, rights) = _word_gram_parts(batch["text"], 2)
+        if len(lefts) == 0:
             return _BIGRAM_LM_EMPTY.copy()
-        lefts = flat[vs].astype(object)
-        grams = lefts + " " + flat[vs + 1]
-        n2 = bigrams_n[np.searchsorted(bigrams_k, grams)]
-        n1 = ctx_n[np.searchsorted(ctx_k, lefts)]
+        n2 = lookup(bigrams_k, bigrams_n, lefts + " " + rights)
+        n1 = lookup(ctx_k, ctx_n, lefts)
         g = (
-            pd.DataFrame({"doc_id": ids[row_idx[valid]], "n2": n2, "n1": n1})
+            pd.DataFrame({"doc_id": ids[row_idx], "n2": n2, "n1": n1})
             .groupby("doc_id", sort=False)
             .agg(n_bigrams=("n2", "size"), sum_bigram_n=("n2", "sum"), sum_context_n=("n1", "sum"))
             .reset_index()
         )
         sb = g["sum_bigram_n"].to_numpy(np.int64).astype(np.float64)
         sc = g["sum_context_n"].to_numpy(np.int64).astype(np.float64)
-        g["score_ppm"] = np.floor(1e6 * (sb / sc) + 0.5).astype(np.int64)
+        g["score_ppm"] = scaled_int(sb / sc, 1e6)
         return g.astype(
             {"doc_id": np.int64, "n_bigrams": np.int64, "sum_bigram_n": np.int64,
              "sum_context_n": np.int64}
