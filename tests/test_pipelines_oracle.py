@@ -147,6 +147,64 @@ def test_dedup_forced_distributed_paths_match(ray_session):
         pd.testing.assert_frame_equal(m_fast, m_join)
 
 
+def test_substring_dup_pairs_known_spans(tmp_path, ray_session):
+    """Crafted corpus with a known shared 8-token span: every doc pair
+    containing the span is reported with the exact distinct-span count;
+    in-doc repetition counts once; leading/trailing whitespace is
+    tokenization-neutral; the boilerplate ``max_gram_df`` guard drops
+    over-frequent spans."""
+    import pyarrow as pa
+    import pyarrow.parquet as pq
+
+    from xmlschema_ray.pipelines.dedup import substring_dup_pairs
+
+    span = "a b c d e f g h"
+    docs = pa.table(
+        {
+            "doc_id": pa.array([1, 2, 3, 4, 5], type=pa.int64()),
+            "text": [
+                f"{span} X",
+                f"z {span}",
+                f"{span} {span}",  # in-doc repeat: still ONE distinct span
+                "totally unrelated words with no overlap at all here",
+                f"  {span}  ",  # boundary whitespace must not break tokens
+            ],
+        }
+    )
+    pq.write_table(docs, str(tmp_path / "documents.parquet"))
+
+    got = substring_dup_pairs(str(tmp_path))
+    expected = pd.DataFrame(
+        {
+            "doc_id_a": pd.array([1, 1, 1, 2, 2, 3], dtype="int64"),
+            "doc_id_b": pd.array([2, 3, 5, 3, 5, 5], dtype="int64"),
+            "n_shared_grams": pd.array([1, 1, 1, 1, 1, 1], dtype="int64"),
+        }
+    )
+    pd.testing.assert_frame_equal(got, expected)
+
+    # forced distributed plan (hash-shuffled min/max merge, partitioned
+    # pair generation, combiner_aggregate pair merge) is byte-identical
+    dist = _to_pandas(
+        substring_dup_pairs(str(tmp_path), distributed_threshold_bytes=0)
+    ).reset_index(drop=True)
+    pd.testing.assert_frame_equal(dist, expected)
+
+    # the span occurs in 4 docs; capping df at 3 drops it entirely
+    capped = substring_dup_pairs(str(tmp_path), max_gram_df=3)
+    assert len(capped) == 0 and list(capped.columns) == list(expected.columns)
+
+
+def test_substring_dup_pairs_forced_distributed_matches(ray_session):
+    from xmlschema_ray.pipelines.dedup import substring_dup_pairs
+
+    fast = substring_dup_pairs(SF_DIR).reset_index(drop=True)
+    dist = _to_pandas(
+        substring_dup_pairs(SF_DIR, distributed_threshold_bytes=0)
+    ).reset_index(drop=True)
+    pd.testing.assert_frame_equal(fast, dist[fast.columns], check_dtype=False)
+
+
 def test_embedding_dup_pairs_ivf_subset_of_exact(ray_session):
     """The IVF-bucketed near-dup variant is exact-verified: every pair it
     returns must appear in the brute-force result (precision 1.0)."""

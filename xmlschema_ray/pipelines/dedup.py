@@ -36,7 +36,11 @@ import ray.data as rd
 from xmlschema_ray.engine.stats import hash64
 from xmlschema_ray.functions import hashing as H
 from xmlschema_ray.ops.sample import seeded_embedding_sample
-from xmlschema_ray.pipelines.common import oracle_dump as _oracle_dump, table_path
+from xmlschema_ray.pipelines.common import (
+    dataset_or_typed_empty,
+    oracle_dump as _oracle_dump,
+    table_path,
+)
 
 _WS = re.compile(r"\s+")
 
@@ -957,6 +961,225 @@ ORDER BY vec_id
 """
 
 
+# -- exact substring-span dedup (Lee et al. 2022) -------------------------
+
+SPAN_TOKENS = 8
+
+_SPAN_M = np.uint64(0x9E3779B97F4A7C15)
+
+
+def _token_windows(
+    text: "pa.ChunkedArray | pa.Array", span: int
+) -> Tuple[np.ndarray, np.ndarray, np.ndarray, np.ndarray]:
+    """(row_idx, start_idx, flat_tokens, window_hash) for every length-
+    ``span`` token window in a batch.
+
+    One Arrow whitespace split over the whole batch; empty boundary fields
+    are dropped so the token stream is exactly the ``\\S+`` runs (matches
+    ``regexp_split_to_array(trim(x), '\\s+')`` with ``<> ''`` — see the
+    split-semantics note in CLAUDE.md). Window hashes are a polynomial
+    roll over per-token 64-bit hashes (``span`` shifted multiply-adds,
+    fully vectorized); windows never cross document boundaries.
+    """
+    if isinstance(text, pa.ChunkedArray):
+        text = text.combine_chunks()
+    words = pc.ascii_split_whitespace(text)
+    if isinstance(words, pa.ChunkedArray):
+        words = words.combine_chunks()
+    offsets = words.offsets.to_numpy()
+    flat = words.values.to_numpy(zero_copy_only=False)
+    row_of = np.searchsorted(offsets, np.arange(len(flat), dtype=np.int64), side="right") - 1
+    keep = flat != ""
+    flat, row_of = flat[keep], row_of[keep]
+    total = len(flat)
+    if total < span:
+        e = np.array([], dtype=np.int64)
+        return e, e, flat, np.array([], dtype=np.uint64)
+    starts = np.arange(total - span + 1, dtype=np.int64)
+    valid = row_of[starts] == row_of[starts + span - 1]
+    vs = starts[valid]
+    th = hash64(flat)
+    gh = np.zeros(len(vs), dtype=np.uint64)
+    for k in range(span):
+        gh = gh * _SPAN_M + th[vs + k]
+    return row_of[vs], vs, flat, gh
+
+
+def substring_dup_pairs(
+    sf_dir: str,
+    span_tokens: int = SPAN_TOKENS,
+    max_gram_df: "int | None" = None,
+    distributed_threshold_bytes: "int | None" = None,
+):
+    """Exact substring-level dedup: pairs of documents sharing at least one
+    EXACT ``span_tokens``-token span, with the count of distinct shared
+    spans per pair (Lee et al. 2022, "Deduplicating Training Data Makes
+    Language Models Better", arXiv:2107.06499 — the span-level complement
+    of the doc-level family above; no reference analog, north-rule
+    mandate).
+
+    Two-phase hashed shape (the engine's stage-B uniqueness pattern): the
+    corpus-wide exchange ships per-batch ``(window_hash:uint64,
+    min_doc, max_doc)`` partials — one row per DISTINCT window hash per
+    batch, 24 bytes each, never the token text — and a window hash is a
+    candidate iff its global min_doc != max_doc (seen in ≥2 docs).
+    Collisions can only create FALSE candidates: phase 2 rescans only
+    candidate windows (sorted-hash binary-search membership against a
+    candidate broadcast), reconstructs their actual token text, and
+    groups by the exact span string, so output is collision-proof exact.
+    Pair counts merge through ``combiner_aggregate`` on the (a, b) key.
+
+    Scale controls: ``max_gram_df`` drops spans occurring in more than
+    that many documents before pair generation (boilerplate spans explode
+    quadratically; Lee et al. §4 drop them the same way) — default None
+    = exact, which is what the DuckDB oracle checks. Below the size
+    threshold the two merges run driver-side on the bounded partial /
+    candidate streams; above it they are hash shuffles (forced-path test
+    proves both plans identical).
+    """
+    from xmlschema_ray.engine.stats import isin_sorted
+    from xmlschema_ray.ops.relational import (
+        combiner_aggregate,
+        hash_partition_apply,
+        to_pandas_with_schema,
+    )
+
+    if distributed_threshold_bytes is None:
+        distributed_threshold_bytes = DEDUP_DISTRIBUTED_THRESHOLD_BYTES
+    distributed = (
+        os.path.getsize(table_path(sf_dir, "documents")) > distributed_threshold_bytes
+    )
+    span = span_tokens
+    ds = rd.read_parquet(table_path(sf_dir, "documents"), columns=["doc_id", "text"])
+
+    def span_partial(batch: pa.Table) -> pd.DataFrame:
+        row_idx, _, _, gh = _token_windows(batch["text"], span)
+        ids = pc.cast(batch["doc_id"], pa.int64()).combine_chunks().to_numpy(
+            zero_copy_only=False
+        )
+        df = pd.DataFrame({"gh": gh, "doc": ids[row_idx]})
+        gb = df.groupby("gh", sort=False)["doc"]
+        return pd.DataFrame({"dmin": gb.min(), "dmax": gb.max()}).reset_index()
+
+    def merge_minmax(part: pd.DataFrame) -> pd.DataFrame:
+        gb = part.groupby("gh", sort=False)
+        return pd.DataFrame(
+            {"dmin": gb["dmin"].min(), "dmax": gb["dmax"].max()}
+        ).reset_index()
+
+    partials = ds.map_batches(span_partial, batch_format="pyarrow", zero_copy_batch=True)
+    if not distributed:
+        merged = merge_minmax(partials.to_pandas())
+        cand = merged.loc[merged["dmin"] < merged["dmax"], "gh"].to_numpy(dtype=np.uint64)
+    else:
+        merged_ds = hash_partition_apply(partials, "gh", merge_minmax)
+        cand_df = to_pandas_with_schema(
+            merged_ds.filter(expr="dmin < dmax").select_columns(["gh"])
+        )
+        cand = cand_df["gh"].to_numpy(dtype=np.uint64)
+
+    pair_template = pd.DataFrame(
+        {
+            "doc_id_a": pd.Series([], dtype="int64"),
+            "doc_id_b": pd.Series([], dtype="int64"),
+            "n_shared_grams": pd.Series([], dtype="int64"),
+        }
+    )
+    if len(cand) == 0:
+        return pair_template
+
+    cand.sort()
+    cand_ref = ray.put(cand)  # duplicated-span hashes only — candidate-scoped
+    state: dict = {}
+
+    gram_emit_schema = pa.schema([("gram", pa.string()), ("doc", pa.int64())])
+
+    def gram_emit(batch: pa.Table) -> pa.Table:
+        # Arrow in AND out: an empty object-dtype pandas column trips Ray's
+        # np.vectorize-based size estimator; Arrow sizes are exact.
+        c = state.get("c")
+        if c is None:
+            c = state["c"] = ray.get(cand_ref)
+        row_idx, vs, flat, gh = _token_windows(batch["text"], span)
+        hit = isin_sorted(gh, c)
+        if not hit.any():
+            return gram_emit_schema.empty_table()
+        sel = vs[hit]
+        grams = flat[sel]
+        for k in range(1, span):
+            grams = grams + " " + flat[sel + k]
+        ids = pc.cast(batch["doc_id"], pa.int64()).combine_chunks().to_numpy(
+            zero_copy_only=False
+        )
+        df = (
+            pd.DataFrame({"gram": grams, "doc": ids[row_idx[hit]]})
+            .drop_duplicates()  # exact: one row per doc (docs never span batches)
+            .reset_index(drop=True)
+        )
+        return pa.Table.from_pandas(df, schema=gram_emit_schema, preserve_index=False)
+
+    def pair_partial(part: pd.DataFrame) -> pd.DataFrame:
+        a_out: List[np.ndarray] = []
+        b_out: List[np.ndarray] = []
+        for _, g in part.groupby("gram", sort=False)["doc"]:
+            docs = np.unique(g.to_numpy())
+            if len(docs) < 2:
+                continue  # collision partner or single-doc survivor
+            if max_gram_df is not None and len(docs) > max_gram_df:
+                continue  # boilerplate span: quadratic pair guard
+            ai, bi = np.triu_indices(len(docs), k=1)
+            a_out.append(docs[ai])
+            b_out.append(docs[bi])
+        if not a_out:
+            return pair_template.rename(columns={"n_shared_grams": "n"})
+        df = pd.DataFrame(
+            {"doc_id_a": np.concatenate(a_out), "doc_id_b": np.concatenate(b_out)}
+        )
+        return (
+            df.groupby(["doc_id_a", "doc_id_b"], sort=False)
+            .size()
+            .rename("n")
+            .reset_index()
+            .astype({"n": "int64"})
+        )
+
+    cand_rows = ds.map_batches(gram_emit, batch_format="pyarrow", zero_copy_batch=True)
+    if not distributed:
+        pairs = pair_partial(cand_rows.to_pandas())  # candidate-scoped collect
+        out = (
+            pairs.groupby(["doc_id_a", "doc_id_b"], sort=False)["n"]
+            .sum()
+            .rename("n_shared_grams")
+            .reset_index()
+            .sort_values(["doc_id_a", "doc_id_b"])
+            .reset_index(drop=True)
+        )
+        return out if len(out) else pair_template
+    pairs_ds = hash_partition_apply(cand_rows, "gram", pair_partial)
+    merged_pairs = combiner_aggregate(
+        pairs_ds, ["doc_id_a", "doc_id_b"], {"n_shared_grams": ("n", "sum")}
+    )
+    return dataset_or_typed_empty(
+        merged_pairs.sort(["doc_id_a", "doc_id_b"]), pair_template
+    )
+
+
+SUBSTRING_DUP_SQL = rf"""
+WITH toks AS (
+  SELECT doc_id, regexp_split_to_array(trim(text), '\s+') AS t FROM documents
+), pos AS (
+  SELECT doc_id, t, unnest(generate_series(1, len(t) - {SPAN_TOKENS - 1})) AS i FROM toks
+), grams AS (
+  SELECT DISTINCT doc_id, array_to_string(t[i:i+{SPAN_TOKENS - 1}], ' ') AS gram FROM pos
+)
+SELECT a.doc_id AS doc_id_a, b.doc_id AS doc_id_b,
+       CAST(COUNT(*) AS BIGINT) AS n_shared_grams
+FROM grams a JOIN grams b ON a.gram = b.gram AND a.doc_id < b.doc_id
+GROUP BY 1, 2
+ORDER BY doc_id_a, doc_id_b
+"""
+
+
 ORACLES: Dict[str, str] = {
     "exact_dedup": EXACT_DEDUP_SQL,
     "ngram_jaccard_pairs": NGRAM_JACCARD_SQL,
@@ -966,6 +1189,7 @@ ORACLES: Dict[str, str] = {
     "minhash_lsh_dedup": MINHASH_SQL,
     "embedding_dup_pairs_ivf": EMBEDDING_DUP_IVF_SQL,
     "semantic_dedup": SEMANTIC_DEDUP_SQL,
+    "substring_dup_pairs": SUBSTRING_DUP_SQL,
 }
 
 QUERIES = {
@@ -977,4 +1201,5 @@ QUERIES = {
     "embedding_dup_pairs": embedding_dup_pairs,
     "embedding_dup_pairs_ivf": embedding_dup_pairs_ivf,
     "semantic_dedup": semantic_dedup,
+    "substring_dup_pairs": substring_dup_pairs,
 }
