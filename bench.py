@@ -57,6 +57,9 @@ QUERY_NAMES = [
     "semantic_dedup",
     "token_budget_mixture",
     "bigram_lm_scores",
+    # exact substring-span dedup (two dataset passes + bounded merges;
+    # toy-scale wall is Ray fixed overhead, ~3 s warm at sf0.1)
+    "substring_dup_pairs",
 ]
 
 
