@@ -205,6 +205,54 @@ def test_substring_dup_pairs_forced_distributed_matches(ray_session):
     pd.testing.assert_frame_equal(fast, dist[fast.columns], check_dtype=False)
 
 
+def test_winnowing_guarantee_and_forced_paths(tmp_path, ray_session):
+    """The MOSS winnowing guarantee: every doc pair sharing an exact
+    ``guarantee_tokens``-token span must also share a winnowed
+    fingerprint, so exact-span pairs are a subset of winnowed pairs —
+    on a crafted corpus AND the synthetic sf0.001 corpus; the forced
+    distributed plan is byte-identical to the driver plan."""
+    import pyarrow as pa
+    import pyarrow.parquet as pq
+
+    from xmlschema_ray.pipelines.dedup import substring_dup_pairs, winnowed_dup_pairs
+
+    span = "q w e r t y u i"  # 8 tokens
+    docs = pa.table(
+        {
+            "doc_id": pa.array([1, 2, 3], type=pa.int64()),
+            "text": [
+                f"lead {span} tail words here",
+                f"other prefix text {span}",
+                "no shared span in this document at all friends",
+            ],
+        }
+    )
+    pq.write_table(docs, str(tmp_path / "documents.parquet"))
+
+    exact = substring_dup_pairs(str(tmp_path))
+    win = winnowed_dup_pairs(str(tmp_path), oracle_dump=False)
+    exact_pairs = set(zip(exact["doc_id_a"], exact["doc_id_b"]))
+    win_pairs = set(zip(win["doc_id_a"], win["doc_id_b"]))
+    assert exact_pairs == {(1, 2)}
+    assert exact_pairs <= win_pairs
+
+    # synthetic corpus: subset must hold there too (both ops at span 8)
+    exact_sf = substring_dup_pairs(SF_DIR)
+    win_sf = winnowed_dup_pairs(SF_DIR, oracle_dump=False)
+    e = set(zip(exact_sf["doc_id_a"], exact_sf["doc_id_b"]))
+    wp = set(zip(win_sf["doc_id_a"], win_sf["doc_id_b"]))
+    assert e <= wp, e - wp
+
+    # forced distributed plan identical (skip-proof: needs nonempty result)
+    assert len(win_sf) > 0
+    dist = _to_pandas(
+        winnowed_dup_pairs(SF_DIR, oracle_dump=False, distributed_threshold_bytes=0)
+    ).reset_index(drop=True)
+    pd.testing.assert_frame_equal(
+        win_sf.reset_index(drop=True), dist[win_sf.columns], check_dtype=False
+    )
+
+
 def test_embedding_dup_pairs_ivf_subset_of_exact(ray_session):
     """The IVF-bucketed near-dup variant is exact-verified: every pair it
     returns must appear in the brute-force result (precision 1.0)."""

@@ -965,6 +965,81 @@ ORDER BY vec_id
 
 SPAN_TOKENS = 8
 
+
+def _pair_count_template(count_col: str) -> pd.DataFrame:
+    return pd.DataFrame(
+        {
+            "doc_id_a": pd.Series([], dtype="int64"),
+            "doc_id_b": pd.Series([], dtype="int64"),
+            count_col: pd.Series([], dtype="int64"),
+        }
+    )
+
+
+def _shared_key_pair_counts(
+    rows: "rd.Dataset",
+    key_col: str,
+    count_col: str,
+    distributed: bool,
+    max_df: "int | None" = None,
+):
+    """(doc_id_a < doc_id_b, n shared keys) from a stream of DISTINCT
+    (key, doc) rows — the pair-finalize shared by the substring-span and
+    winnowed-fingerprint dedups.
+
+    One hash exchange co-locates each key's doc set; pair generation is
+    per-key ``triu_indices`` inside the partition; per-(a, b) counts from
+    different keys merge through ``combiner_aggregate``. ``max_df`` drops
+    keys held by more than that many docs before pair generation (the
+    quadratic boilerplate guard). Driver plan: the same two merges on the
+    collected candidate-scoped rows, byte-identical by forced-path test.
+    """
+    from xmlschema_ray.ops.relational import combiner_aggregate, hash_partition_apply
+
+    template = _pair_count_template(count_col)
+
+    def pair_partial(part: pd.DataFrame) -> pd.DataFrame:
+        a_out: List[np.ndarray] = []
+        b_out: List[np.ndarray] = []
+        for _, g in part.groupby(key_col, sort=False)["doc"]:
+            docs = np.unique(g.to_numpy())
+            if len(docs) < 2:
+                continue  # collision partner or single-doc survivor
+            if max_df is not None and len(docs) > max_df:
+                continue  # boilerplate key: quadratic pair guard
+            ai, bi = np.triu_indices(len(docs), k=1)
+            a_out.append(docs[ai])
+            b_out.append(docs[bi])
+        if not a_out:
+            return template.rename(columns={count_col: "n"})
+        df = pd.DataFrame(
+            {"doc_id_a": np.concatenate(a_out), "doc_id_b": np.concatenate(b_out)}
+        )
+        return (
+            df.groupby(["doc_id_a", "doc_id_b"], sort=False)
+            .size()
+            .rename("n")
+            .reset_index()
+            .astype({"n": "int64"})
+        )
+
+    if not distributed:
+        pairs = pair_partial(rows.to_pandas())  # candidate-scoped collect
+        out = (
+            pairs.groupby(["doc_id_a", "doc_id_b"], sort=False)["n"]
+            .sum()
+            .rename(count_col)
+            .reset_index()
+            .sort_values(["doc_id_a", "doc_id_b"])
+            .reset_index(drop=True)
+        )
+        return out if len(out) else template
+    pairs_ds = hash_partition_apply(rows, key_col, pair_partial)
+    merged = combiner_aggregate(
+        pairs_ds, ["doc_id_a", "doc_id_b"], {count_col: ("n", "sum")}
+    )
+    return dataset_or_typed_empty(merged.sort(["doc_id_a", "doc_id_b"]), template)
+
 _SPAN_M = np.uint64(0x9E3779B97F4A7C15)
 
 
@@ -1078,13 +1153,7 @@ def substring_dup_pairs(
         )
         cand = cand_df["gh"].to_numpy(dtype=np.uint64)
 
-    pair_template = pd.DataFrame(
-        {
-            "doc_id_a": pd.Series([], dtype="int64"),
-            "doc_id_b": pd.Series([], dtype="int64"),
-            "n_shared_grams": pd.Series([], dtype="int64"),
-        }
-    )
+    pair_template = _pair_count_template("n_shared_grams")
     if len(cand) == 0:
         return pair_template
 
@@ -1118,49 +1187,9 @@ def substring_dup_pairs(
         )
         return pa.Table.from_pandas(df, schema=gram_emit_schema, preserve_index=False)
 
-    def pair_partial(part: pd.DataFrame) -> pd.DataFrame:
-        a_out: List[np.ndarray] = []
-        b_out: List[np.ndarray] = []
-        for _, g in part.groupby("gram", sort=False)["doc"]:
-            docs = np.unique(g.to_numpy())
-            if len(docs) < 2:
-                continue  # collision partner or single-doc survivor
-            if max_gram_df is not None and len(docs) > max_gram_df:
-                continue  # boilerplate span: quadratic pair guard
-            ai, bi = np.triu_indices(len(docs), k=1)
-            a_out.append(docs[ai])
-            b_out.append(docs[bi])
-        if not a_out:
-            return pair_template.rename(columns={"n_shared_grams": "n"})
-        df = pd.DataFrame(
-            {"doc_id_a": np.concatenate(a_out), "doc_id_b": np.concatenate(b_out)}
-        )
-        return (
-            df.groupby(["doc_id_a", "doc_id_b"], sort=False)
-            .size()
-            .rename("n")
-            .reset_index()
-            .astype({"n": "int64"})
-        )
-
     cand_rows = ds.map_batches(gram_emit, batch_format="pyarrow", zero_copy_batch=True)
-    if not distributed:
-        pairs = pair_partial(cand_rows.to_pandas())  # candidate-scoped collect
-        out = (
-            pairs.groupby(["doc_id_a", "doc_id_b"], sort=False)["n"]
-            .sum()
-            .rename("n_shared_grams")
-            .reset_index()
-            .sort_values(["doc_id_a", "doc_id_b"])
-            .reset_index(drop=True)
-        )
-        return out if len(out) else pair_template
-    pairs_ds = hash_partition_apply(cand_rows, "gram", pair_partial)
-    merged_pairs = combiner_aggregate(
-        pairs_ds, ["doc_id_a", "doc_id_b"], {"n_shared_grams": ("n", "sum")}
-    )
-    return dataset_or_typed_empty(
-        merged_pairs.sort(["doc_id_a", "doc_id_b"]), pair_template
+    return _shared_key_pair_counts(
+        cand_rows, "gram", "n_shared_grams", distributed, max_df=max_gram_df
     )
 
 
@@ -1180,6 +1209,142 @@ ORDER BY doc_id_a, doc_id_b
 """
 
 
+# -- winnowed fingerprint dedup (Schleimer et al. 2003, MOSS) -------------
+
+WINNOW_GUARANTEE = 8
+WINNOW_GRAM = 4
+
+
+def winnowed_dup_pairs(
+    sf_dir: str,
+    guarantee_tokens: int = WINNOW_GUARANTEE,
+    gram_tokens: int = WINNOW_GRAM,
+    max_fp_df: "int | None" = None,
+    distributed_threshold_bytes: "int | None" = None,
+    oracle_dump: bool = True,
+):
+    """Winnowing-fingerprint near-dup pairs (Schleimer, Wilkerson, Aiken
+    2003, "Winnowing: Local Algorithms for Document Fingerprinting" —
+    the MOSS sieve): the SAMPLED scale path beside the exact
+    :func:`substring_dup_pairs`.
+
+    Each document keeps only the minimum ``gram_tokens``-gram hash of
+    every ``w = guarantee_tokens - gram_tokens + 1`` consecutive grams
+    (one sliding-window argmin per batch, fully vectorized; windows never
+    cross documents). The winnowing guarantee: any shared token span of
+    length >= ``guarantee_tokens`` selects at least one common
+    fingerprint in BOTH documents, so exact-span pairs are a SUBSET of
+    these pairs (invariant-tested against ``substring_dup_pairs``) while
+    only ~2/w of the gram hashes — tunable density — ever leave the
+    scan. At 10^12 tokens, raising ``guarantee_tokens`` (w ~ 50) cuts
+    the exchange 25x against the exact op's all-windows partials; pairs
+    are hash-keyed (no exact-string verify — 64-bit fingerprint
+    collisions can only ADD a pair, never drop one, which preserves the
+    no-false-negative guarantee this op exists for).
+
+    Pipeline: one fingerprint scan (materialized — the /w-sized
+    fingerprint set is the op's working set; Ray spills it), an
+    (fp, min_doc, max_doc) candidate sieve, a candidate-scoped
+    ``semi_join`` rescan of the materialized fingerprints, and the shared
+    pair finalize. Oracle: the (doc_id, fp) fingerprint set is dumped and
+    DuckDB re-derives the pairs exactly (the dumped-state pattern of
+    ``simhash_pairs``/``semantic_dedup``).
+    """
+    from xmlschema_ray.ops.relational import (
+        hash_partition_apply,
+        semi_join,
+        to_pandas_with_schema,
+    )
+
+    if gram_tokens < 1 or guarantee_tokens < gram_tokens:
+        raise ValueError("need guarantee_tokens >= gram_tokens >= 1")
+    w = guarantee_tokens - gram_tokens + 1
+    if distributed_threshold_bytes is None:
+        distributed_threshold_bytes = DEDUP_DISTRIBUTED_THRESHOLD_BYTES
+    distributed = (
+        os.path.getsize(table_path(sf_dir, "documents")) > distributed_threshold_bytes
+    )
+    ds = rd.read_parquet(table_path(sf_dir, "documents"), columns=["doc_id", "text"])
+
+    fp_schema = pa.schema([("fp", pa.uint64()), ("doc", pa.int64())])
+
+    def fp_partial(batch: pa.Table) -> pa.Table:
+        row_idx, _, _, gh = _token_windows(batch["text"], gram_tokens)
+        n = len(gh)
+        if n < w:
+            return fp_schema.empty_table()
+        sw = np.lib.stride_tricks.sliding_window_view(gh, w)
+        amin = sw.argmin(axis=1).astype(np.int64)
+        starts = np.arange(n - w + 1, dtype=np.int64)
+        ok = row_idx[starts] == row_idx[starts + w - 1]
+        if not ok.any():
+            return fp_schema.empty_table()
+        # adjacent windows re-selecting the same minimum collapse here;
+        # the same gram VALUE at two positions of one doc collapses in
+        # the (fp, doc) drop_duplicates
+        sel = np.unique(starts[ok] + amin[ok])
+        ids = pc.cast(batch["doc_id"], pa.int64()).combine_chunks().to_numpy(
+            zero_copy_only=False
+        )
+        df = pd.DataFrame({"fp": gh[sel], "doc": ids[row_idx[sel]]}).drop_duplicates()
+        return pa.Table.from_pandas(df, schema=fp_schema, preserve_index=False)
+
+    fps = ds.map_batches(
+        fp_partial, batch_format="pyarrow", zero_copy_batch=True
+    ).materialize()
+    _oracle_dump(
+        fps.map_batches(
+            lambda t: t.rename_columns(["fp", "doc_id"]),
+            batch_format="pyarrow",
+            zero_copy_batch=True,
+        ),
+        "winnow_fp",
+        oracle_dump,
+    )
+
+    def sieve_partial(batch: pa.Table) -> pd.DataFrame:
+        df = batch.select(["fp", "doc"]).to_pandas()
+        gb = df.groupby("fp", sort=False)["doc"]
+        return pd.DataFrame({"dmin": gb.min(), "dmax": gb.max()}).reset_index()
+
+    def merge_minmax(part: pd.DataFrame) -> pd.DataFrame:
+        gb = part.groupby("fp", sort=False)
+        return pd.DataFrame(
+            {"dmin": gb["dmin"].min(), "dmax": gb["dmax"].max()}
+        ).reset_index()
+
+    partials = fps.map_batches(sieve_partial, batch_format="pyarrow", zero_copy_batch=True)
+    if not distributed:
+        merged = merge_minmax(partials.to_pandas())
+        cand = merged.loc[merged["dmin"] < merged["dmax"], "fp"].to_numpy(dtype=np.uint64)
+    else:
+        merged_ds = hash_partition_apply(partials, "fp", merge_minmax)
+        cand = to_pandas_with_schema(
+            merged_ds.filter(expr="dmin < dmax").select_columns(["fp"])
+        )["fp"].to_numpy(dtype=np.uint64)
+
+    template = _pair_count_template("n_shared_fps")
+    if len(cand) == 0:
+        return template
+    cand_rows = semi_join(fps, cand, on="fp")  # duplicated fingerprints only
+    return _shared_key_pair_counts(
+        cand_rows, "fp", "n_shared_fps", distributed, max_df=max_fp_df
+    )
+
+
+WINNOWED_DUP_SQL = """
+WITH fp AS (
+  SELECT doc_id, fp
+  FROM read_parquet('/tmp/xmlschema_ray_oracle/winnow_fp/*.parquet')
+)
+SELECT a.doc_id AS doc_id_a, b.doc_id AS doc_id_b,
+       CAST(COUNT(*) AS BIGINT) AS n_shared_fps
+FROM fp a JOIN fp b ON a.fp = b.fp AND a.doc_id < b.doc_id
+GROUP BY 1, 2
+ORDER BY doc_id_a, doc_id_b
+"""
+
+
 ORACLES: Dict[str, str] = {
     "exact_dedup": EXACT_DEDUP_SQL,
     "ngram_jaccard_pairs": NGRAM_JACCARD_SQL,
@@ -1190,6 +1355,7 @@ ORACLES: Dict[str, str] = {
     "embedding_dup_pairs_ivf": EMBEDDING_DUP_IVF_SQL,
     "semantic_dedup": SEMANTIC_DEDUP_SQL,
     "substring_dup_pairs": SUBSTRING_DUP_SQL,
+    "winnowed_dup_pairs": WINNOWED_DUP_SQL,
 }
 
 QUERIES = {
@@ -1202,4 +1368,5 @@ QUERIES = {
     "embedding_dup_pairs_ivf": embedding_dup_pairs_ivf,
     "semantic_dedup": semantic_dedup,
     "substring_dup_pairs": substring_dup_pairs,
+    "winnowed_dup_pairs": winnowed_dup_pairs,
 }
