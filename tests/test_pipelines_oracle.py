@@ -253,6 +253,49 @@ def test_winnowing_guarantee_and_forced_paths(tmp_path, ray_session):
     )
 
 
+def test_strip_dup_spans_known_removal(tmp_path, ray_session):
+    """The dedup transformation on a crafted corpus: the shared 8-token
+    span is stripped from BOTH docs (every occurrence), surrounding text
+    survives, untouched docs pass through with n_removed=0; forced
+    distributed plan (copartition rebuild) is byte-identical."""
+    import pyarrow as pa
+    import pyarrow.parquet as pq
+
+    from xmlschema_ray.pipelines.dedup import strip_dup_spans
+
+    span = "q w e r t y u i"
+    docs = pa.table(
+        {
+            "doc_id": pa.array([1, 2, 3], type=pa.int64()),
+            "text": [
+                f"lead {span} tail words here",
+                f"other prefix text {span}",
+                "no shared span in this document at all friends",
+            ],
+        }
+    )
+    pq.write_table(docs, str(tmp_path / "documents.parquet"))
+
+    got = _to_pandas(strip_dup_spans(str(tmp_path))).reset_index(drop=True)
+    expected = pd.DataFrame(
+        {
+            "doc_id": pd.array([1, 2, 3], dtype="int64"),
+            "clean_text": [
+                "lead tail words here",
+                "other prefix text",
+                "no shared span in this document at all friends",
+            ],
+            "n_removed": pd.array([8, 8, 0], dtype="int64"),
+        }
+    )
+    pd.testing.assert_frame_equal(got, expected)
+
+    dist = _to_pandas(
+        strip_dup_spans(str(tmp_path), distributed_threshold_bytes=0)
+    ).reset_index(drop=True)
+    pd.testing.assert_frame_equal(dist[expected.columns], expected, check_dtype=False)
+
+
 def test_embedding_dup_pairs_ivf_subset_of_exact(ray_session):
     """The IVF-bucketed near-dup variant is exact-verified: every pair it
     returns must appear in the brute-force result (precision 1.0)."""

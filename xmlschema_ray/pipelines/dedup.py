@@ -1043,19 +1043,12 @@ def _shared_key_pair_counts(
 _SPAN_M = np.uint64(0x9E3779B97F4A7C15)
 
 
-def _token_windows(
-    text: "pa.ChunkedArray | pa.Array", span: int
-) -> Tuple[np.ndarray, np.ndarray, np.ndarray, np.ndarray]:
-    """(row_idx, start_idx, flat_tokens, window_hash) for every length-
-    ``span`` token window in a batch.
-
-    One Arrow whitespace split over the whole batch; empty boundary fields
-    are dropped so the token stream is exactly the ``\\S+`` runs (matches
+def _flat_tokens(text: "pa.ChunkedArray | pa.Array") -> Tuple[np.ndarray, np.ndarray]:
+    """(flat_tokens, row_index) for a batch: one Arrow whitespace split
+    over the whole batch; empty boundary fields are dropped so the token
+    stream is exactly the ``\\S+`` runs (matches
     ``regexp_split_to_array(trim(x), '\\s+')`` with ``<> ''`` — see the
-    split-semantics note in CLAUDE.md). Window hashes are a polynomial
-    roll over per-token 64-bit hashes (``span`` shifted multiply-adds,
-    fully vectorized); windows never cross document boundaries.
-    """
+    split-semantics note in CLAUDE.md)."""
     if isinstance(text, pa.ChunkedArray):
         text = text.combine_chunks()
     words = pc.ascii_split_whitespace(text)
@@ -1065,11 +1058,19 @@ def _token_windows(
     flat = words.values.to_numpy(zero_copy_only=False)
     row_of = np.searchsorted(offsets, np.arange(len(flat), dtype=np.int64), side="right") - 1
     keep = flat != ""
-    flat, row_of = flat[keep], row_of[keep]
+    return flat[keep], row_of[keep]
+
+
+def _window_hashes(
+    flat: np.ndarray, row_of: np.ndarray, span: int
+) -> Tuple[np.ndarray, np.ndarray]:
+    """(start_idx, window_hash) for every length-``span`` token window
+    over an already-flattened batch token stream: a polynomial roll over
+    per-token 64-bit hashes (``span`` shifted multiply-adds, fully
+    vectorized); windows never cross document boundaries."""
     total = len(flat)
     if total < span:
-        e = np.array([], dtype=np.int64)
-        return e, e, flat, np.array([], dtype=np.uint64)
+        return np.array([], dtype=np.int64), np.array([], dtype=np.uint64)
     starts = np.arange(total - span + 1, dtype=np.int64)
     valid = row_of[starts] == row_of[starts + span - 1]
     vs = starts[valid]
@@ -1077,7 +1078,57 @@ def _token_windows(
     gh = np.zeros(len(vs), dtype=np.uint64)
     for k in range(span):
         gh = gh * _SPAN_M + th[vs + k]
+    return vs, gh
+
+
+def _token_windows(
+    text: "pa.ChunkedArray | pa.Array", span: int
+) -> Tuple[np.ndarray, np.ndarray, np.ndarray, np.ndarray]:
+    """(row_idx, start_idx, flat_tokens, window_hash) for every length-
+    ``span`` token window in a batch (:func:`_flat_tokens` +
+    :func:`_window_hashes`)."""
+    flat, row_of = _flat_tokens(text)
+    vs, gh = _window_hashes(flat, row_of, span)
     return row_of[vs], vs, flat, gh
+
+
+def _candidate_window_hashes(ds: "rd.Dataset", span: int, distributed: bool) -> np.ndarray:
+    """Sorted uint64 hashes of token windows seen in >= 2 distinct docs.
+
+    One corpus-wide exchange of per-batch ``(window_hash, min_doc,
+    max_doc)`` partials — one 24-byte row per DISTINCT hash per batch,
+    never the token text; a hash is a candidate iff its global
+    min_doc != max_doc. Collisions can only ADD candidates (callers
+    exact-verify on the span string). Driver plan merges the collected
+    partial stream; distributed plan hash-shuffles it."""
+    from xmlschema_ray.ops.relational import hash_partition_apply, to_pandas_with_schema
+
+    def span_partial(batch: pa.Table) -> pd.DataFrame:
+        row_idx, _, _, gh = _token_windows(batch["text"], span)
+        ids = pc.cast(batch["doc_id"], pa.int64()).combine_chunks().to_numpy(
+            zero_copy_only=False
+        )
+        df = pd.DataFrame({"gh": gh, "doc": ids[row_idx]})
+        gb = df.groupby("gh", sort=False)["doc"]
+        return pd.DataFrame({"dmin": gb.min(), "dmax": gb.max()}).reset_index()
+
+    def merge_minmax(part: pd.DataFrame) -> pd.DataFrame:
+        gb = part.groupby("gh", sort=False)
+        return pd.DataFrame(
+            {"dmin": gb["dmin"].min(), "dmax": gb["dmax"].max()}
+        ).reset_index()
+
+    partials = ds.map_batches(span_partial, batch_format="pyarrow", zero_copy_batch=True)
+    if not distributed:
+        merged = merge_minmax(partials.to_pandas())
+        cand = merged.loc[merged["dmin"] < merged["dmax"], "gh"].to_numpy(dtype=np.uint64)
+    else:
+        merged_ds = hash_partition_apply(partials, "gh", merge_minmax)
+        cand = to_pandas_with_schema(
+            merged_ds.filter(expr="dmin < dmax").select_columns(["gh"])
+        )["gh"].to_numpy(dtype=np.uint64)
+    cand.sort()
+    return cand
 
 
 def substring_dup_pairs(
@@ -1113,11 +1164,6 @@ def substring_dup_pairs(
     proves both plans identical).
     """
     from xmlschema_ray.engine.stats import isin_sorted
-    from xmlschema_ray.ops.relational import (
-        combiner_aggregate,
-        hash_partition_apply,
-        to_pandas_with_schema,
-    )
 
     if distributed_threshold_bytes is None:
         distributed_threshold_bytes = DEDUP_DISTRIBUTED_THRESHOLD_BYTES
@@ -1126,38 +1172,12 @@ def substring_dup_pairs(
     )
     span = span_tokens
     ds = rd.read_parquet(table_path(sf_dir, "documents"), columns=["doc_id", "text"])
-
-    def span_partial(batch: pa.Table) -> pd.DataFrame:
-        row_idx, _, _, gh = _token_windows(batch["text"], span)
-        ids = pc.cast(batch["doc_id"], pa.int64()).combine_chunks().to_numpy(
-            zero_copy_only=False
-        )
-        df = pd.DataFrame({"gh": gh, "doc": ids[row_idx]})
-        gb = df.groupby("gh", sort=False)["doc"]
-        return pd.DataFrame({"dmin": gb.min(), "dmax": gb.max()}).reset_index()
-
-    def merge_minmax(part: pd.DataFrame) -> pd.DataFrame:
-        gb = part.groupby("gh", sort=False)
-        return pd.DataFrame(
-            {"dmin": gb["dmin"].min(), "dmax": gb["dmax"].max()}
-        ).reset_index()
-
-    partials = ds.map_batches(span_partial, batch_format="pyarrow", zero_copy_batch=True)
-    if not distributed:
-        merged = merge_minmax(partials.to_pandas())
-        cand = merged.loc[merged["dmin"] < merged["dmax"], "gh"].to_numpy(dtype=np.uint64)
-    else:
-        merged_ds = hash_partition_apply(partials, "gh", merge_minmax)
-        cand_df = to_pandas_with_schema(
-            merged_ds.filter(expr="dmin < dmax").select_columns(["gh"])
-        )
-        cand = cand_df["gh"].to_numpy(dtype=np.uint64)
+    cand = _candidate_window_hashes(ds, span, distributed)
 
     pair_template = _pair_count_template("n_shared_grams")
     if len(cand) == 0:
         return pair_template
 
-    cand.sort()
     cand_ref = ray.put(cand)  # duplicated-span hashes only — candidate-scoped
     state: dict = {}
 
@@ -1206,6 +1226,185 @@ SELECT a.doc_id AS doc_id_a, b.doc_id AS doc_id_b,
 FROM grams a JOIN grams b ON a.gram = b.gram AND a.doc_id < b.doc_id
 GROUP BY 1, 2
 ORDER BY doc_id_a, doc_id_b
+"""
+
+
+def strip_dup_spans(
+    sf_dir: str,
+    span_tokens: int = SPAN_TOKENS,
+    distributed_threshold_bytes: "int | None" = None,
+):
+    """The Lee et al. 2022 dedup TRANSFORMATION: rewrite every document
+    with all cross-document duplicated ``span_tokens``-token spans
+    removed (a token is dropped iff it lies inside some window whose
+    exact text also occurs in another document). Returns
+    ``(doc_id, clean_text, n_removed)`` for EVERY document, sorted.
+
+    Detection is the exact two-phase machinery of
+    :func:`substring_dup_pairs` (hash candidates → exact-string verify),
+    but keeps window POSITIONS: a gram group with >= 2 distinct docs
+    emits all its (doc, start) rows as removals — removal volume is
+    bounded by actual duplication. Coverage per doc is an interval-union
+    diff array over the flat token stream (vectorized); only the final
+    per-doc string join is a Python loop (inherent to text
+    reconstruction — same shape as the formatter writers).
+
+    Plans: below the threshold removals broadcast (``ray.put``) and the
+    document stream is rewritten in one ``map_batches`` — the docs table
+    itself never shuffles; above it removals stay a Dataset and
+    ``copartition_apply`` co-locates each doc with its removals through
+    ONE exchange. Forced-path test proves both identical.
+    """
+    from xmlschema_ray.engine.stats import isin_sorted
+    from xmlschema_ray.ops.relational import copartition_apply
+
+    if distributed_threshold_bytes is None:
+        distributed_threshold_bytes = DEDUP_DISTRIBUTED_THRESHOLD_BYTES
+    distributed = (
+        os.path.getsize(table_path(sf_dir, "documents")) > distributed_threshold_bytes
+    )
+    span = span_tokens
+    ds = rd.read_parquet(table_path(sf_dir, "documents"), columns=["doc_id", "text"])
+    cand = _candidate_window_hashes(ds, span, distributed)
+    cand_ref = ray.put(cand)
+    state: dict = {}
+
+    pos_schema = pa.schema([("gram", pa.string()), ("doc", pa.int64()), ("pos", pa.int64())])
+
+    def gram_pos_emit(batch: pa.Table) -> pa.Table:
+        """All candidate windows WITH their within-doc start positions."""
+        c = state.get("c")
+        if c is None:
+            c = state["c"] = ray.get(cand_ref)
+        flat, row_of = _flat_tokens(batch["text"])
+        vs, gh = _window_hashes(flat, row_of, span)
+        hit = isin_sorted(gh, c)
+        if not hit.any():
+            return pos_schema.empty_table()
+        sel = vs[hit]
+        rows = row_of[sel]
+        grams = flat[sel]
+        for k in range(1, span):
+            grams = grams + " " + flat[sel + k]
+        # within-doc 0-based start: flat index minus the doc's first flat
+        # index (row_of is sorted, so searchsorted-left finds it)
+        doc_start = np.searchsorted(row_of, rows, side="left")
+        ids = pc.cast(batch["doc_id"], pa.int64()).combine_chunks().to_numpy(
+            zero_copy_only=False
+        )
+        df = pd.DataFrame({"gram": grams, "doc": ids[rows], "pos": sel - doc_start})
+        return pa.Table.from_pandas(df, schema=pos_schema, preserve_index=False)
+
+    def removals_partial(part: pd.DataFrame) -> pd.DataFrame:
+        """Exact verify per gram group: >= 2 distinct docs → emit all
+        (doc, pos) starts of that group."""
+        gb = part.groupby("gram", sort=False)["doc"]
+        dup = gb.transform("nunique") >= 2
+        out = part.loc[dup, ["doc", "pos"]].reset_index(drop=True)
+        return out.astype({"doc": "int64", "pos": "int64"})
+
+    out_template = pd.DataFrame(
+        {
+            "doc_id": pd.Series([], dtype="int64"),
+            "clean_text": pd.Series([], dtype=object),
+            "n_removed": pd.Series([], dtype="int64"),
+        }
+    )
+
+    def rebuild(docs_df: pd.DataFrame, rem_df: pd.DataFrame) -> pd.DataFrame:
+        flat, row_of = _flat_tokens(pa.array(docs_df["text"].to_numpy(), type=pa.string()))
+        n_rows = len(docs_df)
+        counts = np.bincount(row_of, minlength=n_rows) if len(row_of) else np.zeros(n_rows, dtype=np.int64)
+        offs = np.zeros(n_rows + 1, dtype=np.int64)
+        np.cumsum(counts, out=offs[1:])
+        total = len(flat)
+        covered = np.zeros(total, dtype=bool)
+        if len(rem_df):
+            lookup = pd.DataFrame(
+                {"doc": docs_df["doc_id"].to_numpy(), "__row": np.arange(n_rows, dtype=np.int64)}
+            )
+            m = rem_df.merge(lookup, on="doc")
+            starts = offs[m["__row"].to_numpy()] + m["pos"].to_numpy()
+            diff = np.zeros(total + 1, dtype=np.int64)
+            np.add.at(diff, starts, 1)
+            np.add.at(diff, starts + span, -1)  # a start is always <= n-span
+            covered = np.cumsum(diff[:-1]) > 0
+        clean = [
+            " ".join(flat[offs[r] : offs[r + 1]][~covered[offs[r] : offs[r + 1]]])
+            for r in range(n_rows)
+        ]
+        n_removed = (
+            np.bincount(row_of[covered], minlength=n_rows)
+            if covered.any()
+            else np.zeros(n_rows, dtype=np.int64)
+        )
+        return pd.DataFrame(
+            {
+                "doc_id": docs_df["doc_id"].to_numpy(),
+                "clean_text": np.array(clean, dtype=object),
+                "n_removed": n_removed.astype(np.int64),
+            }
+        )
+
+    cand_rows = ds.map_batches(gram_pos_emit, batch_format="pyarrow", zero_copy_batch=True)
+    if not distributed:
+        rem = removals_partial(cand_rows.to_pandas())  # candidate-scoped collect
+        rem_ref = ray.put(rem)
+        rstate: dict = {}
+
+        def rewrite(batch: pd.DataFrame) -> pd.DataFrame:
+            r = rstate.get("r")
+            if r is None:
+                r = rstate["r"] = ray.get(rem_ref)
+            return rebuild(batch, r)
+
+        return ds.map_batches(rewrite, batch_format="pandas").sort("doc_id")
+    from xmlschema_ray.ops.relational import hash_partition_apply
+
+    rem_ds = hash_partition_apply(cand_rows, "gram", removals_partial)
+
+    def join_rebuild(docs_df: pd.DataFrame, rem_df: pd.DataFrame) -> pd.DataFrame:
+        if not len(docs_df):
+            return out_template
+        return rebuild(docs_df, rem_df[["doc", "pos"]])
+
+    out = copartition_apply(ds, rem_ds, "doc_id", "doc", join_rebuild)
+    return out.sort("doc_id")
+
+
+STRIP_DUP_SPANS_SQL = rf"""
+WITH toks AS (
+  SELECT doc_id,
+         list_filter(regexp_split_to_array(trim(text), '\s+'), x -> x <> '') AS t
+  FROM documents
+), pos AS (
+  SELECT doc_id, t, unnest(generate_series(1, len(t) - {SPAN_TOKENS - 1})) AS i FROM toks
+), grams AS (
+  SELECT doc_id, i, array_to_string(t[i:i+{SPAN_TOKENS - 1}], ' ') AS gram FROM pos
+), dup AS (
+  SELECT gram FROM grams GROUP BY gram HAVING COUNT(DISTINCT doc_id) >= 2
+), rem AS (
+  SELECT g.doc_id, g.i FROM grams g JOIN dup USING (gram)
+), tokpos AS (
+  SELECT doc_id, t, unnest(generate_series(1, len(t))) AS p FROM toks
+), kept AS (
+  SELECT tp.doc_id, tp.p, tp.t[tp.p] AS tok
+  FROM tokpos tp
+  WHERE NOT EXISTS (
+    SELECT 1 FROM rem r
+    WHERE r.doc_id = tp.doc_id AND tp.p BETWEEN r.i AND r.i + {SPAN_TOKENS - 1}
+  )
+)
+SELECT tk.doc_id AS doc_id,
+       COALESCE(k.clean_text, '') AS clean_text,
+       CAST(len(tk.t) - COALESCE(k.n_kept, 0) AS BIGINT) AS n_removed
+FROM toks tk
+LEFT JOIN (
+  SELECT doc_id, string_agg(tok, ' ' ORDER BY p) AS clean_text,
+         COUNT(*) AS n_kept
+  FROM kept GROUP BY doc_id
+) k USING (doc_id)
+ORDER BY doc_id
 """
 
 
@@ -1356,6 +1555,7 @@ ORACLES: Dict[str, str] = {
     "semantic_dedup": SEMANTIC_DEDUP_SQL,
     "substring_dup_pairs": SUBSTRING_DUP_SQL,
     "winnowed_dup_pairs": WINNOWED_DUP_SQL,
+    "strip_dup_spans": STRIP_DUP_SPANS_SQL,
 }
 
 QUERIES = {
@@ -1369,4 +1569,5 @@ QUERIES = {
     "semantic_dedup": semantic_dedup,
     "substring_dup_pairs": substring_dup_pairs,
     "winnowed_dup_pairs": winnowed_dup_pairs,
+    "strip_dup_spans": strip_dup_spans,
 }
