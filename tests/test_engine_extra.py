@@ -271,6 +271,72 @@ def test_composite_unique_key_end_to_end(tmp_path, ray_session):
         assert res.job_validity == "invalid"
 
 
+def test_composite_foreign_key(tmp_path, ray_session):
+    """Multi-field xs:keyref analog: a fact (source, region) tuple must
+    exist in the dim table as a PAIR — rows whose fields are each valid
+    individually but whose combination is absent are exactly the
+    violations a single-column keyref cannot catch. Null fields are
+    keyref-exempt; spec JSON round-trips the tuple."""
+    import pyarrow as pa
+    import pyarrow.parquet as pq
+
+    from xmlschema_ray.constraints.serde import spec_from_json, spec_to_json
+    from xmlschema_ray.constraints.spec import ColumnSpec, ForeignKey, TableConstraints
+    from xmlschema_ray.engine.engine import ValidationEngine
+
+    seq_dir = os.path.join(str(tmp_path), "seq")
+    os.makedirs(seq_dir)
+    # dim: allowed (source, region) pairs — A only in eu, B in eu+us
+    dim = pa.table({"source": ["A", "B", "B"], "region": ["eu", "eu", "us"]})
+    rows = pd.DataFrame(
+        {
+            "doc_id": [f"d{i}" for i in range(6)],
+            "source": ["A", "B", "A", "B", "C", None],
+            "region": ["eu", "us", "us", "eu", "eu", "eu"],
+        }
+    )
+    # d2 = (A, us): both fields individually present in the dim, pair absent
+    # d4 = (C, eu): source C unknown entirely
+    # d5 = (None, eu): null field → keyref-exempt (not_null's job)
+    for j in range(2):
+        pq.write_table(
+            pa.Table.from_pandas(rows.iloc[j::2], preserve_index=False),
+            os.path.join(seq_dir, f"p{j}.parquet"),
+        )
+
+    spec = TableConstraints(
+        name="composite_fk",
+        columns=[
+            ColumnSpec("doc_id", pa.string(), nullable=False),
+            ColumnSpec("source", pa.string(), nullable=True),
+            ColumnSpec("region", pa.string(), nullable=True),
+        ],
+        foreign_keys=[
+            ForeignKey(("source", "region"), "dims", ("source", "region"), name="fk_pair")
+        ],
+        key_columns=("doc_id",),
+    )
+    # tuple survives the JSON round-trip
+    rt = spec_from_json(spec_to_json(spec))
+    assert rt.foreign_keys[0].columns == ("source", "region")
+    assert rt.foreign_keys[0].dim_keys == ("source", "region")
+
+    res = ValidationEngine(rt, batch_size=4, n_shards=1).run(
+        seq_dir, out_dir=os.path.join(str(tmp_path), "out"), dims={"dims": dim}
+    )
+    viol = res.violations()
+    fkv = viol[viol["constraint_name"] == "fk_pair"]
+    assert set(fkv["key"]) == {"d2", "d4"}, fkv
+    assert (fkv["column"] == "source,region").all()
+    assert res.job_validity == "invalid"
+
+    # mismatched tuple lengths are a spec error at construction
+    import pytest
+
+    with pytest.raises(ValueError):
+        ForeignKey(("a", "b"), "dims", "k")
+
+
 def test_override_spec_compose():
     """xs:override/xs:redefine analog: same-name replaces, new name
     appends, remove deletes, and the merged document recompiles (or

@@ -339,7 +339,14 @@ def spec_to_json(spec: TableConstraints) -> Dict[str, Any]:
         ],
         "unique_keys": [{"name": u.name, "columns": list(u.columns)} for u in spec.unique_keys],
         "foreign_keys": [
-            {"name": k.name, "column": k.column, "dim_name": k.dim_name, "dim_key": k.dim_key}
+            {
+                "name": k.name,
+                # composite keyrefs serialize their tuples as lists; plain
+                # strings stay strings so existing spec documents round-trip
+                "column": k.column if isinstance(k.column, str) else list(k.column),
+                "dim_name": k.dim_name,
+                "dim_key": k.dim_key if isinstance(k.dim_key, str) else list(k.dim_key),
+            }
             for k in spec.foreign_keys
         ],
         "drift": [

@@ -231,14 +231,37 @@ class ForeignKey:
     pool (stage C) — dimension ≪ fact, so no shuffle.
     """
 
-    column: str
+    column: "str | Tuple[str, ...]"
     dim_name: str
-    dim_key: str
+    dim_key: "str | Tuple[str, ...]"
     name: Optional[str] = None
 
     def __post_init__(self):
+        # composite keyrefs (the reference's multi-field xs:field lists,
+        # identities.py:118-150) pass tuples; singles stay plain strings
+        # so every single-column code path and default name is unchanged
+        if not isinstance(self.column, str):
+            cols = tuple(self.column)
+            object.__setattr__(self, "column", cols[0] if len(cols) == 1 else cols)
+        if not isinstance(self.dim_key, str):
+            keys = tuple(self.dim_key)
+            object.__setattr__(self, "dim_key", keys[0] if len(keys) == 1 else keys)
+        if len(self.columns) != len(self.dim_keys):
+            raise ValueError(
+                f"foreign key {self.name or self.column!r}: column tuple "
+                f"{self.columns} and dim key tuple {self.dim_keys} differ in length"
+            )
         if self.name is None:
-            object.__setattr__(self, "name", f"fk_{self.column}_refs_{self.dim_name}")
+            cols = "_".join(self.columns)
+            object.__setattr__(self, "name", f"fk_{cols}_refs_{self.dim_name}")
+
+    @property
+    def columns(self) -> Tuple[str, ...]:
+        return (self.column,) if isinstance(self.column, str) else self.column
+
+    @property
+    def dim_keys(self) -> Tuple[str, ...]:
+        return (self.dim_key,) if isinstance(self.dim_key, str) else self.dim_key
 
 
 @dataclass(frozen=True)
@@ -402,8 +425,9 @@ class TableConstraints:
                 if col not in known:
                     raise SpecError(f"unique key {uk.name!r} references unknown column {col!r}")
         for fk in self.foreign_keys:
-            if fk.column not in known:
-                raise SpecError(f"foreign key {fk.name!r} references unknown column {fk.column!r}")
+            for col in fk.columns:
+                if col not in known:
+                    raise SpecError(f"foreign key {fk.name!r} references unknown column {col!r}")
         for d in self.drift:
             if d.column not in known:
                 raise SpecError(f"drift spec {d.name!r} references unknown column {d.column!r}")

@@ -194,11 +194,18 @@ class ValidationEngine:
             if fk.dim_name not in dims:
                 raise ValueError(f"foreign key {fk.name!r}: dim table {fk.dim_name!r} not provided")
             dim = dims[fk.dim_name]
+            keys = list(fk.dim_keys)
             if isinstance(dim, str):
-                dim_tbl = pads.dataset(_resolve_files(dim)).to_table(columns=[fk.dim_key])
+                dim_tbl = pads.dataset(_resolve_files(dim)).to_table(columns=keys)
             else:
-                dim_tbl = dim.select([fk.dim_key])
-            fk_sets[fk.name] = dim_tbl[fk.dim_key].combine_chunks().unique()
+                dim_tbl = dim.select(keys)
+            if len(keys) == 1:
+                fk_sets[fk.name] = dim_tbl[keys[0]].combine_chunks().unique()
+            else:
+                # composite keyref: broadcast the DISTINCT dim tuples as a
+                # table; the validator exact-joins per batch (no hashing,
+                # so no collision soundness question)
+                fk_sets[fk.name] = dim_tbl.group_by(keys).aggregate([])
         return fk_sets
 
     # -- schema precheck (partition-level) --------------------------------

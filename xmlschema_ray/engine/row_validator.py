@@ -23,6 +23,7 @@ Run modes follow the reference's strict/lax/skip
 from __future__ import annotations
 
 import numpy as np
+import pandas as pd
 import pyarrow as pa
 import pyarrow.compute as pc
 from typing import Dict, Iterator, List, Optional, Tuple
@@ -285,23 +286,66 @@ class RowValidator:
 
     def _iter_fk_checks(self, table: pa.Table):
         """Row-local half of the keyref check: membership against the
-        broadcast dim key set (``validators/identities.py:298-318``)."""
+        broadcast dim key set (``validators/identities.py:298-318``).
+        Composite keyrefs (multi-field xs:field lists) exact-join the
+        batch against the broadcast distinct dim tuples — a vectorized
+        left merge, order-preserving, no hashing soundness caveat."""
         for fk in self.spec.foreign_keys:
-            if fk.column not in table.column_names or fk.name not in self.fk_sets:
+            cols = fk.columns
+            if fk.name not in self.fk_sets or any(
+                c not in table.column_names for c in cols
+            ):
                 continue
-            col = table[fk.column]
-            ok = pc.is_in(col, value_set=self.fk_sets[fk.name])
-            mask = ~ok.combine_chunks().fill_null(False).to_numpy(zero_copy_only=False)
-            nulls = pc.is_null(col).combine_chunks().to_numpy(zero_copy_only=False)
-            mask &= ~nulls  # null handled by not_null check, not keyref
+            if len(cols) == 1:
+                col = table[cols[0]]
+                ok = pc.is_in(col, value_set=self.fk_sets[fk.name])
+                mask = ~ok.combine_chunks().fill_null(False).to_numpy(zero_copy_only=False)
+                nulls = pc.is_null(col).combine_chunks().to_numpy(zero_copy_only=False)
+                mask &= ~nulls  # null handled by not_null check, not keyref
+                if mask.any():
+                    yield (
+                        fk.name,
+                        fk.column,
+                        mask,
+                        f"value not found in {fk.dim_name}.{fk.dim_key}",
+                        None,
+                    )
+                continue
+            dim_pd = self._fk_dim_frame(fk.name)
+            lf = pd.DataFrame(
+                {c: table[c].combine_chunks().to_numpy(zero_copy_only=False) for c in cols}
+            )
+            merged = lf.merge(
+                dim_pd, how="left", left_on=list(cols), right_on=list(fk.dim_keys)
+            )
+            mask = ~merged["__fk_hit"].notna().to_numpy()
+            any_null = np.zeros(len(lf), dtype=bool)
+            for c in cols:
+                any_null |= pc.is_null(table[c]).combine_chunks().to_numpy(
+                    zero_copy_only=False
+                )
+            mask &= ~any_null  # null fields handled by not_null, not keyref
             if mask.any():
                 yield (
                     fk.name,
-                    fk.column,
+                    ",".join(cols),
                     mask,
-                    f"value not found in {fk.dim_name}.{fk.dim_key}",
+                    f"tuple not found in {fk.dim_name}.({', '.join(fk.dim_keys)})",
                     None,
                 )
+
+    def _fk_dim_frame(self, fk_name: str) -> pd.DataFrame:
+        """Broadcast composite dim tuples as a pandas frame with a hit
+        marker, converted once per worker and cached."""
+        cache = getattr(self, "_fk_frames", None)
+        if cache is None:
+            cache = self._fk_frames = {}
+        df = cache.get(fk_name)
+        if df is None:
+            df = self.fk_sets[fk_name].to_pandas()
+            df["__fk_hit"] = True
+            cache[fk_name] = df
+        return df
 
     def __call__(self, table: pa.Table) -> pa.Table:
         pid = self.partition_id
