@@ -433,8 +433,75 @@ SELECT CAST(0 AS BIGINT) AS partition_id,
 FROM documents
 """
 
+def val_composite_fk(sf_dir: str) -> pd.DataFrame:
+    """Composite keyref (multi-field ``xs:field`` tuple) through the FULL
+    ``ValidationEngine``: the allowed dimension is the deterministic
+    md5-half of the corpus's distinct (source, lang) pairs — pairs whose
+    ``md5(source || '|' || lang)`` starts >= '8' are allowed — so docs
+    carrying an excluded pair are exactly the violations and BOTH engines
+    recompute the same dim. Each field alone is always individually
+    valid; only the PAIR membership fails, the case a single-column
+    keyref cannot express (``identities.py:118-150``).
+
+    Pair discovery is a bounded per-batch distinct partial (sources ×
+    langs rows per batch, never the corpus); the engine broadcasts the
+    distinct dim tuples once and exact-left-merges per batch.
+    """
+    from xmlschema_ray.constraints.spec import ColumnSpec, ForeignKey, TableConstraints
+    from xmlschema_ray.pipelines.curation import _md5_hex
+
+    doc_path = os.path.join(sf_dir, "documents.parquet")
+    parts = rd.read_parquet(doc_path, columns=["source", "lang"]).map_batches(
+        lambda b: b[["source", "lang"]].drop_duplicates(), batch_format="pandas"
+    )
+    pairs = parts.to_pandas().drop_duplicates().reset_index(drop=True)
+    keep = np.array(
+        [h[0] >= "8" for h in _md5_hex(pairs["source"] + "|" + pairs["lang"])]
+    )
+    dim = pa.Table.from_pandas(pairs.loc[keep].reset_index(drop=True), preserve_index=False)
+
+    spec = TableConstraints(
+        name="composite_fk_docs",
+        columns=[
+            ColumnSpec("doc_id", pa.int64(), nullable=False),
+            ColumnSpec("source", pa.string()),
+            ColumnSpec("lang", pa.string()),
+        ],
+        foreign_keys=[
+            ForeignKey(("source", "lang"), "pairs", ("source", "lang"), name="fk_source_lang")
+        ],
+        key_columns=("doc_id",),
+    )
+    out_dir = _scratch("val_composite_fk")
+    eng = ValidationEngine(spec, batch_size=4096, n_shards=1)
+    res = eng.run(doc_path, out_dir=out_dir, dims={"pairs": dim}, resume=False)
+    v = res.violations()
+    return (
+        pd.DataFrame(
+            {
+                "doc_id": pd.array(v["key"].astype("int64"), dtype="int64"),
+                "constraint_name": v["constraint_name"].astype(object),
+            }
+        )
+        .sort_values("doc_id")
+        .reset_index(drop=True)
+    )
+
+
+VAL_COMPOSITE_FK_SQL = """
+WITH pairs AS (SELECT DISTINCT source, lang FROM documents),
+dim AS (SELECT * FROM pairs WHERE md5(source || '|' || lang) >= '8')
+SELECT d.doc_id AS doc_id, 'fk_source_lang' AS constraint_name
+FROM documents d
+LEFT JOIN dim ON d.source = dim.source AND d.lang = dim.lang
+WHERE dim.source IS NULL
+ORDER BY doc_id
+"""
+
+
 ORACLES: Dict[str, str] = {
     "validate_sequences": VALIDATE_SEQUENCES_SQL,
+    "val_composite_fk": VAL_COMPOSITE_FK_SQL,
     "validate_sequences_seeded": SEEDED_SQL,
     "drift_check": DRIFT_SQL,
     "drift_by_source": DRIFT_BY_SOURCE_SQL,
@@ -442,6 +509,7 @@ ORACLES: Dict[str, str] = {
 }
 QUERIES = {
     "validate_sequences": validate_sequences,
+    "val_composite_fk": val_composite_fk,
     "validate_sequences_seeded": validate_sequences_seeded,
     "drift_check": drift_check,
     "drift_by_source": drift_by_source,
