@@ -57,9 +57,13 @@ QUERY_NAMES = [
     "semantic_dedup",
     "token_budget_mixture",
     "bigram_lm_scores",
-    # exact substring-span dedup (two dataset passes + bounded merges;
-    # toy-scale wall is Ray fixed overhead, ~3 s warm at sf0.1)
+    # span-dedup family (two dataset passes + bounded merges; toy-scale
+    # wall is Ray fixed overhead, ~2-3 s warm each at sf0.1) and the
+    # engine-driven composite-keyref check
     "substring_dup_pairs",
+    "winnowed_dup_pairs",
+    "strip_dup_spans",
+    "val_composite_fk",
 ]
 
 
