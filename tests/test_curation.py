@@ -217,3 +217,79 @@ def test_bigram_lm_scores_exact_counts(tmp_path, ray_session):
 
     with pytest.raises(ValueError, match="max_model_rows"):
         bigram_lm_scores(str(tmp_path), max_model_rows=1)
+
+
+def test_dsir_selection_exact_weights_and_skew(tmp_path, ray_session):
+    """Brute-force reimplementation (Python loops + hashlib) of the DSIR
+    scoring formula matches the distributed operator exactly; documents
+    written in the target language's vocabulary outrank off-target docs;
+    gram-less docs are excluded; top-k cut respects the (weight desc,
+    doc_id asc) tie-break."""
+    import hashlib
+    import math
+
+    import numpy as np
+    import pandas as pd
+    import pyarrow as pa
+    import pyarrow.parquet as pq
+
+    from xmlschema_ray.pipelines.curation import dsir_selection
+
+    rng = np.random.default_rng(7)
+    en_vocab = [f"en{i}" for i in range(12)]
+    de_vocab = [f"de{i}" for i in range(12)]
+    rows = []
+    for i in range(60):
+        lang = "en" if i % 2 == 0 else "de"
+        vocab = en_vocab if lang == "en" else de_vocab
+        words = list(rng.choice(vocab, size=rng.integers(3, 9)))
+        rows.append((i, lang, " ".join(words)))
+    rows.append((60, "en", ""))  # gram-less: excluded from scoring
+    df = pd.DataFrame(rows, columns=["doc_id", "lang", "text"])
+    pq.write_table(pa.Table.from_pandas(df), str(tmp_path / "documents.parquet"))
+
+    k = 10
+    res = dsir_selection(str(tmp_path), target_lang="en", k=k)
+    out = res.to_pandas() if hasattr(res, "to_pandas") else res
+
+    # independent scoring: per-doc hashed unigram+bigram features
+    def buckets(text):
+        ws = text.split()
+        grams = ws + [" ".join(ws[i : i + 2]) for i in range(len(ws) - 1)]
+        hx = "0123456789abcdef"
+        out = []
+        for g in grams:
+            h = hashlib.md5(g.encode()).hexdigest()
+            out.append(16 * hx.index(h[0]) + hx.index(h[1]))
+        return out
+
+    tn = np.zeros(256)
+    gn = np.zeros(256)
+    feats = {r.doc_id: buckets(r.text) for r in df.itertuples()}
+    for r in df.itertuples():
+        for b in feats[r.doc_id]:
+            gn[b] += 1
+            if r.lang == "en":
+                tn[b] += 1
+    T, G = tn.sum(), gn.sum()
+    r_tab = np.floor(
+        1e6 * np.log(((tn + 1.0) * (G + 256.0)) / ((gn + 1.0) * (T + 256.0))) + 0.5
+    ).astype(np.int64)
+    expected = pd.DataFrame(
+        [
+            (d, int(len(bs)), int(sum(r_tab[b] for b in bs)))
+            for d, bs in feats.items()
+            if bs
+        ],
+        columns=["doc_id", "n_feats", "weight"],
+    ).sort_values(["weight", "doc_id"], ascending=[False, True])
+
+    assert out["doc_id"].tolist() == expected["doc_id"].head(k).tolist()
+    assert out["weight"].tolist() == expected["weight"].head(k).tolist()
+    assert out["n_feats"].tolist() == expected["n_feats"].head(k).tolist()
+    assert 60 not in set(out["doc_id"])  # the empty doc never scores
+    # DSIR property: target-language docs carry positive importance weight
+    assert set(out["lang"]) == {"en"}
+    by_doc = expected.set_index("doc_id")["weight"]
+    langs = df.set_index("doc_id")["lang"]
+    assert by_doc[langs[by_doc.index] == "en"].min() > by_doc[langs[by_doc.index] == "de"].max()

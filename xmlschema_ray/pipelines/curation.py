@@ -46,26 +46,29 @@ from xmlschema_ray.pipelines.common import table_path
 _HEX = "0123456789abcdef"
 
 
-def _word_gram_parts(
-    text: "pa.ChunkedArray | pa.Array", n: int
-) -> Tuple[np.ndarray, list]:
-    """(row_index, [word_0 array, …, word_{n-1} array]) for all word
-    n-grams in a batch — the component words, so callers needing both the
-    joined gram and a component (e.g. the bigram's left/context word)
-    share ONE tokenization.
-
-    Vectorized over the FLAT word array of the whole batch: one Arrow
-    split, one searchsorted for row membership. Grams never cross row
-    boundaries, so per-batch evaluation is exact for per-document
-    statistics.
-    """
+def _split_words(
+    text: "pa.ChunkedArray | pa.Array",
+) -> Tuple[np.ndarray, np.ndarray]:
+    """ONE whitespace split of a batch's text column → (list offsets,
+    flat word array) — the shared tokenization every gram extractor in
+    this module derives from."""
     if isinstance(text, pa.ChunkedArray):
         text = text.combine_chunks()
     words = pc.ascii_split_whitespace(text)
     if isinstance(words, pa.ChunkedArray):
         words = words.combine_chunks()
-    offsets = words.offsets.to_numpy()
-    flat = words.values.to_numpy(zero_copy_only=False)
+    return words.offsets.to_numpy(), words.values.to_numpy(zero_copy_only=False)
+
+
+def _gram_parts_from_flat(
+    offsets: np.ndarray, flat: np.ndarray, n: int
+) -> Tuple[np.ndarray, list]:
+    """(row_index, [word_0 array, …, word_{n-1} array]) for all word
+    n-grams, given a precomputed :func:`_split_words` result — so callers
+    needing several gram sizes (e.g. DSIR's unigrams+bigrams) tokenize
+    ONCE. One searchsorted for row membership; grams never cross row
+    boundaries, so per-batch evaluation is exact for per-document
+    statistics."""
     total = len(flat)
     if total == 0:
         return np.array([], dtype=np.int64), [np.array([], dtype=object)] * n
@@ -74,6 +77,17 @@ def _word_gram_parts(
     valid = starts + n <= offsets[row_idx + 1]
     vs = starts[valid]
     return row_idx[valid], [flat[vs + j].astype(object) for j in range(n)]
+
+
+def _word_gram_parts(
+    text: "pa.ChunkedArray | pa.Array", n: int
+) -> Tuple[np.ndarray, list]:
+    """(row_index, [word_0 array, …, word_{n-1} array]) for all word
+    n-grams in a batch — the component words, so callers needing both the
+    joined gram and a component (e.g. the bigram's left/context word)
+    share ONE tokenization (see :func:`_gram_parts_from_flat`)."""
+    offsets, flat = _split_words(text)
+    return _gram_parts_from_flat(offsets, flat, n)
 
 
 def _word_grams(text: "pa.ChunkedArray | pa.Array", n: int) -> Tuple[np.ndarray, np.ndarray]:
@@ -1435,6 +1449,211 @@ ORDER BY doc_id
 """
 
 
+# -- DSIR importance-resampling selection ---------------------------------
+
+
+_DSIR_BUCKETS = 256
+
+
+def _md5_bucket256(values: np.ndarray) -> np.ndarray:
+    """First-two-hex-digit md5 bucket in [0, 256) — the portable hashed
+    feature index any engine with md5 can recompute (same convention as
+    :func:`stratified_sample`'s hex-digit arithmetic). A production run
+    would swap in a vectorized 64-bit hash here; only the bucket
+    assignment changes, not the operator's shape."""
+    h = _md5_hex(values)
+    return np.array(
+        [16 * _HEX.index(x[0]) + _HEX.index(x[1]) for x in h], dtype=np.int64
+    )
+
+
+_DSIR_EMPTY = pd.DataFrame(
+    {
+        "doc_id": np.array([], dtype=np.int64),
+        "lang": pd.Series([], dtype=object),
+        "n_feats": np.array([], dtype=np.int64),
+        "weight": np.array([], dtype=np.int64),
+    }
+)
+
+
+def _dsir_feature_rows(batch: pa.Table) -> Tuple[np.ndarray, np.ndarray]:
+    """(row_index, bucket) for every hashed unigram+bigram feature in the
+    batch — DSIR's hashed bag-of-ngrams featurization. ONE tokenization
+    (:func:`_split_words`) feeds both gram sizes; md5 runs once per
+    DISTINCT gram per batch (Zipf makes distinct ≪ total) and fans back
+    out through ``np.unique``'s inverse index."""
+    offsets, flat = _split_words(batch["text"])
+    ridx_all = []
+    gram_all = []
+    for n_ in (1, 2):
+        ridx, parts = _gram_parts_from_flat(offsets, flat, n_)
+        grams = parts[0]
+        for p in parts[1:]:
+            grams = grams + " " + p
+        ridx_all.append(ridx)
+        gram_all.append(grams)
+    ridx = np.concatenate(ridx_all)
+    grams = np.concatenate(gram_all)
+    if len(grams) == 0:
+        return ridx, np.array([], dtype=np.int64)
+    grams = grams.astype(str)
+    # Arrow's split keeps the empty boundary field an empty text produces
+    # (CLAUDE.md: ascii_split_whitespace('') → ['']); the oracle's
+    # regexp_split_to_array does too, and filters it with gram <> ''
+    keep = grams != ""
+    if not keep.all():
+        ridx, grams = ridx[keep], grams[keep]
+    uniq, inv = np.unique(grams, return_inverse=True)
+    return ridx, _md5_bucket256(uniq)[inv]
+
+
+def dsir_selection(sf_dir: str, target_lang: str = "en", k: int = 100) -> "rd.Dataset":
+    """DSIR data selection (Xie et al. 2023, *Data Selection for Language
+    Models via Importance Resampling*): score every document by how much
+    more likely its hashed n-gram features are under a TARGET distribution
+    (here: the ``lang == target_lang`` slice) than under the raw corpus,
+    then keep the top-k — the standard recipe for skewing a pretraining
+    mixture toward a high-quality / in-domain subset.
+
+    Distributed shape (two streaming passes, zero fact-sized state):
+
+    1. **Feature counts.** Each batch emits ≤ ``_DSIR_BUCKETS`` partial
+       rows (bucket, target_n, global_n) — a bounded combiner regardless
+       of corpus size — reduced by :func:`combiner_aggregate` to one
+       ≤256-row model. At 100 TB the only exchange ships
+       O(batches × 256) rows.
+    2. **Scoring.** The per-bucket log-importance-ratio table (256 int64s;
+       add-1 smoothed, scaled to ppm so per-doc accumulation stays in
+       INTEGER arithmetic — no float summation order exists) broadcasts
+       once via ``ray.put``; each batch scores vectorized (unique-gram md5
+       → bucket → table lookup → one groupby sum). Selection is
+       :func:`~xmlschema_ray.ops.relational.topk` — per-batch partial
+       top-k, no global sort.
+
+    The paper resamples with Gumbel noise; this operator takes the
+    deterministic top-k (ties broken by doc_id) so the selection is
+    reproducible and oracle-checkable — the sampled variant is the same
+    pipeline with a seeded-Gumbel term added to the sort key. Docs with
+    no grams have no features and are excluded (as in the SQL inner
+    join). Reference analog: assertion-style row scoring
+    (/root/reference/xmlschema/validators/facets.py:606-628) driving a
+    selection predicate.
+    """
+    from xmlschema_ray.ops.relational import combiner_aggregate, topk
+    from xmlschema_ray.pipelines.common import dataset_or_typed_empty, scaled_int
+
+    B = _DSIR_BUCKETS
+    ds = rd.read_parquet(table_path(sf_dir, "documents"), columns=["doc_id", "lang", "text"])
+
+    def counts_partial(batch: pa.Table) -> pd.DataFrame:
+        ridx, b = _dsir_feature_rows(batch)
+        if len(b) == 0:
+            return pd.DataFrame(
+                {
+                    "b": np.array([], dtype=np.int64),
+                    "tn": np.array([], dtype=np.int64),
+                    "gn": np.array([], dtype=np.int64),
+                }
+            )
+        langs = batch["lang"].to_numpy(zero_copy_only=False)
+        is_t = (langs == target_lang).astype(np.int64)[ridx]
+        g = (
+            pd.DataFrame({"b": b, "t": is_t})
+            .groupby("b", sort=False)
+            .agg(tn=("t", "sum"), gn=("t", "size"))
+            .reset_index()
+        )
+        return g.astype({"b": np.int64, "tn": np.int64, "gn": np.int64})
+
+    model = combiner_aggregate(
+        ds.map_batches(counts_partial, batch_format="pyarrow"),
+        "b",
+        {"tn": ("tn", "sum"), "gn": ("gn", "sum")},
+    ).to_pandas()
+    if len(model) == 0:
+        return _DSIR_EMPTY.copy()
+    T = float(model["tn"].sum())
+    G = float(model["gn"].sum())
+    tn = model["tn"].to_numpy(np.int64).astype(np.float64)
+    gn = model["gn"].to_numpy(np.int64).astype(np.float64)
+    # add-1 smoothing over the fixed B-bucket feature space; ONE float op
+    # per bucket (not per doc), scaled to ppm so doc scores are int64 sums
+    ratio = ((tn + 1.0) * (G + float(B))) / ((gn + 1.0) * (T + float(B)))
+    r = np.zeros(B, dtype=np.int64)
+    r[model["b"].to_numpy(np.int64)] = scaled_int(np.log(ratio), 1e6)
+    r_ref = ray.put(r)
+    state: dict = {}
+
+    def score(batch: pa.Table) -> pd.DataFrame:
+        rv = state.get("r")
+        if rv is None:
+            rv = state["r"] = ray.get(r_ref)
+        ridx, b = _dsir_feature_rows(batch)
+        if len(b) == 0:
+            return _DSIR_EMPTY.copy()
+        ids = batch["doc_id"].to_numpy(zero_copy_only=False).astype(np.int64)
+        langs = batch["lang"].to_numpy(zero_copy_only=False)
+        g = (
+            pd.DataFrame({"doc_id": ids[ridx], "lang": langs[ridx], "rv": rv[b]})
+            .groupby("doc_id", sort=False)
+            .agg(lang=("lang", "first"), n_feats=("rv", "size"), weight=("rv", "sum"))
+            .reset_index()
+        )
+        return g.astype({"doc_id": np.int64, "n_feats": np.int64, "weight": np.int64})
+
+    out = topk(
+        ds.map_batches(score, batch_format="pyarrow"),
+        "weight",
+        k,
+        descending=True,
+        tiebreak=["doc_id"],
+    )
+    return dataset_or_typed_empty(out, _DSIR_EMPTY)
+
+
+DSIR_SELECTION_SQL = r"""
+WITH w AS (
+  SELECT doc_id, lang, regexp_split_to_array(trim(text), '\s+') AS ws FROM documents
+), g AS (
+  SELECT doc_id, lang, ws[i] AS gram
+  FROM w, LATERAL unnest(generate_series(1, len(ws))) AS t(i)
+  UNION ALL
+  SELECT doc_id, lang, array_to_string(ws[i:i+1], ' ') AS gram
+  FROM w, LATERAL unnest(generate_series(1, len(ws) - 1)) AS t(i)
+), f AS (
+  SELECT doc_id, lang,
+         (strpos('0123456789abcdef', substring(md5(gram), 1, 1)) - 1) * 16
+         + strpos('0123456789abcdef', substring(md5(gram), 2, 1)) - 1 AS b
+  FROM g WHERE gram <> ''
+), c AS (
+  SELECT b,
+         COUNT(*) FILTER (WHERE lang = 'en') AS tn,
+         COUNT(*) AS gn
+  FROM f GROUP BY b
+), tot AS (
+  SELECT SUM(tn) AS t_total, SUM(gn) AS g_total FROM c
+), r AS (
+  SELECT b,
+         CAST(floor(1000000.0 * ln(
+           ((tn + 1.0) * (g_total + 256.0)) / ((gn + 1.0) * (t_total + 256.0))
+         ) + 0.5) AS BIGINT) AS rv
+  FROM c, tot
+), s AS (
+  SELECT f.doc_id,
+         any_value(f.lang) AS lang,
+         COUNT(*) AS n_feats,
+         SUM(r.rv) AS weight
+  FROM f JOIN r USING (b)
+  GROUP BY f.doc_id
+)
+SELECT doc_id, lang, CAST(n_feats AS BIGINT) AS n_feats, CAST(weight AS BIGINT) AS weight
+FROM s
+ORDER BY weight DESC, doc_id
+LIMIT 100
+"""
+
+
 ORACLES: Dict[str, str] = {
     "top_words": TOP_WORDS_SQL,
     "top_bigrams": TOP_BIGRAMS_SQL,
@@ -1454,6 +1673,7 @@ ORACLES: Dict[str, str] = {
     "distinctive_terms_by_source": DISTINCTIVE_TERMS_SQL,
     "curation_pipeline": CURATION_PIPELINE_SQL,
     "quota_sample": QUOTA_SAMPLE_SQL,
+    "dsir_selection": DSIR_SELECTION_SQL,
 }
 
 QUERIES = {
@@ -1475,4 +1695,5 @@ QUERIES = {
     "distinctive_terms_by_source": distinctive_terms_by_source,
     "curation_pipeline": curation_pipeline,
     "quota_sample": quota_sample,
+    "dsir_selection": dsir_selection,
 }
