@@ -360,3 +360,71 @@ def test_simhash_clusters_forced_cc_paths_match(ray_session):
         simhash_clusters(SF_DIR, cc_pairs_threshold=-1, cc_broadcast_nodes_threshold=-1)
     ).reset_index(drop=True)
     pd.testing.assert_frame_equal(fast, joined)
+
+
+def test_incremental_dedup_crafted_and_index_reuse(tmp_path, ray_session):
+    """Crafted corpus: new-shard docs (doc_id % 10 == 7) that share their
+    5-word prefix with base docs are flagged with the earliest base holder
+    and its multiplicity; unmatched new docs are silent; the index is
+    built once and reused; an interrupted build (stale .tmp, no manifest)
+    recovers."""
+    import os
+    import shutil
+
+    import numpy as np
+    import pandas as pd
+    import pyarrow as pa
+    import pyarrow.parquet as pq
+
+    from xmlschema_ray.pipelines.dedup import build_dedup_index, incremental_dedup
+
+    # base docs 1,2 share prefix A (min holder 1); base 3 has prefix B;
+    # new 7 matches A, new 17 matches B, new 27 matches nothing,
+    # new 37 matches A too (two new docs may hit one base fingerprint)
+    A = "alpha beta gamma delta epsilon"
+    B = "one two three four five"
+    rows = [
+        (1, A + " tail-x"),
+        (2, A + " tail-y longer"),
+        (3, B + " suffix"),
+        (4, "unrelated base text here entirely"),
+        (7, A + " fresh-crawl tail"),
+        (17, B + " other continuation"),
+        (27, "nothing matches this new doc"),
+        (37, A),  # exactly the prefix, no tail
+    ]
+    df = pd.DataFrame(rows, columns=["doc_id", "text"])
+    df["doc_id"] = df["doc_id"].astype(np.int64)
+    pq.write_table(pa.Table.from_pandas(df), str(tmp_path / "documents.parquet"))
+
+    idx_dir = str(tmp_path / "idx")
+    res = incremental_dedup(str(tmp_path), index_dir=idx_dir)
+    out = (res.to_pandas() if hasattr(res, "to_pandas") else res).reset_index(drop=True)
+    want = pd.DataFrame(
+        {
+            "new_doc_id": np.array([7, 17, 37], dtype=np.int64),
+            "base_keep_id": np.array([1, 3, 1], dtype=np.int64),
+            "n_base": np.array([2, 1, 2], dtype=np.int64),
+        }
+    )
+    pd.testing.assert_frame_equal(out, want)
+
+    # reuse: manifest mtime unchanged across a second probe
+    manifest = os.path.join(idx_dir, "manifest.json")
+    before = os.path.getmtime(manifest)
+    res2 = incremental_dedup(str(tmp_path), index_dir=idx_dir)
+    out2 = (res2.to_pandas() if hasattr(res2, "to_pandas") else res2).reset_index(drop=True)
+    pd.testing.assert_frame_equal(out2, want)
+    assert os.path.getmtime(manifest) == before
+
+    # interrupted build: a stale .tmp and a missing manifest both recover
+    shutil.rmtree(idx_dir)
+    os.makedirs(idx_dir + ".tmp", exist_ok=True)
+    with open(os.path.join(idx_dir + ".tmp", "junk"), "w") as f:
+        f.write("partial")
+    assert build_dedup_index(str(tmp_path), idx_dir) == idx_dir
+    assert os.path.exists(manifest)
+    assert not os.path.exists(idx_dir + ".tmp")
+    res3 = incremental_dedup(str(tmp_path), index_dir=idx_dir)
+    out3 = (res3.to_pandas() if hasattr(res3, "to_pandas") else res3).reset_index(drop=True)
+    pd.testing.assert_frame_equal(out3, want)

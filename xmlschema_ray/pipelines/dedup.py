@@ -1544,6 +1544,185 @@ ORDER BY doc_id_a, doc_id_b
 """
 
 
+# -- incremental dedup against a persisted fingerprint index ----------------
+
+# the C4-style leading-span fingerprint: a doc's first PREFIX_WORDS words
+PREFIX_WORDS = 5
+DEDUP_INDEX_BUCKETS = 32
+
+
+def _prefix_digest_rows(batch: pa.Table) -> Tuple[np.ndarray, np.ndarray, np.ndarray]:
+    """(doc_ids, md5 hexdigest of each doc's first-PREFIX_WORDS-word
+    prefix, bucket) — Arrow ``list_slice`` + ``binary_join`` keep the
+    prefix extraction vectorized; md5 is the portable-hash choice the
+    DuckDB oracle recomputes (as in curation's seeded orders), one call
+    per DOC, not per token."""
+    from xmlschema_ray.pipelines.curation import _md5_hex
+
+    ids = batch["doc_id"].to_numpy(zero_copy_only=False).astype(np.int64)
+    text = batch["text"]
+    if isinstance(text, pa.ChunkedArray):
+        text = text.combine_chunks()
+    words = pc.ascii_split_whitespace(pc.utf8_trim_whitespace(text))
+    prefix = pc.binary_join(pc.list_slice(words, 0, PREFIX_WORDS), " ")
+    digests = _md5_hex(prefix.to_numpy(zero_copy_only=False))
+    buckets = np.array([int(h[:4], 16) for h in digests], dtype=np.int64)
+    return ids, digests, buckets
+
+
+def build_dedup_index(
+    sf_dir: str, index_dir: str, n_buckets: int = DEDUP_INDEX_BUCKETS
+) -> str:
+    """Persist the already-ingested corpus slice's fingerprint index:
+    (digest, doc_id) rows hive-partitioned by ``bucket = digest % n_buckets``.
+
+    The ingestion-time layout for a 100-TB corpus: the index is ~24 bytes
+    per document (16-byte digest + 8-byte id) and bucket-partitioned on
+    disk, so a new shard's dedup probe reads ONLY the buckets its own keys
+    hash to — never the corpus, never the whole index. The build is one
+    streaming pass + one partitioned write, produced atomically
+    (tmp + rename, manifest last) so an interrupted build restarts
+    cleanly and is never half-read; an existing manifest short-circuits
+    (same recovery contract as ``build_ivf_index``,
+    similarity.py:241-288). The "already ingested" slice is the
+    deterministic ``doc_id % 10 != 7`` complement of
+    :func:`incremental_dedup`'s new shard, so both engines recompute it.
+    """
+    import json
+    import shutil
+
+    marker = os.path.join(index_dir, "manifest.json")
+    if os.path.exists(marker):
+        return index_dir
+    ds = rd.read_parquet(table_path(sf_dir, "documents"), columns=["doc_id", "text"])
+
+    def key_rows(batch: pa.Table) -> pd.DataFrame:
+        ids, digests, buckets = _prefix_digest_rows(batch)
+        keep = ids % 10 != 7
+        return pd.DataFrame(
+            {"d": digests[keep], "doc_id": ids[keep], "bucket": buckets[keep] % n_buckets}
+        )
+
+    tmp = index_dir + ".tmp"
+    shutil.rmtree(tmp, ignore_errors=True)
+    os.makedirs(os.path.dirname(index_dir) or ".", exist_ok=True)
+    ds.map_batches(key_rows, batch_format="pyarrow").write_parquet(
+        tmp, partition_cols=["bucket"]
+    )
+    with open(os.path.join(tmp, "manifest.json"), "w") as f:
+        json.dump({"n_buckets": n_buckets, "prefix_words": PREFIX_WORDS}, f)
+    shutil.rmtree(index_dir, ignore_errors=True)
+    os.replace(tmp, index_dir)
+    return index_dir
+
+
+_INCREMENTAL_EMPTY = pd.DataFrame(
+    {
+        "new_doc_id": np.array([], dtype=np.int64),
+        "base_keep_id": np.array([], dtype=np.int64),
+        "n_base": np.array([], dtype=np.int64),
+    }
+)
+
+
+def incremental_dedup(
+    sf_dir: str,
+    index_dir: "str | None" = None,
+    n_buckets: int = DEDUP_INDEX_BUCKETS,
+) -> "rd.Dataset":
+    """Dedup a NEW shard against the already-ingested corpus via the
+    persisted fingerprint index — the incremental-ingestion primitive: a
+    daily crawl drop is checked against 100 TB of history WITHOUT
+    re-scanning (or re-shuffling) the history.
+
+    The new shard here is the deterministic ``doc_id % 10 == 7`` slice
+    (standing in for "today's files"; both engines recompute the split).
+    Probe shape: the new shard streams once emitting (new_doc_id, digest,
+    bucket) keys; one bounded exchange co-locates keys by bucket; each
+    partition reads ONLY its buckets' index files (IO-level pruning, the
+    probed-bucket read of ``knn_ivf``) and inner-merges on the digest.
+    Output: one row per new doc whose leading-``PREFIX_WORDS``-word
+    fingerprint already exists in the index, with the earliest indexed
+    holder and its multiplicity. Matching is md5-fingerprint equality by
+    contract (the index stores digests, not text); a byte-exact verify
+    tier would re-read just the matched base docs — the candidate-scoped
+    recovery scan of :func:`exact_dedup` phase 2. Reference analog:
+    identity-key lookup against a prior document set
+    (/root/reference/xmlschema/validators/identities.py:198-221).
+    """
+    import json
+
+    import pyarrow.parquet as pq
+
+    from xmlschema_ray.ops.relational import hash_partition_apply
+    from xmlschema_ray.pipelines.common import sorted_or_typed_empty
+
+    if index_dir is None:
+        index_dir = os.path.join(
+            "/tmp/xmlschema_ray_dedup_index",
+            os.path.basename(os.path.normpath(sf_dir)),
+        )
+    build_dedup_index(sf_dir, index_dir, n_buckets)
+    with open(os.path.join(index_dir, "manifest.json")) as f:
+        n_buckets = json.load(f)["n_buckets"]
+
+    ds = rd.read_parquet(table_path(sf_dir, "documents"), columns=["doc_id", "text"])
+
+    def new_keys(batch: pa.Table) -> pd.DataFrame:
+        ids, digests, buckets = _prefix_digest_rows(batch)
+        keep = ids % 10 == 7
+        return pd.DataFrame(
+            {
+                "new_doc_id": ids[keep],
+                "d": digests[keep],
+                "bucket": buckets[keep] % n_buckets,
+            }
+        )
+
+    def probe(part: pd.DataFrame) -> pd.DataFrame:
+        outs = []
+        for b, g in part.groupby("bucket", sort=False):
+            bdir = os.path.join(index_dir, f"bucket={int(b)}")
+            if not os.path.isdir(bdir):
+                continue
+            idx = pq.read_table(bdir, columns=["d", "doc_id"]).to_pandas()
+            agg = (
+                idx.groupby("d", sort=False)["doc_id"]
+                .agg(base_keep_id="min", n_base="size")
+                .reset_index()
+            )
+            m = g.merge(agg, on="d", how="inner")
+            if len(m):
+                outs.append(m[["new_doc_id", "base_keep_id", "n_base"]])
+        if not outs:
+            return _INCREMENTAL_EMPTY.copy()
+        out = pd.concat(outs, ignore_index=True)
+        return out.astype(
+            {"new_doc_id": np.int64, "base_keep_id": np.int64, "n_base": np.int64}
+        )
+
+    keys = ds.map_batches(new_keys, batch_format="pyarrow")
+    out = hash_partition_apply(keys, "bucket", probe)
+    return sorted_or_typed_empty(out, ["new_doc_id"], template=_INCREMENTAL_EMPTY)
+
+
+INCREMENTAL_DEDUP_SQL = r"""
+WITH p AS (
+  SELECT doc_id,
+         md5(array_to_string((regexp_split_to_array(trim(text), '\s+'))[1:5], ' ')) AS d
+  FROM documents
+), base AS (
+  SELECT d, MIN(doc_id) AS base_keep_id, COUNT(*) AS n_base
+  FROM p WHERE doc_id % 10 <> 7 GROUP BY d
+), new AS (
+  SELECT doc_id AS new_doc_id, d FROM p WHERE doc_id % 10 = 7
+)
+SELECT new_doc_id, base_keep_id, CAST(n_base AS BIGINT) AS n_base
+FROM new JOIN base USING (d)
+ORDER BY new_doc_id
+"""
+
+
 ORACLES: Dict[str, str] = {
     "exact_dedup": EXACT_DEDUP_SQL,
     "ngram_jaccard_pairs": NGRAM_JACCARD_SQL,
@@ -1556,6 +1735,7 @@ ORACLES: Dict[str, str] = {
     "substring_dup_pairs": SUBSTRING_DUP_SQL,
     "winnowed_dup_pairs": WINNOWED_DUP_SQL,
     "strip_dup_spans": STRIP_DUP_SPANS_SQL,
+    "incremental_dedup": INCREMENTAL_DEDUP_SQL,
 }
 
 QUERIES = {
@@ -1570,4 +1750,5 @@ QUERIES = {
     "substring_dup_pairs": substring_dup_pairs,
     "winnowed_dup_pairs": winnowed_dup_pairs,
     "strip_dup_spans": strip_dup_spans,
+    "incremental_dedup": incremental_dedup,
 }
