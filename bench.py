@@ -64,6 +64,12 @@ QUERY_NAMES = [
     "winnowed_dup_pairs",
     "strip_dup_spans",
     "val_composite_fk",
+    # continuation-session token-axis additions: DSIR importance
+    # selection (two streaming passes + 256-int broadcast) and
+    # index-probed incremental dedup (first rep pays the index build,
+    # warm reps measure the probed-bucket path)
+    "dsir_selection",
+    "incremental_dedup",
 ]
 
 

@@ -135,6 +135,80 @@ SELECT pred_lang, COUNT(*) AS n FROM pred GROUP BY pred_lang ORDER BY pred_lang
 """
 
 
+_LANG_MISMATCH_EMPTY = pd.DataFrame(
+    {
+        "doc_id": np.array([], dtype=np.int64),
+        "lang": pd.Series([], dtype=object),
+        "pred_lang": pd.Series([], dtype=object),
+    }
+)
+
+
+def lang_mismatch_audit(sf_dir: str) -> "rd.Dataset":
+    """Label-noise audit: documents whose DECLARED ``lang`` column
+    disagrees with the marker-word language-ID prediction — the semantic
+    consistency check a crawl pipeline runs before trusting upstream
+    metadata (a metadata-vs-content referential constraint, the
+    cross-column analog of the engine's keyref checks,
+    /root/reference/xmlschema/validators/identities.py:118-150).
+
+    Pure per-row predicate over one streaming pass (the
+    :func:`~xmlschema_ray.functions.text.language_id` Arrow membership
+    kernel); ``und`` predictions are exempt — no marker evidence is not a
+    contradiction. Output is violation-shaped (result-sized): one row per
+    mismatching doc.
+    """
+    from xmlschema_ray.pipelines.common import sorted_or_typed_empty
+
+    ds = rd.read_parquet(
+        table_path(sf_dir, "documents"), columns=["doc_id", "lang", "text"]
+    )
+
+    def fn(batch: pd.DataFrame) -> pd.DataFrame:
+        pred = T.language_id(batch["text"]).to_numpy()
+        out = pd.DataFrame(
+            {
+                "doc_id": batch["doc_id"].to_numpy().astype(np.int64),
+                "lang": batch["lang"].to_numpy(),
+                "pred_lang": pred,
+            }
+        )
+        return out[(out["pred_lang"] != "und") & (out["pred_lang"] != out["lang"])]
+
+    return sorted_or_typed_empty(
+        ds.map_batches(fn, batch_format="pandas"),
+        ["doc_id"],
+        template=_LANG_MISMATCH_EMPTY,
+    )
+
+
+LANG_MISMATCH_SQL = r"""
+WITH s AS (
+  SELECT doc_id, lang, regexp_split_to_array(trim(lower(text)), '\s+') AS ws FROM documents
+), scored AS (
+  SELECT doc_id, lang,
+    length(list_filter(ws, w -> w IN ('der','die','das','und','ist','nicht','mit','für','von','ein'))) AS s_de,
+    length(list_filter(ws, w -> w IN ('the','and','of','to','is','in','that','with','for','are'))) AS s_en,
+    length(list_filter(ws, w -> w IN ('el','la','los','y','es','en','que','para','con','una'))) AS s_es,
+    length(list_filter(ws, w -> w IN ('le','la','les','et','est','dans','pour','que','une','avec'))) AS s_fr,
+    length(list_filter(ws, w -> w IN ('的','是','在','了','我','有','和','不','人','这'))) AS s_zh
+  FROM s
+), pred AS (
+  SELECT doc_id, lang, CASE
+    WHEN s_de > 0 AND s_de >= s_en AND s_de >= s_es AND s_de >= s_fr AND s_de >= s_zh THEN 'de'
+    WHEN s_en > 0 AND s_en >= s_es AND s_en >= s_fr AND s_en >= s_zh THEN 'en'
+    WHEN s_es > 0 AND s_es >= s_fr AND s_es >= s_zh THEN 'es'
+    WHEN s_fr > 0 AND s_fr >= s_zh THEN 'fr'
+    WHEN s_zh > 0 THEN 'zh'
+    ELSE 'und' END AS pred_lang
+  FROM scored
+)
+SELECT doc_id, lang, pred_lang FROM pred
+WHERE pred_lang <> 'und' AND pred_lang <> lang
+ORDER BY doc_id
+"""
+
+
 def chars_quartiles_by_source(sf_dir: str) -> pd.DataFrame:
     """Per-source p25/p50/p75 of document length — EXACT grouped quantiles
     via key co-location (the ``median_quantity_by_flag`` pattern widened to
@@ -619,6 +693,7 @@ ORACLES: Dict[str, str] = {
     "doc_quality": DOC_QUALITY_SQL,
     "fingerprints": FINGERPRINTS_SQL,
     "language_id_counts": LANGUAGE_ID_SQL,
+    "lang_mismatch_audit": LANG_MISMATCH_SQL,
     "chars_quartiles_by_source": CHARS_QUARTILES_SQL,
     "mad_outlier_docs": MAD_OUTLIER_SQL,
 }
@@ -630,6 +705,7 @@ QUERIES = {
     "zscore_doc_length": zscore_doc_length,
     "doc_quality": doc_quality,
     "language_id_counts": language_id_counts,
+    "lang_mismatch_audit": lang_mismatch_audit,
     "fingerprints": fingerprints,
     "chars_quartiles_by_source": chars_quartiles_by_source,
     "mad_outlier_docs": mad_outlier_docs,
