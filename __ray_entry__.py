@@ -25,6 +25,7 @@ def entry() -> Any:
 
 def _modules():
     from xmlschema_ray.pipelines import (
+        bpe,
         cleaning,
         curation,
         dedup,
@@ -42,6 +43,7 @@ def _modules():
         cleaning,
         textstats,
         curation,
+        bpe,
         dedup,
         similarity,
         multimodal,
