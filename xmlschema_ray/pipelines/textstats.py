@@ -209,6 +209,131 @@ ORDER BY doc_id
 """
 
 
+# Gopher's published list is ("the","be","to","of","and","that","have",
+# "with"); swapped to the corpus's function words so the ≥2-distinct rule
+# actually discriminates on the synthetic vocabulary (63% pass at sf0.01
+# instead of a constant 0) — the rule SHAPE is Gopher's, the list is a
+# parameter.
+GOPHER_STOPWORDS = ("the", "a", "and", "of", "to", "is", "in", "that")
+GOPHER_MIN_WORDS, GOPHER_MAX_WORDS = 30, 80
+GOPHER_MIN_MWL, GOPHER_MAX_MWL = 3, 10
+
+
+def gopher_quality_flags(sf_dir: str) -> "rd.Dataset":
+    """Gopher-style quality-rule bundle (Rae et al. 2021 §A1.1): per-doc
+    rule flags plus the composite keep decision — THE standard pre-training
+    quality filter, as one streaming pass.
+
+    All five rules are evaluated in INTEGER arithmetic (``3·n_words ≤
+    n_word_chars`` instead of ``mean ≥ 3`` etc.) so both engines compare
+    exactly — the scaled-integer oracle discipline of
+    ``pipelines/common.py``. Word-count bounds are calibrated to the
+    synthetic corpus (30–80 of its 10–99-word range) so the keep decision
+    is non-trivial; the symbol-ratio rule keeps Gopher's #/'...' counts.
+    One Arrow split pass feeds every rule; stopword presence is eight
+    equality+bincount passes (list-sized, not row-looped).
+    """
+    import pyarrow as pa
+    import pyarrow.compute as pc
+
+    ds = rd.read_parquet(table_path(sf_dir, "documents"), columns=["doc_id", "text"])
+
+    def fn(batch: pa.Table) -> pd.DataFrame:
+        text = batch["text"]
+        if isinstance(text, pa.ChunkedArray):
+            text = text.combine_chunks()
+        n_rows = len(batch)
+        lists = pc.utf8_split_whitespace(text)
+        flat = pc.list_flatten(lists)
+        parent = pc.list_parent_indices(lists).to_numpy(zero_copy_only=False)
+        flat_len = pc.utf8_length(flat).to_numpy(zero_copy_only=False).astype(np.int64)
+        nonempty = flat_len > 0
+        n_words = np.bincount(parent[nonempty], minlength=n_rows).astype(np.int64)
+        n_word_chars = np.bincount(
+            parent, weights=flat_len, minlength=n_rows
+        ).astype(np.int64)
+        alpha = pc.match_substring_regex(flat, "[A-Za-z]").to_numpy(
+            zero_copy_only=False
+        )
+        n_alpha_words = np.bincount(parent[alpha], minlength=n_rows).astype(np.int64)
+        n_sym = (
+            pc.count_substring(text, "#").to_numpy(zero_copy_only=False)
+            + pc.count_substring(text, "...").to_numpy(zero_copy_only=False)
+        ).astype(np.int64)
+        flat_lower = pc.utf8_lower(flat)
+        n_stop = np.zeros(n_rows, dtype=np.int64)
+        for s in GOPHER_STOPWORDS:
+            hits = pc.equal(flat_lower, s).to_numpy(zero_copy_only=False)
+            n_stop += (np.bincount(parent[hits], minlength=n_rows) > 0).astype(np.int64)
+        f_words = (
+            (n_words >= GOPHER_MIN_WORDS) & (n_words <= GOPHER_MAX_WORDS)
+        ).astype(np.int64)
+        f_mwl = (
+            (GOPHER_MIN_MWL * n_words <= n_word_chars)
+            & (n_word_chars <= GOPHER_MAX_MWL * n_words)
+        ).astype(np.int64)
+        f_sym = (10 * n_sym <= n_words).astype(np.int64)
+        f_alpha = (5 * n_alpha_words >= 4 * n_words).astype(np.int64)
+        f_stop = (n_stop >= 2).astype(np.int64)
+        return pd.DataFrame(
+            {
+                "doc_id": batch["doc_id"].to_numpy().astype(np.int64),
+                "n_words": n_words,
+                "n_word_chars": n_word_chars,
+                "n_alpha_words": n_alpha_words,
+                "n_sym": n_sym,
+                "n_stop": n_stop,
+                "f_words": f_words,
+                "f_mwl": f_mwl,
+                "f_sym": f_sym,
+                "f_alpha": f_alpha,
+                "f_stop": f_stop,
+                "keep": f_words * f_mwl * f_sym * f_alpha * f_stop,
+            }
+        )
+
+    return ds.map_batches(fn, batch_format="pyarrow")
+
+
+GOPHER_QUALITY_SQL = r"""
+WITH base AS (
+  SELECT doc_id,
+    list_filter(regexp_split_to_array(trim(text), '\s+'), w -> w <> '') AS ws,
+    list_filter(regexp_split_to_array(trim(lower(text)), '\s+'), w -> w <> '') AS lws,
+    CAST(length(regexp_replace(text, '\s+', '', 'g')) AS BIGINT) AS n_word_chars,
+    CAST(length(text) - length(replace(text, '#', '')) AS BIGINT)
+      + CAST((length(text) - length(replace(text, '...', ''))) / 3 AS BIGINT) AS n_sym
+  FROM documents
+), m AS (
+  SELECT doc_id, n_word_chars, n_sym,
+    CAST(length(ws) AS BIGINT) AS n_words,
+    CAST(length(list_filter(ws, w -> regexp_matches(w, '[A-Za-z]'))) AS BIGINT)
+      AS n_alpha_words,
+    CAST(CASE WHEN list_contains(lws, 'the') THEN 1 ELSE 0 END
+       + CASE WHEN list_contains(lws, 'a') THEN 1 ELSE 0 END
+       + CASE WHEN list_contains(lws, 'and') THEN 1 ELSE 0 END
+       + CASE WHEN list_contains(lws, 'of') THEN 1 ELSE 0 END
+       + CASE WHEN list_contains(lws, 'to') THEN 1 ELSE 0 END
+       + CASE WHEN list_contains(lws, 'is') THEN 1 ELSE 0 END
+       + CASE WHEN list_contains(lws, 'in') THEN 1 ELSE 0 END
+       + CASE WHEN list_contains(lws, 'that') THEN 1 ELSE 0 END AS BIGINT) AS n_stop
+  FROM base
+), f AS (
+  SELECT doc_id, n_words, n_word_chars, n_alpha_words, n_sym, n_stop,
+    CAST(n_words BETWEEN 30 AND 80 AS BIGINT) AS f_words,
+    CAST(3 * n_words <= n_word_chars AND n_word_chars <= 10 * n_words AS BIGINT) AS f_mwl,
+    CAST(10 * n_sym <= n_words AS BIGINT) AS f_sym,
+    CAST(5 * n_alpha_words >= 4 * n_words AS BIGINT) AS f_alpha,
+    CAST(n_stop >= 2 AS BIGINT) AS f_stop
+  FROM m
+)
+SELECT doc_id, n_words, n_word_chars, n_alpha_words, n_sym, n_stop,
+       f_words, f_mwl, f_sym, f_alpha, f_stop,
+       f_words * f_mwl * f_sym * f_alpha * f_stop AS keep
+FROM f
+"""
+
+
 def chars_quartiles_by_source(sf_dir: str) -> pd.DataFrame:
     """Per-source p25/p50/p75 of document length — EXACT grouped quantiles
     via key co-location (the ``median_quantity_by_flag`` pattern widened to
@@ -691,6 +816,7 @@ ORACLES: Dict[str, str] = {
     "bm25_scores": BM25_SQL,
     "zscore_doc_length": ZSCORE_SQL,
     "doc_quality": DOC_QUALITY_SQL,
+    "gopher_quality_flags": GOPHER_QUALITY_SQL,
     "fingerprints": FINGERPRINTS_SQL,
     "language_id_counts": LANGUAGE_ID_SQL,
     "lang_mismatch_audit": LANG_MISMATCH_SQL,
@@ -704,6 +830,7 @@ QUERIES = {
     "bm25_scores": bm25_scores,
     "zscore_doc_length": zscore_doc_length,
     "doc_quality": doc_quality,
+    "gopher_quality_flags": gopher_quality_flags,
     "language_id_counts": language_id_counts,
     "lang_mismatch_audit": lang_mismatch_audit,
     "fingerprints": fingerprints,
