@@ -658,6 +658,17 @@ ORDER BY doc_id
 
 
 def bigram_lm_scores(sf_dir: str, max_model_rows: int = 5_000_000) -> "rd.Dataset":
+    """Sorted public wrapper over :func:`_bigram_lm_scores_ds` (the
+    oracle-facing query; the bucketing pipeline composes on the unsorted
+    internal form instead of paying this sort)."""
+    return sorted_or_typed_empty(
+        _bigram_lm_scores_ds(sf_dir, max_model_rows), ["doc_id"], template=_BIGRAM_LM_EMPTY
+    )
+
+
+def _bigram_lm_scores_ds(
+    sf_dir: str, max_model_rows: int = 5_000_000, extra_cols: tuple = ()
+) -> "rd.Dataset":
     """CCNet/KenLM-style LM quality scoring: every document is scored by
     how "common" its bigrams are under a corpus-wide bigram model — the
     language-model filter of a pre-training cleaning stack
@@ -685,6 +696,10 @@ def bigram_lm_scores(sf_dir: str, max_model_rows: int = 5_000_000) -> "rd.Datase
     + 0.5)`` — one division + one multiply of identical int64-derived
     doubles, bit-equal on both engines. Docs with < 2 tokens have no
     bigrams and are excluded (as in the SQL's inner join).
+
+    ``extra_cols`` are per-document metadata columns (e.g. ``lang``)
+    carried through the gram groupby by first-value — free for columns
+    constant within a document.
     """
     import pyarrow as pa
     import ray
@@ -692,7 +707,9 @@ def bigram_lm_scores(sf_dir: str, max_model_rows: int = 5_000_000) -> "rd.Datase
     from xmlschema_ray.ops.relational import combiner_aggregate
     from xmlschema_ray.pipelines.curation import _gram_count_partial
 
-    ds = rd.read_parquet(table_path(sf_dir, "documents"), columns=["doc_id", "text"])
+    ds = rd.read_parquet(
+        table_path(sf_dir, "documents"), columns=["doc_id", "text", *extra_cols]
+    )
     partials = ds.map_batches(_gram_count_partial(2, "bigram"), batch_format="pyarrow")
     # gate BEFORE the driver collect: the reduced model lands in the
     # (spillable) object store first, so a vocabulary-explosion corpus
@@ -749,15 +766,18 @@ def bigram_lm_scores(sf_dir: str, max_model_rows: int = 5_000_000) -> "rd.Datase
         ids = batch["doc_id"].to_numpy(zero_copy_only=False).astype(np.int64)
         row_idx, (lefts, rights) = _word_gram_parts(batch["text"], 2)
         if len(lefts) == 0:
-            return _BIGRAM_LM_EMPTY.copy()
+            return _bigram_lm_empty(extra_cols).copy()
         n2 = lookup(bigrams_k, bigrams_n, lefts + " " + rights)
         n1 = lookup(ctx_k, ctx_n, lefts)
-        g = (
-            pd.DataFrame({"doc_id": ids[row_idx], "n2": n2, "n1": n1})
-            .groupby("doc_id", sort=False)
-            .agg(n_bigrams=("n2", "size"), sum_bigram_n=("n2", "sum"), sum_context_n=("n1", "sum"))
-            .reset_index()
+        df = pd.DataFrame({"doc_id": ids[row_idx], "n2": n2, "n1": n1})
+        aggs = dict(
+            n_bigrams=("n2", "size"), sum_bigram_n=("n2", "sum"), sum_context_n=("n1", "sum")
         )
+        for c in extra_cols:
+            vals = batch[c].to_numpy(zero_copy_only=False)
+            df[c] = vals[row_idx]
+            aggs[c] = (c, "first")
+        g = df.groupby("doc_id", sort=False).agg(**aggs).reset_index()
         sb = g["sum_bigram_n"].to_numpy(np.int64).astype(np.float64)
         sc = g["sum_context_n"].to_numpy(np.int64).astype(np.float64)
         g["score_ppm"] = scaled_int(sb / sc, 1e6)
@@ -766,20 +786,23 @@ def bigram_lm_scores(sf_dir: str, max_model_rows: int = 5_000_000) -> "rd.Datase
              "sum_context_n": np.int64}
         )
 
-    return sorted_or_typed_empty(
-        ds.map_batches(score, batch_format="pyarrow"), ["doc_id"], template=_BIGRAM_LM_EMPTY
-    )
+    return ds.map_batches(score, batch_format="pyarrow")
 
 
-_BIGRAM_LM_EMPTY = pd.DataFrame(
-    {
+def _bigram_lm_empty(extra_cols: tuple = ()) -> pd.DataFrame:
+    out = {
         "doc_id": np.array([], dtype=np.int64),
         "n_bigrams": np.array([], dtype=np.int64),
         "sum_bigram_n": np.array([], dtype=np.int64),
         "sum_context_n": np.array([], dtype=np.int64),
-        "score_ppm": np.array([], dtype=np.int64),
     }
-)
+    for c in extra_cols:
+        out[c] = pd.Series([], dtype=object)
+    out["score_ppm"] = np.array([], dtype=np.int64)
+    return pd.DataFrame(out)
+
+
+_BIGRAM_LM_EMPTY = _bigram_lm_empty()
 
 
 BIGRAM_LM_SQL = r"""
@@ -810,9 +833,133 @@ ORDER BY doc_id
 """
 
 
+_CCNET_EMPTY = pd.DataFrame(
+    {
+        "doc_id": np.array([], dtype=np.int64),
+        "lang": pd.Series([], dtype=object),
+        "score_ppm": np.array([], dtype=np.int64),
+        "bucket": np.array([], dtype=np.int64),
+        "tier": pd.Series([], dtype=object),
+    }
+)
+
+
+def ccnet_lm_buckets(
+    sf_dir: str, n_buckets: int = 3, max_model_rows: int = 5_000_000
+) -> "rd.Dataset":
+    """CCNet-style per-language LM-quality bucketing (Wenzek et al. 2020
+    §4.3): within each language, rank documents by LM score and cut into
+    head/middle/tail tiers — the selection stage that follows perplexity
+    scoring in the CCNet cleaning stack.
+
+    Composition of two existing exact distributed ops: the bigram LM
+    scorer (:func:`_bigram_lm_scores_ds`, carrying ``lang``) and the
+    sampled-range-partition global rank (``ops.relational.global_rank``)
+    over the total order ``(lang, -score, doc_id)``. Per-language NTILE
+    is then closed-form: the per-language doc counts (one combiner row
+    per language — metadata-sized) give rank offsets, and the bucket is
+    the same divmod formula as ``orders_price_ntile``, evaluated
+    per-row against the language's own total. The scored narrow
+    projection (4 columns/doc) is materialized once so the rank op's
+    three consumptions (boundary sample, range counts, local rank) don't
+    re-run the scoring pass — exactly CCNet's design, which writes the
+    per-shard LM scores to disk before bucketing.
+    """
+    from xmlschema_ray.ops.relational import combiner_aggregate, global_rank
+
+    scores = _bigram_lm_scores_ds(sf_dir, max_model_rows, extra_cols=("lang",))
+
+    def keyed(batch: pd.DataFrame) -> pd.DataFrame:
+        return pd.DataFrame(
+            {
+                "doc_id": batch["doc_id"].astype("int64"),
+                "lang": batch["lang"],
+                "score_ppm": batch["score_ppm"].astype("int64"),
+                "__neg": (-batch["score_ppm"]).astype("int64"),
+            }
+        )
+
+    keyed_ds = scores.map_batches(keyed, batch_format="pandas").materialize()
+
+    lang_n = (
+        combiner_aggregate(keyed_ds, "lang", {"n": (None, "count")})
+        .to_pandas()
+        .sort_values("lang")
+    )
+    offs: Dict[str, int] = {}
+    totals: Dict[str, int] = {}
+    run = 0
+    for lang, n in zip(lang_n["lang"], lang_n["n"]):
+        offs[lang] = run
+        totals[lang] = int(n)
+        run += int(n)
+
+    ranked, _total = global_rank(keyed_ds, ["lang", "__neg", "doc_id"], rank_col="__rank")
+    tiers = np.array(["head", "middle", "tail"], dtype=object)
+
+    def finish(batch: pd.DataFrame) -> pd.DataFrame:
+        lr = batch["__rank"].to_numpy(np.int64) - batch["lang"].map(offs).to_numpy(
+            np.int64
+        )
+        n = batch["lang"].map(totals).to_numpy(np.int64)
+        q, r = n // n_buckets, n % n_buckets
+        cut = r * (q + 1)
+        bucket = np.where(
+            q == 0, lr, np.where(lr <= cut, (lr - 1) // np.maximum(q + 1, 1) + 1,
+                                 r + (lr - cut - 1) // np.maximum(q, 1) + 1)
+        ).astype(np.int64)
+        out = pd.DataFrame(
+            {
+                "doc_id": batch["doc_id"].to_numpy(np.int64),
+                "lang": batch["lang"].to_numpy(),
+                "score_ppm": batch["score_ppm"].to_numpy(np.int64),
+                "bucket": bucket,
+            }
+        )
+        out["tier"] = (
+            tiers[np.minimum(bucket, 3) - 1] if n_buckets == 3 else bucket.astype(str)
+        )
+        return out
+
+    return sorted_or_typed_empty(
+        ranked.map_batches(finish, batch_format="pandas"),
+        ["doc_id"],
+        template=_CCNET_EMPTY,
+    )
+
+
+CCNET_BUCKETS_SQL = r"""
+WITH w AS (
+  SELECT doc_id, regexp_split_to_array(trim(text), '\s+') AS ws FROM documents
+), g AS (
+  SELECT doc_id, array_to_string(ws[i:i+1], ' ') AS bigram, ws[i] AS ctx
+  FROM w, LATERAL unnest(generate_series(1, len(ws) - 1)) AS t(i)
+), c2 AS (
+  SELECT bigram, COUNT(*) AS n2 FROM g GROUP BY bigram
+), c1 AS (
+  SELECT ctx, COUNT(*) AS n1 FROM g GROUP BY ctx
+), s AS (
+  SELECT g.doc_id, SUM(c2.n2) AS sum_bigram_n, SUM(c1.n1) AS sum_context_n
+  FROM g JOIN c2 USING (bigram) JOIN c1 ON c1.ctx = g.ctx
+  GROUP BY g.doc_id
+), sc AS (
+  SELECT s.doc_id, d.lang,
+    CAST(floor(1000000.0 * (CAST(sum_bigram_n AS DOUBLE) / CAST(sum_context_n AS DOUBLE)) + 0.5) AS BIGINT) AS score_ppm
+  FROM s JOIN documents d ON d.doc_id = s.doc_id
+)
+SELECT doc_id, lang, score_ppm,
+  CAST(NTILE(3) OVER (PARTITION BY lang ORDER BY score_ppm DESC, doc_id) AS BIGINT) AS bucket,
+  CASE NTILE(3) OVER (PARTITION BY lang ORDER BY score_ppm DESC, doc_id)
+    WHEN 1 THEN 'head' WHEN 2 THEN 'middle' ELSE 'tail' END AS tier
+FROM sc
+ORDER BY doc_id
+"""
+
+
 ORACLES: Dict[str, str] = {
     "token_counts": TOKEN_COUNTS_SQL,
     "bigram_lm_scores": BIGRAM_LM_SQL,
+    "ccnet_lm_buckets": CCNET_BUCKETS_SQL,
     "bm25_scores": BM25_SQL,
     "zscore_doc_length": ZSCORE_SQL,
     "doc_quality": DOC_QUALITY_SQL,
@@ -827,6 +974,7 @@ ORACLES: Dict[str, str] = {
 QUERIES = {
     "token_counts": token_counts,
     "bigram_lm_scores": bigram_lm_scores,
+    "ccnet_lm_buckets": ccnet_lm_buckets,
     "bm25_scores": bm25_scores,
     "zscore_doc_length": zscore_doc_length,
     "doc_quality": doc_quality,
