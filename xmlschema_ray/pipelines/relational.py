@@ -851,6 +851,80 @@ FROM lineitem GROUP BY l_returnflag ORDER BY l_returnflag
 """
 
 
+def corr_qty_discount_by_flag(sf_dir: str) -> pd.DataFrame:
+    """Grouped Pearson correlation via mergeable INTEGER second moments
+    (SURVEY §2.7 aggregation family — covariance/correlation are the
+    canonical "needs more than sum/min/max" mergeable statistic).
+
+    Per-batch integer partials (n, Σx, Σy, Σx², Σxy, Σy² with x=quantity,
+    y=discount cents — both small ints, so products stay well inside
+    int64 up to ~10^13 rows; beyond that shift to per-partition central
+    moments) merge associatively in ONE combiner exchange; the final
+    correlation is one closed-form float expression over identical int64
+    sums, evaluated in the same operation order as the oracle SQL — so
+    the doubles compare bit-exact. The full-precision float path (pandas
+    ``corr``) would diverge from DuckDB's streaming kernel; publishing
+    the moments keeps both engines anchored to integers."""
+    ds = rd.read_parquet(
+        table_path(sf_dir, "lineitem"), columns=["l_returnflag", "l_quantity", "l_discount"]
+    )
+
+    def moments(batch: pd.DataFrame) -> pd.DataFrame:
+        x = batch["l_quantity"].to_numpy(np.float64).astype(np.int64)
+        y = np.asarray(cents(batch["l_discount"]))
+        return pd.DataFrame(
+            {
+                "l_returnflag": batch["l_returnflag"].to_numpy(),
+                "x": x,
+                "y": y,
+                "xx": x * x,
+                "xy": x * y,
+                "yy": y * y,
+            }
+        )
+
+    agg = combiner_aggregate(
+        ds.map_batches(moments, batch_format="pandas"),
+        "l_returnflag",
+        {
+            "n": (None, "count"),
+            "sx": ("x", "sum"),
+            "sy": ("y", "sum"),
+            "sxx": ("xx", "sum"),
+            "sxy": ("xy", "sum"),
+            "syy": ("yy", "sum"),
+        },
+    ).to_pandas()
+    n = agg["n"].to_numpy(np.int64).astype(np.float64)
+    sx = agg["sx"].to_numpy(np.int64).astype(np.float64)
+    sy = agg["sy"].to_numpy(np.int64).astype(np.float64)
+    sxx = agg["sxx"].to_numpy(np.int64).astype(np.float64)
+    sxy = agg["sxy"].to_numpy(np.int64).astype(np.float64)
+    syy = agg["syy"].to_numpy(np.int64).astype(np.float64)
+    agg["corr"] = (n * sxy - sx * sy) / np.sqrt((n * sxx - sx * sx) * (n * syy - sy * sy))
+    out = agg.astype({c: "int64" for c in ["n", "sx", "sy", "sxx", "sxy", "syy"]})
+    return out.sort_values("l_returnflag").reset_index(drop=True)
+
+
+CORR_QTY_DISCOUNT_SQL = """
+WITH p AS (
+  SELECT l_returnflag,
+    CAST(COUNT(*) AS BIGINT) AS n,
+    CAST(SUM(CAST(l_quantity AS BIGINT)) AS BIGINT) AS sx,
+    CAST(SUM(CAST(floor(l_discount * 100 + 0.5) AS BIGINT)) AS BIGINT) AS sy,
+    CAST(SUM(CAST(l_quantity AS BIGINT) * CAST(l_quantity AS BIGINT)) AS BIGINT) AS sxx,
+    CAST(SUM(CAST(l_quantity AS BIGINT) * CAST(floor(l_discount * 100 + 0.5) AS BIGINT)) AS BIGINT) AS sxy,
+    CAST(SUM(CAST(floor(l_discount * 100 + 0.5) AS BIGINT) * CAST(floor(l_discount * 100 + 0.5) AS BIGINT)) AS BIGINT) AS syy
+  FROM lineitem GROUP BY l_returnflag
+)
+SELECT l_returnflag, n, sx, sy, sxx, sxy, syy,
+  (CAST(n AS DOUBLE) * CAST(sxy AS DOUBLE) - CAST(sx AS DOUBLE) * CAST(sy AS DOUBLE))
+  / sqrt((CAST(n AS DOUBLE) * CAST(sxx AS DOUBLE) - CAST(sx AS DOUBLE) * CAST(sx AS DOUBLE))
+       * (CAST(n AS DOUBLE) * CAST(syy AS DOUBLE) - CAST(sy AS DOUBLE) * CAST(sy AS DOUBLE))) AS corr
+FROM p ORDER BY l_returnflag
+"""
+
+
 def customers_without_recent_orders(sf_dir: str, cutoff: str = "1998-06-01") -> pd.DataFrame:
     """Anti-join: customers with no order at/after ``cutoff``. The fact
     side is predicate-pushed at the read and collapsed to its DISTINCT key
@@ -1525,6 +1599,7 @@ ORACLES = {
     "union_entity_keys": UNION_SQL,
     "customers_without_recent_orders": CUSTOMERS_WITHOUT_RECENT_SQL,
     "median_quantity_by_flag": MEDIAN_QUANTITY_SQL,
+    "corr_qty_discount_by_flag": CORR_QTY_DISCOUNT_SQL,
     "events_lag_delta": LAG_DELTA_SQL,
     "events_rolling_value_sum": ROLLING_SUM_SQL,
     "orders_pivot_status_priority": PIVOT_SQL,
@@ -1559,6 +1634,7 @@ QUERIES = {
     "union_entity_keys": union_entity_keys,
     "customers_without_recent_orders": customers_without_recent_orders,
     "median_quantity_by_flag": median_quantity_by_flag,
+    "corr_qty_discount_by_flag": corr_qty_discount_by_flag,
     "events_lag_delta": events_lag_delta,
     "events_rolling_value_sum": events_rolling_value_sum,
     "orders_pivot_status_priority": orders_pivot_status_priority,
