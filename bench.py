@@ -70,6 +70,12 @@ QUERY_NAMES = [
     # warm reps measure the probed-bucket path)
     "dsir_selection",
     "incremental_dedup",
+    # tokenizer-induction + quality/selection additions: distributed BPE
+    # pair counting, the Gopher rule bundle (one Arrow pass), CCNet
+    # per-language bucketing (scoring pass + global-rank exchange)
+    "bpe_pair_counts",
+    "gopher_quality_flags",
+    "ccnet_lm_buckets",
 ]
 
 

@@ -284,6 +284,124 @@ def bpe_apply_fixed(sf_dir: str) -> "rd.Dataset":
     return ds.map_batches(fn, batch_format="pyarrow")
 
 
+def tokenizer_fertility_by_lang(sf_dir: str) -> pd.DataFrame:
+    """Tokenizer compression parity across languages: per-``lang`` totals
+    of word characters and post-merge BPE symbols under
+    :data:`FIXED_MERGES`, plus ``chars_per_symbol_ppm`` — the fertility /
+    compression-ratio audit run before committing a tokenizer to a
+    multilingual corpus (languages the merge table under-serves show
+    ratios near 1.0; well-served ones compress above it).
+
+    Same vectorized unique-word apply as :func:`bpe_apply_fixed`, reduced
+    per batch to ≤ #langs partial rows (integer sums) and merged in one
+    combiner exchange; the single float op is the final ppm division per
+    LANGUAGE (5 rows), bit-equal to the oracle's.
+    """
+    from xmlschema_ray.ops.relational import combiner_aggregate
+    from xmlschema_ray.pipelines.common import scaled_int
+
+    ds = rd.read_parquet(table_path(sf_dir, "documents"), columns=["lang", "text"])
+
+    def partial(batch: pa.Table) -> pd.DataFrame:
+        empty = pd.DataFrame(
+            {
+                "lang": pd.Series([], dtype=object),
+                "n_docs": pd.Series([], dtype="int64"),
+                "n_chars": pd.Series([], dtype="int64"),
+                "n_symbols": pd.Series([], dtype="int64"),
+            }
+        )
+        text = batch["text"]
+        if isinstance(text, pa.ChunkedArray):
+            text = text.combine_chunks()
+        n_rows = len(batch)
+        if n_rows == 0:
+            return empty
+        lists = pc.utf8_split_whitespace(pc.utf8_lower(text))
+        flat_arrow = pc.list_flatten(lists)
+        flat = flat_arrow.to_numpy(zero_copy_only=False)
+        parent = pc.list_parent_indices(lists).to_numpy(zero_copy_only=False)
+        flat_len = pc.utf8_length(flat_arrow).to_numpy(zero_copy_only=False).astype(np.int64)
+        if len(flat) == 0:
+            per_doc_sym = np.zeros(n_rows, dtype=np.int64)
+            per_doc_chars = np.zeros(n_rows, dtype=np.int64)
+        else:
+            uwords, inverse = np.unique(flat.astype(str), return_inverse=True)
+            spaced = np.char.add(np.char.add(" ", np.char.join(" ", uwords)), " ")
+            spaced = _apply_merges_spaced(spaced, FIXED_MERGES)
+            n_sym = np.char.count(spaced, " ").astype(np.int64) - 1
+            n_sym[uwords == ""] = 0
+            per_doc_sym = np.bincount(
+                parent, weights=n_sym[inverse], minlength=n_rows
+            ).astype(np.int64)
+            per_doc_chars = np.bincount(
+                parent, weights=flat_len, minlength=n_rows
+            ).astype(np.int64)
+        df = pd.DataFrame(
+            {
+                "lang": batch["lang"].to_numpy(zero_copy_only=False),
+                "n_chars": per_doc_chars,
+                "n_symbols": per_doc_sym,
+            }
+        )
+        g = df.groupby("lang", sort=False).agg(
+            n_docs=("n_chars", "size"), n_chars=("n_chars", "sum"), n_symbols=("n_symbols", "sum")
+        )
+        return g.reset_index()
+
+    agg = combiner_aggregate(
+        ds.map_batches(partial, batch_format="pyarrow"),
+        "lang",
+        {
+            "n_docs": ("n_docs", "sum"),
+            "n_chars": ("n_chars", "sum"),
+            "n_symbols": ("n_symbols", "sum"),
+        },
+    ).to_pandas()
+    agg = agg.astype({c: "int64" for c in ["n_docs", "n_chars", "n_symbols"]})
+    agg["chars_per_symbol_ppm"] = scaled_int(
+        agg["n_chars"].to_numpy(np.int64).astype(np.float64)
+        / agg["n_symbols"].to_numpy(np.int64).astype(np.float64),
+        1e6,
+    )
+    return agg.sort_values("lang").reset_index(drop=True)
+
+
+def _fertility_sql() -> str:
+    expr = "' ' || array_to_string(string_split(word, ''), ' ') || ' '"
+    for a, b in FIXED_MERGES:
+        pat, rep = f" {a} {b} ", f" {a}{b} "
+        expr = f"replace(replace({expr}, '{pat}', '{rep}'), '{pat}', '{rep}')"
+    return rf"""
+WITH w AS (
+  SELECT doc_id, lang, unnest(regexp_split_to_array(trim(lower(text)), '\s+')) AS word
+  FROM documents
+), applied AS (
+  SELECT doc_id, lang, length(word) AS wc, trim({expr}) AS s
+  FROM w WHERE word <> ''
+), per_word AS (
+  SELECT doc_id, lang, wc, length(s) - length(replace(s, ' ', '')) + 1 AS ns
+  FROM applied
+), per_doc AS (
+  SELECT doc_id, lang, SUM(wc) AS c, SUM(ns) AS ns FROM per_word GROUP BY doc_id, lang
+), per_lang AS (
+  SELECT d.lang,
+    CAST(COUNT(*) AS BIGINT) AS n_docs,
+    CAST(COALESCE(SUM(p.c), 0) AS BIGINT) AS n_chars,
+    CAST(COALESCE(SUM(p.ns), 0) AS BIGINT) AS n_symbols
+  FROM documents d LEFT JOIN per_doc p USING (doc_id)
+  GROUP BY d.lang
+)
+SELECT lang, n_docs, n_chars, n_symbols,
+  CAST(floor(1000000.0 * (CAST(n_chars AS DOUBLE) / CAST(n_symbols AS DOUBLE)) + 0.5) AS BIGINT)
+    AS chars_per_symbol_ppm
+FROM per_lang ORDER BY lang
+"""
+
+
+TOKENIZER_FERTILITY_SQL = _fertility_sql()
+
+
 def _apply_fixed_sql() -> str:
     expr = "' ' || array_to_string(string_split(word, ''), ' ') || ' '"
     for a, b in FIXED_MERGES:
@@ -312,10 +430,12 @@ BPE_APPLY_FIXED_SQL = _apply_fixed_sql()
 ORACLES: Dict[str, str] = {
     "bpe_pair_counts": BPE_PAIR_COUNTS_SQL,
     "bpe_apply_fixed": BPE_APPLY_FIXED_SQL,
+    "tokenizer_fertility_by_lang": TOKENIZER_FERTILITY_SQL,
 }
 
 QUERIES = {
     "bpe_pair_counts": bpe_pair_counts,
     "bpe_train": bpe_train,
     "bpe_apply_fixed": bpe_apply_fixed,
+    "tokenizer_fertility_by_lang": tokenizer_fertility_by_lang,
 }
