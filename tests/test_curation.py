@@ -293,3 +293,26 @@ def test_dsir_selection_exact_weights_and_skew(tmp_path, ray_session):
     by_doc = expected.set_index("doc_id")["weight"]
     langs = df.set_index("doc_id")["lang"]
     assert by_doc[langs[by_doc.index] == "en"].min() > by_doc[langs[by_doc.index] == "de"].max()
+
+
+def test_waterfill_alloc_regimes():
+    import numpy as np
+
+    from xmlschema_ray.pipelines.curation import waterfill_alloc
+
+    # all capped: total caps below budget, no waterline
+    assert waterfill_alloc(np.array([100, 200, 300]), 1000).tolist() == [100, 200, 300]
+    # none capped: even split
+    assert waterfill_alloc(np.array([500, 600, 700]), 900).tolist() == [300, 300, 300]
+    # mixed: smallest absorbs its cap, rest split the remainder
+    assert waterfill_alloc(np.array([100, 600, 700]), 900).tolist() == [100, 400, 400]
+    # exact boundary: cap == even share
+    assert waterfill_alloc(np.array([300, 600]), 900).tolist() == [300, 600]
+    # single row
+    assert waterfill_alloc(np.array([50]), 900).tolist() == [50]
+    assert waterfill_alloc(np.array([5000]), 900).tolist() == [900]
+    # budget allocation never exceeds caps and never exceeds budget when a
+    # waterline exists
+    caps = np.array([10, 20, 10_000, 10_000])
+    a = waterfill_alloc(caps, 1_000)
+    assert (a <= caps).all() and a.sum() <= 1_000

@@ -1654,8 +1654,135 @@ LIMIT 100
 """
 
 
+# budget/epoch-cap pair calibrated so the waterfill exercises BOTH
+# regimes on the fixtures: at sf0.001/sf0.01 the four tail languages hit
+# their 1-epoch caps and the head language absorbs the slack (mixed), at
+# sf0.1 every cap clears the waterline (uniform shares)
+UNIMAX_BUDGET = 20_000
+UNIMAX_MAX_EPOCHS = 1
+
+
+def waterfill_alloc(caps: np.ndarray, budget: int) -> np.ndarray:
+    """Waterfilling over ascending caps: rows whose cap sits under the
+    waterline get the full cap, the rest split the remainder evenly
+    (``⌊(budget − prefix)/(n − k)⌋``). If the total cap fits the budget
+    no waterline exists and every row is capped."""
+    n = len(caps)
+    prefix = np.concatenate([[0], np.cumsum(caps)[:-1]])
+    alloc = caps.astype(np.int64).copy()
+    # first row (cap asc) whose cap meets the remaining even share fixes W
+    for k in range(n):
+        if caps[k] * (n - k) + prefix[k] >= budget:
+            w = (float(budget) - float(prefix[k])) / float(n - k)
+            alloc[k:] = np.int64(np.floor(w))
+            break
+    return alloc
+
+
+def unimax_language_budgets(
+    sf_dir: str, budget: int = UNIMAX_BUDGET, max_epochs: int = UNIMAX_MAX_EPOCHS
+) -> pd.DataFrame:
+    """UniMax language sampling allocation (Chung et al. 2023): split a
+    total token ``budget`` across languages so every language is sampled
+    as uniformly as possible without repeating any language more than
+    ``max_epochs`` times — the waterfilling that fixed mT5's
+    over/under-sampling of head/tail languages.
+
+    The corpus reduces to per-language word totals (one combiner
+    exchange, ≤ #langs rows — metadata-sized at ANY corpus size); the
+    waterfill itself is a #langs-row closed form on the driver: sort by
+    cap ``max_epochs·T_l`` ascending, the first row whose cap covers the
+    remaining even share fixes the waterline ``W = (B − prefix)/(n − k)``,
+    rows below the line get their full cap, rows above get ``⌊W⌋``. The
+    oracle SQL replays the identical arithmetic with window functions
+    (prefix sums + row numbers), so the one float op (the waterline
+    division) compares bit-exact. At these SFs the three regimes are all
+    exercised: sf0.001's caps sit under the budget (everything capped),
+    larger SFs activate the waterline.
+    """
+    from xmlschema_ray.ops.relational import combiner_aggregate
+
+    ds = rd.read_parquet(table_path(sf_dir, "documents"), columns=["lang", "text"])
+
+    def partial(batch: pa.Table) -> pd.DataFrame:
+        offsets, flat = _split_words(batch["text"])
+        n_rows = len(batch)
+        if len(flat) == 0:
+            per_doc = np.zeros(n_rows, dtype=np.int64)
+        else:
+            starts = np.arange(len(flat), dtype=np.int64)
+            row_idx = np.searchsorted(offsets, starts, side="right") - 1
+            nonempty = flat != ""
+            per_doc = np.bincount(row_idx[nonempty], minlength=n_rows).astype(np.int64)
+        df = pd.DataFrame(
+            {"lang": batch["lang"].to_numpy(zero_copy_only=False), "w": per_doc}
+        )
+        return df.groupby("lang", sort=False).agg(n_tokens=("w", "sum")).reset_index()
+
+    t = (
+        combiner_aggregate(
+            ds.map_batches(partial, batch_format="pyarrow"),
+            "lang",
+            {"n_tokens": ("n_tokens", "sum")},
+        )
+        .to_pandas()
+        .astype({"n_tokens": "int64"})
+    )
+    t["cap"] = max_epochs * t["n_tokens"]
+    t = t.sort_values(["cap", "lang"]).reset_index(drop=True)
+    t["alloc"] = waterfill_alloc(t["cap"].to_numpy(np.int64), budget)
+    t["epochs_ppm"] = np.floor(
+        1e6
+        * (alloc.astype(np.float64) / t["n_tokens"].to_numpy(np.int64).astype(np.float64))
+        + 0.5
+    ).astype(np.int64)
+    return (
+        t[["lang", "n_tokens", "cap", "alloc", "epochs_ppm"]]
+        .sort_values("lang")
+        .reset_index(drop=True)
+    )
+
+
+UNIMAX_SQL = rf"""
+WITH w AS (
+  SELECT lang,
+    CAST(length(list_filter(regexp_split_to_array(trim(text), '\s+'), x -> x <> ''))
+      AS BIGINT) AS nw
+  FROM documents
+), t AS (
+  SELECT lang, CAST(SUM(nw) AS BIGINT) AS n_tokens FROM w GROUP BY lang
+), c AS (
+  SELECT lang, n_tokens, {UNIMAX_MAX_EPOCHS} * n_tokens AS cap FROM t
+), o AS (
+  SELECT lang, n_tokens, cap,
+    CAST(COALESCE(SUM(cap) OVER (ORDER BY cap, lang
+      ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING), 0) AS BIGINT) AS prefix,
+    CAST(ROW_NUMBER() OVER (ORDER BY cap, lang) AS BIGINT) AS rn,
+    CAST(COUNT(*) OVER () AS BIGINT) AS n
+  FROM c
+), s AS (
+  SELECT MIN(rn) AS start_rn FROM o
+  WHERE cap * (n - rn + 1) + prefix >= {UNIMAX_BUDGET}
+), a AS (
+  SELECT o.lang, o.n_tokens, o.cap,
+    CASE
+      WHEN s.start_rn IS NULL OR o.rn < s.start_rn THEN o.cap
+      ELSE CAST(floor((CAST({UNIMAX_BUDGET} AS DOUBLE)
+        - CAST((SELECT prefix FROM o o2 WHERE o2.rn = s.start_rn) AS DOUBLE))
+        / CAST(o.n - s.start_rn + 1 AS DOUBLE)) AS BIGINT)
+    END AS alloc
+  FROM o, s
+)
+SELECT lang, n_tokens, cap, alloc,
+  CAST(floor(1000000.0 * (CAST(alloc AS DOUBLE) / CAST(n_tokens AS DOUBLE)) + 0.5)
+    AS BIGINT) AS epochs_ppm
+FROM a ORDER BY lang
+"""
+
+
 ORACLES: Dict[str, str] = {
     "top_words": TOP_WORDS_SQL,
+    "unimax_language_budgets": UNIMAX_SQL,
     "top_bigrams": TOP_BIGRAMS_SQL,
     "redact_terms": REDACT_TERMS_SQL,
     "deterministic_shuffle": DETERMINISTIC_SHUFFLE_SQL,
@@ -1678,6 +1805,7 @@ ORACLES: Dict[str, str] = {
 
 QUERIES = {
     "top_words": top_words,
+    "unimax_language_budgets": unimax_language_budgets,
     "top_bigrams": top_bigrams,
     "redact_terms": redact_terms,
     "deterministic_shuffle": deterministic_shuffle,
