@@ -1733,7 +1733,10 @@ def unimax_language_budgets(
     t["alloc"] = waterfill_alloc(t["cap"].to_numpy(np.int64), budget)
     t["epochs_ppm"] = np.floor(
         1e6
-        * (alloc.astype(np.float64) / t["n_tokens"].to_numpy(np.int64).astype(np.float64))
+        * (
+            t["alloc"].to_numpy(np.int64).astype(np.float64)
+            / t["n_tokens"].to_numpy(np.int64).astype(np.float64)
+        )
         + 0.5
     ).astype(np.int64)
     return (
