@@ -140,3 +140,38 @@ def test_two_pass_replace_equals_greedy_bpe():
 @pytest.mark.parametrize("a,b", [("t", "h"), ("th", "e")])
 def test_fixed_merges_no_self_overlap(a, b):
     assert a != b
+
+
+def test_cdc_resynchronizes_after_insertion(tmp_path, ray_session):
+    """The CDC property: a shared passage at DIFFERENT offsets in two
+    documents still produces identical chunk fingerprints once a
+    content-defined boundary inside it resynchronizes the chunking."""
+    import hashlib
+
+    import pyarrow as pa
+    import pyarrow.parquet as pq
+
+    from xmlschema_ray.pipelines.dedup import cdc_boilerplate_chunks
+
+    def is_boundary(w):
+        return hashlib.md5(w.encode()).hexdigest()[0] in "0123"
+
+    # build a shared passage that contains at least one boundary word
+    cands = [f"tok{i}" for i in range(50)]
+    boundary_words = [w for w in cands if is_boundary(w)]
+    plain_words = [w for w in cands if not is_boundary(w)]
+    shared = " ".join(
+        [plain_words[0], boundary_words[0], plain_words[1], plain_words[2],
+         boundary_words[1], plain_words[3]]
+    )
+    doc_a = "alpha " + shared
+    doc_b = "beta gamma delta " + shared  # different prefix length
+    d = tmp_path / "sf"
+    d.mkdir()
+    pq.write_table(
+        pa.table({"doc_id": [1, 2], "text": [doc_a, doc_b]}), d / "documents.parquet"
+    )
+    out = cdc_boilerplate_chunks(str(d)).to_pandas()
+    # the chunk(s) opened at boundary_words inside the shared region are
+    # byte-identical in both docs despite the offset shift
+    assert (out["n_docs"] == 2).any()

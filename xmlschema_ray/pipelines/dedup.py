@@ -1723,8 +1723,129 @@ ORDER BY new_doc_id
 """
 
 
+def cdc_boilerplate_chunks(sf_dir: str) -> "rd.Dataset":
+    """Content-defined chunking boilerplate detector (FastCDC/rsync-style
+    chunking lifted to word streams): every document splits at
+    content-derived boundaries — a word opens a new chunk iff the first
+    hex digit of its md5 is 0–3 (p = 1/4, mean chunk ≈ 4 words) — and a
+    chunk fingerprint that recurs across ≥ 2 DISTINCT documents is
+    boilerplate. Because boundaries depend only on content, inserting or
+    deleting words resynchronizes within one chunk, so shared passages
+    fingerprint identically regardless of position — the property fixed
+    windows (``substring_dup_pairs``) and winnowing lack.
+
+    One streaming pass + ONE exchange: per-batch, boundary flags come
+    from md5 over the batch's UNIQUE words (vocabulary-bounded, mapped
+    back through the ``np.unique`` inverse), chunk ids from a cumulative
+    sum, chunk strings from a chunk-bounded groupby join, and the batch
+    emits (fingerprint, doc_id, n) partial rows. Hash-partitioning on
+    the fingerprint co-locates each fingerprint's rows, where one
+    vectorized groupby computes occurrence and distinct-doc counts.
+    Output is boilerplate-sized (fingerprints seen in ≥2 docs), never
+    corpus-sized. md5 keeps both the boundary rule and the chunk
+    identity portable to the SQL oracle.
+    """
+    import hashlib
+
+    from xmlschema_ray.ops.relational import hash_partition_apply
+    from xmlschema_ray.pipelines.common import sorted_or_typed_empty
+
+    ds = rd.read_parquet(table_path(sf_dir, "documents"), columns=["doc_id", "text"])
+
+    empty = pd.DataFrame(
+        {
+            "fp": pd.Series([], dtype=object),
+            "n_occ": pd.Series([], dtype="int64"),
+            "n_docs": pd.Series([], dtype="int64"),
+        }
+    )
+
+    def partial(batch: pa.Table) -> pd.DataFrame:
+        text = batch["text"]
+        if isinstance(text, pa.ChunkedArray):
+            text = text.combine_chunks()
+        lists = pc.utf8_split_whitespace(text)
+        flat_a = pc.list_flatten(lists)
+        flat = flat_a.to_numpy(zero_copy_only=False)
+        parent = pc.list_parent_indices(lists).to_numpy(zero_copy_only=False)
+        nonempty = flat != ""
+        flat, parent = flat[nonempty], parent[nonempty]
+        if len(flat) == 0:
+            return pd.DataFrame(
+                {
+                    "fp": pd.Series([], dtype=object),
+                    "doc_id": pd.Series([], dtype="int64"),
+                    "n": pd.Series([], dtype="int64"),
+                }
+            )
+        doc_ids = batch["doc_id"].to_numpy(zero_copy_only=False).astype(np.int64)
+        uwords, inverse = np.unique(flat.astype(str), return_inverse=True)
+        u_boundary = np.array(
+            [hashlib.md5(w.encode("utf-8")).hexdigest()[0] in "0123" for w in uwords]
+        )
+        boundary = u_boundary[inverse]
+        first_of_doc = np.empty(len(parent), dtype=bool)
+        first_of_doc[0] = True
+        first_of_doc[1:] = parent[1:] != parent[:-1]
+        cid = np.cumsum(boundary | first_of_doc) - 1
+        cdf = pd.DataFrame({"cid": cid, "word": flat, "doc": doc_ids[parent]})
+        chunks = cdf.groupby("cid", sort=False).agg(
+            s=("word", " ".join), doc=("doc", "first")
+        )
+        fps = np.array(
+            [hashlib.md5(s.encode("utf-8")).hexdigest() for s in chunks["s"]],
+            dtype=object,
+        )
+        out = pd.DataFrame({"fp": fps, "doc_id": chunks["doc"].to_numpy(np.int64)})
+        g = out.groupby(["fp", "doc_id"], sort=False).size().rename("n").reset_index()
+        g["n"] = g["n"].astype("int64")
+        return g
+
+    partials = ds.map_batches(partial, batch_format="pyarrow")
+
+    def merge(part: pd.DataFrame) -> pd.DataFrame:
+        # all rows of a fingerprint are co-located; (fp, doc_id) may still
+        # repeat across source batches — collapse first, then reduce
+        pd_ = part.groupby(["fp", "doc_id"], sort=False)["n"].sum().reset_index()
+        g = pd_.groupby("fp", sort=False).agg(n_occ=("n", "sum"), n_docs=("doc_id", "size"))
+        g = g[g["n_docs"] >= 2].reset_index()
+        return g.astype({"n_occ": "int64", "n_docs": "int64"})
+
+    out = hash_partition_apply(partials, "fp", merge)
+    return sorted_or_typed_empty(out, ["fp"], template=empty)
+
+
+CDC_BOILERPLATE_SQL = r"""
+WITH w AS (
+  SELECT doc_id, ws[i] AS word, i
+  FROM (SELECT doc_id,
+          list_filter(regexp_split_to_array(trim(text), '\s+'), x -> x <> '') AS ws
+        FROM documents),
+       LATERAL unnest(generate_series(1, len(ws))) AS t(i)
+), b AS (
+  SELECT doc_id, i, word,
+    CASE WHEN substring(md5(word), 1, 1) IN ('0','1','2','3') THEN 1 ELSE 0 END AS is_b
+  FROM w
+), c AS (
+  SELECT doc_id, i, word,
+    SUM(CASE WHEN i = 1 THEN 1 ELSE is_b END)
+      OVER (PARTITION BY doc_id ORDER BY i) AS cid
+  FROM b
+), chunks AS (
+  SELECT doc_id, cid, md5(string_agg(word, ' ' ORDER BY i)) AS fp
+  FROM c GROUP BY doc_id, cid
+), per_doc AS (
+  SELECT fp, doc_id, COUNT(*) AS n FROM chunks GROUP BY fp, doc_id
+)
+SELECT fp, CAST(SUM(n) AS BIGINT) AS n_occ, CAST(COUNT(*) AS BIGINT) AS n_docs
+FROM per_doc GROUP BY fp HAVING COUNT(*) >= 2
+ORDER BY fp
+"""
+
+
 ORACLES: Dict[str, str] = {
     "exact_dedup": EXACT_DEDUP_SQL,
+    "cdc_boilerplate_chunks": CDC_BOILERPLATE_SQL,
     "ngram_jaccard_pairs": NGRAM_JACCARD_SQL,
     "embedding_dup_pairs": EMBEDDING_DUP_SQL,
     "simhash_pairs": SIMHASH_SQL,
@@ -1740,6 +1861,7 @@ ORACLES: Dict[str, str] = {
 
 QUERIES = {
     "exact_dedup": exact_dedup,
+    "cdc_boilerplate_chunks": cdc_boilerplate_chunks,
     "ngram_jaccard_pairs": ngram_jaccard_pairs,
     "minhash_lsh_dedup": minhash_lsh_dedup,
     "simhash_pairs": simhash_pairs,
