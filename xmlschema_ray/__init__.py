@@ -30,6 +30,7 @@ Validation semantics follow the reference: validation is decode-with-errors
 """
 
 from xmlschema_ray.constraints.spec import (
+    AggregateCheck,
     AltCase,
     ColumnAlias,
     ColumnSpec,
@@ -59,6 +60,7 @@ from xmlschema_ray.constraints.occurs import ContentGroup, OccursBounds, Particl
 from xmlschema_ray.engine.engine import ValidationEngine, ValidationResult
 
 __all__ = [
+    "AggregateCheck",
     "AltCase",
     "ColumnSpec",
     "DriftSpec",

@@ -1,4 +1,5 @@
 from xmlschema_ray.constraints.spec import (
+    AggregateCheck,
     AltCase,
     ColumnAlias,
     ColumnSpec,
@@ -12,6 +13,7 @@ from xmlschema_ray.constraints.spec import (
 )
 
 __all__ = [
+    "AggregateCheck",
     "AltCase",
     "ColumnAlias",
     "ColumnSpec",

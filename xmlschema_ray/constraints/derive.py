@@ -349,12 +349,18 @@ def spec_compat(old: TableConstraints, new: TableConstraints) -> List[Dict]:
             return f"columns={tuple(k.columns)}"
         if kind == "foreign_key":
             return f"{k.column}->{k.dim_name}.{k.dim_key}"
+        if kind == "aggregate_check":
+            return (
+                f"{k.agg}({k.column}) by {k.group_by} in "
+                f"[{k.min_value},{k.max_value}]"
+            )
         meta = getattr(k, "_serde", None)
         return str(meta) if meta is not None else None
 
     for kind, old_items, new_items in (
         ("unique_key", old.unique_keys, new.unique_keys),
         ("foreign_key", old.foreign_keys, new.foreign_keys),
+        ("aggregate_check", old.aggregate_checks, new.aggregate_checks),
         ("row_check", old.row_checks, new.row_checks),
     ):
         old_by = {k.name: k for k in old_items}

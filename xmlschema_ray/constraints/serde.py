@@ -16,6 +16,7 @@ import pyarrow as pa
 
 from xmlschema_ray.constraints import facets as F
 from xmlschema_ray.constraints.spec import (
+    AggregateCheck,
     AltCase,
     ColumnAlias,
     ColumnSpec,
@@ -367,6 +368,17 @@ def spec_to_json(spec: TableConstraints) -> Dict[str, Any]:
             }
             for d in spec.drift
         ],
+        "aggregate_checks": [
+            {
+                "name": a.name,
+                "agg": a.agg,
+                "column": a.column,
+                "group_by": a.group_by,
+                "min_value": a.min_value,
+                "max_value": a.max_value,
+            }
+            for a in spec.aggregate_checks
+        ],
     }
     for rc in spec.row_checks:
         meta = getattr(rc, "_serde", None)
@@ -437,6 +449,17 @@ def spec_from_json(doc: Dict[str, Any]) -> TableConstraints:
             )
             for d in doc.get("drift", [])
         ],
+        aggregate_checks=[
+            AggregateCheck(
+                name=a["name"],
+                agg=a["agg"],
+                column=a.get("column"),
+                group_by=a.get("group_by"),
+                min_value=a.get("min_value"),
+                max_value=a.get("max_value"),
+            )
+            for a in doc.get("aggregate_checks", [])
+        ],
         key_columns=tuple(doc.get("key_columns", ())),
         allow_extra_columns=doc.get("allow_extra_columns", True),
         stats_columns=tuple(doc.get("stats_columns", ())),
@@ -456,6 +479,7 @@ _OVERRIDE_SECTIONS = (
     ("drift", "name"),
     ("row_checks", "name"),
     ("type_alternatives", "name"),
+    ("aggregate_checks", "name"),
 )
 
 

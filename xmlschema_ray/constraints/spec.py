@@ -265,6 +265,56 @@ class ForeignKey:
 
 
 @dataclass(frozen=True)
+class AggregateCheck:
+    """Dataset-level aggregate constraint — the TABLE-scope counterpart of
+    a row assertion (``xs:assert`` evaluates one element tree,
+    ``validators/assertions.py``; this bounds an aggregate over the WHOLE
+    dataset): ``count`` / ``sum`` / ``mean`` / ``null_fraction`` of
+    ``column``, per ``group_by`` value or globally, must lie in
+    ``[min_value, max_value]``.
+
+    Rides the mergeable stats channel (one integer/float triple per
+    observed group per batch — the exchange cost is group cardinality,
+    never row count) and is evaluated on the driver in stage D, like the
+    drift gates. Partitioning assumption: ``group_by`` is a
+    bounded-cardinality provenance label (source / lang / shard), the
+    same assumption grouped drift makes. A violated group emits one
+    group-keyed violation row through the canonical sink.
+    """
+
+    name: str
+    agg: str  # count | sum | mean | null_fraction
+    column: Optional[str] = None  # required unless agg == "count"
+    group_by: Optional[str] = None
+    min_value: Optional[float] = None
+    max_value: Optional[float] = None
+
+    _AGGS = ("count", "sum", "mean", "null_fraction")
+
+    def lint(self, known: set) -> None:
+        if self.agg not in self._AGGS:
+            raise SpecError(
+                f"aggregate check {self.name!r}: unknown agg {self.agg!r} "
+                f"(expected one of {self._AGGS})"
+            )
+        if self.agg != "count" and self.column is None:
+            raise SpecError(
+                f"aggregate check {self.name!r}: agg {self.agg!r} requires a column"
+            )
+        if self.column is not None and self.column not in known:
+            raise SpecError(
+                f"aggregate check {self.name!r} references unknown column {self.column!r}"
+            )
+        if self.group_by is not None and self.group_by not in known:
+            raise SpecError(
+                f"aggregate check {self.name!r} group_by references unknown "
+                f"column {self.group_by!r}"
+            )
+        if self.min_value is None and self.max_value is None:
+            raise SpecError(f"aggregate check {self.name!r} declares no bounds")
+
+
+@dataclass(frozen=True)
 class DriftSpec:
     """Distribution-drift gate on a derived integer quantity.
 
@@ -341,6 +391,7 @@ class TableConstraints:
     unique_keys: List[UniqueKey] = field(default_factory=list)
     foreign_keys: List[ForeignKey] = field(default_factory=list)
     drift: List[DriftSpec] = field(default_factory=list)
+    aggregate_checks: List[AggregateCheck] = field(default_factory=list)
     type_alternatives: List[TypeAlternatives] = field(default_factory=list)
     key_columns: Tuple[str, ...] = ()
     allow_extra_columns: bool = True
@@ -445,6 +496,8 @@ class TableConstraints:
                 raise SpecError(
                     f"drift spec {d.name!r} group_by references unknown column {d.group_by!r}"
                 )
+        for ac in self.aggregate_checks:
+            ac.lint(known)
         for col in self.key_columns + self.stats_columns + self.distinct_columns:
             if col not in known:
                 raise SpecError(f"unknown column {col!r} in key/stats/distinct columns")
@@ -489,6 +542,7 @@ class TableConstraints:
         out += [uk.name for uk in self.unique_keys]
         out += [fk.name for fk in self.foreign_keys]
         out += [d.name for d in self.drift]
+        out += [ac.name for ac in self.aggregate_checks]
         return out
 
     def column(self, name: str) -> ColumnSpec:

@@ -687,6 +687,11 @@ class ValidationEngine:
 
         _t = _mark("stageD stats", _t)
         drift_results = self._drift(merged)
+        # dataset-level aggregate constraints (table-scope assertions):
+        # evaluated from the same merged stats channel, one group-keyed
+        # violation row per offending group, flowing through the canonical
+        # sink and verdict roll-up like schema-level violations
+        schema_viols = list(schema_viols) + self._aggregate_check_violations(merged)
 
         # stage E: final canonical violations = row-local+fk (from shards)
         # ∪ duplicates (stage B) ∪ schema-level, sorted deterministically.
@@ -820,6 +825,45 @@ class ValidationEngine:
             hist = merged.histograms.get(qname)
             if hist is not None:
                 out[qname] = histogram_quantiles(hist, np.asarray(d.bin_edges))
+        return out
+
+    def _aggregate_check_violations(self, merged: BatchStats) -> List[dict]:
+        """Evaluate ``spec.aggregate_checks`` against the merged stats
+        channel (stage D, driver-side — the group table is
+        group-cardinality-sized by construction). One violation dict per
+        offending group, shaped for ``VIOLATION_SCHEMA``; table-scope
+        rows carry ``partition_id = -1`` (no single shard owns them).
+        Groups with no non-null evidence pass ``mean`` (NaN compares
+        false), matching SQL aggregate semantics over empty sets."""
+        out: List[dict] = []
+        for ac in self.spec.aggregate_checks:
+            gd = merged.groups.get(ac.name, {})
+            for gv in sorted(gd, key=lambda g: "" if g is None else str(g)):
+                n, nulls, s = (float(x) for x in gd[gv])
+                if ac.agg == "count":
+                    obs = n
+                elif ac.agg == "sum":
+                    obs = s
+                elif ac.agg == "mean":
+                    obs = s / (n - nulls) if n - nulls > 0 else float("nan")
+                else:  # null_fraction
+                    obs = nulls / n if n > 0 else float("nan")
+                low = ac.min_value is not None and obs < ac.min_value
+                high = ac.max_value is not None and obs > ac.max_value
+                if low or high:
+                    bound = (
+                        f">= {ac.min_value}" if low else f"<= {ac.max_value}"
+                    )
+                    out.append(
+                        {
+                            "partition_id": -1,
+                            "key": "" if gv is None else str(gv),
+                            "constraint_name": ac.name,
+                            "column": ac.column or ac.group_by or "",
+                            "reason": f"{ac.agg}={obs:g} violates {bound}",
+                            "value_repr": repr(obs),
+                        }
+                    )
         return out
 
     def _drift(self, merged: BatchStats) -> List[DriftResult]:

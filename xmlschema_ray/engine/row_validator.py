@@ -270,6 +270,11 @@ class RowValidator:
                 edges = np.asarray(d.bin_edges, dtype=np.float64)
                 histogram_specs[qname] = (edges, d.group_by) if d.group_by else edges
         self.histogram_specs = histogram_specs
+        # aggregate-check partials ride the same stats blobs: one
+        # (n, nulls, sum) triple per observed group per batch
+        self.group_agg_specs = {
+            ac.name: (ac.group_by, ac.column) for ac in spec.aggregate_checks
+        }
         # Broadcast dimension key sets for xs:keyref-style referential checks
         # (``validators/identities.py:290-318``): the engine ``ray.put``s the
         # dict of {fk.name: pa.Array of dim keys} ONCE; each actor fetches it
@@ -431,6 +436,7 @@ class RowValidator:
                 stats_columns=self.spec.stats_columns,
                 distinct_columns=self.spec.distinct_columns,
                 histogram_specs=self.histogram_specs,
+                group_agg_specs=self.group_agg_specs,
             )
             kinds.append("stats")
             keys.append(None)

@@ -158,6 +158,10 @@ class BatchStats:
     columns: Dict[str, ColumnStats] = field(default_factory=dict)
     hlls: Dict[str, np.ndarray] = field(default_factory=dict)
     histograms: Dict[str, np.ndarray] = field(default_factory=dict)
+    # aggregate-check partials: check name -> {group value (or None for a
+    # global check): array([n_rows, n_nulls, value_sum], float64)} —
+    # associative addition, so the channel merges like histograms
+    groups: Dict[str, Dict[object, np.ndarray]] = field(default_factory=dict)
 
     def merge(self, other: "BatchStats") -> "BatchStats":
         self.n_rows += other.n_rows
@@ -173,6 +177,13 @@ class BatchStats:
                 self.histograms[name] = self.histograms[name] + h
             else:
                 self.histograms[name] = h.copy()
+        for name, gd in other.groups.items():
+            mine = self.groups.setdefault(name, {})
+            for gv, triple in gd.items():
+                if gv in mine:
+                    mine[gv] = mine[gv] + triple
+                else:
+                    mine[gv] = triple.copy()
         return self
 
     def dumps(self) -> bytes:
@@ -198,6 +209,7 @@ def collect_batch_stats(
     distinct_columns: Sequence[str],
     histogram_specs: Dict[str, np.ndarray],
     list_length_columns: Sequence[str] = (),
+    group_agg_specs: Optional[Dict[str, tuple]] = None,
 ) -> BatchStats:
     """Compute one BatchStats for an Arrow batch — all vectorized.
 
@@ -254,6 +266,42 @@ def collect_batch_stats(
             for gv in pd.unique(gv_arr):
                 h, _ = np.histogram(qv[gv_arr == gv], bins=edges)
                 bs.histograms[f"{qname}@{gv}"] = h.astype(np.int64)
+    # aggregate-check partials: name -> (group_col | None, value_col | None).
+    # One (n, nulls, sum) triple per observed group — vectorized bincounts
+    # over the np.unique inverse, group-cardinality output.
+    for cname, (group_col, value_col) in (group_agg_specs or {}).items():
+        if group_col is not None and group_col not in table.column_names:
+            continue
+        if value_col is not None and value_col not in table.column_names:
+            continue
+        n_rows = table.num_rows
+        if value_col is not None:
+            vc = table[value_col]
+            if isinstance(vc, pa.ChunkedArray):
+                vc = vc.combine_chunks()
+            null_mask = vc.is_null().to_numpy(zero_copy_only=False)
+            vals = np.asarray(vc.to_pandas().to_numpy(), dtype=np.float64)
+            vals = np.where(null_mask, 0.0, np.nan_to_num(vals, nan=0.0))
+        else:
+            null_mask = np.zeros(n_rows, dtype=bool)
+            vals = np.zeros(n_rows, dtype=np.float64)
+        if group_col is None:
+            bs.groups[cname] = {
+                None: np.array(
+                    [float(n_rows), float(null_mask.sum()), float(vals.sum())]
+                )
+            }
+            continue
+        gv_arr = table[group_col].to_pandas().to_numpy()
+        ug, inverse = np.unique(gv_arr.astype(str), return_inverse=True)
+        n_g = np.bincount(inverse, minlength=len(ug)).astype(np.float64)
+        nulls_g = np.bincount(
+            inverse, weights=null_mask.astype(np.float64), minlength=len(ug)
+        )
+        sum_g = np.bincount(inverse, weights=vals, minlength=len(ug))
+        bs.groups[cname] = {
+            str(g): np.array([n_g[i], nulls_g[i], sum_g[i]]) for i, g in enumerate(ug)
+        }
     return bs
 
 

@@ -488,6 +488,61 @@ def val_composite_fk(sf_dir: str) -> pd.DataFrame:
     )
 
 
+def val_source_mean_chars(sf_dir: str) -> pd.DataFrame:
+    """Dataset-level aggregate constraint through the FULL engine: per-source
+    MEAN document length must stay ≤ 300 chars (an ``AggregateCheck`` — the
+    table-scope assertion analog; a data-quality SLO a crawl pipeline gates
+    shards on). The check rides the mergeable stats channel (one (n, nulls,
+    sum) triple per source per batch — group-cardinality exchange, never
+    rows) and is evaluated driver-side in stage D; each offending source
+    emits one group-keyed violation through the canonical sink."""
+    from xmlschema_ray.constraints.spec import AggregateCheck, ColumnSpec, TableConstraints
+
+    doc_path = os.path.join(sf_dir, "documents.parquet")
+    spec = TableConstraints(
+        name="source_mean_chars",
+        columns=[
+            ColumnSpec("doc_id", pa.int64(), nullable=False),
+            ColumnSpec("source", pa.string()),
+            ColumnSpec("n_chars", pa.int64()),
+        ],
+        aggregate_checks=[
+            AggregateCheck(
+                "mean_chars_by_source",
+                agg="mean",
+                column="n_chars",
+                group_by="source",
+                max_value=300.0,
+            )
+        ],
+        key_columns=("doc_id",),
+    )
+    out_dir = _scratch("val_source_mean_chars")
+    eng = ValidationEngine(spec, batch_size=4096, n_shards=1)
+    res = eng.run(doc_path, out_dir=out_dir, resume=False)
+    v = res.violations()
+    v = v[v["constraint_name"] == "mean_chars_by_source"]
+    return (
+        pd.DataFrame(
+            {
+                "source": v["key"].astype(object),
+                "constraint_name": v["constraint_name"].astype(object),
+            }
+        )
+        .sort_values("source")
+        .reset_index(drop=True)
+    )
+
+
+VAL_SOURCE_MEAN_CHARS_SQL = """
+SELECT source, 'mean_chars_by_source' AS constraint_name
+FROM documents
+GROUP BY source
+HAVING avg(n_chars) > 300.0
+ORDER BY source
+"""
+
+
 VAL_COMPOSITE_FK_SQL = """
 WITH pairs AS (SELECT DISTINCT source, lang FROM documents),
 dim AS (SELECT * FROM pairs WHERE md5(source || '|' || lang) >= '8')
@@ -502,6 +557,7 @@ ORDER BY doc_id
 ORACLES: Dict[str, str] = {
     "validate_sequences": VALIDATE_SEQUENCES_SQL,
     "val_composite_fk": VAL_COMPOSITE_FK_SQL,
+    "val_source_mean_chars": VAL_SOURCE_MEAN_CHARS_SQL,
     "validate_sequences_seeded": SEEDED_SQL,
     "drift_check": DRIFT_SQL,
     "drift_by_source": DRIFT_BY_SOURCE_SQL,
@@ -510,6 +566,7 @@ ORACLES: Dict[str, str] = {
 QUERIES = {
     "validate_sequences": validate_sequences,
     "val_composite_fk": val_composite_fk,
+    "val_source_mean_chars": val_source_mean_chars,
     "validate_sequences_seeded": validate_sequences_seeded,
     "drift_check": drift_check,
     "drift_by_source": drift_by_source,
