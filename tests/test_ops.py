@@ -514,3 +514,48 @@ def test_global_rank_bounded_sample_shrink_path(ray_session):
     # exact: rank order == value order
     assert (out["v"].to_numpy() == np.sort(df["v"].to_numpy())).all()
     assert (out["rank"].to_numpy() == np.arange(1, 10_001)).all()
+
+
+def test_late_event_counts_matches_sequential_bruteforce(tmp_path, ray_session):
+    """Distributed prefix-max watermark == a driver-side sequential scan,
+    across multiple range partitions and event-time days."""
+    import numpy as np
+    import pandas as pd
+    import pyarrow as pa
+    import pyarrow.parquet as pq
+
+    from xmlschema_ray.pipelines.relational import late_event_counts
+
+    rng = np.random.RandomState(7)
+    n = 5000
+    ts = pd.Timestamp("2024-03-01") + pd.to_timedelta(
+        np.sort(rng.randint(0, 5 * 86400, n)), unit="s"
+    )
+    df = pd.DataFrame({"event_id": np.arange(n, dtype=np.int64), "ts": ts})
+    d = tmp_path / "sf"
+    d.mkdir()
+    pq.write_table(
+        pa.Table.from_pandas(df, preserve_index=False), d / "events.parquet"
+    )
+
+    got = late_event_counts(str(d))
+
+    # brute force: same simulated arrival order, sequential watermark
+    ak = ((df["event_id"] % 2**31) * 2654435761) % 2**32
+    order = np.lexsort((df["event_id"].to_numpy(), ak.to_numpy()))
+    ts_us = df["ts"].to_numpy("datetime64[us]").view(np.int64)[order]
+    wm = np.empty(n, dtype=np.int64)
+    wm[0] = np.iinfo(np.int64).min
+    np.maximum.accumulate(ts_us[:-1], out=wm[1:])
+    late = wm > ts_us + 3_600_000_000
+    day = pd.to_datetime((ts_us // 86_400_000_000) * 86_400_000_000, unit="us").strftime(
+        "%Y-%m-%d"
+    )
+    want = (
+        pd.DataFrame({"day": day, "late": late.astype(np.int64)})
+        .groupby("day")
+        .agg(n_events=("late", "size"), n_late=("late", "sum"))
+        .reset_index()
+        .astype({"n_events": "int64", "n_late": "int64"})
+    )
+    pd.testing.assert_frame_equal(got, want.sort_values("day").reset_index(drop=True))

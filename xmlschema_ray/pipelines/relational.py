@@ -851,6 +851,137 @@ FROM lineitem GROUP BY l_returnflag ORDER BY l_returnflag
 """
 
 
+def late_event_counts(sf_dir: str, grace_minutes: int = 60) -> pd.DataFrame:
+    """Out-of-order / late-data accounting (SURVEY §2.11): per event-time
+    day, how many events arrived more than ``grace_minutes`` behind the
+    watermark — the lateness audit a streaming ingestion runs to size its
+    allowed-lateness windows. The watermark is the RUNNING MAX event time
+    over arrival order, a sequential scan made distributed with the
+    engine's range-partition + driver-prefix pattern (prefix MAX instead
+    of ``global_rank``'s prefix SUM):
+
+    1. range-partition arrival order (sampled boundaries — driver state
+       O(partitions));
+    2. one combiner pass collects each partition's max event time;
+    3. the driver prefix-maxes those into per-partition seeds
+       (metadata-sized at any corpus size);
+    4. each partition computes its exclusive running max locally, seeded,
+       and reduces to per-day (n_events, n_late) partials — one final
+       day-keyed combiner merge.
+
+    The fixture's log is perfectly ordered, so arrival order is SIMULATED
+    with a deterministic Knuth multiplicative hash of ``event_id`` (pure
+    int64 arithmetic — replayed exactly by the oracle's window ORDER BY);
+    the operator itself never depends on how the order arises. Lateness
+    compares integer microseconds; day keys reduce as epoch-day ints and
+    only the day-cardinality result converts to strings.
+    """
+    from xmlschema_ray.ops.relational import (
+        combiner_aggregate,
+        derive_num_partitions,
+        hash_partition_apply,
+        sample_range_bounds,
+    )
+
+    grace_us = np.int64(grace_minutes) * 60_000_000
+    day_us = np.int64(86_400_000_000)
+    ds = rd.read_parquet(table_path(sf_dir, "events"), columns=["event_id", "ts"])
+
+    def keyed(batch: pd.DataFrame) -> pd.DataFrame:
+        eid = batch["event_id"].to_numpy(np.int64)
+        ak = ((eid % np.int64(2**31)) * np.int64(2654435761)) % np.int64(2**32)
+        return pd.DataFrame(
+            {
+                "ak": ak,
+                "event_id": eid,
+                "ts_us": batch["ts"].to_numpy("datetime64[us]").view(np.int64),
+            }
+        )
+
+    kd = ds.map_batches(keyed, batch_format="pandas").materialize()
+    num_partitions = derive_num_partitions()
+    bounds = sample_range_bounds(kd, ["ak", "event_id"], num_partitions)
+
+    def add_pid(batch: pd.DataFrame) -> pd.DataFrame:
+        batch = batch.copy(deep=False)
+        if bounds is None:
+            batch["__pid"] = np.int64(0)
+            return batch
+        ak = batch["ak"].to_numpy(np.int64)
+        eid = batch["event_id"].to_numpy(np.int64)
+        pid = np.zeros(len(batch), dtype=np.int64)
+        for b_ak, b_eid in zip(*bounds):
+            pid += (b_ak < ak) | ((b_ak == ak) & (b_eid <= eid))
+        batch["__pid"] = pid
+        return batch
+
+    with_pid = kd.map_batches(add_pid, batch_format="pandas")
+    part_max = (
+        combiner_aggregate(with_pid, "__pid", {"mx": ("ts_us", "max")})
+        .to_pandas()
+        .sort_values("__pid")
+    )
+    seeds: dict = {}
+    run = np.iinfo(np.int64).min
+    for pid, mx in zip(part_max["__pid"], part_max["mx"]):
+        seeds[int(pid)] = np.int64(run)
+        run = max(run, int(mx))
+
+    def per_part(g: pd.DataFrame) -> pd.DataFrame:
+        outs = []
+        for pid, gg in g.groupby("__pid", sort=False):
+            gg = gg.sort_values(["ak", "event_id"], kind="mergesort")
+            ts = gg["ts_us"].to_numpy(np.int64)
+            seed = seeds[int(pid)]
+            wm = np.empty(len(ts), dtype=np.int64)
+            wm[0] = seed
+            if len(ts) > 1:
+                np.maximum(np.maximum.accumulate(ts)[:-1], seed, out=wm[1:])
+            late = wm > ts + grace_us
+            day = ts // day_us
+            df = pd.DataFrame({"day": day, "late": late.astype(np.int64)})
+            gb = df.groupby("day", sort=False)["late"]
+            outs.append(
+                pd.DataFrame(
+                    {"n_events": gb.size(), "n_late": gb.sum()}
+                ).reset_index()
+            )
+        return pd.concat(outs, ignore_index=True)
+
+    partials = hash_partition_apply(with_pid, "__pid", per_part)
+    out = (
+        combiner_aggregate(
+            partials, "day", {"n_events": ("n_events", "sum"), "n_late": ("n_late", "sum")}
+        )
+        .to_pandas()
+        .astype({"n_events": "int64", "n_late": "int64"})
+    )
+    out["day"] = pd.to_datetime(out["day"] * 86_400_000_000, unit="us").dt.strftime(
+        "%Y-%m-%d"
+    )
+    return out.sort_values("day").reset_index(drop=True)[["day", "n_events", "n_late"]]
+
+
+LATE_EVENTS_SQL = """
+WITH a AS (
+  SELECT event_id, ts,
+    ((event_id % 2147483648) * 2654435761) % 4294967296 AS ak
+  FROM events
+), w AS (
+  SELECT ts,
+    MAX(ts) OVER (ORDER BY ak, event_id
+      ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING) AS wm
+  FROM a
+)
+SELECT strftime(ts, '%Y-%m-%d') AS day,
+  CAST(COUNT(*) AS BIGINT) AS n_events,
+  CAST(COALESCE(SUM(CASE WHEN wm IS NOT NULL
+    AND date_diff('microsecond', ts, wm) > 3600000000 THEN 1 ELSE 0 END), 0) AS BIGINT)
+    AS n_late
+FROM w GROUP BY day ORDER BY day
+"""
+
+
 def corr_qty_discount_by_flag(sf_dir: str) -> pd.DataFrame:
     """Grouped Pearson correlation via mergeable INTEGER second moments
     (SURVEY §2.7 aggregation family — covariance/correlation are the
@@ -1600,6 +1731,7 @@ ORACLES = {
     "customers_without_recent_orders": CUSTOMERS_WITHOUT_RECENT_SQL,
     "median_quantity_by_flag": MEDIAN_QUANTITY_SQL,
     "corr_qty_discount_by_flag": CORR_QTY_DISCOUNT_SQL,
+    "late_event_counts": LATE_EVENTS_SQL,
     "events_lag_delta": LAG_DELTA_SQL,
     "events_rolling_value_sum": ROLLING_SUM_SQL,
     "orders_pivot_status_priority": PIVOT_SQL,
@@ -1635,6 +1767,7 @@ QUERIES = {
     "customers_without_recent_orders": customers_without_recent_orders,
     "median_quantity_by_flag": median_quantity_by_flag,
     "corr_qty_discount_by_flag": corr_qty_discount_by_flag,
+    "late_event_counts": late_event_counts,
     "events_lag_delta": events_lag_delta,
     "events_rolling_value_sum": events_rolling_value_sum,
     "orders_pivot_status_priority": orders_pivot_status_priority,
