@@ -336,6 +336,20 @@ def spec_compat(old: TableConstraints, new: TableConstraints) -> List[Dict]:
             "old files carrying extra columns now fail schema.unexpected_column",
         )
 
+    # severity changes: demoting a constraint to warning relaxes the gate
+    # (old-valid stays valid); promoting a warning back to error means rows
+    # that only warned before now flip partitions to invalid
+    old_warn, new_warn = set(old.warning_constraints), set(new.warning_constraints)
+    for w in sorted(new_warn - old_warn):
+        add(f"constraint {w}", "error -> warning", True, "violations no longer flip validity")
+    for w in sorted(old_warn - new_warn):
+        add(
+            f"constraint {w}",
+            "warning -> error",
+            False,
+            "rows that only warned under old now make partitions invalid",
+        )
+
     def _defn(kind: str, k) -> "str | None":
         """Stable structural identity, or None when not comparable.
 

@@ -305,6 +305,7 @@ def spec_to_json(spec: TableConstraints) -> Dict[str, Any]:
         "key_columns": list(spec.key_columns),
         "stats_columns": list(spec.stats_columns),
         "distinct_columns": list(spec.distinct_columns),
+        "warning_constraints": list(spec.warning_constraints),
         "aliases": [
             {"head": a.head, "members": list(a.members)} for a in spec.aliases
         ],
@@ -464,6 +465,7 @@ def spec_from_json(doc: Dict[str, Any]) -> TableConstraints:
         allow_extra_columns=doc.get("allow_extra_columns", True),
         stats_columns=tuple(doc.get("stats_columns", ())),
         distinct_columns=tuple(doc.get("distinct_columns", ())),
+        warning_constraints=tuple(doc.get("warning_constraints", ())),
         aliases=tuple(
             ColumnAlias(a["head"], tuple(a["members"]))
             for a in doc.get("aliases", [])

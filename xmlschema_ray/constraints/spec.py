@@ -28,6 +28,7 @@ import pyarrow as pa
 from xmlschema_ray.constraints.facets import Facet, SpecError, lint_facet_stack
 
 __all__ = [
+    "AggregateCheck",
     "AltCase",
     "ColumnSpec",
     "DriftSpec",
@@ -402,6 +403,13 @@ class TableConstraints:
     # substitution-group alias sets, expanded into member ColumnSpecs at
     # compile (see ColumnAlias)
     aliases: Tuple["ColumnAlias", ...] = ()
+    # per-constraint severity: violations of these constraint names are
+    # WARNINGS — recorded and counted (verdicts carry n_warnings) but they
+    # never flip validity. The per-constraint refinement of the
+    # reference's lax validation mode (``xsdbase.py:24``: lax reports but
+    # tolerates); an SLO rollout pattern — ship a new constraint as a
+    # warning, observe, then promote it to an error.
+    warning_constraints: Tuple[str, ...] = ()
 
     def __post_init__(self):
         if not self.key_columns and self.columns:
@@ -412,6 +420,8 @@ class TableConstraints:
             self.stats_columns = tuple(self.stats_columns)
         if not isinstance(self.distinct_columns, tuple):
             self.distinct_columns = tuple(self.distinct_columns)
+        if not isinstance(self.warning_constraints, tuple):
+            self.warning_constraints = tuple(self.warning_constraints)
 
     # -- compile-time -----------------------------------------------------
 
@@ -467,6 +477,15 @@ class TableConstraints:
             if label in seen_constraints:
                 raise SpecError(f"duplicate constraint name {label!r}")
             seen_constraints.add(label)
+        # schema-level constraint families are emitted by the engine, not
+        # declared — they are demotable to warnings too
+        demotable = seen_constraints | {"schema.required_column", "schema.dtype", "schema.unexpected_column"}
+        for w in self.warning_constraints:
+            if w not in demotable:
+                raise SpecError(
+                    f"warning_constraints names unknown constraint {w!r} "
+                    "(a typo here would silently leave it an error)"
+                )
         for rc in self.row_checks:
             for col in rc.columns:
                 if col not in known:

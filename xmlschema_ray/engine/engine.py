@@ -96,6 +96,9 @@ class ValidationResult:
     drift: List[DriftResult]
     summary: Dict
     n_violations: int
+    # warning-severity violation count (spec.warning_constraints) — recorded
+    # in verdicts/summary but never part of the validity decision
+    n_warnings: int = 0
 
     def violations(self) -> pd.DataFrame:
         """Canonically sorted violations (deterministic across parallelism)."""
@@ -744,14 +747,35 @@ class ValidationEngine:
         # verdict roll-up (xsdbase.py:80-92) from the single source of
         # truth: per-partition counts over the written violations (column-
         # pruned scan of one int32 column — cheap even for huge outputs).
+        warn_set = set(self.spec.warning_constraints)
         for v in verdict_by_pid.values():
             v.n_violations = 0
+            v.n_warnings = 0
             v.validity = V.VALID if v.validity != V.NOT_KNOWN else v.validity
         if os.listdir(viol_dir):
-            vc_tbl = pads.dataset(viol_dir).to_table(columns=["partition_id"])
-            vc = pc.value_counts(vc_tbl["partition_id"].combine_chunks())
-            for pid, n in zip(vc.field("values").to_pylist(), vc.field("counts").to_pylist()):
-                verdict_by_pid.setdefault(int(pid), V.PartitionVerdict(int(pid))).mark(int(n))
+            # constraint_name rides along only when the spec declares
+            # warning severities — the common case stays a 1-column scan
+            cols = ["partition_id"] + (["constraint_name"] if warn_set else [])
+            vc_tbl = pads.dataset(viol_dir).to_table(columns=cols)
+            if warn_set:
+                is_warn = pc.is_in(
+                    vc_tbl["constraint_name"].combine_chunks(),
+                    value_set=pa.array(sorted(warn_set)),
+                )
+                pids = vc_tbl["partition_id"].combine_chunks()
+                for mask, marker in ((pc.invert(is_warn), "mark"), (is_warn, "mark_warnings")):
+                    vc = pc.value_counts(pids.filter(mask))
+                    for pid, n in zip(
+                        vc.field("values").to_pylist(), vc.field("counts").to_pylist()
+                    ):
+                        getattr(
+                            verdict_by_pid.setdefault(int(pid), V.PartitionVerdict(int(pid))),
+                            marker,
+                        )(int(n))
+            else:
+                vc = pc.value_counts(vc_tbl["partition_id"].combine_chunks())
+                for pid, n in zip(vc.field("values").to_pylist(), vc.field("counts").to_pylist()):
+                    verdict_by_pid.setdefault(int(pid), V.PartitionVerdict(int(pid))).mark(int(n))
         violations_truncated: Dict[int, int] = {}
         # UNCONDITIONAL (not gated on this engine's cap setting): a capped
         # run resumed by an uncapped engine still has overflow records in
@@ -762,16 +786,24 @@ class ValidationEngine:
             # written violations undercount by exactly these overflow
             # records — add them back so verdicts stay exact
             ot = pads.dataset(unified_dir).to_table(
-                columns=["partition_id", "count"],
+                columns=["partition_id", "constraint_name", "count"],
                 filter=pads.field("record_kind") == "viol_overflow",
             )
             if ot.num_rows:
-                sums = ot.to_pandas().groupby("partition_id")["count"].sum()
-                for pid, n in sums.items():
+                odf = ot.to_pandas()
+                # overflow records carry the constraint name, so capped
+                # runs keep exact severity splits too
+                owarn = odf["constraint_name"].isin(warn_set)
+                for pid, n in odf.groupby("partition_id")["count"].sum().items():
                     violations_truncated[int(pid)] = int(n)
-                    verdict_by_pid.setdefault(
-                        int(pid), V.PartitionVerdict(int(pid))
-                    ).mark(int(n))
+                for sel, marker in ((~owarn, "mark"), (owarn, "mark_warnings")):
+                    for pid, n in (
+                        odf.loc[sel].groupby("partition_id")["count"].sum().items()
+                    ):
+                        getattr(
+                            verdict_by_pid.setdefault(int(pid), V.PartitionVerdict(int(pid))),
+                            marker,
+                        )(int(n))
         _t = _mark("verdict counts", _t)
         verdicts = V.verdicts_frame(list(verdict_by_pid.values()))
         job = V.job_validity(list(verdict_by_pid.values()))
@@ -784,6 +816,7 @@ class ValidationEngine:
             "n_partitions": len(verdicts),
             "n_rows": int(verdicts["n_rows"].sum()) if len(verdicts) else 0,
             "n_violations": n_violations,
+            "n_warnings": int(verdicts["n_warnings"].sum()) if len(verdicts) else 0,
             "violations_truncated": violations_truncated,
             "columns": {k: cs.to_dict() for k, cs in merged.columns.items()},
             "distinct_estimates": {k: hll_estimate(reg) for k, reg in merged.hlls.items()},
@@ -812,6 +845,7 @@ class ValidationEngine:
             drift=drift_results,
             summary=summary,
             n_violations=n_violations,
+            n_warnings=int(summary["n_warnings"]),
         )
 
     def _quantiles(self, merged: BatchStats) -> Dict[str, Dict[str, float]]:

@@ -371,7 +371,9 @@ class RowValidator:
             )
             for cname, col, mask, reason, reprs in checks:
                 idx = np.flatnonzero(mask)
-                if self.mode == "failfast":
+                # warning-severity constraints never abort a failfast run
+                # (the per-constraint lax mode) — they are still recorded
+                if self.mode == "failfast" and cname not in self.spec.warning_constraints:
                     k = _key_strings(table, self.spec, idx[:1])[0]
                     raise ValidationFailure(f"{cname} violated at key={k!r}: {reason}")
                 cap = self.max_violations_per_batch

@@ -31,11 +31,17 @@ class PartitionVerdict:
     validation_attempted: str = FULL
     n_rows: int = 0
     n_violations: int = 0
+    # warning-severity violations (spec.warning_constraints): recorded and
+    # counted, never flip validity — the per-constraint lax mode
+    n_warnings: int = 0
 
     def mark(self, n_new_violations: int) -> None:
         self.n_violations += int(n_new_violations)
         if self.n_violations > 0:
             self.validity = INVALID
+
+    def mark_warnings(self, n_new_warnings: int) -> None:
+        self.n_warnings += int(n_new_warnings)
 
 
 def verdicts_frame(verdicts: List[PartitionVerdict]) -> pd.DataFrame:
@@ -47,6 +53,7 @@ def verdicts_frame(verdicts: List[PartitionVerdict]) -> pd.DataFrame:
                 "validation_attempted": v.validation_attempted,
                 "n_rows": v.n_rows,
                 "n_violations": v.n_violations,
+                "n_warnings": v.n_warnings,
             }
             for v in sorted(verdicts, key=lambda v: v.partition_id)
         ]

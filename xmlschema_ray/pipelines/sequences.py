@@ -429,6 +429,7 @@ SELECT CAST(0 AS BIGINT) AS partition_id,
        'full' AS validation_attempted,
        CAST(COUNT(*) AS BIGINT) AS n_rows,
        CAST(0 AS BIGINT) AS n_violations,
+       CAST(0 AS BIGINT) AS n_warnings,
        'valid' AS job_validity
 FROM documents
 """
@@ -543,6 +544,54 @@ ORDER BY source
 """
 
 
+def val_warning_severity(sf_dir: str) -> pd.DataFrame:
+    """Per-constraint severity through the FULL engine: ``n_chars <= 400``
+    is demoted to a WARNING (``spec.warning_constraints`` — the
+    per-constraint refinement of the reference's lax mode,
+    ``xsdbase.py:24``: lax reports but tolerates). The corpus has many
+    long docs, so the run records warnings — but the job verdict stays
+    ``valid`` because warnings never flip validity, while the error-severity
+    ``n_chars >= 0`` facet (never violated) keeps the error channel live.
+    Returns the severity-split roll-up the summary carries."""
+    from xmlschema_ray.constraints.facets import MaxInclusive, MinInclusive
+    from xmlschema_ray.constraints.spec import ColumnSpec, TableConstraints
+
+    doc_path = os.path.join(sf_dir, "documents.parquet")
+    spec = TableConstraints(
+        name="warning_severity",
+        columns=[
+            ColumnSpec("doc_id", pa.int64(), nullable=False),
+            ColumnSpec(
+                "n_chars",
+                pa.int64(),
+                facets=(MinInclusive(0), MaxInclusive(400)),
+            ),
+        ],
+        key_columns=("doc_id",),
+        warning_constraints=("n_chars.maxInclusive(400)",),
+    )
+    out_dir = _scratch("val_warning_severity")
+    eng = ValidationEngine(spec, batch_size=4096, n_shards=1)
+    res = eng.run(doc_path, out_dir=out_dir, resume=False)
+    return pd.DataFrame(
+        {
+            "n_rows": pd.array([int(res.summary["n_rows"])], dtype="int64"),
+            "n_violations": pd.array([res.n_violations], dtype="int64"),
+            "n_warnings": pd.array([res.n_warnings], dtype="int64"),
+            "job_validity": pd.Series([res.job_validity], dtype=object),
+        }
+    )
+
+
+VAL_WARNING_SEVERITY_SQL = """
+SELECT CAST(COUNT(*) AS BIGINT) AS n_rows,
+       CAST(0 AS BIGINT) AS n_violations,
+       CAST(SUM(CASE WHEN n_chars > 400 THEN 1 ELSE 0 END) AS BIGINT) AS n_warnings,
+       'valid' AS job_validity
+FROM documents
+"""
+
+
 VAL_COMPOSITE_FK_SQL = """
 WITH pairs AS (SELECT DISTINCT source, lang FROM documents),
 dim AS (SELECT * FROM pairs WHERE md5(source || '|' || lang) >= '8')
@@ -558,6 +607,7 @@ ORACLES: Dict[str, str] = {
     "validate_sequences": VALIDATE_SEQUENCES_SQL,
     "val_composite_fk": VAL_COMPOSITE_FK_SQL,
     "val_source_mean_chars": VAL_SOURCE_MEAN_CHARS_SQL,
+    "val_warning_severity": VAL_WARNING_SEVERITY_SQL,
     "validate_sequences_seeded": SEEDED_SQL,
     "drift_check": DRIFT_SQL,
     "drift_by_source": DRIFT_BY_SOURCE_SQL,
@@ -567,6 +617,7 @@ QUERIES = {
     "validate_sequences": validate_sequences,
     "val_composite_fk": val_composite_fk,
     "val_source_mean_chars": val_source_mean_chars,
+    "val_warning_severity": val_warning_severity,
     "validate_sequences_seeded": validate_sequences_seeded,
     "drift_check": drift_check,
     "drift_by_source": drift_by_source,
