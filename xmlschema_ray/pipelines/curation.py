@@ -382,6 +382,119 @@ ORDER BY doc_id
 """
 
 
+def bloom_decontaminate(
+    sf_dir: str, n: int = 5, m_bits: int = 1 << 20, n_hashes: int = 7
+) -> pd.DataFrame:
+    """Benchmark-leakage check with a BLOOM-FILTER broadcast — the
+    bounded-memory scale path of :func:`decontamination`, exact by the
+    two-phase discipline (``ops/bloom.py``).
+
+    At 100 TB the benchmark gram SET is the broadcast problem: ~10^8
+    distinct 5-gram strings are several GiB shipped to every worker.
+    This variant broadcasts a fixed-geometry bit array instead
+    (10 bits/key ≈ 1% FPR), built MERGEABLY (per-batch partial filters →
+    driver bitwise-OR, blob-sized channel), then recovers exactness with
+    ONE candidate-sized co-partitioning exchange: only bloom-POSITIVE
+    (doc_id, gram) occurrences (true hits + ~FPR of the rest) meet the
+    true eval grams, partitioned by gram. False positives die in the
+    verify; false negatives cannot exist — so the output equals the
+    exact-broadcast query bit-for-bit at ANY filter load (forced-small-
+    filter test proves it at ~100% fill).
+    """
+    from xmlschema_ray.ops.bloom import BloomFilter
+    from xmlschema_ray.ops.relational import (
+        combiner_aggregate,
+        copartition_apply,
+        to_pandas_with_schema,
+    )
+
+    ds = rd.read_parquet(table_path(sf_dir, "documents"), columns=["doc_id", "text"])
+
+    def _eval_mask(ids: np.ndarray) -> np.ndarray:
+        return np.array([h[0] == "0" for h in _md5_hex(ids)])
+
+    def eval_gram_frame(batch: pa.Table) -> pd.DataFrame:
+        ids = batch["doc_id"].to_numpy(zero_copy_only=False)
+        sub = batch.filter(pa.array(_eval_mask(ids)))
+        if sub.num_rows == 0:
+            return pd.DataFrame({"gram": pd.Series([], dtype=object)})
+        _, grams = _word_grams(sub["text"], n)
+        u = pd.unique(grams) if len(grams) else []
+        return pd.DataFrame({"gram": pd.Series(list(u), dtype=object)})
+
+    # real eval sets are MBs against a 100-TB corpus, so materializing the
+    # per-batch-distinct gram stream is bounded by the BENCHMARK size, not
+    # the corpus — and it feeds two consumers (filter build + exact verify)
+    # without re-reading the input
+    eval_grams = ds.map_batches(eval_gram_frame, batch_format="pyarrow").materialize()
+
+    def bloom_partial(batch: pd.DataFrame) -> pd.DataFrame:
+        bf = BloomFilter(m_bits, n_hashes)
+        bf.add_many(batch["gram"].to_numpy())
+        return pd.DataFrame({"blob": pd.Series([bf.to_bytes()], dtype=object)})
+
+    merged = BloomFilter(m_bits, n_hashes)
+    for row in eval_grams.map_batches(bloom_partial, batch_format="pandas").iter_rows():
+        merged.union(BloomFilter.from_bytes(row["blob"], n_hashes))
+    bits_ref = ray.put(merged.to_bytes())
+    state: dict = {}
+
+    def probe(batch: pa.Table) -> pd.DataFrame:
+        f = state.get("f")
+        if f is None:
+            f = state["f"] = BloomFilter.from_bytes(ray.get(bits_ref), n_hashes)
+        ids = batch["doc_id"].to_numpy(zero_copy_only=False)
+        keep = ~_eval_mask(ids)
+        row_idx, grams = _word_grams(batch["text"], n)
+        empty = pd.DataFrame(
+            {"doc_id": pd.Series([], dtype="int64"), "gram": pd.Series([], dtype=object)}
+        )
+        if len(grams) == 0:
+            return empty
+        cand = f.contains_many(grams) & keep[row_idx]
+        if not cand.any():
+            return empty
+        return pd.DataFrame(
+            {
+                "doc_id": ids[row_idx[cand]].astype(np.int64),
+                "gram": pd.Series(grams[cand], dtype=object),
+            }
+        )
+
+    candidates = ds.map_batches(probe, batch_format="pyarrow")
+
+    def verify(lf: pd.DataFrame, rf: pd.DataFrame) -> pd.DataFrame:
+        empty = pd.DataFrame(
+            {"doc_id": pd.Series([], dtype="int64"), "n": pd.Series([], dtype="int64")}
+        )
+        if not len(lf):
+            return empty
+        hit = lf["doc_id"][lf["gram"].isin(set(rf["gram"]))]
+        if not len(hit):
+            return empty
+        g = hit.groupby(hit).size()
+        return pd.DataFrame(
+            {"doc_id": g.index.to_numpy(np.int64), "n": g.to_numpy(np.int64)}
+        )
+
+    counts = copartition_apply(candidates, eval_grams, "gram", "gram", verify)
+    # a doc's candidate grams span gram-partitions; one combiner pass over
+    # the candidate-bounded count stream folds them per doc
+    out = to_pandas_with_schema(
+        combiner_aggregate(counts, "doc_id", {"n_contaminated": ("n", "sum")})
+    )
+    if not len(out):
+        return pd.DataFrame(
+            {
+                "doc_id": pd.Series([], dtype="int64"),
+                "n_contaminated": pd.Series([], dtype="int64"),
+            }
+        )
+    out["doc_id"] = out["doc_id"].astype("int64")
+    out["n_contaminated"] = out["n_contaminated"].astype("int64")
+    return out.sort_values("doc_id").reset_index(drop=True)
+
+
 # -- repetition ratio ----------------------------------------------------
 
 
@@ -1793,6 +1906,9 @@ ORACLES: Dict[str, str] = {
     "encode_documents": ENCODE_DOCUMENTS_SQL,
     "longest_quartile_docs": LONGEST_QUARTILE_SQL,
     "decontamination": DECONTAMINATION_SQL,
+    # the bloom path is exact by construction (phase-2 verify), so it
+    # shares the exact-broadcast oracle verbatim
+    "bloom_decontaminate": DECONTAMINATION_SQL,
     "repetition_ratio": REPETITION_RATIO_SQL,
     "stratified_sample": STRATIFIED_SAMPLE_SQL,
     "chunk_documents": CHUNK_DOCUMENTS_SQL,
@@ -1816,6 +1932,7 @@ QUERIES = {
     "encode_documents": encode_documents,
     "longest_quartile_docs": longest_quartile_docs,
     "decontamination": decontamination,
+    "bloom_decontaminate": bloom_decontaminate,
     "repetition_ratio": repetition_ratio,
     "stratified_sample": stratified_sample,
     "chunk_documents": chunk_documents,
