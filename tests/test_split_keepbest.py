@@ -1,0 +1,55 @@
+"""Leakage-safe splitting + quality-aware dedup representative selection:
+both consume the minhash near-dup labels, so the properties are checked
+against an INDEPENDENT pandas recompute from the labels + raw documents."""
+
+import hashlib
+
+import pandas as pd
+
+import ray
+
+SF_DIR = "/root/testdata/sf0.001"
+
+
+def _labels():
+    from xmlschema_ray.pipelines.dedup import minhash_lsh_dedup
+
+    return minhash_lsh_dedup(SF_DIR).to_pandas()
+
+
+def test_leakage_split_is_cluster_coherent(ray_session):
+    from xmlschema_ray.pipelines.dedup import leakage_safe_split
+
+    sp = leakage_safe_split(SF_DIR).to_pandas()
+    # every cluster lands wholly in one split — the guard the op exists for
+    assert (sp.groupby("cluster_root")["split"].nunique() == 1).all()
+    # corpus has real multi-member clusters, so the property is non-vacuous
+    assert (sp.groupby("cluster_root").size() >= 2).any()
+    # split is the declared function of the root hash, row by row
+    def expected(root):
+        h = hashlib.md5(str(root).encode()).hexdigest()[0]
+        return "test" if h >= "e" else ("val" if h >= "c" else "train")
+
+    assert (sp["split"] == sp["cluster_root"].map(expected)).all()
+    assert set(sp["split"].unique()) == {"train", "val", "test"}
+    # all docs assigned exactly once
+    assert sp["doc_id"].is_unique and len(sp) == 500
+
+
+def test_dedup_keep_best_matches_pandas_recompute(ray_session):
+    from xmlschema_ray.pipelines.dedup import dedup_keep_best
+
+    got = dedup_keep_best(SF_DIR).to_pandas()
+    labels = _labels()
+    docs = pd.read_parquet(f"{SF_DIR}/documents.parquet", columns=["doc_id", "n_chars"])
+    j = labels.merge(docs, on="doc_id")
+    j = j.sort_values(["cluster_root", "n_chars", "doc_id"], ascending=[True, False, True])
+    g = j.groupby("cluster_root", sort=True)
+    exp = g.head(1).rename(columns={"doc_id": "keep_doc_id", "n_chars": "keep_n_chars"})
+    exp = exp.merge(g.size().rename("n_members").reset_index(), on="cluster_root")
+    exp = exp[exp["n_members"] >= 2].reset_index(drop=True)
+    pd.testing.assert_frame_equal(
+        got.reset_index(drop=True),
+        exp[["cluster_root", "keep_doc_id", "keep_n_chars", "n_members"]].astype("int64"),
+    )
+    assert len(got) > 0

@@ -481,7 +481,11 @@ def minhash_lsh_dedup(
 # text (the Ray side verifies over hashed shingles — identical modulo a
 # 2^-64 hash collision), and clustered with a recursive transitive-closure
 # CTE whose min reachable id equals the min-label/union-find root.
-MINHASH_SQL = r"""
+# Shared CTE prefix: recomputes the verified near-dup clusters from the
+# dumped band rows + raw text, ending in a `clusters` CTE — reused by the
+# split/keep-best consumers below so their oracles re-derive the SAME
+# clustering end-to-end rather than trusting the Ray labels.
+_MINHASH_CC_CTE = r"""
 WITH RECURSIVE docs AS (
   SELECT doc_id, regexp_split_to_array(trim(text), '\s+') AS ws FROM documents
 ), sh AS (
@@ -509,9 +513,114 @@ WITH RECURSIVE docs AS (
   SELECT doc_id, doc_id FROM docs
   UNION
   SELECT r.n, e.t FROM r JOIN edges e ON e.s = r.m
+), clusters AS (
+  SELECT n AS doc_id, CAST(MIN(m) AS BIGINT) AS cluster_root
+  FROM r GROUP BY n
 )
-SELECT n AS doc_id, CAST(MIN(m) AS BIGINT) AS cluster_root
-FROM r GROUP BY n ORDER BY doc_id
+"""
+
+MINHASH_SQL = _MINHASH_CC_CTE + "SELECT doc_id, cluster_root FROM clusters ORDER BY doc_id\n"
+
+
+def leakage_safe_split(sf_dir: str) -> "rd.Dataset":
+    """Cluster-coherent train/val/test assignment — the eval-leakage guard
+    a pretraining pipeline runs when carving held-out data: a plain
+    per-document hash split puts near-duplicates of training docs into the
+    eval set, silently inflating benchmark scores. Here the split decision
+    is a deterministic hash of the near-dup CLUSTER root, so every member
+    of a cluster lands in the SAME split by construction (md5 first hex
+    digit: c-d → val, e-f → test, else train ⇒ a 12/2/2 ratio in
+    expectation).
+
+    Scale shape: one streaming map over the (doc_id, cluster_root) label
+    Dataset :func:`minhash_lsh_dedup` already produces distributedly — the
+    split adds NO exchange beyond the clustering itself.
+    """
+    from xmlschema_ray.pipelines.curation import _md5_hex
+
+    labels = minhash_lsh_dedup(sf_dir)
+
+    def add_split(t: pa.Table) -> pa.Table:
+        roots = t["cluster_root"].to_numpy(zero_copy_only=False)
+        first = np.array([h[0] for h in _md5_hex(roots)])
+        split = np.where(first >= "e", "test", np.where(first >= "c", "val", "train"))
+        return t.append_column("split", pa.array(list(split), type=pa.string()))
+
+    # map_batches preserves block order, so the labels' canonical doc_id
+    # sort survives
+    return labels.map_batches(add_split, batch_format="pyarrow", zero_copy_batch=True)
+
+
+LEAKAGE_SPLIT_SQL = _MINHASH_CC_CTE + """
+SELECT doc_id, cluster_root,
+  CASE WHEN substring(md5(CAST(cluster_root AS VARCHAR)), 1, 1) BETWEEN 'c' AND 'd' THEN 'val'
+       WHEN substring(md5(CAST(cluster_root AS VARCHAR)), 1, 1) >= 'e' THEN 'test'
+       ELSE 'train' END AS split
+FROM clusters ORDER BY doc_id
+"""
+
+
+def dedup_keep_best(sf_dir: str) -> "rd.Dataset":
+    """Quality-aware canonical-representative selection per near-dup
+    cluster (the production alternative to keep-lowest-id: near-dup groups
+    keep their LONGEST member — ``n_chars`` as the quality proxy — tie
+    broken by lowest doc_id). One row per multi-member cluster:
+    ``(cluster_root, keep_doc_id, keep_n_chars, n_members)``.
+
+    Scale shape: the labels Dataset joins the pruned ``(doc_id, n_chars)``
+    projection with ONE bucketed exchange; the argmax-per-cluster then
+    follows the ``first_order_per_customer`` combiner pattern — a per-batch
+    pre-reduce (one candidate row + member count per cluster per batch,
+    best-of and count both associative) before a single hash-partitioned
+    merge, so the reduce exchange ships cluster-cardinality partials,
+    never the corpus.
+    """
+    from xmlschema_ray.ops.relational import hash_bucket_join, hash_partition_apply
+    from xmlschema_ray.pipelines.common import sorted_or_typed_empty
+
+    labels = minhash_lsh_dedup(sf_dir)
+    docs = rd.read_parquet(table_path(sf_dir, "documents"), columns=["doc_id", "n_chars"])
+    joined = hash_bucket_join(labels, docs, "doc_id", "doc_id")
+
+    cols = ["cluster_root", "keep_doc_id", "keep_n_chars", "n_members"]
+
+    def best_partial(b: pd.DataFrame) -> pd.DataFrame:
+        b = b.sort_values(
+            ["cluster_root", "n_chars", "doc_id"], ascending=[True, False, True]
+        )
+        g = b.groupby("cluster_root", sort=False)
+        first = g.head(1).rename(columns={"doc_id": "keep_doc_id", "n_chars": "keep_n_chars"})
+        cnt = g.size().rename("n_members").reset_index()
+        return first.merge(cnt, on="cluster_root")[cols].reset_index(drop=True)
+
+    def best_merge(g: pd.DataFrame) -> pd.DataFrame:
+        s = g.sort_values(
+            ["cluster_root", "keep_n_chars", "keep_doc_id"], ascending=[True, False, True]
+        )
+        first = s.groupby("cluster_root", sort=False).head(1).drop(columns="n_members")
+        cnt = g.groupby("cluster_root", sort=False)["n_members"].sum().reset_index()
+        out = first.merge(cnt, on="cluster_root")
+        return out[out["n_members"] >= 2][cols].reset_index(drop=True)
+
+    partials = joined.map_batches(best_partial, batch_format="pandas")
+    red = hash_partition_apply(partials, "cluster_root", best_merge)
+    template = pd.DataFrame({c: pd.Series([], dtype="int64") for c in cols})
+    return sorted_or_typed_empty(red, ["cluster_root"], template=template)
+
+
+DEDUP_KEEP_BEST_SQL = _MINHASH_CC_CTE + """
+, j AS (
+  SELECT c.cluster_root, d.doc_id, d.n_chars
+  FROM clusters c JOIN documents d USING (doc_id)
+), ranked AS (
+  SELECT cluster_root, doc_id, n_chars,
+         row_number() OVER (PARTITION BY cluster_root ORDER BY n_chars DESC, doc_id) AS rn,
+         COUNT(*) OVER (PARTITION BY cluster_root) AS n_members
+  FROM j
+)
+SELECT cluster_root, doc_id AS keep_doc_id, CAST(n_chars AS BIGINT) AS keep_n_chars,
+       CAST(n_members AS BIGINT) AS n_members
+FROM ranked WHERE rn = 1 AND n_members >= 2 ORDER BY cluster_root
 """
 
 
@@ -1851,6 +1960,8 @@ ORACLES: Dict[str, str] = {
     "simhash_pairs": SIMHASH_SQL,
     "simhash_clusters": SIMHASH_CLUSTERS_SQL,
     "minhash_lsh_dedup": MINHASH_SQL,
+    "leakage_safe_split": LEAKAGE_SPLIT_SQL,
+    "dedup_keep_best": DEDUP_KEEP_BEST_SQL,
     "embedding_dup_pairs_ivf": EMBEDDING_DUP_IVF_SQL,
     "semantic_dedup": SEMANTIC_DEDUP_SQL,
     "substring_dup_pairs": SUBSTRING_DUP_SQL,
@@ -1864,6 +1975,8 @@ QUERIES = {
     "cdc_boilerplate_chunks": cdc_boilerplate_chunks,
     "ngram_jaccard_pairs": ngram_jaccard_pairs,
     "minhash_lsh_dedup": minhash_lsh_dedup,
+    "leakage_safe_split": leakage_safe_split,
+    "dedup_keep_best": dedup_keep_best,
     "simhash_pairs": simhash_pairs,
     "simhash_clusters": simhash_clusters,
     "embedding_dup_pairs": embedding_dup_pairs,
