@@ -36,6 +36,52 @@ def test_leakage_split_is_cluster_coherent(ray_session):
     assert sp["doc_id"].is_unique and len(sp) == 500
 
 
+def test_cross_source_dup_matrix_matches_pandas_recompute(ray_session):
+    from xmlschema_ray.pipelines.dedup import cross_source_dup_matrix, minhash_verified_pairs
+
+    got = cross_source_dup_matrix(SF_DIR).to_pandas()
+    edges, _, _ = minhash_verified_pairs(SF_DIR)
+    e = edges.to_pandas()
+    docs = pd.read_parquet(f"{SF_DIR}/documents.parquet", columns=["doc_id", "source"])
+    m = e.merge(docs.rename(columns={"doc_id": "a", "source": "sa"}), on="a").merge(
+        docs.rename(columns={"doc_id": "b", "source": "sb"}), on="b"
+    )
+    lo, hi = m[["sa", "sb"]].min(axis=1), m[["sa", "sb"]].max(axis=1)
+    exp = (
+        pd.DataFrame({"source_a": lo, "source_b": hi})
+        .groupby(["source_a", "source_b"])
+        .size()
+        .rename("n_pairs")
+        .reset_index()
+        .sort_values(["source_a", "source_b"])
+        .reset_index(drop=True)
+    )
+    exp["n_pairs"] = exp["n_pairs"].astype("int64")
+    pd.testing.assert_frame_equal(got.reset_index(drop=True), exp)
+    assert int(got["n_pairs"].sum()) == len(e) > 0
+
+
+def test_embedding_centroids_match_numpy(ray_session):
+    import numpy as np
+
+    from xmlschema_ray.pipelines.similarity import embedding_centroids_by_label
+
+    got = embedding_centroids_by_label(SF_DIR).to_pandas()
+    emb = pd.read_parquet(f"{SF_DIR}/embeddings.parquet", columns=["label", "embedding"])
+    mat = np.floor(np.stack(emb["embedding"].to_numpy()).astype(np.float64) * 1e6 + 0.5).astype(
+        np.int64
+    )
+    for label, g in got.groupby("label"):
+        sel = mat[(emb["label"] == label).to_numpy()]
+        assert (g["n"] == len(sel)).all()
+        assert np.array_equal(g.sort_values("dim")["sum_scaled"].to_numpy(), sel.sum(axis=0))
+        assert np.array_equal(
+            g.sort_values("dim")["centroid_scaled"].to_numpy(),
+            sel.sum(axis=0).astype(np.float64) / len(sel),
+        )
+    assert got["label"].nunique() >= 2 and len(got) == got["label"].nunique() * 64
+
+
 def test_dedup_keep_best_matches_pandas_recompute(ray_session):
     from xmlschema_ray.pipelines.dedup import dedup_keep_best
 

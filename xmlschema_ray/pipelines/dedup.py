@@ -319,33 +319,28 @@ def _cc_finalize(
     return cc_ds.map_batches(shape, batch_format="pyarrow", zero_copy_batch=True).sort("doc_id")
 
 
-def minhash_lsh_dedup(
+def minhash_verified_pairs(
     sf_dir: str,
     shingle_n: int = 3,
     n_perm: int = 128,
     n_bands: int = 32,
     threshold: float = 0.5,
-    cc_pairs_threshold: int = 100_000,
-    cc_broadcast_nodes_threshold: int = 20_000_000,
     distributed_threshold_bytes: "int | None" = None,
     oracle_dump: bool = True,
-) -> "rd.Dataset":
-    """MinHash-LSH near-dup clusters: a (doc_id, cluster_root) Dataset,
-    canonically sorted in Ray (no per-doc driver collect).
-
-    Pipeline (the standard MinHash-LSH shape, SURVEY §2.9): per-batch
-    signatures → explode
-    (band_hash, doc_id) → bucket groupby (the corpus-wide shuffle) →
-    candidate pairs → exact-Jaccard verify → connected components.
+) -> "Tuple[rd.Dataset, rd.Dataset, int]":
+    """Signatures → LSH candidates → exact-Jaccard verify; returns the
+    verified near-dup EDGE Dataset (int64 ``a``/``b``, a < b) plus the doc
+    stream and its node count — the shared front half of the MinHash
+    family, consumed by :func:`minhash_lsh_dedup` (clustering) and
+    :func:`cross_source_dup_matrix` (provenance analytics).
 
     Adaptive verify: above the corpus-size threshold the verify is fully
     DISTRIBUTED — shingle sets are semi-joined to candidate docs and
     hash-bucket-joined to the (deduped) pair set twice (pairs-by-a, then
-    pairs-by-b) — and connected components switch from driver union-find
-    to distributed min-label propagation past ``cc_pairs_threshold``
-    verified pairs. Below the threshold the verify collects the
-    CANDIDATE-SCOPED shingle rows (never the whole corpus) and loops the
-    pairs driver-side. Forced-path tests prove the plans identical.
+    pairs-by-b). Below it the verify collects the CANDIDATE-SCOPED shingle
+    rows (never the corpus) and loops the pairs driver-side; the edge set
+    returns as a (pair-sized) Dataset either way. Forced-path tests prove
+    the plans identical.
     """
     a, b = H.minhash_params(n_perm)
     ds = rd.read_parquet(table_path(sf_dir, "documents"), columns=["doc_id", "text"])
@@ -378,7 +373,6 @@ def minhash_lsh_dedup(
             {"a": np.concatenate(outs_a), "b": np.concatenate(outs_b)}
         ).drop_duplicates()
 
-    from xmlschema_ray.ops.graph import union_find
     from xmlschema_ray.ops.relational import (
         hash_bucket_join,
         hash_partition_apply,
@@ -412,12 +406,15 @@ def minhash_lsh_dedup(
             }
         )
 
+    _empty_edges = pd.DataFrame(
+        {"a": pd.array([], dtype="int64"), "b": pd.array([], dtype="int64")}
+    )
     if not distributed:
         # driver verify over CANDIDATE-SCOPED rows: pairs + only the
         # shingle sets of docs that appear in some pair (never the corpus)
         cand_pdf = cand.to_pandas().drop_duplicates()
         if cand_pdf.empty:
-            return _label_stream(ds, {})
+            return rd.from_pandas(_empty_edges), ds, n_nodes
         cand_ids = pd.unique(pd.concat([cand_pdf["a"], cand_pdf["b"]]))
         srows = semi_join(
             ds.map_batches(shingle_rows, batch_format="pandas"), cand_ids, on="doc_id"
@@ -431,8 +428,12 @@ def minhash_lsh_dedup(
             for x, y in zip(cand_pdf["a"], cand_pdf["b"])
             if H.jaccard(sets[int(x)], sets[int(y)]) >= threshold
         ]
-        touched = sorted({x for p in verified for x in p})
-        return _label_stream(ds, union_find(touched, verified))
+        edf = (
+            pd.DataFrame(verified, columns=["a", "b"]).astype("int64")
+            if verified
+            else _empty_edges
+        )
+        return rd.from_pandas(edf), ds, n_nodes
 
     # distributed verify: dedup the pair set with one pair-keyed shuffle
     # (pair-sized, not corpus-sized), semi-join shingles to candidate docs,
@@ -470,9 +471,98 @@ def minhash_lsh_dedup(
         )
 
     edges = j.map_batches(verify, batch_format="pandas").materialize()
+    return edges, ds, n_nodes
+
+
+def minhash_lsh_dedup(
+    sf_dir: str,
+    shingle_n: int = 3,
+    n_perm: int = 128,
+    n_bands: int = 32,
+    threshold: float = 0.5,
+    cc_pairs_threshold: int = 100_000,
+    cc_broadcast_nodes_threshold: int = 20_000_000,
+    distributed_threshold_bytes: "int | None" = None,
+    oracle_dump: bool = True,
+) -> "rd.Dataset":
+    """MinHash-LSH near-dup clusters: a (doc_id, cluster_root) Dataset,
+    canonically sorted in Ray (no per-doc driver collect).
+
+    Pipeline (the standard MinHash-LSH shape, SURVEY §2.9): per-batch
+    signatures → explode (band_hash, doc_id) → bucket groupby (the
+    corpus-wide shuffle) → candidate pairs → exact-Jaccard verify
+    (:func:`minhash_verified_pairs`, adaptive driver/distributed) →
+    connected components (three proven-identical tiers, from driver
+    union-find below ``cc_pairs_threshold`` verified pairs up to
+    Dataset-join label propagation past ``cc_broadcast_nodes_threshold``
+    nodes).
+    """
+    edges, ds, n_nodes = minhash_verified_pairs(
+        sf_dir,
+        shingle_n=shingle_n,
+        n_perm=n_perm,
+        n_bands=n_bands,
+        threshold=threshold,
+        distributed_threshold_bytes=distributed_threshold_bytes,
+        oracle_dump=oracle_dump,
+    )
     return _cc_finalize(
         edges, edges.count(), n_nodes, ds, cc_pairs_threshold, cc_broadcast_nodes_threshold
     )
+
+
+def cross_source_dup_matrix(sf_dir: str) -> "rd.Dataset":
+    """Cross-source near-duplication matrix — provenance analytics over the
+    verified MinHash pair set: how many near-dup pairs SPAN each (source,
+    source) combination (unordered, lexicographic canonical order). The
+    diagnostic behind source-level dedup decisions: a heavy off-diagonal
+    cell means two crawls mirror each other and one side can be dropped
+    wholesale before per-doc dedup.
+
+    Scale shape: the verified EDGE set is pair-sized by construction;
+    joining each endpoint to the pruned ``(doc_id, source)`` projection is
+    two bucketed exchanges whose left side is the pair set, and the final
+    count is a combiner reduce over ≤ |sources|² keys.
+    """
+    from xmlschema_ray.ops.relational import combiner_aggregate, hash_bucket_join
+    from xmlschema_ray.pipelines.common import sorted_or_typed_empty
+
+    edges, _, _ = minhash_verified_pairs(sf_dir)
+    src = rd.read_parquet(table_path(sf_dir, "documents"), columns=["doc_id", "source"])
+    src_a = src.map_batches(
+        lambda t: t.select(["doc_id", "source"]).rename_columns(["doc_id", "__src_a"]),
+        batch_format="pyarrow",
+    )
+    src_b = src.map_batches(
+        lambda t: t.select(["doc_id", "source"]).rename_columns(["doc_id", "__src_b"]),
+        batch_format="pyarrow",
+    )
+    j = hash_bucket_join(hash_bucket_join(edges, src_a, "a", "doc_id"), src_b, "b", "doc_id")
+
+    def canonical(b: pd.DataFrame) -> pd.DataFrame:
+        sa = b["__src_a"].to_numpy(dtype=object)
+        sb = b["__src_b"].to_numpy(dtype=object)
+        swap = sa > sb
+        lo, hi = np.where(swap, sb, sa), np.where(swap, sa, sb)
+        return pd.DataFrame(
+            {
+                "source_a": pd.Series(lo, dtype=object),
+                "source_b": pd.Series(hi, dtype=object),
+            }
+        )
+
+    pairs = j.map_batches(canonical, batch_format="pandas")
+    counts = combiner_aggregate(pairs, ["source_a", "source_b"], {"n_pairs": (None, "count")})
+    template = pd.DataFrame(
+        {
+            "source_a": pd.Series([], dtype=object),
+            "source_b": pd.Series([], dtype=object),
+            "n_pairs": pd.Series([], dtype="int64"),
+        }
+    )
+    return sorted_or_typed_empty(counts, ["source_a", "source_b"], template=template)
+
+
 
 
 # DuckDB cross-check of everything downstream of the MinHash signatures:
@@ -606,6 +696,19 @@ def dedup_keep_best(sf_dir: str) -> "rd.Dataset":
     red = hash_partition_apply(partials, "cluster_root", best_merge)
     template = pd.DataFrame({c: pd.Series([], dtype="int64") for c in cols})
     return sorted_or_typed_empty(red, ["cluster_root"], template=template)
+
+
+# the `verified` CTE inside the prefix IS the oracle's edge set; the
+# unreferenced recursive-closure CTEs cost nothing (DuckDB materializes
+# only reachable CTEs)
+CROSS_SOURCE_DUP_SQL = _MINHASH_CC_CTE + """
+, src AS (SELECT doc_id, source FROM documents)
+SELECT LEAST(sa.source, sb.source) AS source_a,
+       GREATEST(sa.source, sb.source) AS source_b,
+       CAST(COUNT(*) AS BIGINT) AS n_pairs
+FROM verified v JOIN src sa ON sa.doc_id = v.a JOIN src sb ON sb.doc_id = v.b
+GROUP BY 1, 2 ORDER BY 1, 2
+"""
 
 
 DEDUP_KEEP_BEST_SQL = _MINHASH_CC_CTE + """
@@ -1962,6 +2065,7 @@ ORACLES: Dict[str, str] = {
     "minhash_lsh_dedup": MINHASH_SQL,
     "leakage_safe_split": LEAKAGE_SPLIT_SQL,
     "dedup_keep_best": DEDUP_KEEP_BEST_SQL,
+    "cross_source_dup_matrix": CROSS_SOURCE_DUP_SQL,
     "embedding_dup_pairs_ivf": EMBEDDING_DUP_IVF_SQL,
     "semantic_dedup": SEMANTIC_DEDUP_SQL,
     "substring_dup_pairs": SUBSTRING_DUP_SQL,
@@ -1977,6 +2081,7 @@ QUERIES = {
     "minhash_lsh_dedup": minhash_lsh_dedup,
     "leakage_safe_split": leakage_safe_split,
     "dedup_keep_best": dedup_keep_best,
+    "cross_source_dup_matrix": cross_source_dup_matrix,
     "simhash_pairs": simhash_pairs,
     "simhash_clusters": simhash_clusters,
     "embedding_dup_pairs": embedding_dup_pairs,

@@ -556,11 +556,76 @@ ORDER BY cluster
 """
 
 
+def embedding_centroids_by_label(sf_dir: str) -> "rd.Dataset":
+    """Per-label centroid of the embedding corpus as MERGEABLE INTEGER
+    MOMENTS — the class-profile op (label prototypes for nearest-class-mean
+    audits, classifier drift checks, per-class dispersion baselines).
+
+    Scale shape: embeddings are scaled to int64 per dimension (the repo's
+    ``floor(x*1e6 + 0.5)`` oracle idiom, ``pipelines/common.py``) so
+    per-batch per-label vector sums are exact AND associative; each batch
+    contributes ≤ |labels| × dim integer partial rows to ONE combiner
+    exchange — label-cardinality, never corpus rows. The centroid is a
+    single int64/int64 → double division per output row, so the result is
+    bit-exact against the SQL oracle at any parallelism.
+    """
+    from xmlschema_ray.ops.relational import combiner_aggregate
+    from xmlschema_ray.pipelines.common import scaled_int
+
+    ds = rd.read_parquet(table_path(sf_dir, "embeddings"), columns=["label", "embedding"])
+
+    def partial(batch: pd.DataFrame) -> pd.DataFrame:
+        mat = scaled_int(np.stack(batch["embedding"].to_numpy()), 1_000_000.0)
+        uniq, inv = np.unique(batch["label"].to_numpy(), return_inverse=True)
+        k, d = len(uniq), mat.shape[1]
+        sums = np.zeros((k, d), dtype=np.int64)
+        np.add.at(sums, inv, mat)
+        cnt = np.bincount(inv, minlength=k).astype(np.int64)
+        return pd.DataFrame(
+            {
+                "label": np.repeat(uniq.astype(np.int64), d),
+                "dim": np.tile(np.arange(d, dtype=np.int64), k),
+                "n": np.repeat(cnt, d),
+                "sum_scaled": sums.reshape(-1),
+            }
+        )
+
+    partials = ds.map_batches(partial, batch_format="pandas")
+    agg = combiner_aggregate(
+        partials,
+        ["label", "dim"],
+        {"n": ("n", "sum"), "sum_scaled": ("sum_scaled", "sum")},
+    )
+
+    def finalize(b: pd.DataFrame) -> pd.DataFrame:
+        b = b.copy(deep=False)
+        b["centroid_scaled"] = b["sum_scaled"].to_numpy(np.float64) / b["n"].to_numpy(
+            np.float64
+        )
+        return b[["label", "dim", "n", "sum_scaled", "centroid_scaled"]]
+
+    return agg.map_batches(finalize, batch_format="pandas").sort(["label", "dim"])
+
+
+EMBEDDING_CENTROIDS_SQL = """
+WITH e AS (
+  SELECT CAST(label AS BIGINT) AS label, CAST(i - 1 AS BIGINT) AS dim,
+         CAST(floor(CAST(embedding[i] AS DOUBLE) * 1000000 + 0.5) AS BIGINT) AS v
+  FROM embeddings, LATERAL unnest(generate_series(1, len(embedding))) AS t(i)
+)
+SELECT label, dim, CAST(COUNT(*) AS BIGINT) AS n,
+       CAST(SUM(v) AS BIGINT) AS sum_scaled,
+       CAST(SUM(v) AS DOUBLE) / COUNT(*) AS centroid_scaled
+FROM e GROUP BY label, dim ORDER BY label, dim
+"""
+
+
 ORACLES: Dict[str, str] = {
     "knn_cosine": KNN_SQL,
     "knn_lsh": KNN_LSH_SQL,
     "knn_ivf": KNN_IVF_SQL,
     "embedding_kmeans": EMBEDDING_KMEANS_SQL,
+    "embedding_centroids_by_label": EMBEDDING_CENTROIDS_SQL,
 }
 
 QUERIES = {
@@ -568,4 +633,5 @@ QUERIES = {
     "knn_lsh": knn_lsh,
     "knn_ivf": knn_ivf,
     "embedding_kmeans": embedding_kmeans,
+    "embedding_centroids_by_label": embedding_centroids_by_label,
 }
