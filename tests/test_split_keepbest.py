@@ -82,6 +82,39 @@ def test_embedding_centroids_match_numpy(ray_session):
     assert got["label"].nunique() >= 2 and len(got) == got["label"].nunique() * 64
 
 
+def test_pretraining_manifest_consistent_with_parts(ray_session):
+    """The composed manifest must agree with its constituent operators:
+    selected docs ⊆ train split ∩ gopher-keep ∩ not-dropped, counted
+    per source (full recompute from the three already-tested parts)."""
+    from xmlschema_ray.pipelines.curation import pretraining_manifest
+    from xmlschema_ray.pipelines.dedup import dedup_keep_best, leakage_safe_split
+    from xmlschema_ray.pipelines.textstats import gopher_quality_flags
+
+    got = pretraining_manifest(SF_DIR)
+    sp = leakage_safe_split(SF_DIR).to_pandas()
+    kb = dedup_keep_best(SF_DIR).to_pandas()
+    gq = gopher_quality_flags(SF_DIR).to_pandas()
+    docs = pd.read_parquet(f"{SF_DIR}/documents.parquet", columns=["doc_id", "source"])
+    m = sp.merge(gq[["doc_id", "n_words", "keep"]], on="doc_id").merge(docs, on="doc_id")
+    m = m.merge(kb[["cluster_root", "keep_doc_id"]], on="cluster_root", how="left")
+    sel = (
+        (m["split"] == "train")
+        & (m["keep"] == 1)
+        & (m["keep_doc_id"].isna() | (m["keep_doc_id"] == m["doc_id"]))
+    )
+    exp = (
+        m[sel]
+        .groupby("source")
+        .agg(n_docs=("doc_id", "size"), n_tokens=("n_words", "sum"))
+        .reset_index()
+        .sort_values("source")
+        .reset_index(drop=True)
+        .astype({"n_docs": "int64", "n_tokens": "int64"})
+    )
+    pd.testing.assert_frame_equal(got, exp)
+    assert len(got) > 0 and (got["n_docs"] > 0).any()
+
+
 def test_dedup_keep_best_matches_pandas_recompute(ray_session):
     from xmlschema_ray.pipelines.dedup import dedup_keep_best
 

@@ -495,6 +495,133 @@ def bloom_decontaminate(
     return out.sort_values("doc_id").reset_index(drop=True)
 
 
+def pretraining_manifest(sf_dir: str) -> pd.DataFrame:
+    """The composed raw-corpus → training-manifest showpiece: near-dup
+    clustering → quality-aware representative selection → leakage-safe
+    split → Gopher quality gate → per-source token accounting, each stage
+    the repo's own oracled operator, fused into one plan:
+
+    1. MinHash clusters computed ONCE (labels materialized, feeding both
+       consumers — no second clustering pass);
+    2. multi-member clusters keep only their longest member
+       (:func:`~xmlschema_ray.pipelines.dedup.keep_best_from_labels`); the
+       keeper map is dup-cluster-sized, broadcast via ``ray.put`` (swap to
+       a second ``hash_bucket_join`` past broadcast scale, the
+       ``strip_dup_spans`` threshold pattern);
+    3. docs whose cluster-root hash lands in 'train' (the
+       ``leakage_safe_split`` rule — eval near-dups can never leak in);
+    4. the Gopher keep decision (the exact factored kernel
+       ``textstats.gopher_flags_batch``);
+    5. per-source doc/token totals through one combiner exchange.
+
+    Exchanges: ONE corpus-sized label×features bucket join (plus the
+    clustering's own), then metadata-sized reduces. Output is
+    |sources| rows.
+    """
+    from xmlschema_ray.ops.relational import (
+        combiner_aggregate,
+        hash_bucket_join,
+        to_pandas_with_schema,
+    )
+    from xmlschema_ray.pipelines.dedup import keep_best_from_labels, minhash_lsh_dedup
+    from xmlschema_ray.pipelines.textstats import gopher_flags_batch
+
+    labels = minhash_lsh_dedup(sf_dir).materialize()
+    kb = keep_best_from_labels(labels, sf_dir).to_pandas()
+    kb_small = kb[["cluster_root", "keep_doc_id"]].astype("int64")
+    kb_ref = ray.put(kb_small)
+    state: dict = {}
+
+    docs = rd.read_parquet(
+        table_path(sf_dir, "documents"), columns=["doc_id", "text", "source"]
+    )
+
+    def feats(batch: pa.Table) -> pd.DataFrame:
+        g = gopher_flags_batch(batch.select(["doc_id", "text"]))
+        out = g[["doc_id", "n_words"]].copy()
+        out["keep_q"] = g["keep"]
+        out["source"] = batch["source"].to_numpy(zero_copy_only=False)
+        return out
+
+    f = docs.map_batches(feats, batch_format="pyarrow")
+    j = hash_bucket_join(labels, f, "doc_id", "doc_id")
+
+    def decide(b: pd.DataFrame) -> pd.DataFrame:
+        drop = state.get("kb")
+        if drop is None:
+            drop = state["kb"] = ray.get(kb_ref)
+        first = np.array([h[0] for h in _md5_hex(b["cluster_root"].to_numpy())])
+        m = b.merge(drop, on="cluster_root", how="left")
+        not_dropped = m["keep_doc_id"].isna().to_numpy() | (
+            m["keep_doc_id"].to_numpy() == m["doc_id"].to_numpy()
+        )
+        sel = (first < "c") & not_dropped & (b["keep_q"].to_numpy() == 1)
+        return b.loc[sel, ["source", "n_words"]].reset_index(drop=True)
+
+    selected = j.map_batches(decide, batch_format="pandas")
+    agg = combiner_aggregate(
+        selected, "source", {"n_docs": (None, "count"), "n_tokens": ("n_words", "sum")}
+    )
+    out = to_pandas_with_schema(agg)
+    out["n_docs"] = out["n_docs"].astype("int64")
+    out["n_tokens"] = out["n_tokens"].astype("int64")
+    return out.sort_values("source").reset_index(drop=True)
+
+
+def _pretraining_manifest_sql() -> str:
+    from xmlschema_ray.pipelines.dedup import _MINHASH_CC_CTE
+
+    return _MINHASH_CC_CTE + r"""
+, kb AS (
+  SELECT c.cluster_root, c.doc_id,
+         row_number() OVER (PARTITION BY c.cluster_root ORDER BY d.n_chars DESC, c.doc_id) AS rn,
+         COUNT(*) OVER (PARTITION BY c.cluster_root) AS n_members
+  FROM clusters c JOIN documents d USING (doc_id)
+), keepers AS (
+  SELECT cluster_root, doc_id AS keep_doc_id FROM kb WHERE rn = 1 AND n_members >= 2
+), base AS (
+  SELECT doc_id, source,
+    list_filter(regexp_split_to_array(trim(text), '\s+'), w -> w <> '') AS ws,
+    list_filter(regexp_split_to_array(trim(lower(text)), '\s+'), w -> w <> '') AS lws,
+    CAST(length(regexp_replace(text, '\s+', '', 'g')) AS BIGINT) AS n_word_chars,
+    CAST(length(text) - length(replace(text, '#', '')) AS BIGINT)
+      + CAST((length(text) - length(replace(text, '...', ''))) / 3 AS BIGINT) AS n_sym
+  FROM documents
+), m AS (
+  SELECT doc_id, source, n_word_chars, n_sym,
+    CAST(length(ws) AS BIGINT) AS n_words,
+    CAST(length(list_filter(ws, w -> regexp_matches(w, '[A-Za-z]'))) AS BIGINT)
+      AS n_alpha_words,
+    CAST(CASE WHEN list_contains(lws, 'the') THEN 1 ELSE 0 END
+       + CASE WHEN list_contains(lws, 'a') THEN 1 ELSE 0 END
+       + CASE WHEN list_contains(lws, 'and') THEN 1 ELSE 0 END
+       + CASE WHEN list_contains(lws, 'of') THEN 1 ELSE 0 END
+       + CASE WHEN list_contains(lws, 'to') THEN 1 ELSE 0 END
+       + CASE WHEN list_contains(lws, 'is') THEN 1 ELSE 0 END
+       + CASE WHEN list_contains(lws, 'in') THEN 1 ELSE 0 END
+       + CASE WHEN list_contains(lws, 'that') THEN 1 ELSE 0 END AS BIGINT) AS n_stop
+  FROM base
+), g AS (
+  SELECT doc_id, source, n_words,
+    CAST(n_words BETWEEN 30 AND 80 AS BIGINT)
+      * CAST(3 * n_words <= n_word_chars AND n_word_chars <= 10 * n_words AS BIGINT)
+      * CAST(10 * n_sym <= n_words AS BIGINT)
+      * CAST(5 * n_alpha_words >= 4 * n_words AS BIGINT)
+      * CAST(n_stop >= 2 AS BIGINT) AS keep_q
+  FROM m
+)
+SELECT g.source, CAST(COUNT(*) AS BIGINT) AS n_docs,
+       CAST(SUM(g.n_words) AS BIGINT) AS n_tokens
+FROM clusters c
+JOIN g ON g.doc_id = c.doc_id
+LEFT JOIN keepers k ON k.cluster_root = c.cluster_root
+WHERE substring(md5(CAST(c.cluster_root AS VARCHAR)), 1, 1) < 'c'
+  AND (k.cluster_root IS NULL OR k.keep_doc_id = c.doc_id)
+  AND g.keep_q = 1
+GROUP BY g.source ORDER BY g.source
+"""
+
+
 # -- repetition ratio ----------------------------------------------------
 
 
@@ -1896,8 +2023,11 @@ FROM a ORDER BY lang
 """
 
 
+PRETRAINING_MANIFEST_SQL = _pretraining_manifest_sql()
+
 ORACLES: Dict[str, str] = {
     "top_words": TOP_WORDS_SQL,
+    "pretraining_manifest": PRETRAINING_MANIFEST_SQL,
     "unimax_language_budgets": UNIMAX_SQL,
     "top_bigrams": TOP_BIGRAMS_SQL,
     "redact_terms": REDACT_TERMS_SQL,
@@ -1924,6 +2054,7 @@ ORACLES: Dict[str, str] = {
 
 QUERIES = {
     "top_words": top_words,
+    "pretraining_manifest": pretraining_manifest,
     "unimax_language_budgets": unimax_language_budgets,
     "top_bigrams": top_bigrams,
     "redact_terms": redact_terms,

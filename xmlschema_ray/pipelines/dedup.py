@@ -665,10 +665,15 @@ def dedup_keep_best(sf_dir: str) -> "rd.Dataset":
     merge, so the reduce exchange ships cluster-cardinality partials,
     never the corpus.
     """
+    return keep_best_from_labels(minhash_lsh_dedup(sf_dir), sf_dir)
+
+
+def keep_best_from_labels(labels: "rd.Dataset", sf_dir: str) -> "rd.Dataset":
+    """:func:`dedup_keep_best` over a PRECOMPUTED (doc_id, cluster_root)
+    label Dataset — composed pipelines cluster once and reuse the labels."""
     from xmlschema_ray.ops.relational import hash_bucket_join, hash_partition_apply
     from xmlschema_ray.pipelines.common import sorted_or_typed_empty
 
-    labels = minhash_lsh_dedup(sf_dir)
     docs = rd.read_parquet(table_path(sf_dir, "documents"), columns=["doc_id", "n_chars"])
     joined = hash_bucket_join(labels, docs, "doc_id", "doc_id")
 

@@ -233,66 +233,70 @@ def gopher_quality_flags(sf_dir: str) -> "rd.Dataset":
     One Arrow split pass feeds every rule; stopword presence is eight
     equality+bincount passes (list-sized, not row-looped).
     """
+    ds = rd.read_parquet(table_path(sf_dir, "documents"), columns=["doc_id", "text"])
+    return ds.map_batches(gopher_flags_batch, batch_format="pyarrow")
+
+
+def gopher_flags_batch(batch: "pa.Table") -> pd.DataFrame:
+    """The Gopher rule kernel on one Arrow batch (factored so composed
+    pipelines — e.g. ``curation.pretraining_manifest`` — apply the exact
+    same integer rules without a second implementation)."""
     import pyarrow as pa
     import pyarrow.compute as pc
 
-    ds = rd.read_parquet(table_path(sf_dir, "documents"), columns=["doc_id", "text"])
+    text = batch["text"]
+    if isinstance(text, pa.ChunkedArray):
+        text = text.combine_chunks()
+    n_rows = len(batch)
+    lists = pc.utf8_split_whitespace(text)
+    flat = pc.list_flatten(lists)
+    parent = pc.list_parent_indices(lists).to_numpy(zero_copy_only=False)
+    flat_len = pc.utf8_length(flat).to_numpy(zero_copy_only=False).astype(np.int64)
+    nonempty = flat_len > 0
+    n_words = np.bincount(parent[nonempty], minlength=n_rows).astype(np.int64)
+    n_word_chars = np.bincount(
+        parent, weights=flat_len, minlength=n_rows
+    ).astype(np.int64)
+    alpha = pc.match_substring_regex(flat, "[A-Za-z]").to_numpy(
+        zero_copy_only=False
+    )
+    n_alpha_words = np.bincount(parent[alpha], minlength=n_rows).astype(np.int64)
+    n_sym = (
+        pc.count_substring(text, "#").to_numpy(zero_copy_only=False)
+        + pc.count_substring(text, "...").to_numpy(zero_copy_only=False)
+    ).astype(np.int64)
+    flat_lower = pc.utf8_lower(flat)
+    n_stop = np.zeros(n_rows, dtype=np.int64)
+    for s in GOPHER_STOPWORDS:
+        hits = pc.equal(flat_lower, s).to_numpy(zero_copy_only=False)
+        n_stop += (np.bincount(parent[hits], minlength=n_rows) > 0).astype(np.int64)
+    f_words = (
+        (n_words >= GOPHER_MIN_WORDS) & (n_words <= GOPHER_MAX_WORDS)
+    ).astype(np.int64)
+    f_mwl = (
+        (GOPHER_MIN_MWL * n_words <= n_word_chars)
+        & (n_word_chars <= GOPHER_MAX_MWL * n_words)
+    ).astype(np.int64)
+    f_sym = (10 * n_sym <= n_words).astype(np.int64)
+    f_alpha = (5 * n_alpha_words >= 4 * n_words).astype(np.int64)
+    f_stop = (n_stop >= 2).astype(np.int64)
+    return pd.DataFrame(
+        {
+            "doc_id": batch["doc_id"].to_numpy().astype(np.int64),
+            "n_words": n_words,
+            "n_word_chars": n_word_chars,
+            "n_alpha_words": n_alpha_words,
+            "n_sym": n_sym,
+            "n_stop": n_stop,
+            "f_words": f_words,
+            "f_mwl": f_mwl,
+            "f_sym": f_sym,
+            "f_alpha": f_alpha,
+            "f_stop": f_stop,
+            "keep": f_words * f_mwl * f_sym * f_alpha * f_stop,
+        }
+    )
 
-    def fn(batch: pa.Table) -> pd.DataFrame:
-        text = batch["text"]
-        if isinstance(text, pa.ChunkedArray):
-            text = text.combine_chunks()
-        n_rows = len(batch)
-        lists = pc.utf8_split_whitespace(text)
-        flat = pc.list_flatten(lists)
-        parent = pc.list_parent_indices(lists).to_numpy(zero_copy_only=False)
-        flat_len = pc.utf8_length(flat).to_numpy(zero_copy_only=False).astype(np.int64)
-        nonempty = flat_len > 0
-        n_words = np.bincount(parent[nonempty], minlength=n_rows).astype(np.int64)
-        n_word_chars = np.bincount(
-            parent, weights=flat_len, minlength=n_rows
-        ).astype(np.int64)
-        alpha = pc.match_substring_regex(flat, "[A-Za-z]").to_numpy(
-            zero_copy_only=False
-        )
-        n_alpha_words = np.bincount(parent[alpha], minlength=n_rows).astype(np.int64)
-        n_sym = (
-            pc.count_substring(text, "#").to_numpy(zero_copy_only=False)
-            + pc.count_substring(text, "...").to_numpy(zero_copy_only=False)
-        ).astype(np.int64)
-        flat_lower = pc.utf8_lower(flat)
-        n_stop = np.zeros(n_rows, dtype=np.int64)
-        for s in GOPHER_STOPWORDS:
-            hits = pc.equal(flat_lower, s).to_numpy(zero_copy_only=False)
-            n_stop += (np.bincount(parent[hits], minlength=n_rows) > 0).astype(np.int64)
-        f_words = (
-            (n_words >= GOPHER_MIN_WORDS) & (n_words <= GOPHER_MAX_WORDS)
-        ).astype(np.int64)
-        f_mwl = (
-            (GOPHER_MIN_MWL * n_words <= n_word_chars)
-            & (n_word_chars <= GOPHER_MAX_MWL * n_words)
-        ).astype(np.int64)
-        f_sym = (10 * n_sym <= n_words).astype(np.int64)
-        f_alpha = (5 * n_alpha_words >= 4 * n_words).astype(np.int64)
-        f_stop = (n_stop >= 2).astype(np.int64)
-        return pd.DataFrame(
-            {
-                "doc_id": batch["doc_id"].to_numpy().astype(np.int64),
-                "n_words": n_words,
-                "n_word_chars": n_word_chars,
-                "n_alpha_words": n_alpha_words,
-                "n_sym": n_sym,
-                "n_stop": n_stop,
-                "f_words": f_words,
-                "f_mwl": f_mwl,
-                "f_sym": f_sym,
-                "f_alpha": f_alpha,
-                "f_stop": f_stop,
-                "keep": f_words * f_mwl * f_sym * f_alpha * f_stop,
-            }
-        )
-
-    return ds.map_batches(fn, batch_format="pyarrow")
 
 
 GOPHER_QUALITY_SQL = r"""
