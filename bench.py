@@ -76,6 +76,14 @@ QUERY_NAMES = [
     "bpe_pair_counts",
     "gopher_quality_flags",
     "ccnet_lm_buckets",
+    # continuation-session-3 additions: the Bloom-broadcast decontamination
+    # scale path (filter build + candidate-sized verify exchange), the
+    # provenance dup matrix (pair-sized joins over the factored verified
+    # edges), and the composed raw-corpus -> training-manifest plan
+    # (clusters once + keep-best + split + Gopher + accounting)
+    "bloom_decontaminate",
+    "cross_source_dup_matrix",
+    "pretraining_manifest",
 ]
 
 

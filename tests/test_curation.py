@@ -316,3 +316,45 @@ def test_waterfill_alloc_regimes():
     caps = np.array([10, 20, 10_000, 10_000])
     a = waterfill_alloc(caps, 1_000)
     assert (a <= caps).all() and a.sum() <= 1_000
+
+
+def test_hll_vocab_registers_estimate_accuracy(ray_session):
+    """The md5-replayable HLL registers must estimate per-source distinct
+    vocabulary within the sketch's design error (1.6% at p=12; generous 5%
+    gate), and register values must match a direct numpy recompute."""
+    import hashlib
+
+    import numpy as np
+    import pandas as pd
+
+    from xmlschema_ray.pipelines.curation import hll_vocab_by_source
+
+    sf = "/root/testdata/sf0.001"
+    got = hll_vocab_by_source(sf)
+    docs = pd.read_parquet(f"{sf}/documents.parquet", columns=["source", "text"])
+    m = 1 << 12
+    alpha = 0.7213 / (1.0 + 1.079 / m)
+    for src, g in got.groupby("source"):
+        vocab = set()
+        for t in docs.loc[docs["source"] == src, "text"]:
+            vocab.update(w for w in t.split() if w)
+        # register-level recompute
+        reg = np.zeros(m, dtype=np.int64)
+        for w in vocab:
+            h = int.from_bytes(hashlib.md5(w.encode()).digest()[:8], "big")
+            b, rem = h >> 52, h & ((1 << 52) - 1)
+            rank = 53 - rem.bit_length() if rem else 53
+            reg[b] = max(reg[b], rank)
+        hit = np.flatnonzero(reg)
+        assert np.array_equal(g.sort_values("bucket")["bucket"].to_numpy(), hit)
+        assert np.array_equal(g.sort_values("bucket")["rank"].to_numpy(), reg[hit])
+        # estimate accuracy (raw HLL estimate, no small-range correction —
+        # vocab ~ thousands >> 2.5*m is not true here, so allow linear-
+        # counting fallback when zeros exist)
+        zeros = m - len(hit)
+        if zeros > 0:
+            est = m * np.log(m / zeros)
+        else:
+            full = np.zeros(m); full[hit] = reg[hit]
+            est = alpha * m * m / np.sum(np.exp2(-full))
+        assert abs(est - len(vocab)) / len(vocab) < 0.05, (src, est, len(vocab))

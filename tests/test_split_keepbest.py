@@ -39,7 +39,8 @@ def test_leakage_split_is_cluster_coherent(ray_session):
 def test_cross_source_dup_matrix_matches_pandas_recompute(ray_session):
     from xmlschema_ray.pipelines.dedup import cross_source_dup_matrix, minhash_verified_pairs
 
-    got = cross_source_dup_matrix(SF_DIR).to_pandas()
+    got = cross_source_dup_matrix(SF_DIR)
+    got = got.to_pandas() if hasattr(got, "to_pandas") else got
     edges, _, _ = minhash_verified_pairs(SF_DIR)
     e = edges.to_pandas()
     docs = pd.read_parquet(f"{SF_DIR}/documents.parquet", columns=["doc_id", "source"])
@@ -59,6 +60,10 @@ def test_cross_source_dup_matrix_matches_pandas_recompute(ray_session):
     exp["n_pairs"] = exp["n_pairs"].astype("int64")
     pd.testing.assert_frame_equal(got.reset_index(drop=True), exp)
     assert int(got["n_pairs"].sum()) == len(e) > 0
+    # forced distributed plan (two bucketed joins + combiner) is identical
+    forced = cross_source_dup_matrix(SF_DIR, broadcast_pairs_threshold=0)
+    forced = forced.to_pandas() if hasattr(forced, "to_pandas") else forced
+    pd.testing.assert_frame_equal(forced.reset_index(drop=True), exp)
 
 
 def test_embedding_centroids_match_numpy(ray_session):

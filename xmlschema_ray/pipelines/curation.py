@@ -158,6 +158,128 @@ LIMIT 20
 """
 
 
+def hll_vocab_by_source(sf_dir: str, p: int = 12) -> pd.DataFrame:
+    """Per-source vocabulary HyperLogLog — the engine's mergeable
+    distinct-count sketch (``engine/stats.py``) brought UNDER THE ORACLE
+    GATE: registers here are derived from ``md5`` (not the engine's
+    SipHash) so DuckDB recomputes every register value exactly, proving the
+    bucket/rank/max-merge machinery itself, not just an estimate.
+
+    Layout: 64-bit hash = first 16 md5 hex chars; top ``p`` bits pick the
+    register, rank = leading-zero count of the remaining ``64-p`` bits + 1
+    (capped at ``64-p+1`` when they are all zero — the engine's OR-mask
+    convention, ``stats.py:72``). Per batch, per source: fold the batch's
+    DISTINCT words (vocabulary-bounded, the ``cdc_boilerplate_chunks``
+    md5-over-uniques cost profile) and emit only NONZERO registers; the
+    combiner's per-(source, register) MAX is the HLL merge — sparse
+    register rows ride the exchange, never words. Output: one row per hit
+    register. At 10^12 docs the exchange is ≤ sources × 4096 rows per
+    batch — the whole point of the sketch.
+    """
+    import hashlib
+
+    from xmlschema_ray.ops.relational import combiner_aggregate, to_pandas_with_schema
+
+    m = 1 << p
+    shift = 64 - p
+    ds = rd.read_parquet(table_path(sf_dir, "documents"), columns=["source", "text"])
+
+    def partial(batch: pa.Table) -> pd.DataFrame:
+        offsets, flat = _split_words(batch["text"])
+        src = batch["source"].to_numpy(zero_copy_only=False)
+        n_rows = len(src)
+        row_idx = np.repeat(np.arange(n_rows), np.diff(offsets))
+        keep = np.array([len(w) > 0 for w in flat], dtype=bool)
+        out_src, out_bucket, out_rank = [], [], []
+        for s in pd.unique(src):
+            words = pd.unique(flat[keep & (src[row_idx] == s)])
+            if len(words) == 0:
+                continue
+            h = np.fromiter(
+                (
+                    int.from_bytes(hashlib.md5(str(w).encode("utf-8")).digest()[:8], "big")
+                    for w in words
+                ),
+                dtype=np.uint64,
+                count=len(words),
+            )
+            bucket = (h >> np.uint64(shift)).astype(np.int64)
+            # rank from the low 64-p bits EXACTLY: the remainder fits a
+            # float64 mantissa (< 2^52), so frexp's exponent IS bit_length
+            # — no log2-at-2^63 rounding edge (the engine's own HLL may
+            # use floats on both sides; here the oracle side is exact
+            # string algebra, so this side must be exact integer algebra)
+            rem = (h & np.uint64((1 << shift) - 1)).astype(np.float64)
+            exp = np.frexp(rem)[1]
+            rank = np.where(rem > 0, (shift + 1) - exp, shift + 1).astype(np.int64)
+            reg = np.zeros(m, dtype=np.int64)
+            np.maximum.at(reg, bucket, rank)
+            hit = np.flatnonzero(reg)
+            out_src.append(np.full(len(hit), s, dtype=object))
+            out_bucket.append(hit)
+            out_rank.append(reg[hit])
+        if not out_src:
+            return pd.DataFrame(
+                {
+                    "source": pd.Series([], dtype=object),
+                    "bucket": pd.Series([], dtype="int64"),
+                    "rank": pd.Series([], dtype="int64"),
+                }
+            )
+        return pd.DataFrame(
+            {
+                "source": np.concatenate(out_src),
+                "bucket": np.concatenate(out_bucket).astype(np.int64),
+                "rank": np.concatenate(out_rank).astype(np.int64),
+            }
+        )
+
+    partials = ds.map_batches(partial, batch_format="pyarrow")
+    merged = combiner_aggregate(
+        partials, ["source", "bucket"], {"rank": ("rank", "max")}
+    )
+    out = to_pandas_with_schema(merged)
+    out["bucket"] = out["bucket"].astype("int64")
+    out["rank"] = out["rank"].astype("int64")
+    return out.sort_values(["source", "bucket"]).reset_index(drop=True)
+
+
+# rank replay in pure string algebra: z leading zero NIBBLES of the 13-char
+# remainder, then the first nonzero hex char's intra-nibble zeros; the
+# all-zero remainder hits the engine's OR-mask cap 64-p+1 = 53 (p=12 → the
+# top 3 hex chars are the bucket).
+HLL_VOCAB_SQL = r"""
+WITH raw AS (
+  SELECT source,
+         unnest(list_filter(regexp_split_to_array(trim(text), '\s+'), x -> x <> '')) AS word
+  FROM documents
+), w AS (
+  SELECT DISTINCT source, word FROM raw
+), h AS (
+  SELECT source, md5(word) AS x FROM w
+), b AS (
+  SELECT source,
+    CAST((strpos('0123456789abcdef', substring(x, 1, 1)) - 1) * 256
+       + (strpos('0123456789abcdef', substring(x, 2, 1)) - 1) * 16
+       + (strpos('0123456789abcdef', substring(x, 3, 1)) - 1) AS BIGINT) AS bucket,
+    length(regexp_extract(substring(x, 4, 13), '^0*')) AS z,
+    substring(x, 4 + length(regexp_extract(substring(x, 4, 13), '^0*')), 1) AS c
+  FROM h
+), r AS (
+  SELECT source, bucket,
+    CAST(CASE WHEN z = 13 THEN 53
+         ELSE 4 * z + (CASE WHEN c = '1' THEN 3
+                            WHEN c IN ('2', '3') THEN 2
+                            WHEN c IN ('4', '5', '6', '7') THEN 1
+                            ELSE 0 END) + 1
+    END AS BIGINT) AS rank
+  FROM b
+)
+SELECT source, bucket, MAX(rank) AS rank
+FROM r GROUP BY source, bucket ORDER BY source, bucket
+"""
+
+
 def top_bigrams(sf_dir: str, k: int = 20) -> pd.DataFrame:
     """Global word-bigram top-k (collocation mining / tokenizer-merge
     candidates). Same shape as ``top_words``: one partial row per distinct
@@ -501,10 +623,11 @@ def pretraining_manifest(sf_dir: str) -> pd.DataFrame:
     split → Gopher quality gate → per-source token accounting, each stage
     the repo's own oracled operator, fused into one plan:
 
-    1. MinHash clusters computed ONCE (labels materialized, feeding both
-       consumers — no second clustering pass);
+    1. MinHash clusters computed ONCE; the labels×features join is paid
+       ONCE and its materialized stream feeds both the keep-best reduce
+       and the per-doc decide pass;
     2. multi-member clusters keep only their longest member
-       (:func:`~xmlschema_ray.pipelines.dedup.keep_best_from_labels`); the
+       (:func:`~xmlschema_ray.pipelines.dedup.keep_best_from_joined`); the
        keeper map is dup-cluster-sized, broadcast via ``ray.put`` (swap to
        a second ``hash_bucket_join`` past broadcast scale, the
        ``strip_dup_spans`` threshold pattern);
@@ -523,17 +646,13 @@ def pretraining_manifest(sf_dir: str) -> pd.DataFrame:
         hash_bucket_join,
         to_pandas_with_schema,
     )
-    from xmlschema_ray.pipelines.dedup import keep_best_from_labels, minhash_lsh_dedup
+    from xmlschema_ray.pipelines.dedup import keep_best_from_joined, minhash_lsh_dedup
     from xmlschema_ray.pipelines.textstats import gopher_flags_batch
 
-    labels = minhash_lsh_dedup(sf_dir).materialize()
-    kb = keep_best_from_labels(labels, sf_dir).to_pandas()
-    kb_small = kb[["cluster_root", "keep_doc_id"]].astype("int64")
-    kb_ref = ray.put(kb_small)
-    state: dict = {}
+    labels = minhash_lsh_dedup(sf_dir)
 
     docs = rd.read_parquet(
-        table_path(sf_dir, "documents"), columns=["doc_id", "text", "source"]
+        table_path(sf_dir, "documents"), columns=["doc_id", "text", "source", "n_chars"]
     )
 
     def feats(batch: pa.Table) -> pd.DataFrame:
@@ -541,10 +660,18 @@ def pretraining_manifest(sf_dir: str) -> pd.DataFrame:
         out = g[["doc_id", "n_words"]].copy()
         out["keep_q"] = g["keep"]
         out["source"] = batch["source"].to_numpy(zero_copy_only=False)
+        out["n_chars"] = batch["n_chars"].to_numpy(zero_copy_only=False).astype(np.int64)
         return out
 
     f = docs.map_batches(feats, batch_format="pyarrow")
-    j = hash_bucket_join(labels, f, "doc_id", "doc_id")
+    # ONE corpus-sized exchange total: the joined stream is materialized
+    # and feeds BOTH the keep-best reduce (cluster-cardinality partials)
+    # and the per-doc decide pass — no second labels×docs join
+    j = hash_bucket_join(labels, f, "doc_id", "doc_id").materialize()
+    kb = keep_best_from_joined(j).to_pandas()
+    kb_small = kb[["cluster_root", "keep_doc_id"]].astype("int64")
+    kb_ref = ray.put(kb_small)
+    state: dict = {}
 
     def decide(b: pd.DataFrame) -> pd.DataFrame:
         drop = state.get("kb")
@@ -2028,6 +2155,7 @@ PRETRAINING_MANIFEST_SQL = _pretraining_manifest_sql()
 ORACLES: Dict[str, str] = {
     "top_words": TOP_WORDS_SQL,
     "pretraining_manifest": PRETRAINING_MANIFEST_SQL,
+    "hll_vocab_by_source": HLL_VOCAB_SQL,
     "unimax_language_budgets": UNIMAX_SQL,
     "top_bigrams": TOP_BIGRAMS_SQL,
     "redact_terms": REDACT_TERMS_SQL,
@@ -2055,6 +2183,7 @@ ORACLES: Dict[str, str] = {
 QUERIES = {
     "top_words": top_words,
     "pretraining_manifest": pretraining_manifest,
+    "hll_vocab_by_source": hll_vocab_by_source,
     "unimax_language_budgets": unimax_language_budgets,
     "top_bigrams": top_bigrams,
     "redact_terms": redact_terms,

@@ -511,7 +511,9 @@ def minhash_lsh_dedup(
     )
 
 
-def cross_source_dup_matrix(sf_dir: str) -> "rd.Dataset":
+def cross_source_dup_matrix(
+    sf_dir: str, broadcast_pairs_threshold: int = 2_000_000
+) -> "rd.Dataset | pd.DataFrame":
     """Cross-source near-duplication matrix — provenance analytics over the
     verified MinHash pair set: how many near-dup pairs SPAN each (source,
     source) combination (unordered, lexicographic canonical order). The
@@ -519,16 +521,57 @@ def cross_source_dup_matrix(sf_dir: str) -> "rd.Dataset":
     cell means two crawls mirror each other and one side can be dropped
     wholesale before per-doc dedup.
 
-    Scale shape: the verified EDGE set is pair-sized by construction;
-    joining each endpoint to the pruned ``(doc_id, source)`` projection is
-    two bucketed exchanges whose left side is the pair set, and the final
-    count is a combiner reduce over ≤ |sources|² keys.
+    Adaptive plan on the pair count (the edge set is pair-sized by
+    construction): below ``broadcast_pairs_threshold`` the edge-touched id
+    set (≤ 2·pairs) semi-join-prunes the streamed ``(doc_id, source)``
+    projection and the matrix is a driver groupby over pair-bounded rows —
+    ZERO exchanges beyond the clustering itself. Above it, each endpoint
+    joins the source projection with a bucketed exchange (pair-sized left)
+    and a ≤ |sources|²-key combiner reduces. Forced-path test proves the
+    plans identical.
     """
-    from xmlschema_ray.ops.relational import combiner_aggregate, hash_bucket_join
+    from xmlschema_ray.ops.relational import (
+        combiner_aggregate,
+        hash_bucket_join,
+        semi_join,
+    )
     from xmlschema_ray.pipelines.common import sorted_or_typed_empty
 
     edges, _, _ = minhash_verified_pairs(sf_dir)
+    n_pairs = edges.count()
     src = rd.read_parquet(table_path(sf_dir, "documents"), columns=["doc_id", "source"])
+    template = pd.DataFrame(
+        {
+            "source_a": pd.Series([], dtype=object),
+            "source_b": pd.Series([], dtype=object),
+            "n_pairs": pd.Series([], dtype="int64"),
+        }
+    )
+
+    if n_pairs <= broadcast_pairs_threshold:
+        e = edges.to_pandas()
+        if e.empty:
+            return template
+        ids = pd.unique(pd.concat([e["a"], e["b"]]))
+        sm = semi_join(src, ids, on="doc_id").to_pandas()
+        mp = dict(zip(sm["doc_id"], sm["source"]))
+        sa = e["a"].map(mp).to_numpy(dtype=object)
+        sb = e["b"].map(mp).to_numpy(dtype=object)
+        swap = sa > sb
+        out = (
+            pd.DataFrame(
+                {"source_a": np.where(swap, sb, sa), "source_b": np.where(swap, sa, sb)}
+            )
+            .groupby(["source_a", "source_b"])
+            .size()
+            .rename("n_pairs")
+            .reset_index()
+            .sort_values(["source_a", "source_b"])
+            .reset_index(drop=True)
+        )
+        out["n_pairs"] = out["n_pairs"].astype("int64")
+        return out
+
     src_a = src.map_batches(
         lambda t: t.select(["doc_id", "source"]).rename_columns(["doc_id", "__src_a"]),
         batch_format="pyarrow",
@@ -553,13 +596,6 @@ def cross_source_dup_matrix(sf_dir: str) -> "rd.Dataset":
 
     pairs = j.map_batches(canonical, batch_format="pandas")
     counts = combiner_aggregate(pairs, ["source_a", "source_b"], {"n_pairs": (None, "count")})
-    template = pd.DataFrame(
-        {
-            "source_a": pd.Series([], dtype=object),
-            "source_b": pd.Series([], dtype=object),
-            "n_pairs": pd.Series([], dtype="int64"),
-        }
-    )
     return sorted_or_typed_empty(counts, ["source_a", "source_b"], template=template)
 
 
@@ -671,16 +707,25 @@ def dedup_keep_best(sf_dir: str) -> "rd.Dataset":
 def keep_best_from_labels(labels: "rd.Dataset", sf_dir: str) -> "rd.Dataset":
     """:func:`dedup_keep_best` over a PRECOMPUTED (doc_id, cluster_root)
     label Dataset — composed pipelines cluster once and reuse the labels."""
-    from xmlschema_ray.ops.relational import hash_bucket_join, hash_partition_apply
-    from xmlschema_ray.pipelines.common import sorted_or_typed_empty
+    from xmlschema_ray.ops.relational import hash_bucket_join
 
     docs = rd.read_parquet(table_path(sf_dir, "documents"), columns=["doc_id", "n_chars"])
-    joined = hash_bucket_join(labels, docs, "doc_id", "doc_id")
+    return keep_best_from_joined(hash_bucket_join(labels, docs, "doc_id", "doc_id"))
+
+
+def keep_best_from_joined(joined: "rd.Dataset") -> "rd.Dataset":
+    """Argmax-per-cluster over any stream carrying ``cluster_root``,
+    ``doc_id``, ``n_chars`` — composed pipelines that already paid a
+    labels×features join reuse it instead of joining the corpus twice."""
+    from xmlschema_ray.ops.relational import hash_partition_apply
+    from xmlschema_ray.pipelines.common import sorted_or_typed_empty
 
     cols = ["cluster_root", "keep_doc_id", "keep_n_chars", "n_members"]
 
     def best_partial(b: pd.DataFrame) -> pd.DataFrame:
-        b = b.sort_values(
+        # the stream may carry extra feature columns — the partial ships
+        # only the three the reduce needs
+        b = b[["cluster_root", "doc_id", "n_chars"]].sort_values(
             ["cluster_root", "n_chars", "doc_id"], ascending=[True, False, True]
         )
         g = b.groupby("cluster_root", sort=False)
