@@ -1724,8 +1724,135 @@ ORDER BY o_orderkey
 """
 
 
+def _levenshtein(a: str, b: str) -> int:
+    """Plain unit-cost edit distance (insert/delete/substitute, no
+    transposition) — must match DuckDB's ``levenshtein`` exactly; strings
+    here are short names, so the full DP is the honest kernel."""
+    if a == b:
+        return 0
+    la, lb = len(a), len(b)
+    prev = list(range(lb + 1))
+    for i in range(1, la + 1):
+        cur = [i] + [0] * lb
+        ca = a[i - 1]
+        for j in range(1, lb + 1):
+            cur[j] = min(prev[j] + 1, cur[j - 1] + 1, prev[j - 1] + (ca != b[j - 1]))
+        prev = cur
+    return prev[lb]
+
+
+def _deletion_neighborhood(s: str, k: int) -> set:
+    """All strings reachable by deleting ≤ k characters (SymSpell keys)."""
+    out = {s}
+    frontier = {s}
+    for _ in range(k):
+        nxt = set()
+        for t in frontier:
+            for i in range(len(t)):
+                nxt.add(t[:i] + t[i + 1 :])
+        out |= nxt
+        frontier = nxt
+    return out
+
+
+def similar_part_names(sf_dir: str, max_dist: int = 2) -> pd.DataFrame:
+    """Fuzzy string SELF-JOIN (record linkage / entity resolution): all
+    distinct part-name pairs within Levenshtein ``max_dist``, found EXACTLY
+    via SymSpell deletion-neighborhood blocking (Garbe's algorithm): if
+    ``edit(a, b) ≤ k`` then deleting ≤ k chars from each side yields a
+    SHARED variant — every true pair provably shares a blocking key (the
+    guarantee q-gram blocking lacks on short strings), and false positives
+    die in the exact verify. The approximate-join operator class the
+    LSH/banding family can't express (edit distance, not set overlap).
+
+    Scale shape: the name VOCABULARY flows, never the part fact table —
+    per-batch distinct partials → one combiner dedupe; each name explodes
+    to O(len^k) deletion keys through ONE key-hashed exchange; candidate
+    pairs and the Levenshtein verify are candidate-bounded (pair-keyed
+    dedupe exchange, the minhash shape).
+    """
+    from xmlschema_ray.ops.relational import hash_partition_apply, to_pandas_with_schema
+
+    ds = rd.read_parquet(table_path(sf_dir, "part"), columns=["p_name"])
+    names = hash_partition_apply(
+        ds.map_batches(lambda b: b.drop_duplicates(), batch_format="pandas"),
+        "p_name",
+        lambda g: g.drop_duplicates(),
+    )
+
+    def key_rows(b: pd.DataFrame) -> pd.DataFrame:
+        ks, ns = [], []
+        for name in b["p_name"]:
+            for d in _deletion_neighborhood(name, max_dist):
+                ks.append(d)
+                ns.append(name)
+        return pd.DataFrame(
+            {"key": pd.Series(ks, dtype=object), "name": pd.Series(ns, dtype=object)}
+        )
+
+    keyed = names.map_batches(key_rows, batch_format="pandas")
+
+    def bucket_pairs(g: pd.DataFrame) -> pd.DataFrame:
+        outs_a, outs_b = [], []
+        for _, grp in g.groupby("key", sort=False)["name"]:
+            u = np.unique(grp.to_numpy())
+            if len(u) >= 2:
+                ia, ib = np.triu_indices(len(u), k=1)
+                outs_a.append(u[ia])
+                outs_b.append(u[ib])
+        if not outs_a:
+            return pd.DataFrame(
+                {"a": pd.Series([], dtype=object), "b": pd.Series([], dtype=object)}
+            )
+        return pd.DataFrame(
+            {"a": np.concatenate(outs_a), "b": np.concatenate(outs_b)}
+        ).drop_duplicates()
+
+    cand = hash_partition_apply(keyed, "key", bucket_pairs)
+
+    def verify(g: pd.DataFrame) -> pd.DataFrame:
+        g = g.drop_duplicates()
+        ka, kb, dist = [], [], []
+        for a, b in zip(g["a"], g["b"]):
+            d = _levenshtein(a, b)
+            if d <= max_dist:
+                ka.append(a)
+                kb.append(b)
+                dist.append(d)
+        return pd.DataFrame(
+            {
+                "name_a": pd.Series(ka, dtype=object),
+                "name_b": pd.Series(kb, dtype=object),
+                "dist": pd.Series(dist, dtype="int64"),
+            }
+        )
+
+    out = to_pandas_with_schema(hash_partition_apply(cand, ["a", "b"], verify))
+    if not len(out):
+        return pd.DataFrame(
+            {
+                "name_a": pd.Series([], dtype=object),
+                "name_b": pd.Series([], dtype=object),
+                "dist": pd.Series([], dtype="int64"),
+            }
+        )
+    out["dist"] = out["dist"].astype("int64")
+    return out.sort_values(["name_a", "name_b"]).reset_index(drop=True)
+
+
+SIMILAR_PART_NAMES_SQL = """
+WITH names AS (SELECT DISTINCT p_name AS name FROM part)
+SELECT a.name AS name_a, b.name AS name_b,
+       CAST(levenshtein(a.name, b.name) AS BIGINT) AS dist
+FROM names a JOIN names b ON a.name < b.name
+WHERE levenshtein(a.name, b.name) <= 2
+ORDER BY name_a, name_b
+"""
+
+
 ORACLES = {
     "q1_pricing_summary": Q1_SQL,
+    "similar_part_names": SIMILAR_PART_NAMES_SQL,
     "orders_priority_counts": ORDERS_PRIORITY_SQL,
     "union_entity_keys": UNION_SQL,
     "customers_without_recent_orders": CUSTOMERS_WITHOUT_RECENT_SQL,
@@ -1762,6 +1889,7 @@ ORACLES = {
 
 QUERIES = {
     "q1_pricing_summary": q1_pricing_summary,
+    "similar_part_names": similar_part_names,
     "orders_priority_counts": orders_priority_counts,
     "union_entity_keys": union_entity_keys,
     "customers_without_recent_orders": customers_without_recent_orders,
