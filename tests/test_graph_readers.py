@@ -258,3 +258,43 @@ def test_ivf_index_interrupted_build_recovers(tmp_path, ray_session):
     # second call must REUSE (identical centroids, no rebuild)
     c2 = build_ivf_index(sf, idx, n_centroids=4, sample_size=256)
     assert np.array_equal(c1, c2)
+
+
+def test_embedding_top_component_matches_eigh(ray_session):
+    """Distributed power iteration vs numpy's exact eigendecomposition of
+    X'X: same top direction (|cos| ~ 1), eigenvalue within 0.1%, and the
+    run is deterministic across invocations."""
+    import numpy as np
+    import pandas as pd
+
+    from xmlschema_ray.pipelines.similarity import embedding_top_component
+
+    sf = "/root/testdata/sf0.001"
+    out = embedding_top_component(sf)
+    v = out.sort_values("dim")["component"].to_numpy()
+    emb = pd.read_parquet(f"{sf}/embeddings.parquet", columns=["embedding"])
+    x = np.stack(emb["embedding"].to_numpy()).astype(np.float64)
+    w, vecs = np.linalg.eigh(x.T @ x)
+    top = vecs[:, -1]
+    assert abs(float(v @ top)) > 0.999
+    assert abs(out["eigenvalue"].iloc[0] - w[-1]) / w[-1] < 1e-3
+    # sign convention: largest-|coordinate| entry positive
+    assert v[int(np.argmax(np.abs(v)))] > 0
+    out2 = embedding_top_component(sf)
+    pd.testing.assert_frame_equal(out, out2)
+
+
+def test_embedding_top_component_forced_matvec_path(ray_session):
+    """The distributed matvec plan (forced via threshold=0) finds the same
+    direction as the covariance plan."""
+    import numpy as np
+
+    from xmlschema_ray.pipelines.similarity import embedding_top_component
+
+    sf = "/root/testdata/sf0.001"
+    a = embedding_top_component(sf)
+    b = embedding_top_component(sf, covariance_dim_threshold=0)
+    ca = a.sort_values("dim")["component"].to_numpy()
+    cb = b.sort_values("dim")["component"].to_numpy()
+    assert abs(float(ca @ cb)) > 0.999999
+    assert abs(a["eigenvalue"].iloc[0] - b["eigenvalue"].iloc[0]) / a["eigenvalue"].iloc[0] < 1e-6

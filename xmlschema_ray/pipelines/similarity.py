@@ -620,6 +620,100 @@ FROM e GROUP BY label, dim ORDER BY label, dim
 """
 
 
+def _power_iterate(matvec, d: int, n_iter: int, tol: float):
+    """Shared power-iteration driver: ``matvec(v) -> X'Xv``; returns
+    (direction with largest-|coordinate| entry positive, eigenvalue)."""
+    v = np.zeros(d, dtype=np.float64)
+    v[0] = 1.0
+    nrm = 0.0
+    for _ in range(n_iter):
+        g = matvec(v)
+        nrm = float(np.linalg.norm(g))
+        if nrm == 0.0:
+            break
+        v_new = g / nrm
+        converged = abs(1.0 - abs(float(v_new @ v))) < tol
+        v = v_new
+        if converged:
+            break
+    if v[int(np.argmax(np.abs(v)))] < 0:
+        v = -v
+    return v, nrm
+
+
+def embedding_top_component(
+    sf_dir: str,
+    n_iter: int = 200,
+    tol: float = 1e-12,
+    covariance_dim_threshold: int = 1024,
+) -> pd.DataFrame:
+    """Top principal direction of the corpus embedding matrix's uncentered
+    second moment X'X — the iterative-linear-algebra operator class (the
+    spectral building block behind PCA whitening, embedding-quality
+    probes, and the deflation loop for more components).
+
+    Adaptive physical plan on the embedding dimension:
+
+    * d ≤ ``covariance_dim_threshold``: ONE streaming pass computes
+      per-batch OUTER-PRODUCT partials (d² doubles per batch — a mergeable
+      covariance reduce, never rows), the driver sums the tiny d×d matrix
+      and power-iterates LOCALLY at zero distributed cost. The right plan
+      whenever d² is metadata-sized — corpus size is irrelevant.
+    * large d: distributed matvec loop — each iteration broadcasts the
+      current d-vector (``ray.put``) and one pass reduces per-batch
+      ``Xᵀ(Xv)`` d-vector partials (the distributed-SGD shape; pinned
+      blocks so iterations don't re-read parquet). Early-exits on
+      convergence since every extra iteration is a corpus pass.
+
+    Deterministic (fixed ``e₀`` init, sign fixed so the largest-|coord|
+    entry is positive); forced-path test proves the two plans agree. No
+    SQL oracle — an iterative float fixpoint has no order-independent SQL
+    expression (the ``bpe_train`` precedent); proven against numpy's exact
+    eigendecomposition in ``tests/``.
+    """
+    ds = rd.read_parquet(table_path(sf_dir, "embeddings"), columns=["embedding"])
+    d = len(ds.take(1)[0]["embedding"])
+
+    if d <= covariance_dim_threshold:
+        def cov_partial(batch: pd.DataFrame) -> pd.DataFrame:
+            x = np.stack(batch["embedding"].to_numpy()).astype(np.float64)
+            c = x.T @ x
+            return pd.DataFrame(
+                {
+                    "i": np.repeat(np.arange(d, dtype=np.int64), d),
+                    "j": np.tile(np.arange(d, dtype=np.int64), d),
+                    "c": c.reshape(-1),
+                }
+            )
+
+        parts = ds.map_batches(cov_partial, batch_format="pandas").to_pandas()
+        a = np.zeros((d, d), dtype=np.float64)
+        np.add.at(a, (parts["i"].to_numpy(), parts["j"].to_numpy()), parts["c"].to_numpy())
+        v, lam = _power_iterate(lambda vv: a @ vv, d, n_iter, tol)
+    else:
+        pinned = ds.materialize()  # iterations must not re-read parquet
+
+        def matvec(vv: np.ndarray) -> np.ndarray:
+            v_ref = ray.put(vv)
+
+            def partial(batch: pd.DataFrame, _ref=v_ref) -> pd.DataFrame:
+                w = ray.get(_ref)  # d floats, one fetch per task
+                x = np.stack(batch["embedding"].to_numpy()).astype(np.float64)
+                g = x.T @ (x @ w)
+                return pd.DataFrame({"dim": np.arange(len(g), dtype=np.int64), "g": g})
+
+            p = pinned.map_batches(partial, batch_format="pandas").to_pandas()
+            g = np.zeros(d, dtype=np.float64)
+            np.add.at(g, p["dim"].to_numpy(), p["g"].to_numpy())
+            return g
+
+        v, lam = _power_iterate(matvec, d, n_iter, tol)
+
+    out = pd.DataFrame({"dim": np.arange(d, dtype=np.int64), "component": v})
+    out["eigenvalue"] = lam
+    return out
+
+
 ORACLES: Dict[str, str] = {
     "knn_cosine": KNN_SQL,
     "knn_lsh": KNN_LSH_SQL,
@@ -634,4 +728,7 @@ QUERIES = {
     "knn_ivf": knn_ivf,
     "embedding_kmeans": embedding_kmeans,
     "embedding_centroids_by_label": embedding_centroids_by_label,
+    # no SQL oracle (iterative float fixpoint — the bpe_train precedent);
+    # proven against numpy eigendecomposition in tests/test_graph_readers.py
+    "embedding_top_component": embedding_top_component,
 }
