@@ -189,10 +189,12 @@ def hll_vocab_by_source(sf_dir: str, p: int = 12) -> pd.DataFrame:
         src = batch["source"].to_numpy(zero_copy_only=False)
         n_rows = len(src)
         row_idx = np.repeat(np.arange(n_rows), np.diff(offsets))
-        keep = np.array([len(w) > 0 for w in flat], dtype=bool)
+        keep = flat != ""  # C-looped object compare, not a Python listcomp
+        src_codes, src_uniques = pd.factorize(src)
+        word_codes = src_codes[row_idx]
         out_src, out_bucket, out_rank = [], [], []
-        for s in pd.unique(src):
-            words = pd.unique(flat[keep & (src[row_idx] == s)])
+        for ci, s in enumerate(src_uniques):
+            words = pd.unique(flat[keep & (word_codes == ci)])
             if len(words) == 0:
                 continue
             h = np.fromiter(
