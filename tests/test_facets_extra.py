@@ -209,3 +209,36 @@ def test_unicode_subset_algebra():
     # intervals constructor + containment by codepoint
     s = UnicodeSubset([(0x30, 0x39), 0x41])
     assert 0x35 in s and "A" in s and "B" not in s and len(s) == 11
+
+
+def test_unique_items_facet():
+    """Row-scoped identity (xs:ID-in-scope / uniqueItems): duplicates
+    within one row fire, across rows don't; null items have no identity;
+    null/empty lists never fire; serde round-trips; lint rejects non-lists."""
+    import numpy as np
+    import pyarrow as pa
+    import pytest
+
+    from xmlschema_ray.constraints.facets import SpecError, UniqueItems
+    from xmlschema_ray.constraints.serde import facet_from_json, facet_to_json
+
+    f = UniqueItems()
+    arr = pa.array(
+        [[1, 2, 3], [4, 4], [5, None, None], [], None, [6, 7, 6, 6]],
+        type=pa.list_(pa.int64()),
+    )
+    viol, reprs = f.check(arr)
+    assert viol.tolist() == [False, True, False, False, False, True]
+    assert "4" in reprs[1] and "6" in reprs[5]
+    # string items + cross-row same value is NOT a duplicate
+    sarr = pa.array([["a", "b"], ["a", "c"], ["x", "x"]], type=pa.list_(pa.string()))
+    v2, _ = f.check(sarr)
+    assert v2.tolist() == [False, False, True]
+    # sliced array (offsets not starting at 0)
+    v3, _ = f.check(arr.slice(1, 5))
+    assert v3.tolist() == [True, False, False, False, True]
+    # serde + lint
+    assert facet_from_json(facet_to_json(f)) == f
+    with pytest.raises(SpecError, match="uniqueItems"):
+        f.lint(pa.int64())
+    f.lint(pa.list_(pa.string()))

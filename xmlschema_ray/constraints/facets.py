@@ -480,6 +480,60 @@ class ItemFacets(Facet):
 
 
 @dataclass(frozen=True)
+class UniqueItems(Facet):
+    """Every item within a row's list must be DISTINCT — the row-scoped
+    identity constraint: ``xs:ID`` uniqueness within its document scope
+    (the reference builds per-scope identity value tables,
+    ``validators/identities.py``; here scope = one row) and JSON Schema's
+    ``uniqueItems``. Cross-row uniqueness is ``UniqueKey``; this is the
+    within-row counterpart.
+
+    Vectorized: one ``list_flatten``, one (row, value) lexsort, adjacent-
+    equal detection — no per-row Python. Null LISTS never fire; null
+    ITEMS are dropped before comparison (a null has no identity, so two
+    nulls are not duplicates — the XSD view of absent IDs).
+    """
+
+    def check(self, arr):
+        if isinstance(arr, pa.ChunkedArray):
+            arr = arr.combine_chunks()
+        n = len(arr)
+        viol = np.zeros(n, dtype=bool)
+        reprs = np.full(n, None, dtype=object)
+        if n == 0:
+            return viol, reprs
+        values = pc.list_flatten(arr)
+        if len(values) == 0:
+            return viol, reprs
+        parent = pc.list_parent_indices(arr).to_numpy(zero_copy_only=False)
+        if values.null_count:
+            keep = ~_null_mask(values)
+            flat = values.drop_null().to_numpy(zero_copy_only=False)
+            parent = parent[keep]
+        else:
+            flat = values.to_numpy(zero_copy_only=False)
+        if len(flat) < 2:
+            return viol, reprs
+        order = np.lexsort((flat, parent))
+        fs, rs = flat[order], parent[order]
+        dup = (rs[1:] == rs[:-1]) & (fs[1:] == fs[:-1])
+        if dup.any():
+            bad_rows, first_ix = np.unique(rs[1:][dup], return_index=True)
+            viol[bad_rows] = True
+            vals = fs[1:][dup]
+            for p, v in zip(bad_rows, vals[first_ix]):
+                reprs[p] = f"duplicate item={v!r}"
+        return viol, reprs
+
+    def lint(self, dtype):
+        if not (pa.types.is_list(dtype) or pa.types.is_large_list(dtype)):
+            raise SpecError(f"uniqueItems requires a list column, got {dtype}")
+
+    def describe(self):
+        return "uniqueItems"
+
+
+@dataclass(frozen=True)
 class WhiteSpace(Facet):
     """Whitespace-policy facet (reference ``facets.py:96-129``).
 

@@ -278,6 +278,9 @@ register_facet_builder(
     lambda d: F.ItemFacets(tuple(facet_from_json(x) for x in d["facets"])),
 )
 register_facet_builder(
+    "uniqueItems", F.UniqueItems, lambda f: {}, lambda d: F.UniqueItems()
+)
+register_facet_builder(
     "union", F.UnionFacets,
     lambda f: {"alternatives": [[facet_to_json(x) for x in alt] for alt in f.alternatives]},
     lambda d: F.UnionFacets(

@@ -592,6 +592,81 @@ FROM documents
 """
 
 
+def val_unique_words(sf_dir: str) -> pd.DataFrame:
+    """Row-scoped identity constraint through the FULL engine: the
+    ``UniqueItems`` facet (xs:ID uniqueness within its document scope;
+    JSON Schema ``uniqueItems``) over each document's word list, demoted
+    to WARNING severity — natural text repeats words, so the run reports
+    the per-doc duplicate incidence without flipping validity. One
+    streaming derive (Arrow whitespace split, empty runs filtered to match
+    the ``\\s+``/``list_filter`` oracle semantics) feeds the validator."""
+    from xmlschema_ray.constraints.facets import UniqueItems
+    from xmlschema_ray.constraints.spec import ColumnSpec, TableConstraints
+
+    doc_path = os.path.join(sf_dir, "documents.parquet")
+
+    def derive(batch: pa.Table) -> pa.Table:
+        import pyarrow.compute as pc
+
+        text = batch["text"]
+        if isinstance(text, pa.ChunkedArray):
+            text = text.combine_chunks()
+        words = pc.ascii_split_whitespace(text)
+        if isinstance(words, pa.ChunkedArray):
+            words = words.combine_chunks()
+        # drop EMPTY boundary fields so items are exactly the \S+ runs
+        flat = words.values
+        keep = pc.greater(pc.utf8_length(flat), 0).to_numpy(zero_copy_only=False)
+        off = words.offsets.to_numpy()
+        counts = np.add.reduceat(
+            np.concatenate([keep.astype(np.int64), [0]]), off[:-1]
+        ) * (np.diff(off) > 0)
+        new_off = np.concatenate(([0], np.cumsum(counts)))
+        clean = pa.ListArray.from_arrays(
+            pa.array(new_off, type=pa.int32()), flat.filter(pa.array(keep))
+        )
+        return pa.table(
+            {"doc_id": pc.cast(batch["doc_id"], pa.int64()), "words": clean}
+        )
+
+    ds = rd.read_parquet(doc_path, columns=["doc_id", "text"]).map_batches(
+        derive, batch_format="pyarrow", zero_copy_batch=True
+    )
+    spec = TableConstraints(
+        name="unique_words",
+        columns=[
+            ColumnSpec("doc_id", pa.int64(), nullable=False),
+            ColumnSpec("words", pa.list_(pa.string()), facets=(UniqueItems(),)),
+        ],
+        key_columns=("doc_id",),
+        warning_constraints=("words.uniqueItems",),
+    )
+    out_dir = _scratch("val_unique_words")
+    eng = ValidationEngine(spec, batch_size=4096, n_shards=1)
+    res = eng.run(ds, out_dir=out_dir, resume=False)
+    return pd.DataFrame(
+        {
+            "n_rows": pd.array([int(res.summary["n_rows"])], dtype="int64"),
+            "n_violations": pd.array([res.n_violations], dtype="int64"),
+            "n_warnings": pd.array([res.n_warnings], dtype="int64"),
+            "job_validity": pd.Series([res.job_validity], dtype=object),
+        }
+    )
+
+
+VAL_UNIQUE_WORDS_SQL = r"""
+SELECT CAST(COUNT(*) AS BIGINT) AS n_rows,
+       CAST(0 AS BIGINT) AS n_violations,
+       CAST(SUM(CASE WHEN len(ws) <> len(list_distinct(ws)) THEN 1 ELSE 0 END) AS BIGINT)
+         AS n_warnings,
+       'valid' AS job_validity
+FROM (
+  SELECT list_filter(regexp_split_to_array(trim(text), '\s+'), w -> w <> '') AS ws
+  FROM documents
+)
+"""
+
+
 VAL_COMPOSITE_FK_SQL = """
 WITH pairs AS (SELECT DISTINCT source, lang FROM documents),
 dim AS (SELECT * FROM pairs WHERE md5(source || '|' || lang) >= '8')
@@ -608,6 +683,7 @@ ORACLES: Dict[str, str] = {
     "val_composite_fk": VAL_COMPOSITE_FK_SQL,
     "val_source_mean_chars": VAL_SOURCE_MEAN_CHARS_SQL,
     "val_warning_severity": VAL_WARNING_SEVERITY_SQL,
+    "val_unique_words": VAL_UNIQUE_WORDS_SQL,
     "validate_sequences_seeded": SEEDED_SQL,
     "drift_check": DRIFT_SQL,
     "drift_by_source": DRIFT_BY_SOURCE_SQL,
@@ -618,6 +694,7 @@ QUERIES = {
     "val_composite_fk": val_composite_fk,
     "val_source_mean_chars": val_source_mean_chars,
     "val_warning_severity": val_warning_severity,
+    "val_unique_words": val_unique_words,
     "validate_sequences_seeded": validate_sequences_seeded,
     "drift_check": drift_check,
     "drift_by_source": drift_by_source,
