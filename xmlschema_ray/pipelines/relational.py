@@ -1840,6 +1840,89 @@ def similar_part_names(sf_dir: str, max_dist: int = 2) -> pd.DataFrame:
     return out.sort_values(["name_a", "name_b"]).reset_index(drop=True)
 
 
+def key_skew_report(sf_dir: str) -> pd.DataFrame:
+    """Key-distribution skew diagnostics for shuffle-heavy columns — the
+    question every wide plan in this repo starts from (salt? consolidate?
+    broadcast?): per audited column, row count, distinct-key count, the
+    hottest key's row count, and the Gini coefficient of the key
+    distribution (0 = uniform, →1 = one key owns everything).
+
+    Composition of two existing primitives, integer-exact end to end:
+    per-key counts via ONE combiner exchange (key-cardinality partials),
+    then :func:`ops.global_rank` orders the COUNT TABLE (never the fact
+    table) by (count, key) — sampled range boundaries, metadata-sized
+    driver state — and per-batch integer partials reduce Σc, Σ(rank·c),
+    max c. Gini is one closed-form float expression over those integer
+    sums, evaluated in the oracle's exact operation order. (Σ rank·c can
+    exceed int64 near 10^12 rows × 10^9 keys — promote the partial to
+    Python ints there; exact at every tested scale here.)
+    """
+    from xmlschema_ray.ops.relational import combiner_aggregate, global_rank
+
+    specs = [("lineitem", "l_partkey"), ("orders", "o_custkey"), ("documents", "source")]
+    rows = []
+    for table, col in specs:
+        ds = rd.read_parquet(table_path(sf_dir, table), columns=[col])
+        counts = combiner_aggregate(
+            ds.map_batches(
+                lambda b, c=col: b.rename(columns={c: "key"}), batch_format="pandas"
+            ),
+            "key",
+            {"n": (None, "count")},
+        )
+        ranked, k = global_rank(counts, ["n", "key"], rank_col="r")
+
+        def partial(b: pd.DataFrame) -> pd.DataFrame:
+            n = b["n"].to_numpy(np.int64)
+            r = b["r"].to_numpy(np.int64)
+            return pd.DataFrame(
+                {
+                    "s_c": pd.array([int(n.sum())], dtype="int64"),
+                    "s_rc": pd.array([int((r * n).sum())], dtype="int64"),
+                    "top1": pd.array([int(n.max()) if len(n) else 0], dtype="int64"),
+                }
+            )
+
+        p = ranked.map_batches(partial, batch_format="pandas").to_pandas()
+        s_c, s_rc = int(p["s_c"].sum()), int(p["s_rc"].sum())
+        top1 = int(p["top1"].max())
+        gini = 2.0 * s_rc / (float(k) * float(s_c)) - float(k + 1) / float(k)
+        rows.append((f"{table}.{col}", s_c, k, top1, gini))
+    out = pd.DataFrame(
+        rows, columns=["table_col", "n_rows", "n_distinct", "top1_n", "gini"]
+    )
+    out["n_rows"] = out["n_rows"].astype("int64")
+    out["n_distinct"] = out["n_distinct"].astype("int64")
+    out["top1_n"] = out["top1_n"].astype("int64")
+    return out.sort_values("table_col").reset_index(drop=True)
+
+
+def _skew_sql_for(table: str, col: str) -> str:
+    return f"""
+SELECT '{table}.{col}' AS table_col, CAST(s_c AS BIGINT) AS n_rows,
+       CAST(k AS BIGINT) AS n_distinct, CAST(top1 AS BIGINT) AS top1_n,
+       2.0 * CAST(s_rc AS DOUBLE) / (CAST(k AS DOUBLE) * CAST(s_c AS DOUBLE))
+         - CAST(k + 1 AS DOUBLE) / CAST(k AS DOUBLE) AS gini
+FROM (
+  SELECT SUM(n) AS s_c, SUM(r * n) AS s_rc, MAX(n) AS top1, COUNT(*) AS k
+  FROM (
+    SELECT n, row_number() OVER (ORDER BY n, key) AS r
+    FROM (SELECT {col} AS key, COUNT(*) AS n FROM {table} GROUP BY 1)
+  )
+)
+"""
+
+
+KEY_SKEW_SQL = (
+    _skew_sql_for("lineitem", "l_partkey")
+    + " UNION ALL "
+    + _skew_sql_for("orders", "o_custkey")
+    + " UNION ALL "
+    + _skew_sql_for("documents", "source")
+    + " ORDER BY table_col"
+)
+
+
 SIMILAR_PART_NAMES_SQL = """
 WITH names AS (SELECT DISTINCT p_name AS name FROM part)
 SELECT a.name AS name_a, b.name AS name_b,
@@ -1853,6 +1936,7 @@ ORDER BY name_a, name_b
 ORACLES = {
     "q1_pricing_summary": Q1_SQL,
     "similar_part_names": SIMILAR_PART_NAMES_SQL,
+    "key_skew_report": KEY_SKEW_SQL,
     "orders_priority_counts": ORDERS_PRIORITY_SQL,
     "union_entity_keys": UNION_SQL,
     "customers_without_recent_orders": CUSTOMERS_WITHOUT_RECENT_SQL,
@@ -1890,6 +1974,7 @@ ORACLES = {
 QUERIES = {
     "q1_pricing_summary": q1_pricing_summary,
     "similar_part_names": similar_part_names,
+    "key_skew_report": key_skew_report,
     "orders_priority_counts": orders_priority_counts,
     "union_entity_keys": union_entity_keys,
     "customers_without_recent_orders": customers_without_recent_orders,
