@@ -1897,6 +1897,62 @@ def key_skew_report(sf_dir: str) -> pd.DataFrame:
     return out.sort_values("table_col").reset_index(drop=True)
 
 
+def extendedprice_deciles(sf_dir: str) -> pd.DataFrame:
+    """EXACT global deciles of a fact-sized column (order statistics
+    without a global sort and without a driver-side sort): the
+    ``global_rank`` range-partitioning machinery assigns every row its
+    exact 1-based rank; the nine target ranks ``(n-1)·k//10 + 1`` are then
+    a streamed membership filter — nine rows reach the driver. Ties are
+    broken by a unique key for the total order, but the VALUE at a given
+    rank is tie-order-invariant, so the result matches any engine's
+    row_number-over-value selection exactly. The exact counterpart of the
+    engine's mergeable-histogram quantile sketches (``engine/stats.py``)
+    for when approximate bounds are not enough.
+    """
+    from xmlschema_ray.ops.relational import global_rank
+
+    ds = rd.read_parquet(
+        table_path(sf_dir, "lineitem"),
+        columns=["l_extendedprice", "l_orderkey", "l_linenumber"],
+    )
+    ranked, n = global_rank(
+        ds, ["l_extendedprice", "l_orderkey", "l_linenumber"], rank_col="rn"
+    )
+    targets = {((n - 1) * k) // 10 + 1: k for k in range(1, 10)}
+    tgt = set(targets)
+
+    def pick(b: pd.DataFrame) -> pd.DataFrame:
+        hit = b[b["rn"].isin(tgt)]
+        return hit[["rn", "l_extendedprice"]].reset_index(drop=True)
+
+    rows = ranked.map_batches(pick, batch_format="pandas").to_pandas()
+    out = pd.DataFrame(
+        {
+            "decile": pd.array(
+                [targets[int(r)] for r in rows["rn"]], dtype="int64"
+            ),
+            "value": rows["l_extendedprice"].to_numpy(np.float64),
+        }
+    )
+    return out.sort_values("decile").reset_index(drop=True)
+
+
+EXTENDEDPRICE_DECILES_SQL = """
+WITH r AS (
+  SELECT l_extendedprice AS v,
+         row_number() OVER (ORDER BY l_extendedprice) AS rn
+  FROM lineitem
+), n AS (SELECT COUNT(*) AS c FROM lineitem),
+t AS (
+  SELECT k, ((c - 1) * k) // 10 + 1 AS rn
+  FROM n, LATERAL unnest(generate_series(1, 9)) AS g(k)
+)
+SELECT CAST(t.k AS BIGINT) AS decile, r.v AS value
+FROM t JOIN r ON r.rn = t.rn
+ORDER BY decile
+"""
+
+
 def _skew_sql_for(table: str, col: str) -> str:
     return f"""
 SELECT '{table}.{col}' AS table_col, CAST(s_c AS BIGINT) AS n_rows,
@@ -1937,6 +1993,7 @@ ORACLES = {
     "q1_pricing_summary": Q1_SQL,
     "similar_part_names": SIMILAR_PART_NAMES_SQL,
     "key_skew_report": KEY_SKEW_SQL,
+    "extendedprice_deciles": EXTENDEDPRICE_DECILES_SQL,
     "orders_priority_counts": ORDERS_PRIORITY_SQL,
     "union_entity_keys": UNION_SQL,
     "customers_without_recent_orders": CUSTOMERS_WITHOUT_RECENT_SQL,
@@ -1975,6 +2032,7 @@ QUERIES = {
     "q1_pricing_summary": q1_pricing_summary,
     "similar_part_names": similar_part_names,
     "key_skew_report": key_skew_report,
+    "extendedprice_deciles": extendedprice_deciles,
     "orders_priority_counts": orders_priority_counts,
     "union_entity_keys": union_entity_keys,
     "customers_without_recent_orders": customers_without_recent_orders,
