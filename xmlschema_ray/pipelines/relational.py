@@ -1937,6 +1937,90 @@ def extendedprice_deciles(sf_dir: str) -> pd.DataFrame:
     return out.sort_values("decile").reset_index(drop=True)
 
 
+def join_size_bounds(sf_dir: str) -> pd.DataFrame:
+    """Join-cardinality estimation from degree sequences (the
+    query-optimizer primitive; lp-norm bounds per Khamis et al., PODS
+    2024): the EXACT size of ``orders ⋈ lineitem`` on orderkey plus two
+    upper bounds, computed WITHOUT materializing the join —
+
+    * exact: Σₖ d_O(k)·d_L(k) over joining keys;
+    * l1·l∞ bound: min(|O|·maxdeg_L, |L|·maxdeg_O);
+    * l2 bound (Cauchy-Schwarz): ‖d_O‖₂·‖d_L‖₂.
+
+    Plan: per-table per-key degree tables via one combiner exchange each
+    (key-cardinality partials), then ONE co-partitioning exchange of the
+    two DEGREE TABLES (never the facts) computes the product-sum AND each
+    side's norms in the same pass — per partition one 7-integer row
+    reaches the driver. The only float ops are the two final sqrts
+    (IEEE-correctly-rounded in both engines on exact integer inputs).
+    """
+    from xmlschema_ray.ops.relational import combiner_aggregate, copartition_apply
+
+    def degrees(table: str, key: str) -> "rd.Dataset":
+        ds = rd.read_parquet(table_path(sf_dir, table), columns=[key])
+        return combiner_aggregate(
+            ds.map_batches(
+                lambda b, k=key: b.rename(columns={k: "k"}), batch_format="pandas"
+            ),
+            "k",
+            {"d": (None, "count")},
+        )
+
+    d_o = degrees("orders", "o_orderkey")
+    d_l = degrees("lineitem", "l_orderkey").map_batches(
+        lambda b: b.rename(columns={"d": "d_r"}), batch_format="pandas"
+    )
+
+    def per_part(lf: pd.DataFrame, rf: pd.DataFrame) -> pd.DataFrame:
+        m = lf.merge(rf, on="k", how="inner")
+        da = lf["d"].to_numpy(np.int64)
+        db = rf["d_r"].to_numpy(np.int64)
+        return pd.DataFrame(
+            {
+                "prod": pd.array(
+                    [int((m["d"].to_numpy(np.int64) * m["d_r"].to_numpy(np.int64)).sum())],
+                    dtype="int64",
+                ),
+                "l1_a": pd.array([int(da.sum())], dtype="int64"),
+                "linf_a": pd.array([int(da.max()) if len(da) else 0], dtype="int64"),
+                "l2sq_a": pd.array([int((da * da).sum())], dtype="int64"),
+                "l1_b": pd.array([int(db.sum())], dtype="int64"),
+                "linf_b": pd.array([int(db.max()) if len(db) else 0], dtype="int64"),
+                "l2sq_b": pd.array([int((db * db).sum())], dtype="int64"),
+            }
+        )
+
+    p = copartition_apply(d_o, d_l, "k", "k", per_part).to_pandas()
+    exact = int(p["prod"].sum())
+    l1_a, l1_b = int(p["l1_a"].sum()), int(p["l1_b"].sum())
+    linf_a, linf_b = int(p["linf_a"].max()), int(p["linf_b"].max())
+    l2 = float(np.sqrt(float(int(p["l2sq_a"].sum())))) * float(
+        np.sqrt(float(int(p["l2sq_b"].sum())))
+    )
+    return pd.DataFrame(
+        {
+            "exact_join_size": pd.array([exact], dtype="int64"),
+            "bound_l1_linf": pd.array(
+                [min(l1_a * linf_b, l1_b * linf_a)], dtype="int64"
+            ),
+            "bound_l2": [l2],
+        }
+    )
+
+
+JOIN_SIZE_BOUNDS_SQL = """
+WITH do_ AS (SELECT o_orderkey AS k, COUNT(*) AS d FROM orders GROUP BY 1),
+dl AS (SELECT l_orderkey AS k, COUNT(*) AS d FROM lineitem GROUP BY 1),
+j AS (SELECT COALESCE(SUM(do_.d * dl.d), 0) AS exact_size FROM do_ JOIN dl USING (k)),
+na AS (SELECT SUM(d) AS l1, MAX(d) AS linf, SUM(d * d) AS l2sq FROM do_),
+nb AS (SELECT SUM(d) AS l1, MAX(d) AS linf, SUM(d * d) AS l2sq FROM dl)
+SELECT CAST(j.exact_size AS BIGINT) AS exact_join_size,
+       CAST(LEAST(na.l1 * nb.linf, nb.l1 * na.linf) AS BIGINT) AS bound_l1_linf,
+       sqrt(CAST(na.l2sq AS DOUBLE)) * sqrt(CAST(nb.l2sq AS DOUBLE)) AS bound_l2
+FROM j, na, nb
+"""
+
+
 EXTENDEDPRICE_DECILES_SQL = """
 WITH r AS (
   SELECT l_extendedprice AS v,
@@ -1994,6 +2078,7 @@ ORACLES = {
     "similar_part_names": SIMILAR_PART_NAMES_SQL,
     "key_skew_report": KEY_SKEW_SQL,
     "extendedprice_deciles": EXTENDEDPRICE_DECILES_SQL,
+    "join_size_bounds": JOIN_SIZE_BOUNDS_SQL,
     "orders_priority_counts": ORDERS_PRIORITY_SQL,
     "union_entity_keys": UNION_SQL,
     "customers_without_recent_orders": CUSTOMERS_WITHOUT_RECENT_SQL,
@@ -2033,6 +2118,7 @@ QUERIES = {
     "similar_part_names": similar_part_names,
     "key_skew_report": key_skew_report,
     "extendedprice_deciles": extendedprice_deciles,
+    "join_size_bounds": join_size_bounds,
     "orders_priority_counts": orders_priority_counts,
     "union_entity_keys": union_entity_keys,
     "customers_without_recent_orders": customers_without_recent_orders,
