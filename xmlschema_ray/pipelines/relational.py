@@ -670,6 +670,55 @@ def sessionize_events(sf_dir: str, gap_minutes: int = 30) -> pd.DataFrame:
     return out.sort_values("user_id").reset_index(drop=True)
 
 
+def debounce_events(sf_dir: str, gap_minutes: int = 1440) -> "rd.Dataset":
+    """Event-stream DEBOUNCE (bounce / duplicate-fire suppression): within
+    each (user_id, event_type) stream, a burst is a maximal chain of
+    events each arriving less than ``gap`` after its predecessor; only the
+    burst LEADER survives — the streaming dedup every clickstream /
+    telemetry ingest runs before counting anything. The keep decision is
+    the lag-gap predicate, so it needs only each event's immediate
+    predecessor, not the whole burst.
+
+    Partitioning (SURVEY §2.11): ONE hash exchange co-locates each
+    (user, type) stream whole; the leader scan inside the partition is a
+    single vectorized sort + shift compare. Tie order is fixed by
+    (ts, event_id) so both engines resolve equal timestamps identically.
+    Returns the kept event_ids as a canonically sorted Dataset.
+    """
+    from xmlschema_ray.ops.relational import hash_partition_apply
+
+    ds = rd.read_parquet(
+        table_path(sf_dir, "events"), columns=["event_id", "user_id", "event_type", "ts"]
+    )
+    gap = pd.Timedelta(minutes=gap_minutes)
+
+    def leaders(part: pd.DataFrame) -> pd.DataFrame:
+        p = part.sort_values(
+            ["user_id", "event_type", "ts", "event_id"], kind="mergesort"
+        )
+        new_key = p["user_id"].ne(p["user_id"].shift()) | p["event_type"].ne(
+            p["event_type"].shift()
+        )
+        keep = new_key | (p["ts"].diff() >= gap)
+        return p.loc[keep, ["event_id"]].reset_index(drop=True)
+
+    kept = hash_partition_apply(ds, ["user_id", "event_type"], leaders)
+    return kept.sort("event_id")
+
+
+DEBOUNCE_SQL = """
+SELECT event_id FROM (
+  SELECT event_id,
+         COALESCE(
+           ts - lag(ts) OVER (PARTITION BY user_id, event_type ORDER BY ts, event_id)
+             >= INTERVAL 1440 MINUTE,
+           TRUE
+         ) AS keep
+  FROM events
+) WHERE keep ORDER BY event_id
+"""
+
+
 SESSIONIZE_SQL = """
 SELECT user_id,
        CAST(1 + SUM(CASE WHEN gap_new THEN 1 ELSE 0 END) AS BIGINT) AS n_sessions
@@ -2079,6 +2128,7 @@ ORACLES = {
     "key_skew_report": KEY_SKEW_SQL,
     "extendedprice_deciles": EXTENDEDPRICE_DECILES_SQL,
     "join_size_bounds": JOIN_SIZE_BOUNDS_SQL,
+    "debounce_events": DEBOUNCE_SQL,
     "orders_priority_counts": ORDERS_PRIORITY_SQL,
     "union_entity_keys": UNION_SQL,
     "customers_without_recent_orders": CUSTOMERS_WITHOUT_RECENT_SQL,
@@ -2119,6 +2169,7 @@ QUERIES = {
     "key_skew_report": key_skew_report,
     "extendedprice_deciles": extendedprice_deciles,
     "join_size_bounds": join_size_bounds,
+    "debounce_events": debounce_events,
     "orders_priority_counts": orders_priority_counts,
     "union_entity_keys": union_entity_keys,
     "customers_without_recent_orders": customers_without_recent_orders,
