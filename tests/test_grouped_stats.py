@@ -1,0 +1,49 @@
+"""Grouped-OLS and contingency-chi2 invariants checked against
+independent pandas/numpy recomputes (the oracle gate checks DuckDB
+bit-exactness; these prove the *statistics* are the right ones)."""
+
+import numpy as np
+import pandas as pd
+
+SF_DIR = "/root/testdata/sf0.001"
+
+
+def test_regr_matches_numpy_polyfit(ray_session):
+    from xmlschema_ray.pipelines.relational import regr_price_on_qty_by_flag
+
+    out = regr_price_on_qty_by_flag(SF_DIR)
+    li = pd.read_parquet(
+        f"{SF_DIR}/lineitem.parquet",
+        columns=["l_returnflag", "l_quantity", "l_extendedprice"],
+    )
+    li["y"] = np.floor(li["l_extendedprice"].to_numpy() * 100.0 + 0.5)
+    for _, row in out.iterrows():
+        g = li[li["l_returnflag"] == row["l_returnflag"]]
+        slope, intercept = np.polyfit(g["l_quantity"].to_numpy(np.float64), g["y"].to_numpy(), 1)
+        assert abs(row["slope"] - slope) < 1e-6 * max(1.0, abs(slope))
+        assert abs(row["intercept"] - intercept) < 1e-6 * max(1.0, abs(intercept))
+        r = np.corrcoef(g["l_quantity"].to_numpy(np.float64), g["y"].to_numpy())[0, 1]
+        assert abs(row["r2"] - r * r) < 1e-9
+
+
+def test_chi2_cells_match_pandas_crosstab(ray_session):
+    from xmlschema_ray.pipelines.relational import contingency_chi2
+
+    out = contingency_chi2(SF_DIR)
+    o = pd.read_parquet(
+        f"{SF_DIR}/orders.parquet", columns=["o_orderpriority", "o_orderstatus"]
+    )
+    ct = pd.crosstab(o["o_orderpriority"], o["o_orderstatus"])
+    n = ct.to_numpy().sum()
+    assert int(out["n"].iloc[0]) == n
+    # observed counts and marginals cell-by-cell
+    for _, row in out.iterrows():
+        obs = ct.loc[row["o_orderpriority"], row["o_orderstatus"]]
+        assert int(row["observed"]) == obs
+        assert int(row["row_total"]) == ct.loc[row["o_orderpriority"]].sum()
+        assert int(row["col_total"]) == ct[row["o_orderstatus"]].sum()
+        e = row["row_total"] * row["col_total"] / n
+        assert abs(row["expected"] - e) < 1e-9
+        assert abs(row["chi2_term"] - (obs - e) ** 2 / e) < 1e-9
+    # full coverage: every non-empty cell appears
+    assert len(out) == (ct.to_numpy() > 0).sum()

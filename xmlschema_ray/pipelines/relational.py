@@ -1105,6 +1105,154 @@ FROM p ORDER BY l_returnflag
 """
 
 
+def regr_price_on_qty_by_flag(sf_dir: str) -> pd.DataFrame:
+    """Grouped ordinary-least-squares regression (price-vs-quantity trend
+    per returnflag) from the SAME mergeable integer second moments as
+    :func:`corr_qty_discount_by_flag` — the "fit a line per key" statistic
+    every feature-engineering pass needs, computed without ever
+    materializing per-group rows.
+
+    Per-batch int64 partials (n, Σx, Σy, Σx², Σxy, Σy²; x = quantity,
+    y = price cents) merge associatively through ONE combiner exchange;
+    slope / intercept / r² are staged closed-form float expressions over
+    identical int64 sums, evaluated in the same operation order as the
+    oracle SQL so the doubles compare bit-exact. x ≤ 50 and y ≤ 10^7
+    cents keep Σxy inside int64 up to ~10^10 rows per group; beyond that
+    the partials shift to per-partition central moments (same note as the
+    correlation op). Reference analog: the stats channel's mergeable
+    moment sketches (SURVEY §2.7)."""
+    ds = rd.read_parquet(
+        table_path(sf_dir, "lineitem"), columns=["l_returnflag", "l_quantity", "l_extendedprice"]
+    )
+
+    def moments(batch: pd.DataFrame) -> pd.DataFrame:
+        x = batch["l_quantity"].to_numpy(np.float64).astype(np.int64)
+        y = np.asarray(cents(batch["l_extendedprice"]))
+        return pd.DataFrame(
+            {
+                "l_returnflag": batch["l_returnflag"].to_numpy(),
+                "x": x,
+                "y": y,
+                "xx": x * x,
+                "xy": x * y,
+                "yy": y * y,
+            }
+        )
+
+    agg = combiner_aggregate(
+        ds.map_batches(moments, batch_format="pandas"),
+        "l_returnflag",
+        {
+            "n": (None, "count"),
+            "sx": ("x", "sum"),
+            "sy": ("y", "sum"),
+            "sxx": ("xx", "sum"),
+            "sxy": ("xy", "sum"),
+            "syy": ("yy", "sum"),
+        },
+    ).to_pandas()
+    n = agg["n"].to_numpy(np.int64).astype(np.float64)
+    sx = agg["sx"].to_numpy(np.int64).astype(np.float64)
+    sy = agg["sy"].to_numpy(np.int64).astype(np.float64)
+    sxx = agg["sxx"].to_numpy(np.int64).astype(np.float64)
+    sxy = agg["sxy"].to_numpy(np.int64).astype(np.float64)
+    syy = agg["syy"].to_numpy(np.int64).astype(np.float64)
+    # staged exactly as the oracle CTE: cov/varx/vary first, then the
+    # derived columns reference those double values
+    cov = n * sxy - sx * sy
+    varx = n * sxx - sx * sx
+    vary = n * syy - sy * sy
+    slope = cov / varx
+    agg["slope"] = slope
+    agg["intercept"] = (sy - slope * sx) / n
+    agg["r2"] = (cov * cov) / (varx * vary)
+    out = agg.astype({c: "int64" for c in ["n", "sx", "sy", "sxx", "sxy", "syy"]})
+    return out.sort_values("l_returnflag").reset_index(drop=True)
+
+
+REGR_PRICE_QTY_SQL = """
+WITH p AS (
+  SELECT l_returnflag,
+    CAST(COUNT(*) AS BIGINT) AS n,
+    CAST(SUM(CAST(l_quantity AS BIGINT)) AS BIGINT) AS sx,
+    CAST(SUM(CAST(floor(l_extendedprice * 100 + 0.5) AS BIGINT)) AS BIGINT) AS sy,
+    CAST(SUM(CAST(l_quantity AS BIGINT) * CAST(l_quantity AS BIGINT)) AS BIGINT) AS sxx,
+    CAST(SUM(CAST(l_quantity AS BIGINT) * CAST(floor(l_extendedprice * 100 + 0.5) AS BIGINT)) AS BIGINT) AS sxy,
+    CAST(SUM(CAST(floor(l_extendedprice * 100 + 0.5) AS BIGINT) * CAST(floor(l_extendedprice * 100 + 0.5) AS BIGINT)) AS BIGINT) AS syy
+  FROM lineitem GROUP BY l_returnflag
+), m AS (
+  SELECT *,
+    CAST(n AS DOUBLE) * CAST(sxy AS DOUBLE) - CAST(sx AS DOUBLE) * CAST(sy AS DOUBLE) AS cov,
+    CAST(n AS DOUBLE) * CAST(sxx AS DOUBLE) - CAST(sx AS DOUBLE) * CAST(sx AS DOUBLE) AS varx,
+    CAST(n AS DOUBLE) * CAST(syy AS DOUBLE) - CAST(sy AS DOUBLE) * CAST(sy AS DOUBLE) AS vary
+  FROM p
+)
+SELECT l_returnflag, n, sx, sy, sxx, sxy, syy,
+  cov / varx AS slope,
+  (CAST(sy AS DOUBLE) - (cov / varx) * CAST(sx AS DOUBLE)) / CAST(n AS DOUBLE) AS intercept,
+  (cov * cov) / (varx * vary) AS r2
+FROM m ORDER BY l_returnflag
+"""
+
+
+def contingency_chi2(sf_dir: str) -> pd.DataFrame:
+    """Chi-squared independence analysis of two categorical columns
+    (orderpriority × orderstatus) — the per-cell observed/expected table
+    with chi² contribution and lift, the column-association diagnostic a
+    profiler runs before trusting a categorical feature pair.
+
+    The contingency table is ONE combiner count exchange (cells, never
+    rows, cross the wire — |priorities|×|statuses| partial rows per
+    batch); row/column marginals and the per-cell floats are closed-form
+    over exact int64 counts on the (tiny) cell table, each cell's floats
+    a single deterministic scalar expression mirrored verbatim in the
+    oracle SQL so doubles compare bit-exact. Deliberately NO float total
+    row: a sum of per-cell doubles is order-sensitive, so the exact
+    per-cell decomposition IS the contract (the consumer sums at whatever
+    precision it wants)."""
+    ds = rd.read_parquet(
+        table_path(sf_dir, "orders"), columns=["o_orderpriority", "o_orderstatus"]
+    )
+    cells = combiner_aggregate(
+        ds, ["o_orderpriority", "o_orderstatus"], {"observed": (None, "count")}
+    ).to_pandas()
+    cells["observed"] = cells["observed"].astype("int64")
+    r = cells.groupby("o_orderpriority")["observed"].transform("sum").to_numpy(np.int64)
+    c = cells.groupby("o_orderstatus")["observed"].transform("sum").to_numpy(np.int64)
+    n = np.int64(cells["observed"].sum())
+    o = cells["observed"].to_numpy(np.int64).astype(np.float64)
+    rf, cf, nf = r.astype(np.float64), c.astype(np.float64), np.float64(n)
+    expected = rf * cf / nf
+    cells["row_total"] = r
+    cells["col_total"] = c
+    cells["n"] = n
+    cells["expected"] = expected
+    cells["chi2_term"] = (o - expected) * (o - expected) / expected
+    cells["lift"] = o * nf / (rf * cf)
+    return cells.sort_values(["o_orderpriority", "o_orderstatus"]).reset_index(drop=True)
+
+
+CONTINGENCY_CHI2_SQL = """
+WITH cells AS (
+  SELECT o_orderpriority, o_orderstatus, CAST(COUNT(*) AS BIGINT) AS observed
+  FROM orders GROUP BY o_orderpriority, o_orderstatus
+), m AS (
+  SELECT *,
+    CAST(SUM(observed) OVER (PARTITION BY o_orderpriority) AS BIGINT) AS row_total,
+    CAST(SUM(observed) OVER (PARTITION BY o_orderstatus) AS BIGINT) AS col_total,
+    CAST(SUM(observed) OVER () AS BIGINT) AS n
+  FROM cells
+)
+SELECT o_orderpriority, o_orderstatus, observed, row_total, col_total, n,
+  CAST(row_total AS DOUBLE) * CAST(col_total AS DOUBLE) / CAST(n AS DOUBLE) AS expected,
+  (CAST(observed AS DOUBLE) - CAST(row_total AS DOUBLE) * CAST(col_total AS DOUBLE) / CAST(n AS DOUBLE))
+    * (CAST(observed AS DOUBLE) - CAST(row_total AS DOUBLE) * CAST(col_total AS DOUBLE) / CAST(n AS DOUBLE))
+    / (CAST(row_total AS DOUBLE) * CAST(col_total AS DOUBLE) / CAST(n AS DOUBLE)) AS chi2_term,
+  CAST(observed AS DOUBLE) * CAST(n AS DOUBLE) / (CAST(row_total AS DOUBLE) * CAST(col_total AS DOUBLE)) AS lift
+FROM m ORDER BY o_orderpriority, o_orderstatus
+"""
+
+
 def customers_without_recent_orders(sf_dir: str, cutoff: str = "1998-06-01") -> pd.DataFrame:
     """Anti-join: customers with no order at/after ``cutoff``. The fact
     side is predicate-pushed at the read and collapsed to its DISTINCT key
@@ -2134,6 +2282,8 @@ ORACLES = {
     "customers_without_recent_orders": CUSTOMERS_WITHOUT_RECENT_SQL,
     "median_quantity_by_flag": MEDIAN_QUANTITY_SQL,
     "corr_qty_discount_by_flag": CORR_QTY_DISCOUNT_SQL,
+    "regr_price_on_qty_by_flag": REGR_PRICE_QTY_SQL,
+    "contingency_chi2": CONTINGENCY_CHI2_SQL,
     "late_event_counts": LATE_EVENTS_SQL,
     "events_lag_delta": LAG_DELTA_SQL,
     "events_rolling_value_sum": ROLLING_SUM_SQL,
@@ -2175,6 +2325,8 @@ QUERIES = {
     "customers_without_recent_orders": customers_without_recent_orders,
     "median_quantity_by_flag": median_quantity_by_flag,
     "corr_qty_discount_by_flag": corr_qty_discount_by_flag,
+    "regr_price_on_qty_by_flag": regr_price_on_qty_by_flag,
+    "contingency_chi2": contingency_chi2,
     "late_event_counts": late_event_counts,
     "events_lag_delta": events_lag_delta,
     "events_rolling_value_sum": events_rolling_value_sum,
