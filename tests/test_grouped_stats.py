@@ -47,3 +47,32 @@ def test_chi2_cells_match_pandas_crosstab(ray_session):
         assert abs(row["chi2_term"] - (obs - e) ** 2 / e) < 1e-9
     # full coverage: every non-empty cell appears
     assert len(out) == (ct.to_numpy() > 0).sum()
+
+
+def test_funnel_matches_bruteforce(ray_session):
+    from xmlschema_ray.pipelines.relational import funnel_conversion
+
+    out = funnel_conversion(SF_DIR)
+    ev = pd.read_parquet(
+        f"{SF_DIR}/events.parquet", columns=["user_id", "event_type", "ts"]
+    )
+    reached = [0, 0, 0]
+    exp_lag = [0, 0, 0]  # Timestamp.value is ns; lags accumulate in us
+    for _, g in ev.groupby("user_id"):
+        prev = None
+        for i, st in enumerate(("view", "click", "purchase")):
+            sub = g[g["event_type"] == st]
+            if prev is not None:
+                sub = sub[sub["ts"] > prev]
+            if sub.empty:
+                break
+            t = sub["ts"].min()
+            reached[i] += 1
+            if prev is not None:
+                exp_lag[i] += int((t.value - prev.value) // 1000)
+            prev = t
+    assert out["n_users"].tolist() == reached
+    assert out["sum_lag_us"].tolist() == exp_lag
+    # funnel monotonicity
+    assert reached[0] >= reached[1] >= reached[2]
+    assert reached[0] > 0

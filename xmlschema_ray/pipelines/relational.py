@@ -706,6 +706,104 @@ def debounce_events(sf_dir: str, gap_minutes: int = 1440) -> "rd.Dataset":
     return kept.sort("event_id")
 
 
+def funnel_conversion(
+    sf_dir: str, steps: tuple = ("view", "click", "purchase")
+) -> pd.DataFrame:
+    """Ordered multi-step FUNNEL over per-user event streams — how many
+    users performed step 1, then step 2 strictly after their first step 1,
+    then step 3 strictly after that (first-touch chaining), plus the total
+    step-to-step latency. The conversion analysis every product/event
+    pipeline runs; sequentially dependent (step i's timestamps depend on
+    step i-1's per-user anchor), so it is NOT a plain groupby.
+
+    Partitioning (SURVEY §2.11): rows are pre-filtered to funnel-step
+    types at the scan, then ONE hash exchange co-locates each user's
+    events; inside a partition the chain is |steps| vectorized
+    groupby-mins + map-aligned strict-after filters (no per-user Python).
+    Each partition emits |steps| partial rows (n_users, sum_lag_us —
+    integer microseconds so the merge and the oracle compare exactly);
+    the driver folds partials with one tiny groupby. Anchors are per-user
+    FIRST occurrences, making the result independent of partition count.
+    """
+    from xmlschema_ray.ops.relational import hash_partition_apply, to_pandas_with_schema
+
+    ds = rd.read_parquet(
+        table_path(sf_dir, "events"), columns=["user_id", "event_type", "ts"]
+    )
+    step_list = list(steps)
+
+    def only_steps(batch: pa.Table) -> pa.Table:
+        return batch.filter(pc.is_in(batch["event_type"], value_set=pa.array(step_list)))
+
+    def funnel_part(part: pd.DataFrame) -> pd.DataFrame:
+        rows = []
+        prev = None  # user_id -> anchor ts of the previous step
+        for i, st in enumerate(step_list, 1):
+            sub = part[part["event_type"] == st]
+            if prev is None:
+                t = sub.groupby("user_id")["ts"].min()
+                lag = 0
+            else:
+                tp = sub["user_id"].map(prev)
+                sub = sub[(sub["ts"] > tp).to_numpy()]  # NaT-anchor compares False
+                t = sub.groupby("user_id")["ts"].min()
+                aligned = prev.reindex(t.index)
+                lag = (
+                    int(
+                        (t.to_numpy() - aligned.to_numpy())
+                        .astype("timedelta64[us]")
+                        .astype(np.int64)
+                        .sum()
+                    )
+                    if len(t)
+                    else 0
+                )
+            rows.append(
+                {"step": i, "event_type": st, "n_users": len(t), "sum_lag_us": lag}
+            )
+            prev = t
+        return pd.DataFrame(rows).astype(
+            {"step": "int64", "n_users": "int64", "sum_lag_us": "int64"}
+        )
+
+    parts = hash_partition_apply(
+        ds.map_batches(only_steps, batch_format="pyarrow", zero_copy_batch=True),
+        "user_id",
+        funnel_part,
+    )
+    df = to_pandas_with_schema(parts)
+    out = (
+        df.groupby(["step", "event_type"], as_index=False)[["n_users", "sum_lag_us"]]
+        .sum()
+        .astype({"step": "int64", "n_users": "int64", "sum_lag_us": "int64"})
+    )
+    return out.sort_values("step").reset_index(drop=True)
+
+
+FUNNEL_SQL = """
+WITH v AS (
+  SELECT user_id, min(ts) AS t1 FROM events WHERE event_type = 'view' GROUP BY user_id
+), c AS (
+  SELECT e.user_id, min(e.ts) AS t2 FROM events e JOIN v USING (user_id)
+  WHERE e.event_type = 'click' AND e.ts > v.t1 GROUP BY e.user_id
+), p AS (
+  SELECT e.user_id, min(e.ts) AS t3 FROM events e JOIN c USING (user_id)
+  WHERE e.event_type = 'purchase' AND e.ts > c.t2 GROUP BY e.user_id
+)
+SELECT CAST(1 AS BIGINT) AS step, 'view' AS event_type,
+       CAST(COUNT(*) AS BIGINT) AS n_users, CAST(0 AS BIGINT) AS sum_lag_us FROM v
+UNION ALL
+SELECT CAST(2 AS BIGINT), 'click', CAST(COUNT(*) AS BIGINT),
+       CAST(COALESCE(SUM(date_diff('microsecond', v.t1, c.t2)), 0) AS BIGINT)
+FROM c JOIN v USING (user_id)
+UNION ALL
+SELECT CAST(3 AS BIGINT), 'purchase', CAST(COUNT(*) AS BIGINT),
+       CAST(COALESCE(SUM(date_diff('microsecond', c.t2, p.t3)), 0) AS BIGINT)
+FROM p JOIN c USING (user_id)
+ORDER BY step
+"""
+
+
 DEBOUNCE_SQL = """
 SELECT event_id FROM (
   SELECT event_id,
@@ -2277,6 +2375,7 @@ ORACLES = {
     "extendedprice_deciles": EXTENDEDPRICE_DECILES_SQL,
     "join_size_bounds": JOIN_SIZE_BOUNDS_SQL,
     "debounce_events": DEBOUNCE_SQL,
+    "funnel_conversion": FUNNEL_SQL,
     "orders_priority_counts": ORDERS_PRIORITY_SQL,
     "union_entity_keys": UNION_SQL,
     "customers_without_recent_orders": CUSTOMERS_WITHOUT_RECENT_SQL,
@@ -2320,6 +2419,7 @@ QUERIES = {
     "extendedprice_deciles": extendedprice_deciles,
     "join_size_bounds": join_size_bounds,
     "debounce_events": debounce_events,
+    "funnel_conversion": funnel_conversion,
     "orders_priority_counts": orders_priority_counts,
     "union_entity_keys": union_entity_keys,
     "customers_without_recent_orders": customers_without_recent_orders,
