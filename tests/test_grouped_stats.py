@@ -76,3 +76,46 @@ def test_funnel_matches_bruteforce(ray_session):
     # funnel monotonicity
     assert reached[0] >= reached[1] >= reached[2]
     assert reached[0] > 0
+
+
+def test_part_pairs_match_bruteforce(ray_session):
+    from xmlschema_ray.ops.relational import to_pandas_with_schema
+    from xmlschema_ray.pipelines.relational import part_pair_cooccurrence
+
+    out = to_pandas_with_schema(part_pair_cooccurrence(SF_DIR))
+    li = pd.read_parquet(
+        f"{SF_DIR}/lineitem.parquet", columns=["l_orderkey", "l_partkey"]
+    ).drop_duplicates()
+    from collections import Counter
+    from itertools import combinations
+
+    c = Counter()
+    for _, g in li.groupby("l_orderkey"):
+        for a, b in combinations(sorted(g["l_partkey"]), 2):
+            c[(a, b)] += 1
+    want = sorted((a, b, n) for (a, b), n in c.items() if n >= 2)
+    got = list(out[["part_a", "part_b", "n_orders"]].itertuples(index=False, name=None))
+    assert sorted(got) == want and len(want) > 0
+
+
+def test_part_pairs_max_basket_gate(ray_session):
+    import numpy as np
+
+    from xmlschema_ray.pipelines.relational import part_pair_cooccurrence
+
+    # a crafted wide basket must raise, not OOM
+    import pytest
+
+    with pytest.raises(ValueError, match="max_basket"):
+        import ray.data as rd
+
+        # monkey-free: call the partition fn through a tiny synthetic dir
+        import os
+        import tempfile
+
+        with tempfile.TemporaryDirectory() as d:
+            wide = pd.DataFrame(
+                {"l_orderkey": np.int64(1), "l_partkey": np.arange(10, dtype=np.int64)}
+            )
+            wide.to_parquet(os.path.join(d, "lineitem.parquet"))
+            to_list = part_pair_cooccurrence(d, max_basket=5).take_all()

@@ -780,6 +780,82 @@ def funnel_conversion(
     return out.sort_values("step").reset_index(drop=True)
 
 
+def part_pair_cooccurrence(
+    sf_dir: str, min_support: int = 2, max_basket: int = 4096
+) -> "rd.Dataset":
+    """Market-basket CO-OCCURRENCE mining: unordered part pairs that appear
+    together in at least ``min_support`` distinct orders — the frequent-
+    itemset / association-rule primitive (and the bipartite-graph
+    projection orders→part-part edges).
+
+    The self-join never materializes order-wide: ONE hash exchange
+    co-locates each order's (distinct) parts, within-partition pair
+    generation is pure integer index arithmetic (repeat/cumsum — each
+    order of s parts yields s(s-1)/2 pairs with no Python loop), and the
+    pair stream collapses through a combiner count exchange keyed on the
+    pair, so a pair crossing many partitions ships partial-count rows,
+    never raw pairs. Basket-size blowup is the known hazard (a 10^4-item
+    basket alone is 5·10^7 pairs): baskets over ``max_basket`` raise
+    rather than silently OOM — at that size the right tool is the minhash
+    family, not exact pairs."""
+    from xmlschema_ray.ops.relational import hash_partition_apply
+
+    ds = rd.read_parquet(table_path(sf_dir, "lineitem"), columns=["l_orderkey", "l_partkey"])
+
+    def pairs_part(part: pd.DataFrame) -> pd.DataFrame:
+        p = part.drop_duplicates().sort_values(["l_orderkey", "l_partkey"], kind="mergesort")
+        ok = p["l_orderkey"].to_numpy(np.int64)
+        pk = p["l_partkey"].to_numpy(np.int64)
+        n = len(ok)
+        if n == 0:
+            return pd.DataFrame(
+                {
+                    "part_a": pd.Series([], dtype=np.int64),
+                    "part_b": pd.Series([], dtype=np.int64),
+                    "n": pd.Series([], dtype=np.int64),
+                }
+            )
+        new_grp = np.empty(n, dtype=bool)
+        new_grp[0] = True
+        np.not_equal(ok[1:], ok[:-1], out=new_grp[1:])
+        grp_start = np.maximum.accumulate(np.where(new_grp, np.arange(n), 0))
+        r = np.arange(n) - grp_start  # within-order position
+        if int(r.max()) + 1 > max_basket:
+            raise ValueError(
+                f"basket of {int(r.max()) + 1} parts exceeds max_basket={max_basket}; "
+                "use the minhash dedup family for baskets this wide"
+            )
+        total = int(r.sum())
+        # element g (within-pos r) is the larger member of r pairs, paired
+        # with the r elements before it in its order
+        j_idx = np.repeat(np.arange(n), r)
+        block_start = np.cumsum(r) - r
+        i_idx = np.arange(total) - np.repeat(block_start, r) + np.repeat(grp_start, r)
+        out = pd.DataFrame({"part_a": pk[i_idx], "part_b": pk[j_idx]})
+        return out.groupby(["part_a", "part_b"], as_index=False).size().rename(columns={"size": "n"})
+
+    partials = hash_partition_apply(ds, "l_orderkey", pairs_part)
+    counts = combiner_aggregate(partials, ["part_a", "part_b"], {"n_orders": ("n", "sum")})
+
+    def support_filter(batch: pa.Table) -> pa.Table:
+        t = batch.filter(pc.greater_equal(batch["n_orders"], pa.scalar(min_support)))
+        return t.set_column(
+            t.schema.get_field_index("n_orders"), "n_orders", pc.cast(t["n_orders"], pa.int64())
+        )
+
+    return counts.map_batches(support_filter, batch_format="pyarrow").sort(
+        ["part_a", "part_b"]
+    )
+
+
+PART_PAIR_SQL = """
+WITH d AS (SELECT DISTINCT l_orderkey, l_partkey FROM lineitem)
+SELECT a.l_partkey AS part_a, b.l_partkey AS part_b, CAST(COUNT(*) AS BIGINT) AS n_orders
+FROM d a JOIN d b ON a.l_orderkey = b.l_orderkey AND a.l_partkey < b.l_partkey
+GROUP BY 1, 2 HAVING COUNT(*) >= 2 ORDER BY 1, 2
+"""
+
+
 FUNNEL_SQL = """
 WITH v AS (
   SELECT user_id, min(ts) AS t1 FROM events WHERE event_type = 'view' GROUP BY user_id
@@ -2376,6 +2452,7 @@ ORACLES = {
     "join_size_bounds": JOIN_SIZE_BOUNDS_SQL,
     "debounce_events": DEBOUNCE_SQL,
     "funnel_conversion": FUNNEL_SQL,
+    "part_pair_cooccurrence": PART_PAIR_SQL,
     "orders_priority_counts": ORDERS_PRIORITY_SQL,
     "union_entity_keys": UNION_SQL,
     "customers_without_recent_orders": CUSTOMERS_WITHOUT_RECENT_SQL,
@@ -2420,6 +2497,7 @@ QUERIES = {
     "join_size_bounds": join_size_bounds,
     "debounce_events": debounce_events,
     "funnel_conversion": funnel_conversion,
+    "part_pair_cooccurrence": part_pair_cooccurrence,
     "orders_priority_counts": orders_priority_counts,
     "union_entity_keys": union_entity_keys,
     "customers_without_recent_orders": customers_without_recent_orders,
