@@ -119,3 +119,72 @@ def test_part_pairs_max_basket_gate(ray_session):
             )
             wide.to_parquet(os.path.join(d, "lineitem.parquet"))
             to_list = part_pair_cooccurrence(d, max_basket=5).take_all()
+
+
+def _brute_heavy_hitters(k):
+    import re
+
+    docs = pd.read_parquet(f"{SF_DIR}/documents.parquet", columns=["text"])
+    from collections import Counter
+
+    c = Counter()
+    for t in docs["text"]:
+        c.update(w for w in re.split(r"\s+", t.strip()) if w)
+    n_total = sum(c.values())
+    return {w: n for w, n in c.items() if n * k > n_total}, n_total
+
+
+def test_heavy_hitters_match_bruteforce_on_fixtures(ray_session):
+    from xmlschema_ray.pipelines.curation import heavy_hitter_words
+
+    for k, cap in [(30, 40), (100, 500)]:
+        out = heavy_hitter_words(SF_DIR, k=k, mg_capacity=cap)
+        want, n_total = _brute_heavy_hitters(k)
+        got = dict(zip(out["word"], out["n"]))
+        assert got == want, (k, cap, len(got), len(want))
+        assert (out["n_total"] == n_total).all()
+
+
+def test_heavy_hitters_exact_under_forced_compression(ray_session, tmp_path):
+    """A 4000-word zipf-ish vocabulary with mg_capacity=256 forces real MG
+    compression in every batch; the sketch-then-verify output must STILL
+    be exactly the true heavy-hitter set (the mergeability guarantee)."""
+    import numpy as np
+
+    from xmlschema_ray.pipelines.curation import heavy_hitter_words
+
+    rng = np.random.default_rng(7)
+    vocab = np.array([f"w{i:04d}" for i in range(4000)], dtype=object)
+    # zipf-ish weights: a handful of hot words + a wide flat tail
+    weights = 1.0 / np.arange(1, 4001) ** 1.2
+    weights /= weights.sum()
+    docs = []
+    for _ in range(300):
+        words = rng.choice(vocab, size=80, p=weights)
+        docs.append(" ".join(words))
+    # several files -> several blocks, so sketch MERGING is exercised too
+    (tmp_path / "documents.parquet").mkdir()
+    for i in range(8):
+        chunk = docs[i * 38 : (i + 1) * 38] if i < 7 else docs[7 * 38 :]
+        pd.DataFrame(
+            {"doc_id": np.arange(len(chunk), dtype=np.int64), "text": chunk}
+        ).to_parquet(tmp_path / "documents.parquet" / f"part-{i}.parquet")
+
+    out = heavy_hitter_words(str(tmp_path), k=200, mg_capacity=256)
+    from collections import Counter
+
+    c = Counter(w for t in docs for w in t.split())
+    n_total = sum(c.values())
+    want = {w: n for w, n in c.items() if n * 200 > n_total}
+    got = dict(zip(out["word"], out["n"]))
+    assert got == want and len(want) >= 5
+    assert (out["n_total"] == n_total).all()
+
+
+def test_heavy_hitters_capacity_lint():
+    import pytest
+
+    from xmlschema_ray.pipelines.curation import heavy_hitter_words
+
+    with pytest.raises(ValueError, match="mg_capacity"):
+        heavy_hitter_words(SF_DIR, k=100, mg_capacity=99)

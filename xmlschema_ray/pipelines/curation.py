@@ -158,6 +158,121 @@ LIMIT 20
 """
 
 
+def heavy_hitter_words(sf_dir: str, k: int = 500, mg_capacity: int = 2000) -> pd.DataFrame:
+    """EXACT frequent items (words with count·k > corpus total) through a
+    Misra-Gries mergeable sketch + exact-verify rescan — the
+    frequent-items counterpart of the engine's HLL/quantile sketches
+    (SURVEY §2.7), and the shape ``top_words`` cannot give: a frequency
+    THRESHOLD with a guarantee, not a fixed top-k.
+
+    Phase 1 streams one MG summary per batch (exact batch counts
+    compressed to ``mg_capacity`` rows by subtracting the (m+1)-th
+    largest count — each item's undercount ≤ batch_words/(m+1), so the
+    summed sketch undercounts any word by at most total/(m+1); Agarwal
+    et al., "Mergeable summaries", PODS 2012). Batch word totals ride
+    the same stream as an empty-string sentinel (words are non-empty by
+    construction). The merged sketch is MATERIALIZED (sketch-sized:
+    bounded by vocabulary, never the corpus) so the total lookup and the
+    candidate cut consume it without re-tokenizing the corpus; with
+    m+1 > 4k the integer candidate test sketch·k·(m+1) > total·(m+1−k)
+    admits every true heavy hitter and at most ~k·(m+1)/(m+1−k) ≈ 1.33k
+    candidates reach the driver. Phase 2 broadcasts the candidate list
+    and rescans for exact candidate counts (collision-free: real
+    strings, not hashes) — false positives die here, false negatives
+    are structurally impossible. The two-pass sketch-then-verify shape
+    is the engine's uniqueness design (``engine.py`` stage B)."""
+    from xmlschema_ray.ops.relational import combiner_aggregate
+
+    if mg_capacity + 1 <= k:
+        raise ValueError("mg_capacity must exceed k for the candidate guarantee")
+    ds = rd.read_parquet(table_path(sf_dir, "documents"), columns=["text"])
+
+    def mg_partial(batch: pa.Table) -> pd.DataFrame:
+        _, flat = _split_words(batch["text"])
+        flat = flat[flat != ""]
+        w, c = np.unique(flat.astype(str), return_counts=True)
+        total = int(c.sum())
+        if len(w) > mg_capacity:
+            thr = np.partition(c, len(c) - mg_capacity - 1)[len(c) - mg_capacity - 1]
+            keep = c > thr
+            w, c = w[keep], c[keep] - thr
+        return pd.DataFrame(
+            {
+                "word": np.concatenate([w, np.array([""], dtype=object)]),
+                "n": np.concatenate([c.astype(np.int64), np.array([total], dtype=np.int64)]),
+            }
+        )
+
+    sketch = combiner_aggregate(
+        ds.map_batches(mg_partial, batch_format="pyarrow"), "word", {"n": ("n", "sum")}
+    ).materialize()
+    total_row = sketch.filter(lambda r: r["word"] == "").take_all()
+    n_total = int(total_row[0]["n"]) if total_row else 0
+    if n_total == 0:
+        return pd.DataFrame(
+            {
+                "word": pd.Series([], dtype=object),
+                "n": pd.Series([], dtype="int64"),
+                "n_total": pd.Series([], dtype="int64"),
+            }
+        )
+    m1 = mg_capacity + 1
+
+    def candidate_cut(batch: pa.Table) -> pa.Table:
+        ok = pc.and_(
+            pc.not_equal(batch["word"], pa.scalar("")),
+            pc.greater(
+                pc.multiply(batch["n"], pa.scalar(k * m1, pa.int64())),
+                pa.scalar(n_total * (m1 - k), pa.int64()),
+            ),
+        )
+        return batch.filter(ok).select(["word"])
+
+    cand = sketch.map_batches(candidate_cut, batch_format="pyarrow").take_all()
+    if not cand:
+        return pd.DataFrame(
+            {
+                "word": pd.Series([], dtype=object),
+                "n": pd.Series([], dtype="int64"),
+                "n_total": pd.Series([], dtype="int64"),
+            }
+        )
+    cand_words = pa.array(sorted(r["word"] for r in cand), pa.string())
+    cand_ref = ray.put(cand_words)
+
+    def exact_partial(batch: pa.Table) -> pd.DataFrame:
+        cw = ray.get(cand_ref)
+        _, flat = _split_words(batch["text"])
+        arr = pa.array(flat, pa.string())
+        hits = arr.filter(pc.is_in(arr, value_set=cw)).to_numpy(zero_copy_only=False)
+        if len(hits) == 0:
+            return pd.DataFrame(
+                {"word": pd.Series([], dtype=object), "n": pd.Series([], dtype="int64")}
+            )
+        w, c = np.unique(hits.astype(str), return_counts=True)
+        return pd.DataFrame({"word": w, "n": c.astype(np.int64)})
+
+    exact = combiner_aggregate(
+        ds.map_batches(exact_partial, batch_format="pyarrow"), "word", {"n": ("n", "sum")}
+    ).to_pandas()
+    exact["n"] = exact["n"].astype("int64")
+    out = exact[exact["n"] * k > n_total].copy()
+    out["n_total"] = np.int64(n_total)
+    return out.sort_values("word").reset_index(drop=True)
+
+
+HEAVY_HITTER_SQL = r"""
+WITH w AS (
+  SELECT unnest(regexp_split_to_array(trim(text), '\s+')) AS word FROM documents
+), c AS (
+  SELECT word, CAST(COUNT(*) AS BIGINT) AS n FROM w WHERE word <> '' GROUP BY word
+), t AS (
+  SELECT CAST(SUM(n) AS BIGINT) AS n_total FROM c
+)
+SELECT c.word, c.n, t.n_total FROM c, t WHERE c.n * 500 > t.n_total ORDER BY c.word
+"""
+
+
 def hll_vocab_by_source(sf_dir: str, p: int = 12) -> pd.DataFrame:
     """Per-source vocabulary HyperLogLog — the engine's mergeable
     distinct-count sketch (``engine/stats.py``) brought UNDER THE ORACLE
@@ -2156,6 +2271,7 @@ PRETRAINING_MANIFEST_SQL = _pretraining_manifest_sql()
 
 ORACLES: Dict[str, str] = {
     "top_words": TOP_WORDS_SQL,
+    "heavy_hitter_words": HEAVY_HITTER_SQL,
     "pretraining_manifest": PRETRAINING_MANIFEST_SQL,
     "hll_vocab_by_source": HLL_VOCAB_SQL,
     "unimax_language_budgets": UNIMAX_SQL,
@@ -2184,6 +2300,7 @@ ORACLES: Dict[str, str] = {
 
 QUERIES = {
     "top_words": top_words,
+    "heavy_hitter_words": heavy_hitter_words,
     "pretraining_manifest": pretraining_manifest,
     "hll_vocab_by_source": hll_vocab_by_source,
     "unimax_language_budgets": unimax_language_budgets,
