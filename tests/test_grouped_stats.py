@@ -188,3 +188,18 @@ def test_heavy_hitters_capacity_lint():
 
     with pytest.raises(ValueError, match="mg_capacity"):
         heavy_hitter_words(SF_DIR, k=100, mg_capacity=99)
+
+
+def test_user_paths_match_bruteforce(ray_session):
+    from xmlschema_ray.pipelines.relational import user_path_counts
+
+    out = user_path_counts(SF_DIR, k=3)
+    ev = pd.read_parquet(f"{SF_DIR}/events.parquet")
+    from collections import Counter
+
+    c = Counter()
+    for _, g in ev.sort_values(["ts", "event_id"]).groupby("user_id"):
+        c[">".join(g["event_type"].head(3))] += 1
+    got = dict(zip(out["path"], out["n_users"]))
+    assert got == dict(c)
+    assert sum(got.values()) == ev["user_id"].nunique()

@@ -848,6 +848,75 @@ def part_pair_cooccurrence(
     )
 
 
+def user_path_counts(sf_dir: str, k: int = 5) -> pd.DataFrame:
+    """Sequential path mining: the frequency table of each user's FIRST-k
+    event-type path (``view>click>purchase…``) — the navigation-pattern /
+    clickstream-journey rollup (SURVEY §2.11 sessionization family, but
+    order-sensitive where sessionize is gap-based).
+
+    ONE hash exchange co-locates each user's events; inside a partition
+    the path build is integer arithmetic, never per-user string joins:
+    sort by (user, ts, event_id), vectorized cumcount rank, local
+    factorize of event_type, and each user's path becomes ONE int64 key
+    Σ (code+1)·base^rank (base = local vocab + 1) via a C-speed groupby
+    sum. Only the partition's DISTINCT path keys (bounded by vocab^k,
+    not by users) are decoded back to strings — a ≤base^k loop of k
+    divmods. Partials are (path, n_users) rows; the driver folds them
+    with one tiny groupby. Lints base^k against int64 before encoding —
+    wide event vocabularies at large k need a hash-keyed variant (same
+    two-phase recovery as exact dedup) rather than positional encoding."""
+    from xmlschema_ray.ops.relational import hash_partition_apply, to_pandas_with_schema
+
+    ds = rd.read_parquet(
+        table_path(sf_dir, "events"), columns=["event_id", "user_id", "event_type", "ts"]
+    )
+
+    def paths_part(part: pd.DataFrame) -> pd.DataFrame:
+        p = part.sort_values(["user_id", "ts", "event_id"], kind="mergesort")
+        rank = p.groupby("user_id", sort=False).cumcount().to_numpy()
+        p = p[rank < k]
+        rank = rank[rank < k]
+        codes, cats = pd.factorize(p["event_type"].to_numpy())
+        base = len(cats) + 1
+        if base**k >= 2**63:
+            raise ValueError(
+                f"event vocabulary {len(cats)} at k={k} overflows positional int64 "
+                "encoding; use a hashed path key with exact recovery instead"
+            )
+        contrib = (codes.astype(np.int64) + 1) * np.int64(base) ** rank.astype(np.int64)
+        keys = pd.Series(contrib).groupby(p["user_id"].to_numpy(), sort=False).sum()
+        uk, counts = np.unique(keys.to_numpy(np.int64), return_counts=True)
+        paths = []
+        for key in uk:
+            words = []
+            while key:
+                key, d = divmod(key, base)
+                words.append(cats[d - 1])
+            paths.append(">".join(words))
+        return pd.DataFrame(
+            {"path": np.array(paths, dtype=object), "n": counts.astype(np.int64)}
+        )
+
+    partials = hash_partition_apply(ds, "user_id", paths_part)
+    df = to_pandas_with_schema(partials)
+    out = df.groupby("path", as_index=False)["n"].sum().rename(columns={"n": "n_users"})
+    out["n_users"] = out["n_users"].astype("int64")
+    return out.sort_values("path").reset_index(drop=True)
+
+
+USER_PATHS_SQL = """
+WITH r AS (
+  SELECT user_id, event_type,
+         row_number() OVER (PARTITION BY user_id ORDER BY ts, event_id) AS rn
+  FROM events
+), p AS (
+  SELECT user_id, string_agg(event_type, '>' ORDER BY rn) AS path
+  FROM r WHERE rn <= 5 GROUP BY user_id
+)
+SELECT path, CAST(COUNT(*) AS BIGINT) AS n_users FROM p GROUP BY path ORDER BY path
+"""
+
+
 PART_PAIR_SQL = """
 WITH d AS (SELECT DISTINCT l_orderkey, l_partkey FROM lineitem)
 SELECT a.l_partkey AS part_a, b.l_partkey AS part_b, CAST(COUNT(*) AS BIGINT) AS n_orders
@@ -2453,6 +2522,7 @@ ORACLES = {
     "debounce_events": DEBOUNCE_SQL,
     "funnel_conversion": FUNNEL_SQL,
     "part_pair_cooccurrence": PART_PAIR_SQL,
+    "user_path_counts": USER_PATHS_SQL,
     "orders_priority_counts": ORDERS_PRIORITY_SQL,
     "union_entity_keys": UNION_SQL,
     "customers_without_recent_orders": CUSTOMERS_WITHOUT_RECENT_SQL,
@@ -2498,6 +2568,7 @@ QUERIES = {
     "debounce_events": debounce_events,
     "funnel_conversion": funnel_conversion,
     "part_pair_cooccurrence": part_pair_cooccurrence,
+    "user_path_counts": user_path_counts,
     "orders_priority_counts": orders_priority_counts,
     "union_entity_keys": union_entity_keys,
     "customers_without_recent_orders": customers_without_recent_orders,
