@@ -203,3 +203,55 @@ def test_user_paths_match_bruteforce(ray_session):
     got = dict(zip(out["path"], out["n_users"]))
     assert got == dict(c)
     assert sum(got.values()) == ev["user_id"].nunique()
+
+
+def test_morton_bit_interleave_reference():
+    from xmlschema_ray.pipelines.relational import morton_zvalue
+
+    rng = np.random.default_rng(3)
+    x = rng.integers(0, 65536, 200)
+    y = rng.integers(0, 65536, 200)
+    z = morton_zvalue(x, y)
+
+    def ref(a, b):
+        out = 0
+        for i in range(16):
+            out |= ((int(a) >> i) & 1) << (2 * i)
+            out |= ((int(b) >> i) & 1) << (2 * i + 1)
+        return out
+
+    assert z.tolist() == [ref(a, b) for a, b in zip(x, y)]
+
+
+def test_zorder_layout_prunes_2d_boxes(ray_session):
+    """The layout claim itself: chunking a Z-ordered sort into files gives
+    2-D-tight bounding boxes, so a box predicate prunes most chunks, while
+    natural (orderkey) order prunes almost nothing on either dimension."""
+    from xmlschema_ray.pipelines.relational import morton_zvalue
+
+    li = pd.read_parquet(
+        f"{SF_DIR}/lineitem.parquet", columns=["l_partkey", "l_suppkey"]
+    )
+    z = morton_zvalue(li["l_partkey"].to_numpy(), li["l_suppkey"].to_numpy())
+    n_chunks = 32
+
+    def chunks_touched(order):
+        o = li.iloc[order].reset_index(drop=True)
+        bounds = []
+        for c in np.array_split(np.arange(len(o)), n_chunks):
+            g = o.iloc[c]
+            bounds.append(
+                (g["l_partkey"].min(), g["l_partkey"].max(), g["l_suppkey"].min(), g["l_suppkey"].max())
+            )
+        pk_lo, pk_hi = np.quantile(li["l_partkey"], [0.4, 0.5])
+        sk_lo, sk_hi = np.quantile(li["l_suppkey"], [0.4, 0.5])
+        return sum(
+            1
+            for (a, b, c_, d) in bounds
+            if not (b < pk_lo or a > pk_hi or d < sk_lo or c_ > sk_hi)
+        )
+
+    z_touched = chunks_touched(np.argsort(z, kind="stable"))
+    nat_touched = chunks_touched(np.arange(len(li)))
+    assert z_touched * 2 <= nat_touched, (z_touched, nat_touched)
+    assert z_touched <= n_chunks // 2

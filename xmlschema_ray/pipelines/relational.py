@@ -904,6 +904,105 @@ def user_path_counts(sf_dir: str, k: int = 5) -> pd.DataFrame:
     return out.sort_values("path").reset_index(drop=True)
 
 
+def _part1by1(x: np.ndarray) -> np.ndarray:
+    """Spread the low 16 bits of ``x`` into the even bit positions (the
+    Morton-code interleave half, classic bit-twiddling expansion)."""
+    x = x.astype(np.int64) & 0xFFFF
+    x = (x | (x << 8)) & 0x00FF00FF
+    x = (x | (x << 4)) & 0x0F0F0F0F
+    x = (x | (x << 2)) & 0x33333333
+    x = (x | (x << 1)) & 0x55555555
+    return x
+
+
+def morton_zvalue(x: np.ndarray, y: np.ndarray) -> np.ndarray:
+    """32-bit Z-order (Morton) key interleaving the low 16 bits of two
+    dimensions — the multi-column data-clustering key (Z-ordered layouts
+    give every co-clustered column usable zone maps, where a plain sort
+    helps only its leading column). Production layouts feed quantile-
+    bucketed dimensions in; the bit interleave is the same."""
+    return _part1by1(x) | (_part1by1(y) << 1)
+
+
+def _sql_interleave(col: str, shift: int) -> str:
+    terms = [f"((({col} & 65535) >> {i}) & 1) * {1 << (2 * i + shift)}" for i in range(16)]
+    return " + ".join(terms)
+
+
+def zorder_tile_stats(sf_dir: str, grid_bits: int = 4) -> pd.DataFrame:
+    """Z-order tile zone maps over (l_partkey, l_suppkey): rows land in up
+    to 2^(2·grid_bits) Morton tiles and each tile reports count + per-
+    dimension min/max — exactly the file-level statistics a Z-clustered
+    Parquet layout would expose for predicate pushdown on EITHER column.
+
+    Coordinates are RANGE-NORMALIZED to the 16-bit Morton domain with
+    exact integer floor-division ((x·65535)//max_x — replayed verbatim by
+    the oracle's ``//``), so the grid covers the data at any key scale; a
+    metadata-sized max pre-pass (one int pair per batch) supplies the
+    bounds. Production layouts use quantile buckets instead of max-scaling
+    for skew; the interleave and tiling are identical. The scan-side map
+    is three vectorized shift/mask passes; stats are one combiner exchange
+    (tiles, never rows). ``tests/test_grouped_stats.py`` proves the layout
+    property itself: Z-tiles are 2-D-tight, so a box predicate prunes most
+    tiles — which a single-column sort cannot do for the second column."""
+    path = table_path(sf_dir, "lineitem")
+    ds = rd.read_parquet(path, columns=["l_partkey", "l_suppkey"])
+
+    def max_partial(batch: pa.Table) -> pd.DataFrame:
+        return pd.DataFrame(
+            {
+                "mpk": [int(pc.max(batch["l_partkey"]).as_py())],
+                "msk": [int(pc.max(batch["l_suppkey"]).as_py())],
+            }
+        )
+
+    m = ds.map_batches(max_partial, batch_format="pyarrow").to_pandas()
+    mpk, msk = int(m["mpk"].max()), int(m["msk"].max())
+    tile_shift = 2 * (16 - grid_bits)
+
+    def tiles(batch: pa.Table) -> pd.DataFrame:
+        pk = batch["l_partkey"].to_numpy().astype(np.int64)
+        sk = batch["l_suppkey"].to_numpy().astype(np.int64)
+        z = morton_zvalue((pk * 65535) // mpk, (sk * 65535) // msk)
+        return pd.DataFrame(
+            {"tile": (z >> tile_shift).astype(np.int64), "pk": pk, "sk": sk}
+        )
+
+    agg = combiner_aggregate(
+        ds.map_batches(tiles, batch_format="pyarrow"),
+        "tile",
+        {
+            "n": (None, "count"),
+            "min_partkey": ("pk", "min"),
+            "max_partkey": ("pk", "max"),
+            "min_suppkey": ("sk", "min"),
+            "max_suppkey": ("sk", "max"),
+        },
+    ).to_pandas()
+    for c in ["n", "min_partkey", "max_partkey", "min_suppkey", "max_suppkey"]:
+        agg[c] = agg[c].astype("int64")
+    return agg.sort_values("tile").reset_index(drop=True)
+
+
+ZORDER_TILE_SQL = f"""
+WITH m AS (
+  SELECT MAX(l_partkey) AS mpk, MAX(l_suppkey) AS msk FROM lineitem
+), nrm AS (
+  SELECT l_partkey, l_suppkey,
+    (l_partkey * 65535) // mpk AS nx, (l_suppkey * 65535) // msk AS ny
+  FROM lineitem, m
+), z AS (
+  SELECT l_partkey, l_suppkey,
+    ({_sql_interleave("nx", 0)} + {_sql_interleave("ny", 1)}) AS zvalue
+  FROM nrm
+)
+SELECT CAST(zvalue >> 24 AS BIGINT) AS tile, CAST(COUNT(*) AS BIGINT) AS n,
+  CAST(MIN(l_partkey) AS BIGINT) AS min_partkey, CAST(MAX(l_partkey) AS BIGINT) AS max_partkey,
+  CAST(MIN(l_suppkey) AS BIGINT) AS min_suppkey, CAST(MAX(l_suppkey) AS BIGINT) AS max_suppkey
+FROM z GROUP BY 1 ORDER BY 1
+"""
+
+
 USER_PATHS_SQL = """
 WITH r AS (
   SELECT user_id, event_type,
@@ -2523,6 +2622,7 @@ ORACLES = {
     "funnel_conversion": FUNNEL_SQL,
     "part_pair_cooccurrence": PART_PAIR_SQL,
     "user_path_counts": USER_PATHS_SQL,
+    "zorder_tile_stats": ZORDER_TILE_SQL,
     "orders_priority_counts": ORDERS_PRIORITY_SQL,
     "union_entity_keys": UNION_SQL,
     "customers_without_recent_orders": CUSTOMERS_WITHOUT_RECENT_SQL,
@@ -2569,6 +2669,7 @@ QUERIES = {
     "funnel_conversion": funnel_conversion,
     "part_pair_cooccurrence": part_pair_cooccurrence,
     "user_path_counts": user_path_counts,
+    "zorder_tile_stats": zorder_tile_stats,
     "orders_priority_counts": orders_priority_counts,
     "union_entity_keys": union_entity_keys,
     "customers_without_recent_orders": customers_without_recent_orders,
