@@ -106,7 +106,7 @@ def test_part_pairs_max_basket_gate(ray_session):
     # a crafted wide basket must raise, not OOM
     import pytest
 
-    with pytest.raises(ValueError, match="max_basket"):
+    with pytest.raises(ValueError, match="max_group"):
         import ray.data as rd
 
         # monkey-free: call the partition fn through a tiny synthetic dir
@@ -255,3 +255,26 @@ def test_zorder_layout_prunes_2d_boxes(ray_session):
     nat_touched = chunks_touched(np.arange(len(li)))
     assert z_touched * 2 <= nat_touched, (z_touched, nat_touched)
     assert z_touched <= n_chunks // 2
+
+
+def test_triangles_match_bruteforce(ray_session):
+    from collections import defaultdict
+    from itertools import combinations
+
+    from xmlschema_ray.pipelines.relational import part_triangle_count
+
+    out = part_triangle_count(SF_DIR)
+    li = pd.read_parquet(
+        f"{SF_DIR}/lineitem.parquet", columns=["l_orderkey", "l_partkey"]
+    ).drop_duplicates()
+    pair_n = defaultdict(int)
+    for _, g in li.groupby("l_orderkey"):
+        for a, b in combinations(sorted(g["l_partkey"]), 2):
+            pair_n[(a, b)] += 1
+    edges = {p for p, n in pair_n.items() if n >= 2}
+    adj = defaultdict(set)
+    for a, b in edges:
+        adj[a].add(b)
+    tri = sum(1 for (a, b) in edges for c in adj[b] if c in adj[a])
+    assert int(out["n_edges"].iloc[0]) == len(edges)
+    assert int(out["n_triangles"].iloc[0]) == tri > 0

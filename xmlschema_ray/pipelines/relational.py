@@ -780,6 +780,38 @@ def funnel_conversion(
     return out.sort_values("step").reset_index(drop=True)
 
 
+def _within_group_pair_indices(
+    group_keys: np.ndarray, max_group: int = 4096
+) -> "tuple[np.ndarray, np.ndarray]":
+    """All ordered index pairs (i < j) WITHIN runs of equal ``group_keys``
+    (must be pre-sorted so each group is contiguous), as pure repeat/cumsum
+    integer arithmetic — a group of s rows yields s(s-1)/2 pairs with no
+    Python loop. Raises past ``max_group`` (quadratic blowup guard).
+    Shared by the co-occurrence miner and the triangle counter's wedge
+    generation."""
+    n = len(group_keys)
+    if n == 0:
+        empty = np.array([], dtype=np.int64)
+        return empty, empty
+    new_grp = np.empty(n, dtype=bool)
+    new_grp[0] = True
+    np.not_equal(group_keys[1:], group_keys[:-1], out=new_grp[1:])
+    grp_start = np.maximum.accumulate(np.where(new_grp, np.arange(n), 0))
+    r = np.arange(n) - grp_start  # within-group position
+    if int(r.max()) + 1 > max_group:
+        raise ValueError(
+            f"group of {int(r.max()) + 1} rows exceeds max_group={max_group}; "
+            "use the minhash dedup family for groups this wide"
+        )
+    total = int(r.sum())
+    # element g (within-pos r) is the larger member of r pairs, paired with
+    # the r elements before it in its group
+    j_idx = np.repeat(np.arange(n), r)
+    block_start = np.cumsum(r) - r
+    i_idx = np.arange(total) - np.repeat(block_start, r) + np.repeat(grp_start, r)
+    return i_idx, j_idx
+
+
 def part_pair_cooccurrence(
     sf_dir: str, min_support: int = 2, max_basket: int = 4096
 ) -> "rd.Dataset":
@@ -804,10 +836,11 @@ def part_pair_cooccurrence(
 
     def pairs_part(part: pd.DataFrame) -> pd.DataFrame:
         p = part.drop_duplicates().sort_values(["l_orderkey", "l_partkey"], kind="mergesort")
-        ok = p["l_orderkey"].to_numpy(np.int64)
         pk = p["l_partkey"].to_numpy(np.int64)
-        n = len(ok)
-        if n == 0:
+        i_idx, j_idx = _within_group_pair_indices(
+            p["l_orderkey"].to_numpy(np.int64), max_group=max_basket
+        )
+        if len(i_idx) == 0:
             return pd.DataFrame(
                 {
                     "part_a": pd.Series([], dtype=np.int64),
@@ -815,22 +848,6 @@ def part_pair_cooccurrence(
                     "n": pd.Series([], dtype=np.int64),
                 }
             )
-        new_grp = np.empty(n, dtype=bool)
-        new_grp[0] = True
-        np.not_equal(ok[1:], ok[:-1], out=new_grp[1:])
-        grp_start = np.maximum.accumulate(np.where(new_grp, np.arange(n), 0))
-        r = np.arange(n) - grp_start  # within-order position
-        if int(r.max()) + 1 > max_basket:
-            raise ValueError(
-                f"basket of {int(r.max()) + 1} parts exceeds max_basket={max_basket}; "
-                "use the minhash dedup family for baskets this wide"
-            )
-        total = int(r.sum())
-        # element g (within-pos r) is the larger member of r pairs, paired
-        # with the r elements before it in its order
-        j_idx = np.repeat(np.arange(n), r)
-        block_start = np.cumsum(r) - r
-        i_idx = np.arange(total) - np.repeat(block_start, r) + np.repeat(grp_start, r)
         out = pd.DataFrame({"part_a": pk[i_idx], "part_b": pk[j_idx]})
         return out.groupby(["part_a", "part_b"], as_index=False).size().rename(columns={"size": "n"})
 
@@ -1021,6 +1038,127 @@ WITH d AS (SELECT DISTINCT l_orderkey, l_partkey FROM lineitem)
 SELECT a.l_partkey AS part_a, b.l_partkey AS part_b, CAST(COUNT(*) AS BIGINT) AS n_orders
 FROM d a JOIN d b ON a.l_orderkey = b.l_orderkey AND a.l_partkey < b.l_partkey
 GROUP BY 1, 2 HAVING COUNT(*) >= 2 ORDER BY 1, 2
+"""
+
+
+def part_triangle_count(sf_dir: str, min_support: int = 2) -> pd.DataFrame:
+    """Distributed TRIANGLE COUNTING on the part co-occurrence graph — the
+    graph-analytics clustering primitive (community density; Schank &
+    Wagner / Latapy node-iterator with DEGREE ORIENTATION so hot nodes
+    cannot explode the wedge set: every edge is directed from its lower-
+    (degree, id) endpoint, bounding Σ out-deg² by O(|E|^1.5) regardless of
+    skew — the graph analog of the engine's salt-the-hot-key rule).
+
+    Plan: the support-filtered edge set (pair-bounded) MATERIALIZES once
+    and feeds three exchanges — a combiner degree count, two bucketed
+    joins attaching endpoint degrees, then wedge generation per out-
+    neighborhood (the shared repeat/cumsum pair kernel) and ONE
+    co-partitioning join that closes wedges against oriented edges.
+    Per-partition outputs are single integer counts; the triangle total is
+    orientation-invariant, so the oracle's a<b three-way self-join counts
+    the identical set."""
+    from xmlschema_ray.ops.relational import (
+        combiner_aggregate,
+        copartition_apply,
+        hash_partition_apply,
+        to_pandas_with_schema,
+    )
+
+    edges = (
+        part_pair_cooccurrence(sf_dir, min_support=min_support)
+        .map_batches(
+            lambda t: t.select(["part_a", "part_b"]),
+            batch_format="pyarrow",
+            zero_copy_batch=True,
+        )
+        .materialize()
+    )
+    n_edges = edges.count()
+
+    def deg_partial(batch: pa.Table) -> pd.DataFrame:
+        nodes = np.concatenate(
+            [batch["part_a"].to_numpy(), batch["part_b"].to_numpy()]
+        ).astype(np.int64)
+        u, c = np.unique(nodes, return_counts=True)
+        return pd.DataFrame({"node": u, "d": c.astype(np.int64)})
+
+    degs = combiner_aggregate(
+        edges.map_batches(deg_partial, batch_format="pyarrow"), "node", {"deg": ("d", "sum")}
+    )
+
+    def join_deg(col: str, out: str):
+        def m(lf: pd.DataFrame, rf: pd.DataFrame) -> pd.DataFrame:
+            r = rf.rename(columns={"node": col, "deg": out})
+            return lf.merge(r, on=col, how="inner")
+
+        return m
+
+    with_da = copartition_apply(edges, degs, "part_a", "node", join_deg("part_a", "deg_a"))
+    with_db = copartition_apply(with_da, degs, "part_b", "node", join_deg("part_b", "deg_b"))
+
+    def orient(batch: pd.DataFrame) -> pd.DataFrame:
+        da = batch["deg_a"].to_numpy(np.int64)
+        db = batch["deg_b"].to_numpy(np.int64)
+        a = batch["part_a"].to_numpy(np.int64)
+        b = batch["part_b"].to_numpy(np.int64)
+        a_first = (da < db) | ((da == db) & (a < b))  # a<b always, so ties go a-first
+        u = np.where(a_first, a, b)
+        v = np.where(a_first, b, a)
+        dv = np.where(a_first, db, da)
+        return pd.DataFrame({"u": u, "v": v, "dv": dv})
+
+    oriented = with_db.map_batches(orient, batch_format="pandas").materialize()
+
+    def wedge_part(part: pd.DataFrame) -> pd.DataFrame:
+        # pairs of out-neighbors of each u, ordered by the SAME (deg, id)
+        # orientation so the closing edge (v, w) is itself oriented v->w
+        p = part.sort_values(["u", "dv", "v"], kind="mergesort")
+        i_idx, j_idx = _within_group_pair_indices(p["u"].to_numpy(np.int64))
+        vv = p["v"].to_numpy(np.int64)
+        if len(i_idx) == 0:
+            return pd.DataFrame(
+                {
+                    "wv": pd.Series([], dtype=np.int64),
+                    "ww": pd.Series([], dtype=np.int64),
+                    "nw": pd.Series([], dtype=np.int64),
+                }
+            )
+        out = pd.DataFrame({"wv": vv[i_idx], "ww": vv[j_idx]})
+        return (
+            out.groupby(["wv", "ww"], as_index=False).size().rename(columns={"size": "nw"})
+        )
+
+    wedges = hash_partition_apply(oriented, "u", wedge_part)
+
+    def close(lf: pd.DataFrame, rf: pd.DataFrame) -> pd.DataFrame:
+        hit = lf.merge(rf, left_on=["wv", "ww"], right_on=["u", "v"], how="inner")
+        return pd.DataFrame({"n_tri": [np.int64(hit["nw"].sum())]})
+
+    closed = copartition_apply(
+        wedges,
+        oriented.map_batches(
+            lambda t: t.select(["u", "v"]), batch_format="pyarrow", zero_copy_batch=True
+        ),
+        "wv",
+        "u",
+        close,
+    )
+    parts = to_pandas_with_schema(closed)
+    n_tri = int(parts["n_tri"].sum()) if len(parts) else 0
+    return pd.DataFrame({"n_edges": [np.int64(n_edges)], "n_triangles": [np.int64(n_tri)]})
+
+
+TRIANGLE_SQL = """
+WITH d AS (SELECT DISTINCT l_orderkey, l_partkey FROM lineitem),
+e AS (
+  SELECT a.l_partkey AS pa, b.l_partkey AS pb
+  FROM d a JOIN d b ON a.l_orderkey = b.l_orderkey AND a.l_partkey < b.l_partkey
+  GROUP BY 1, 2 HAVING COUNT(*) >= 2
+)
+SELECT (SELECT CAST(COUNT(*) AS BIGINT) FROM e) AS n_edges,
+       (SELECT CAST(COUNT(*) AS BIGINT)
+        FROM e e1 JOIN e e2 ON e1.pb = e2.pa
+                  JOIN e e3 ON e3.pa = e1.pa AND e3.pb = e2.pb) AS n_triangles
 """
 
 
@@ -1706,6 +1844,83 @@ SELECT event_id, user_id,
             OVER (PARTITION BY user_id ORDER BY ts, event_id
                   ROWS BETWEEN 2 PRECEDING AND CURRENT ROW) AS BIGINT) AS roll3_sum_c
 FROM events ORDER BY event_id
+"""
+
+
+def events_rolling_zscore(sf_dir: str, window: int = 10) -> "rd.Dataset":
+    """Per-user rolling anomaly score: each event's value z-scored against
+    its own trailing ``window``-row history — the streaming outlier detector
+    (fraud/telemetry spike) built on the same per-key window machinery as
+    the rolling sum, but publishing a DERIVED float statistic.
+
+    Exactness: the window carries INTEGER sums (Σc, Σc² of scaled cents);
+    z = (c·w − Σc)/√(w·Σc² − (Σc)²) is one closed-form float over those
+    ints in the oracle's op order, so doubles hash-match. Rows with an
+    incomplete window or zero variance are excluded by INTEGER predicates
+    (cnt = w, w·Σc² − (Σc)² > 0) — never by comparing floats. One hash
+    exchange co-locates each user's stream; the window scan is two
+    vectorized grouped rolling sums per partition."""
+    from xmlschema_ray.ops.relational import hash_partition_apply
+    from xmlschema_ray.pipelines.common import cents
+
+    ds = rd.read_parquet(
+        table_path(sf_dir, "events"), columns=["event_id", "user_id", "ts", "value"]
+    )
+    w = window
+
+    def zscore_part(part: pd.DataFrame) -> pd.DataFrame:
+        p = part.sort_values(["user_id", "ts", "event_id"], kind="mergesort")
+        c = pd.Series(cents(p["value"]), index=p.index)
+        g = c.groupby(p["user_id"].to_numpy(), sort=False)
+        sum_c = g.rolling(w, min_periods=w).sum().to_numpy()
+        sum_c2 = (
+            (c * c).groupby(p["user_id"].to_numpy(), sort=False)
+            .rolling(w, min_periods=w)
+            .sum()
+            .to_numpy()
+        )
+        full = ~np.isnan(sum_c)
+        cv = c.to_numpy()[full]
+        sc = sum_c[full].astype(np.int64)
+        sc2 = sum_c2[full].astype(np.int64)
+        var_num = w * sc2 - sc * sc
+        ok = var_num > 0
+        cf = cv[ok].astype(np.float64)
+        scf = sc[ok].astype(np.float64)
+        sc2f = sc2[ok].astype(np.float64)
+        z = (cf * float(w) - scf) / np.sqrt(float(w) * sc2f - scf * scf)
+        return pd.DataFrame(
+            {
+                "event_id": p["event_id"].to_numpy()[full][ok],
+                "user_id": p["user_id"].to_numpy()[full][ok],
+                "sum_c": sc[ok],
+                "sum_c2": sc2[ok],
+                "zscore": z,
+            }
+        )
+
+    return hash_partition_apply(ds, "user_id", zscore_part).sort("event_id")
+
+
+ROLLING_ZSCORE_SQL = """
+WITH c0 AS (
+  SELECT event_id, user_id, ts, CAST(floor(value * 100 + 0.5) AS BIGINT) AS c
+  FROM events
+), w AS (
+  SELECT event_id, user_id, c,
+    CAST(COUNT(*) OVER win AS BIGINT) AS cnt,
+    CAST(SUM(c) OVER win AS BIGINT) AS sum_c,
+    CAST(SUM(c * c) OVER win AS BIGINT) AS sum_c2
+  FROM c0
+  WINDOW win AS (PARTITION BY user_id ORDER BY ts, event_id
+                 ROWS BETWEEN 9 PRECEDING AND CURRENT ROW)
+)
+SELECT event_id, user_id, sum_c, sum_c2,
+  (CAST(c AS DOUBLE) * 10.0 - CAST(sum_c AS DOUBLE))
+    / sqrt(10.0 * CAST(sum_c2 AS DOUBLE) - CAST(sum_c AS DOUBLE) * CAST(sum_c AS DOUBLE)) AS zscore
+FROM w
+WHERE cnt = 10 AND 10 * sum_c2 - sum_c * sum_c > 0
+ORDER BY event_id
 """
 
 
@@ -2621,6 +2836,7 @@ ORACLES = {
     "debounce_events": DEBOUNCE_SQL,
     "funnel_conversion": FUNNEL_SQL,
     "part_pair_cooccurrence": PART_PAIR_SQL,
+    "part_triangle_count": TRIANGLE_SQL,
     "user_path_counts": USER_PATHS_SQL,
     "zorder_tile_stats": ZORDER_TILE_SQL,
     "orders_priority_counts": ORDERS_PRIORITY_SQL,
@@ -2633,6 +2849,7 @@ ORACLES = {
     "late_event_counts": LATE_EVENTS_SQL,
     "events_lag_delta": LAG_DELTA_SQL,
     "events_rolling_value_sum": ROLLING_SUM_SQL,
+    "events_rolling_zscore": ROLLING_ZSCORE_SQL,
     "orders_pivot_status_priority": PIVOT_SQL,
     "asof_latest_order_before_event": ASOF_SQL,
     "q3_top_orders": Q3_SQL,
@@ -2668,6 +2885,7 @@ QUERIES = {
     "debounce_events": debounce_events,
     "funnel_conversion": funnel_conversion,
     "part_pair_cooccurrence": part_pair_cooccurrence,
+    "part_triangle_count": part_triangle_count,
     "user_path_counts": user_path_counts,
     "zorder_tile_stats": zorder_tile_stats,
     "orders_priority_counts": orders_priority_counts,
@@ -2680,6 +2898,7 @@ QUERIES = {
     "late_event_counts": late_event_counts,
     "events_lag_delta": events_lag_delta,
     "events_rolling_value_sum": events_rolling_value_sum,
+    "events_rolling_zscore": events_rolling_zscore,
     "orders_pivot_status_priority": orders_pivot_status_priority,
     "asof_latest_order_before_event": asof_latest_order_before_event,
     "q3_top_orders": q3_top_orders,
