@@ -278,3 +278,26 @@ def test_triangles_match_bruteforce(ray_session):
     tri = sum(1 for (a, b) in edges for c in adj[b] if c in adj[a])
     assert int(out["n_edges"].iloc[0]) == len(edges)
     assert int(out["n_triangles"].iloc[0]) == tri > 0
+
+
+def test_phrase_search_overlapping_and_boundaries(ray_session, tmp_path):
+    """Crafted cases: overlapping occurrences all counted, phrases never
+    match across document boundaries, multi-space runs don't break
+    adjacency."""
+    from xmlschema_ray.pipelines.curation import phrase_search
+
+    df = pd.DataFrame(
+        {
+            "doc_id": np.arange(4, dtype=np.int64),
+            "text": [
+                "a b a b a b",      # 'a b a' overlapping: starts at 0 and 2
+                "x  a   b a",       # multi-space: 'a b a' present once
+                "junk a b",         # ends with prefix only
+                "a junk b a",       # words present, sequence absent
+            ],
+        }
+    )
+    df.to_parquet(tmp_path / "documents.parquet")
+    out = phrase_search(str(tmp_path), phrase="a b a")
+    got = dict(zip(out["doc_id"], out["n_hits"]))
+    assert got == {0: 2, 1: 1}

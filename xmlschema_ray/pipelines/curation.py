@@ -427,6 +427,69 @@ LIMIT 20
 """
 
 
+def phrase_search(sf_dir: str, phrase: str = "big order scan") -> pd.DataFrame:
+    """Exact PHRASE search (consecutive-word match) — the positional
+    complement of ``inverted_index``'s bag-of-words postings: which
+    documents contain this exact word sequence, and how many (overlapping
+    counted) starting positions. The decontamination / exact-quote lookup
+    primitive.
+
+    Embarrassingly parallel, zero exchanges: each batch tokenizes once
+    (the shared ``_split_words``), drops the split's empty boundary
+    fields WITHOUT losing row alignment (positions re-derived from the
+    filtered row index), and matches the k-gram with k shifted vectorized
+    equality masks + a same-document guard; per-doc hit counts are one
+    ``bincount``. doc_id is unique per row, so results need no merge —
+    the driver sees only matching docs."""
+    words = phrase.split()
+    k = len(words)
+    if k == 0:
+        raise ValueError("empty phrase")
+    ds = rd.read_parquet(table_path(sf_dir, "documents"), columns=["doc_id", "text"])
+
+    def find(batch: pa.Table) -> pd.DataFrame:
+        offsets, flat = _split_words(batch["text"])
+        doc = batch["doc_id"].to_numpy()
+        row_idx = np.repeat(np.arange(len(doc)), np.diff(offsets))
+        keep = flat != ""
+        flat2, row2 = flat[keep], row_idx[keep]
+        n = len(flat2) - k + 1
+        if n <= 0:
+            return pd.DataFrame(
+                {
+                    "doc_id": pd.Series([], dtype=doc.dtype),
+                    "n_hits": pd.Series([], dtype="int64"),
+                }
+            )
+        m = flat2[:n] == words[0]
+        for j in range(1, k):
+            m &= flat2[j : n + j] == words[j]
+        m &= row2[:n] == row2[k - 1 :]
+        counts = np.bincount(row2[:n][m], minlength=len(doc))
+        hit = counts > 0
+        return pd.DataFrame({"doc_id": doc[hit], "n_hits": counts[hit].astype(np.int64)})
+
+    out = ds.map_batches(find, batch_format="pyarrow").to_pandas()
+    out["n_hits"] = out["n_hits"].astype("int64")
+    return out.sort_values("doc_id").reset_index(drop=True)
+
+
+PHRASE_SEARCH_SQL = r"""
+WITH w AS (
+  SELECT doc_id,
+         unnest(regexp_split_to_array(trim(text), '\s+')) AS word,
+         generate_subscripts(regexp_split_to_array(trim(text), '\s+'), 1) AS pos
+  FROM documents
+)
+SELECT a.doc_id, CAST(COUNT(*) AS BIGINT) AS n_hits
+FROM w a
+JOIN w b ON a.doc_id = b.doc_id AND b.pos = a.pos + 1 AND b.word = 'order'
+JOIN w c ON a.doc_id = c.doc_id AND c.pos = a.pos + 2 AND c.word = 'scan'
+WHERE a.word = 'big'
+GROUP BY 1 ORDER BY 1
+"""
+
+
 def inverted_index(sf_dir: str, min_df: int = 100) -> "rd.Dataset":
     """Distributed inverted-index build (term → sorted posting list), the
     core retrieval structure over a corpus: per-batch DISTINCT (word,
@@ -2279,6 +2342,7 @@ ORACLES: Dict[str, str] = {
     "redact_terms": REDACT_TERMS_SQL,
     "deterministic_shuffle": DETERMINISTIC_SHUFFLE_SQL,
     "inverted_index": INVERTED_INDEX_SQL,
+    "phrase_search": PHRASE_SEARCH_SQL,
     "encode_documents": ENCODE_DOCUMENTS_SQL,
     "longest_quartile_docs": LONGEST_QUARTILE_SQL,
     "decontamination": DECONTAMINATION_SQL,
@@ -2308,6 +2372,7 @@ QUERIES = {
     "redact_terms": redact_terms,
     "deterministic_shuffle": deterministic_shuffle,
     "inverted_index": inverted_index,
+    "phrase_search": phrase_search,
     "encode_documents": encode_documents,
     "longest_quartile_docs": longest_quartile_docs,
     "decontamination": decontamination,
