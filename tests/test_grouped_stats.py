@@ -301,3 +301,54 @@ def test_phrase_search_overlapping_and_boundaries(ray_session, tmp_path):
     out = phrase_search(str(tmp_path), phrase="a b a")
     got = dict(zip(out["doc_id"], out["n_hits"]))
     assert got == {0: 2, 1: 1}
+
+
+def test_merge_into_roundtrip_equals_diff_target(ray_session):
+    """Applying the change feed must reproduce snapshot B exactly, and
+    diffing the merged result against B must be empty."""
+    from xmlschema_ray.ops.relational import snapshot_diff, to_pandas_with_schema
+    from xmlschema_ray.pipelines.relational import orders_apply_changes
+
+    import ray.data as rd
+
+    merged = orders_apply_changes(SF_DIR)
+    got = to_pandas_with_schema(merged)
+    o = pd.read_parquet(f"{SF_DIR}/orders.parquet", columns=["o_orderkey", "o_totalprice"])
+    k = o["o_orderkey"].to_numpy()
+    v = o["o_totalprice"].to_numpy()
+    keep = k % 97 != 0
+    bk, bv = k[keep], v[keep].copy()
+    bv[bk % 89 == 0] += 1.0
+    want = pd.DataFrame(
+        {
+            "o_orderkey": np.concatenate([bk, k[k % 101 == 0] + 1_000_000_000]),
+            "o_totalprice": np.concatenate([bv, v[k % 101 == 0]]),
+        }
+    ).sort_values("o_orderkey").reset_index(drop=True)
+    pd.testing.assert_frame_equal(
+        got.sort_values("o_orderkey").reset_index(drop=True), want
+    )
+    # idempotence check via diff: merged vs independently-built B is empty
+    d = snapshot_diff(
+        rd.from_pandas(want), rd.from_pandas(got), "o_orderkey", ["o_totalprice"]
+    )
+    assert to_pandas_with_schema(d).empty
+
+
+def test_transition_matrix_matches_bruteforce(ray_session):
+    from xmlschema_ray.pipelines.relational import event_transition_matrix
+
+    out = event_transition_matrix(SF_DIR)
+    ev = pd.read_parquet(f"{SF_DIR}/events.parquet")
+    from collections import Counter
+
+    c = Counter()
+    for _, g in ev.sort_values(["ts", "event_id"]).groupby("user_id"):
+        types = g["event_type"].tolist()
+        for a, b in zip(types, types[1:]):
+            c[(a, b)] += 1
+    got = {(r.prev_type, r.event_type): r.n for r in out.itertuples()}
+    assert got == dict(c)
+    # conditional probabilities sum to 1 per prev_type
+    sums = out.groupby("prev_type")["p"].sum()
+    assert np.allclose(sums.to_numpy(), 1.0)

@@ -803,6 +803,44 @@ def snapshot_diff(
     return copartition_apply(left, right, key, key, per_part, num_partitions=num_partitions)
 
 
+def merge_into(
+    base: rd.Dataset,
+    changes: rd.Dataset,
+    key: str,
+    action_col: str = "action",
+    num_partitions: Optional[int] = None,
+) -> rd.Dataset:
+    """MERGE INTO (the data-lake upsert): apply a keyed change feed to a
+    base snapshot — ``delete`` removes the base row, ``upsert`` replaces
+    it (or inserts when the key is absent). Complements
+    :func:`snapshot_diff` (diff computes the feed, merge applies it).
+
+    Both streams flow through ONE co-partitioning exchange on the key;
+    each partition applies the feed with a vectorized ``isin`` anti-mask
+    + concat. The feed must carry at most one action per key (the usual
+    compacted-CDC contract); payload columns are the non-key, non-action
+    columns and must match the base schema.
+    """
+
+    # suffix the feed's payload columns so copartition's overlap lint
+    # passes; per_part strips the suffix before the concat
+    def rename_feed(t: pa.Table) -> pa.Table:
+        return t.rename_columns(
+            [c if c in (key, action_col) else f"{c}__new" for c in t.column_names]
+        )
+
+    changes = changes.map_batches(rename_feed, batch_format="pyarrow", zero_copy_batch=True)
+
+    def per_part(lf: pd.DataFrame, rf: pd.DataFrame) -> pd.DataFrame:
+        touched = rf[key].to_numpy()
+        keep = lf[~lf[key].isin(touched)]
+        ins = rf[rf[action_col].to_numpy() == "upsert"].drop(columns=[action_col])
+        ins = ins.rename(columns=lambda c: c[: -len("__new")] if c.endswith("__new") else c)
+        return pd.concat([keep, ins[keep.columns]], ignore_index=True)
+
+    return copartition_apply(base, changes, key, key, per_part, num_partitions=num_partitions)
+
+
 def sample_range_bounds(
     ds: rd.Dataset,
     sort_cols: List[str],

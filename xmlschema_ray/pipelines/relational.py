@@ -2460,6 +2460,106 @@ def orders_snapshot_diff(sf_dir: str) -> "rd.Dataset":
     )
 
 
+def orders_apply_changes(sf_dir: str) -> "rd.Dataset":
+    """MERGE INTO / upsert: apply a compacted CDC change feed to the
+    orders snapshot and emit the NEW snapshot — the write-side complement
+    of :func:`orders_snapshot_diff` (same deterministic feed: deletes on
+    keys ≡0 mod 97, price bumps on surviving keys ≡0 mod 89, cloned
+    inserts under key+10^9 for keys ≡0 mod 101), so applying this merge
+    reproduces exactly the version-B table the diff query reconciles
+    against. One co-partitioning exchange via
+    :func:`~xmlschema_ray.ops.relational.merge_into`; price mutation is
+    +1.0 on an untouched double (bit-identical in both engines)."""
+    from xmlschema_ray.ops.relational import merge_into
+
+    cols = ["o_orderkey", "o_totalprice"]
+    base = rd.read_parquet(table_path(sf_dir, "orders"), columns=cols)
+
+    def derive_feed(batch: pd.DataFrame) -> pd.DataFrame:
+        k = batch["o_orderkey"].to_numpy(np.int64)
+        v = batch["o_totalprice"].to_numpy(np.float64)
+        dels = k % 97 == 0
+        bump = (k % 89 == 0) & ~dels
+        clone = k % 101 == 0
+        return pd.DataFrame(
+            {
+                "o_orderkey": np.concatenate([k[dels], k[bump], k[clone] + 1_000_000_000]),
+                "action": np.concatenate(
+                    [
+                        np.full(int(dels.sum()), "delete", dtype=object),
+                        np.full(int(bump.sum()), "upsert", dtype=object),
+                        np.full(int(clone.sum()), "upsert", dtype=object),
+                    ]
+                ),
+                "o_totalprice": np.concatenate([np.full(int(dels.sum()), np.nan), v[bump] + 1.0, v[clone]]),
+            }
+        )
+
+    feed = rd.read_parquet(table_path(sf_dir, "orders"), columns=cols).map_batches(
+        derive_feed, batch_format="pandas"
+    )
+    return merge_into(base, feed, "o_orderkey").sort("o_orderkey")
+
+
+ORDERS_APPLY_CHANGES_SQL = """
+WITH a AS (
+  SELECT o_orderkey AS k, o_totalprice AS v FROM orders
+), b AS (
+  SELECT k, CASE WHEN k % 89 = 0 THEN v + 1 ELSE v END AS v FROM a WHERE k % 97 <> 0
+  UNION ALL
+  SELECT k + 1000000000 AS k, v FROM a WHERE k % 101 = 0
+)
+SELECT k AS o_orderkey, v AS o_totalprice FROM b ORDER BY o_orderkey
+"""
+
+
+def event_transition_matrix(sf_dir: str) -> pd.DataFrame:
+    """First-order Markov transition estimation over per-user event
+    streams: counts and conditional probabilities of (previous type →
+    type) steps — the behavioral-model fit every session-analytics stack
+    runs on its clickstream. ONE hash exchange co-locates user streams;
+    the lag is a vectorized sort+shift per partition; (prev, next) pair
+    counts collapse through a combiner exchange (|types|² keys). The
+    probability column is one float division over exact int64 counts,
+    computed on the result-sized matrix in the oracle's op order."""
+    from xmlschema_ray.ops.relational import hash_partition_apply
+
+    ds = rd.read_parquet(
+        table_path(sf_dir, "events"), columns=["event_id", "user_id", "event_type", "ts"]
+    )
+
+    def lag_pairs(part: pd.DataFrame) -> pd.DataFrame:
+        p = part.sort_values(["user_id", "ts", "event_id"], kind="mergesort")
+        same = p["user_id"].eq(p["user_id"].shift()).to_numpy()
+        prev = p["event_type"].shift().to_numpy()
+        cur = p["event_type"].to_numpy()
+        return pd.DataFrame({"prev_type": prev[same], "event_type": cur[same]})
+
+    pairs = hash_partition_apply(ds, "user_id", lag_pairs)
+    agg = combiner_aggregate(
+        pairs, ["prev_type", "event_type"], {"n": (None, "count")}
+    ).to_pandas()
+    agg["n"] = agg["n"].astype("int64")
+    row_tot = agg.groupby("prev_type")["n"].transform("sum").to_numpy(np.int64)
+    agg["p"] = agg["n"].to_numpy(np.int64).astype(np.float64) / row_tot.astype(np.float64)
+    return agg.sort_values(["prev_type", "event_type"]).reset_index(drop=True)
+
+
+EVENT_TRANSITION_SQL = """
+WITH t AS (
+  SELECT event_type,
+         lag(event_type) OVER (PARTITION BY user_id ORDER BY ts, event_id) AS prev_type
+  FROM events
+), c AS (
+  SELECT prev_type, event_type, CAST(COUNT(*) AS BIGINT) AS n
+  FROM t WHERE prev_type IS NOT NULL GROUP BY 1, 2
+)
+SELECT prev_type, event_type, n,
+       CAST(n AS DOUBLE) / CAST(SUM(n) OVER (PARTITION BY prev_type) AS DOUBLE) AS p
+FROM c ORDER BY prev_type, event_type
+"""
+
+
 ORDERS_SNAPSHOT_DIFF_SQL = """
 WITH a AS (
   SELECT o_orderkey AS k, o_totalprice AS v FROM orders
@@ -2871,6 +2971,8 @@ ORACLES = {
     "customers_without_events": CUSTOMERS_WITHOUT_EVENTS_SQL,
     "repeat_orders_within_30d": REPEAT_ORDERS_SQL,
     "orders_snapshot_diff": ORDERS_SNAPSHOT_DIFF_SQL,
+    "orders_apply_changes": ORDERS_APPLY_CHANGES_SQL,
+    "event_transition_matrix": EVENT_TRANSITION_SQL,
     "weekly_active_users": WEEKLY_ACTIVE_SQL,
     "winsorized_price_by_flag": WINSORIZED_PRICE_SQL,
     "customer_event_counts": CUSTOMER_EVENT_COUNTS_SQL,
@@ -2920,6 +3022,8 @@ QUERIES = {
     "customers_without_events": customers_without_events,
     "repeat_orders_within_30d": repeat_orders_within_30d,
     "orders_snapshot_diff": orders_snapshot_diff,
+    "orders_apply_changes": orders_apply_changes,
+    "event_transition_matrix": event_transition_matrix,
     "weekly_active_users": weekly_active_users,
     "winsorized_price_by_flag": winsorized_price_by_flag,
     "customer_event_counts": customer_event_counts,
