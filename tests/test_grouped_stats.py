@@ -352,3 +352,47 @@ def test_transition_matrix_matches_bruteforce(ray_session):
     # conditional probabilities sum to 1 per prev_type
     sums = out.groupby("prev_type")["p"].sum()
     assert np.allclose(sums.to_numpy(), 1.0)
+
+
+def test_session_ranks_consistent_with_sessionize(ray_session):
+    """Max session_id per user must equal sessionize_events' n_sessions,
+    and ranks must be 1..len within each (user, session)."""
+    from xmlschema_ray.ops.relational import to_pandas_with_schema
+    from xmlschema_ray.pipelines.relational import (
+        session_event_ranks,
+        sessionize_events,
+    )
+
+    ranks = to_pandas_with_schema(session_event_ranks(SF_DIR))
+    ev = pd.read_parquet(f"{SF_DIR}/events.parquet", columns=["event_id", "user_id"])
+    j = ranks.merge(ev, on="event_id")
+    per_user_max = j.groupby("user_id")["session_id"].max()
+    ns = sessionize_events(SF_DIR)
+    if hasattr(ns, "to_pandas"):
+        ns = ns.to_pandas()
+    want = dict(zip(ns["user_id"], ns["n_sessions"]))
+    assert dict(per_user_max) == want
+    g = j.groupby(["user_id", "session_id"])["rank_in_session"]
+    assert (g.min() == 1).all()
+    assert (g.max() == g.size()).all()
+
+
+def test_retention_cohort_cells_conserve_users(ray_session):
+    from xmlschema_ray.pipelines.relational import retention_cohorts
+
+    out = retention_cohorts(SF_DIR)
+    ev = pd.read_parquet(f"{SF_DIR}/events.parquet", columns=["user_id", "ts"])
+    # offset-0 cells count each user exactly once (everyone is active in
+    # their own cohort week)
+    assert out[out["offset_weeks"] == 0]["n_users"].sum() == ev["user_id"].nunique()
+    # cell recompute
+    us = ev["ts"].to_numpy().astype("datetime64[us]").astype(np.int64)
+    ev = ev.assign(week=(us // 86_400_000_000 + 3) // 7).drop(columns="ts").drop_duplicates()
+    first = ev.groupby("user_id")["week"].transform("min")
+    cells = (
+        ev.assign(cohort_week=first, offset_weeks=ev["week"] - first)
+        .groupby(["cohort_week", "offset_weeks"])
+        .size()
+    )
+    got = out.set_index(["cohort_week", "offset_weeks"])["n_users"]
+    assert got.to_dict() == cells.to_dict()

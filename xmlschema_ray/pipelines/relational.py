@@ -1210,6 +1210,120 @@ FROM (
 """
 
 
+def retention_cohorts(sf_dir: str) -> pd.DataFrame:
+    """Cohort RETENTION analysis: users bucketed by first-active week, a
+    count for every (cohort_week, week_offset) cell they were active in —
+    the product-analytics triangle every growth dashboard draws.
+
+    Week indexing is pure integer arithmetic on epoch microseconds
+    ((day+3)//7, Monday-aligned) so both engines bucket identically with
+    no calendar-convention trap (pandas weeks end Sunday, DuckDB
+    date_trunc weeks start Monday — neither is used). ONE hash exchange
+    co-locates each user's events; per partition: per-user min week
+    (vectorized groupby), distinct (user, week) dedup, offsets by map
+    alignment, cell-count partials; the driver folds cells (cohorts ×
+    offsets, never rows)."""
+    from xmlschema_ray.ops.relational import hash_partition_apply, to_pandas_with_schema
+
+    ds = rd.read_parquet(table_path(sf_dir, "events"), columns=["user_id", "ts"])
+
+    def cells(part: pd.DataFrame) -> pd.DataFrame:
+        us = part["ts"].to_numpy().astype("datetime64[us]").astype(np.int64)
+        week = (us // 86_400_000_000 + 3) // 7
+        d = pd.DataFrame({"user_id": part["user_id"].to_numpy(), "week": week})
+        d = d.drop_duplicates()
+        first = d.groupby("user_id", sort=False)["week"].transform("min").to_numpy()
+        cohort = first
+        off = d["week"].to_numpy() - cohort
+        out = pd.DataFrame({"cohort_week": cohort, "offset_weeks": off})
+        return out.groupby(["cohort_week", "offset_weeks"], as_index=False).size().rename(
+            columns={"size": "n"}
+        )
+
+    partials = hash_partition_apply(ds, "user_id", cells)
+    df = to_pandas_with_schema(partials)
+    out = (
+        df.groupby(["cohort_week", "offset_weeks"], as_index=False)["n"]
+        .sum()
+        .rename(columns={"n": "n_users"})
+        .astype({"cohort_week": "int64", "offset_weeks": "int64", "n_users": "int64"})
+    )
+    return out.sort_values(["cohort_week", "offset_weeks"]).reset_index(drop=True)
+
+
+RETENTION_SQL = """
+WITH e AS (
+  SELECT user_id, (epoch_us(ts) // 86400000000 + 3) // 7 AS week FROM events
+), d AS (
+  SELECT DISTINCT user_id, week FROM e
+), f AS (
+  SELECT user_id, MIN(week) AS cohort FROM d GROUP BY user_id
+)
+SELECT CAST(f.cohort AS BIGINT) AS cohort_week,
+       CAST(d.week - f.cohort AS BIGINT) AS offset_weeks,
+       CAST(COUNT(*) AS BIGINT) AS n_users
+FROM d JOIN f USING (user_id) GROUP BY 1, 2 ORDER BY 1, 2
+"""
+
+
+def session_event_ranks(sf_dir: str, gap_minutes: int = 30) -> "rd.Dataset":
+    """Per-event SESSION ASSIGNMENT: each event's session ordinal (gap >
+    30 min starts a new session, the ``sessionize_events`` convention)
+    and its rank within that session — the event-level decoration the
+    per-user session COUNT cannot give (feeds bounce analysis, first/last-
+    touch attribution). One co-locating hash exchange; per partition a
+    vectorized gap-break cumsum and a (user, session) cumcount — two
+    sequential-scan primitives, no per-user Python. Returns the decorated
+    events as a canonically sorted Dataset."""
+    from xmlschema_ray.ops.relational import hash_partition_apply
+
+    ds = rd.read_parquet(
+        table_path(sf_dir, "events"), columns=["event_id", "user_id", "ts"]
+    )
+    gap = pd.Timedelta(minutes=gap_minutes)
+
+    def ranks(part: pd.DataFrame) -> pd.DataFrame:
+        p = part.sort_values(["user_id", "ts", "event_id"], kind="mergesort")
+        same = p["user_id"].eq(p["user_id"].shift())
+        brk = (same & (p["ts"].diff() > gap)).to_numpy().astype(np.int64)
+        brk_cum = np.cumsum(brk)
+        u = p["user_id"].to_numpy()
+        new_user = np.empty(len(u), dtype=bool)
+        new_user[0] = True
+        np.not_equal(u[1:], u[:-1], out=new_user[1:])
+        user_base = np.maximum.accumulate(np.where(new_user, brk_cum - brk, 0))
+        session_id = brk_cum - user_base + 1
+        sess = pd.DataFrame({"u": u, "s": session_id})
+        rank = sess.groupby(["u", "s"], sort=False).cumcount().to_numpy() + 1
+        return pd.DataFrame(
+            {
+                "event_id": p["event_id"].to_numpy(),
+                "session_id": session_id.astype(np.int64),
+                "rank_in_session": rank.astype(np.int64),
+            }
+        )
+
+    return hash_partition_apply(ds, "user_id", ranks).sort("event_id")
+
+
+SESSION_RANKS_SQL = """
+WITH g AS (
+  SELECT event_id, user_id, ts,
+         CASE WHEN ts - lag(ts) OVER (PARTITION BY user_id ORDER BY ts, event_id)
+                   > INTERVAL 30 MINUTE THEN 1 ELSE 0 END AS brk
+  FROM events
+), s AS (
+  SELECT event_id, user_id, ts,
+         1 + SUM(brk) OVER (PARTITION BY user_id ORDER BY ts, event_id) AS session_id
+  FROM g
+)
+SELECT event_id, CAST(session_id AS BIGINT) AS session_id,
+       CAST(row_number() OVER (PARTITION BY user_id, session_id ORDER BY ts, event_id) AS BIGINT)
+         AS rank_in_session
+FROM s ORDER BY event_id
+"""
+
+
 def json_extract_events(sf_dir: str) -> pd.DataFrame:
     """Vectorized JSON field extraction + grouped rollup.
 
@@ -2963,6 +3077,8 @@ ORACLES = {
     "events_daily_window": DAILY_WINDOW_SQL,
     "events_sliding_window": SLIDING_WINDOW_SQL,
     "sessionize_events": SESSIONIZE_SQL,
+    "session_event_ranks": SESSION_RANKS_SQL,
+    "retention_cohorts": RETENTION_SQL,
     "json_extract_events": JSON_EXTRACT_SQL,
     "revenue_rollup": REVENUE_ROLLUP_SQL,
     "orders_cube": ORDERS_CUBE_SQL,
@@ -3014,6 +3130,8 @@ QUERIES = {
     "events_daily_window": events_daily_window,
     "events_sliding_window": events_sliding_window,
     "sessionize_events": sessionize_events,
+    "session_event_ranks": session_event_ranks,
+    "retention_cohorts": retention_cohorts,
     "json_extract_events": json_extract_events,
     "revenue_rollup": revenue_rollup,
     "orders_cube": orders_cube,
