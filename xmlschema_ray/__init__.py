@@ -54,7 +54,7 @@ from xmlschema_ray.constraints.serde import (
     save_spec,
 )
 from xmlschema_ray.constraints.xsd_regex import UnicodeSubset
-from xmlschema_ray.engine.encode import normalize_rewrite
+from xmlschema_ray.engine.encode import normalize_rewrite, quarantine_split
 from xmlschema_ray.engine.formatters import register_formatter
 from xmlschema_ray.constraints.occurs import ContentGroup, OccursBounds, Particle, group_occurs_check
 from xmlschema_ray.engine.engine import ValidationEngine, ValidationResult
@@ -91,6 +91,7 @@ __all__ = [
     "register_row_check_builder",
     "register_formatter",
     "normalize_rewrite",
+    "quarantine_split",
 ]
 
 __version__ = "0.1.0"

@@ -73,6 +73,89 @@ def normalize_table(
     return batch.select(spec_order + extras)
 
 
+def quarantine_split(
+    source,
+    spec: TableConstraints,
+    violation_keys,
+    quarantine_out: Optional[str] = None,
+    clean_out: Optional[str] = None,
+    n_shards: int = 8,
+    resume: bool = True,
+    broadcast_cap_bytes: int = 1 << 30,
+) -> Dict[str, Dict[str, int]]:
+    """Dead-letter SPLIT sink: route rows whose spec key is in
+    ``violation_keys`` to ``quarantine_out`` and/or the remaining rows to
+    ``clean_out`` — the reject-routing mode the reference's lax/skip
+    validation implies (invalid content set aside, valid content flows
+    on), materialized as real row routing over the resumable partitioned
+    sink.
+
+    The key set broadcasts once (``ray.put``) and each batch filters with
+    one vectorized membership kernel on the SAME key derivation the
+    validator used (``unique_key_column``), so the split is consistent
+    with violation identity at any parallelism. The broadcast is
+    size-gated: a key set past ``broadcast_cap_bytes`` means most of the
+    corpus is invalid, where quarantine is the wrong tool (fix the spec
+    or use the validated-rewrite sink) — raising beats silently building
+    a corpus-sized driver object. Each requested side is its own
+    resumable pass (single-sink limitation, the stage-A note).
+    """
+    import glob as _glob
+
+    import numpy as np
+    import ray
+    import ray.data as rd
+
+    from xmlschema_ray.engine.row_validator import unique_key_column
+    from xmlschema_ray.sources.sinks import chunk_files, resumable_write
+
+    if quarantine_out is None and clean_out is None:
+        raise ValueError("quarantine_split: pass quarantine_out and/or clean_out")
+    if isinstance(source, str):
+        files = (
+            sorted(_glob.glob(os.path.join(source, "*.parquet")))
+            if os.path.isdir(source)
+            else [source]
+        )
+    else:
+        files = sorted(source)
+    if not files:
+        raise FileNotFoundError(f"no parquet inputs under {source!r}")
+
+    keys = np.asarray(list(violation_keys), dtype=object)
+    approx = int(sum(len(str(k)) for k in keys[: 100_000])) * max(1, len(keys) // 100_000)
+    if approx > broadcast_cap_bytes:
+        raise ValueError(
+            f"violation key set ~{approx >> 20} MiB exceeds the broadcast gate "
+            f"({broadcast_cap_bytes >> 20} MiB): most of the corpus is invalid — "
+            "quarantining is the wrong tool at that ratio (fix the spec, or use "
+            "normalize_rewrite to repair in place)"
+        )
+    key_ref = ray.put(pa.array(keys.astype(str), pa.string()))
+    key_cols = spec.key_columns
+
+    def make_side(keep_violating: bool):
+        def split(batch: pa.Table) -> pa.Table:
+            kc = unique_key_column(batch, [c for c in key_cols if c in batch.column_names])
+            m = pc.is_in(kc, value_set=ray.get(key_ref))
+            return batch.filter(m if keep_violating else pc.invert(m))
+
+        def make_shard(shard_files) -> "rd.Dataset":
+            return rd.read_parquet(list(shard_files)).map_batches(
+                split, batch_format="pyarrow", zero_copy_batch=True
+            )
+
+        return make_shard
+
+    out: Dict[str, Dict[str, int]] = {}
+    shards = chunk_files(files, n_shards)
+    if quarantine_out is not None:
+        out["quarantine"] = resumable_write(make_side(True), shards, quarantine_out, resume=resume)
+    if clean_out is not None:
+        out["clean"] = resumable_write(make_side(False), shards, clean_out, resume=resume)
+    return out
+
+
 def normalize_rewrite(
     source,
     spec: TableConstraints,

@@ -277,6 +277,8 @@ class ValidationEngine:
         resume: bool = True,
         repair_out: Optional[str] = None,
         repair_defaults: Optional[Dict] = None,
+        quarantine_out: Optional[str] = None,
+        clean_out: Optional[str] = None,
     ) -> ValidationResult:
         """Validate ``source`` into ``out_dir``; see class docstring.
 
@@ -289,11 +291,14 @@ class ValidationEngine:
         File-based sources only (a Dataset source has no re-readable
         lineage for the resumable rewrite) — raises rather than no-ops.
         """
-        if repair_out is not None and isinstance(source, rd.Dataset):
+        if isinstance(source, rd.Dataset) and (
+            repair_out is not None or quarantine_out is not None or clean_out is not None
+        ):
             raise ValueError(
-                "repair_out requires a file-based source (a Dataset source "
-                "has no re-readable shard lineage for the resumable rewrite); "
-                "call normalize_rewrite on the files directly"
+                "repair_out/quarantine_out/clean_out require a file-based source "
+                "(a Dataset source has no re-readable shard lineage for the "
+                "resumable rewrite); call normalize_rewrite / quarantine_split "
+                "on the files directly"
             )
         os.makedirs(out_dir, exist_ok=True)
         manifest = ckpt.Manifest(out_dir)
@@ -399,6 +404,33 @@ class ValidationEngine:
 
             normalize_rewrite(
                 all_files, self.spec, repair_out, defaults=repair_defaults, resume=resume
+            )
+        if (quarantine_out is not None or clean_out is not None) and ds_direct is None:
+            # dead-letter routing needs EVERY violating row identified —
+            # a capped materialization dropped some keys, so refuse rather
+            # than quarantine an incomplete set
+            if result.summary.get("violations_truncated"):
+                raise ValueError(
+                    "quarantine/clean split requires uncapped violation "
+                    "materialization (viol_overflow records present — raise "
+                    "max_violations and re-run)"
+                )
+            from xmlschema_ray.engine.encode import quarantine_split
+
+            v = result.violations()
+            warn_set = set(self.spec.warning_constraints)
+            row_level = v[
+                v["key"].notna()
+                & (v["partition_id"] >= 0)
+                & ~v["constraint_name"].isin(warn_set)
+            ]
+            quarantine_split(
+                all_files,
+                self.spec,
+                row_level["key"].unique(),
+                quarantine_out=quarantine_out,
+                clean_out=clean_out,
+                resume=resume,
             )
         return result
 
