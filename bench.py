@@ -84,6 +84,17 @@ QUERY_NAMES = [
     "bloom_decontaminate",
     "cross_source_dup_matrix",
     "pretraining_manifest",
+    # continuation-session-4 additions: the frequent-items sketch
+    # (MG compress per batch + candidate rescan), market-basket pair
+    # mining + degree-oriented triangle closure (three exchanges over a
+    # pair-bounded graph), the per-user funnel / session-rank sequential
+    # scans, and the MERGE upsert (one copartition exchange)
+    "heavy_hitter_words",
+    "part_pair_cooccurrence",
+    "part_triangle_count",
+    "funnel_conversion",
+    "session_event_ranks",
+    "orders_apply_changes",
 ]
 
 
