@@ -396,3 +396,13 @@ def test_retention_cohort_cells_conserve_users(ray_session):
     )
     got = out.set_index(["cohort_week", "offset_weeks"])["n_users"]
     assert got.to_dict() == cells.to_dict()
+
+
+def test_quantile_sketch_within_bin_width_of_exact(ray_session):
+    from xmlschema_ray.pipelines.relational import quantile_sketch_quantity
+
+    out = quantile_sketch_quantity(SF_DIR)
+    q = pd.read_parquet(f"{SF_DIR}/lineitem.parquet", columns=["l_quantity"])["l_quantity"]
+    for pct, v in zip(out["pct"], out["value"]):
+        exact = q.quantile(pct / 100.0)
+        assert abs(v - exact) <= 2.0 + 1e-9, (pct, v, exact)  # bin width bound

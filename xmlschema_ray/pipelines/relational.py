@@ -1764,6 +1764,76 @@ def regr_price_on_qty_by_flag(sf_dir: str) -> pd.DataFrame:
     return out.sort_values("l_returnflag").reset_index(drop=True)
 
 
+def quantile_sketch_quantity(sf_dir: str) -> pd.DataFrame:
+    """The engine's mergeable HISTOGRAM-QUANTILE sketch
+    (``engine/stats.py`` ``histogram_quantiles`` — the drift channel's
+    distribution summary) brought UNDER THE ORACLE GATE, the
+    ``hll_vocab_by_source`` precedent for the second sketch family:
+    per-batch fixed-bin int64 histograms merge by addition through one
+    combiner exchange (25 integer rows per batch, never values), and the
+    p50/p95/p99 finish calls the ENGINE's own interpolation function,
+    whose staged float expression the oracle replays verbatim (bin
+    selection by integer cumulative counts, linear interpolation within
+    the bin) — so the approximate quantiles compare bit-exact, proving
+    the sketch machinery itself rather than an estimate tolerance."""
+    from xmlschema_ray.engine.stats import histogram_quantiles
+    from xmlschema_ray.ops.relational import combiner_aggregate
+
+    edges = np.arange(0.0, 51.0, 2.0)  # 25 bins over the quantity domain
+    ds = rd.read_parquet(table_path(sf_dir, "lineitem"), columns=["l_quantity"])
+
+    def hist_partial(batch: pa.Table) -> pd.DataFrame:
+        h, _ = np.histogram(batch["l_quantity"].to_numpy(), bins=edges)
+        return pd.DataFrame({"bin": np.arange(25, dtype=np.int64), "n": h.astype(np.int64)})
+
+    merged = (
+        combiner_aggregate(
+            ds.map_batches(hist_partial, batch_format="pyarrow"), "bin", {"n": ("n", "sum")}
+        )
+        .to_pandas()
+        .sort_values("bin")
+    )
+    hist = np.zeros(25, dtype=np.int64)
+    hist[merged["bin"].to_numpy(np.int64)] = merged["n"].to_numpy(np.int64)
+    qs = histogram_quantiles(hist, edges, qs=(0.5, 0.95, 0.99))
+    return pd.DataFrame(
+        {
+            "pct": np.array([50, 95, 99], dtype=np.int64),
+            "value": [qs["p50"], qs["p95"], qs["p99"]],
+        }
+    )
+
+
+QUANTILE_SKETCH_SQL = """
+WITH bins AS (
+  SELECT LEAST(CAST(floor(l_quantity / 2) AS BIGINT), 24) AS b FROM lineitem
+), h AS (
+  SELECT b, CAST(COUNT(*) AS BIGINT) AS n FROM bins GROUP BY b
+), g AS (
+  SELECT gs.b, COALESCE(h.n, 0) AS n
+  FROM (SELECT unnest(generate_series(0, 24)) AS b) gs LEFT JOIN h USING (b)
+), c AS (
+  SELECT b, n,
+         CAST(SUM(n) OVER (ORDER BY b) AS BIGINT) AS cum,
+         CAST(SUM(n) OVER () AS BIGINT) AS total
+  FROM g
+), qv AS (
+  SELECT * FROM (VALUES (CAST(50 AS BIGINT), 0.5), (CAST(95 AS BIGINT), 0.95),
+                        (CAST(99 AS BIGINT), 0.99)) t(pct, q)
+), pick AS (
+  SELECT qv.pct, qv.q, MIN(c.b) AS i
+  FROM qv JOIN c ON CAST(c.cum AS DOUBLE) >= qv.q * CAST(c.total AS DOUBLE)
+  GROUP BY qv.pct, qv.q
+)
+SELECT p.pct,
+       CAST(c.b * 2 AS DOUBLE)
+         + ((p.q * CAST(c.total AS DOUBLE) - (CAST(c.cum AS DOUBLE) - CAST(c.n AS DOUBLE)))
+            / CAST(c.n AS DOUBLE)) * 2.0 AS value
+FROM pick p JOIN c ON c.b = p.i
+ORDER BY p.pct
+"""
+
+
 REGR_PRICE_QTY_SQL = """
 WITH p AS (
   SELECT l_returnflag,
@@ -3059,6 +3129,7 @@ ORACLES = {
     "median_quantity_by_flag": MEDIAN_QUANTITY_SQL,
     "corr_qty_discount_by_flag": CORR_QTY_DISCOUNT_SQL,
     "regr_price_on_qty_by_flag": REGR_PRICE_QTY_SQL,
+    "quantile_sketch_quantity": QUANTILE_SKETCH_SQL,
     "contingency_chi2": CONTINGENCY_CHI2_SQL,
     "late_event_counts": LATE_EVENTS_SQL,
     "events_lag_delta": LAG_DELTA_SQL,
@@ -3112,6 +3183,7 @@ QUERIES = {
     "median_quantity_by_flag": median_quantity_by_flag,
     "corr_qty_discount_by_flag": corr_qty_discount_by_flag,
     "regr_price_on_qty_by_flag": regr_price_on_qty_by_flag,
+    "quantile_sketch_quantity": quantile_sketch_quantity,
     "contingency_chi2": contingency_chi2,
     "late_event_counts": late_event_counts,
     "events_lag_delta": events_lag_delta,
