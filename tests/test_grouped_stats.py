@@ -406,3 +406,32 @@ def test_quantile_sketch_within_bin_width_of_exact(ray_session):
     for pct, v in zip(out["pct"], out["value"]):
         exact = q.quantile(pct / 100.0)
         assert abs(v - exact) <= 2.0 + 1e-9, (pct, v, exact)  # bin width bound
+
+
+def test_vocab_overlap_matches_set_arithmetic(ray_session):
+    import re
+
+    from xmlschema_ray.pipelines.curation import source_vocab_overlap
+
+    out = source_vocab_overlap(SF_DIR)
+    docs = pd.read_parquet(f"{SF_DIR}/documents.parquet", columns=["source", "text"])
+    vocab = {}
+    for src, g in docs.groupby("source"):
+        vocab[src] = set(w for t in g["text"] for w in re.split(r"\s+", t.strip()) if w)
+    for r in out.itertuples():
+        a, b = vocab[r.source_a], vocab[r.source_b]
+        assert r.n_a == len(a) and r.n_b == len(b)
+        assert r.n_common == len(a & b)
+        assert abs(r.jaccard - len(a & b) / len(a | b)) < 1e-12
+    import itertools
+
+    assert len(out) == len(list(itertools.combinations(vocab, 2)))
+
+
+def test_vocab_overlap_source_cap():
+    import pytest
+
+    from xmlschema_ray.pipelines.curation import source_vocab_overlap
+
+    with pytest.raises(ValueError, match="max_sources"):
+        source_vocab_overlap(SF_DIR, max_sources=1)

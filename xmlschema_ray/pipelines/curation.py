@@ -474,6 +474,135 @@ def phrase_search(sf_dir: str, phrase: str = "big order scan") -> pd.DataFrame:
     return out.sort_values("doc_id").reset_index(drop=True)
 
 
+def source_vocab_overlap(sf_dir: str, max_sources: int = 20) -> pd.DataFrame:
+    """EXACT pairwise vocabulary overlap between sources (shared words,
+    per-source vocabulary sizes, Jaccard) — the sketch-free set-
+    intersection matrix (the exact counterpart of estimating crawl
+    similarity with MinHash): each word's presence across sources folds
+    into ONE int64 BITMASK, so all |S|² pairwise intersections come from
+    a single mask histogram instead of |S|² join passes.
+
+    Exchanges: distinct (word, source-bit) pairs dedupe through one
+    combiner (vocabulary-bounded), per-word masks are a SUM combiner
+    (after dedup each bit occurs once, so sum ≡ bitwise OR — no custom
+    merge kind needed), and the mask histogram (≤ 2^|S| rows, linted at
+    ``max_sources``) is the only thing the driver sees. Jaccard is one
+    closed-form float over exact int64 counts per pair."""
+    from xmlschema_ray.ops.relational import combiner_aggregate
+
+    srcs = sorted(
+        r["source"]
+        for r in combiner_aggregate(
+            rd.read_parquet(table_path(sf_dir, "documents"), columns=["source"]),
+            "source",
+            {"n": (None, "count")},
+        )
+        .select_columns(["source"])
+        .take_all()
+    )
+    if len(srcs) > max_sources:
+        raise ValueError(
+            f"{len(srcs)} sources exceed max_sources={max_sources}: the 2^|S| mask "
+            "histogram stops being metadata-sized — use minhash similarity instead"
+        )
+    bit_of = {s: i for i, s in enumerate(srcs)}
+
+    ds = rd.read_parquet(table_path(sf_dir, "documents"), columns=["source", "text"])
+
+    def pair_partial(batch: pa.Table) -> pd.DataFrame:
+        offsets, flat = _split_words(batch["text"])
+        src = batch["source"].to_numpy(zero_copy_only=False)
+        row_idx = np.repeat(np.arange(len(src)), np.diff(offsets))
+        keep = flat != ""
+        d = pd.DataFrame({"word": flat[keep], "src": src[row_idx[keep]]}).drop_duplicates()
+        return d
+
+    pairs = combiner_aggregate(
+        ds.map_batches(pair_partial, batch_format="pyarrow"),
+        ["word", "src"],
+        {"n": (None, "count")},
+    )
+
+    def to_contrib(batch: pd.DataFrame) -> pd.DataFrame:
+        bits = batch["src"].map(bit_of).to_numpy(np.int64)
+        return pd.DataFrame(
+            {"word": batch["word"].to_numpy(), "contrib": np.int64(1) << bits}
+        )
+
+    masks = combiner_aggregate(
+        pairs.map_batches(to_contrib, batch_format="pandas"),
+        "word",
+        {"mask": ("contrib", "sum")},
+    )
+
+    def mask_hist(batch: pd.DataFrame) -> pd.DataFrame:
+        u, c = np.unique(batch["mask"].to_numpy(np.int64), return_counts=True)
+        return pd.DataFrame({"mask": u, "n": c.astype(np.int64)})
+
+    hist = (
+        combiner_aggregate(
+            masks.map_batches(mask_hist, batch_format="pandas"), "mask", {"n": ("n", "sum")}
+        )
+        .to_pandas()
+    )
+    mask_v = hist["mask"].to_numpy(np.int64)
+    n_v = hist["n"].to_numpy(np.int64)
+    rows = []
+    for a in range(len(srcs)):
+        in_a = (mask_v >> a) & 1 == 1
+        for b in range(a + 1, len(srcs)):
+            in_b = (mask_v >> b) & 1 == 1
+            na = int(n_v[in_a].sum())
+            nb = int(n_v[in_b].sum())
+            nc = int(n_v[in_a & in_b].sum())
+            rows.append(
+                {
+                    "source_a": srcs[a],
+                    "source_b": srcs[b],
+                    "n_a": na,
+                    "n_b": nb,
+                    "n_common": nc,
+                    "jaccard": float(nc) / float(na + nb - nc),
+                }
+            )
+    out = pd.DataFrame(rows).astype(
+        {"n_a": "int64", "n_b": "int64", "n_common": "int64"}
+    )
+    return out.sort_values(["source_a", "source_b"]).reset_index(drop=True)
+
+
+SOURCE_VOCAB_OVERLAP_SQL = r"""
+WITH w AS (
+  SELECT DISTINCT source,
+         unnest(regexp_split_to_array(trim(text), '\s+')) AS word
+  FROM documents
+), w2 AS (
+  SELECT source, word FROM w WHERE word <> ''
+), s AS (
+  SELECT source, CAST(row_number() OVER (ORDER BY source) - 1 AS BIGINT) AS bit
+  FROM (SELECT DISTINCT source FROM w2)
+), m AS (
+  SELECT word, CAST(SUM(1 << bit) AS BIGINT) AS mask
+  FROM (SELECT DISTINCT source, word FROM w2) d JOIN s USING (source) GROUP BY word
+), h AS (
+  SELECT mask, CAST(COUNT(*) AS BIGINT) AS n FROM m GROUP BY mask
+), p AS (
+  SELECT a.source AS source_a, a.bit AS ba, b.source AS source_b, b.bit AS bb
+  FROM s a JOIN s b ON a.bit < b.bit
+), agg AS (
+  SELECT p.source_a, p.source_b,
+    CAST(COALESCE(SUM(CASE WHEN ((h.mask >> p.ba) & 1) = 1 THEN h.n END), 0) AS BIGINT) AS n_a,
+    CAST(COALESCE(SUM(CASE WHEN ((h.mask >> p.bb) & 1) = 1 THEN h.n END), 0) AS BIGINT) AS n_b,
+    CAST(COALESCE(SUM(CASE WHEN ((h.mask >> p.ba) & 1) = 1 AND ((h.mask >> p.bb) & 1) = 1
+                      THEN h.n END), 0) AS BIGINT) AS n_common
+  FROM p CROSS JOIN h GROUP BY p.source_a, p.source_b
+)
+SELECT source_a, source_b, n_a, n_b, n_common,
+       CAST(n_common AS DOUBLE) / CAST(n_a + n_b - n_common AS DOUBLE) AS jaccard
+FROM agg ORDER BY source_a, source_b
+"""
+
+
 PHRASE_SEARCH_SQL = r"""
 WITH w AS (
   SELECT doc_id,
@@ -2343,6 +2472,7 @@ ORACLES: Dict[str, str] = {
     "deterministic_shuffle": DETERMINISTIC_SHUFFLE_SQL,
     "inverted_index": INVERTED_INDEX_SQL,
     "phrase_search": PHRASE_SEARCH_SQL,
+    "source_vocab_overlap": SOURCE_VOCAB_OVERLAP_SQL,
     "encode_documents": ENCODE_DOCUMENTS_SQL,
     "longest_quartile_docs": LONGEST_QUARTILE_SQL,
     "decontamination": DECONTAMINATION_SQL,
@@ -2373,6 +2503,7 @@ QUERIES = {
     "deterministic_shuffle": deterministic_shuffle,
     "inverted_index": inverted_index,
     "phrase_search": phrase_search,
+    "source_vocab_overlap": source_vocab_overlap,
     "encode_documents": encode_documents,
     "longest_quartile_docs": longest_quartile_docs,
     "decontamination": decontamination,
