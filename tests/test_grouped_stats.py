@@ -435,3 +435,16 @@ def test_vocab_overlap_source_cap():
 
     with pytest.raises(ValueError, match="max_sources"):
         source_vocab_overlap(SF_DIR, max_sources=1)
+
+
+def test_above_avg_matches_pandas(ray_session):
+    from xmlschema_ray.ops.relational import to_pandas_with_schema
+    from xmlschema_ray.pipelines.relational import orders_above_customer_avg
+
+    got = to_pandas_with_schema(orders_above_customer_avg(SF_DIR))["o_orderkey"].tolist()
+    o = pd.read_parquet(f"{SF_DIR}/orders.parquet")
+    c = np.floor(o["o_totalprice"].to_numpy() * 100.0 + 0.5).astype(np.int64)
+    o = o.assign(c=c)
+    g = o.groupby("o_custkey")["c"]
+    want = o[o["c"] * g.transform("size") > g.transform("sum")]["o_orderkey"]
+    assert got == sorted(want.tolist()) and len(got) > 0

@@ -1917,6 +1917,72 @@ FROM m ORDER BY o_orderpriority, o_orderstatus
 """
 
 
+def orders_above_customer_avg(sf_dir: str) -> "rd.Dataset":
+    """Correlated-subquery DECORRELATION: orders strictly above their own
+    customer's average order value — the ``WHERE price > (SELECT AVG …
+    correlated)`` shape, executed as the classic decorrelated plan: a
+    mergeable per-customer (Σcents, n) combiner (customer-bounded, never
+    order rows), ONE co-partitioning join back to the fact stream, and a
+    pure-INTEGER comparison ``cents·n > Σcents`` per row — no float
+    average ever exists, so the predicate is exact at any parallelism
+    (the oracle compares the same integers). Returns qualifying orders as
+    a canonically sorted Dataset."""
+    from xmlschema_ray.ops.relational import copartition_apply
+    from xmlschema_ray.pipelines.common import cents
+
+    ds = rd.read_parquet(
+        table_path(sf_dir, "orders"), columns=["o_orderkey", "o_custkey", "o_totalprice"]
+    )
+
+    def to_cents(batch: pd.DataFrame) -> pd.DataFrame:
+        return pd.DataFrame(
+            {
+                "o_orderkey": batch["o_orderkey"].to_numpy(),
+                "o_custkey": batch["o_custkey"].to_numpy(),
+                "c": cents(batch["o_totalprice"]),
+            }
+        )
+
+    fact = ds.map_batches(to_cents, batch_format="pandas")
+    stats = combiner_aggregate(
+        fact, "o_custkey", {"sum_c": ("c", "sum"), "n": (None, "count")}
+    )
+
+    def rename_stats(t: pa.Table) -> pa.Table:
+        return t.rename_columns(
+            ["cust" if c == "o_custkey" else c for c in t.column_names]
+        )
+
+    def above(lf: pd.DataFrame, rf: pd.DataFrame) -> pd.DataFrame:
+        m = lf.merge(rf, left_on="o_custkey", right_on="cust", how="inner")
+        keep = m["c"].to_numpy(np.int64) * m["n"].to_numpy(np.int64) > m["sum_c"].to_numpy(
+            np.int64
+        )
+        return pd.DataFrame({"o_orderkey": m["o_orderkey"].to_numpy()[keep]})
+
+    out = copartition_apply(
+        fact,
+        stats.map_batches(rename_stats, batch_format="pyarrow", zero_copy_batch=True),
+        "o_custkey",
+        "cust",
+        above,
+    )
+    return out.sort("o_orderkey")
+
+
+ORDERS_ABOVE_AVG_SQL = """
+WITH c AS (
+  SELECT o_orderkey, o_custkey, CAST(floor(o_totalprice * 100 + 0.5) AS BIGINT) AS c
+  FROM orders
+), s AS (
+  SELECT o_custkey, CAST(SUM(c) AS BIGINT) AS sum_c, CAST(COUNT(*) AS BIGINT) AS n
+  FROM c GROUP BY o_custkey
+)
+SELECT c.o_orderkey FROM c JOIN s USING (o_custkey)
+WHERE c.c * s.n > s.sum_c ORDER BY o_orderkey
+"""
+
+
 def customers_without_recent_orders(sf_dir: str, cutoff: str = "1998-06-01") -> pd.DataFrame:
     """Anti-join: customers with no order at/after ``cutoff``. The fact
     side is predicate-pushed at the read and collapsed to its DISTINCT key
@@ -3126,6 +3192,7 @@ ORACLES = {
     "orders_priority_counts": ORDERS_PRIORITY_SQL,
     "union_entity_keys": UNION_SQL,
     "customers_without_recent_orders": CUSTOMERS_WITHOUT_RECENT_SQL,
+    "orders_above_customer_avg": ORDERS_ABOVE_AVG_SQL,
     "median_quantity_by_flag": MEDIAN_QUANTITY_SQL,
     "corr_qty_discount_by_flag": CORR_QTY_DISCOUNT_SQL,
     "regr_price_on_qty_by_flag": REGR_PRICE_QTY_SQL,
@@ -3180,6 +3247,7 @@ QUERIES = {
     "orders_priority_counts": orders_priority_counts,
     "union_entity_keys": union_entity_keys,
     "customers_without_recent_orders": customers_without_recent_orders,
+    "orders_above_customer_avg": orders_above_customer_avg,
     "median_quantity_by_flag": median_quantity_by_flag,
     "corr_qty_discount_by_flag": corr_qty_discount_by_flag,
     "regr_price_on_qty_by_flag": regr_price_on_qty_by_flag,
