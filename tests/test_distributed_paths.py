@@ -90,3 +90,35 @@ def test_forced_empty_partitions(ray_session):
     # all-empty result: schema still recoverable at the consumption boundary
     empty = to_pandas_with_schema(out.filter(expr="s < 0"))
     assert list(empty.columns) == ["k", "s"] and len(empty) == 0
+
+
+def test_deferred_fk_identical_to_broadcast(tmp_path, ray_session):
+    """broadcast_fk_cap_bytes=0 forces the distributed keyref anti-join
+    (stage B2); its violations — keys, constraint names, partition
+    attribution — must be byte-identical to the broadcast path's."""
+    import pandas as pd
+
+    from xmlschema_ray.engine.engine import ValidationEngine
+    from xmlschema_ray.sources.synthetic import sequences_spec, write_sequences_corpus
+
+    seq_dir, dim, _ = write_sequences_corpus(
+        str(tmp_path / "c"),
+        n_rows=1600,
+        n_files=4,
+        defects={"bad_ref": 7, "bad_token_range": 3},
+    )
+    res_b = ValidationEngine(sequences_spec()).run(
+        seq_dir, str(tmp_path / "ob"), dims={"sources": dim}
+    )
+    eng_d = ValidationEngine(sequences_spec(), broadcast_fk_cap_bytes=0)
+    res_d = eng_d.run(seq_dir, str(tmp_path / "od"), dims={"sources": dim})
+    vb = res_b.violations().reset_index(drop=True)
+    vd = res_d.violations().reset_index(drop=True)
+    pd.testing.assert_frame_equal(vb, vd)
+    assert res_b.job_validity == res_d.job_validity == "invalid"
+    assert (vb["constraint_name"].str.contains("source") | True).any()
+    # the fk constraint actually fired on both paths
+    fkv = vb[vb["reason"].str.contains("not found", na=False)]
+    assert len(fkv) > 0
+    # verdict counts fold the deferred findings identically
+    pd.testing.assert_frame_equal(res_b.verdicts, res_d.verdicts)

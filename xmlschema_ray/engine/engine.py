@@ -165,6 +165,7 @@ class ValidationEngine:
         n_shards: Optional[int] = None,
         use_actors: bool = False,
         max_violations_per_batch: Optional[int] = None,
+        broadcast_fk_cap_bytes: int = 256 << 20,
     ):
         self.spec = spec.compile()
         self.batch_size = batch_size
@@ -187,21 +188,47 @@ class ValidationEngine:
         # above it they run as distributed Ray pipelines. Exposed for
         # tests to force the distributed paths at toy scale.
         self.driver_threshold_bytes = 1 * 1024 * 1024 * 1024
+        # keyrefs whose dim key data exceeds this broadcast once per run;
+        # LARGER dims (fact-to-fact referential integrity — the north
+        # star mandates broadcast only for dimension tables) defer to a
+        # distributed co-partitioned anti-join in finalize instead of
+        # building a worker-crushing broadcast object. Tests force 0 to
+        # prove both paths emit identical violations.
+        self.broadcast_fk_cap_bytes = broadcast_fk_cap_bytes
 
     # -- dims -------------------------------------------------------------
 
-    def _load_fk_sets(self, dims: Dict[str, Union[str, pa.Table]]) -> Dict[str, pa.Array]:
-        """Driver-side load of the (small) dimension key sets."""
+    def _load_fk_sets(self, dims: Dict[str, Union[str, pa.Table]]):
+        """Driver-side load of the (small) dimension key sets. Returns
+        ``(fk_sets, deferred)``: single-column keyrefs whose dim key data
+        exceeds ``broadcast_fk_cap_bytes`` are NOT loaded — they come back
+        in ``deferred`` for the distributed anti-join pass (stage B2)."""
         fk_sets: Dict[str, pa.Array] = {}
+        deferred: List[tuple] = []
         for fk in self.spec.foreign_keys:
             if fk.dim_name not in dims:
                 raise ValueError(f"foreign key {fk.name!r}: dim table {fk.dim_name!r} not provided")
             dim = dims[fk.dim_name]
             keys = list(fk.dim_keys)
             if isinstance(dim, str):
-                dim_tbl = pads.dataset(_resolve_files(dim)).to_table(columns=keys)
+                files = _resolve_files(dim)
+                approx = sum(map(os.path.getsize, files))
+                if approx > self.broadcast_fk_cap_bytes:
+                    if len(keys) > 1:
+                        raise ValueError(
+                            f"foreign key {fk.name!r}: composite dim {fk.dim_name!r} "
+                            f"(~{approx >> 20} MiB) exceeds the broadcast cap and the "
+                            "distributed keyref path is single-column — raise "
+                            "broadcast_fk_cap_bytes or split the keyref"
+                        )
+                    deferred.append((fk, files))
+                    continue
+                dim_tbl = pads.dataset(files).to_table(columns=keys)
             else:
                 dim_tbl = dim.select(keys)
+                if dim_tbl.nbytes > self.broadcast_fk_cap_bytes and len(keys) == 1:
+                    deferred.append((fk, dim_tbl))
+                    continue
             if len(keys) == 1:
                 fk_sets[fk.name] = dim_tbl[keys[0]].combine_chunks().unique()
             else:
@@ -209,7 +236,87 @@ class ValidationEngine:
                 # table; the validator exact-joins per batch (no hashing,
                 # so no collision soundness question)
                 fk_sets[fk.name] = dim_tbl.group_by(keys).aggregate([])
-        return fk_sets
+        return fk_sets, deferred
+
+    def _deferred_fk_violations(
+        self, source, deferred: List[tuple], pid_of_file: Dict[str, int]
+    ) -> Optional["rd.Dataset"]:
+        """Stage B2 — DISTRIBUTED keyref for dims too large to broadcast
+        (fact-to-fact referential integrity): both the pruned source
+        projection (violation key columns + the fk column) and the dim key
+        stream flow through ONE co-partitioning exchange per keyref; each
+        partition anti-masks with a vectorized ``isin`` against the
+        co-located dim keys. Violations are shaped exactly like stage A's
+        row-local fk findings (same key identity, partition attribution
+        recovered from file lineage), so verdict roll-up and sinks need no
+        new cases. NOTE: unlike stage A, this pass materializes every
+        violating row (no per-batch cap applies) — a keyref failing
+        corpus-wide should be run in stats_only first."""
+        from xmlschema_ray.engine.row_validator import unique_key_column
+        from xmlschema_ray.ops.relational import combiner_aggregate, copartition_apply
+
+        key_cols = [c for c in self.spec.key_columns]
+        out_ds: Optional[rd.Dataset] = None
+        pid_ref = ray.put(pid_of_file)
+        for fk, dim_src in deferred:
+            col = fk.columns[0]
+
+            def attach_pid(batch: pa.Table) -> pa.Table:
+                # resolve file lineage → shard id immediately so downstream
+                # schema sampling sees a plain column, not the reader's
+                # hidden `path`
+                pmap = ray.get(pid_ref)
+                parr = batch["path"].to_numpy(zero_copy_only=False)
+                uniq, inv = np.unique(parr, return_inverse=True)
+                lut = np.array([pmap.get(p, -1) for p in uniq], dtype=np.int32)
+                pids = lut[inv]
+                return batch.drop_columns(["path"]).append_column(
+                    "__pid", pa.array(pids, pa.int32())
+                )
+
+            src = rd.read_parquet(
+                source, columns=sorted(set(key_cols + [col])), include_paths=True
+            ).map_batches(attach_pid, batch_format="pyarrow")
+            if isinstance(dim_src, pa.Table):
+                dim_ds = rd.from_arrow(dim_src)
+            else:
+                dim_ds = rd.read_parquet(dim_src, columns=[fk.dim_key])
+            dim_keys = combiner_aggregate(dim_ds, fk.dim_key, {"n": (None, "count")})
+
+            def shape(
+                lf: pd.DataFrame, rf: pd.DataFrame, fk=fk, col=col
+            ) -> pd.DataFrame:
+                vals = lf[col]
+                bad = (~vals.isin(rf[fk.dim_key]) & vals.notna()).to_numpy()
+                if not bad.any():
+                    return pd.DataFrame(
+                        {f.name: pd.Series([], dtype=object) for f in VIOLATION_SCHEMA}
+                    ).astype({"partition_id": "int32"})
+                b = lf[bad]
+                pids = b["__pid"].to_numpy().astype("int32")
+                keys = unique_key_column(
+                    pa.Table.from_pandas(b[key_cols], preserve_index=False), key_cols
+                ).to_numpy(zero_copy_only=False)
+                # same short-repr formatting as stage A's format_values so
+                # both fk paths emit byte-identical rows
+                from xmlschema_ray.engine.row_validator import format_values
+
+                col_arr = pa.Array.from_pandas(b[col])
+                vreprs = format_values(col_arr, np.arange(len(b)))
+                return pd.DataFrame(
+                    {
+                        "partition_id": pids,
+                        "key": keys.astype(object),
+                        "constraint_name": fk.name,
+                        "column": col,
+                        "reason": f"value not found in {fk.dim_name}.{fk.dim_key}",
+                        "value_repr": np.array(vreprs, dtype=object),
+                    }
+                )
+
+            viol = copartition_apply(src, dim_keys, col, fk.dim_key, shape)
+            out_ds = viol if out_ds is None else out_ds.union(viol)
+        return out_ds
 
     # -- schema precheck (partition-level) --------------------------------
 
@@ -323,7 +430,14 @@ class ValidationEngine:
             shards = _chunk(files, n_shards)
             ds_direct = None
 
-        fk_sets = self._load_fk_sets(dims or {}) if self.spec.foreign_keys else {}
+        fk_sets, deferred_fks = (
+            self._load_fk_sets(dims or {}) if self.spec.foreign_keys else ({}, [])
+        )
+        if deferred_fks and ds_direct is not None:
+            raise ValueError(
+                "distributed keyref (dim over broadcast_fk_cap_bytes) requires a "
+                "file-based source — a Dataset source would re-execute per keyref"
+            )
         fk_ref = ray.put(fk_sets) if fk_sets else None
 
         concurrency = self.concurrency
@@ -398,7 +512,20 @@ class ValidationEngine:
         all_files = (
             [f for shard in shards for f in shard] if ds_direct is None else ds_direct
         )
-        result = self._finalize(out_dir, schema_viols, verdict_by_pid, mode, all_files)
+        pid_of_file = (
+            {f: pid for pid, shard in enumerate(shards) if shard for f in shard}
+            if ds_direct is None
+            else {}
+        )
+        result = self._finalize(
+            out_dir,
+            schema_viols,
+            verdict_by_pid,
+            mode,
+            all_files,
+            deferred_fks=deferred_fks,
+            pid_of_file=pid_of_file,
+        )
         if repair_out is not None and ds_direct is None:
             from xmlschema_ray.engine.encode import normalize_rewrite
 
@@ -557,8 +684,18 @@ class ValidationEngine:
         verdict_by_pid: Dict[int, V.PartitionVerdict],
         mode: str,
         source=None,
+        deferred_fks: Optional[List[tuple]] = None,
+        pid_of_file: Optional[Dict[str, int]] = None,
     ) -> ValidationResult:
         unified_dir = os.path.join(out_dir, "unified")
+
+        # stage B2: distributed keyref for over-cap dims (see
+        # _deferred_fk_violations) — built lazily, unioned into the sink
+        bigfk_viol_ds = None
+        if deferred_fks and mode != "stats_only" and isinstance(source, list):
+            bigfk_viol_ds = self._deferred_fk_violations(
+                source, deferred_fks, pid_of_file or {}
+            )
 
         # stage B: global uniqueness over the pre-aggregated keycounts —
         # built LAZILY and unioned into the violations sink so the whole
@@ -742,6 +879,21 @@ class ValidationEngine:
         extra_tbls: List[pa.Table] = []
         if schema_viols:
             extra_tbls.append(pa.Table.from_pylist(schema_viols, schema=VIOLATION_SCHEMA))
+        if bigfk_viol_ds is not None and (
+            not unified_has_data or _dir_bytes(unified_dir) < self.driver_threshold_bytes
+        ):
+            # small-run adaptive plan: fold the distributed-keyref rows into
+            # the driver-side sort/write like schema-level violations
+            from xmlschema_ray.ops.relational import to_pandas_with_schema
+
+            bdf = to_pandas_with_schema(bigfk_viol_ds)
+            if len(bdf):
+                extra_tbls.append(
+                    pa.Table.from_pandas(
+                        bdf[[f.name for f in VIOLATION_SCHEMA]], preserve_index=False
+                    ).cast(VIOLATION_SCHEMA)
+                )
+            bigfk_viol_ds = None
         if not unified_has_data:
             os.makedirs(viol_dir, exist_ok=True)
             if extra_tbls:
@@ -770,6 +922,8 @@ class ValidationEngine:
             ).drop_columns(["record_kind", "key_hash", "count", "stats_blob"])
             if dup_viol_ds is not None:
                 viol_ds = viol_ds.union(dup_viol_ds)
+            if bigfk_viol_ds is not None:
+                viol_ds = viol_ds.union(bigfk_viol_ds)
             for t in extra_tbls:
                 viol_ds = viol_ds.union(rd.from_arrow(t))
             viol_ds.sort(sort_keys).write_parquet(viol_dir)
