@@ -25,6 +25,7 @@ def entry() -> Any:
 
 def _modules():
     from xmlschema_ray.pipelines import (
+        analytics,
         bpe,
         cleaning,
         curation,
@@ -39,6 +40,7 @@ def _modules():
 
     return [
         relational,
+        analytics,
         validation_queries,
         cleaning,
         textstats,

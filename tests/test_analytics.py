@@ -1,0 +1,167 @@
+"""Unit tests for the analytics family: skyline, sweep-line concurrency,
+gap-fill, integer PageRank (incl. forced-path equality)."""
+
+import numpy as np
+import pandas as pd
+import pytest
+import ray.data as rd
+
+from xmlschema_ray.pipelines.analytics import (
+    _skyline_2d,
+    events_daily_gapfill,
+    pagerank_from_edges,
+    pareto_orders,
+    peak_concurrent_sessions,
+)
+
+SF = "/root/testdata/sf0.001"
+
+
+def brute_skyline(df: pd.DataFrame) -> set:
+    """O(n^2) dominance reference: minimize t, maximize v."""
+    keep = []
+    rows = list(df.itertuples(index=False))
+    for i, a in enumerate(rows):
+        dominated = any(
+            (b.t <= a.t and b.v >= a.v and (b.t < a.t or b.v > a.v)) for b in rows
+        )
+        if not dominated:
+            keep.append(i)
+    return set(keep)
+
+
+def test_skyline_matches_bruteforce_with_ties():
+    rng = np.random.default_rng(7)
+    df = pd.DataFrame(
+        {
+            "t": rng.integers(0, 20, 200),
+            "v": rng.integers(0, 20, 200).astype(float),
+        }
+    )
+    # force exact duplicate points (both survive together) and same-t ties
+    df.loc[0, ["t", "v"]] = [0, 19.0]
+    df.loc[1, ["t", "v"]] = [0, 19.0]
+    got = _skyline_2d(df.rename_axis("i").reset_index(), "t", "v")
+    expect = brute_skyline(df)
+    assert set(got["i"]) == expect
+
+
+def test_skyline_empty_and_single():
+    empty = pd.DataFrame({"t": pd.Series([], dtype="int64"), "v": pd.Series([], dtype="float64")})
+    assert len(_skyline_2d(empty, "t", "v")) == 0
+    one = pd.DataFrame({"t": [3], "v": [1.0]})
+    assert len(_skyline_2d(one, "t", "v")) == 1
+
+
+def test_pareto_orders_no_dominated_row_and_batch_independent():
+    out = pareto_orders(SF)
+    # frontier property: no pair where one dominates the other
+    t = out["o_orderdate"].to_numpy()
+    v = out["o_totalprice"].to_numpy()
+    order = np.lexsort((-v, t.astype("int64")))
+    ts, vs = t[order], v[order]
+    # sorted by date asc: every later frontier point must have strictly
+    # higher price than all earlier-dated ones
+    for i in range(1, len(ts)):
+        if ts[i] != ts[i - 1]:
+            assert vs[i] > vs[: i][ts[:i] < ts[i]].max()
+
+
+def test_peak_concurrent_sessions_matches_pandas_replay():
+    got = peak_concurrent_sessions(SF)
+    ev = pd.read_parquet(f"{SF}/events.parquet", columns=["user_id", "ts"])
+    p = ev.sort_values(["user_id", "ts"], kind="mergesort")
+    brk = p["user_id"].ne(p["user_id"].shift()) | (p["ts"].diff() > pd.Timedelta(minutes=30))
+    sid = brk.cumsum()
+    g = p.groupby(sid.to_numpy())["ts"]
+    deltas = pd.concat(
+        [
+            pd.DataFrame({"ts": g.min(), "d": 1}),
+            pd.DataFrame({"ts": g.max() + pd.Timedelta(microseconds=1), "d": -1}),
+        ]
+    )
+    byts = deltas.groupby("ts", as_index=False)["d"].sum().sort_values("ts")
+    byts["c"] = byts["d"].cumsum()
+    byts["day"] = byts["ts"].dt.normalize()
+    expect = byts.groupby("day", as_index=False)["c"].max().rename(columns={"c": "peak"})
+    expect["day"] = expect["day"].astype("datetime64[us]")
+    pd.testing.assert_frame_equal(
+        got.reset_index(drop=True), expect.astype({"peak": "int64"}).reset_index(drop=True)
+    )
+
+
+def test_gapfill_zero_days_and_conservation():
+    out = events_daily_gapfill(SF).to_pandas()
+    ev = pd.read_parquet(f"{SF}/events.parquet", columns=["ts"])
+    assert out["n_events"].sum() == len(ev)
+    # spine is dense: consecutive days exactly one day apart
+    days = out["day"].to_numpy().astype("datetime64[us]").astype("int64")
+    assert (np.diff(days) == 86_400_000_000).all()
+    assert len(out) == int((days.max() - days.min()) // 86_400_000_000) + 1
+
+
+def _toy_edges() -> pd.DataFrame:
+    # two triangles joined by a bridge + a pendant node
+    return pd.DataFrame(
+        {
+            "part_a": [1, 1, 2, 4, 4, 5, 3, 6],
+            "part_b": [2, 3, 3, 5, 6, 6, 4, 7],
+        }
+    )
+
+
+def _reference_pagerank(edges: pd.DataFrame, iterations: int = 5) -> pd.DataFrame:
+    S = 1_000_000_000_000
+    src = np.concatenate([edges["part_a"], edges["part_b"]])
+    dst = np.concatenate([edges["part_b"], edges["part_a"]])
+    nodes = np.unique(src)
+    deg = pd.Series(src).value_counts().reindex(nodes).to_numpy(np.int64)
+    rank = {int(n): S for n in nodes}
+    for _ in range(iterations):
+        contrib = {int(n): rank[int(n)] // int(d) for n, d in zip(nodes, deg)}
+        s = {int(n): 0 for n in nodes}
+        for u, v in zip(src, dst):
+            s[int(v)] += contrib[int(u)]
+        rank = {n: (3 * S) // 20 + (17 * s[n]) // 20 for n in rank}
+    return pd.DataFrame(
+        {"p_partkey": nodes.astype(np.int64), "rank_scaled": [rank[int(n)] for n in nodes]}
+    )
+
+
+def test_pagerank_matches_reference_loop():
+    edges = rd.from_pandas(_toy_edges())
+    got = pagerank_from_edges(edges, iterations=5)
+    expect = _reference_pagerank(_toy_edges(), iterations=5)
+    pd.testing.assert_frame_equal(got, expect.astype({"rank_scaled": "int64"}))
+
+
+def test_pagerank_forced_dataset_path_identical():
+    edges = rd.from_pandas(_toy_edges())
+    broadcast = pagerank_from_edges(edges, iterations=3)
+    edges2 = rd.from_pandas(_toy_edges())
+    distributed = pagerank_from_edges(
+        edges2, iterations=3, broadcast_nodes_threshold=0, num_partitions=3
+    )
+    pd.testing.assert_frame_equal(broadcast, distributed)
+
+
+def test_pagerank_empty_edges():
+    empty = rd.from_pandas(
+        pd.DataFrame({"part_a": pd.Series([], dtype="int64"), "part_b": pd.Series([], dtype="int64")})
+    )
+    out = pagerank_from_edges(empty, iterations=2)
+    assert len(out) == 0
+    assert list(out.columns) == ["p_partkey", "rank_scaled"]
+
+
+def test_pagerank_overflow_lint():
+    edges = rd.from_pandas(_toy_edges())
+    import xmlschema_ray.pipelines.analytics as A
+
+    orig = A._PR_SCALE
+    try:
+        A._PR_SCALE = 2**60
+        with pytest.raises(ValueError, match="overflow"):
+            pagerank_from_edges(edges, iterations=1)
+    finally:
+        A._PR_SCALE = orig

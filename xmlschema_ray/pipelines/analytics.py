@@ -1,0 +1,510 @@
+"""Analytical operator family: dominance (skyline), sweep-line interval
+concurrency, calendar gap-fill, and iterative graph centrality (PageRank).
+
+Four distributed shapes the relational family doesn't cover yet:
+
+* ``pareto_orders`` — the SKYLINE / Pareto-frontier dominance filter:
+  per-batch local frontiers are an EXACT pruning (dominated-in-batch ⇒
+  dominated-globally), so the only driver-side work is frontier-sized.
+* ``peak_concurrent_sessions`` — interval SWEEP-LINE with a two-level
+  prefix sum: per-day (total-delta, max-prefix) partials compose under
+  day-ordered offsets, so the global running maximum needs no global sort.
+* ``events_daily_gapfill`` — a DISTRIBUTED date spine left-joined against
+  bounded per-day counts (the zero-fill every reporting pipeline needs).
+* ``part_pagerank`` — fixed-iteration PageRank in scaled-INTEGER
+  arithmetic, so the result is bit-exact at any parallelism and the
+  DuckDB oracle can replay every iteration verbatim (no float summation
+  order anywhere).
+"""
+
+from __future__ import annotations
+
+from typing import Optional
+
+import numpy as np
+import pandas as pd
+import pyarrow as pa
+import ray
+import ray.data as rd
+
+from xmlschema_ray.pipelines.common import table_path
+
+__all__ = [
+    "pareto_orders",
+    "peak_concurrent_sessions",
+    "events_daily_gapfill",
+    "part_pagerank",
+    "pagerank_from_edges",
+    "QUERIES",
+    "ORACLES",
+]
+
+
+# -- skyline ---------------------------------------------------------------
+
+
+def _skyline_2d(df: pd.DataFrame, time_col: str, value_col: str) -> pd.DataFrame:
+    """2-D skyline (minimize ``time_col``, maximize ``value_col``): rows no
+    other row dominates (at-least-as-good in both, strictly better in one).
+    Ties on both coordinates survive together (neither dominates).
+
+    One mergesort + pure numpy: sorted by (t asc, v desc), a row is on the
+    frontier iff its v equals its t-group's max AND strictly exceeds the
+    running max of all earlier t-groups.
+    """
+    if len(df) == 0:
+        return df
+    p = df.sort_values([time_col, value_col], ascending=[True, False], kind="mergesort")
+    t = p[time_col].to_numpy()
+    v = p[value_col].to_numpy()
+    n = len(p)
+    new_t = np.empty(n, dtype=bool)
+    new_t[0] = True
+    np.not_equal(t[1:], t[:-1], out=new_t[1:])
+    start = np.maximum.accumulate(np.where(new_t, np.arange(n), 0))
+    group_max = v[start]  # v desc within group -> first row holds the max
+    run_max = np.maximum.accumulate(v)
+    # run_max[start-1] is the max over ALL strictly-earlier t groups
+    # (prefix ends exactly at the previous group's last row)
+    prev_max = np.where(start > 0, run_max[np.maximum(start - 1, 0)], -np.inf)
+    keep = (v == group_max) & (v > prev_max)
+    return p.loc[keep]
+
+
+def pareto_orders(sf_dir: str) -> pd.DataFrame:
+    """SKYLINE query over orders: the Pareto frontier on (earlier
+    ``o_orderdate``, higher ``o_totalprice``) — no other order is both at
+    least as early AND at least as expensive with one strict. The
+    multi-objective "best tradeoff" filter (reference analog: none — this
+    is the dominance-constraint member of the §2.9 set-operation family).
+
+    Distribution: the local-frontier-per-batch pass is an EXACT pruning —
+    a row dominated inside its batch is dominated globally, and every
+    globally undominated row survives its batch — so one embarrassingly
+    parallel ``map_batches`` (zero exchanges) reduces the corpus to
+    frontier candidates, and the final pass runs over candidate-sized
+    data only (frontier size is the RESULT size; expected O(log n) per
+    batch for independent dims — result-sized driver work by
+    construction, the accepted design for result-shaped finishes).
+    """
+    from xmlschema_ray.ops.relational import to_pandas_with_schema
+
+    ds = rd.read_parquet(
+        table_path(sf_dir, "orders"),
+        columns=["o_orderkey", "o_orderdate", "o_totalprice"],
+    )
+
+    def local_frontier(batch: pd.DataFrame) -> pd.DataFrame:
+        return _skyline_2d(batch, "o_orderdate", "o_totalprice")
+
+    cand = to_pandas_with_schema(ds.map_batches(local_frontier, batch_format="pandas"))
+    out = _skyline_2d(cand, "o_orderdate", "o_totalprice")
+    out = out.sort_values("o_orderkey").reset_index(drop=True)
+    out["o_orderdate"] = out["o_orderdate"].astype("datetime64[us]")
+    return out[["o_orderkey", "o_orderdate", "o_totalprice"]]
+
+
+PARETO_ORDERS_SQL = """
+WITH pts AS (SELECT o_orderkey, o_orderdate, o_totalprice FROM orders),
+dm AS (SELECT o_orderdate AS dt, MAX(o_totalprice) AS mx FROM pts GROUP BY 1),
+run AS (
+  SELECT dt, mx,
+         MAX(mx) OVER (ORDER BY dt ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING) AS mlt
+  FROM dm
+)
+SELECT p.o_orderkey, p.o_orderdate, p.o_totalprice
+FROM pts p JOIN run r ON p.o_orderdate = r.dt
+WHERE p.o_totalprice = r.mx AND (r.mlt IS NULL OR p.o_totalprice > r.mlt)
+ORDER BY p.o_orderkey
+"""
+
+
+# -- sweep-line interval concurrency ----------------------------------------
+
+
+def peak_concurrent_sessions(sf_dir: str, gap_minutes: int = 30) -> pd.DataFrame:
+    """Per-day PEAK CONCURRENT SESSIONS: sessions are the gap-based
+    intervals of :func:`sessionize_events` (same 30-minute convention);
+    concurrency at an instant is the number of sessions covering it; the
+    answer is each day's maximum concurrency observed at session-boundary
+    instants — the capacity-planning sweep-line every serving/telemetry
+    team runs.
+
+    Distribution is a two-level prefix sum, never a global sort:
+
+    1. ONE hash exchange co-locates each user's events; sessions and their
+       (start +1, end+1µs −1) boundary deltas are one vectorized pass.
+    2. ONE hash exchange co-locates each DAY's deltas; inside a partition
+       the per-day pass merges equal timestamps, cumsums, and emits only
+       (day, total_delta, max_prefix) — three integers per day.
+    3. Day-level partials compose exactly: the driver orders the bounded
+       calendar days, prefix-sums the totals into start-of-day offsets,
+       and peak(day) = offset + max_prefix. Driver state is
+       calendar-day-sized at ANY corpus size (a decade is ~3,700 rows).
+
+    The −1 fires at end+1µs so a session is concurrent through its last
+    event (closed interval), matching the SQL replay microsecond-exactly.
+    """
+    from xmlschema_ray.ops.relational import hash_partition_apply, to_pandas_with_schema
+
+    ds = rd.read_parquet(table_path(sf_dir, "events"), columns=["user_id", "ts"])
+    gap = pd.Timedelta(minutes=gap_minutes)
+
+    def session_deltas(part: pd.DataFrame) -> pd.DataFrame:
+        p = part.sort_values(["user_id", "ts"], kind="mergesort")
+        new_user = p["user_id"].ne(p["user_id"].shift())
+        brk = new_user | (p["ts"].diff() > gap)
+        sid = brk.cumsum()  # partition-local session id (users are whole here)
+        g = p.groupby(sid.to_numpy())["ts"]
+        start = g.min()
+        end = g.max() + pd.Timedelta(microseconds=1)
+        ts = pd.concat([start, end], ignore_index=True)
+        delta = np.concatenate(
+            [np.ones(len(start), dtype=np.int64), -np.ones(len(end), dtype=np.int64)]
+        )
+        out = pd.DataFrame({"ts": ts, "delta": delta})
+        out = out.groupby("ts", as_index=False)["delta"].sum()
+        out["day"] = out["ts"].dt.normalize()
+        return out
+
+    def day_partials(part: pd.DataFrame) -> pd.DataFrame:
+        g = part.groupby("ts", as_index=False).agg(delta=("delta", "sum"), day=("day", "first"))
+        g = g.sort_values("ts", kind="mergesort")
+        g["cum"] = g.groupby("day", sort=False)["delta"].cumsum()
+        out = g.groupby("day", as_index=False).agg(
+            total=("delta", "sum"), max_cum=("cum", "max")
+        )
+        return out.astype({"total": "int64", "max_cum": "int64"})
+
+    deltas = hash_partition_apply(ds, "user_id", session_deltas)
+    parts = to_pandas_with_schema(hash_partition_apply(deltas, "day", day_partials))
+    f = parts.sort_values("day").reset_index(drop=True)
+    offset = f["total"].cumsum().shift(fill_value=0)
+    return pd.DataFrame(
+        {
+            "day": f["day"].astype("datetime64[us]"),
+            "peak": (offset + f["max_cum"]).astype("int64"),
+        }
+    )
+
+
+PEAK_CONCURRENT_SQL = """
+WITH lagged AS (
+  SELECT user_id, ts,
+         CASE WHEN lag(ts) OVER w IS NULL
+                OR ts - lag(ts) OVER w > INTERVAL 30 MINUTE
+              THEN 1 ELSE 0 END AS brk
+  FROM events
+  WINDOW w AS (PARTITION BY user_id ORDER BY ts)
+),
+sid AS (
+  SELECT user_id, ts,
+         SUM(brk) OVER (PARTITION BY user_id ORDER BY ts ROWS UNBOUNDED PRECEDING) AS s
+  FROM lagged
+),
+sess AS (SELECT user_id, s, MIN(ts) AS start_ts, MAX(ts) AS end_ts FROM sid GROUP BY 1, 2),
+deltas AS (
+  SELECT start_ts AS ts, 1 AS delta FROM sess
+  UNION ALL
+  SELECT end_ts + INTERVAL 1 MICROSECOND, -1 FROM sess
+),
+byts AS (SELECT ts, SUM(delta) AS d FROM deltas GROUP BY ts),
+run AS (SELECT ts, SUM(d) OVER (ORDER BY ts ROWS UNBOUNDED PRECEDING) AS c FROM byts)
+SELECT CAST(date_trunc('day', ts) AS TIMESTAMP) AS day, CAST(MAX(c) AS BIGINT) AS peak
+FROM run GROUP BY 1 ORDER BY 1
+"""
+
+
+# -- calendar gap-fill -------------------------------------------------------
+
+
+def events_daily_gapfill(sf_dir: str) -> "rd.Dataset":
+    """Zero-filled daily event counts over the full [min-day, max-day]
+    calendar span — the date-spine LEFT JOIN every reporting/dashboard
+    pipeline needs (days with no events MUST appear with 0, which no
+    plain groupby can produce).
+
+    Distribution: per-day counts fold through one combiner exchange to
+    calendar-day cardinality (bounded at any corpus size — a decade is
+    ~3,700 rows), then the spine itself is generated DISTRIBUTEDLY with
+    ``ray.data.range`` over day offsets and each spine task fills from
+    the counts via one ``ray.put`` broadcast (metadata-sized, fetched
+    lazily once per task, never re-shipped per batch). Returns the spine
+    as a day-sorted Dataset.
+    """
+    from xmlschema_ray.ops.relational import combiner_aggregate, to_pandas_with_schema
+
+    ds = rd.read_parquet(table_path(sf_dir, "events"), columns=["ts"])
+
+    def to_day(batch: pd.DataFrame) -> pd.DataFrame:
+        return pd.DataFrame({"day": batch["ts"].dt.normalize()})
+
+    counts = to_pandas_with_schema(
+        combiner_aggregate(
+            ds.map_batches(to_day, batch_format="pandas"),
+            "day",
+            {"n_events": (None, "count")},
+        )
+    )
+    if len(counts) == 0:
+        raise ValueError("events_daily_gapfill: empty events input")
+    # unit-explicit epoch arithmetic: pandas may hold ns or us depending on
+    # the upstream block format, so normalize through numpy datetime64[us]
+    day_vals = counts["day"].to_numpy().astype("datetime64[us]").astype(np.int64)
+    lo_us = np.int64(day_vals.min())
+    day_us = np.int64(86_400_000_000)
+    n_days = int((day_vals.max() - lo_us) // day_us) + 1
+    lut_ref = ray.put(
+        dict(
+            zip(
+                ((day_vals - lo_us) // day_us).tolist(),
+                counts["n_events"].astype("int64").tolist(),
+            )
+        )
+    )
+
+    def fill(batch: pd.DataFrame) -> pd.DataFrame:
+        lut = ray.get(lut_ref) if isinstance(lut_ref, ray.ObjectRef) else lut_ref
+        off = batch["id"].to_numpy(np.int64)
+        day = (lo_us + off * day_us).astype("datetime64[us]")
+        n = pd.Series(off).map(lut).fillna(0).to_numpy(np.int64)
+        return pd.DataFrame({"day": day, "n_events": n})
+
+    return rd.range(n_days).map_batches(fill, batch_format="pandas").sort("day")
+
+
+EVENTS_GAPFILL_SQL = """
+WITH b AS (
+  SELECT CAST(date_trunc('day', MIN(ts)) AS TIMESTAMP) AS lo,
+         CAST(date_trunc('day', MAX(ts)) AS TIMESTAMP) AS hi
+  FROM events
+),
+spine AS (SELECT unnest(generate_series(lo, hi, INTERVAL 1 DAY)) AS day FROM b),
+c AS (SELECT CAST(date_trunc('day', ts) AS TIMESTAMP) AS day, COUNT(*) AS n FROM events GROUP BY 1)
+SELECT spine.day, CAST(COALESCE(c.n, 0) AS BIGINT) AS n_events
+FROM spine LEFT JOIN c USING (day)
+ORDER BY spine.day
+"""
+
+
+# -- integer PageRank --------------------------------------------------------
+
+_PR_SCALE = 1_000_000_000_000  # rank mass per node; see lint in pagerank_from_edges
+_PR_TELEPORT = (3 * _PR_SCALE) // 20  # floor(0.15 * S) — exactly 1.5e11
+
+
+def pagerank_from_edges(
+    edges: "rd.Dataset",
+    iterations: int = 5,
+    broadcast_nodes_threshold: int = 2_000_000,
+    num_partitions: Optional[int] = None,
+) -> pd.DataFrame:
+    """Fixed-iteration PageRank over an UNDIRECTED edge list (columns
+    ``part_a``/``part_b``, one row per unordered edge) in scaled-INTEGER
+    arithmetic: rank starts at S=10^12 per node and each iteration applies
+
+        rank'(v) = floor(3S/20) + floor(17 · Σ_{u∈N(v)} floor(rank(u)/deg(u)) / 20)
+
+    (damping 0.85 as the exact rational 17/20). Every operation is integer
+    and every merge is an integer SUM, so the result is BIT-EXACT at any
+    parallelism and any summation order — the DuckDB oracle replays the
+    same k unrolled iterations verbatim. Undirected edges mean every node
+    has deg ≥ 1 and at least one in-edge: no dangling-mass term.
+
+    Two physical plans, proven identical by a forced-path test:
+
+    * nodes ≤ ``broadcast_nodes_threshold`` (node set = the PART dimension,
+      dim-sized by construction): rank/deg live in ONE ``ray.put`` numpy
+      broadcast; each iteration is a single pass over the edge Dataset
+      emitting per-batch (dst, contrib) partials through one combiner-sum
+      exchange — k iterations, k exchanges, edges never reshuffled.
+    * above threshold: rank stays a DATASET; each iteration is one
+      copartition join of edges against (node, rank, deg) plus one
+      combiner-sum — the fact-scale path (2k exchanges).
+
+    Overflow lint: Σ contrib ≤ total mass = n·S and the oracle computes
+    17·Σ in int64 on the Ray side, so n·S·17 must stay under 2^63 —
+    n ≤ ~540k at S=10^12. Larger graphs need S scaled down with n (raise
+    rather than silently wrap).
+    """
+    from xmlschema_ray.ops.relational import (
+        combiner_aggregate,
+        copartition_apply,
+        to_pandas_with_schema,
+    )
+
+    def both_dirs(batch: pd.DataFrame) -> pd.DataFrame:
+        return pd.DataFrame(
+            {
+                "src": np.concatenate(
+                    [batch["part_a"].to_numpy(np.int64), batch["part_b"].to_numpy(np.int64)]
+                ),
+                "dst": np.concatenate(
+                    [batch["part_b"].to_numpy(np.int64), batch["part_a"].to_numpy(np.int64)]
+                ),
+            }
+        )
+
+    directed = edges.map_batches(both_dirs, batch_format="pandas").materialize()
+    deg_df = to_pandas_with_schema(
+        combiner_aggregate(directed, "src", {"deg": (None, "count")})
+    ).rename(columns={"src": "node"})
+    n_nodes = len(deg_df)
+    if n_nodes == 0:
+        return pd.DataFrame(
+            {
+                "p_partkey": pd.Series([], dtype=np.int64),
+                "rank_scaled": pd.Series([], dtype=np.int64),
+            }
+        )
+    if n_nodes * 17 > (2**63 - 1) // _PR_SCALE:
+        raise ValueError(
+            f"pagerank: {n_nodes} nodes overflows int64 at S={_PR_SCALE}; scale S down with n"
+        )
+
+    if n_nodes <= broadcast_nodes_threshold:
+        # node-dimension broadcast path: rank/deg as one positional numpy
+        # lookup shipped once per iteration, edges streamed in place
+        nodes = np.sort(deg_df["node"].to_numpy(np.int64))
+        deg = deg_df.set_index("node")["deg"].reindex(nodes).to_numpy(np.int64)
+        rank = np.full(n_nodes, _PR_SCALE, dtype=np.int64)
+        for _ in range(iterations):
+            contrib_ref = ray.put((nodes, rank // deg))
+
+            def contribs(batch: pd.DataFrame) -> pd.DataFrame:
+                nd, cv = ray.get(contrib_ref) if isinstance(contrib_ref, ray.ObjectRef) else contrib_ref
+                src = batch["src"].to_numpy(np.int64)
+                c = cv[np.searchsorted(nd, src)]
+                out = pd.DataFrame({"dst": batch["dst"].to_numpy(np.int64), "c": c})
+                return out.groupby("dst", as_index=False)["c"].sum()
+
+            sums = to_pandas_with_schema(
+                combiner_aggregate(
+                    directed.map_batches(contribs, batch_format="pandas"),
+                    "dst",
+                    {"s": ("c", "sum")},
+                    num_partitions=num_partitions,
+                )
+            )
+            s = (
+                sums.set_index("dst")["s"]
+                .reindex(nodes)
+                .fillna(0)
+                .to_numpy(np.int64)
+            )
+            rank = _PR_TELEPORT + (17 * s) // 20
+        return (
+            pd.DataFrame({"p_partkey": nodes, "rank_scaled": rank})
+            .astype({"p_partkey": "int64", "rank_scaled": "int64"})
+            .reset_index(drop=True)
+        )
+
+    # Dataset path: rank never leaves the cluster
+    deg_ds = rd.from_pandas(deg_df).materialize()
+    rank_df = deg_df.copy()
+    rank_df["rank"] = np.int64(_PR_SCALE)
+    rank_ds = rd.from_pandas(rank_df[["node", "rank", "deg"]])
+    for _ in range(iterations):
+
+        def edge_contribs(lf: pd.DataFrame, rf: pd.DataFrame) -> pd.DataFrame:
+            # lf: edges (src,dst); rf: (node, rank, deg)
+            r = rf.set_index("node")
+            src = lf["src"].to_numpy(np.int64)
+            c = (
+                r["rank"].reindex(src).to_numpy(np.int64)
+                // r["deg"].reindex(src).to_numpy(np.int64)
+            )
+            out = pd.DataFrame({"dst": lf["dst"].to_numpy(np.int64), "c": c})
+            return out.groupby("dst", as_index=False)["c"].sum()
+
+        contrib_ds = copartition_apply(
+            directed, rank_ds, "src", "node", edge_contribs, num_partitions=num_partitions
+        )
+        sums_ds = combiner_aggregate(
+            contrib_ds, "dst", {"s": ("c", "sum")}, num_partitions=num_partitions
+        )
+
+        def next_rank(lf: pd.DataFrame, rf: pd.DataFrame) -> pd.DataFrame:
+            # lf: (dst, s); rf: (node, deg) — undirected graph: every node
+            # has an in-edge, so lf covers every node of rf
+            m = lf.set_index("dst")["s"]
+            node = rf["node"].to_numpy(np.int64)
+            s = m.reindex(node).fillna(0).to_numpy(np.int64)
+            return pd.DataFrame(
+                {
+                    "node": node,
+                    "rank": _PR_TELEPORT + (17 * s) // 20,
+                    "deg": rf["deg"].to_numpy(np.int64),
+                }
+            )
+
+        rank_ds = copartition_apply(
+            sums_ds, deg_ds, "dst", "node", next_rank, num_partitions=num_partitions
+        ).materialize()
+
+    out = to_pandas_with_schema(rank_ds)[["node", "rank"]].rename(
+        columns={"node": "p_partkey", "rank": "rank_scaled"}
+    )
+    return (
+        out.sort_values("p_partkey")
+        .astype({"p_partkey": "int64", "rank_scaled": "int64"})
+        .reset_index(drop=True)
+    )
+
+
+def part_pagerank(sf_dir: str, iterations: int = 5, min_support: int = 2) -> pd.DataFrame:
+    """PageRank centrality of parts in the CO-PURCHASE graph (edges =
+    unordered part pairs sharing ≥ ``min_support`` distinct orders, from
+    :func:`part_pair_cooccurrence`) — the iterative-graph-algorithm member
+    of the §2.9/graph family (three-tier CC covers components; this covers
+    centrality). See :func:`pagerank_from_edges` for the integer-exact
+    iteration scheme and both physical plans.
+    """
+    from xmlschema_ray.pipelines.relational import part_pair_cooccurrence
+
+    edges = part_pair_cooccurrence(sf_dir, min_support=min_support)
+    return pagerank_from_edges(edges, iterations=iterations)
+
+
+def _pagerank_sql(iterations: int = 5, min_support: int = 2) -> str:
+    teleport = _PR_TELEPORT
+    body = f"""
+WITH lp AS (SELECT DISTINCT l_orderkey, l_partkey FROM lineitem),
+pr AS (
+  SELECT a.l_partkey AS pa, b.l_partkey AS pb
+  FROM lp a JOIN lp b ON a.l_orderkey = b.l_orderkey AND a.l_partkey < b.l_partkey
+  GROUP BY 1, 2 HAVING COUNT(*) >= {min_support}
+),
+e AS (SELECT pa AS src, pb AS dst FROM pr UNION ALL SELECT pb, pa FROM pr),
+deg AS (SELECT src AS node, COUNT(*) AS d FROM e GROUP BY 1),
+r0 AS (SELECT node, CAST({_PR_SCALE} AS BIGINT) AS r FROM deg)"""
+    for i in range(1, iterations + 1):
+        body += f""",
+r{i} AS (
+  SELECT e.dst AS node,
+         CAST({teleport} + (17 * SUM(r{i - 1}.r // deg.d)) // 20 AS BIGINT) AS r
+  FROM e JOIN r{i - 1} ON e.src = r{i - 1}.node JOIN deg ON e.src = deg.node
+  GROUP BY e.dst
+)"""
+    body += f"""
+SELECT node AS p_partkey, r AS rank_scaled FROM r{iterations} ORDER BY node
+"""
+    return body
+
+
+PART_PAGERANK_SQL = _pagerank_sql()
+
+
+QUERIES = {
+    "pareto_orders": pareto_orders,
+    "peak_concurrent_sessions": peak_concurrent_sessions,
+    "events_daily_gapfill": events_daily_gapfill,
+    "part_pagerank": part_pagerank,
+}
+
+ORACLES = {
+    "pareto_orders": PARETO_ORDERS_SQL,
+    "peak_concurrent_sessions": PEAK_CONCURRENT_SQL,
+    "events_daily_gapfill": EVENTS_GAPFILL_SQL,
+    "part_pagerank": PART_PAGERANK_SQL,
+}
