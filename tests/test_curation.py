@@ -358,3 +358,64 @@ def test_hll_vocab_registers_estimate_accuracy(ray_session):
             full = np.zeros(m); full[hit] = reg[hit]
             est = alpha * m * m / np.sum(np.exp2(-full))
         assert abs(est - len(vocab)) / len(vocab) < 0.05, (src, est, len(vocab))
+
+
+def _fingerprint_corpus(tmp_path, name, df):
+    import pyarrow as pa
+    import pyarrow.parquet as pq
+
+    d = tmp_path / name
+    d.mkdir()
+    pq.write_table(pa.Table.from_pandas(df), str(d / "documents.parquet"))
+    return str(d)
+
+
+def test_table_fingerprint_order_and_partition_invariant(tmp_path, ray_session):
+    """The additive digest is identical under any row order or file split,
+    and a single-row mutation / drop / duplication flips it."""
+    import numpy as np
+    import pandas as pd
+    import pyarrow as pa
+    import pyarrow.parquet as pq
+
+    from xmlschema_ray.pipelines.curation import table_fingerprint_by_source
+
+    rng = np.random.default_rng(7)
+    n = 400
+    df = pd.DataFrame(
+        {
+            "doc_id": np.arange(n, dtype=np.int64),
+            "text": [f"doc body {i} {'x' * int(rng.integers(0, 9))}" for i in range(n)],
+            "lang": np.where(np.arange(n) % 3 == 0, "en", "de"),
+            "source": np.where(np.arange(n) % 2 == 0, "web", "books"),
+            "n_chars": rng.integers(10, 500, size=n).astype(np.int64),
+        }
+    )
+    base = table_fingerprint_by_source(_fingerprint_corpus(tmp_path, "a", df))
+
+    # shuffled row order + two-file split → identical digests
+    shuf = df.sample(frac=1.0, random_state=3).reset_index(drop=True)
+    d = tmp_path / "b"
+    (d / "documents.parquet").mkdir(parents=True)
+    pq.write_table(pa.Table.from_pandas(shuf.iloc[:137]), str(d / "documents.parquet" / "p0.parquet"))
+    pq.write_table(pa.Table.from_pandas(shuf.iloc[137:]), str(d / "documents.parquet" / "p1.parquet"))
+    again = table_fingerprint_by_source(str(d))
+    pd.testing.assert_frame_equal(base, again)
+
+    # one-character corruption in one row flips exactly that source's digest
+    mut = df.copy()
+    mut.loc[5, "text"] = mut.loc[5, "text"] + "!"
+    fp_mut = table_fingerprint_by_source(_fingerprint_corpus(tmp_path, "c", mut))
+    src5 = df.loc[5, "source"]
+    for _, row in fp_mut.iterrows():
+        b = base[base["source"] == row["source"]].iloc[0]
+        assert row["n_rows"] == b["n_rows"]
+        assert (row["digest"] != b["digest"]) == (row["source"] == src5)
+
+    # dropped row changes n_rows AND digest; duplicated row keeps sum shifted
+    drop = df.drop(index=[8]).reset_index(drop=True)
+    fp_drop = table_fingerprint_by_source(_fingerprint_corpus(tmp_path, "d", drop))
+    src8 = df.loc[8, "source"]
+    b = base[base["source"] == src8].iloc[0]
+    r = fp_drop[fp_drop["source"] == src8].iloc[0]
+    assert r["n_rows"] == b["n_rows"] - 1 and r["digest"] != b["digest"]

@@ -619,6 +619,99 @@ GROUP BY 1 ORDER BY 1
 """
 
 
+def table_fingerprint_by_source(sf_dir: str) -> pd.DataFrame:
+    """Order/partition-invariant table fingerprint per provenance source —
+    the anti-entropy / replica-reconciliation primitive (compare two copies
+    of a 100 TB table WITHOUT sorting either or moving a single data row
+    between clusters; per-source (n_rows, digest) localizes any divergence
+    to one source partition).
+
+    Per row the digest contribution is the first 32 bits of
+    ``md5(doc_id|lang|source|n_chars|text)`` (the canonical row string,
+    ``|``-joined in column order); the per-source digest is
+    ``SUM(h32) mod 2^32``. Addition is commutative and associative, so the
+    digest is IDENTICAL under any block order, partitioning, or
+    parallelism — the property a sorted-output hash only gets from a
+    global sort. Each batch partial takes the residue immediately, so
+    merge inputs are < 2^32 and up to 2^31 batch partials stay inside
+    int64 at any corpus size; the md5 loop is the same per-row cost
+    profile as the engine's canonical violation hashing. A corrupted,
+    missing, or duplicated row flips the source's digest with
+    probability 1 - 2^-32 (and ``n_rows`` catches pure cardinality drift).
+    """
+    from xmlschema_ray.ops.relational import combiner_aggregate, to_pandas_with_schema
+
+    ds = rd.read_parquet(
+        table_path(sf_dir, "documents"),
+        columns=["doc_id", "text", "lang", "source", "n_chars"],
+    )
+    mod = np.int64(1) << np.int64(32)
+
+    def partial(batch: pa.Table) -> pd.DataFrame:
+        df = batch.to_pandas()
+        if len(df) == 0:
+            return pd.DataFrame(
+                {
+                    "source": pd.Series([], dtype=object),
+                    "dsum": pd.Series([], dtype="int64"),
+                    "n": pd.Series([], dtype="int64"),
+                }
+            )
+        rows = (
+            df["doc_id"].astype(str)
+            + "|"
+            + df["lang"]
+            + "|"
+            + df["source"]
+            + "|"
+            + df["n_chars"].astype(str)
+            + "|"
+            + df["text"]
+        )
+        h32 = np.fromiter(
+            (
+                int.from_bytes(hashlib.md5(s.encode("utf-8")).digest()[:4], "big")
+                for s in rows
+            ),
+            dtype=np.int64,
+            count=len(rows),
+        )
+        g = pd.DataFrame({"source": df["source"].to_numpy(), "h": h32}).groupby(
+            "source", as_index=False
+        )
+        out = g.agg(dsum=("h", "sum"), n=("h", "size"))
+        out["dsum"] = out["dsum"] % mod  # residue now: merge inputs stay < 2^32
+        return out.astype({"dsum": "int64", "n": "int64"})
+
+    merged = to_pandas_with_schema(
+        combiner_aggregate(
+            ds.map_batches(partial, batch_format="pyarrow"),
+            "source",
+            {"dsum": ("dsum", "sum"), "n_rows": ("n", "sum")},
+        )
+    )
+    merged["digest"] = (merged["dsum"].astype("int64") % mod).astype("int64")
+    merged["n_rows"] = merged["n_rows"].astype("int64")
+    return (
+        merged[["source", "n_rows", "digest"]]
+        .sort_values("source")
+        .reset_index(drop=True)
+    )
+
+
+TABLE_FINGERPRINT_SQL = r"""
+SELECT source,
+       CAST(COUNT(*) AS BIGINT) AS n_rows,
+       CAST(SUM(CAST(('0x' || substring(md5(
+              CAST(doc_id AS VARCHAR) || '|' || lang || '|' || source || '|'
+              || CAST(n_chars AS VARCHAR) || '|' || text), 1, 8)) AS BIGINT))
+            % 4294967296 AS BIGINT) AS digest
+FROM documents
+GROUP BY source
+ORDER BY source
+"""
+
+
 def inverted_index(sf_dir: str, min_df: int = 100) -> "rd.Dataset":
     """Distributed inverted-index build (term → sorted posting list), the
     core retrieval structure over a corpus: per-batch DISTINCT (word,
@@ -2473,6 +2566,7 @@ ORACLES: Dict[str, str] = {
     "inverted_index": INVERTED_INDEX_SQL,
     "phrase_search": PHRASE_SEARCH_SQL,
     "source_vocab_overlap": SOURCE_VOCAB_OVERLAP_SQL,
+    "table_fingerprint_by_source": TABLE_FINGERPRINT_SQL,
     "encode_documents": ENCODE_DOCUMENTS_SQL,
     "longest_quartile_docs": LONGEST_QUARTILE_SQL,
     "decontamination": DECONTAMINATION_SQL,
@@ -2504,6 +2598,7 @@ QUERIES = {
     "inverted_index": inverted_index,
     "phrase_search": phrase_search,
     "source_vocab_overlap": source_vocab_overlap,
+    "table_fingerprint_by_source": table_fingerprint_by_source,
     "encode_documents": encode_documents,
     "longest_quartile_docs": longest_quartile_docs,
     "decontamination": decontamination,
