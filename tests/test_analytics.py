@@ -165,3 +165,51 @@ def test_pagerank_overflow_lint():
             pagerank_from_edges(edges, iterations=1)
     finally:
         A._PR_SCALE = orig
+
+
+def _bruteforce_bfs(edges: pd.DataFrame, seeds, max_hops: int) -> dict:
+    adj = {}
+    for a, b in zip(edges["part_a"], edges["part_b"]):
+        adj.setdefault(a, set()).add(b)
+        adj.setdefault(b, set()).add(a)
+    dist = {s: 0 for s in seeds if s in adj}
+    frontier = list(dist)
+    for h in range(1, max_hops + 1):
+        nxt = []
+        for u in frontier:
+            for v in adj[u]:
+                if v not in dist:
+                    dist[v] = h
+                    nxt.append(v)
+        frontier = nxt
+    return dist
+
+
+def test_bfs_matches_bruteforce_and_stops_early(ray_session):
+    from xmlschema_ray.pipelines.analytics import bfs_hops_from_edges
+
+    # chain 0-1-2-3-4-5 plus a separate triangle (10,11,12): seed_mod=10
+    # seeds {0, 10} — the chain forces multiple rounds, the triangle
+    # saturates after one
+    edges = pd.DataFrame(
+        {
+            "part_a": [0, 1, 2, 3, 4, 10, 11, 10],
+            "part_b": [1, 2, 3, 4, 5, 11, 12, 12],
+        }
+    )
+    for max_hops in (1, 3, 10):
+        got = bfs_hops_from_edges(rd.from_pandas(edges), max_hops=max_hops, seed_mod=10)
+        want = _bruteforce_bfs(edges, [0, 10], max_hops)
+        assert dict(zip(got["p_partkey"], got["hops"])) == want
+
+
+def test_bfs_no_seeds_and_empty(ray_session):
+    from xmlschema_ray.pipelines.analytics import bfs_hops_from_edges
+
+    edges = pd.DataFrame({"part_a": [1, 2], "part_b": [2, 3]})
+    out = bfs_hops_from_edges(rd.from_pandas(edges), seed_mod=1000)
+    assert len(out) == 0 and list(out.columns) == ["p_partkey", "hops"]
+    empty = rd.from_pandas(
+        pd.DataFrame({"part_a": pd.Series([], dtype="int64"), "part_b": pd.Series([], dtype="int64")})
+    )
+    assert len(bfs_hops_from_edges(empty)) == 0

@@ -35,6 +35,8 @@ __all__ = [
     "events_daily_gapfill",
     "part_pagerank",
     "pagerank_from_edges",
+    "part_reach_hops",
+    "bfs_hops_from_edges",
     "QUERIES",
     "ORACLES",
 ]
@@ -452,6 +454,131 @@ def pagerank_from_edges(
     )
 
 
+def bfs_hops_from_edges(
+    edges: "rd.Dataset",
+    max_hops: int = 4,
+    seed_mod: int = 97,
+    num_partitions: Optional[int] = None,
+) -> pd.DataFrame:
+    """Multi-source BFS over an undirected edge list (``part_a``/``part_b``):
+    min hop-distance from the seed set ``{node : node % seed_mod == 0}`` —
+    the sparse-FRONTIER iterative-graph shape (PageRank iterates dense
+    fixed-point mass, connected components propagate labels; BFS expands a
+    frontier that starts tiny, peaks, and empties).
+
+    Frontier and distance vectors are node-DIMENSION-sized (the part dim)
+    — the same dim-broadcast assumption as the PageRank broadcast plan.
+    Each round broadcasts only the CURRENT frontier (``ray.put`` once, read
+    lazily per task), streams the edge Dataset in place (edges never
+    reshuffle), and ships only the round's newly-reached node ids through
+    one distinct-combiner exchange — per-round traffic is bounded by the
+    frontier's neighborhood, not the graph. Rounds stop early when the
+    frontier empties, so disconnected or shallow graphs never pay
+    ``max_hops`` passes. Fact-scale node sets (node ids too many to hold
+    in a vector) use the bounded-hop label-propagation form of the
+    connected-components machinery (``ops/graph.py``) instead.
+    """
+    from xmlschema_ray.ops.relational import combiner_aggregate, to_pandas_with_schema
+
+    def both_dirs(batch: pd.DataFrame) -> pd.DataFrame:
+        return pd.DataFrame(
+            {
+                "src": np.concatenate(
+                    [batch["part_a"].to_numpy(np.int64), batch["part_b"].to_numpy(np.int64)]
+                ),
+                "dst": np.concatenate(
+                    [batch["part_b"].to_numpy(np.int64), batch["part_a"].to_numpy(np.int64)]
+                ),
+            }
+        )
+
+    directed = edges.map_batches(both_dirs, batch_format="pandas").materialize()
+    nodes_df = to_pandas_with_schema(
+        combiner_aggregate(directed, "src", {"deg": (None, "count")})
+    )
+    empty = pd.DataFrame(
+        {
+            "p_partkey": pd.Series([], dtype=np.int64),
+            "hops": pd.Series([], dtype=np.int64),
+        }
+    )
+    if len(nodes_df) == 0:
+        return empty
+    nodes = np.sort(nodes_df["src"].to_numpy(np.int64))
+    dist = np.full(len(nodes), -1, dtype=np.int64)
+    seed_mask = nodes % seed_mod == 0
+    if not seed_mask.any():
+        return empty
+    dist[seed_mask] = 0
+    frontier = nodes[seed_mask]
+    hops = 0
+    while len(frontier) and hops < max_hops:
+        hops += 1
+        f_ref = ray.put(np.sort(frontier))
+
+        def reach(batch: pd.DataFrame) -> pd.DataFrame:
+            f = ray.get(f_ref) if isinstance(f_ref, ray.ObjectRef) else f_ref
+            src = batch["src"].to_numpy(np.int64)
+            m = np.isin(src, f)
+            d = np.unique(batch["dst"].to_numpy(np.int64)[m])
+            return pd.DataFrame({"dst": d})
+
+        reached = to_pandas_with_schema(
+            combiner_aggregate(
+                directed.map_batches(reach, batch_format="pandas"),
+                "dst",
+                {"c": (None, "count")},
+                num_partitions=num_partitions,
+            )
+        )
+        r = reached["dst"].to_numpy(np.int64)
+        pos = np.searchsorted(nodes, r)
+        new = r[dist[pos] < 0]
+        dist[np.searchsorted(nodes, new)] = hops
+        frontier = new
+    keep = dist >= 0
+    return (
+        pd.DataFrame({"p_partkey": nodes[keep], "hops": dist[keep]})
+        .astype({"p_partkey": "int64", "hops": "int64"})
+        .reset_index(drop=True)
+    )
+
+
+def part_reach_hops(
+    sf_dir: str, max_hops: int = 4, seed_mod: int = 97, min_support: int = 2
+) -> pd.DataFrame:
+    """Hop distance of every part reachable within ``max_hops`` co-purchase
+    hops of the seed parts (keys divisible by ``seed_mod``) — blast-radius /
+    contamination-spread analysis over the same graph PageRank ranks.
+    See :func:`bfs_hops_from_edges`."""
+    from xmlschema_ray.pipelines.relational import part_pair_cooccurrence
+
+    edges = part_pair_cooccurrence(sf_dir, min_support=min_support)
+    return bfs_hops_from_edges(edges, max_hops=max_hops, seed_mod=seed_mod)
+
+
+def _bfs_sql(max_hops: int = 4, seed_mod: int = 97, min_support: int = 2) -> str:
+    return f"""
+WITH RECURSIVE lp AS (SELECT DISTINCT l_orderkey, l_partkey FROM lineitem),
+pr AS (
+  SELECT a.l_partkey AS pa, b.l_partkey AS pb
+  FROM lp a JOIN lp b ON a.l_orderkey = b.l_orderkey AND a.l_partkey < b.l_partkey
+  GROUP BY 1, 2 HAVING COUNT(*) >= {min_support}
+),
+e AS (SELECT pa AS src, pb AS dst FROM pr UNION ALL SELECT pb, pa FROM pr),
+r(node, hops) AS (
+  SELECT DISTINCT src, 0 FROM e WHERE src % {seed_mod} = 0
+  UNION
+  SELECT e.dst, r.hops + 1 FROM r JOIN e ON e.src = r.node WHERE r.hops < {max_hops}
+)
+SELECT node AS p_partkey, CAST(MIN(hops) AS BIGINT) AS hops
+FROM r GROUP BY node ORDER BY node
+"""
+
+
+PART_REACH_HOPS_SQL = _bfs_sql()
+
+
 def part_pagerank(sf_dir: str, iterations: int = 5, min_support: int = 2) -> pd.DataFrame:
     """PageRank centrality of parts in the CO-PURCHASE graph (edges =
     unordered part pairs sharing ≥ ``min_support`` distinct orders, from
@@ -500,6 +627,7 @@ QUERIES = {
     "peak_concurrent_sessions": peak_concurrent_sessions,
     "events_daily_gapfill": events_daily_gapfill,
     "part_pagerank": part_pagerank,
+    "part_reach_hops": part_reach_hops,
 }
 
 ORACLES = {
@@ -507,4 +635,5 @@ ORACLES = {
     "peak_concurrent_sessions": PEAK_CONCURRENT_SQL,
     "events_daily_gapfill": EVENTS_GAPFILL_SQL,
     "part_pagerank": PART_PAGERANK_SQL,
+    "part_reach_hops": PART_REACH_HOPS_SQL,
 }
