@@ -448,3 +448,41 @@ def test_above_avg_matches_pandas(ray_session):
     g = o.groupby("o_custkey")["c"]
     want = o[o["c"] * g.transform("size") > g.transform("sum")]["o_orderkey"]
     assert got == sorted(want.tolist()) and len(got) > 0
+
+
+def test_scd2_matches_pandas_replay_and_collapses_noops(ray_session):
+    """SCD2 invariants: per-user versions are 1..k contiguous, intervals
+    chain exactly (valid_to == next valid_from, NULL only on the last),
+    consecutive equal values never open a version, and the full frame
+    matches an independent pandas replay."""
+    from xmlschema_ray.pipelines.relational import user_type_scd2
+
+    got = user_type_scd2(SF_DIR)
+    assert len(got) > 0 and got["valid_to"].isna().sum() == got["user_id"].nunique()
+
+    ev = pd.read_parquet(f"{SF_DIR}/events.parquet").sort_values(
+        ["user_id", "ts", "event_id"], kind="mergesort"
+    )
+    chg = ev["user_id"].ne(ev["user_id"].shift()) | ev["event_type"].ne(
+        ev["event_type"].shift()
+    )
+    c = ev[chg].copy()
+    c["version"] = c.groupby("user_id").cumcount() + 1
+    c["valid_to"] = c.groupby("user_id")["ts"].shift(-1)
+    want = (
+        c.rename(columns={"ts": "valid_from"})[
+            ["user_id", "version", "event_type", "valid_from", "valid_to"]
+        ]
+        .sort_values(["user_id", "version"])
+        .reset_index(drop=True)
+        .astype({"version": "int64", "valid_from": "datetime64[us]", "valid_to": "datetime64[us]"})
+    )
+    pd.testing.assert_frame_equal(got, want)
+
+    # interval chaining: within a user, valid_to[i] == valid_from[i+1]
+    nxt = got.groupby("user_id")["valid_from"].shift(-1)
+    inner = got["valid_to"].notna()
+    assert (got.loc[inner, "valid_to"] == nxt[inner]).all()
+    # no-op collapse: adjacent versions always differ in value
+    prev_t = got.groupby("user_id")["event_type"].shift()
+    assert (got["event_type"] != prev_t)[prev_t.notna()].all()

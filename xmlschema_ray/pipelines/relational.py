@@ -2795,6 +2795,90 @@ def event_transition_matrix(sf_dir: str) -> pd.DataFrame:
     return agg.sort_values(["prev_type", "event_type"]).reset_index(drop=True)
 
 
+def user_type_scd2(sf_dir: str) -> pd.DataFrame:
+    """Slowly-changing-dimension TYPE-2 history build: each user's event
+    stream is an attribute feed (the user's "current type"), and the
+    output is its versioned validity-interval history — one row per
+    VALUE CHANGE with ``[valid_from, valid_to)`` bounds (``valid_to`` NULL
+    on the open current version) and a per-user version ordinal. The
+    write-side temporal-modeling complement of the as-of join (which READS
+    such a history).
+
+    The SCD2 subtlety is no-op-update collapse: consecutive equal values
+    do NOT open a new version (a feed replaying the same attribute must
+    not grow the history). ONE hash exchange co-locates each user's
+    stream; per partition the change scan is a vectorized sort + shift
+    ((ts, event_id) tie order so both engines resolve equal timestamps
+    identically), versions are a cumsum over change starts, and
+    ``valid_to`` is the NEXT change's ``valid_from`` within the same user
+    (shift(-1)) — no second exchange, since user streams are whole per
+    partition. Output is change-row-sized, bounded by the feed's true
+    change count, not its update count.
+    """
+    from xmlschema_ray.ops.relational import hash_partition_apply, to_pandas_with_schema
+
+    ds = rd.read_parquet(
+        table_path(sf_dir, "events"), columns=["event_id", "user_id", "event_type", "ts"]
+    )
+
+    def intervals(part: pd.DataFrame) -> pd.DataFrame:
+        p = part.sort_values(["user_id", "ts", "event_id"], kind="mergesort")
+        uid = p["user_id"].to_numpy(np.int64)
+        typ = p["event_type"].to_numpy()
+        ts = p["ts"].to_numpy()
+        new_user = np.empty(len(p), dtype=bool)
+        if len(p):
+            new_user[0] = True
+            np.not_equal(uid[1:], uid[:-1], out=new_user[1:])
+        change = new_user | (typ != np.roll(typ, 1))
+        c_uid = uid[change]
+        c_from = ts[change]
+        # version ordinal: cumulative change count within each user
+        ver = np.arange(1, change.sum() + 1, dtype=np.int64)
+        if len(ver):
+            user_start = np.flatnonzero(
+                np.concatenate([[True], c_uid[1:] != c_uid[:-1]])
+            )
+            base = np.repeat(ver[user_start] - 1, np.diff(np.append(user_start, len(ver))))
+            ver = ver - base
+        # valid_to = next change's valid_from within the same user
+        nxt = np.roll(c_from, -1)
+        last_of_user = np.concatenate([c_uid[1:] != c_uid[:-1], [True]]) if len(c_uid) else np.array([], dtype=bool)
+        valid_to = pd.Series(nxt).where(~last_of_user, pd.NaT)
+        return pd.DataFrame(
+            {
+                "user_id": c_uid,
+                "version": ver,
+                "event_type": typ[change],
+                "valid_from": c_from,
+                "valid_to": valid_to.to_numpy(),
+            }
+        )
+
+    out = to_pandas_with_schema(hash_partition_apply(ds, "user_id", intervals))
+    out = out.sort_values(["user_id", "version"]).reset_index(drop=True)
+    out["version"] = out["version"].astype("int64")
+    out["valid_from"] = out["valid_from"].astype("datetime64[us]")
+    out["valid_to"] = out["valid_to"].astype("datetime64[us]")
+    return out
+
+
+USER_TYPE_SCD2_SQL = """
+WITH o AS (
+  SELECT user_id, event_type, ts, event_id,
+         lag(event_type) OVER (PARTITION BY user_id ORDER BY ts, event_id) AS prev_t
+  FROM events
+), c AS (
+  SELECT user_id, event_type, ts AS valid_from,
+         CAST(row_number() OVER (PARTITION BY user_id ORDER BY ts, event_id) AS BIGINT) AS version
+  FROM o WHERE prev_t IS NULL OR prev_t <> event_type
+)
+SELECT user_id, version, event_type, valid_from,
+       lead(valid_from) OVER (PARTITION BY user_id ORDER BY version) AS valid_to
+FROM c ORDER BY user_id, version
+"""
+
+
 EVENT_TRANSITION_SQL = """
 WITH t AS (
   SELECT event_type,
@@ -3227,6 +3311,7 @@ ORACLES = {
     "orders_snapshot_diff": ORDERS_SNAPSHOT_DIFF_SQL,
     "orders_apply_changes": ORDERS_APPLY_CHANGES_SQL,
     "event_transition_matrix": EVENT_TRANSITION_SQL,
+    "user_type_scd2": USER_TYPE_SCD2_SQL,
     "weekly_active_users": WEEKLY_ACTIVE_SQL,
     "winsorized_price_by_flag": WINSORIZED_PRICE_SQL,
     "customer_event_counts": CUSTOMER_EVENT_COUNTS_SQL,
@@ -3282,6 +3367,7 @@ QUERIES = {
     "orders_snapshot_diff": orders_snapshot_diff,
     "orders_apply_changes": orders_apply_changes,
     "event_transition_matrix": event_transition_matrix,
+    "user_type_scd2": user_type_scd2,
     "weekly_active_users": weekly_active_users,
     "winsorized_price_by_flag": winsorized_price_by_flag,
     "customer_event_counts": customer_event_counts,
