@@ -486,3 +486,50 @@ def test_scd2_matches_pandas_replay_and_collapses_noops(ray_session):
     # no-op collapse: adjacent versions always differ in value
     prev_t = got.groupby("user_id")["event_type"].shift()
     assert (got["event_type"] != prev_t)[prev_t.notna()].all()
+
+
+def test_time_weighted_avg_matches_pandas_replay(ray_session):
+    """TWA invariants vs an independent per-user pandas replay: exact
+    integer weighted sums, span exclusion, and uneven-sampling dominance
+    (a long-held value pulls the TWA toward itself regardless of count)."""
+    from xmlschema_ray.pipelines.relational import time_weighted_value_by_user
+
+    got = time_weighted_value_by_user(SF_DIR)
+    assert len(got) > 0
+
+    ev = pd.read_parquet(f"{SF_DIR}/events.parquet").sort_values(
+        ["user_id", "ts", "event_id"], kind="mergesort"
+    )
+    c = np.floor(ev["value"].to_numpy(np.float64) * 100.0 + 0.5).astype(np.int64)
+    t = ev["ts"].to_numpy("datetime64[us]").astype(np.int64)
+    uid = ev["user_id"].to_numpy(np.int64)
+    same_next = np.zeros(len(ev), dtype=bool)
+    same_next[:-1] = uid[1:] == uid[:-1]
+    dt = np.zeros(len(ev), dtype=np.int64)
+    dt[same_next] = (np.roll(t, -1) - t)[same_next]
+    df = pd.DataFrame({"user_id": uid, "w": c * dt, "t": t})
+    agg = df.groupby("user_id").agg(s=("w", "sum"), lo=("t", "min"), hi=("t", "max"), n=("w", "size"))
+    agg = agg[agg["hi"] > agg["lo"]]
+    want = (agg["s"] / (agg["hi"] - agg["lo"])).to_dict()
+    assert dict(zip(got["user_id"], got["twa_value"])) == want
+    assert dict(zip(got["user_id"], got["n_events"])) == agg["n"].to_dict()
+
+    # dominance property on a crafted stream: value 100 held 99 µs then
+    # value 0 held 1 µs -> TWA = 9900/100 = 99.0, while plain AVG is 50
+    ts0 = pd.Timestamp("2024-01-01")
+    crafted = pd.DataFrame(
+        {
+            "event_id": [1, 2, 3],
+            "user_id": [7, 7, 7],
+            "ts": [ts0, ts0 + pd.Timedelta(microseconds=99), ts0 + pd.Timedelta(microseconds=100)],
+            "value": [100.0, 0.0, 5.0],
+        }
+    )
+    import pyarrow as pa
+    import pyarrow.parquet as pq
+    import tempfile, os
+
+    with tempfile.TemporaryDirectory() as d:
+        pq.write_table(pa.Table.from_pandas(crafted), os.path.join(d, "events.parquet"))
+        one = time_weighted_value_by_user(d)
+    assert one.iloc[0]["twa_value"] == (10000 * 99 + 0 * 1) / 100

@@ -2863,6 +2863,88 @@ def user_type_scd2(sf_dir: str) -> pd.DataFrame:
     return out
 
 
+def time_weighted_value_by_user(sf_dir: str) -> pd.DataFrame:
+    """TIME-WEIGHTED average of ``value`` per user — each reading weighted
+    by how long it was current (until the user's next event), the TSDB /
+    metering primitive a plain AVG gets wrong whenever sampling is uneven
+    (a value held for a week must outweigh one held for a second).
+
+    Exactness: values scale to integer cents (``common.cents``) and
+    weights are integer MICROSECOND durations, so the weighted sum is one
+    order-independent int64 reduction and ``twa_value`` is a single
+    final IEEE division — bit-exact vs the oracle at any parallelism
+    (float value × float seconds would diverge on summation order).
+    Overflow is linted per user (max|cents| × span < 2^62), not assumed.
+
+    ONE hash exchange co-locates user streams ((ts, event_id) tie order);
+    durations are a vectorized shift inside the partition; per-user sums
+    are a C-speed groupby — output is user-dimension-sized. Users whose
+    span is zero (single event, or all events on one timestamp) carry no
+    time weight and are excluded by an INTEGER predicate, never a float
+    compare.
+    """
+    from xmlschema_ray.ops.relational import hash_partition_apply, to_pandas_with_schema
+
+    ds = rd.read_parquet(
+        table_path(sf_dir, "events"), columns=["event_id", "user_id", "ts", "value"]
+    )
+
+    def twa_part(part: pd.DataFrame) -> pd.DataFrame:
+        p = part.sort_values(["user_id", "ts", "event_id"], kind="mergesort")
+        uid = p["user_id"].to_numpy(np.int64)
+        t = p["ts"].to_numpy("datetime64[us]").astype(np.int64)
+        c = cents(p["value"].to_numpy())
+        same_next = np.zeros(len(p), dtype=bool)
+        if len(p) > 1:
+            same_next[:-1] = uid[1:] == uid[:-1]
+        dt = np.zeros(len(p), dtype=np.int64)
+        dt[same_next] = (np.roll(t, -1) - t)[same_next]
+        g = pd.DataFrame({"user_id": uid, "w": c * dt, "t": t, "c_abs": np.abs(c)})
+        agg = g.groupby("user_id", as_index=False).agg(
+            s=("w", "sum"),
+            t_min=("t", "min"),
+            t_max=("t", "max"),
+            n_events=("w", "size"),
+            c_max=("c_abs", "max"),
+        )
+        span = agg["t_max"].to_numpy(np.int64) - agg["t_min"].to_numpy(np.int64)
+        if len(agg) and int((agg["c_max"].to_numpy(np.int64) * span).max()) > (1 << 62):
+            raise ValueError(
+                "time_weighted_value_by_user: |cents|·span exceeds 2^62 for some "
+                "user; rescale values or shard the time range"
+            )
+        agg["span_us"] = span
+        return agg[["user_id", "s", "span_us", "n_events"]]
+
+    out = to_pandas_with_schema(hash_partition_apply(ds, "user_id", twa_part))
+    out = out[out["span_us"] > 0].copy()
+    out["twa_value"] = out["s"].to_numpy(np.int64).astype(np.float64) / out[
+        "span_us"
+    ].to_numpy(np.int64).astype(np.float64)
+    out = out.sort_values("user_id").reset_index(drop=True)
+    out = out.astype({"user_id": "int64", "span_us": "int64", "n_events": "int64"})
+    return out[["user_id", "n_events", "span_us", "twa_value"]]
+
+
+TIME_WEIGHTED_VALUE_SQL = """
+WITH o AS (
+  SELECT user_id, ts, CAST(floor(value * 100 + 0.5) AS BIGINT) AS c,
+         lead(ts) OVER (PARTITION BY user_id ORDER BY ts, event_id) AS nxt
+  FROM events
+), d AS (
+  SELECT user_id,
+         CAST(COUNT(*) AS BIGINT) AS n_events,
+         CAST(epoch_us(MAX(ts)) - epoch_us(MIN(ts)) AS BIGINT) AS span_us,
+         CAST(SUM(CASE WHEN nxt IS NOT NULL
+                       THEN c * (epoch_us(nxt) - epoch_us(ts)) ELSE 0 END) AS BIGINT) AS s
+  FROM o GROUP BY user_id
+)
+SELECT user_id, n_events, span_us,
+       CAST(s AS DOUBLE) / CAST(span_us AS DOUBLE) AS twa_value
+FROM d WHERE span_us > 0 ORDER BY user_id
+"""
+
+
 USER_TYPE_SCD2_SQL = """
 WITH o AS (
   SELECT user_id, event_type, ts, event_id,
@@ -3312,6 +3394,7 @@ ORACLES = {
     "orders_apply_changes": ORDERS_APPLY_CHANGES_SQL,
     "event_transition_matrix": EVENT_TRANSITION_SQL,
     "user_type_scd2": USER_TYPE_SCD2_SQL,
+    "time_weighted_value_by_user": TIME_WEIGHTED_VALUE_SQL,
     "weekly_active_users": WEEKLY_ACTIVE_SQL,
     "winsorized_price_by_flag": WINSORIZED_PRICE_SQL,
     "customer_event_counts": CUSTOMER_EVENT_COUNTS_SQL,
@@ -3368,6 +3451,7 @@ QUERIES = {
     "orders_apply_changes": orders_apply_changes,
     "event_transition_matrix": event_transition_matrix,
     "user_type_scd2": user_type_scd2,
+    "time_weighted_value_by_user": time_weighted_value_by_user,
     "weekly_active_users": weekly_active_users,
     "winsorized_price_by_flag": winsorized_price_by_flag,
     "customer_event_counts": customer_event_counts,
