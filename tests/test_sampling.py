@@ -94,3 +94,38 @@ def test_ivf_recall_on_cluster_sorted_corpus(ray_session, tmp_path):
     # n_probe=1 on well-separated clusters: recall is ~1.0 when the fit saw
     # every cluster, ~0.25 when it only saw the head cluster
     assert np.mean(recalls) >= 0.8, recalls
+
+
+def test_weighted_sample_weight_bias_and_merge_invariance(ray_session):
+    """Priority sampling: heavier docs are overrepresented vs uniform, the
+    bottom-k is identical under any batch split (merge property), and the
+    priority key replays exactly."""
+    import hashlib
+
+    import numpy as np
+    import pandas as pd
+    import pyarrow as pa
+    import pyarrow.parquet as pq
+    import tempfile, os
+
+    from xmlschema_ray.pipelines.curation import weighted_sample_docs
+
+    n = 3000
+    w = np.where(np.arange(n) % 10 == 0, 5000, 50).astype(np.int64)  # 10% heavy
+    df = pd.DataFrame({"doc_id": np.arange(n, dtype=np.int64), "n_chars": w})
+    with tempfile.TemporaryDirectory() as d:
+        pq.write_table(pa.Table.from_pandas(df), os.path.join(d, "documents.parquet"))
+        out = weighted_sample_docs(d, k=300)
+    assert len(out) == 300
+    # exact replay of the key
+    h = np.array(
+        [int(hashlib.md5(str(i).encode()).hexdigest()[:13], 16) for i in df["doc_id"]],
+        dtype=np.int64,
+    )
+    pri = h.astype(np.float64) / w.astype(np.float64)
+    want = df.assign(priority=pri).sort_values(["priority", "doc_id"]).head(300)
+    assert out["doc_id"].tolist() == want["doc_id"].tolist()
+    assert out["priority"].tolist() == want["priority"].tolist()
+    # weight bias: heavy docs are 10% of corpus but dominate the sample
+    heavy_frac = (out["n_chars"] == 5000).mean()
+    assert heavy_frac > 0.5

@@ -699,6 +699,63 @@ def table_fingerprint_by_source(sf_dir: str) -> pd.DataFrame:
     )
 
 
+def weighted_sample_docs(sf_dir: str, k: int = 200) -> pd.DataFrame:
+    """PRIORITY SAMPLING (Duffield–Lund–Thorup, JACM 2007): a weighted
+    without-replacement sample of ``k`` documents, selection probability
+    increasing with weight (``n_chars`` — longer documents carry more
+    training signal per row). Each doc draws the deterministic uniform
+    ``u = h52 / 2^52`` (first 13 md5 hex chars of ``doc_id`` — 52 bits,
+    exactly representable in a float64) and the sample is the BOTTOM-k by
+    priority key ``h52 / w`` (the constant 2^-52 of ``u/w`` is dropped —
+    order-invariant), the bottom-k-sketch form of DLT's top-k by ``w/u``. The key is ONE IEEE division of exactly-representable
+    integers, so Ray and DuckDB produce bit-identical doubles and the cut
+    is reproducible on any engine — the seeded-md5 analog of the
+    stratified/quota samplers, but weight-biased.
+
+    Distribution: bottom-k keys are MERGEABLE (the union's bottom-k is the
+    bottom-k of per-part bottom-k's), so one partial-top-k pass + a k-row
+    final sort suffice — no global sort, no shuffle; k·#batches rows reach
+    the reduce at any corpus size.
+    """
+    from xmlschema_ray.ops.relational import to_pandas_with_schema, topk
+
+    ds = rd.read_parquet(table_path(sf_dir, "documents"), columns=["doc_id", "n_chars"])
+
+    def key(batch: pa.Table) -> pd.DataFrame:
+        ids = batch["doc_id"].to_numpy(zero_copy_only=False).astype(np.int64)
+        w = batch["n_chars"].to_numpy(zero_copy_only=False).astype(np.int64)
+        h52 = np.fromiter(
+            (int(h[:13], 16) for h in _md5_hex(ids)),
+            dtype=np.int64,
+            count=len(ids),
+        )
+        return pd.DataFrame(
+            {
+                "doc_id": ids,
+                "n_chars": w,
+                "priority": h52.astype(np.float64) / w.astype(np.float64),
+            }
+        )
+
+    keyed = ds.map_batches(key, batch_format="pyarrow")
+    out = to_pandas_with_schema(
+        topk(keyed, "priority", k, descending=False, tiebreak=["doc_id"])
+    )
+    return out[["doc_id", "n_chars", "priority"]].reset_index(drop=True)
+
+
+WEIGHTED_SAMPLE_SQL = """
+WITH h AS (
+  SELECT doc_id, n_chars,
+         CAST(('0x' || substring(md5(CAST(doc_id AS VARCHAR)), 1, 13)) AS BIGINT) AS h52
+  FROM documents
+)
+SELECT doc_id, n_chars,
+       CAST(h52 AS DOUBLE) / CAST(n_chars AS DOUBLE) AS priority
+FROM h ORDER BY priority, doc_id LIMIT 200
+"""
+
+
 TABLE_FINGERPRINT_SQL = r"""
 SELECT source,
        CAST(COUNT(*) AS BIGINT) AS n_rows,
@@ -2567,6 +2624,7 @@ ORACLES: Dict[str, str] = {
     "phrase_search": PHRASE_SEARCH_SQL,
     "source_vocab_overlap": SOURCE_VOCAB_OVERLAP_SQL,
     "table_fingerprint_by_source": TABLE_FINGERPRINT_SQL,
+    "weighted_sample_docs": WEIGHTED_SAMPLE_SQL,
     "encode_documents": ENCODE_DOCUMENTS_SQL,
     "longest_quartile_docs": LONGEST_QUARTILE_SQL,
     "decontamination": DECONTAMINATION_SQL,
@@ -2599,6 +2657,7 @@ QUERIES = {
     "phrase_search": phrase_search,
     "source_vocab_overlap": source_vocab_overlap,
     "table_fingerprint_by_source": table_fingerprint_by_source,
+    "weighted_sample_docs": weighted_sample_docs,
     "encode_documents": encode_documents,
     "longest_quartile_docs": longest_quartile_docs,
     "decontamination": decontamination,
