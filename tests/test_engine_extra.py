@@ -803,3 +803,80 @@ def test_normalize_documents_null_text_matches_oracle(tmp_path, ray_session):
     sql_df = con.execute(NORMALIZE_DOCUMENTS_SQL).df()
     assert ray_df["changed"].tolist() == sql_df["changed"].tolist() == [True, False, False]
     assert ray_df["text_norm"].fillna("∅").tolist() == sql_df["text_norm"].fillna("∅").tolist()
+
+
+def test_unique_key_require_present_xs_key_mode(tmp_path, ray_session):
+    """xs:key vs xs:unique null semantics: by default rows with null key
+    fields are EXEMPT from uniqueness (two nulls are not duplicates); in
+    key mode (require_present=True) each null key field row is itself a
+    `.key_absent` violation. Serde round-trips the flag (absent when
+    False, so old spec documents are byte-stable) and spec_compat flags
+    flipping it on as breaking."""
+    import json
+
+    import pandas as pd
+    import pyarrow as pa
+    import pyarrow.parquet as pq
+
+    from xmlschema_ray.constraints.derive import spec_compat
+    from xmlschema_ray.constraints.serde import spec_from_json, spec_to_json
+    from xmlschema_ray.constraints.spec import ColumnSpec, TableConstraints, UniqueKey
+    from xmlschema_ray.engine.engine import ValidationEngine
+
+    df = pd.DataFrame(
+        {
+            "id": pd.array([1, 2, 2, None, None, 6], dtype="Int64"),
+            "x": [10, 20, 30, 40, 50, 60],
+        }
+    )
+    p = tmp_path / "in.parquet"
+    pq.write_table(pa.Table.from_pandas(df, preserve_index=False), p)
+
+    def run(uk):
+        spec = TableConstraints(
+            name="t",
+            columns=[ColumnSpec("id", pa.int64(), nullable=True), ColumnSpec("x", pa.int64())],
+            unique_keys=[uk],
+            key_columns=("x",),
+        )
+        eng = ValidationEngine(spec, batch_size=3, n_shards=1)
+        return eng.run(
+            str(p), out_dir=str(tmp_path / f"out_{uk.require_present}"), resume=False
+        )
+
+    # xs:unique (default): the two nulls are NOT duplicates of each other;
+    # only the real dup pair (id=2) fires
+    res_u = run(UniqueKey(("id",), name="uk"))
+    v = res_u.violations()
+    assert set(v["constraint_name"]) == {"uk"}
+    assert len(v) == 1  # one violation per duplicated KEY (count=2)
+
+    # xs:key mode: same dup key PLUS one .key_absent per null row
+    res_k = run(UniqueKey(("id",), name="uk", require_present=True))
+    vk = res_k.violations()
+    counts = vk.groupby("constraint_name").size().to_dict()
+    assert counts == {"uk": 1, "uk.key_absent": 2}
+
+    # serde: flag round-trips; absent when False
+    spec = TableConstraints(
+        name="t",
+        columns=[ColumnSpec("id", pa.int64())],
+        unique_keys=[UniqueKey(("id",), name="uk", require_present=True)],
+        key_columns=("id",),
+    )
+    doc = spec_to_json(spec)
+    assert doc["unique_keys"][0]["require_present"] is True
+    back = spec_from_json(doc)
+    assert back.unique_keys[0].require_present is True
+    spec_f = TableConstraints(
+        name="t",
+        columns=[ColumnSpec("id", pa.int64())],
+        unique_keys=[UniqueKey(("id",), name="uk")],
+        key_columns=("id",),
+    )
+    assert "require_present" not in spec_to_json(spec_f)["unique_keys"][0]
+
+    # compat: flipping key mode ON is a definition change => not compatible
+    findings = spec_compat(spec_f, spec)
+    hit = [f for f in findings if "unique_key uk" in f["item"]]
+    assert hit and not hit[0]["compatible"]

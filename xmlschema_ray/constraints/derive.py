@@ -360,7 +360,10 @@ def spec_compat(old: TableConstraints, new: TableConstraints) -> List[Dict]:
         ``None`` (not comparable) instead.
         """
         if kind == "unique_key":
-            return f"columns={tuple(k.columns)}"
+            # require_present=True is xs:key mode: flipping it on is a
+            # definition change (old-valid data with null key fields now
+            # fails) and surfaces through the generic breaking path below
+            return f"columns={tuple(k.columns)},require_present={k.require_present}"
         if kind == "foreign_key":
             return f"{k.column}->{k.dim_name}.{k.dim_key}"
         if kind == "aggregate_check":

@@ -342,7 +342,16 @@ def spec_to_json(spec: TableConstraints) -> Dict[str, Any]:
             }
             for ta in spec.type_alternatives
         ],
-        "unique_keys": [{"name": u.name, "columns": list(u.columns)} for u in spec.unique_keys],
+        "unique_keys": [
+            {
+                "name": u.name,
+                "columns": list(u.columns),
+                # only serialized when set, so pre-existing spec documents
+                # round-trip byte-identically
+                **({"require_present": True} if u.require_present else {}),
+            }
+            for u in spec.unique_keys
+        ],
         "foreign_keys": [
             {
                 "name": k.name,
@@ -430,7 +439,14 @@ def spec_from_json(doc: Dict[str, Any]) -> TableConstraints:
         columns=columns,
         row_checks=row_checks,
         type_alternatives=type_alternatives,
-        unique_keys=[UniqueKey(tuple(u["columns"]), name=u.get("name")) for u in doc.get("unique_keys", [])],
+        unique_keys=[
+            UniqueKey(
+                tuple(u["columns"]),
+                name=u.get("name"),
+                require_present=bool(u.get("require_present", False)),
+            )
+            for u in doc.get("unique_keys", [])
+        ],
         foreign_keys=[
             ForeignKey(k["column"], k["dim_name"], k["dim_key"], name=k.get("name"))
             for k in doc.get("foreign_keys", [])

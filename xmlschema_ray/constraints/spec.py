@@ -209,10 +209,21 @@ class UniqueKey:
     (``validators/identities.py:198-221``, ``simple_types.py:508-516``):
     global exact uniqueness cannot be checked inside one batch — it becomes
     a hash-partitioned count shuffle in the engine (stage B).
+
+    ``require_present`` carries the ``xs:key`` vs ``xs:unique`` distinction
+    (``validators/identities.py:232-249`` ``XsdKey``: every field must
+    RESOLVE; ``xs:unique`` simply exempts rows with absent fields): with
+    the default ``False``, rows with a null key field are exempt from the
+    uniqueness check (two nulls are not duplicates — the reference's
+    unique semantics, and this engine's stage-A ``drop_null``); with
+    ``True``, a null key field is itself a violation
+    (``{name}.key_absent``), caught row-locally in stage A with no extra
+    exchange.
     """
 
     columns: Tuple[str, ...]
     name: Optional[str] = None
+    require_present: bool = False
 
     def __post_init__(self):
         if not isinstance(self.columns, tuple):

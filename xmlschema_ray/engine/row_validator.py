@@ -193,6 +193,26 @@ def iter_row_checks(
                         f"facet {f.describe()} violated (type {case.type_name})",
                         reprs,
                     )
+    # xs:key presence (require_present=True): a null key field is itself a
+    # violation (reference XsdKey, identities.py:232-249 — every field must
+    # resolve); xs:unique (the default) exempts null-field rows instead.
+    # Row-local, so it rides stage A with no extra exchange.
+    for uk in spec.unique_keys:
+        if not uk.require_present or not all(c in present for c in uk.columns):
+            continue
+        anynull = np.zeros(n, dtype=bool)
+        for cname in uk.columns:
+            anynull |= pc.is_null(table[cname]).combine_chunks().to_numpy(
+                zero_copy_only=False
+            )
+        if anynull.any():
+            yield (
+                f"{uk.name}.key_absent",
+                uk.columns[0],
+                anynull,
+                "null key field in key-mode unique constraint (require_present)",
+                None,
+            )
     for rc in spec.row_checks:
         if not all(col in present for col in rc.columns):
             continue
