@@ -489,6 +489,70 @@ def val_composite_fk(sf_dir: str) -> pd.DataFrame:
     )
 
 
+def val_fk_distributed(sf_dir: str) -> pd.DataFrame:
+    """The stage-B2 DISTRIBUTED keyref under the DuckDB gate: referential
+    integrity checked through the co-partitioning anti-join plan (the
+    fact-to-fact path for dims too large to broadcast), not the broadcast
+    set. ``broadcast_fk_cap_bytes=0`` forces EVERY dim through B2 — at
+    production scale the cap trips naturally on a fact-sized dim; forcing
+    it here keeps the toy dim on the same physical plan so the oracle
+    verifies the B2 machinery itself (pruned source projection,
+    combiner-deduped dim keys, per-partition vectorized ``isin``
+    anti-mask, file-lineage partition attribution).
+
+    The allowed dim is the deterministic md5-half of the corpus's distinct
+    sources (``md5(source)`` starting >= '8'), so both engines recompute
+    it and violations are exactly the docs carrying an excluded source.
+    """
+    from xmlschema_ray.constraints.spec import ColumnSpec, ForeignKey, TableConstraints
+    from xmlschema_ray.pipelines.curation import _md5_hex
+
+    doc_path = os.path.join(sf_dir, "documents.parquet")
+    srcs = (
+        rd.read_parquet(doc_path, columns=["source"])
+        .map_batches(lambda b: b.drop_duplicates(), batch_format="pandas")
+        .to_pandas()["source"]
+        .drop_duplicates()
+        .reset_index(drop=True)
+    )
+    allowed = srcs[np.array([h[0] >= "8" for h in _md5_hex(srcs)])]
+    dim = pa.table({"source": pa.array(allowed.tolist(), type=pa.string())})
+
+    spec = TableConstraints(
+        name="fk_distributed_docs",
+        columns=[
+            ColumnSpec("doc_id", pa.int64(), nullable=False),
+            ColumnSpec("source", pa.string()),
+        ],
+        foreign_keys=[ForeignKey("source", "allowed", "source", name="fk_source_allowed")],
+        key_columns=("doc_id",),
+    )
+    out_dir = _scratch("val_fk_distributed")
+    eng = ValidationEngine(spec, batch_size=4096, n_shards=1, broadcast_fk_cap_bytes=0)
+    res = eng.run(doc_path, out_dir=out_dir, dims={"allowed": dim}, resume=False)
+    v = res.violations()
+    return (
+        pd.DataFrame(
+            {
+                "doc_id": pd.array(v["key"].astype("int64"), dtype="int64"),
+                "constraint_name": v["constraint_name"].astype(object),
+            }
+        )
+        .sort_values("doc_id")
+        .reset_index(drop=True)
+    )
+
+
+VAL_FK_DISTRIBUTED_SQL = """
+WITH s AS (SELECT DISTINCT source FROM documents),
+allowed AS (SELECT source FROM s WHERE substring(md5(source), 1, 1) >= '8')
+SELECT doc_id, 'fk_source_allowed' AS constraint_name
+FROM documents
+WHERE source NOT IN (SELECT source FROM allowed)
+ORDER BY doc_id
+"""
+
+
 def val_source_mean_chars(sf_dir: str) -> pd.DataFrame:
     """Dataset-level aggregate constraint through the FULL engine: per-source
     MEAN document length must stay ≤ 300 chars (an ``AggregateCheck`` — the
@@ -681,6 +745,7 @@ ORDER BY doc_id
 ORACLES: Dict[str, str] = {
     "validate_sequences": VALIDATE_SEQUENCES_SQL,
     "val_composite_fk": VAL_COMPOSITE_FK_SQL,
+    "val_fk_distributed": VAL_FK_DISTRIBUTED_SQL,
     "val_source_mean_chars": VAL_SOURCE_MEAN_CHARS_SQL,
     "val_warning_severity": VAL_WARNING_SEVERITY_SQL,
     "val_unique_words": VAL_UNIQUE_WORDS_SQL,
@@ -692,6 +757,7 @@ ORACLES: Dict[str, str] = {
 QUERIES = {
     "validate_sequences": validate_sequences,
     "val_composite_fk": val_composite_fk,
+    "val_fk_distributed": val_fk_distributed,
     "val_source_mean_chars": val_source_mean_chars,
     "val_warning_severity": val_warning_severity,
     "val_unique_words": val_unique_words,
