@@ -367,14 +367,154 @@ ORDER BY 1, 2
 """
 
 
+class _PHasher:
+    """Actor-pool perceptual-hash stage (pHash analog): the real
+    implementation decodes the image, downsamples to 8×8 luminance, and
+    takes the DCT sign bits — once-per-actor codec setup, per-batch
+    hashing. The ``fake`` stand-in derives a deterministic 60-bit hash
+    from the payload's MD5 (first 15 hex chars — fits int64 AND DuckDB's
+    BIGINT hex cast), and for items whose ``item_id % 7 == 0`` also emits
+    a VARIANT item (id + 10^9) with ≤2 deterministic bit flips — the
+    near-duplicate a real pHash would give for a re-encoded/resized copy,
+    planted so the pair search has true positives both engines derive."""
+
+    def __init__(self):
+        import hashlib
+
+        self._md5 = hashlib.md5
+
+    def __call__(self, batch: pd.DataFrame) -> pd.DataFrame:
+        ids = batch["item_id"].to_numpy().astype(np.int64)
+        h = np.fromiter(
+            (int(self._md5(bytes(p)).hexdigest()[:15], 16) for p in batch["payload"]),
+            dtype=np.int64,
+            count=len(ids),
+        )
+        var = ids % 7 == 0
+        vids = ids[var] + 1_000_000_000
+        vh = (
+            h[var]
+            ^ (np.int64(1) << (ids[var] % 60))
+            ^ (np.int64(1) << ((ids[var] * 11) % 60))
+        )
+        return pd.DataFrame(
+            {
+                "item_id": np.concatenate([ids, vids]),
+                "phash": np.concatenate([h, vh]),
+            }
+        )
+
+
+def phash_dup_pairs(sf_dir: str, max_hamming: int = 2) -> pd.DataFrame:
+    """Perceptual-hash near-duplicate pairs over the binary payload table —
+    the MULTIMODAL member of the dedup family (SimHash is its text
+    sibling): item pairs within Hamming ``max_hamming`` of a 60-bit pHash,
+    found by 4×15-bit band bucketing (pigeonhole: ≤3 flips leave ≥1 band
+    intact, so ``max_hamming ≤ 3`` is EXACT) + vectorized in-bucket XOR
+    popcount — one band-keyed exchange, no all-pairs scan.
+
+    Unlike the SimHash oracle (signature dump), the fake pHash is
+    md5-derived end to end, so DuckDB re-derives hashes, planted variants
+    AND the full pair set from the raw table with NO dump — and replays
+    the pair search as pure Hamming with no band predicate, proving the
+    banding loses nothing at this distance.
+    """
+    from xmlschema_ray.ops.relational import hash_partition_apply
+
+    hashed = to_binary_payloads(sf_dir).map_batches(
+        _PHasher, batch_format="pandas", batch_size=1024, concurrency=(1, 4)
+    )
+
+    def band_rows(batch: pd.DataFrame) -> pd.DataFrame:
+        h = batch["phash"].to_numpy(np.int64)
+        ids = batch["item_id"].to_numpy(np.int64)
+        frames = []
+        for bi in range(4):
+            band_val = (h >> np.int64(15 * bi)) & np.int64(0x7FFF)
+            frames.append(
+                pd.DataFrame(
+                    {"band_key": band_val + (bi << 15), "item_id": ids, "phash": h}
+                )
+            )
+        return pd.concat(frames, ignore_index=True)
+
+    rows = hashed.map_batches(band_rows, batch_format="pandas")
+
+    def bucket_verify(part: pd.DataFrame) -> pd.DataFrame:
+        outs = []
+        for _, g in part.groupby("band_key", sort=False):
+            if len(g) < 2:
+                continue
+            order = np.argsort(g["item_id"].to_numpy())
+            ids = g["item_id"].to_numpy()[order]
+            h = g["phash"].to_numpy(np.int64)[order]
+            ia, ib = np.triu_indices(len(ids), k=1)
+            x = np.bitwise_xor(h[ia], h[ib]).astype(np.uint64)
+            d = np.zeros(len(x), dtype=np.int64)
+            while x.any():
+                d += (x & np.uint64(1)).astype(np.int64)
+                x >>= np.uint64(1)
+            keep = d <= max_hamming
+            if keep.any():
+                outs.append(
+                    pd.DataFrame(
+                        {
+                            "item_id_a": ids[ia][keep],
+                            "item_id_b": ids[ib][keep],
+                            "hamming": d[keep],
+                        }
+                    )
+                )
+        if not outs:
+            return pd.DataFrame(
+                {
+                    "item_id_a": pd.array([], dtype="int64"),
+                    "item_id_b": pd.array([], dtype="int64"),
+                    "hamming": pd.array([], dtype="int64"),
+                }
+            )
+        return pd.concat(outs, ignore_index=True)
+
+    pairs = hash_partition_apply(rows, "band_key", bucket_verify).to_pandas()
+    return (
+        pairs.drop_duplicates(["item_id_a", "item_id_b"])
+        .sort_values(["item_id_a", "item_id_b"])
+        .reset_index(drop=True)
+        .astype({"item_id_a": "int64", "item_id_b": "int64", "hamming": "int64"})
+    )
+
+
+PHASH_DUP_PAIRS_SQL = """
+WITH base AS (
+  SELECT doc_id AS item_id,
+         CAST(('0x' || substring(md5(text), 1, 15)) AS BIGINT) AS phash
+  FROM documents
+), items AS (
+  SELECT item_id, phash FROM base
+  UNION ALL
+  SELECT item_id + 1000000000,
+         xor(xor(phash, 1::BIGINT << CAST(item_id % 60 AS INTEGER)),
+             1::BIGINT << CAST((item_id * 11) % 60 AS INTEGER))
+  FROM base WHERE item_id % 7 = 0
+)
+SELECT a.item_id AS item_id_a, b.item_id AS item_id_b,
+       CAST(bit_count(xor(a.phash, b.phash)) AS BIGINT) AS hamming
+FROM items a JOIN items b ON a.item_id < b.item_id
+WHERE bit_count(xor(a.phash, b.phash)) <= 2
+ORDER BY item_id_a, item_id_b
+"""
+
+
 ORACLES: Dict[str, str] = {
     "val_payload_length": VAL_PAYLOAD_LENGTH_SQL,
+    "phash_dup_pairs": PHASH_DUP_PAIRS_SQL,
     "multimodal_features": MULTIMODAL_FEATURES_SQL,
     "media_resize_manifest": MEDIA_RESIZE_MANIFEST_SQL,
     "frame_sample_manifest": FRAME_SAMPLE_MANIFEST_SQL,
 }
 QUERIES = {
     "multimodal_features": multimodal_features,
+    "phash_dup_pairs": phash_dup_pairs,
     "val_payload_length": val_payload_length,
     "media_resize_manifest": media_resize_manifest,
     "frame_sample_manifest": frame_sample_manifest,
