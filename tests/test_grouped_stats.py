@@ -533,3 +533,42 @@ def test_time_weighted_avg_matches_pandas_replay(ray_session):
         pq.write_table(pa.Table.from_pandas(crafted), os.path.join(d, "events.parquet"))
         one = time_weighted_value_by_user(d)
     assert one.iloc[0]["twa_value"] == (10000 * 99 + 0 * 1) / 100
+
+
+def test_fd_repair_tie_and_exactness(tmp_path, ray_session):
+    """Majority tie resolves to the lexicographically smallest lang, and
+    n_repair is the exact minimal repair count."""
+    import pyarrow as pa
+    import pyarrow.parquet as pq
+
+    from xmlschema_ray.pipelines.relational import fd_repair_by_source
+
+    df = pd.DataFrame(
+        {
+            "source": ["a"] * 4 + ["b"] * 3,
+            "lang": ["de", "de", "en", "en", "fr", "fr", "fr"],
+        }
+    )
+    pq.write_table(pa.Table.from_pandas(df), str(tmp_path / "documents.parquet"))
+    out = fd_repair_by_source(str(tmp_path))
+    a = out[out["source"] == "a"].iloc[0]
+    assert a["majority_lang"] == "de" and a["n_repair"] == 2 and a["n_langs"] == 2
+    b = out[out["source"] == "b"].iloc[0]
+    assert b["majority_lang"] == "fr" and b["n_repair"] == 0 and b["n_langs"] == 1
+
+
+def test_ivm_equals_direct_recompute(ray_session):
+    """Delta maintenance == full recompute of the derived version-B table,
+    proven independently in pandas (the IVM correctness property)."""
+    from xmlschema_ray.pipelines.relational import orders_status_counts_ivm
+
+    got = orders_status_counts_ivm(SF_DIR)
+    o = pd.read_parquet(f"{SF_DIR}/orders.parquet", columns=["o_orderkey", "o_orderstatus"])
+    k = o["o_orderkey"].to_numpy(np.int64)
+    s = o["o_orderstatus"].to_numpy(object)
+    keep = k % 97 != 0
+    s2 = s[keep].copy()
+    s2[k[keep] % 89 == 0] = "X"
+    b = np.concatenate([s2, s[k % 101 == 0]])
+    want = pd.Series(b).value_counts().sort_index()
+    assert dict(zip(got["o_orderstatus"], got["n"])) == want.to_dict()

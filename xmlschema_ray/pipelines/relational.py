@@ -2751,6 +2751,107 @@ def orders_apply_changes(sf_dir: str) -> "rd.Dataset":
     return merge_into(base, feed, "o_orderkey").sort("o_orderkey")
 
 
+def orders_status_counts_ivm(sf_dir: str) -> pd.DataFrame:
+    """INCREMENTAL VIEW MAINTENANCE: keep a materialized aggregate (order
+    counts by status) correct under a CDC feed at O(feed) cost instead of
+    recomputing over the corpus — the delta-propagation rule every
+    materialized-view engine implements for SUM/COUNT views.
+
+    The feed carries only (key, action, new_status) — NO old values, as
+    real change feeds don't — so the update is a two-step distributed
+    plan: ONE co-partitioning join of the feed against the base table
+    recovers each touched key's OLD status (feed-sized, the only work
+    proportional to anything), emitting ±1 delta rows (delete → −old;
+    update → −old, +new; insert → +new); a status-keyed combiner folds
+    deltas and the driver applies them to the |status|-row view. The feed
+    is the deterministic CDC stream of ``orders_apply_changes`` plus a
+    status flip to 'X' on keys ≡0 mod 89, so the oracle (and the test's
+    direct recompute) rebuild the same version-B table independently —
+    proving delta maintenance equals recomputation.
+    """
+    from xmlschema_ray.ops.relational import (
+        combiner_aggregate,
+        copartition_apply,
+        to_pandas_with_schema,
+    )
+
+    cols = ["o_orderkey", "o_orderstatus"]
+    base = rd.read_parquet(table_path(sf_dir, "orders"), columns=cols)
+    view = to_pandas_with_schema(
+        combiner_aggregate(base, "o_orderstatus", {"n": (None, "count")})
+    ).set_index("o_orderstatus")["n"].astype("int64")
+
+    def derive_feed(batch: pd.DataFrame) -> pd.DataFrame:
+        k = batch["o_orderkey"].to_numpy(np.int64)
+        s = batch["o_orderstatus"].to_numpy()
+        dels = k % 97 == 0
+        flip = (k % 89 == 0) & ~dels
+        clone = k % 101 == 0
+        return pd.DataFrame(
+            {
+                "o_orderkey": np.concatenate([k[dels], k[flip], k[clone] + 1_000_000_000]),
+                "action": np.concatenate(
+                    [
+                        np.full(int(dels.sum()), "delete", dtype=object),
+                        np.full(int(flip.sum()), "upsert", dtype=object),
+                        np.full(int(clone.sum()), "upsert", dtype=object),
+                    ]
+                ),
+                "new_status": np.concatenate(
+                    [np.full(int(dels.sum()), None, dtype=object), np.full(int(flip.sum()), "X", dtype=object), s[clone]]
+                ),
+            }
+        )
+
+    feed = rd.read_parquet(table_path(sf_dir, "orders"), columns=cols).map_batches(
+        derive_feed, batch_format="pandas"
+    )
+
+    def deltas(lf: pd.DataFrame, rf: pd.DataFrame) -> pd.DataFrame:
+        m = lf.merge(rf, on="o_orderkey", how="left")
+        outs = []
+        known = m["o_orderstatus"].notna()
+        if known.any():
+            outs.append(
+                pd.DataFrame({"o_orderstatus": m.loc[known, "o_orderstatus"], "d": -1})
+            )
+        ups = m["action"] == "upsert"
+        if ups.any():
+            outs.append(pd.DataFrame({"o_orderstatus": m.loc[ups, "new_status"], "d": 1}))
+        if not outs:
+            return pd.DataFrame(
+                {"o_orderstatus": pd.Series([], dtype=object), "d": pd.Series([], dtype="int64")}
+            )
+        out = pd.concat(outs, ignore_index=True)
+        out["d"] = out["d"].astype("int64")
+        return out.groupby("o_orderstatus", as_index=False)["d"].sum()
+
+    delta_ds = copartition_apply(feed, base, "o_orderkey", "o_orderkey", deltas)
+    delta = to_pandas_with_schema(
+        combiner_aggregate(delta_ds, "o_orderstatus", {"d": ("d", "sum")})
+    ).set_index("o_orderstatus")["d"].astype("int64")
+
+    new = view.add(delta, fill_value=0).astype("int64")
+    new = new[new > 0]
+    return (
+        pd.DataFrame({"o_orderstatus": new.index.to_numpy(object), "n": new.to_numpy(np.int64)})
+        .sort_values("o_orderstatus")
+        .reset_index(drop=True)
+    )
+
+
+ORDERS_STATUS_IVM_SQL = """
+WITH a AS (SELECT o_orderkey AS k, o_orderstatus AS s FROM orders),
+b AS (
+  SELECT k, CASE WHEN k % 89 = 0 THEN 'X' ELSE s END AS s FROM a WHERE k % 97 <> 0
+  UNION ALL
+  SELECT k + 1000000000, s FROM a WHERE k % 101 = 0
+)
+SELECT s AS o_orderstatus, CAST(COUNT(*) AS BIGINT) AS n
+FROM b GROUP BY 1 ORDER BY 1
+"""
+
+
 ORDERS_APPLY_CHANGES_SQL = """
 WITH a AS (
   SELECT o_orderkey AS k, o_totalprice AS v FROM orders
@@ -3110,6 +3211,62 @@ def similar_part_names(sf_dir: str, max_dist: int = 2) -> pd.DataFrame:
     return out.sort_values(["name_a", "name_b"]).reset_index(drop=True)
 
 
+def fd_repair_by_source(sf_dir: str) -> pd.DataFrame:
+    """Approximate FUNCTIONAL-DEPENDENCY profiling: how far the corpus is
+    from satisfying ``source → lang`` — per source, the number of distinct
+    langs, the majority lang (ties to the lexicographically smallest, so
+    both engines agree), and the MINIMAL repair count (docs that would
+    have to change lang for the FD to hold). The schema-discovery
+    primitive behind "should lang be a keyed attribute of source?" —
+    g3-style approximate-FD error (Kivinen & Mannila 1995) made exact.
+
+    One (source, lang) count combiner exchange (group-cardinality rows,
+    never docs); the per-source argmax/top is driver-side over the
+    |sources|×|langs|-bounded count table.
+    """
+    from xmlschema_ray.ops.relational import combiner_aggregate, to_pandas_with_schema
+
+    ds = rd.read_parquet(table_path(sf_dir, "documents"), columns=["source", "lang"])
+    counts = to_pandas_with_schema(
+        combiner_aggregate(ds, ["source", "lang"], {"n": (None, "count")})
+    )
+    counts["n"] = counts["n"].astype("int64")
+    # majority with smallest-lang tie: sort (n desc, lang asc), take first
+    c = counts.sort_values(["source", "n", "lang"], ascending=[True, False, True])
+    g = c.groupby("source", as_index=False)
+    head = g.first().rename(columns={"lang": "majority_lang", "n": "n_majority"})
+    tot = counts.groupby("source", as_index=False).agg(
+        n_docs=("n", "sum"), n_langs=("n", "size")
+    )
+    out = tot.merge(head[["source", "majority_lang", "n_majority"]], on="source")
+    out["n_repair"] = out["n_docs"] - out["n_majority"]
+    out = out[["source", "n_langs", "n_docs", "majority_lang", "n_repair"]]
+    return (
+        out.sort_values("source")
+        .reset_index(drop=True)
+        .astype({"n_langs": "int64", "n_docs": "int64", "n_repair": "int64"})
+    )
+
+
+FD_REPAIR_SQL = """
+WITH c AS (
+  SELECT source, lang, CAST(COUNT(*) AS BIGINT) AS n
+  FROM documents GROUP BY 1, 2
+), m AS (
+  SELECT source, lang AS majority_lang, n AS n_majority,
+         row_number() OVER (PARTITION BY source ORDER BY n DESC, lang) AS rk
+  FROM c
+), t AS (
+  SELECT source, CAST(SUM(n) AS BIGINT) AS n_docs, CAST(COUNT(*) AS BIGINT) AS n_langs
+  FROM c GROUP BY 1
+)
+SELECT t.source, t.n_langs, t.n_docs, m.majority_lang,
+       CAST(t.n_docs - m.n_majority AS BIGINT) AS n_repair
+FROM t JOIN m ON t.source = m.source AND m.rk = 1
+ORDER BY t.source
+"""
+
+
 def key_skew_report(sf_dir: str) -> pd.DataFrame:
     """Key-distribution skew diagnostics for shuffle-heavy columns — the
     question every wide plan in this repo starts from (salt? consolidate?
@@ -3395,6 +3552,8 @@ ORACLES = {
     "event_transition_matrix": EVENT_TRANSITION_SQL,
     "user_type_scd2": USER_TYPE_SCD2_SQL,
     "time_weighted_value_by_user": TIME_WEIGHTED_VALUE_SQL,
+    "fd_repair_by_source": FD_REPAIR_SQL,
+    "orders_status_counts_ivm": ORDERS_STATUS_IVM_SQL,
     "weekly_active_users": WEEKLY_ACTIVE_SQL,
     "winsorized_price_by_flag": WINSORIZED_PRICE_SQL,
     "customer_event_counts": CUSTOMER_EVENT_COUNTS_SQL,
@@ -3452,6 +3611,8 @@ QUERIES = {
     "event_transition_matrix": event_transition_matrix,
     "user_type_scd2": user_type_scd2,
     "time_weighted_value_by_user": time_weighted_value_by_user,
+    "fd_repair_by_source": fd_repair_by_source,
+    "orders_status_counts_ivm": orders_status_counts_ivm,
     "weekly_active_users": weekly_active_users,
     "winsorized_price_by_flag": winsorized_price_by_flag,
     "customer_event_counts": customer_event_counts,
