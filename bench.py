@@ -95,6 +95,14 @@ QUERY_NAMES = [
     "funnel_conversion",
     "session_event_ranks",
     "orders_apply_changes",
+    # continuation-session-5 additions: the md5-per-row anti-entropy table
+    # digest (hash-bound, the canonical per-row-hash cost profile), the
+    # banded perceptual-hash pair search over the payload table (actor
+    # pool + one band exchange), and incremental view maintenance (one
+    # feed-sized copartition join + delta combiner)
+    "table_fingerprint_by_source",
+    "phash_dup_pairs",
+    "orders_status_counts_ivm",
 ]
 
 
