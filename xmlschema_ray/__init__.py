@@ -31,6 +31,7 @@ Validation semantics follow the reference: validation is decode-with-errors
 
 from xmlschema_ray.constraints.spec import (
     AggregateCheck,
+    ManifestCheck,
     AltCase,
     ColumnAlias,
     ColumnSpec,
@@ -61,6 +62,7 @@ from xmlschema_ray.engine.engine import ValidationEngine, ValidationResult
 
 __all__ = [
     "AggregateCheck",
+    "ManifestCheck",
     "AltCase",
     "ColumnSpec",
     "DriftSpec",

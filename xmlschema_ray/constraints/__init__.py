@@ -1,5 +1,6 @@
 from xmlschema_ray.constraints.spec import (
     AggregateCheck,
+    ManifestCheck,
     AltCase,
     ColumnAlias,
     ColumnSpec,
@@ -14,6 +15,7 @@ from xmlschema_ray.constraints.spec import (
 
 __all__ = [
     "AggregateCheck",
+    "ManifestCheck",
     "AltCase",
     "ColumnAlias",
     "ColumnSpec",

@@ -371,6 +371,13 @@ def spec_compat(old: TableConstraints, new: TableConstraints) -> List[Dict]:
                 f"{k.agg}({k.column}) by {k.group_by} in "
                 f"[{k.min_value},{k.max_value}]"
             )
+        if kind == "manifest_check":
+            return (
+                f"by {k.group_by} vs {k.dim_name}.{k.dim_key}: "
+                f"count={k.expected_count}±{k.count_tolerance}, "
+                f"sum({k.column})={k.expected_sum}±{k.sum_tolerance}, "
+                f"missing={k.check_missing}, unexpected={k.check_unexpected}"
+            )
         meta = getattr(k, "_serde", None)
         return str(meta) if meta is not None else None
 
@@ -378,6 +385,7 @@ def spec_compat(old: TableConstraints, new: TableConstraints) -> List[Dict]:
         ("unique_key", old.unique_keys, new.unique_keys),
         ("foreign_key", old.foreign_keys, new.foreign_keys),
         ("aggregate_check", old.aggregate_checks, new.aggregate_checks),
+        ("manifest_check", old.manifest_checks, new.manifest_checks),
         ("row_check", old.row_checks, new.row_checks),
     ):
         old_by = {k.name: k for k in old_items}

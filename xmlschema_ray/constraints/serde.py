@@ -23,6 +23,7 @@ from xmlschema_ray.constraints.spec import (
     DriftSpec,
     ForeignKey,
     LengthEquals,
+    ManifestCheck,
     RowCheck,
     SpecError,
     TableConstraints,
@@ -393,6 +394,25 @@ def spec_to_json(spec: TableConstraints) -> Dict[str, Any]:
             for a in spec.aggregate_checks
         ],
     }
+    if spec.manifest_checks:
+        # emitted only when declared so pre-existing spec documents stay
+        # byte-stable (the UniqueKey.require_present convention)
+        doc["manifest_checks"] = [
+            {
+                "name": m.name,
+                "group_by": m.group_by,
+                "dim_name": m.dim_name,
+                "dim_key": m.dim_key,
+                "expected_count": m.expected_count,
+                "column": m.column,
+                "expected_sum": m.expected_sum,
+                "count_tolerance": m.count_tolerance,
+                "sum_tolerance": m.sum_tolerance,
+                "check_missing": m.check_missing,
+                "check_unexpected": m.check_unexpected,
+            }
+            for m in spec.manifest_checks
+        ]
     for rc in spec.row_checks:
         meta = getattr(rc, "_serde", None)
         if meta is None:
@@ -480,6 +500,22 @@ def spec_from_json(doc: Dict[str, Any]) -> TableConstraints:
             )
             for a in doc.get("aggregate_checks", [])
         ],
+        manifest_checks=[
+            ManifestCheck(
+                name=m["name"],
+                group_by=m["group_by"],
+                dim_name=m["dim_name"],
+                dim_key=m["dim_key"],
+                expected_count=m.get("expected_count"),
+                column=m.get("column"),
+                expected_sum=m.get("expected_sum"),
+                count_tolerance=int(m.get("count_tolerance", 0)),
+                sum_tolerance=float(m.get("sum_tolerance", 0.0)),
+                check_missing=bool(m.get("check_missing", True)),
+                check_unexpected=bool(m.get("check_unexpected", True)),
+            )
+            for m in doc.get("manifest_checks", [])
+        ],
         key_columns=tuple(doc.get("key_columns", ())),
         allow_extra_columns=doc.get("allow_extra_columns", True),
         stats_columns=tuple(doc.get("stats_columns", ())),
@@ -501,6 +537,7 @@ _OVERRIDE_SECTIONS = (
     ("row_checks", "name"),
     ("type_alternatives", "name"),
     ("aggregate_checks", "name"),
+    ("manifest_checks", "name"),
 )
 
 

@@ -34,6 +34,7 @@ __all__ = [
     "DriftSpec",
     "ForeignKey",
     "LengthEquals",
+    "ManifestCheck",
     "RowCheck",
     "SpecError",
     "TableConstraints",
@@ -327,6 +328,84 @@ class AggregateCheck:
 
 
 @dataclass(frozen=True)
+class ManifestCheck:
+    """Cross-table aggregate RECONCILIATION against an expected-values
+    manifest dimension — the ingest/delivery validation no row-local check
+    expresses: per ``group_by`` value (a provenance label: source, shard,
+    lang), the observed row COUNT and/or the observed SUM of ``column``
+    must match what the manifest table declares for that group. The
+    header/detail totals check every warehouse load runs, and the tabular
+    analog of validating a document against an external inventory the way
+    keyref validates membership against an external key set
+    (``validators/identities.py:290-318``) — here the dim carries expected
+    AGGREGATES, not keys.
+
+    Physical plan: observed aggregates ride the SAME mergeable stats
+    channel as ``AggregateCheck`` (one (n, nulls, sum) triple per observed
+    group per batch — exchange cost is group cardinality, never rows); the
+    manifest dim is group-cardinality-sized by assumption and loads
+    driver-side like a broadcast FK dim; the compare is a stage-D driver
+    fold. Violations are group-keyed rows (``partition_id = -1``) named
+    ``{name}.count_mismatch`` / ``{name}.sum_mismatch`` /
+    ``{name}.missing_group`` (manifest group with no observed rows) /
+    ``{name}.unexpected_group`` (observed group absent from the manifest);
+    each is independently demotable to warning severity.
+
+    Exactness: group sums accumulate per batch via float64 bincount and
+    merge by addition — exact for integer-valued columns below 2^53
+    (lint rejects float columns with ``sum_tolerance == 0`` to keep the
+    zero-tolerance path honest).
+    """
+
+    name: str
+    group_by: str
+    dim_name: str  # key into run(dims={...})
+    dim_key: str  # manifest column holding the group values
+    expected_count: Optional[str] = None  # manifest column: expected row count
+    column: Optional[str] = None  # data column whose SUM reconciles
+    expected_sum: Optional[str] = None  # manifest column: expected sum
+    count_tolerance: int = 0
+    sum_tolerance: float = 0.0
+    check_missing: bool = True
+    check_unexpected: bool = True
+
+    KINDS = ("count_mismatch", "sum_mismatch", "missing_group", "unexpected_group")
+
+    def lint(self, known: set, columns=None) -> None:
+        if self.group_by not in known:
+            raise SpecError(
+                f"manifest check {self.name!r} group_by references unknown "
+                f"column {self.group_by!r}"
+            )
+        if (self.expected_sum is None) != (self.column is None):
+            raise SpecError(
+                f"manifest check {self.name!r}: column and expected_sum must be "
+                "declared together (the sum needs both sides)"
+            )
+        if self.expected_count is None and self.expected_sum is None:
+            raise SpecError(
+                f"manifest check {self.name!r} declares neither expected_count "
+                "nor expected_sum — nothing to reconcile"
+            )
+        if self.column is not None:
+            if self.column not in known:
+                raise SpecError(
+                    f"manifest check {self.name!r} references unknown column "
+                    f"{self.column!r}"
+                )
+            if columns is not None and self.sum_tolerance == 0:
+                col = next((c for c in columns if c.name == self.column), None)
+                if col is not None and pa.types.is_floating(col.dtype):
+                    raise SpecError(
+                        f"manifest check {self.name!r}: zero sum_tolerance on a "
+                        f"float column {self.column!r} — float partial sums merge "
+                        "in parallelism-dependent order; set sum_tolerance > 0"
+                    )
+        if self.count_tolerance < 0 or self.sum_tolerance < 0:
+            raise SpecError(f"manifest check {self.name!r}: negative tolerance")
+
+
+@dataclass(frozen=True)
 class DriftSpec:
     """Distribution-drift gate on a derived integer quantity.
 
@@ -404,6 +483,7 @@ class TableConstraints:
     foreign_keys: List[ForeignKey] = field(default_factory=list)
     drift: List[DriftSpec] = field(default_factory=list)
     aggregate_checks: List[AggregateCheck] = field(default_factory=list)
+    manifest_checks: List["ManifestCheck"] = field(default_factory=list)
     type_alternatives: List[TypeAlternatives] = field(default_factory=list)
     key_columns: Tuple[str, ...] = ()
     allow_extra_columns: bool = True
@@ -491,6 +571,9 @@ class TableConstraints:
         # schema-level constraint families are emitted by the engine, not
         # declared — they are demotable to warnings too
         demotable = seen_constraints | {"schema.required_column", "schema.dtype", "schema.unexpected_column"}
+        demotable |= {
+            f"{mc.name}.{kind}" for mc in self.manifest_checks for kind in ManifestCheck.KINDS
+        }
         for w in self.warning_constraints:
             if w not in demotable:
                 raise SpecError(
@@ -528,6 +611,8 @@ class TableConstraints:
                 )
         for ac in self.aggregate_checks:
             ac.lint(known)
+        for mc in self.manifest_checks:
+            mc.lint(known, self.columns)
         for col in self.key_columns + self.stats_columns + self.distinct_columns:
             if col not in known:
                 raise SpecError(f"unknown column {col!r} in key/stats/distinct columns")
@@ -573,6 +658,7 @@ class TableConstraints:
         out += [fk.name for fk in self.foreign_keys]
         out += [d.name for d in self.drift]
         out += [ac.name for ac in self.aggregate_checks]
+        out += [mc.name for mc in self.manifest_checks]
         return out
 
     def column(self, name: str) -> ColumnSpec:

@@ -238,6 +238,139 @@ class ValidationEngine:
                 fk_sets[fk.name] = dim_tbl.group_by(keys).aggregate([])
         return fk_sets, deferred
 
+    def _load_manifests(self, dims: Dict[str, Union[str, pa.Table]]) -> Dict[str, pa.Table]:
+        """Driver-side load of the expected-values manifest dims for
+        ``spec.manifest_checks`` (group-cardinality-sized by assumption —
+        the same broadcast-dim assumption the keyref sets make). Returns
+        {check name: manifest table pruned to the referenced columns}."""
+        out: Dict[str, pa.Table] = {}
+        for mc in self.spec.manifest_checks:
+            if mc.dim_name not in dims:
+                raise ValueError(
+                    f"manifest check {mc.name!r}: dim table {mc.dim_name!r} not provided"
+                )
+            dim = dims[mc.dim_name]
+            cols = [mc.dim_key] + [
+                c for c in (mc.expected_count, mc.expected_sum) if c is not None
+            ]
+            if isinstance(dim, str):
+                tbl = pads.dataset(_resolve_files(dim)).to_table(columns=cols)
+            else:
+                tbl = dim.select(cols)
+            key_arr = tbl[mc.dim_key]
+            if key_arr.null_count or len(pc.unique(key_arr)) != len(tbl):
+                raise ValueError(
+                    f"manifest check {mc.name!r}: dim {mc.dim_name!r} key column "
+                    f"{mc.dim_key!r} must be unique and non-null"
+                )
+            out[mc.name] = tbl
+        return out
+
+    def _manifest_check_violations(
+        self, merged: "BatchStats", manifests: Dict[str, pa.Table], n_rows_total: int = 0
+    ) -> List[dict]:
+        """Stage-D reconciliation of the merged per-group (n, nulls, sum)
+        channel against each manifest (see ``ManifestCheck``). Group keys
+        in the stats channel are stringified (``stats.py`` groups by
+        ``astype(str)``); manifest keys stringify the same way, so integer
+        and string provenance labels both reconcile. Values format as
+        integers when integral so reasons are engine-independent."""
+
+        def fmt(x: float) -> str:
+            return str(int(x)) if float(x) == int(x) else repr(float(x))
+
+        out: List[dict] = []
+        for mc in self.spec.manifest_checks:
+            man = manifests.get(mc.name)
+            if man is None:
+                continue
+            if mc.name not in merged.groups and n_rows_total > 0:
+                # rows were scanned but the stats channel carries NO partials
+                # for this check: either the group_by column is absent from
+                # every scanned file, or the unified stats predate the check
+                # (spec changed under resume). Emitting missing_group for
+                # every manifest row would be a fabricated result — refuse.
+                raise ValueError(
+                    f"manifest check {mc.name!r}: {n_rows_total} rows scanned but "
+                    "no stats partials recorded — group_by column "
+                    f"{mc.group_by!r} absent from the input, or the out_dir's "
+                    "stats predate this check (spec changed under resume); "
+                    "re-run with resume=False"
+                )
+            gd = merged.groups.get(mc.name, {})
+            man_pd = man.to_pandas()
+            man_keys = man_pd[mc.dim_key].astype(str).to_numpy(object)
+            exp_n = (
+                man_pd[mc.expected_count].to_numpy(np.float64)
+                if mc.expected_count is not None
+                else None
+            )
+            exp_s = (
+                man_pd[mc.expected_sum].to_numpy(np.float64)
+                if mc.expected_sum is not None
+                else None
+            )
+            seen = set()
+            order = np.argsort(man_keys)
+            for i in order:
+                gv = man_keys[i]
+                seen.add(gv)
+                trip = gd.get(gv)
+                if trip is None:
+                    if mc.check_missing:
+                        want = exp_n[i] if exp_n is not None else exp_s[i]
+                        out.append(
+                            {
+                                "partition_id": -1,
+                                "key": gv,
+                                "constraint_name": f"{mc.name}.missing_group",
+                                "column": mc.group_by,
+                                "reason": (
+                                    f"manifest expects {fmt(want)} "
+                                    f"({'rows' if exp_n is not None else 'sum'}), observed no rows"
+                                ),
+                                "value_repr": "0",
+                            }
+                        )
+                    continue
+                n, _nulls, s = (float(x) for x in trip)
+                if exp_n is not None and abs(n - float(exp_n[i])) > mc.count_tolerance:
+                    out.append(
+                        {
+                            "partition_id": -1,
+                            "key": gv,
+                            "constraint_name": f"{mc.name}.count_mismatch",
+                            "column": mc.group_by,
+                            "reason": f"count {fmt(n)} != expected {fmt(exp_n[i])}",
+                            "value_repr": fmt(n),
+                        }
+                    )
+                if exp_s is not None and abs(s - float(exp_s[i])) > mc.sum_tolerance:
+                    out.append(
+                        {
+                            "partition_id": -1,
+                            "key": gv,
+                            "constraint_name": f"{mc.name}.sum_mismatch",
+                            "column": mc.column or mc.group_by,
+                            "reason": f"sum({mc.column}) {fmt(s)} != expected {fmt(exp_s[i])}",
+                            "value_repr": fmt(s),
+                        }
+                    )
+            if mc.check_unexpected:
+                for gv in sorted(g for g in gd if g not in seen):
+                    n = float(gd[gv][0])
+                    out.append(
+                        {
+                            "partition_id": -1,
+                            "key": gv,
+                            "constraint_name": f"{mc.name}.unexpected_group",
+                            "column": mc.group_by,
+                            "reason": f"observed {fmt(n)} rows for a group not in {mc.dim_name}",
+                            "value_repr": fmt(n),
+                        }
+                    )
+        return out
+
     def _deferred_fk_violations(
         self, source, deferred: List[tuple], pid_of_file: Dict[str, int]
     ) -> Optional["rd.Dataset"]:
@@ -433,6 +566,9 @@ class ValidationEngine:
         fk_sets, deferred_fks = (
             self._load_fk_sets(dims or {}) if self.spec.foreign_keys else ({}, [])
         )
+        manifests = (
+            self._load_manifests(dims or {}) if self.spec.manifest_checks else {}
+        )
         if deferred_fks and ds_direct is not None:
             raise ValueError(
                 "distributed keyref (dim over broadcast_fk_cap_bytes) requires a "
@@ -525,6 +661,7 @@ class ValidationEngine:
             all_files,
             deferred_fks=deferred_fks,
             pid_of_file=pid_of_file,
+            manifests=manifests,
         )
         if repair_out is not None and ds_direct is None:
             from xmlschema_ray.engine.encode import normalize_rewrite
@@ -686,6 +823,7 @@ class ValidationEngine:
         source=None,
         deferred_fks: Optional[List[tuple]] = None,
         pid_of_file: Optional[Dict[str, int]] = None,
+        manifests: Optional[Dict[str, pa.Table]] = None,
     ) -> ValidationResult:
         unified_dir = os.path.join(out_dir, "unified")
 
@@ -863,7 +1001,15 @@ class ValidationEngine:
         # evaluated from the same merged stats channel, one group-keyed
         # violation row per offending group, flowing through the canonical
         # sink and verdict roll-up like schema-level violations
-        schema_viols = list(schema_viols) + self._aggregate_check_violations(merged)
+        schema_viols = (
+            list(schema_viols)
+            + self._aggregate_check_violations(merged)
+            + self._manifest_check_violations(
+                merged,
+                manifests or {},
+                n_rows_total=sum(v.n_rows for v in verdict_by_pid.values()),
+            )
+        )
 
         # stage E: final canonical violations = row-local+fk (from shards)
         # ∪ duplicates (stage B) ∪ schema-level, sorted deterministically.

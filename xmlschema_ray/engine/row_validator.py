@@ -295,6 +295,9 @@ class RowValidator:
         self.group_agg_specs = {
             ac.name: (ac.group_by, ac.column) for ac in spec.aggregate_checks
         }
+        # manifest reconciliation observes the same (n, nulls, sum) channel
+        for mc in spec.manifest_checks:
+            self.group_agg_specs[mc.name] = (mc.group_by, mc.column)
         # Broadcast dimension key sets for xs:keyref-style referential checks
         # (``validators/identities.py:290-318``): the engine ``ray.put``s the
         # dict of {fk.name: pa.Array of dim keys} ONCE; each actor fetches it

@@ -731,6 +731,131 @@ FROM (
 """
 
 
+def val_manifest_reconcile(sf_dir: str) -> pd.DataFrame:
+    """Cross-table aggregate RECONCILIATION through the FULL engine: a
+    ``ManifestCheck`` compares per-source observed doc counts and n_chars
+    sums against an expected-values manifest dim (the delivery/inventory
+    validation every ingest runs — "source S shipped N docs totalling M
+    chars"). Observed aggregates ride the mergeable stats channel (one
+    triple per source per batch); the manifest loads driver-side like a
+    broadcast FK dim; the compare is a stage-D fold emitting group-keyed
+    violations for count/sum mismatches, manifest groups with no data,
+    and data groups absent from the manifest.
+
+    The manifest is derived deterministically from the corpus so both
+    engines recompute it: true per-source (count, sum) perturbed by md5
+    hex digits — first digit < '4' inflates the expected count by 1,
+    second digit < '4' inflates the expected sum by 7, first digit >= 'c'
+    drops the source from the manifest entirely (→ unexpected_group) —
+    plus a phantom source expecting 5 rows (→ missing_group). Sources in
+    the md5 mid-band with neither perturbation reconcile clean, so the
+    oracle also proves the ABSENCE of false positives. Reason strings
+    compare verbatim (integer-formatted on both sides)."""
+    from xmlschema_ray.constraints.spec import ColumnSpec, ManifestCheck, TableConstraints
+    from xmlschema_ray.ops.relational import combiner_aggregate, to_pandas_with_schema
+    from xmlschema_ray.pipelines.curation import _md5_hex
+
+    doc_path = os.path.join(sf_dir, "documents.parquet")
+    t = to_pandas_with_schema(
+        combiner_aggregate(
+            rd.read_parquet(doc_path, columns=["source", "n_chars"]),
+            "source",
+            {"n": (None, "count"), "s": ("n_chars", "sum")},
+        )
+    )
+    h = _md5_hex(t["source"])
+    c1 = np.array([x[0] for x in h])
+    c2 = np.array([x[1] for x in h])
+    kept = c1 < "c"
+    man = pd.DataFrame(
+        {
+            "source": np.concatenate([t["source"].to_numpy(object)[kept], ["__phantom__"]]),
+            "exp_docs": np.concatenate(
+                [
+                    t["n"].to_numpy(np.int64)[kept] + (c1[kept] < "4").astype(np.int64),
+                    [5],
+                ]
+            ),
+            "exp_chars": np.concatenate(
+                [
+                    t["s"].to_numpy(np.int64)[kept] + 7 * (c2[kept] < "4").astype(np.int64),
+                    [0],
+                ]
+            ),
+        }
+    )
+    spec = TableConstraints(
+        name="manifest_reconcile",
+        columns=[
+            ColumnSpec("doc_id", pa.int64(), nullable=False),
+            ColumnSpec("source", pa.string()),
+            ColumnSpec("n_chars", pa.int64()),
+        ],
+        manifest_checks=[
+            ManifestCheck(
+                "manifest_docs",
+                group_by="source",
+                dim_name="manifest",
+                dim_key="source",
+                expected_count="exp_docs",
+                column="n_chars",
+                expected_sum="exp_chars",
+            )
+        ],
+        key_columns=("doc_id",),
+    )
+    out_dir = _scratch("val_manifest_reconcile")
+    eng = ValidationEngine(spec, batch_size=4096, n_shards=1)
+    res = eng.run(
+        doc_path, out_dir=out_dir, dims={"manifest": pa.Table.from_pandas(man)}, resume=False
+    )
+    v = res.violations()
+    v = v[v["constraint_name"].str.startswith("manifest_docs.")]
+    return (
+        pd.DataFrame(
+            {
+                "source": v["key"].astype(object),
+                "constraint_name": v["constraint_name"].astype(object),
+                "reason": v["reason"].astype(object),
+            }
+        )
+        .sort_values(["source", "constraint_name"])
+        .reset_index(drop=True)
+    )
+
+
+VAL_MANIFEST_RECONCILE_SQL = """
+WITH t AS (
+  SELECT source, CAST(COUNT(*) AS BIGINT) AS n, CAST(SUM(n_chars) AS BIGINT) AS s
+  FROM documents GROUP BY source
+), m AS (
+  SELECT source,
+         n + CASE WHEN substring(md5(source), 1, 1) < '4' THEN 1 ELSE 0 END AS exp_n,
+         s + CASE WHEN substring(md5(source), 2, 1) < '4' THEN 7 ELSE 0 END AS exp_s
+  FROM t WHERE substring(md5(source), 1, 1) < 'c'
+  UNION ALL
+  SELECT '__phantom__', 5, 0
+), v AS (
+  SELECT m.source, 'manifest_docs.count_mismatch' AS constraint_name,
+         'count ' || CAST(t.n AS VARCHAR) || ' != expected ' || CAST(m.exp_n AS VARCHAR) AS reason
+  FROM m JOIN t USING (source) WHERE t.n <> m.exp_n
+  UNION ALL
+  SELECT m.source, 'manifest_docs.sum_mismatch',
+         'sum(n_chars) ' || CAST(t.s AS VARCHAR) || ' != expected ' || CAST(m.exp_s AS VARCHAR)
+  FROM m JOIN t USING (source) WHERE t.s <> m.exp_s
+  UNION ALL
+  SELECT m.source, 'manifest_docs.missing_group',
+         'manifest expects ' || CAST(m.exp_n AS VARCHAR) || ' (rows), observed no rows'
+  FROM m WHERE m.source NOT IN (SELECT source FROM t)
+  UNION ALL
+  SELECT t.source, 'manifest_docs.unexpected_group',
+         'observed ' || CAST(t.n AS VARCHAR) || ' rows for a group not in manifest'
+  FROM t WHERE t.source NOT IN (SELECT source FROM m)
+)
+SELECT source, constraint_name, reason FROM v ORDER BY source, constraint_name
+"""
+
+
 VAL_COMPOSITE_FK_SQL = """
 WITH pairs AS (SELECT DISTINCT source, lang FROM documents),
 dim AS (SELECT * FROM pairs WHERE md5(source || '|' || lang) >= '8')
@@ -746,6 +871,7 @@ ORACLES: Dict[str, str] = {
     "validate_sequences": VALIDATE_SEQUENCES_SQL,
     "val_composite_fk": VAL_COMPOSITE_FK_SQL,
     "val_fk_distributed": VAL_FK_DISTRIBUTED_SQL,
+    "val_manifest_reconcile": VAL_MANIFEST_RECONCILE_SQL,
     "val_source_mean_chars": VAL_SOURCE_MEAN_CHARS_SQL,
     "val_warning_severity": VAL_WARNING_SEVERITY_SQL,
     "val_unique_words": VAL_UNIQUE_WORDS_SQL,
@@ -758,6 +884,7 @@ QUERIES = {
     "validate_sequences": validate_sequences,
     "val_composite_fk": val_composite_fk,
     "val_fk_distributed": val_fk_distributed,
+    "val_manifest_reconcile": val_manifest_reconcile,
     "val_source_mean_chars": val_source_mean_chars,
     "val_warning_severity": val_warning_severity,
     "val_unique_words": val_unique_words,
