@@ -213,6 +213,397 @@ def ngram_jaccard_pairs(
     return ds.map_batches(pairs_fn, batch_format="pandas")
 
 
+def prefix_jaccard_pairs(
+    sf_dir: str,
+    tau_num: int = 1,
+    tau_den: int = 2,
+    shingle_words: int = 3,
+    distributed_threshold_bytes: "int | None" = None,
+    max_bucket: int = 4096,
+) -> pd.DataFrame:
+    """EXACT shingle-set Jaccard self-join at scale via PREFIX FILTERING
+    (AllPairs/PPJoin, Bayardo et al. WWW 2007; Chaudhuri et al. ICDE 2006)
+    — every pair with Jaccard >= tau_num/tau_den over distinct
+    ``shingle_words``-word shingle sets, found WITHOUT the all-pairs
+    comparison :func:`ngram_jaccard_pairs` is size-gated on and without
+    MinHash's probabilistic recall: the EXACT counterpart of
+    :func:`minhash_lsh_dedup` on the same shingle universe and threshold.
+    The guarantee: order the shingle vocabulary globally (rarest-first, by
+    (df, shingle) — any total order is sound, rarity minimizes
+    candidates); a set of n tokens keeps only its first
+    ``n - ceil(tau*n) + 1`` tokens as its PREFIX; two sets with overlap
+    >= o share their globally-smallest common token inside BOTH prefixes
+    (it precedes >= o-1 common tokens in each), and J >= tau forces
+    o >= ceil(tau*max(n_a, n_b)) — so bucketing by prefix tokens provably
+    misses nothing. The DuckDB oracle recomputes the pair set with NO
+    prefix predicate (unnest self-join on ANY shared shingle — complete
+    since J >= tau > 0 implies at least one), proving the blocking loses
+    nothing; the in-bucket PPJoin length filter (tau*max(n) <= min(n))
+    and the final Jaccard cut are pure-integer predicates, so both
+    engines agree exactly.
+
+    The set universe is SHINGLES, not words, by measurement: this corpus
+    has a 31-word vocabulary, and word-level blocking degenerates when
+    every token is a stopword (2.1M candidates for 191k true pairs, every
+    prefix bucket thousands deep). Shingles restore the rare-token premise
+    prefix filtering is built on — candidate count collapses to
+    near-dup-pair order. ``shingle_words=1`` recovers word-set semantics
+    for vocabularies where words ARE discriminative.
+
+    Physical plan (no size gate — this IS the exact scale path): one
+    tokenize pass -> shingle df combiner (vocab-sized exchange) ->
+    prefix rows through ONE token-keyed exchange (per doc only the prefix
+    ships, biased to RARE shingles so buckets stay small; ``max_bucket``
+    guards pathological boilerplate prefixes) -> pair-keyed dedup exchange
+    (candidate-sized) -> exact verify on candidate-scoped shingle lists
+    (vectorized factorize + pair-keyed sort + adjacent-dup bincount — no
+    per-pair Python). Rank attachment and verify are adaptive
+    driver/distributed at ``distributed_threshold_bytes`` (default
+    ``DEDUP_DISTRIBUTED_THRESHOLD_BYTES``) — below it the shingle df map
+    is broadcast and the verify runs on candidate-scoped rows driver-side;
+    above it df attaches by a bucketed join + doc-keyed regroup and the
+    verify is the double hash-bucket-join shape of
+    :func:`minhash_verified_pairs`. Forced-path test proves both
+    identical. True shingle strings flow end-to-end (no hashing), so
+    "exact" holds with no collision caveat. Docs with fewer than
+    ``shingle_words`` words have an empty set and no Jaccard (J undefined
+    on empty sets) — excluded on both engines."""
+    from xmlschema_ray.ops.relational import (
+        combiner_aggregate,
+        hash_bucket_join,
+        hash_partition_apply,
+        semi_join,
+        to_pandas_with_schema,
+    )
+
+    if distributed_threshold_bytes is None:
+        distributed_threshold_bytes = DEDUP_DISTRIBUTED_THRESHOLD_BYTES
+    distributed = (
+        os.path.getsize(table_path(sf_dir, "documents")) > distributed_threshold_bytes
+    )
+    ds = rd.read_parquet(table_path(sf_dir, "documents"), columns=["doc_id", "text"])
+
+    def _shingle_set(t: str) -> np.ndarray:
+        """Sorted-unique ``shingle_words``-word shingles of one doc (object
+        array of space-joined strings; empty if the doc is too short)."""
+        ws = [w for w in _WS.split(t.strip()) if w]
+        k = shingle_words
+        if len(ws) < k:
+            return np.array([], dtype=object)
+        if k == 1:
+            return np.unique(np.array(ws, dtype=object))
+        return np.unique(
+            np.array([" ".join(ws[i : i + k]) for i in range(len(ws) - k + 1)], dtype=object)
+        )
+
+    def flat_rows(batch: pd.DataFrame) -> pd.DataFrame:
+        ids: List[np.ndarray] = []
+        words: List[np.ndarray] = []
+        for did, t in zip(batch["doc_id"], batch["text"]):
+            u = _shingle_set(t)
+            if len(u):
+                ids.append(np.full(len(u), did, dtype=np.int64))
+                words.append(u)
+        if not ids:
+            return pd.DataFrame(
+                {"doc_id": pd.array([], dtype="int64"), "word": pd.Series([], dtype=object)}
+            )
+        return pd.DataFrame(
+            {"doc_id": np.concatenate(ids), "word": np.concatenate(words)}
+        )
+
+    flat = ds.map_batches(flat_rows, batch_format="pandas")
+    df_ds = combiner_aggregate(flat, "word", {"df": (None, "count")})
+
+    def _prefix_len(n: np.ndarray) -> np.ndarray:
+        # n - ceil(tau*n) + 1, all-integer (ceil(a/b) = -((-a)//b))
+        return n - (-((-tau_num * n) // tau_den)) + 1
+
+    if not distributed:
+        df_pdf = to_pandas_with_schema(df_ds)
+        df_ref = ray.put(
+            pd.Series(df_pdf["df"].to_numpy(np.int64), index=df_pdf["word"].to_numpy(object))
+        )
+        state: dict = {}
+
+        def prefix_rows(batch: pd.DataFrame) -> pd.DataFrame:
+            dfm = state.get("dfm")
+            if dfm is None:
+                dfm = state["dfm"] = ray.get(df_ref)
+            out_w, out_d, out_n = [], [], []
+            for did, t in zip(batch["doc_id"], batch["text"]):
+                u = _shingle_set(t)
+                n = len(u)
+                if n == 0:
+                    continue
+                d = dfm.reindex(u).to_numpy(np.int64)
+                order = np.lexsort((u, d))
+                L = int(_prefix_len(np.int64(n)))
+                pick = order[:L]
+                out_w.append(u[pick])
+                out_d.append(np.full(len(pick), did, dtype=np.int64))
+                out_n.append(np.full(len(pick), n, dtype=np.int64))
+            if not out_w:
+                return pd.DataFrame(
+                    {
+                        "word": pd.Series([], dtype=object),
+                        "doc_id": pd.array([], dtype="int64"),
+                        "n": pd.array([], dtype="int64"),
+                    }
+                )
+            return pd.DataFrame(
+                {
+                    "word": np.concatenate(out_w),
+                    "doc_id": np.concatenate(out_d),
+                    "n": np.concatenate(out_n),
+                }
+            )
+
+        prefix_ds = ds.map_batches(prefix_rows, batch_format="pandas")
+    else:
+        j = hash_bucket_join(flat, df_ds, "word", "word")
+
+        def prefix_part(g: pd.DataFrame) -> pd.DataFrame:
+            g = g.sort_values(["doc_id", "df", "word"], kind="mergesort")
+            n = g.groupby("doc_id")["word"].transform("size").to_numpy(np.int64)
+            pos = g.groupby("doc_id").cumcount().to_numpy(np.int64)
+            keep = pos < _prefix_len(n)
+            return pd.DataFrame(
+                {
+                    "word": g["word"].to_numpy(object)[keep],
+                    "doc_id": g["doc_id"].to_numpy(np.int64)[keep],
+                    "n": n[keep],
+                }
+            )
+
+        prefix_ds = hash_partition_apply(j, "doc_id", prefix_part)
+
+    def bucket_pairs(g: pd.DataFrame) -> pd.DataFrame:
+        """One call per hash PARTITION: candidate pairs for every token
+        bucket via the shared repeat/cumsum pair-index kernel — pure
+        integer arithmetic over the whole partition, no per-bucket Python
+        loop (a shingle vocabulary means HUNDREDS OF THOUSANDS of tiny
+        buckets per partition; looping them was the measured wall)."""
+        from xmlschema_ray.pipelines.relational import _within_group_pair_indices
+
+        empty = pd.DataFrame(
+            {"a": pd.array([], dtype="int64"), "b": pd.array([], dtype="int64")}
+        )
+        if not len(g):
+            return empty
+        codes, _ = pd.factorize(g["word"].to_numpy(object))
+        order = np.lexsort((g["doc_id"].to_numpy(np.int64), codes))
+        codes = codes[order]
+        ids = g["doc_id"].to_numpy(np.int64)[order]
+        ns = g["n"].to_numpy(np.int64)[order]
+        try:
+            ia, ib = _within_group_pair_indices(codes, max_group=max_bucket)
+        except ValueError as e:
+            raise ValueError(
+                f"{e} — a prefix token this hot means tau is too low for "
+                "exact joining on this corpus; raise max_bucket or use "
+                "minhash_lsh_dedup"
+            ) from e
+        if not len(ia):
+            return empty
+        na, nb = ns[ia], ns[ib]
+        # PPJoin length filter: J >= tau forces tau*max(n) <= min(n)
+        keep = tau_num * np.maximum(na, nb) <= tau_den * np.minimum(na, nb)
+        return pd.DataFrame({"a": ids[ia][keep], "b": ids[ib][keep]}).drop_duplicates()
+
+    cand = hash_partition_apply(
+        hash_partition_apply(prefix_ds, "word", bucket_pairs),
+        ["a", "b"],
+        lambda p: p.drop_duplicates(),
+    )
+
+    def wl_rows(batch: pd.DataFrame) -> pd.DataFrame:
+        # sorted-unique shingle list serialized newline-joined (shingles
+        # are space-joined \S+ runs, so '\n' can never occur inside one) —
+        # a plain string column survives the pandas/Arrow boundary of the
+        # bucketed joins, where a column of list cells does not
+        return pd.DataFrame(
+            {
+                "doc_id": batch["doc_id"],
+                "wl": ["\n".join(_shingle_set(t).tolist()) for t in batch["text"]],
+            }
+        )
+
+    def _decode_wl(s: str) -> np.ndarray:
+        return np.array(s.split("\n"), dtype=object) if s else np.array([], dtype=object)
+
+    def _code_sets(wl_strings, doc_ids) -> "tuple[dict, np.int64]":
+        """Decode serialized shingle lists and factorize the WHOLE stream
+        to int codes ONCE (pd.factorize — hash-based, exact); returns
+        {doc_id: int64 code array} + the code-space size. Per-pair verify
+        work then stays pure int64 — factorizing strings per candidate
+        pair was the measured verify wall (every pair re-ships its sets:
+        ~100x the corpus token stream)."""
+        arrs = [_decode_wl(s) for s in wl_strings]
+        lens = np.fromiter(map(len, arrs), np.int64, len(arrs))
+        if lens.sum() == 0:
+            return {int(d): np.array([], dtype=np.int64) for d in doc_ids}, np.int64(1)
+        codes, uniques = pd.factorize(np.concatenate(arrs))
+        codes = codes.astype(np.int64)
+        splits = np.split(codes, np.cumsum(lens)[:-1])
+        return (
+            {int(d): c for d, c in zip(doc_ids, splits)},
+            np.int64(len(uniques) + 1),
+        )
+
+    def _common_counts(sa: List[np.ndarray], sb: List[np.ndarray], V: np.int64) -> np.ndarray:
+        """Vectorized |a_i ∩ b_i| over pre-factorized int code sets — the
+        per-pair ``np.intersect1d`` loop collapses at candidate counts in
+        the hundreds of thousands. Key each token by pair_index*V + code,
+        sort, count adjacent equals per pair: within a pair each side's
+        codes are unique (sets), so every duplicate is one cross-side
+        match. Chunked so the key array stays bounded."""
+        n = len(sa)
+        out = np.empty(n, dtype=np.int64)
+        chunk = 500_000
+        for lo in range(0, n, chunk):
+            asub, bsub = sa[lo : lo + chunk], sb[lo : lo + chunk]
+            la = np.fromiter(map(len, asub), np.int64, len(asub))
+            lb = np.fromiter(map(len, bsub), np.int64, len(bsub))
+            if (la.sum() + lb.sum()) == 0:
+                out[lo : lo + chunk] = 0
+                continue
+            pair_idx = np.concatenate(
+                [np.repeat(np.arange(len(asub), dtype=np.int64), la),
+                 np.repeat(np.arange(len(bsub), dtype=np.int64), lb)]
+            )
+            keys = pair_idx * V + np.concatenate(
+                [c for c in asub + bsub if len(c)] or [np.array([], dtype=np.int64)]
+            )
+            keys.sort(kind="quicksort")
+            dup = keys[1:] == keys[:-1]
+            out[lo : lo + chunk] = np.bincount(
+                (keys[1:][dup] // V), minlength=len(asub)
+            )
+        return out
+
+    empty = pd.DataFrame(
+        {
+            "doc_id_a": pd.array([], dtype="int64"),
+            "doc_id_b": pd.array([], dtype="int64"),
+            "n_common": pd.array([], dtype="int64"),
+            "n_a": pd.array([], dtype="int64"),
+            "n_b": pd.array([], dtype="int64"),
+            "jac": pd.array([], dtype="float64"),
+        }
+    )
+
+    def _finish(pdf: pd.DataFrame) -> pd.DataFrame:
+        keep = tau_den * pdf["n_common"] >= tau_num * (
+            pdf["n_a"] + pdf["n_b"] - pdf["n_common"]
+        )
+        out = pdf[keep].copy()
+        out["jac"] = out["n_common"].to_numpy(np.float64) / (
+            out["n_a"] + out["n_b"] - out["n_common"]
+        ).to_numpy(np.float64)
+        return (
+            out.sort_values(["doc_id_a", "doc_id_b"])
+            .reset_index(drop=True)
+            .astype(
+                {c: "int64" for c in ("doc_id_a", "doc_id_b", "n_common", "n_a", "n_b")}
+            )
+        )
+
+    if not distributed:
+        cand_pdf = to_pandas_with_schema(cand)
+        if cand_pdf.empty:
+            return empty
+        cand_ids = pd.unique(pd.concat([cand_pdf["a"], cand_pdf["b"]]))
+        srows = semi_join(
+            ds.map_batches(wl_rows, batch_format="pandas"), cand_ids, on="doc_id"
+        ).to_pandas()
+        sets, V = _code_sets(srows["wl"], srows["doc_id"])
+        sa = [sets[int(x)] for x in cand_pdf["a"]]
+        sb = [sets[int(y)] for y in cand_pdf["b"]]
+        pdf = pd.DataFrame(
+            {
+                "doc_id_a": cand_pdf["a"].to_numpy(np.int64),
+                "doc_id_b": cand_pdf["b"].to_numpy(np.int64),
+                "n_common": _common_counts(sa, sb, V),
+                "n_a": np.fromiter(map(len, sa), np.int64, len(sa)),
+                "n_b": np.fromiter(map(len, sb), np.int64, len(sb)),
+            }
+        )
+        return _finish(pdf)
+
+    cand = cand.materialize()
+    cand_ids_pdf = to_pandas_with_schema(cand)
+    if cand_ids_pdf.empty:
+        return empty
+    cand_ids = pd.unique(pd.concat([cand_ids_pdf["a"], cand_ids_pdf["b"]]))
+    swl = semi_join(
+        ds.map_batches(wl_rows, batch_format="pandas"), cand_ids, on="doc_id"
+    ).materialize()
+    wl_a = swl.map_batches(
+        lambda t: t.rename_columns(["doc_id", "wl_a"]), batch_format="pyarrow"
+    )
+    wl_b = swl.map_batches(
+        lambda t: t.rename_columns(["doc_id", "wl_b"]), batch_format="pyarrow"
+    )
+    jj = hash_bucket_join(
+        hash_bucket_join(cand, wl_a, "a", "doc_id"), wl_b, "b", "doc_id"
+    )
+
+    def count_common(batch: pd.DataFrame) -> pd.DataFrame:
+        # one factorize per BATCH (parallel across workers), then the same
+        # int-code kernel the driver path uses
+        a_arrs = [_decode_wl(x) for x in batch["wl_a"]]
+        b_arrs = [_decode_wl(y) for y in batch["wl_b"]]
+        lens = np.fromiter(map(len, a_arrs + b_arrs), np.int64, len(a_arrs) + len(b_arrs))
+        if lens.sum():
+            codes, uniques = pd.factorize(np.concatenate(a_arrs + b_arrs))
+            splits = np.split(codes.astype(np.int64), np.cumsum(lens)[:-1])
+            ca, cb = splits[: len(a_arrs)], splits[len(a_arrs):]
+            V = np.int64(len(uniques) + 1)
+        else:
+            ca = cb = [np.array([], dtype=np.int64)] * len(a_arrs)
+            V = np.int64(1)
+        return pd.DataFrame(
+            {
+                "doc_id_a": batch["a"].to_numpy(np.int64),
+                "doc_id_b": batch["b"].to_numpy(np.int64),
+                "n_common": _common_counts(ca, cb, V),
+                "n_a": np.fromiter(map(len, a_arrs), np.int64, len(a_arrs)),
+                "n_b": np.fromiter(map(len, b_arrs), np.int64, len(b_arrs)),
+            }
+        )
+
+    pdf = jj.map_batches(count_common, batch_format="pandas").to_pandas()
+    if pdf.empty:
+        return empty
+    return _finish(pdf)
+
+
+PREFIX_JACCARD_SQL = """
+WITH ws AS (
+  SELECT doc_id, list_filter(regexp_split_to_array(trim(text), '\\s+'), x -> x <> '') AS w
+  FROM documents
+), s AS (
+  SELECT doc_id,
+         list_distinct(list_transform(range(1, length(w) - 1),
+                                      i -> w[i] || ' ' || w[i+1] || ' ' || w[i+2])) AS wl
+  FROM ws
+), l AS (
+  SELECT doc_id, CAST(length(wl) AS BIGINT) AS n FROM s WHERE length(wl) > 0
+), u AS (
+  SELECT doc_id, unnest(wl) AS g FROM s
+), i AS (
+  SELECT x.doc_id AS a, y.doc_id AS b, CAST(COUNT(*) AS BIGINT) AS c
+  FROM u x JOIN u y USING (g) WHERE x.doc_id < y.doc_id GROUP BY 1, 2
+)
+SELECT i.a AS doc_id_a, i.b AS doc_id_b, i.c AS n_common, la.n AS n_a, lb.n AS n_b,
+       CAST(i.c AS DOUBLE) / (la.n + lb.n - i.c) AS jac
+FROM i JOIN l la ON i.a = la.doc_id JOIN l lb ON i.b = lb.doc_id
+WHERE 2 * i.c >= 1 * (la.n + lb.n - i.c)
+ORDER BY doc_id_a, doc_id_b
+"""
+
+
 NGRAM_JACCARD_SQL = """
 WITH w AS (
   SELECT doc_id, list_distinct(regexp_split_to_array(trim(text), '\\s+')) AS wl FROM documents
@@ -2109,6 +2500,7 @@ ORACLES: Dict[str, str] = {
     "exact_dedup": EXACT_DEDUP_SQL,
     "cdc_boilerplate_chunks": CDC_BOILERPLATE_SQL,
     "ngram_jaccard_pairs": NGRAM_JACCARD_SQL,
+    "prefix_jaccard_pairs": PREFIX_JACCARD_SQL,
     "embedding_dup_pairs": EMBEDDING_DUP_SQL,
     "simhash_pairs": SIMHASH_SQL,
     "simhash_clusters": SIMHASH_CLUSTERS_SQL,
@@ -2128,6 +2520,7 @@ QUERIES = {
     "exact_dedup": exact_dedup,
     "cdc_boilerplate_chunks": cdc_boilerplate_chunks,
     "ngram_jaccard_pairs": ngram_jaccard_pairs,
+    "prefix_jaccard_pairs": prefix_jaccard_pairs,
     "minhash_lsh_dedup": minhash_lsh_dedup,
     "leakage_safe_split": leakage_safe_split,
     "dedup_keep_best": dedup_keep_best,
