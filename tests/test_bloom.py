@@ -62,3 +62,48 @@ def test_bloom_pipeline_exact_even_at_saturating_fpr(ray_session):
     for m_bits in (1 << 20, 1 << 10):
         got = bloom_decontaminate(SF_DIR, m_bits=m_bits)
         pd.testing.assert_frame_equal(got, exact)
+
+
+def test_bloom_prune_join_equals_unpruned(ray_session):
+    """bloom_prune_join == hash_bucket_join bit-for-bit, at a healthy
+    filter AND at a forced ~100%-fill filter (pruning power -> 0, output
+    unchanged): false positives die in the exact merge, false negatives
+    are structurally impossible."""
+    import numpy as np
+    import ray.data as rd
+
+    from xmlschema_ray.ops.relational import bloom_prune_join, hash_bucket_join
+
+    rng = np.random.default_rng(7)
+    left = pd.DataFrame(
+        {"k": rng.integers(0, 5000, 20000), "v": np.arange(20000, dtype=np.int64)}
+    )
+    right = pd.DataFrame({"rk": np.arange(0, 5000, 7, dtype=np.int64)})
+    right["w"] = right["rk"] * 10
+    want = (
+        hash_bucket_join(rd.from_pandas(left), rd.from_pandas(right), "k", "rk")
+        .to_pandas()
+        .sort_values(["k", "v"])
+        .reset_index(drop=True)[["k", "v", "w"]]
+    )
+    assert len(want) > 0
+    for m_bits in (1 << 20, 1 << 8):
+        got = (
+            bloom_prune_join(
+                rd.from_pandas(left), rd.from_pandas(right), "k", "rk", m_bits=m_bits
+            )
+            .to_pandas()
+            .sort_values(["k", "v"])
+            .reset_index(drop=True)[["k", "v", "w"]]
+        )
+        pd.testing.assert_frame_equal(got, want)
+
+
+def test_urgent_revenue_bloom_forced_fill(ray_session):
+    """The oracled query at a saturating 256-bit filter returns the same
+    frame as at the default geometry."""
+    from xmlschema_ray.pipelines.relational import urgent_revenue_bloom_join
+
+    a = urgent_revenue_bloom_join(SF_DIR)
+    b = urgent_revenue_bloom_join(SF_DIR, m_bits=1 << 8)
+    pd.testing.assert_frame_equal(a, b)

@@ -336,6 +336,60 @@ def hash_bucket_join(
     return copartition_apply(left, right, left_on, right_on, merge, num_partitions)
 
 
+def bloom_prune_join(
+    left: rd.Dataset,
+    right: rd.Dataset,
+    left_on: str,
+    right_on: str,
+    m_bits: int = 1 << 23,
+    n_hashes: int = 7,
+    num_partitions: Optional[int] = None,
+) -> rd.Dataset:
+    """Bloom-pruned large-large INNER equi-join — the shuffle-minimizing
+    join plan for a SELECTIVE build side: before the all-to-all exchange,
+    probe (``left``) rows are filtered by a broadcast Bloom filter of the
+    build (``right``) keys, so rows that cannot match never enter the
+    shuffle. When the build side matches ~s of the probe side, the
+    exchange shrinks to ~s + FPR of the probe — at a 100-TB probe table
+    that is the plan difference, and the filter broadcast is a fixed bit
+    array (10 bits/key ≈ 1 % FPR) instead of a multi-GiB key set.
+
+    Exactness is structural, not probabilistic: Bloom false NEGATIVES
+    cannot exist, and false positives die in the exact per-partition merge
+    of the downstream :func:`hash_bucket_join` — the output equals the
+    unpruned join bit-for-bit at ANY filter load (forced ~100 %-fill test).
+    Inner-only: pruning discards non-matching probe rows, which a LEFT
+    OUTER join must keep.
+
+    The filter builds MERGEABLY (per-batch partial filters over the build
+    keys → driver bitwise-OR — a blob-sized channel, one ~m_bits/8 buffer
+    per build batch, no shuffle). Size ``m_bits`` to ~10 bits per expected
+    distinct build key (``ops.bloom.optimal_bits``); an undersized filter
+    only costs pruning power, never correctness."""
+    from xmlschema_ray.ops.bloom import BloomFilter
+
+    def bloom_partial(batch: pd.DataFrame) -> pd.DataFrame:
+        bf = BloomFilter(m_bits, n_hashes)
+        bf.add_many(batch[right_on].to_numpy())
+        return pd.DataFrame({"blob": pd.Series([bf.to_bytes()], dtype=object)})
+
+    right = right.materialize()  # feeds the filter build AND the join side
+    merged = BloomFilter(m_bits, n_hashes)
+    for row in right.map_batches(bloom_partial, batch_format="pandas").iter_rows():
+        merged.union(BloomFilter.from_bytes(row["blob"], n_hashes))
+    bits_ref = ray.put(merged.to_bytes())
+    state: dict = {}
+
+    def prune(batch: pd.DataFrame) -> pd.DataFrame:
+        f = state.get("f")
+        if f is None:
+            f = state["f"] = BloomFilter.from_bytes(ray.get(bits_ref), n_hashes)
+        return batch[f.contains_many(batch[left_on].to_numpy())]
+
+    pruned = left.map_batches(prune, batch_format="pandas")
+    return hash_bucket_join(pruned, right, left_on, right_on, "inner", num_partitions)
+
+
 def asof_join_bucketed(
     left: rd.Dataset,
     right: rd.Dataset,

@@ -340,6 +340,55 @@ def join_order_lineitem_status(sf_dir: str) -> pd.DataFrame:
     return df[["o_orderstatus", "revenue", "n_lines"]].sort_values("o_orderstatus").reset_index(drop=True)
 
 
+def urgent_revenue_bloom_join(sf_dir: str, m_bits: int = 1 << 22) -> pd.DataFrame:
+    """Per-order revenue of URGENT orders via a BLOOM-PRUNED large-large
+    join (``ops.bloom_prune_join``) — the selective-build-side join plan:
+    the urgent-order key set broadcasts as a fixed Bloom bit array, probe
+    lineitems that cannot match never enter the shuffle (~priority-share
+    of the fact table + FPR instead of 100 %), and Bloom false positives
+    die in the exact per-partition merge, so the result equals the
+    unpruned join bit-for-bit (forced ~100 %-fill test). Revenue stays in
+    scaled integers until one final division."""
+    from xmlschema_ray.ops.relational import bloom_prune_join
+
+    urgent = rd.read_parquet(
+        table_path(sf_dir, "orders"),
+        columns=["o_orderkey", "o_orderpriority"],
+        filter=(pc.field("o_orderpriority") == pc.scalar("1-URGENT")),
+    ).select_columns(["o_orderkey"])
+    li = rd.read_parquet(
+        table_path(sf_dir, "lineitem"),
+        columns=["l_orderkey", "l_extendedprice", "l_discount"],
+    )
+    joined = bloom_prune_join(_revenue_map(li), urgent, "l_orderkey", "o_orderkey", m_bits=m_bits)
+    agg = combiner_aggregate(
+        joined,
+        keys="l_orderkey",
+        aggs={"rev_e4": ("rev_e4", "sum"), "n_lines": (None, "count")},
+    )
+    df = agg.to_pandas()
+    df["revenue"] = df["rev_e4"] / 10000.0
+    df["n_lines"] = df["n_lines"].astype("int64")
+    df["o_orderkey"] = df["l_orderkey"].astype("int64")
+    return (
+        df[["o_orderkey", "revenue", "n_lines"]]
+        .sort_values("o_orderkey")
+        .reset_index(drop=True)
+    )
+
+
+URGENT_BLOOM_SQL = """
+SELECT o.o_orderkey,
+       CAST(SUM(CAST(floor(l.l_extendedprice * 100 + 0.5) AS BIGINT)
+                * (100 - CAST(floor(l.l_discount * 100 + 0.5) AS BIGINT))) AS DOUBLE) / 10000.0 AS revenue,
+       CAST(COUNT(*) AS BIGINT) AS n_lines
+FROM lineitem l JOIN orders o ON l.l_orderkey = o.o_orderkey
+WHERE o.o_orderpriority = '1-URGENT'
+GROUP BY o.o_orderkey
+ORDER BY o.o_orderkey
+"""
+
+
 JOIN_STATUS_SQL = """
 SELECT o.o_orderstatus,
        CAST(SUM(CAST(floor(l.l_extendedprice * 100 + 0.5) AS BIGINT)
@@ -3530,6 +3579,7 @@ ORACLES = {
     "q3_top_orders": Q3_SQL,
     "q5_nation_revenue": Q5_SQL,
     "join_order_lineitem_status": JOIN_STATUS_SQL,
+    "urgent_revenue_bloom_join": URGENT_BLOOM_SQL,
     "top10_customers_by_totalprice": TOP10_SQL,
     "filter_project_lineitem": FILTER_PROJECT_SQL,
     "distinct_part_count": DISTINCT_SQL,
@@ -3589,6 +3639,7 @@ QUERIES = {
     "q3_top_orders": q3_top_orders,
     "q5_nation_revenue": q5_nation_revenue,
     "join_order_lineitem_status": join_order_lineitem_status,
+    "urgent_revenue_bloom_join": urgent_revenue_bloom_join,
     "top10_customers_by_totalprice": top10_customers_by_totalprice,
     "filter_project_lineitem": filter_project_lineitem,
     "distinct_part_count": distinct_part_count,
