@@ -330,7 +330,7 @@ def prefix_jaccard_pairs(
             dfm = state.get("dfm")
             if dfm is None:
                 dfm = state["dfm"] = ray.get(df_ref)
-            out_w, out_d, out_n = [], [], []
+            out_w, out_d, out_n, out_p = [], [], [], []
             for did, t in zip(batch["doc_id"], batch["text"]):
                 u = _shingle_set(t)
                 n = len(u)
@@ -343,12 +343,14 @@ def prefix_jaccard_pairs(
                 out_w.append(u[pick])
                 out_d.append(np.full(len(pick), did, dtype=np.int64))
                 out_n.append(np.full(len(pick), n, dtype=np.int64))
+                out_p.append(np.arange(len(pick), dtype=np.int64))
             if not out_w:
                 return pd.DataFrame(
                     {
                         "word": pd.Series([], dtype=object),
                         "doc_id": pd.array([], dtype="int64"),
                         "n": pd.array([], dtype="int64"),
+                        "pos": pd.array([], dtype="int64"),
                     }
                 )
             return pd.DataFrame(
@@ -356,6 +358,7 @@ def prefix_jaccard_pairs(
                     "word": np.concatenate(out_w),
                     "doc_id": np.concatenate(out_d),
                     "n": np.concatenate(out_n),
+                    "pos": np.concatenate(out_p),
                 }
             )
 
@@ -373,6 +376,7 @@ def prefix_jaccard_pairs(
                     "word": g["word"].to_numpy(object)[keep],
                     "doc_id": g["doc_id"].to_numpy(np.int64)[keep],
                     "n": n[keep],
+                    "pos": pos[keep],
                 }
             )
 
@@ -396,6 +400,7 @@ def prefix_jaccard_pairs(
         codes = codes[order]
         ids = g["doc_id"].to_numpy(np.int64)[order]
         ns = g["n"].to_numpy(np.int64)[order]
+        ps = g["pos"].to_numpy(np.int64)[order]
         try:
             ia, ib = _within_group_pair_indices(codes, max_group=max_bucket)
         except ValueError as e:
@@ -409,6 +414,15 @@ def prefix_jaccard_pairs(
         na, nb = ns[ia], ns[ib]
         # PPJoin length filter: J >= tau forces tau*max(n) <= min(n)
         keep = tau_num * np.maximum(na, nb) <= tau_den * np.minimum(na, nb)
+        # PPJoin POSITIONAL filter: J >= tau forces overlap o >=
+        # tau/(1+tau)*(n_a+n_b); the smallest common token's occurrence has
+        # >= o-1 common tokens after it in BOTH sets, so its candidate row
+        # satisfies 1 + min(n_a-p_a-1, n_b-p_b-1) >= o. Occurrences failing
+        # the bound are safely dropped — the guarantee occurrence of every
+        # qualifying pair always passes, and the pair-dedup exchange keeps
+        # a pair if ANY of its occurrences survived.
+        ubound = 1 + np.minimum(na - ps[ia] - 1, nb - ps[ib] - 1)
+        keep &= ubound * (tau_num + tau_den) >= tau_num * (na + nb)
         return pd.DataFrame({"a": ids[ia][keep], "b": ids[ib][keep]}).drop_duplicates()
 
     cand = hash_partition_apply(
@@ -432,54 +446,78 @@ def prefix_jaccard_pairs(
     def _decode_wl(s: str) -> np.ndarray:
         return np.array(s.split("\n"), dtype=object) if s else np.array([], dtype=object)
 
-    def _code_sets(wl_strings, doc_ids) -> "tuple[dict, np.int64]":
+    def _repeat_by(values: np.ndarray, counts: np.ndarray) -> np.ndarray:
+        """``np.repeat(values, counts)`` as two cumsum passes — on this
+        box vector-count ``np.repeat`` measures ~9 s for 16M int64 (tiny
+        per-element memcpys), and it was THE verify wall. Write each
+        segment's delta at its start position and prefix-sum."""
+        total = int(counts.sum())
+        if total == 0:
+            return np.zeros(0, dtype=np.int64)
+        nz = counts > 0
+        starts = (np.cumsum(counts) - counts)[nz]
+        vals = values[nz].astype(np.int64)
+        out = np.zeros(total, dtype=np.int64)
+        out[starts[0]] = vals[0]
+        if len(starts) > 1:
+            out[starts[1:]] = vals[1:] - vals[:-1]
+        return np.cumsum(out)
+
+    def _code_pool(wl_strings, doc_ids):
         """Decode serialized shingle lists and factorize the WHOLE stream
-        to int codes ONCE (pd.factorize — hash-based, exact); returns
-        {doc_id: int64 code array} + the code-space size. Per-pair verify
-        work then stays pure int64 — factorizing strings per candidate
-        pair was the measured verify wall (every pair re-ships its sets:
-        ~100x the corpus token stream)."""
+        to int codes ONCE (pd.factorize — hash-based, exact). Returns a
+        FLAT code pool + per-doc (start, len) — per-pair verify work then
+        stays pure int64 gathers from one contiguous buffer (factorizing
+        strings per candidate pair, and even materializing one small array
+        per pair, were the measured verify walls)."""
         arrs = [_decode_wl(s) for s in wl_strings]
         lens = np.fromiter(map(len, arrs), np.int64, len(arrs))
         if lens.sum() == 0:
-            return {int(d): np.array([], dtype=np.int64) for d in doc_ids}, np.int64(1)
-        codes, uniques = pd.factorize(np.concatenate(arrs))
-        codes = codes.astype(np.int64)
-        splits = np.split(codes, np.cumsum(lens)[:-1])
-        return (
-            {int(d): c for d, c in zip(doc_ids, splits)},
-            np.int64(len(uniques) + 1),
-        )
+            pool = np.array([], dtype=np.int64)
+            V = np.int64(1)
+        else:
+            codes, uniques = pd.factorize(np.concatenate(arrs))
+            pool = codes.astype(np.int64)
+            V = np.int64(len(uniques) + 1)
+        starts = np.cumsum(lens) - lens
+        ids = np.asarray(doc_ids, dtype=np.int64)
+        order = np.argsort(ids, kind="mergesort")
+        return pool, starts, lens, V, ids[order], order
 
-    def _common_counts(sa: List[np.ndarray], sb: List[np.ndarray], V: np.int64) -> np.ndarray:
-        """Vectorized |a_i ∩ b_i| over pre-factorized int code sets — the
-        per-pair ``np.intersect1d`` loop collapses at candidate counts in
-        the hundreds of thousands. Key each token by pair_index*V + code,
-        sort, count adjacent equals per pair: within a pair each side's
-        codes are unique (sets), so every duplicate is one cross-side
-        match. Chunked so the key array stays bounded."""
-        n = len(sa)
+    def _rows_for(ids_sorted: np.ndarray, perm: np.ndarray, wanted) -> np.ndarray:
+        return perm[np.searchsorted(ids_sorted, np.asarray(wanted, dtype=np.int64))]
+
+    def _common_counts(pool, starts, lens, V, ra, rb) -> np.ndarray:
+        """Vectorized |a_i ∩ b_i| over pool rows ``ra``/``rb`` per pair —
+        no per-pair Python, no per-pair arrays. Key every token by
+        pair_index*V + code (gathered straight from the pool), sort, and
+        count adjacent equals per pair: within a pair each side's codes
+        are unique (sets), so every duplicate is one cross-side match.
+        Chunked so the key array stays bounded."""
+        n = len(ra)
         out = np.empty(n, dtype=np.int64)
         chunk = 500_000
         for lo in range(0, n, chunk):
-            asub, bsub = sa[lo : lo + chunk], sb[lo : lo + chunk]
-            la = np.fromiter(map(len, asub), np.int64, len(asub))
-            lb = np.fromiter(map(len, bsub), np.int64, len(bsub))
-            if (la.sum() + lb.sum()) == 0:
+            rasub, rbsub = ra[lo : lo + chunk], rb[lo : lo + chunk]
+            m = len(rasub)
+            la, lb = lens[rasub], lens[rbsub]
+            tot_a, tot_b = int(la.sum()), int(lb.sum())
+            if tot_a + tot_b == 0:
                 out[lo : lo + chunk] = 0
                 continue
-            pair_idx = np.concatenate(
-                [np.repeat(np.arange(len(asub), dtype=np.int64), la),
-                 np.repeat(np.arange(len(bsub), dtype=np.int64), lb)]
+            pair_sub = np.arange(m, dtype=np.int64)
+            ga = np.arange(tot_a, dtype=np.int64) + _repeat_by(
+                starts[rasub] - (np.cumsum(la) - la), la
             )
-            keys = pair_idx * V + np.concatenate(
-                [c for c in asub + bsub if len(c)] or [np.array([], dtype=np.int64)]
+            gb = np.arange(tot_b, dtype=np.int64) + _repeat_by(
+                starts[rbsub] - (np.cumsum(lb) - lb), lb
             )
+            keys = np.concatenate(
+                [_repeat_by(pair_sub, la), _repeat_by(pair_sub, lb)]
+            ) * V + np.concatenate([pool[ga], pool[gb]])
             keys.sort(kind="quicksort")
             dup = keys[1:] == keys[:-1]
-            out[lo : lo + chunk] = np.bincount(
-                (keys[1:][dup] // V), minlength=len(asub)
-            )
+            out[lo : lo + chunk] = np.bincount((keys[1:][dup] // V), minlength=m)
         return out
 
     empty = pd.DataFrame(
@@ -517,16 +555,18 @@ def prefix_jaccard_pairs(
         srows = semi_join(
             ds.map_batches(wl_rows, batch_format="pandas"), cand_ids, on="doc_id"
         ).to_pandas()
-        sets, V = _code_sets(srows["wl"], srows["doc_id"])
-        sa = [sets[int(x)] for x in cand_pdf["a"]]
-        sb = [sets[int(y)] for y in cand_pdf["b"]]
+        pool, starts, lens, V, ids_sorted, perm = _code_pool(
+            srows["wl"], srows["doc_id"]
+        )
+        ra = _rows_for(ids_sorted, perm, cand_pdf["a"])
+        rb = _rows_for(ids_sorted, perm, cand_pdf["b"])
         pdf = pd.DataFrame(
             {
                 "doc_id_a": cand_pdf["a"].to_numpy(np.int64),
                 "doc_id_b": cand_pdf["b"].to_numpy(np.int64),
-                "n_common": _common_counts(sa, sb, V),
-                "n_a": np.fromiter(map(len, sa), np.int64, len(sa)),
-                "n_b": np.fromiter(map(len, sb), np.int64, len(sb)),
+                "n_common": _common_counts(pool, starts, lens, V, ra, rb),
+                "n_a": lens[ra],
+                "n_b": lens[rb],
             }
         )
         return _finish(pdf)
@@ -551,25 +591,30 @@ def prefix_jaccard_pairs(
 
     def count_common(batch: pd.DataFrame) -> pd.DataFrame:
         # one factorize per BATCH (parallel across workers), then the same
-        # int-code kernel the driver path uses
-        a_arrs = [_decode_wl(x) for x in batch["wl_a"]]
-        b_arrs = [_decode_wl(y) for y in batch["wl_b"]]
-        lens = np.fromiter(map(len, a_arrs + b_arrs), np.int64, len(a_arrs) + len(b_arrs))
+        # flat-pool int-code kernel the driver path uses: rows 0..n-1 hold
+        # the a-sides, rows n..2n-1 the b-sides
+        n = len(batch)
+        arrs = [_decode_wl(x) for x in batch["wl_a"]] + [
+            _decode_wl(y) for y in batch["wl_b"]
+        ]
+        lens = np.fromiter(map(len, arrs), np.int64, len(arrs))
         if lens.sum():
-            codes, uniques = pd.factorize(np.concatenate(a_arrs + b_arrs))
-            splits = np.split(codes.astype(np.int64), np.cumsum(lens)[:-1])
-            ca, cb = splits[: len(a_arrs)], splits[len(a_arrs):]
+            codes, uniques = pd.factorize(np.concatenate(arrs))
+            pool = codes.astype(np.int64)
             V = np.int64(len(uniques) + 1)
         else:
-            ca = cb = [np.array([], dtype=np.int64)] * len(a_arrs)
+            pool = np.array([], dtype=np.int64)
             V = np.int64(1)
+        starts = np.cumsum(lens) - lens
+        ra = np.arange(n, dtype=np.int64)
+        rb = ra + n
         return pd.DataFrame(
             {
                 "doc_id_a": batch["a"].to_numpy(np.int64),
                 "doc_id_b": batch["b"].to_numpy(np.int64),
-                "n_common": _common_counts(ca, cb, V),
-                "n_a": np.fromiter(map(len, a_arrs), np.int64, len(a_arrs)),
-                "n_b": np.fromiter(map(len, b_arrs), np.int64, len(b_arrs)),
+                "n_common": _common_counts(pool, starts, lens, V, ra, rb),
+                "n_a": lens[ra],
+                "n_b": lens[rb],
             }
         )
 
