@@ -103,6 +103,9 @@ QUERY_NAMES = [
     "table_fingerprint_by_source",
     "phash_dup_pairs",
     "orders_status_counts_ivm",
+    # continuation-session-6: the bloom-pruned join plan (selective build
+    # side; probe rows that cannot match never enter the shuffle)
+    "urgent_revenue_bloom_join",
 ]
 
 
