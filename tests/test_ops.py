@@ -559,3 +559,102 @@ def test_late_event_counts_matches_sequential_bruteforce(tmp_path, ray_session):
         .astype({"n_events": "int64", "n_late": "int64"})
     )
     pd.testing.assert_frame_equal(got, want.sort_values("day").reset_index(drop=True))
+
+
+# -- skew_split_join: the hot/cold split is plan-only -----------------------
+
+
+def _skew_fixture(seed=23, n=6000, n_keys=40, hot_key=7, hot_frac=0.5):
+    """A zipf-ish probe: one key holds half the rows; build side is a dim."""
+    rng = np.random.default_rng(seed)
+    key = rng.integers(0, n_keys, size=n).astype("int64")
+    hot_rows = rng.random(n) < hot_frac
+    key[hot_rows] = hot_key
+    left = pd.DataFrame(
+        {
+            "key": key,
+            "big": rng.integers(2**60, 2**62, size=n).astype("int64"),
+        }
+    )
+    right = pd.DataFrame(
+        {
+            "rkey": np.arange(0, n_keys - 5, dtype="int64"),  # 5 keys unmatched
+            "label": [f"L{i}" for i in range(n_keys - 5)],
+        }
+    )
+    truth_inner = (
+        left.merge(right, left_on="key", right_on="rkey")
+        .drop(columns="rkey")
+        .sort_values(["key", "big"])
+        .reset_index(drop=True)
+    )
+    return left, right, truth_inner
+
+
+@pytest.mark.parametrize(
+    "hot_threshold",
+    [1, 100, 10**9],  # all-hot / mixed (only the planted key crosses) / all-cold
+)
+def test_skew_split_join_equals_plain_join_any_split(ray_session, hot_threshold):
+    from xmlschema_ray.ops.relational import skew_split_join
+
+    left, right, truth = _skew_fixture()
+    got = (
+        skew_split_join(
+            rd.from_pandas(left).repartition(6),
+            rd.from_pandas(right),
+            "key",
+            "rkey",
+            hot_threshold=hot_threshold,
+            num_partitions=8,
+        )
+        .to_pandas()
+        .sort_values(["key", "big"])
+        .reset_index(drop=True)
+    )
+    pd.testing.assert_frame_equal(got.astype(truth.dtypes.to_dict()), truth)
+
+
+def test_skew_split_join_left_outer_keeps_unmatched_hot_and_cold(ray_session):
+    from xmlschema_ray.ops.relational import skew_split_join
+
+    left, right, _ = _skew_fixture(hot_key=38)  # hot key OUTSIDE the build dim
+    truth = (
+        left.merge(right, how="left", left_on="key", right_on="rkey")
+        .drop(columns="rkey")
+        .sort_values(["key", "big"])
+        .reset_index(drop=True)
+    )
+    got = (
+        skew_split_join(
+            rd.from_pandas(left).repartition(6),
+            rd.from_pandas(right),
+            "key",
+            "rkey",
+            how="left",
+            hot_threshold=100,
+            num_partitions=8,
+        )
+        .to_pandas()
+        .sort_values(["key", "big"])
+        .reset_index(drop=True)
+    )
+    pd.testing.assert_frame_equal(got.astype(truth.dtypes.to_dict()), truth)
+
+
+def test_skew_split_join_hot_build_guard(ray_session):
+    from xmlschema_ray.ops.relational import skew_split_join
+
+    left, _, _ = _skew_fixture()
+    fat_build = pd.DataFrame(
+        {"rkey": np.full(500, 7, dtype="int64"), "label": ["x"] * 500}
+    )
+    with pytest.raises(ValueError, match="hot build side"):
+        skew_split_join(
+            rd.from_pandas(left),
+            rd.from_pandas(fat_build),
+            "key",
+            "rkey",
+            hot_threshold=100,
+            max_hot_build_rows=100,
+        ).to_pandas()

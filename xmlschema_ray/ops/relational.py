@@ -336,6 +336,119 @@ def hash_bucket_join(
     return copartition_apply(left, right, left_on, right_on, merge, num_partitions)
 
 
+def skew_split_join(
+    left: rd.Dataset,
+    right: rd.Dataset,
+    left_on: str,
+    right_on: str,
+    how: str = "inner",
+    hot_threshold: int = 1_000_000,
+    local_topn: int = 64,
+    max_hot_build_rows: int = 1 << 20,
+    num_partitions: Optional[int] = None,
+) -> rd.Dataset:
+    """SKEW-resistant large-large equi-join: hot probe keys are joined
+    map-side against a broadcast of their (few) build rows and never enter
+    the exchange; only the cold remainder takes the regular
+    :func:`hash_bucket_join`. This is the explicit hot-key defense for
+    JOINS (the combiner's ``salt=`` is the aggregate-side analog): under a
+    zipf probe key a plain hash join ships the hot key's entire row mass
+    to ONE partition — the straggler that stalls a 256-node cluster — while
+    here that mass stays in place and only ~|hot build rows| bytes move.
+
+    Plan pass (probe side, one pruned single-column scan): each batch
+    emits its ``local_topn`` most frequent keys with local counts; the
+    driver sums the observed partials and calls a key hot when the sum
+    reaches ``hot_threshold``. The observed sum UNDER-counts (a key outside
+    some batch's top-N loses that batch's contribution), so classification
+    is conservative — and by pigeonhole any key holding a ≥1/local_topn
+    share of every batch is always seen. Crucially the hot SET only
+    selects the physical plan: the hot/cold split partitions the probe
+    rows, each row joins by the same semantics on either path, so the
+    output equals the unsplit join for ANY hot set (forced all-hot /
+    all-cold / mixed equality tests). The collected candidate channel is
+    ≤ local_topn × #batches rows — metadata-sized at any corpus size.
+
+    Hot build rows are collected and broadcast once (``ray.put``), guarded
+    by ``max_hot_build_rows`` (raises rather than silently materializing a
+    fat build side — a key hot on BOTH sides needs a different plan:
+    pre-aggregate or salt-replicate). ``how='left'`` keeps unmatched hot
+    probe rows via the same left-merge on both paths. The probe is read
+    twice (once per path) — at scale the all-to-all exchange, not the
+    pruned columnar re-scan, is the cost this op removes.
+    """
+    assert how in ("inner", "left")
+
+    def local_top(batch: pd.DataFrame) -> pd.DataFrame:
+        vc = batch[left_on].value_counts()
+        top = vc.iloc[:local_topn]
+        return pd.DataFrame(
+            {"k": top.index.to_numpy(), "n": top.to_numpy(np.int64)}
+        )
+
+    cand = to_pandas_with_schema(
+        left.select_columns([left_on]).map_batches(local_top, batch_format="pandas")
+    )
+    if len(cand):
+        sums = cand.groupby("k", sort=False)["n"].sum()
+        hot = sums[sums >= hot_threshold]
+        hot_keys = hot.index.to_numpy()
+    else:
+        hot_keys = np.array([], dtype=object)
+    if len(hot_keys) == 0:
+        return hash_bucket_join(left, right, left_on, right_on, how, num_partitions)
+
+    hot_ref = ray.put(hot_keys)
+
+    def build_hot(batch: pd.DataFrame) -> pd.DataFrame:
+        hk = ray.get(hot_ref) if isinstance(hot_ref, ray.ObjectRef) else hot_ref
+        return batch[batch[right_on].isin(hk)]
+
+    hb = to_pandas_with_schema(
+        right.map_batches(build_hot, batch_format="pandas").limit(max_hot_build_rows + 1)
+    )
+    if len(hb) > max_hot_build_rows:
+        raise ValueError(
+            f"skew_split_join: hot build side exceeds {max_hot_build_rows} rows — "
+            "the key is hot on BOTH sides; pre-aggregate the build side or salt-replicate"
+        )
+    hb_ref = ray.put(hb)
+
+    def merge_frames(lf: pd.DataFrame, rf: pd.DataFrame) -> pd.DataFrame:
+        out = lf.merge(rf, how=how, left_on=left_on, right_on=right_on)
+        if left_on != right_on and right_on in out.columns:
+            out = out.drop(columns=[right_on])
+        return out
+
+    def probe_hot_join(batch: pd.DataFrame) -> pd.DataFrame:
+        hk = ray.get(hot_ref) if isinstance(hot_ref, ray.ObjectRef) else hot_ref
+        bf = ray.get(hb_ref) if isinstance(hb_ref, ray.ObjectRef) else hb_ref
+        return merge_frames(batch[batch[left_on].isin(hk)], bf)
+
+    def _cold_filter(col: str):
+        # pyarrow-format filter: empty Arrow outputs KEEP their schema, so a
+        # fully-hot population still leaves the cold join a typed (empty)
+        # stream instead of a schema-less one
+        def fn(batch: pa.Table) -> pa.Table:
+            hk = ray.get(hot_ref) if isinstance(hot_ref, ray.ObjectRef) else hot_ref
+            vs = pa.array(hk)
+            keep = pc.invert(pc.is_in(batch[col], value_set=vs))
+            return batch.filter(pc.fill_null(keep, True))
+
+        return fn
+
+    hot_ds = left.map_batches(probe_hot_join, batch_format="pandas")
+    cold_ds = hash_bucket_join(
+        left.map_batches(_cold_filter(left_on), batch_format="pyarrow", zero_copy_batch=True),
+        right.map_batches(_cold_filter(right_on), batch_format="pyarrow", zero_copy_batch=True),
+        left_on,
+        right_on,
+        how,
+        num_partitions,
+    )
+    return hot_ds.union(cold_ds)
+
+
 def bloom_prune_join(
     left: rd.Dataset,
     right: rd.Dataset,

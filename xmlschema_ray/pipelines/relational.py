@@ -30,8 +30,8 @@ from xmlschema_ray.pipelines.common import cents, scaled_int, sorted_or_typed_em
 # -- q1: pricing summary (combiner aggregate; TPC-H Q1 shape) ------------
 
 
-def _revenue_map(li: "rd.Dataset") -> "rd.Dataset":
-    """lineitem → (l_orderkey, rev_e4) with floor(x*100+0.5) scaled-int
+def _revenue_map(li: "rd.Dataset", key: str = "l_orderkey") -> "rd.Dataset":
+    """lineitem → (key, rev_e4) with floor(x*100+0.5) scaled-int
     arithmetic done in Arrow kernels — zero-copy on the fact-table side of
     every revenue join/aggregate (same arithmetic as ``common.cents``)."""
 
@@ -43,7 +43,7 @@ def _revenue_map(li: "rd.Dataset") -> "rd.Dataset":
             pc.floor(pc.add(pc.multiply(batch["l_discount"], 100.0), 0.5)), pa.int64()
         )
         rev = pc.multiply(p100, pc.subtract(pa.scalar(100, pa.int64()), d100))
-        return pa.table({"l_orderkey": batch["l_orderkey"], "rev_e4": rev})
+        return pa.table({key: batch[key], "rev_e4": rev})
 
     return li.map_batches(revenue_e4, batch_format="pyarrow", zero_copy_batch=True)
 
@@ -386,6 +386,58 @@ FROM lineitem l JOIN orders o ON l.l_orderkey = o.o_orderkey
 WHERE o.o_orderpriority = '1-URGENT'
 GROUP BY o.o_orderkey
 ORDER BY o.o_orderkey
+"""
+
+
+def brand_revenue_skew_join(
+    sf_dir: str, hot_threshold: int = 25, local_topn: int = 512
+) -> pd.DataFrame:
+    """Revenue by part brand through the SKEW-SPLIT join
+    (``ops.skew_split_join``): probe keys the plan pass observes at ≥
+    ``hot_threshold`` lineitems join map-side against a broadcast of their
+    part rows and never enter the exchange; the cold remainder takes the
+    regular bucketed join. The hot/cold split partitions the probe rows,
+    so the aggregate is bit-identical for ANY hot set (forced-path tests
+    in test_ops) — which is what lets an APPROXIMATE plan pass drive an
+    EXACT join. At these scale factors l_partkey averages ~30 lines/part,
+    so the threshold genuinely routes a mixed population. Revenue stays in
+    scaled integers until one final division."""
+    from xmlschema_ray.ops.relational import skew_split_join
+
+    li = rd.read_parquet(
+        table_path(sf_dir, "lineitem"),
+        columns=["l_partkey", "l_extendedprice", "l_discount"],
+    )
+    part = rd.read_parquet(table_path(sf_dir, "part"), columns=["p_partkey", "p_brand"])
+    joined = skew_split_join(
+        _revenue_map(li, key="l_partkey"),
+        part,
+        "l_partkey",
+        "p_partkey",
+        hot_threshold=hot_threshold,
+        local_topn=local_topn,
+    )
+    agg = combiner_aggregate(
+        joined, keys="p_brand", aggs={"rev_e4": ("rev_e4", "sum"), "n_lines": (None, "count")}
+    )
+    df = agg.to_pandas()
+    df["revenue"] = df["rev_e4"] / 10000.0
+    df["n_lines"] = df["n_lines"].astype("int64")
+    return (
+        df[["p_brand", "revenue", "n_lines"]]
+        .sort_values("p_brand")
+        .reset_index(drop=True)
+    )
+
+
+BRAND_REVENUE_SKEW_SQL = """
+SELECT p.p_brand,
+       CAST(SUM(CAST(floor(l.l_extendedprice * 100 + 0.5) AS BIGINT)
+                * (100 - CAST(floor(l.l_discount * 100 + 0.5) AS BIGINT))) AS DOUBLE) / 10000.0 AS revenue,
+       CAST(COUNT(*) AS BIGINT) AS n_lines
+FROM lineitem l JOIN part p ON l.l_partkey = p.p_partkey
+GROUP BY p.p_brand
+ORDER BY p.p_brand
 """
 
 
@@ -3640,6 +3692,7 @@ ORACLES = {
     "events_rolling_value_sum": ROLLING_SUM_SQL,
     "events_rolling_zscore": ROLLING_ZSCORE_SQL,
     "events_rolling_median": ROLLING_MEDIAN_SQL,
+    "brand_revenue_skew_join": BRAND_REVENUE_SKEW_SQL,
     "orders_pivot_status_priority": PIVOT_SQL,
     "asof_latest_order_before_event": ASOF_SQL,
     "q3_top_orders": Q3_SQL,
@@ -3701,6 +3754,7 @@ QUERIES = {
     "events_rolling_value_sum": events_rolling_value_sum,
     "events_rolling_zscore": events_rolling_zscore,
     "events_rolling_median": events_rolling_median,
+    "brand_revenue_skew_join": brand_revenue_skew_join,
     "orders_pivot_status_priority": orders_pivot_status_priority,
     "asof_latest_order_before_event": asof_latest_order_before_event,
     "q3_top_orders": q3_top_orders,
