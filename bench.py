@@ -106,6 +106,11 @@ QUERY_NAMES = [
     # continuation-session-6: the bloom-pruned join plan (selective build
     # side; probe rows that cannot match never enter the shuffle)
     "urgent_revenue_bloom_join",
+    # continuation-session-7: the skew-split join plan (hot probe keys
+    # map-side against a broadcast, cold remainder through the exchange)
+    # and the iterative-training loop (k gradient passes, zero shuffles)
+    "brand_revenue_skew_join",
+    "logreg_train_orders",
 ]
 
 
