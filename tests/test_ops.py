@@ -658,3 +658,44 @@ def test_skew_split_join_hot_build_guard(ray_session):
             hot_threshold=100,
             max_hot_build_rows=100,
         ).to_pandas()
+
+
+@pytest.mark.parametrize("seed", [0, 1, 2])
+def test_skew_split_join_randomized_string_keys_many_to_many(ray_session, seed):
+    """Randomized: string keys, duplicate build keys (many-to-many), a
+    random threshold — output must equal pandas merge exactly."""
+    from xmlschema_ray.ops.relational import skew_split_join
+
+    rng = np.random.default_rng(seed)
+    n = int(rng.integers(500, 3000))
+    keys = np.array([f"k{int(i):03d}" for i in rng.integers(0, 25, size=n)], dtype=object)
+    keys[rng.random(n) < 0.3] = "k007"  # planted hot key
+    left = pd.DataFrame({"key": keys, "v": rng.integers(0, 100, size=n).astype("int64")})
+    m = int(rng.integers(10, 60))
+    right = pd.DataFrame(
+        {
+            "rkey": np.array([f"k{int(i):03d}" for i in rng.integers(0, 22, size=m)], dtype=object),
+            "w": rng.integers(0, 9, size=m).astype("int64"),
+        }
+    )
+    threshold = int(rng.integers(1, 400))
+    got = (
+        skew_split_join(
+            rd.from_pandas(left).repartition(4),
+            rd.from_pandas(right),
+            "key",
+            "rkey",
+            hot_threshold=threshold,
+            num_partitions=4,
+        )
+        .to_pandas()
+        .sort_values(["key", "v", "w"], kind="mergesort")
+        .reset_index(drop=True)
+    )
+    want = (
+        left.merge(right, left_on="key", right_on="rkey")
+        .drop(columns="rkey")
+        .sort_values(["key", "v", "w"], kind="mergesort")
+        .reset_index(drop=True)
+    )
+    pd.testing.assert_frame_equal(got.astype(want.dtypes.to_dict()), want)
