@@ -1,6 +1,7 @@
 """Unit tests for the curation operators' vectorized kernels."""
 
 import numpy as np
+import pandas as pd
 import pyarrow as pa
 
 from xmlschema_ray.pipelines.curation import _md5_hex, _word_grams
@@ -419,3 +420,40 @@ def test_table_fingerprint_order_and_partition_invariant(tmp_path, ray_session):
     b = base[base["source"] == src8].iloc[0]
     r = fp_drop[fp_drop["source"] == src8].iloc[0]
     assert r["n_rows"] == b["n_rows"] - 1 and r["digest"] != b["digest"]
+
+
+def test_quantile_normalize_matches_pandas_replay(ray_session):
+    from xmlschema_ray.ops.relational import to_pandas_with_schema
+    from xmlschema_ray.pipelines.curation import quantile_normalize_chars
+
+    sf = "/root/testdata/sf0.001"
+    got = to_pandas_with_schema(quantile_normalize_chars(sf)).reset_index(drop=True)
+
+    t = pd.read_parquet(sf + "/documents.parquet", columns=["doc_id", "source", "n_chars"])
+    t = t.sort_values(["n_chars", "doc_id"], kind="mergesort").reset_index(drop=True)
+    pool = t["n_chars"].to_numpy(np.int64)  # pooled order statistics
+    n_pool = len(t)
+    r = t.groupby("source", sort=False).cumcount().to_numpy(np.int64)
+    ns = t.groupby("source", sort=False)["doc_id"].transform("size").to_numpy(np.int64)
+    pos = np.where(ns > 1, (r * (n_pool - 1)) // np.maximum(ns - 1, 1), (n_pool - 1) // 2)
+    want = (
+        pd.DataFrame(
+            {
+                "doc_id": t["doc_id"].to_numpy(np.int64),
+                "source": t["source"].to_numpy(),
+                "n_chars": t["n_chars"].to_numpy(np.int64),
+                "norm_c": pool[pos],
+            }
+        )
+        .sort_values("doc_id")
+        .reset_index(drop=True)
+    )
+    pd.testing.assert_frame_equal(got, want)
+    # calibration property: within each source the mapping is monotone and
+    # endpoints hit the pooled extremes (for sources with >= 2 rows)
+    for _, g in got.groupby("source"):
+        gs = g.sort_values(["n_chars", "doc_id"])
+        assert (np.diff(gs["norm_c"].to_numpy()) >= 0).all()
+        if len(gs) > 1:
+            assert gs["norm_c"].iloc[0] == got["norm_c"].min()
+            assert gs["norm_c"].iloc[-1] == got["norm_c"].max()

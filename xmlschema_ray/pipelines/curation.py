@@ -2611,6 +2611,145 @@ FROM a ORDER BY lang
 
 PRETRAINING_MANIFEST_SQL = _pretraining_manifest_sql()
 
+
+def quantile_normalize_chars(sf_dir: str) -> "rd.Dataset":
+    """Cross-source QUANTILE NORMALIZATION of document length — the
+    score-calibration primitive (Bolstad et al. 2003's microarray
+    normalization, applied where every large corpus needs it: per-crawl /
+    per-source quality or length scores are NOT comparable across sources,
+    so selection thresholds silently favor whichever source's scorer runs
+    hot; mapping each source's distribution onto the POOLED distribution
+    makes one threshold mean the same thing everywhere).
+
+    Each row's score is replaced by the pooled-distribution value at its
+    within-source quantile: with r = 0-based rank within its source
+    (ns rows) and N pooled rows, the target position is
+
+        pos = (r · (N−1)) // (ns−1)        (ns = 1 → (N−1) // 2)
+
+    — all INTEGER arithmetic over non-negative operands, so both engines
+    agree exactly and the mapped value is an actual corpus value (the
+    pooled order statistic), never an interpolation.
+
+    Physical plan (nothing fact-sized touches the driver): the 3-int
+    projection is materialized once; TWO sampled-range-partition
+    :func:`~xmlschema_ray.ops.relational.global_rank` passes (within-source
+    order ``(source, c, doc_id)`` minus |sources|-row offsets — the
+    ccnet_lm_buckets shape — and pooled order ``(c, doc_id)``), then ONE
+    pos-keyed :func:`~xmlschema_ray.ops.relational.hash_bucket_join` of the
+    row→pos stream against the (pos, value) pooled order statistics.
+    Uniform integer join keys — no skew; per-source counts are the only
+    driver state."""
+    from xmlschema_ray.ops.relational import (
+        combiner_aggregate,
+        global_rank,
+        hash_bucket_join,
+    )
+    from xmlschema_ray.pipelines.common import sorted_or_typed_empty, table_path
+
+    ds = rd.read_parquet(
+        table_path(sf_dir, "documents"), columns=["doc_id", "source", "n_chars"]
+    )
+
+    def keyed(batch: pd.DataFrame) -> pd.DataFrame:
+        return pd.DataFrame(
+            {
+                "doc_id": batch["doc_id"].astype("int64"),
+                "source": batch["source"],
+                "c": batch["n_chars"].astype("int64"),
+            }
+        )
+
+    keyed_ds = ds.map_batches(keyed, batch_format="pandas").materialize()
+
+    src_n = (
+        combiner_aggregate(keyed_ds, "source", {"n": (None, "count")})
+        .to_pandas()
+        .sort_values("source")
+    )
+    offs: Dict[str, int] = {}
+    totals: Dict[str, int] = {}
+    run = 0
+    for s, n in zip(src_n["source"], src_n["n"]):
+        offs[s] = run
+        totals[s] = int(n)
+        run += int(n)
+    n_pool = run
+
+    ranked_src, _ = global_rank(keyed_ds, ["source", "c", "doc_id"], rank_col="__rank")
+
+    def to_pos(batch: pd.DataFrame) -> pd.DataFrame:
+        r = (
+            batch["__rank"].to_numpy(np.int64)
+            - batch["source"].map(offs).to_numpy(np.int64)
+            - 1
+        )
+        ns = batch["source"].map(totals).to_numpy(np.int64)
+        pos = np.where(
+            ns > 1, (r * (n_pool - 1)) // np.maximum(ns - 1, 1), (n_pool - 1) // 2
+        ).astype(np.int64)
+        return pd.DataFrame(
+            {
+                "doc_id": batch["doc_id"].to_numpy(np.int64),
+                "source": batch["source"].to_numpy(),
+                "n_chars": batch["c"].to_numpy(np.int64),
+                "pos": pos,
+            }
+        )
+
+    pos_ds = ranked_src.map_batches(to_pos, batch_format="pandas")
+
+    pooled, _ = global_rank(keyed_ds, ["c", "doc_id"], rank_col="__pr")
+
+    def pool_vals(batch: pd.DataFrame) -> pd.DataFrame:
+        return pd.DataFrame(
+            {
+                "pos": batch["__pr"].to_numpy(np.int64) - 1,
+                "norm_c": batch["c"].to_numpy(np.int64),
+            }
+        )
+
+    pooled_ds = pooled.map_batches(pool_vals, batch_format="pandas")
+    out = hash_bucket_join(pos_ds, pooled_ds, "pos", "pos").drop_columns(["pos"])
+    return sorted_or_typed_empty(
+        out,
+        ["doc_id"],
+        template=pd.DataFrame(
+            {
+                "doc_id": pd.Series([], dtype="int64"),
+                "source": pd.Series([], dtype=object),
+                "n_chars": pd.Series([], dtype="int64"),
+                "norm_c": pd.Series([], dtype="int64"),
+            }
+        ),
+    )
+
+
+QUANTILE_NORMALIZE_SQL = """
+WITH t AS (SELECT doc_id, source, n_chars AS c FROM documents),
+n AS (SELECT CAST(COUNT(*) AS BIGINT) AS n FROM t),
+r AS (
+  SELECT doc_id, source, c,
+    CAST(ROW_NUMBER() OVER (PARTITION BY source ORDER BY c, doc_id) AS BIGINT) - 1 AS r,
+    CAST(COUNT(*) OVER (PARTITION BY source) AS BIGINT) AS ns
+  FROM t
+),
+p AS (
+  SELECT CAST(ROW_NUMBER() OVER (ORDER BY c, doc_id) AS BIGINT) - 1 AS pos,
+         c AS norm_c
+  FROM t
+),
+m AS (
+  SELECT doc_id, source, c AS n_chars,
+    CASE WHEN ns > 1 THEN (r * (n - 1)) // (ns - 1) ELSE (n - 1) // 2 END AS pos
+  FROM r, n
+)
+SELECT m.doc_id, m.source, m.n_chars, p.norm_c
+FROM m JOIN p USING (pos)
+ORDER BY m.doc_id
+"""
+
+
 ORACLES: Dict[str, str] = {
     "top_words": TOP_WORDS_SQL,
     "heavy_hitter_words": HEAVY_HITTER_SQL,
@@ -2642,6 +2781,7 @@ ORACLES: Dict[str, str] = {
     "curation_pipeline": CURATION_PIPELINE_SQL,
     "quota_sample": QUOTA_SAMPLE_SQL,
     "dsir_selection": DSIR_SELECTION_SQL,
+    "quantile_normalize_chars": QUANTILE_NORMALIZE_SQL,
 }
 
 QUERIES = {
@@ -2673,4 +2813,5 @@ QUERIES = {
     "curation_pipeline": curation_pipeline,
     "quota_sample": quota_sample,
     "dsir_selection": dsir_selection,
+    "quantile_normalize_chars": quantile_normalize_chars,
 }
