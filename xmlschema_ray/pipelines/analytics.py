@@ -722,6 +722,9 @@ def logreg_train_orders(sf_dir: str, iterations: int = 5) -> pd.DataFrame:
         )
         g0, g1 = int(parts["g0"].sum()), int(parts["g1"].sum())
         n = int(parts["n"].sum())
+        if n == 0:  # empty corpus: no gradient exists; emit the zero trace
+            trace = [(i, 0, 0) for i in range(1, iterations + 1)]
+            break
         w0 -= _tdiv_int(g0, _LR_DEN * n)
         w1 -= _tdiv_int(g1, _LR_DEN * n)
         trace.append((it, w0, w1))
