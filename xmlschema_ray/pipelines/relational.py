@@ -441,6 +441,72 @@ ORDER BY p.p_brand
 """
 
 
+def clustered_price_band(
+    sf_dir: str, lo_c: int = 5_000_000, hi_c: int = 15_000_000
+) -> pd.DataFrame:
+    """Range query over a RANGE-CLUSTERED layout (``sources.clustered``):
+    orders are exported once, globally sorted on price cents with a
+    zone-map manifest assembled from the parquet footers' own min/max
+    statistics; the band read then opens ONLY the overlapping files
+    (file-level pruning — at a 100-TB table the difference between
+    touching 3 files and 30,000) and the exact residual filter makes the
+    result correct for ANY layout (pruned ≡ full+filter, pinned in
+    tests/test_clustered.py). The layout is cached per scale factor —
+    clustering is paid once, every later band read prunes."""
+    import os
+
+    from xmlschema_ray.ops.relational import combiner_aggregate
+    from xmlschema_ray.sources.clustered import MANIFEST_NAME, read_clustered, write_clustered
+
+    cache = os.path.join(
+        "/tmp/xmlschema_ray_clustered", os.path.basename(os.path.normpath(sf_dir))
+    )
+    if not os.path.exists(os.path.join(cache, MANIFEST_NAME)):
+        orders = rd.read_parquet(
+            table_path(sf_dir, "orders"),
+            columns=["o_orderkey", "o_orderstatus", "o_totalprice"],
+        )
+
+        def to_c(batch: pd.DataFrame) -> pd.DataFrame:
+            return pd.DataFrame(
+                {
+                    "o_orderkey": batch["o_orderkey"].astype("int64"),
+                    "o_orderstatus": batch["o_orderstatus"],
+                    "price_c": cents(batch["o_totalprice"]),
+                }
+            )
+
+        # build into a tmp dir, publish by atomic rename (a concurrent
+        # builder loses the rename and reuses the winner's layout)
+        tmp = f"{cache}.build{os.getpid()}"
+        write_clustered(orders.map_batches(to_c, batch_format="pandas"), "price_c", tmp)
+        try:
+            os.rename(tmp, cache)
+        except OSError:
+            import shutil
+
+            shutil.rmtree(tmp, ignore_errors=True)
+
+    band = read_clustered(cache, lo=lo_c, hi=hi_c, columns=["o_orderstatus", "price_c"])
+    df = combiner_aggregate(
+        band, keys="o_orderstatus", aggs={"n": (None, "count"), "total_c": ("price_c", "sum")}
+    ).to_pandas()
+    df["n"] = df["n"].astype("int64")
+    df["total_c"] = df["total_c"].astype("int64")
+    return df.sort_values("o_orderstatus").reset_index(drop=True)
+
+
+CLUSTERED_BAND_SQL = """
+SELECT o_orderstatus,
+       CAST(COUNT(*) AS BIGINT) AS n,
+       CAST(SUM(c) AS BIGINT) AS total_c
+FROM (SELECT o_orderstatus, CAST(floor(o_totalprice * 100 + 0.5) AS BIGINT) AS c FROM orders)
+WHERE c BETWEEN 5000000 AND 15000000
+GROUP BY o_orderstatus
+ORDER BY o_orderstatus
+"""
+
+
 JOIN_STATUS_SQL = """
 SELECT o.o_orderstatus,
        CAST(SUM(CAST(floor(l.l_extendedprice * 100 + 0.5) AS BIGINT)
@@ -3693,6 +3759,7 @@ ORACLES = {
     "events_rolling_zscore": ROLLING_ZSCORE_SQL,
     "events_rolling_median": ROLLING_MEDIAN_SQL,
     "brand_revenue_skew_join": BRAND_REVENUE_SKEW_SQL,
+    "clustered_price_band": CLUSTERED_BAND_SQL,
     "orders_pivot_status_priority": PIVOT_SQL,
     "asof_latest_order_before_event": ASOF_SQL,
     "q3_top_orders": Q3_SQL,
@@ -3755,6 +3822,7 @@ QUERIES = {
     "events_rolling_zscore": events_rolling_zscore,
     "events_rolling_median": events_rolling_median,
     "brand_revenue_skew_join": brand_revenue_skew_join,
+    "clustered_price_band": clustered_price_band,
     "orders_pivot_status_priority": orders_pivot_status_priority,
     "asof_latest_order_before_event": asof_latest_order_before_event,
     "q3_top_orders": q3_top_orders,
