@@ -1060,6 +1060,9 @@ def sample_range_bounds(
                 num_partitions=num_partitions,
             )
         )
+    if not all(c in head.columns for c in sort_cols):
+        # fully-empty corpus: Ray's to_pandas drops the schema entirely
+        return None
     samp = head.sort_values(sort_cols).reset_index(drop=True)
     if len(samp) >= num_partitions > 1:
         idx = (np.arange(1, num_partitions) * len(samp)) // num_partitions
@@ -1109,11 +1112,14 @@ def global_rank(
         return batch
 
     with_pid = ds.map_batches(add_pid, batch_format="pandas")
-    counts = (
-        combiner_aggregate(with_pid, keys="__rpid", aggs={"n": (None, "count")})
-        .to_pandas()
-        .sort_values("__rpid")
-    )
+    counts = combiner_aggregate(
+        with_pid, keys="__rpid", aggs={"n": (None, "count")}
+    ).to_pandas()
+    if "__rpid" not in counts.columns:  # fully-empty corpus (schema-less)
+        counts = pd.DataFrame(
+            {"__rpid": pd.array([], dtype="int64"), "n": pd.array([], dtype="int64")}
+        )
+    counts = counts.sort_values("__rpid")
     total = int(counts["n"].sum())
     offsets: Dict[int, int] = {}
     run = 0

@@ -2541,6 +2541,119 @@ ORDER BY fp
 """
 
 
+def sorted_neighborhood_pairs(
+    sf_dir: str,
+    window: int = 10,
+    dice_pct: int = 80,
+    block_size: "int | None" = None,
+) -> pd.DataFrame:
+    """Sorted-neighborhood (merge/purge, Hernández & Stolfo SIGMOD'95)
+    near-dup candidate generation: sort the corpus by a blocking key
+    (here the raw text, doc_id tie-break), slide a ``window``-row window
+    over the GLOBAL order, and keep pairs whose distinct-word Dice
+    coefficient clears ``dice_pct``/100. The third blocking strategy in
+    this family — rank-adjacency, vs set-overlap banding (MinHash/prefix
+    filter) and deletion neighborhoods (SymSpell): cost is exactly
+    N×window comparisons by construction, the sort clusters shared-prefix
+    records, and recall is tunable by window, not by similarity algebra.
+
+    Distributed shape (the cross-boundary window pattern): one
+    :func:`global_rank` pass (sampled range exchange — no global sort),
+    ranks bucketed into ``block_size`` runs, and each bucket's FIRST
+    ``window`` rows replicated to the previous bucket so every forward
+    window is complete inside one partition; a row only ORIGINATES pairs
+    in its home bucket, so no pair is emitted twice. Driver state is the
+    rank machinery's O(num_partitions) boundary frame; the output is
+    candidate-bounded (≤ N×window rows before the verify cut).
+
+    The verify predicate is pure-integer (``100·2·|A∩B| ≥ dice_pct·(|A|+|B|)``)
+    so both engines cut identically — no float Dice ever exists.
+    """
+    from xmlschema_ray.ops.relational import (
+        derive_num_partitions,
+        global_rank,
+        hash_partition_apply,
+        to_pandas_with_schema,
+    )
+
+    template = pd.DataFrame(
+        {
+            "doc_a": pd.array([], dtype="int64"),
+            "doc_b": pd.array([], dtype="int64"),
+            "shared_words": pd.array([], dtype="int64"),
+        }
+    )
+    ds = rd.read_parquet(table_path(sf_dir, "documents"), columns=["doc_id", "text"])
+    ranked, total = global_rank(ds, ["text", "doc_id"], rank_col="__rk")
+    if total == 0:
+        return template
+    block = block_size or max(2 * window, -(-total // derive_num_partitions()))
+
+    def explode(b: pd.DataFrame) -> pd.DataFrame:
+        rk = b["__rk"].to_numpy()
+        g = (rk - 1) // block
+        b = b.assign(__g=g)
+        pre = ((rk - 1) % block < window) & (g > 0)
+        if pre.any():
+            rep = b.loc[pre].assign(__g=g[pre] - 1)
+            b = pd.concat([b, rep], ignore_index=True)
+        return b
+
+    def per_part(part: pd.DataFrame) -> pd.DataFrame:
+        outs = []
+        for gid, gdf in part.groupby("__g", sort=False):
+            gdf = gdf.sort_values("__rk")
+            rk = gdf["__rk"].to_numpy()
+            n_own = int((((rk - 1) // block) == gid).sum())
+            ids = gdf["doc_id"].to_numpy()
+            # split(" ") + set() mirror the oracle's string_split+list_distinct
+            words = [frozenset(t.split(" ")) for t in gdf["text"]]
+            sizes = [len(w) for w in words]
+            n = len(gdf)
+            out_a: list = []
+            out_b: list = []
+            out_s: list = []
+            for i in range(n_own):
+                wa, na_ = words[i], sizes[i]
+                for j in range(i + 1, min(i + window + 1, n)):
+                    inter = len(wa & words[j])
+                    if 200 * inter >= dice_pct * (na_ + sizes[j]):
+                        out_a.append(ids[i])
+                        out_b.append(ids[j])
+                        out_s.append(inter)
+            outs.append(
+                pd.DataFrame(
+                    {
+                        "doc_a": pd.array(out_a, dtype="int64"),
+                        "doc_b": pd.array(out_b, dtype="int64"),
+                        "shared_words": pd.array(out_s, dtype="int64"),
+                    }
+                )
+            )
+        return pd.concat(outs, ignore_index=True) if outs else template
+
+    pairs = hash_partition_apply(ranked.map_batches(explode, batch_format="pandas"), "__g", per_part)
+    out = to_pandas_with_schema(pairs)
+    if not len(out.columns):
+        return template
+    return out.sort_values(["doc_a", "doc_b"]).reset_index(drop=True)
+
+
+SORTED_NEIGHBORHOOD_SQL = """
+WITH t AS (
+  SELECT doc_id,
+         row_number() OVER (ORDER BY text, doc_id) AS rk,
+         list_distinct(string_split(text, ' ')) AS ws
+  FROM documents
+)
+SELECT a.doc_id AS doc_a, b.doc_id AS doc_b,
+       CAST(len(list_intersect(a.ws, b.ws)) AS BIGINT) AS shared_words
+FROM t a JOIN t b ON b.rk > a.rk AND b.rk <= a.rk + 10
+WHERE 200 * len(list_intersect(a.ws, b.ws)) >= 80 * (len(a.ws) + len(b.ws))
+ORDER BY doc_a, doc_b
+"""
+
+
 ORACLES: Dict[str, str] = {
     "exact_dedup": EXACT_DEDUP_SQL,
     "cdc_boilerplate_chunks": CDC_BOILERPLATE_SQL,
@@ -2559,6 +2672,7 @@ ORACLES: Dict[str, str] = {
     "winnowed_dup_pairs": WINNOWED_DUP_SQL,
     "strip_dup_spans": STRIP_DUP_SPANS_SQL,
     "incremental_dedup": INCREMENTAL_DEDUP_SQL,
+    "sorted_neighborhood_pairs": SORTED_NEIGHBORHOOD_SQL,
 }
 
 QUERIES = {
@@ -2579,4 +2693,5 @@ QUERIES = {
     "winnowed_dup_pairs": winnowed_dup_pairs,
     "strip_dup_spans": strip_dup_spans,
     "incremental_dedup": incremental_dedup,
+    "sorted_neighborhood_pairs": sorted_neighborhood_pairs,
 }
