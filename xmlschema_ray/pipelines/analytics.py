@@ -11,6 +11,9 @@ Four distributed shapes the relational family doesn't cover yet:
   day-ordered offsets, so the global running maximum needs no global sort.
 * ``events_daily_gapfill`` — a DISTRIBUTED date spine left-joined against
   bounded per-day counts (the zero-fill every reporting pipeline needs).
+* ``session_window_overlap`` — two-sided INTERVAL OVERLAP JOIN via
+  temporal range replication + max-start ownership dedup (sweep-line
+  aggregates points; this pairs intervals with intervals, exactly once).
 * ``part_pagerank`` — fixed-iteration PageRank in scaled-INTEGER
   arithmetic, so the result is bit-exact at any parallelism and the
   DuckDB oracle can replay every iteration verbatim (no float summation
@@ -32,6 +35,7 @@ from xmlschema_ray.pipelines.common import table_path
 __all__ = [
     "pareto_orders",
     "peak_concurrent_sessions",
+    "session_window_overlap",
     "events_daily_gapfill",
     "part_pagerank",
     "pagerank_from_edges",
@@ -767,6 +771,209 @@ w{i} AS (
 LOGREG_TRAIN_SQL = _logreg_sql()
 
 
+def session_window_overlap(
+    sf_dir: str,
+    gap_minutes: int = 30,
+    min_events: int = 8,
+    num_ranges: Optional[int] = None,
+) -> pd.DataFrame:
+    """Two-sided INTERVAL OVERLAP JOIN: every (user session) × (busy
+    window) pair whose closed time intervals intersect — sessions are the
+    gap-based intervals of :func:`peak_concurrent_sessions` (same
+    30-minute convention); a busy window is a (event_type, day) group
+    with ≥ ``min_events`` events, spanning its first..last event. The
+    incident-correlation join ("which user sessions were live during each
+    traffic burst") — the one interval shape the suite lacked: sweep-line
+    computes pointwise aggregates, as-of joins take the latest edge; the
+    overlap join pairs INTERVALS with INTERVALS.
+
+    Distributed shape (temporal range replication + ownership dedup):
+
+    1. Both interval sets are built distributedly (user-hash sessionize;
+       (type, day) min/max/count combiner).
+    2. A :func:`sample_range_bounds` pass over session starts picks time
+       ranges; each interval REPLICATES to every range it overlaps
+       (vectorized two-searchsorted explode, like the sliding-window
+       key explode but data-driven).
+    3. ONE co-partitioning exchange on the range id; inside each
+       partition the join is sort + searchsorted (candidates are the
+       ``w_start ≤ s_end`` prefix, exact-filtered by ``w_end ≥ s_start``).
+    4. A pair is emitted only in the range that OWNS ``max(s_start,
+       w_start)`` — every true overlap is present there (both intervals
+       cover that instant, hence overlap that range) and nowhere else
+       counted, so replication never duplicates output.
+
+    Busy windows are (types × days)-bounded here, but the plan never
+    relies on that: neither side is broadcast or collected, so the same
+    code carries two fact-sized interval sets. Overlap length is exact
+    integer microseconds.
+    """
+    from xmlschema_ray.ops.relational import (
+        combiner_aggregate,
+        copartition_apply,
+        derive_num_partitions,
+        hash_partition_apply,
+        sample_range_bounds,
+        to_pandas_with_schema,
+    )
+
+    template = pd.DataFrame(
+        {
+            "user_id": pd.array([], dtype="int64"),
+            "s_start": pd.Series([], dtype="datetime64[us]"),
+            "s_end": pd.Series([], dtype="datetime64[us]"),
+            "event_type": pd.Series([], dtype=object),
+            "day": pd.Series([], dtype="datetime64[us]"),
+            "overlap_us": pd.array([], dtype="int64"),
+        }
+    )
+    events_path = table_path(sf_dir, "events")
+    try:  # zero-row corpus: no schema survives the empty pipeline (footer-only check)
+        import pyarrow.parquet as _pq
+
+        if _pq.read_metadata(events_path).num_rows == 0:
+            return template
+    except Exception:
+        pass  # directory inputs skip the guard; non-empty paths proceed
+    ds = rd.read_parquet(events_path, columns=["user_id", "ts", "event_type"])
+    gap = pd.Timedelta(minutes=gap_minutes)
+
+    def sessions(part: pd.DataFrame) -> pd.DataFrame:
+        p = part.sort_values(["user_id", "ts"], kind="mergesort")
+        new_user = p["user_id"].ne(p["user_id"].shift())
+        brk = new_user | (p["ts"].diff() > gap)
+        sid = brk.cumsum()
+        g = p.groupby(sid.to_numpy()).agg(
+            user_id=("user_id", "first"), s_start=("ts", "min"), s_end=("ts", "max")
+        )
+        return g.reset_index(drop=True)
+
+    sess = hash_partition_apply(
+        ds.map_batches(lambda b: b[["user_id", "ts"]], batch_format="pandas"),
+        "user_id",
+        sessions,
+    )
+
+    def add_day(batch: pd.DataFrame) -> pd.DataFrame:
+        return pd.DataFrame(
+            {"event_type": batch["event_type"], "day": batch["ts"].dt.floor("D"), "ts": batch["ts"]}
+        )
+
+    busy = combiner_aggregate(
+        ds.map_batches(add_day, batch_format="pandas"),
+        keys=["event_type", "day"],
+        aggs={"w_start": ("ts", "min"), "w_end": ("ts", "max"), "n": (None, "count")},
+    ).map_batches(
+        lambda b: b.loc[b["n"] >= min_events, ["event_type", "day", "w_start", "w_end"]],
+        batch_format="pandas",
+    )
+
+    nr = num_ranges or derive_num_partitions()
+    bounds = sample_range_bounds(sess, ["s_start"], nr)
+    bvals = (
+        np.sort(np.asarray(bounds[0], dtype="datetime64[us]"))
+        if bounds is not None
+        else np.array([], dtype="datetime64[us]")
+    )
+
+    def make_explode(start_col: str, end_col: str):
+        def explode(batch: pd.DataFrame) -> pd.DataFrame:
+            if not len(batch):
+                return batch.assign(__r=pd.array([], dtype="int64"))
+            s = batch[start_col].to_numpy().astype("datetime64[us]")
+            e = batch[end_col].to_numpy().astype("datetime64[us]")
+            lo = np.searchsorted(bvals, s, side="right").astype(np.int64)
+            hi = np.searchsorted(bvals, e, side="right").astype(np.int64)
+            reps = hi - lo + 1
+            idx = np.repeat(np.arange(len(batch)), reps)
+            # range id = lo[row] + position within the row's replica run
+            starts = np.zeros(len(batch), dtype=np.int64)
+            starts[1:] = np.cumsum(reps)[:-1]
+            rid = lo[idx] + (np.arange(int(reps.sum()), dtype=np.int64) - starts[idx])
+            out = batch.iloc[idx].copy(deep=False)
+            out["__r"] = rid
+            return out
+
+        return explode
+
+    sess_r = sess.map_batches(make_explode("s_start", "s_end"), batch_format="pandas")
+    busy_r = busy.map_batches(make_explode("w_start", "w_end"), batch_format="pandas")
+
+    def join_ranges(lf: pd.DataFrame, rf: pd.DataFrame) -> pd.DataFrame:
+        outs = []
+        for rid, lg in lf.groupby("__r", sort=False):
+            rg = rf.loc[rf["__r"] == rid]
+            if not len(rg):
+                continue
+            rg = rg.sort_values("w_start", kind="mergesort")
+            ws = rg["w_start"].to_numpy().astype("datetime64[us]")
+            we = rg["w_end"].to_numpy().astype("datetime64[us]")
+            ss = lg["s_start"].to_numpy().astype("datetime64[us]")
+            se = lg["s_end"].to_numpy().astype("datetime64[us]")
+            # candidates per session: the w_start <= s_end prefix
+            pref = np.searchsorted(ws, se, side="right")
+            idx_s = np.repeat(np.arange(len(lg)), pref)
+            starts = np.zeros(len(lg), dtype=np.int64)
+            starts[1:] = np.cumsum(pref)[:-1]
+            idx_w = np.arange(int(pref.sum()), dtype=np.int64) - starts[idx_s]
+            keep = we[idx_w] >= ss[idx_s]
+            idx_s, idx_w = idx_s[keep], idx_w[keep]
+            # ownership: max(s_start, w_start) must land in THIS range
+            ov_start = np.maximum(ss[idx_s], ws[idx_w])
+            own = np.searchsorted(bvals, ov_start, side="right") == rid
+            idx_s, idx_w = idx_s[own], idx_w[own]
+            ov_start = ov_start[own]
+            ov_end = np.minimum(se[idx_s], we[idx_w])
+            outs.append(
+                pd.DataFrame(
+                    {
+                        "user_id": lg["user_id"].to_numpy()[idx_s],
+                        "s_start": ss[idx_s],
+                        "s_end": se[idx_s],
+                        "event_type": rg["event_type"].to_numpy()[idx_w],
+                        "day": rg["day"].to_numpy()[idx_w].astype("datetime64[us]"),
+                        "overlap_us": (ov_end - ov_start).astype("timedelta64[us]").view("int64"),
+                    }
+                )
+            )
+        return pd.concat(outs, ignore_index=True) if outs else template
+
+    pairs = copartition_apply(sess_r, busy_r, "__r", "__r", join_ranges)
+    out = to_pandas_with_schema(pairs)
+    if not len(out.columns):
+        return template
+    out["s_start"] = out["s_start"].astype("datetime64[us]")
+    out["s_end"] = out["s_end"].astype("datetime64[us]")
+    out["day"] = out["day"].astype("datetime64[us]")
+    return (
+        out.sort_values(["user_id", "s_start", "event_type", "day"])
+        .reset_index(drop=True)[list(template.columns)]
+    )
+
+
+SESSION_WINDOW_OVERLAP_SQL = """
+WITH lagged AS (
+  SELECT user_id, ts,
+         CASE WHEN lag(ts) OVER (PARTITION BY user_id ORDER BY ts) IS NULL
+                OR ts - lag(ts) OVER (PARTITION BY user_id ORDER BY ts) > INTERVAL 30 MINUTE
+              THEN 1 ELSE 0 END AS brk
+  FROM events
+), sess AS (
+  SELECT user_id, min(ts) AS s_start, max(ts) AS s_end
+  FROM (SELECT user_id, ts, sum(brk) OVER (PARTITION BY user_id ORDER BY ts) AS sid FROM lagged)
+  GROUP BY user_id, sid
+), busy AS (
+  SELECT event_type, date_trunc('day', ts) AS day,
+         min(ts) AS w_start, max(ts) AS w_end
+  FROM events GROUP BY 1, 2 HAVING count(*) >= 8
+)
+SELECT a.user_id, a.s_start, a.s_end, b.event_type, b.day,
+       epoch_us(least(a.s_end, b.w_end)) - epoch_us(greatest(a.s_start, b.w_start)) AS overlap_us
+FROM sess a JOIN busy b ON a.s_start <= b.w_end AND b.w_start <= a.s_end
+ORDER BY a.user_id, a.s_start, b.event_type, b.day
+"""
+
+
 QUERIES = {
     "pareto_orders": pareto_orders,
     "peak_concurrent_sessions": peak_concurrent_sessions,
@@ -774,6 +981,7 @@ QUERIES = {
     "part_pagerank": part_pagerank,
     "part_reach_hops": part_reach_hops,
     "logreg_train_orders": logreg_train_orders,
+    "session_window_overlap": session_window_overlap,
 }
 
 ORACLES = {
@@ -783,4 +991,5 @@ ORACLES = {
     "part_pagerank": PART_PAGERANK_SQL,
     "part_reach_hops": PART_REACH_HOPS_SQL,
     "logreg_train_orders": LOGREG_TRAIN_SQL,
+    "session_window_overlap": SESSION_WINDOW_OVERLAP_SQL,
 }
