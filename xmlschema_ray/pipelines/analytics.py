@@ -41,6 +41,7 @@ __all__ = [
     "pagerank_from_edges",
     "part_reach_hops",
     "logreg_train_orders",
+    "auc_urgent_price",
     "bfs_hops_from_edges",
     "QUERIES",
     "ORACLES",
@@ -974,6 +975,143 @@ ORDER BY a.user_id, a.s_start, b.event_type, b.day
 """
 
 
+def auc_urgent_price(
+    sf_dir: str, num_ranges: Optional[int] = None
+) -> pd.DataFrame:
+    """EXACT distributed ROC AUC ("does totalprice predict urgency") — the
+    model-EVALUATION rank statistic every trained scorer
+    (``logreg_train_orders``) needs next. AUC is the probability a random
+    positive outscores a random negative, i.e. a global pair count
+    ``(#[pos>neg] + ½·#[pos==neg]) / (n_pos·n_neg)`` — a rank statistic
+    over a fact-sized score column, NOT a mergeable per-batch mean, so the
+    naive plan is a global sort.
+
+    Plan (one range exchange, metadata-sized driver fold — the
+    ``extendedprice_deciles`` shape applied to pair counting):
+
+    1. Per-batch partials collapse rows to (score, n_pos, n_neg) counts
+       (scores in integer cents, so ties are exact).
+    2. :func:`sample_range_bounds` picks score ranges; the range id is
+       ``searchsorted(bounds, score)`` — a pure function of the score, so
+       ALL partials of a tied value co-locate without a pre-merge.
+    3. One co-locating exchange; each range merges its partials, sorts
+       locally, and computes its within-range pair counts (Σ np·negs-below
+       and the tie term Σ np·nn) plus its (n_pos, n_neg) totals.
+    4. The driver folds the per-range rows (≤ num_ranges, metadata-sized):
+       cross-range pairs are Σ n_pos(range)·n_neg(below range) by score
+       order — PYTHON integers, so the fold cannot overflow at any scale;
+       within-range int64 counts are bounded by range balance.
+
+    The only float op is the single final division of exact integers —
+    bit-identical in DuckDB, like ``join_size_bounds``' sqrt discipline.
+    """
+    from xmlschema_ray.ops.relational import (
+        derive_num_partitions,
+        hash_partition_apply,
+        sample_range_bounds,
+        to_pandas_with_schema,
+    )
+    from xmlschema_ray.pipelines.common import cents
+
+    def result(n_pos: int, n_neg: int, gt: int, eq: int) -> pd.DataFrame:
+        denom = 2 * n_pos * n_neg
+        return pd.DataFrame(
+            {
+                "n_pos": pd.array([n_pos], dtype="int64"),
+                "n_neg": pd.array([n_neg], dtype="int64"),
+                "pairs_gt": pd.array([gt], dtype="int64"),
+                "pairs_eq": pd.array([eq], dtype="int64"),
+                "auc": [float(2 * gt + eq) / float(denom) if denom else float("nan")],
+            }
+        )
+
+    ds = rd.read_parquet(
+        table_path(sf_dir, "orders"), columns=["o_totalprice", "o_orderpriority"]
+    )
+
+    def partial(batch: pd.DataFrame) -> pd.DataFrame:
+        sc = cents(batch["o_totalprice"])
+        lab = (batch["o_orderpriority"].to_numpy() == "1-URGENT").astype(np.int64)
+        g = pd.DataFrame({"sc": sc, "np_": lab, "nn": 1 - lab}).groupby("sc", sort=False)
+        return g.sum().reset_index()
+
+    partials = ds.map_batches(partial, batch_format="pandas")
+    nr = num_ranges or derive_num_partitions()
+    bounds = sample_range_bounds(partials, ["sc"], nr)
+    bvals = np.sort(np.asarray(bounds[0], dtype=np.int64)) if bounds is not None else None
+
+    def add_range(batch: pd.DataFrame) -> pd.DataFrame:
+        batch = batch.copy(deep=False)
+        if bvals is None:
+            batch["__r"] = np.zeros(len(batch), dtype=np.int64)
+        else:
+            batch["__r"] = np.searchsorted(
+                bvals, batch["sc"].to_numpy(np.int64), side="right"
+            ).astype(np.int64)
+        return batch
+
+    def per_range(part: pd.DataFrame) -> pd.DataFrame:
+        rows = []
+        for rid, g in part.groupby("__r", sort=False):
+            v = g.groupby("sc", sort=True)[["np_", "nn"]].sum()
+            np_v = v["np_"].to_numpy(np.int64)
+            nn_v = v["nn"].to_numpy(np.int64)
+            neg_below = np.concatenate(([0], np.cumsum(nn_v)[:-1]))
+            rows.append(
+                (
+                    int(rid),
+                    int(np_v.sum()),
+                    int(nn_v.sum()),
+                    int((np_v * neg_below).sum()),
+                    int((np_v * nn_v).sum()),
+                )
+            )
+        return pd.DataFrame(rows, columns=["rid", "n_pos", "n_neg", "gt", "eq"]).astype(
+            "int64"
+        )
+
+    stats = to_pandas_with_schema(
+        hash_partition_apply(partials.map_batches(add_range, batch_format="pandas"), "__r", per_range)
+    )
+    if not len(stats) or not len(stats.columns):
+        return result(0, 0, 0, 0)
+    stats = stats.sort_values("rid").reset_index(drop=True)
+    n_pos = int(stats["n_pos"].sum())
+    n_neg = int(stats["n_neg"].sum())
+    neg_below = int(0)
+    gt = int(stats["gt"].sum())
+    for np_r, nn_r in zip(stats["n_pos"].tolist(), stats["n_neg"].tolist()):
+        gt += int(np_r) * neg_below  # Python ints: no overflow at any scale
+        neg_below += int(nn_r)
+    return result(n_pos, n_neg, gt, int(stats["eq"].sum()))
+
+
+AUC_URGENT_PRICE_SQL = """
+WITH s AS (
+  SELECT CAST(floor(o_totalprice * 100 + 0.5) AS BIGINT) AS sc,
+         CASE WHEN o_orderpriority = '1-URGENT' THEN 1 ELSE 0 END AS lab
+  FROM orders
+), v AS (
+  SELECT sc, SUM(lab) AS np, COUNT(*) - SUM(lab) AS nn FROM s GROUP BY sc
+), w AS (
+  SELECT np, nn,
+         COALESCE(SUM(nn) OVER (ORDER BY sc
+                   ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING), 0) AS neg_below
+  FROM v
+), t AS (
+  SELECT COALESCE(SUM(np), 0) AS n_pos, COALESCE(SUM(nn), 0) AS n_neg,
+         COALESCE(SUM(np * neg_below), 0) AS pairs_gt,
+         COALESCE(SUM(np * nn), 0) AS pairs_eq
+  FROM w
+)
+SELECT CAST(n_pos AS BIGINT) AS n_pos, CAST(n_neg AS BIGINT) AS n_neg,
+       CAST(pairs_gt AS BIGINT) AS pairs_gt, CAST(pairs_eq AS BIGINT) AS pairs_eq,
+       CASE WHEN n_pos * n_neg = 0 THEN NULL
+            ELSE (2 * pairs_gt + pairs_eq) / (2.0 * n_pos * n_neg) END AS auc
+FROM t
+"""
+
+
 QUERIES = {
     "pareto_orders": pareto_orders,
     "peak_concurrent_sessions": peak_concurrent_sessions,
@@ -982,6 +1120,7 @@ QUERIES = {
     "part_reach_hops": part_reach_hops,
     "logreg_train_orders": logreg_train_orders,
     "session_window_overlap": session_window_overlap,
+    "auc_urgent_price": auc_urgent_price,
 }
 
 ORACLES = {
@@ -992,4 +1131,5 @@ ORACLES = {
     "part_reach_hops": PART_REACH_HOPS_SQL,
     "logreg_train_orders": LOGREG_TRAIN_SQL,
     "session_window_overlap": SESSION_WINDOW_OVERLAP_SQL,
+    "auc_urgent_price": AUC_URGENT_PRICE_SQL,
 }
