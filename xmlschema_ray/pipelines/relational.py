@@ -496,6 +496,89 @@ def clustered_price_band(
     return df.sort_values("o_orderstatus").reset_index(drop=True)
 
 
+def bucketed_join_revenue(sf_dir: str, num_buckets: int = 16) -> pd.DataFrame:
+    """Join over a HASH-BUCKETED layout (``sources.bucketed``): orders and
+    lineitem are exported ONCE co-partitioned on orderkey (one exchange
+    each, paid at write time); the join itself is then ZERO-exchange —
+    one task per bucket reads that bucket's files from both sides and
+    joins locally, with the per-priority revenue partials computed
+    in-task so joined rows never materialize. The recurring-join answer
+    to the shuffle-minimization rule: at 100 TB the nightly
+    orders⋈lineitem stops being an all-to-all. Layout compatibility
+    (same hash fn + bucket count) is enforced by the manifests — an
+    incompatible pair REFUSES instead of silently dropping matches
+    (tests/test_bucketed.py pins both)."""
+    import os
+
+    from xmlschema_ray.ops.relational import combiner_aggregate
+    from xmlschema_ray.sources.bucketed import BUCKET_MANIFEST, bucketed_join, write_bucketed
+
+    root = os.path.join(
+        "/tmp/xmlschema_ray_bucketed", os.path.basename(os.path.normpath(sf_dir))
+    )
+
+    def ensure(table: str, key: str, cols, prep=None) -> str:
+        cache = os.path.join(root, table)
+        if not os.path.exists(os.path.join(cache, BUCKET_MANIFEST)):
+            ds = rd.read_parquet(table_path(sf_dir, table), columns=cols)
+            if prep is not None:
+                ds = ds.map_batches(prep, batch_format="pandas")
+            tmp = f"{cache}.build{os.getpid()}"
+            write_bucketed(ds, key, tmp, num_buckets)
+            try:
+                os.rename(tmp, cache)
+            except OSError:
+                import shutil
+
+                shutil.rmtree(tmp, ignore_errors=True)
+        return cache
+
+    def line_prep(batch: pd.DataFrame) -> pd.DataFrame:
+        # revenue in scaled ints at WRITE time: cents(price) * (100 - cents-of-discount)
+        return pd.DataFrame(
+            {
+                "l_orderkey": batch["l_orderkey"].astype("int64"),
+                "rev_c": cents(batch["l_extendedprice"]) * (100 - cents(batch["l_discount"])),
+            }
+        )
+
+    odir = ensure("orders", "o_orderkey", ["o_orderkey", "o_orderpriority"])
+    ldir = ensure(
+        "lineitem", "l_orderkey", ["l_orderkey", "l_extendedprice", "l_discount"], line_prep
+    )
+
+    def per_bucket(j: pd.DataFrame) -> pd.DataFrame:
+        g = j.groupby("o_orderpriority", sort=False)["rev_c"]
+        out = pd.DataFrame({"rev_c": g.sum(), "n_lines": g.size()}).reset_index()
+        out["rev_c"] = out["rev_c"].astype("int64")
+        out["n_lines"] = out["n_lines"].astype("int64")
+        return out
+
+    parts = bucketed_join(odir, ldir, fn=per_bucket)
+    df = combiner_aggregate(
+        parts,
+        keys="o_orderpriority",
+        aggs={"rev_c": ("rev_c", "sum"), "n_lines": ("n_lines", "sum")},
+    ).to_pandas()
+    df["revenue"] = df["rev_c"].astype("int64") / 10000.0
+    df["n_lines"] = df["n_lines"].astype("int64")
+    return (
+        df.sort_values("o_orderpriority")
+        .reset_index(drop=True)[["o_orderpriority", "revenue", "n_lines"]]
+    )
+
+
+BUCKETED_JOIN_SQL = """
+SELECT o.o_orderpriority,
+       CAST(SUM(CAST(floor(l.l_extendedprice * 100 + 0.5) AS BIGINT)
+                * (100 - CAST(floor(l.l_discount * 100 + 0.5) AS BIGINT))) AS DOUBLE) / 10000.0 AS revenue,
+       COUNT(*) AS n_lines
+FROM lineitem l JOIN orders o ON l.l_orderkey = o.o_orderkey
+GROUP BY o.o_orderpriority
+ORDER BY o.o_orderpriority
+"""
+
+
 CLUSTERED_BAND_SQL = """
 SELECT o_orderstatus,
        CAST(COUNT(*) AS BIGINT) AS n,
@@ -3760,6 +3843,7 @@ ORACLES = {
     "events_rolling_median": ROLLING_MEDIAN_SQL,
     "brand_revenue_skew_join": BRAND_REVENUE_SKEW_SQL,
     "clustered_price_band": CLUSTERED_BAND_SQL,
+    "bucketed_join_revenue": BUCKETED_JOIN_SQL,
     "orders_pivot_status_priority": PIVOT_SQL,
     "asof_latest_order_before_event": ASOF_SQL,
     "q3_top_orders": Q3_SQL,
@@ -3823,6 +3907,7 @@ QUERIES = {
     "events_rolling_median": events_rolling_median,
     "brand_revenue_skew_join": brand_revenue_skew_join,
     "clustered_price_band": clustered_price_band,
+    "bucketed_join_revenue": bucketed_join_revenue,
     "orders_pivot_status_priority": orders_pivot_status_priority,
     "asof_latest_order_before_event": asof_latest_order_before_event,
     "q3_top_orders": q3_top_orders,

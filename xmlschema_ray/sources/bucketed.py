@@ -1,0 +1,185 @@
+"""Hash-bucketed parquet layout: co-partitioned export + manifest +
+SHUFFLE-FREE bucketed join and point lookup.
+
+The hash sibling of the range-clustered layout (``clustered.py``): two
+tables written bucketed on their join key with the SAME (hash fn,
+num_buckets) are physically co-partitioned, so the join needs NO
+exchange at read time — each task reads bucket k of both sides and joins
+locally. At a 100-TB fact table that converts the single most expensive
+all-to-all of a recurring pipeline into an embarrassingly parallel map
+paid ONCE at write time (the Hive/Iceberg bucketed-table contract). A
+point lookup touches exactly one bucket directory.
+
+Safety is carried by the manifest, not convention: the join REFUSES
+layouts whose (key-hash function tag, num_buckets) disagree — joining
+incompatible buckets would silently DROP matches, the worst failure mode
+a layout can have. The manifest is written last (atomic rename), the
+same manifest-after-data discipline as the resumable sink.
+
+Reference analog: none (single-shot generator chains); §2.1
+sources/sinks scale surface, §2.6 join family.
+"""
+
+from __future__ import annotations
+
+import json
+import os
+import tempfile
+from typing import List, Optional
+
+import numpy as np
+import pandas as pd
+import pyarrow.parquet as pq
+import ray.data as rd
+
+BUCKET_MANIFEST = "_bucket_manifest.json"
+HASH_TAG = "pd_hash_array_v1"  # identifies the bucket fn; must match to join
+
+
+def bucket_of(values: np.ndarray, num_buckets: int) -> np.ndarray:
+    """Stable bucket assignment (the layout's ONE hash fn — both sides of
+    a bucketed join and every later incremental writer must use it)."""
+    from xmlschema_ray.engine.stats import hash64
+
+    return (hash64(np.asarray(values)) % np.uint64(num_buckets)).astype(np.int64)
+
+
+def write_bucketed(
+    ds: "rd.Dataset", key: str, out_dir: str, num_buckets: int
+) -> dict:
+    """Write ``ds`` hash-bucketed on ``key``: ONE co-locating exchange
+    (the write-time cost that buys every later join its zero-exchange
+    plan), then each bucket lands contiguously under ``bucket=K/``.
+    Size ``num_buckets`` so one bucket of the LARGER table fits a worker
+    heap (buckets ≈ bytes / target_bucket_bytes) — the join loads one
+    bucket pair per task.
+    """
+    from xmlschema_ray.ops.relational import hash_partition_apply
+
+    os.makedirs(out_dir, exist_ok=True)
+
+    def write_bucket_rows(part: pd.DataFrame) -> pd.DataFrame:
+        # one partition holds whole buckets (co-location guarantee);
+        # write each bucket's rows into its own hive dir, return a
+        # footer row per bucket (rows, path) for the manifest
+        rows = []
+        for b, g in part.groupby("__bucket", sort=False):
+            d = os.path.join(out_dir, f"bucket={int(b)}")
+            os.makedirs(d, exist_ok=True)
+            fd, tmp = tempfile.mkstemp(dir=d, suffix=".tmp")
+            os.close(fd)
+            g.drop(columns="__bucket").to_parquet(tmp, index=False)
+            final = tmp[:-4] + ".parquet"
+            os.replace(tmp, final)
+            rows.append((int(b), len(g), os.path.relpath(final, out_dir)))
+        return pd.DataFrame(rows, columns=["bucket", "rows", "path"])
+
+    def add_bucket(batch: pd.DataFrame) -> pd.DataFrame:
+        batch = batch.copy(deep=False)
+        batch["__bucket"] = bucket_of(batch[key].to_numpy(), num_buckets)
+        return batch
+
+    written = hash_partition_apply(
+        ds.map_batches(add_bucket, batch_format="pandas"),
+        "__bucket",
+        write_bucket_rows,
+        num_partitions=num_buckets,
+    ).to_pandas()
+    files = (
+        written.sort_values(["bucket", "path"]).to_dict("records")
+        if len(written.columns)
+        else []
+    )
+    manifest = {
+        "key": key,
+        "num_buckets": int(num_buckets),
+        "hash": HASH_TAG,
+        "files": files,
+    }
+    fd, tmp = tempfile.mkstemp(dir=out_dir, suffix=".tmp")
+    with os.fdopen(fd, "w") as fh:
+        json.dump(manifest, fh)
+    os.replace(tmp, os.path.join(out_dir, BUCKET_MANIFEST))
+    return manifest
+
+
+def read_manifest(out_dir: str) -> dict:
+    with open(os.path.join(out_dir, BUCKET_MANIFEST)) as fh:
+        return json.load(fh)
+
+
+def _bucket_paths(out_dir: str, manifest: dict, bucket: int) -> List[str]:
+    return [
+        os.path.join(out_dir, f["path"])
+        for f in manifest["files"]
+        if f["bucket"] == bucket
+    ]
+
+
+def read_bucket_for(out_dir: str, value) -> pd.DataFrame:
+    """Point lookup: hash the value, read ONE bucket directory, exact
+    residual filter (bucket membership is necessary, not sufficient)."""
+    m = read_manifest(out_dir)
+    b = int(bucket_of(np.asarray([value]), m["num_buckets"])[0])
+    paths = _bucket_paths(out_dir, m, b)
+    if not paths:
+        return pd.DataFrame()
+    df = pd.concat([pq.read_table(p).to_pandas() for p in paths], ignore_index=True)
+    return df[df[m["key"]] == value].reset_index(drop=True)
+
+
+def bucketed_join(
+    left_dir: str,
+    right_dir: str,
+    fn=None,
+    columns_left: Optional[List[str]] = None,
+    columns_right: Optional[List[str]] = None,
+    how: str = "inner",
+) -> "rd.Dataset":
+    """ZERO-EXCHANGE join of two compatibly-bucketed layouts: one task per
+    bucket reads that bucket's files from BOTH sides and joins locally —
+    the physical co-partitioning at write time already did the all-to-all.
+    ``fn(joined_df) -> df`` (optional) runs in-task on each bucket's join
+    result, so aggregating consumers never materialize the joined rows.
+
+    Refuses incompatible layouts loudly: a (hash, num_buckets, key-type)
+    mismatch would not error at read time — it would silently produce a
+    SUBSET of the true join, so the manifest check is the correctness
+    boundary.
+    """
+    ml, mr = read_manifest(left_dir), read_manifest(right_dir)
+    for field in ("num_buckets", "hash"):
+        if ml[field] != mr[field]:
+            raise ValueError(
+                f"bucketed_join: incompatible layouts ({field}: "
+                f"{ml[field]!r} != {mr[field]!r}) — rebucket one side"
+            )
+    lk, rk = ml["key"], mr["key"]
+
+    def join_bucket(batch: pd.DataFrame):
+        for b in batch["bucket"].tolist():
+            lp = _bucket_paths(left_dir, ml, int(b))
+            rp = _bucket_paths(right_dir, mr, int(b))
+            if not lp or (how == "inner" and not rp):
+                continue
+            lf = pd.concat(
+                [pq.read_table(p, columns=columns_left).to_pandas() for p in lp],
+                ignore_index=True,
+            )
+            if rp:
+                rf = pd.concat(
+                    [pq.read_table(p, columns=columns_right).to_pandas() for p in rp],
+                    ignore_index=True,
+                )
+            else:
+                cols = columns_right or pq.read_schema(
+                    os.path.join(right_dir, mr["files"][0]["path"])
+                ).names
+                rf = pd.DataFrame({c: pd.Series([], dtype=object) for c in cols})
+            j = lf.merge(rf, left_on=lk, right_on=rk, how=how)
+            yield fn(j) if fn is not None else j
+
+    buckets = rd.from_pandas(
+        pd.DataFrame({"bucket": np.arange(ml["num_buckets"], dtype=np.int64)})
+    ).repartition(ml["num_buckets"])
+    return buckets.map_batches(join_bucket, batch_format="pandas", batch_size=None)
