@@ -111,6 +111,14 @@ QUERY_NAMES = [
     # and the iterative-training loop (k gradient passes, zero shuffles)
     "brand_revenue_skew_join",
     "logreg_train_orders",
+    # continuation-session-8: the two-sided interval overlap join (range
+    # replication + ownership dedup), the exact-AUC rank statistic (one
+    # score-range exchange), and the zero-exchange bucketed join (first
+    # rep pays the co-partitioned export, warm reps measure the
+    # exchange-free plan — same convention as incremental_dedup)
+    "session_window_overlap",
+    "auc_urgent_price",
+    "bucketed_join_revenue",
 ]
 
 

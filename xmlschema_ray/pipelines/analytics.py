@@ -40,6 +40,8 @@ __all__ = [
     "part_pagerank",
     "pagerank_from_edges",
     "part_reach_hops",
+    "part_kcore",
+    "kcore_from_edges",
     "logreg_train_orders",
     "auc_urgent_price",
     "bfs_hops_from_edges",
@@ -628,6 +630,209 @@ SELECT node AS p_partkey, r AS rank_scaled FROM r{iterations} ORDER BY node
 PART_PAGERANK_SQL = _pagerank_sql()
 
 
+def kcore_from_edges(
+    edges: "rd.Dataset",
+    k: int = 2,
+    rounds: int = 8,
+    broadcast_nodes_threshold: int = 2_000_000,
+    num_partitions: Optional[int] = None,
+) -> pd.DataFrame:
+    """k-CORE decomposition over an UNDIRECTED edge list (columns
+    ``part_a``/``part_b``): iteratively peel nodes of degree < ``k`` until
+    fixpoint — the density-peeling fixpoint (community-core extraction,
+    spam-graph pruning). A THIRD iterative-graph shape next to PageRank
+    (fixed-iteration value propagation) and BFS (growing frontier): here
+    the STATE is a monotonically SHRINKING alive set, so every round's
+    work strictly decreases and early exit at the fixpoint is a no-op
+    transformation (identical output to running all ``rounds``).
+
+    Both engines run the same ``rounds`` peel schedule, so the unrolled
+    DuckDB oracle matches verbatim even when the schedule is longer than
+    convergence needs. Output: each node of the round-``rounds`` edge set
+    with its degree in that set (= the k-core with in-core degrees once
+    converged; pure integer arithmetic throughout — nothing to drift).
+
+    Two physical plans, proven identical by a forced-path test
+    (tests/test_kcore.py):
+
+    * nodes ≤ ``broadcast_nodes_threshold`` (node set = the PART
+      dimension): the alive set is ONE sorted-int64 ``ray.put`` broadcast;
+      each round streams the materialized (pair-bounded) edge set in
+      place — per-batch both-endpoint membership + partial degree counts
+      — through one node-keyed combiner exchange. Edges are NEVER
+      reshuffled; one exchange per round, node-dim driver state.
+    * above threshold: the alive set stays a DATASET; each round is two
+      copartition semi-joins (endpoint filters) + one combiner-sum, and
+      the driver sees only the alive COUNT (one integer per round).
+    """
+    from xmlschema_ray.engine.stats import isin_sorted
+    from xmlschema_ray.ops.relational import (
+        combiner_aggregate,
+        copartition_apply,
+        to_pandas_with_schema,
+    )
+
+    template = pd.DataFrame(
+        {
+            "p_partkey": pd.Series([], dtype=np.int64),
+            "core_deg": pd.Series([], dtype=np.int64),
+        }
+    )
+    ed = edges.select_columns(["part_a", "part_b"]).materialize()  # pair-bounded
+
+    def deg_fn(alive_ref):
+        def partial(batch: pd.DataFrame) -> pd.DataFrame:
+            a = batch["part_a"].to_numpy(np.int64)
+            b = batch["part_b"].to_numpy(np.int64)
+            if alive_ref is not None:
+                alv = ray.get(alive_ref) if isinstance(alive_ref, ray.ObjectRef) else alive_ref
+                m = isin_sorted(a, alv) & isin_sorted(b, alv)
+                a, b = a[m], b[m]
+            nodes, counts = np.unique(np.concatenate([a, b]), return_counts=True)
+            return pd.DataFrame({"node": nodes, "d": counts.astype(np.int64)})
+
+        return partial
+
+    def deg_table(alive_ref) -> pd.DataFrame:
+        return to_pandas_with_schema(
+            combiner_aggregate(
+                ed.map_batches(deg_fn(alive_ref), batch_format="pandas"),
+                "node",
+                {"d": ("d", "sum")},
+                num_partitions=num_partitions,
+            )
+        )
+
+    def explode(batch: pd.DataFrame) -> pd.DataFrame:
+        return pd.DataFrame(
+            {
+                "node": np.concatenate(
+                    [batch["part_a"].to_numpy(np.int64), batch["part_b"].to_numpy(np.int64)]
+                )
+            }
+        )
+
+    def deg_ds_of(ds: "rd.Dataset") -> "rd.Dataset":
+        return combiner_aggregate(
+            ds.map_batches(explode, batch_format="pandas"),
+            "node",
+            {"d": (None, "count")},
+            num_partitions=num_partitions,
+        ).materialize()
+
+    # Path choice from a distributed COUNT — the node-dim degree table is
+    # only ever collected on the broadcast path, where it fits by the gate.
+    deg_ds = deg_ds_of(ed)
+    n_nodes = deg_ds.count()
+    if n_nodes == 0:
+        return template
+
+    if n_nodes <= broadcast_nodes_threshold:
+        alive_n = n_nodes
+        alive_ref = None
+        deg = to_pandas_with_schema(deg_ds)
+        for _ in range(rounds):
+            new_alive = np.sort(deg.loc[deg["d"] >= k, "node"].to_numpy(np.int64))
+            if len(new_alive) == alive_n:
+                break  # fixpoint: every later round is a no-op
+            alive_n = len(new_alive)
+            if alive_n == 0:
+                return template
+            alive_ref = ray.put(new_alive)
+            deg = deg_table(alive_ref)
+        out = deg.rename(columns={"node": "p_partkey", "d": "core_deg"})
+        return (
+            out.sort_values("p_partkey")
+            .astype({"p_partkey": "int64", "core_deg": "int64"})
+            .reset_index(drop=True)
+        )
+
+    # Dataset path: the alive set never leaves the cluster
+    def semi(col):
+        def fn(lf: pd.DataFrame, rf: pd.DataFrame) -> pd.DataFrame:
+            return lf[lf[col].isin(rf["node"])]
+
+        return fn
+
+    cur = ed
+    alive_n = n_nodes
+    for _ in range(rounds):
+        alive_ds = deg_ds.map_batches(
+            lambda b: b.loc[b["d"] >= k, ["node"]], batch_format="pandas"
+        ).materialize()
+        new_n = alive_ds.count()
+        if new_n == alive_n:
+            break  # fixpoint: deg_ds already holds the in-core degrees
+        alive_n = new_n
+        if alive_n == 0:
+            return template
+        cur = copartition_apply(
+            copartition_apply(cur, alive_ds, "part_a", "node", semi("part_a"),
+                              num_partitions=num_partitions),
+            alive_ds,
+            "part_b",
+            "node",
+            semi("part_b"),
+            num_partitions=num_partitions,
+        ).materialize()
+        deg_ds = deg_ds_of(cur)
+    final = to_pandas_with_schema(deg_ds)
+    if not len(final.columns) or not len(final):
+        return template
+    out = final.rename(columns={"node": "p_partkey", "d": "core_deg"})
+    return (
+        out.sort_values("p_partkey")
+        .astype({"p_partkey": "int64", "core_deg": "int64"})
+        .reset_index(drop=True)
+    )
+
+
+def part_kcore(sf_dir: str, k: int = 2, rounds: int = 8, min_support: int = 2) -> pd.DataFrame:
+    """k-core of the part co-purchase graph (edges from
+    :func:`part_pair_cooccurrence`) — the dense-subgraph members and
+    their in-core degrees. See :func:`kcore_from_edges`."""
+    from xmlschema_ray.pipelines.relational import part_pair_cooccurrence
+
+    edges = part_pair_cooccurrence(sf_dir, min_support=min_support)
+    return kcore_from_edges(edges, k=k, rounds=rounds)
+
+
+def _kcore_sql(k: int = 2, rounds: int = 8, min_support: int = 2) -> str:
+    body = f"""
+WITH lp AS (SELECT DISTINCT l_orderkey, l_partkey FROM lineitem),
+e0 AS MATERIALIZED (
+  SELECT a.l_partkey AS pa, b.l_partkey AS pb
+  FROM lp a JOIN lp b ON a.l_orderkey = b.l_orderkey AND a.l_partkey < b.l_partkey
+  GROUP BY 1, 2 HAVING COUNT(*) >= {min_support}
+)"""
+    prev = "e0"
+    # MATERIALIZED: each e_i is referenced 4x downstream — DuckDB's default
+    # CTE inlining would expand the chain 4^rounds times and exhaust file
+    # handles re-opening the parquet source
+    for i in range(1, rounds + 1):
+        body += f""",
+d{i} AS MATERIALIZED (
+  SELECT node, COUNT(*) AS d FROM (
+    SELECT pa AS node FROM {prev} UNION ALL SELECT pb FROM {prev}
+  ) GROUP BY 1
+),
+a{i} AS MATERIALIZED (SELECT node FROM d{i} WHERE d >= {k}),
+e{i} AS MATERIALIZED (
+  SELECT pa, pb FROM {prev}
+  WHERE pa IN (SELECT node FROM a{i}) AND pb IN (SELECT node FROM a{i})
+)"""
+        prev = f"e{i}"
+    body += f"""
+SELECT node AS p_partkey, CAST(COUNT(*) AS BIGINT) AS core_deg FROM (
+  SELECT pa AS node FROM {prev} UNION ALL SELECT pb FROM {prev}
+) GROUP BY 1 ORDER BY 1
+"""
+    return body
+
+
+PART_KCORE_SQL = _kcore_sql()
+
+
 # -- iterative model training (full-batch gradient descent) ------------------
 
 _LR_SCALE = 1_000_000  # fixed-point scale for weights / probabilities
@@ -1121,6 +1326,7 @@ QUERIES = {
     "logreg_train_orders": logreg_train_orders,
     "session_window_overlap": session_window_overlap,
     "auc_urgent_price": auc_urgent_price,
+    "part_kcore": part_kcore,
 }
 
 ORACLES = {
@@ -1132,4 +1338,5 @@ ORACLES = {
     "logreg_train_orders": LOGREG_TRAIN_SQL,
     "session_window_overlap": SESSION_WINDOW_OVERLAP_SQL,
     "auc_urgent_price": AUC_URGENT_PRICE_SQL,
+    "part_kcore": PART_KCORE_SQL,
 }
