@@ -92,3 +92,115 @@ def test_empty_input_layout(tmp_path, ray_session):
     m = read_manifest(d)
     assert m["files"] == []
     assert len(read_bucket_for(d, 1)) == 0
+
+# -- compaction (compact_bucketed): CDC apply onto the layout ----------------
+
+
+def _feed_df(keys, actions, vals):
+    return pd.DataFrame(
+        {
+            "k": np.asarray(keys, dtype="int64"),
+            "action": np.asarray(actions, dtype=object),
+            "a": np.asarray(vals, dtype="int64"),
+        }
+    )
+
+
+def _merge_reference(base: pd.DataFrame, feed: pd.DataFrame) -> pd.DataFrame:
+    keep = base[~base["k"].isin(feed["k"])]
+    ins = feed.loc[feed["action"] == "upsert", ["k", "a"]]
+    return pd.concat([keep, ins], ignore_index=True)
+
+
+def test_compact_matches_merge_into(tmp_path, ray_session):
+    from xmlschema_ray.sources.bucketed import compact_bucketed, read_bucketed
+
+    rng = np.random.default_rng(13)
+    keys = rng.permutation(200)[:120]
+    base = pd.DataFrame(
+        {"k": keys.astype("int64"), "a": rng.integers(0, 1000, 120).astype("int64")}
+    )
+    d0, d1 = str(tmp_path / "g0"), str(tmp_path / "g1")
+    write_bucketed(rd.from_pandas(base), "k", d0, 8)
+    # compacted feed: delete 20 existing, update 20 existing, insert 20 new
+    feed = pd.concat(
+        [
+            _feed_df(keys[:20], ["delete"] * 20, [0] * 20),
+            _feed_df(keys[20:40], ["upsert"] * 20, rng.integers(0, 1000, 20)),
+            _feed_df(np.arange(1000, 1020), ["upsert"] * 20, rng.integers(0, 1000, 20)),
+        ],
+        ignore_index=True,
+    )
+    compact_bucketed(d0, rd.from_pandas(feed), d1)
+    got = _canon(read_bucketed(d1).to_pandas())
+    exp = _canon(_merge_reference(base, feed))
+    pd.testing.assert_frame_equal(got, exp)
+    # the output is itself a valid layout: point lookup works post-compact
+    ins_key = 1000
+    assert read_bucket_for(d1, ins_key)["k"].tolist() == [ins_key]
+    deleted = int(keys[0])
+    assert len(read_bucket_for(d1, deleted)) == 0
+
+
+def test_compact_untouched_buckets_are_links(tmp_path, ray_session):
+    import os
+
+    from xmlschema_ray.sources.bucketed import bucket_of, compact_bucketed, read_bucketed
+
+    rng = np.random.default_rng(17)
+    base = pd.DataFrame(
+        {"k": np.arange(100, dtype="int64"), "a": rng.integers(0, 100, 100).astype("int64")}
+    )
+    d0, d1 = str(tmp_path / "h0"), str(tmp_path / "h1")
+    write_bucketed(rd.from_pandas(base), "k", d0, 16)
+    touch_key = 7
+    feed = _feed_df([touch_key], ["upsert"], [999])
+    compact_bucketed(d0, rd.from_pandas(feed), d1)
+    tb = int(bucket_of(np.asarray([touch_key]), 16)[0])
+    m0, m1 = read_manifest(d0), read_manifest(d1)
+    ino0 = {f["path"]: os.stat(os.path.join(d0, f["path"])).st_ino for f in m0["files"]}
+    rewritten = untouched = 0
+    for f in m1["files"]:
+        st = os.stat(os.path.join(d1, f["path"]))
+        if f["bucket"] == tb:
+            rewritten += 1
+        else:
+            # carried over as a hard link to the generation-0 file
+            assert st.st_ino in ino0.values()
+            untouched += 1
+    assert rewritten >= 1 and untouched >= 1
+    got = _canon(read_bucketed(d1).to_pandas())
+    exp = _canon(_merge_reference(base, feed))
+    pd.testing.assert_frame_equal(got, exp)
+
+
+def test_compact_generation_chain_and_empty_bucket_insert(tmp_path, ray_session):
+    from xmlschema_ray.sources.bucketed import compact_bucketed, read_bucketed
+
+    base = pd.DataFrame({"k": np.asarray([0, 1], dtype="int64"), "a": np.asarray([10, 11], dtype="int64")})
+    d0, d1, d2 = str(tmp_path / "c0"), str(tmp_path / "c1"), str(tmp_path / "c2")
+    write_bucketed(rd.from_pandas(base), "k", d0, 8)  # most buckets EMPTY
+    f1 = _feed_df([0, 50, 51], ["delete", "upsert", "upsert"], [0, 500, 510])
+    f2 = _feed_df([50, 1], ["delete", "upsert"], [0, 111])
+    compact_bucketed(d0, rd.from_pandas(f1), d1)
+    compact_bucketed(d1, rd.from_pandas(f2), d2)
+    got = _canon(read_bucketed(d2).to_pandas())
+    exp = _canon(_merge_reference(_merge_reference(base, f1), f2))
+    pd.testing.assert_frame_equal(got, exp)
+
+
+def test_compact_refuses_unknown_hash(tmp_path, ray_session):
+    import json
+    import os
+
+    from xmlschema_ray.sources.bucketed import BUCKET_MANIFEST, compact_bucketed
+
+    base = pd.DataFrame({"k": np.asarray([1], dtype="int64"), "a": np.asarray([2], dtype="int64")})
+    d0 = str(tmp_path / "x0")
+    write_bucketed(rd.from_pandas(base), "k", d0, 2)
+    m = read_manifest(d0)
+    m["hash"] = "other_fn_v9"
+    with open(os.path.join(d0, BUCKET_MANIFEST), "w") as fh:
+        json.dump(m, fh)
+    with pytest.raises(ValueError, match="hash"):
+        compact_bucketed(d0, rd.from_pandas(_feed_df([1], ["delete"], [0])), str(tmp_path / "x1"))

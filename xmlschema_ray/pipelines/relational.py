@@ -3039,31 +3039,84 @@ def orders_apply_changes(sf_dir: str) -> "rd.Dataset":
 
     cols = ["o_orderkey", "o_totalprice"]
     base = rd.read_parquet(table_path(sf_dir, "orders"), columns=cols)
-
-    def derive_feed(batch: pd.DataFrame) -> pd.DataFrame:
-        k = batch["o_orderkey"].to_numpy(np.int64)
-        v = batch["o_totalprice"].to_numpy(np.float64)
-        dels = k % 97 == 0
-        bump = (k % 89 == 0) & ~dels
-        clone = k % 101 == 0
-        return pd.DataFrame(
-            {
-                "o_orderkey": np.concatenate([k[dels], k[bump], k[clone] + 1_000_000_000]),
-                "action": np.concatenate(
-                    [
-                        np.full(int(dels.sum()), "delete", dtype=object),
-                        np.full(int(bump.sum()), "upsert", dtype=object),
-                        np.full(int(clone.sum()), "upsert", dtype=object),
-                    ]
-                ),
-                "o_totalprice": np.concatenate([np.full(int(dels.sum()), np.nan), v[bump] + 1.0, v[clone]]),
-            }
-        )
-
     feed = rd.read_parquet(table_path(sf_dir, "orders"), columns=cols).map_batches(
-        derive_feed, batch_format="pandas"
+        _orders_cdc_feed, batch_format="pandas"
     )
     return merge_into(base, feed, "o_orderkey").sort("o_orderkey")
+
+
+def _orders_cdc_feed(batch: pd.DataFrame) -> pd.DataFrame:
+    """The suite's deterministic compacted CDC feed over orders (shared by
+    the merge, IVM and bucketed-compaction queries): deletes on keys ≡0
+    mod 97, price bumps on surviving keys ≡0 mod 89, cloned inserts under
+    key+10^9 for keys ≡0 mod 101."""
+    k = batch["o_orderkey"].to_numpy(np.int64)
+    v = batch["o_totalprice"].to_numpy(np.float64)
+    dels = k % 97 == 0
+    bump = (k % 89 == 0) & ~dels
+    clone = k % 101 == 0
+    return pd.DataFrame(
+        {
+            "o_orderkey": np.concatenate([k[dels], k[bump], k[clone] + 1_000_000_000]),
+            "action": np.concatenate(
+                [
+                    np.full(int(dels.sum()), "delete", dtype=object),
+                    np.full(int(bump.sum()), "upsert", dtype=object),
+                    np.full(int(clone.sum()), "upsert", dtype=object),
+                ]
+            ),
+            "o_totalprice": np.concatenate([np.full(int(dels.sum()), np.nan), v[bump] + 1.0, v[clone]]),
+        }
+    )
+
+
+def orders_compact_bucketed(sf_dir: str, num_buckets: int = 16) -> pd.DataFrame:
+    """CDC COMPACTION against the hash-bucketed layout
+    (:func:`~xmlschema_ray.sources.bucketed.compact_bucketed`): the same
+    deterministic feed :func:`orders_apply_changes` merges in-stream is
+    here applied to the ON-DISK layout, producing a new generation whose
+    read-back equals the merged snapshot — the Iceberg/Delta
+    MERGE-and-rewrite shape. The feed pays ONE co-locating exchange;
+    touched buckets are merged and rewritten by their owning task with
+    ZERO exchange of the base (write-time co-partitioning already paid
+    it); untouched buckets carry over as hard links (metadata-only), so a
+    1%-of-buckets feed rewrites 1% of a 100-TB table. The oracle is the
+    plain SQL merge — proving compaction ≡ in-stream MERGE INTO
+    end-to-end through the storage layer."""
+    import shutil
+    import tempfile
+
+    from xmlschema_ray.sources.bucketed import (
+        BUCKET_MANIFEST,
+        compact_bucketed,
+        read_bucketed,
+        write_bucketed,
+    )
+
+    root = os.path.join(
+        "/tmp/xmlschema_ray_bucketed", os.path.basename(os.path.normpath(sf_dir))
+    )
+    os.makedirs(root, exist_ok=True)
+    cache = os.path.join(root, "orders_kv")
+    cols = ["o_orderkey", "o_totalprice"]
+    if not os.path.exists(os.path.join(cache, BUCKET_MANIFEST)):
+        ds = rd.read_parquet(table_path(sf_dir, "orders"), columns=cols)
+        tmp = f"{cache}.build{os.getpid()}"
+        write_bucketed(ds, "o_orderkey", tmp, num_buckets)
+        try:
+            os.rename(tmp, cache)
+        except OSError:
+            shutil.rmtree(tmp, ignore_errors=True)
+    feed = rd.read_parquet(table_path(sf_dir, "orders"), columns=cols).map_batches(
+        _orders_cdc_feed, batch_format="pandas"
+    )
+    gen2 = tempfile.mkdtemp(dir=root, prefix="orders_kv_gen2_")
+    try:
+        compact_bucketed(cache, feed, gen2)
+        out = read_bucketed(gen2).to_pandas()
+    finally:
+        shutil.rmtree(gen2, ignore_errors=True)
+    return out.sort_values("o_orderkey").reset_index(drop=True)
 
 
 def orders_status_counts_ivm(sf_dir: str) -> pd.DataFrame:
@@ -3869,6 +3922,7 @@ ORACLES = {
     "repeat_orders_within_30d": REPEAT_ORDERS_SQL,
     "orders_snapshot_diff": ORDERS_SNAPSHOT_DIFF_SQL,
     "orders_apply_changes": ORDERS_APPLY_CHANGES_SQL,
+    "orders_compact_bucketed": ORDERS_APPLY_CHANGES_SQL,
     "event_transition_matrix": EVENT_TRANSITION_SQL,
     "user_type_scd2": USER_TYPE_SCD2_SQL,
     "time_weighted_value_by_user": TIME_WEIGHTED_VALUE_SQL,
@@ -3933,6 +3987,7 @@ QUERIES = {
     "repeat_orders_within_30d": repeat_orders_within_30d,
     "orders_snapshot_diff": orders_snapshot_diff,
     "orders_apply_changes": orders_apply_changes,
+    "orders_compact_bucketed": orders_compact_bucketed,
     "event_transition_matrix": event_transition_matrix,
     "user_type_scd2": user_type_scd2,
     "time_weighted_value_by_user": time_weighted_value_by_user,

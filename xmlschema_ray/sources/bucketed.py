@@ -128,6 +128,138 @@ def read_bucket_for(out_dir: str, value) -> pd.DataFrame:
     return df[df[m["key"]] == value].reset_index(drop=True)
 
 
+def compact_bucketed(
+    base_dir: str,
+    changes: "rd.Dataset",
+    out_dir: str,
+    action_col: str = "action",
+) -> dict:
+    """Apply a compacted CDC feed (``delete``/``upsert`` rows, ≤1 action
+    per key — the :func:`~xmlschema_ray.ops.relational.merge_into`
+    contract) to a bucketed layout, producing a NEW GENERATION of the
+    layout under ``out_dir`` — the data-lake compaction step
+    (Iceberg/Delta MERGE + rewrite) expressed against this layout.
+
+    The scale property is the point: the feed takes ONE co-locating
+    exchange (feed-sized), each TOUCHED bucket is merged and rewritten by
+    the task that owns it (zero exchange of the base — the layout already
+    co-partitioned it at write time), and every UNTOUCHED bucket is
+    carried into the new generation as a hard link (metadata-only; copy
+    fallback across devices). A daily feed touching 1% of the buckets of
+    a 100-TB table rewrites 1% of the data and links the rest. The new
+    manifest is published LAST (atomic rename), so readers see the old or
+    the new generation, never a mix, and the output is itself a valid
+    layout: point lookups, bucketed joins and further compactions compose
+    on it (generation chains).
+
+    Returns the new manifest. Refuses a base layout whose hash tag this
+    build does not implement (merging with a different bucket fn would
+    scatter keys across generations — the silent-subset failure mode).
+    """
+    import shutil
+
+    from xmlschema_ray.ops.relational import hash_partition_apply
+
+    m = read_manifest(base_dir)
+    if m["hash"] != HASH_TAG:
+        raise ValueError(
+            f"compact_bucketed: unknown bucket hash {m['hash']!r} "
+            f"(this build implements {HASH_TAG!r}) — rebucket the base"
+        )
+    key, nb = m["key"], int(m["num_buckets"])
+    os.makedirs(out_dir, exist_ok=True)
+    # canonical column order for merged buckets, from the base layout
+    base_cols: Optional[List[str]] = (
+        pq.read_schema(os.path.join(base_dir, m["files"][0]["path"])).names
+        if m["files"]
+        else None
+    )
+
+    def add_bucket(batch: pd.DataFrame) -> pd.DataFrame:
+        batch = batch.copy(deep=False)
+        batch["__bucket"] = bucket_of(batch[key].to_numpy(), nb)
+        return batch
+
+    def merge_bucket(part: pd.DataFrame) -> pd.DataFrame:
+        rows = []
+        for b, g in part.groupby("__bucket", sort=False):
+            b = int(b)
+            feed = g.drop(columns="__bucket")
+            ins = feed[feed[action_col].to_numpy() == "upsert"].drop(columns=[action_col])
+            paths = _bucket_paths(base_dir, m, b)
+            if paths:
+                base = pd.concat(
+                    [pq.read_table(p).to_pandas() for p in paths], ignore_index=True
+                )
+                keep = base[~base[key].isin(feed[key].to_numpy())]
+                merged = pd.concat([keep, ins[keep.columns]], ignore_index=True)
+            else:
+                merged = ins if base_cols is None else ins[base_cols]
+            d = os.path.join(out_dir, f"bucket={b}")
+            os.makedirs(d, exist_ok=True)
+            fd, tmp = tempfile.mkstemp(dir=d, suffix=".tmp")
+            os.close(fd)
+            merged.to_parquet(tmp, index=False)
+            final = tmp[:-4] + ".parquet"
+            os.replace(tmp, final)
+            rows.append((b, len(merged), os.path.relpath(final, out_dir)))
+        return pd.DataFrame(rows, columns=["bucket", "rows", "path"])
+
+    written = hash_partition_apply(
+        changes.map_batches(add_bucket, batch_format="pandas"),
+        "__bucket",
+        merge_bucket,
+        num_partitions=nb,
+    ).to_pandas()
+    files = (
+        [
+            {"bucket": int(r["bucket"]), "rows": int(r["rows"]), "path": r["path"]}
+            for r in written.to_dict("records")
+        ]
+        if len(written.columns)
+        else []
+    )
+    touched = {f["bucket"] for f in files}
+    for f in m["files"]:
+        if int(f["bucket"]) in touched:
+            continue
+        src = os.path.join(base_dir, f["path"])
+        d = os.path.join(out_dir, f"bucket={int(f['bucket'])}")
+        os.makedirs(d, exist_ok=True)
+        dst = os.path.join(d, os.path.basename(f["path"]))
+        if not os.path.exists(dst):
+            try:
+                os.link(src, dst)  # metadata-only carry-over
+            except OSError:
+                shutil.copy2(src, dst)
+        files.append(
+            {"bucket": int(f["bucket"]), "rows": int(f["rows"]), "path": os.path.relpath(dst, out_dir)}
+        )
+    manifest = {
+        "key": key,
+        "num_buckets": nb,
+        "hash": HASH_TAG,
+        "files": sorted(files, key=lambda r: (r["bucket"], r["path"])),
+    }
+    fd, tmp = tempfile.mkstemp(dir=out_dir, suffix=".tmp")
+    with os.fdopen(fd, "w") as fh:
+        json.dump(manifest, fh)
+    os.replace(tmp, os.path.join(out_dir, BUCKET_MANIFEST))
+    return manifest
+
+
+def read_bucketed(out_dir: str, columns: Optional[List[str]] = None) -> "rd.Dataset":
+    """Read a bucketed layout back as a Dataset (manifest-listed files
+    only — a half-written generation's stray files are invisible)."""
+    m = read_manifest(out_dir)
+    paths = [os.path.join(out_dir, f["path"]) for f in m["files"]]
+    if not paths:
+        return rd.from_pandas(pd.DataFrame())
+    # partitioning=None: the hive-style bucket=K/ dirs are a layout detail,
+    # not a data column — default hive inference would inject 'bucket'
+    return rd.read_parquet(paths, columns=columns, partitioning=None)
+
+
 def bucketed_join(
     left_dir: str,
     right_dir: str,
