@@ -496,6 +496,98 @@ def clustered_price_band(
     return df.sort_values("o_orderstatus").reset_index(drop=True)
 
 
+def bloom_index_custkey_lookup(sf_dir: str, modulus: int = 1009) -> pd.DataFrame:
+    """Membership lookup through a BLOOM FILE-SKIPPING INDEX
+    (``sources.bloomindex``): orders cached as a multi-file layout in
+    natural order (clustered by NOTHING — the case the other two layouts
+    can't serve), a per-file Bloom index built on ``o_custkey`` in one
+    file-parallel column-projected pass, then an IN-list probe (customer
+    keys ≡ 0 mod ``modulus``) opens only the files whose filter claims a
+    probe key and the exact ``isin`` residual makes the result correct at
+    ANY false-positive load (no false negatives by construction — pinned
+    in tests/test_bloomindex.py). At a 100k-file corpus this is the
+    difference between a metadata probe + a handful of reads and a full
+    scan for every ad-hoc IN-list on a non-layout column. Per-custkey
+    order counts + cents totals; layout and index cached per scale
+    factor."""
+    import shutil
+
+    from xmlschema_ray.ops.relational import combiner_aggregate, to_pandas_with_schema
+    from xmlschema_ray.sources.bloomindex import (
+        BLOOM_MANIFEST,
+        build_bloom_index,
+        read_with_bloom,
+    )
+
+    root = os.path.join(
+        "/tmp/xmlschema_ray_bloomidx", os.path.basename(os.path.normpath(sf_dir))
+    )
+    data, idx = os.path.join(root, "orders16"), os.path.join(root, "orders16_idx")
+    if not os.path.exists(os.path.join(idx, BLOOM_MANIFEST)):
+        os.makedirs(root, exist_ok=True)
+
+        def to_c(batch: pd.DataFrame) -> pd.DataFrame:
+            return pd.DataFrame(
+                {
+                    "o_custkey": batch["o_custkey"].astype("int64"),
+                    "price_c": cents(batch["o_totalprice"]),
+                }
+            )
+
+        tmp = f"{data}.build{os.getpid()}"
+        rd.read_parquet(
+            table_path(sf_dir, "orders"), columns=["o_custkey", "o_totalprice"]
+        ).map_batches(to_c, batch_format="pandas").repartition(16).write_parquet(tmp)
+        try:
+            os.rename(tmp, data)
+        except OSError:
+            shutil.rmtree(tmp, ignore_errors=True)
+        tmp = f"{idx}.build{os.getpid()}"
+        build_bloom_index(data, "o_custkey", tmp)
+        try:
+            os.rename(tmp, idx)
+        except OSError:
+            shutil.rmtree(tmp, ignore_errors=True)
+
+    cust = rd.read_parquet(table_path(sf_dir, "customer"), columns=["c_custkey"])
+
+    def mod_filter(batch: pd.DataFrame) -> pd.DataFrame:
+        k = batch["c_custkey"].to_numpy(np.int64)
+        return pd.DataFrame({"c_custkey": k[k % modulus == 0]})
+
+    probe = np.sort(
+        cust.map_batches(mod_filter, batch_format="pandas").to_pandas()["c_custkey"].to_numpy(np.int64)
+    )
+    hits = read_with_bloom(data, idx, probe)
+    df = to_pandas_with_schema(
+        combiner_aggregate(
+            hits, "o_custkey", {"n_orders": (None, "count"), "total_c": ("price_c", "sum")}
+        )
+    )
+    if not len(df):
+        return pd.DataFrame(
+            {
+                "o_custkey": pd.Series([], dtype=np.int64),
+                "n_orders": pd.Series([], dtype=np.int64),
+                "total_c": pd.Series([], dtype=np.int64),
+            }
+        )
+    df["n_orders"] = df["n_orders"].astype("int64")
+    df["total_c"] = df["total_c"].astype("int64")
+    return df.sort_values("o_custkey").reset_index(drop=True)
+
+
+BLOOM_INDEX_CUSTKEY_SQL = """
+SELECT o_custkey,
+       CAST(COUNT(*) AS BIGINT) AS n_orders,
+       CAST(SUM(CAST(floor(o_totalprice * 100 + 0.5) AS BIGINT)) AS BIGINT) AS total_c
+FROM orders
+WHERE o_custkey IN (SELECT c_custkey FROM customer WHERE c_custkey % 1009 = 0)
+GROUP BY o_custkey
+ORDER BY o_custkey
+"""
+
+
 def bucketed_join_revenue(sf_dir: str, num_buckets: int = 16) -> pd.DataFrame:
     """Join over a HASH-BUCKETED layout (``sources.bucketed``): orders and
     lineitem are exported ONCE co-partitioned on orderkey (one exchange
@@ -3923,6 +4015,7 @@ ORACLES = {
     "orders_snapshot_diff": ORDERS_SNAPSHOT_DIFF_SQL,
     "orders_apply_changes": ORDERS_APPLY_CHANGES_SQL,
     "orders_compact_bucketed": ORDERS_APPLY_CHANGES_SQL,
+    "bloom_index_custkey_lookup": BLOOM_INDEX_CUSTKEY_SQL,
     "event_transition_matrix": EVENT_TRANSITION_SQL,
     "user_type_scd2": USER_TYPE_SCD2_SQL,
     "time_weighted_value_by_user": TIME_WEIGHTED_VALUE_SQL,
@@ -3988,6 +4081,7 @@ QUERIES = {
     "orders_snapshot_diff": orders_snapshot_diff,
     "orders_apply_changes": orders_apply_changes,
     "orders_compact_bucketed": orders_compact_bucketed,
+    "bloom_index_custkey_lookup": bloom_index_custkey_lookup,
     "event_transition_matrix": event_transition_matrix,
     "user_type_scd2": user_type_scd2,
     "time_weighted_value_by_user": time_weighted_value_by_user,
