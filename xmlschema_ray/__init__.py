@@ -32,6 +32,7 @@ Validation semantics follow the reference: validation is decode-with-errors
 from xmlschema_ray.constraints.spec import (
     AggregateCheck,
     ManifestCheck,
+    SequenceCheck,
     AltCase,
     ColumnAlias,
     ColumnSpec,
@@ -63,6 +64,7 @@ from xmlschema_ray.engine.engine import ValidationEngine, ValidationResult
 __all__ = [
     "AggregateCheck",
     "ManifestCheck",
+    "SequenceCheck",
     "AltCase",
     "ColumnSpec",
     "DriftSpec",

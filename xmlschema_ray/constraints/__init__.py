@@ -1,6 +1,7 @@
 from xmlschema_ray.constraints.spec import (
     AggregateCheck,
     ManifestCheck,
+    SequenceCheck,
     AltCase,
     ColumnAlias,
     ColumnSpec,
@@ -16,6 +17,7 @@ from xmlschema_ray.constraints.spec import (
 __all__ = [
     "AggregateCheck",
     "ManifestCheck",
+    "SequenceCheck",
     "AltCase",
     "ColumnAlias",
     "ColumnSpec",

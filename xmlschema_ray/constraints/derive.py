@@ -371,6 +371,12 @@ def spec_compat(old: TableConstraints, new: TableConstraints) -> List[Dict]:
                 f"{k.agg}({k.column}) by {k.group_by} in "
                 f"[{k.min_value},{k.max_value}]"
             )
+        if kind == "sequence_check":
+            return (
+                f"by {tuple(k.group_by)} order {tuple(k.order_by)}: "
+                f"{k.column} {k.kind}"
+                + (f"(max_gap={k.max_gap})" if k.max_gap is not None else "")
+            )
         if kind == "manifest_check":
             return (
                 f"by {k.group_by} vs {k.dim_name}.{k.dim_key}: "
@@ -386,6 +392,7 @@ def spec_compat(old: TableConstraints, new: TableConstraints) -> List[Dict]:
         ("foreign_key", old.foreign_keys, new.foreign_keys),
         ("aggregate_check", old.aggregate_checks, new.aggregate_checks),
         ("manifest_check", old.manifest_checks, new.manifest_checks),
+        ("sequence_check", old.sequence_checks, new.sequence_checks),
         ("row_check", old.row_checks, new.row_checks),
     ):
         old_by = {k.name: k for k in old_items}

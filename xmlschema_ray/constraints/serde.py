@@ -25,6 +25,7 @@ from xmlschema_ray.constraints.spec import (
     LengthEquals,
     ManifestCheck,
     RowCheck,
+    SequenceCheck,
     SpecError,
     TableConstraints,
     TypeAlternatives,
@@ -413,6 +414,20 @@ def spec_to_json(spec: TableConstraints) -> Dict[str, Any]:
             }
             for m in spec.manifest_checks
         ]
+    if spec.sequence_checks:
+        # emitted only when declared so pre-existing spec documents stay
+        # byte-stable (the manifest_checks convention)
+        doc["sequence_checks"] = [
+            {
+                "name": sc.name,
+                "group_by": list(sc.group_by),
+                "order_by": list(sc.order_by),
+                "column": sc.column,
+                "kind": sc.kind,
+                **({"max_gap": sc.max_gap} if sc.max_gap is not None else {}),
+            }
+            for sc in spec.sequence_checks
+        ]
     for rc in spec.row_checks:
         meta = getattr(rc, "_serde", None)
         if meta is None:
@@ -516,6 +531,17 @@ def spec_from_json(doc: Dict[str, Any]) -> TableConstraints:
             )
             for m in doc.get("manifest_checks", [])
         ],
+        sequence_checks=[
+            SequenceCheck(
+                name=sq["name"],
+                group_by=tuple(sq["group_by"]),
+                order_by=tuple(sq["order_by"]),
+                column=sq["column"],
+                kind=sq.get("kind", "non_decreasing"),
+                max_gap=sq.get("max_gap"),
+            )
+            for sq in doc.get("sequence_checks", [])
+        ],
         key_columns=tuple(doc.get("key_columns", ())),
         allow_extra_columns=doc.get("allow_extra_columns", True),
         stats_columns=tuple(doc.get("stats_columns", ())),
@@ -538,6 +564,7 @@ _OVERRIDE_SECTIONS = (
     ("type_alternatives", "name"),
     ("aggregate_checks", "name"),
     ("manifest_checks", "name"),
+    ("sequence_checks", "name"),
 )
 
 

@@ -36,6 +36,7 @@ __all__ = [
     "LengthEquals",
     "ManifestCheck",
     "RowCheck",
+    "SequenceCheck",
     "SpecError",
     "TableConstraints",
     "TypeAlternatives",
@@ -406,6 +407,71 @@ class ManifestCheck:
 
 
 @dataclass(frozen=True)
+class SequenceCheck:
+    """Per-key ORDERED-STREAM constraint — the cross-partition sequence
+    property no row-local check can see (§2.11 streaming concerns: the
+    reference's lazy mode explicitly SKIPS cross-subtree constraints,
+    ``validators/elements.py:547-549`` TODO, because they need state
+    beyond one streaming unit; here they get their own exchange instead):
+    within each ``group_by`` key group, ordered by ``order_by`` (append
+    tie-breaker columns until the order is total — an ambiguous order
+    would make the verdict parallelism-dependent), ``column`` must be
+    ``strictly_increasing`` / ``non_decreasing`` across consecutive rows,
+    or its consecutive deltas must not exceed ``max_gap`` (stream-
+    continuity: a telemetry/CDC feed with a hole). The violation is the
+    LATER row of each offending adjacent pair.
+
+    Physical plan (stage B3, ``engine.py _sequence_check_violations``):
+    ONE co-locating hash exchange of the PRUNED projection (group +
+    order + checked + violation-key columns — never the full row), then a
+    vectorized sort + shift compare per partition; group streams arrive
+    whole, so no second exchange. Null checked values are order-exempt
+    (pairs touching a null are skipped), mirroring xs:unique's null
+    exemption. Partitioning assumption: one GROUP's rows fit a worker
+    (user/device streams, not corpus-wide groups).
+    """
+
+    name: str
+    group_by: Tuple[str, ...]
+    order_by: Tuple[str, ...]
+    column: str
+    kind: str = "non_decreasing"  # strictly_increasing | non_decreasing | max_gap
+    max_gap: Optional[int] = None  # required iff kind == "max_gap"; integer units
+    # (µs for timestamp columns — timestamps compare as int64 microseconds)
+
+    KINDS = ("strictly_increasing", "non_decreasing", "max_gap")
+
+    def __post_init__(self):
+        if not isinstance(self.group_by, tuple):
+            object.__setattr__(self, "group_by", tuple(self.group_by))
+        if not isinstance(self.order_by, tuple):
+            object.__setattr__(self, "order_by", tuple(self.order_by))
+
+    def lint(self, known: set) -> None:
+        if self.kind not in self.KINDS:
+            raise SpecError(
+                f"sequence check {self.name!r}: unknown kind {self.kind!r} "
+                f"(expected one of {self.KINDS})"
+            )
+        if (self.kind == "max_gap") != (self.max_gap is not None):
+            raise SpecError(
+                f"sequence check {self.name!r}: max_gap must be set exactly "
+                "when kind == 'max_gap'"
+            )
+        if self.max_gap is not None and self.max_gap < 0:
+            raise SpecError(f"sequence check {self.name!r}: negative max_gap")
+        if not self.group_by:
+            raise SpecError(f"sequence check {self.name!r}: empty group_by")
+        if not self.order_by:
+            raise SpecError(f"sequence check {self.name!r}: empty order_by")
+        for col in (*self.group_by, *self.order_by, self.column):
+            if col not in known:
+                raise SpecError(
+                    f"sequence check {self.name!r} references unknown column {col!r}"
+                )
+
+
+@dataclass(frozen=True)
 class DriftSpec:
     """Distribution-drift gate on a derived integer quantity.
 
@@ -484,6 +550,7 @@ class TableConstraints:
     drift: List[DriftSpec] = field(default_factory=list)
     aggregate_checks: List[AggregateCheck] = field(default_factory=list)
     manifest_checks: List["ManifestCheck"] = field(default_factory=list)
+    sequence_checks: List["SequenceCheck"] = field(default_factory=list)
     type_alternatives: List[TypeAlternatives] = field(default_factory=list)
     key_columns: Tuple[str, ...] = ()
     allow_extra_columns: bool = True
@@ -613,6 +680,8 @@ class TableConstraints:
             ac.lint(known)
         for mc in self.manifest_checks:
             mc.lint(known, self.columns)
+        for sc in self.sequence_checks:
+            sc.lint(known)
         for col in self.key_columns + self.stats_columns + self.distinct_columns:
             if col not in known:
                 raise SpecError(f"unknown column {col!r} in key/stats/distinct columns")
@@ -658,6 +727,7 @@ class TableConstraints:
         out += [fk.name for fk in self.foreign_keys]
         out += [d.name for d in self.drift]
         out += [ac.name for ac in self.aggregate_checks]
+        out += [sc.name for sc in self.sequence_checks]
         out += [mc.name for mc in self.manifest_checks]
         return out
 

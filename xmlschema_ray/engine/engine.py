@@ -451,6 +451,110 @@ class ValidationEngine:
             out_ds = viol if out_ds is None else out_ds.union(viol)
         return out_ds
 
+    def _sequence_check_violations(
+        self, source, pid_of_file: Dict[str, int]
+    ) -> Optional["rd.Dataset"]:
+        """Stage B3 — per-key ORDERED-STREAM constraints (``SequenceCheck``):
+        the cross-partition sequence properties the streaming stage-A pass
+        cannot see (the reference's lazy mode SKIPS cross-subtree
+        constraints for the same reason, ``elements.py:547-549``). One
+        co-locating hash exchange per check over the PRUNED projection
+        (group + order + checked + violation-key columns), then a
+        vectorized sort + shift compare per partition — group streams
+        arrive whole, so no second exchange. The violation is the LATER
+        row of each offending adjacent pair, shaped exactly like stage A
+        rows (spec key identity, file-lineage partition attribution), so
+        sinks and verdict roll-up need no new cases."""
+        from xmlschema_ray.engine.row_validator import format_values, unique_key_column
+        from xmlschema_ray.ops.relational import hash_partition_apply
+
+        key_cols = list(self.spec.key_columns)
+        pid_ref = ray.put(pid_of_file)
+        out_ds: Optional[rd.Dataset] = None
+
+        def seq_vals(s: pd.Series):
+            """(values, non-null mask, exact-int flag); timestamps compare
+            as int64 microseconds (DuckDB's unit). pd.api.types checks
+            first — numpy's issubdtype chokes on pandas extension dtypes
+            (nullable Int64)."""
+            ok = s.notna().to_numpy()
+            if pd.api.types.is_datetime64_any_dtype(s.dtype):
+                return s.to_numpy(dtype="datetime64[us]").view("int64"), ok, True
+            if pd.api.types.is_integer_dtype(s.dtype):
+                return s.fillna(0).to_numpy(np.int64), ok, True
+            return s.astype("float64").to_numpy(np.float64), ok, False
+
+        for sc in self.spec.sequence_checks:
+            need = sorted(set(key_cols) | set(sc.group_by) | set(sc.order_by) | {sc.column})
+
+            def attach_pid(batch: pa.Table) -> pa.Table:
+                pmap = ray.get(pid_ref)
+                parr = batch["path"].to_numpy(zero_copy_only=False)
+                uniq, inv = np.unique(parr, return_inverse=True)
+                lut = np.array([pmap.get(p, -1) for p in uniq], dtype=np.int32)
+                return batch.drop_columns(["path"]).append_column(
+                    "__pid", pa.array(lut[inv], pa.int32())
+                )
+
+            src = rd.read_parquet(source, columns=need, include_paths=True).map_batches(
+                attach_pid, batch_format="pyarrow"
+            )
+
+            def find_viols(part: pd.DataFrame, sc=sc) -> pd.DataFrame:
+                p = part.sort_values(
+                    list(sc.group_by) + list(sc.order_by), kind="mergesort"
+                ).reset_index(drop=True)
+                same = np.zeros(len(p), dtype=bool)
+                if len(p) > 1:
+                    same[1:] = True
+                    for g in sc.group_by:
+                        same[1:] &= p[g].iloc[1:].to_numpy() == p[g].iloc[:-1].to_numpy()
+                vals, ok, exact = seq_vals(p[sc.column])
+                prev = np.roll(vals, 1)
+                pair = same & ok & np.roll(ok, 1)
+                if sc.kind == "strictly_increasing":
+                    bad = pair & (vals <= prev)
+                elif sc.kind == "non_decreasing":
+                    bad = pair & (vals < prev)
+                else:  # max_gap
+                    bad = pair & ((vals - prev) > sc.max_gap)
+                if not bad.any():
+                    return pd.DataFrame(
+                        {f.name: pd.Series([], dtype=object) for f in VIOLATION_SCHEMA}
+                    ).astype({"partition_id": "int32"})
+                b = p[bad]
+                keys = unique_key_column(
+                    pa.Table.from_pandas(b[key_cols], preserve_index=False), key_cols
+                ).to_numpy(zero_copy_only=False)
+                vreprs = format_values(pa.Array.from_pandas(b[sc.column]), np.arange(len(b)))
+                if sc.kind == "max_gap":
+                    gaps = (vals - prev)[bad]
+                    reasons = [
+                        f"gap {int(g) if exact else g} exceeds max_gap {sc.max_gap}"
+                        for g in gaps
+                    ]
+                else:
+                    pv = prev[bad]
+                    reasons = [
+                        f"{sc.kind} violated (previous value "
+                        f"{int(x) if exact else x})"
+                        for x in pv
+                    ]
+                return pd.DataFrame(
+                    {
+                        "partition_id": b["__pid"].to_numpy().astype("int32"),
+                        "key": keys.astype(object),
+                        "constraint_name": sc.name,
+                        "column": sc.column,
+                        "reason": np.array(reasons, dtype=object),
+                        "value_repr": np.array(vreprs, dtype=object),
+                    }
+                )
+
+            viol = hash_partition_apply(src, list(sc.group_by), find_viols)
+            out_ds = viol if out_ds is None else out_ds.union(viol)
+        return out_ds
+
     # -- schema precheck (partition-level) --------------------------------
 
     def _schema_violations(self, partition_id: int, files: List[str]) -> List[dict]:
@@ -573,6 +677,11 @@ class ValidationEngine:
             raise ValueError(
                 "distributed keyref (dim over broadcast_fk_cap_bytes) requires a "
                 "file-based source — a Dataset source would re-execute per keyref"
+            )
+        if self.spec.sequence_checks and ds_direct is not None:
+            raise ValueError(
+                "sequence checks (stage B3) require a file-based source — a "
+                "Dataset source has no re-readable lineage for the ordered pass"
             )
         fk_ref = ray.put(fk_sets) if fk_sets else None
 
@@ -834,6 +943,14 @@ class ValidationEngine:
             bigfk_viol_ds = self._deferred_fk_violations(
                 source, deferred_fks, pid_of_file or {}
             )
+        # stage B3: per-key ordered-stream constraints — same lazy-union
+        # plumbing as B2 (the downstream adaptive sink handles both)
+        if self.spec.sequence_checks and mode != "stats_only" and isinstance(source, list):
+            seq_ds = self._sequence_check_violations(source, pid_of_file or {})
+            if seq_ds is not None:
+                bigfk_viol_ds = (
+                    seq_ds if bigfk_viol_ds is None else bigfk_viol_ds.union(seq_ds)
+                )
 
         # stage B: global uniqueness over the pre-aggregated keycounts —
         # built LAZILY and unioned into the violations sink so the whole

@@ -867,12 +867,82 @@ ORDER BY doc_id
 """
 
 
+def val_event_gaps(sf_dir: str, max_gap_us: int = 1_800_000_000) -> pd.DataFrame:
+    """Per-key ORDERED-STREAM constraint through the FULL engine
+    (``SequenceCheck``, stage B3): within each user's event stream ordered
+    by (ts, event_id), the inter-event gap must not exceed 30 minutes —
+    the stream-continuity SLO a telemetry/CDC ingest gates on (a hole in
+    the feed is exactly what this catches). The check pays ONE co-locating
+    hash exchange of a pruned 3-column projection; the violation is the
+    LATER row of each offending pair (the first event after the hole),
+    carrying the engine's key identity and a replayable integer-µs gap
+    reason the oracle recomputes with a lag window. The cross-partition
+    constraint class the reference's lazy mode skips outright
+    (``validators/elements.py:547-549``)."""
+    from xmlschema_ray.constraints.spec import ColumnSpec, SequenceCheck, TableConstraints
+
+    ev_path = os.path.join(sf_dir, "events.parquet")
+    spec = TableConstraints(
+        name="event_gaps",
+        columns=[
+            ColumnSpec("event_id", pa.int64(), nullable=False),
+            ColumnSpec("user_id", pa.int64()),
+            ColumnSpec("ts", pa.timestamp("us")),
+        ],
+        sequence_checks=[
+            SequenceCheck(
+                "session_gap",
+                group_by=("user_id",),
+                order_by=("ts", "event_id"),
+                column="ts",
+                kind="max_gap",
+                max_gap=max_gap_us,
+            )
+        ],
+        key_columns=("event_id",),
+    )
+    out_dir = _scratch("val_event_gaps")
+    eng = ValidationEngine(spec, batch_size=8192, n_shards=1)
+    res = eng.run(ev_path, out_dir=out_dir, resume=False)
+    v = res.violations()
+    v = v[v["constraint_name"] == "session_gap"]
+    return (
+        pd.DataFrame(
+            {
+                "event_id": v["key"].astype("int64"),
+                "constraint_name": v["constraint_name"].astype(object),
+                "reason": v["reason"].astype(object),
+            }
+        )
+        .sort_values("event_id")
+        .reset_index(drop=True)
+    )
+
+
+VAL_EVENT_GAPS_SQL = """
+WITH g AS (
+  SELECT event_id,
+         epoch_us(ts) - lag(epoch_us(ts)) OVER (
+           PARTITION BY user_id ORDER BY ts, event_id
+         ) AS gap
+  FROM events
+)
+SELECT event_id,
+       'session_gap' AS constraint_name,
+       'gap ' || CAST(gap AS VARCHAR) || ' exceeds max_gap 1800000000' AS reason
+FROM g
+WHERE gap > 1800000000
+ORDER BY event_id
+"""
+
+
 ORACLES: Dict[str, str] = {
     "validate_sequences": VALIDATE_SEQUENCES_SQL,
     "val_composite_fk": VAL_COMPOSITE_FK_SQL,
     "val_fk_distributed": VAL_FK_DISTRIBUTED_SQL,
     "val_manifest_reconcile": VAL_MANIFEST_RECONCILE_SQL,
     "val_source_mean_chars": VAL_SOURCE_MEAN_CHARS_SQL,
+    "val_event_gaps": VAL_EVENT_GAPS_SQL,
     "val_warning_severity": VAL_WARNING_SEVERITY_SQL,
     "val_unique_words": VAL_UNIQUE_WORDS_SQL,
     "validate_sequences_seeded": SEEDED_SQL,
@@ -886,6 +956,7 @@ QUERIES = {
     "val_fk_distributed": val_fk_distributed,
     "val_manifest_reconcile": val_manifest_reconcile,
     "val_source_mean_chars": val_source_mean_chars,
+    "val_event_gaps": val_event_gaps,
     "val_warning_severity": val_warning_severity,
     "val_unique_words": val_unique_words,
     "validate_sequences_seeded": validate_sequences_seeded,
