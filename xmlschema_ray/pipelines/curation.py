@@ -2750,11 +2750,130 @@ ORDER BY m.doc_id
 """
 
 
+
+def cms_shingle_sketch(sf_dir: str, d: int = 4, w: int = 256) -> pd.DataFrame:
+    """COUNT-MIN SKETCH over all 3-word-shingle occurrences — the
+    mergeable frequency sketch (Cormode & Muthukrishnan 2005), the third
+    sketch family next to HyperLogLog (distinct counts,
+    :func:`hll_vocab_by_source`) and the histogram quantiles
+    (``quantile_sketch_quantity``): a fixed d×w integer counter matrix
+    answers "how often did item x occur?" with estimate = min over d rows
+    of x's bucket counters — never an underestimate (every occurrence
+    lands in all d of its buckets), overestimates only from collisions,
+    bounded by the classic ε = e/w at δ = e^-d. The matrix MERGES BY
+    ADDITION, so per-batch partials collapse through one combiner
+    exchange of ≤ d·w integer cells per batch — a 100-TB corpus's
+    frequency table ships as a 4×256 grid, the whole point of the sketch.
+
+    Bucket hashing is md5-derived (row r: first 8 hex chars of
+    ``md5(f"{r}|{gram}")`` mod w, 32 bits — exact in BIGINT), so DuckDB
+    recomputes EVERY CELL of the matrix from the raw corpus — the oracle
+    proves the hashing + counting + merge machinery bit-for-bit, not an
+    estimate tolerance (the :func:`hll_vocab_by_source` precedent). Grams
+    are deduped per batch and counted with bincount weights, so md5 runs
+    once per distinct gram per batch, not per occurrence. The
+    no-underestimate property is pinned against exact counts in
+    tests/test_cms.py."""
+    import hashlib
+
+    from xmlschema_ray.ops.relational import combiner_aggregate, to_pandas_with_schema
+
+    ds = rd.read_parquet(table_path(sf_dir, "documents"), columns=["text"])
+
+    def partial(batch: pa.Table) -> pd.DataFrame:
+        _, grams = _word_grams(batch["text"], 3)
+        if not len(grams):
+            return pd.DataFrame(
+                {
+                    "r": pd.Series([], dtype=np.int64),
+                    "b": pd.Series([], dtype=np.int64),
+                    "c": pd.Series([], dtype=np.int64),
+                }
+            )
+        uniq, counts = np.unique(grams, return_counts=True)
+        rs, bs, cs = [], [], []
+        for r in range(d):
+            pre = f"{r}|"
+            bkt = np.fromiter(
+                (
+                    int(hashlib.md5((pre + g).encode("utf-8")).hexdigest()[:8], 16) % w
+                    for g in uniq
+                ),
+                dtype=np.int64,
+                count=len(uniq),
+            )
+            cell = np.bincount(bkt, weights=counts, minlength=w).astype(np.int64)
+            hit = np.nonzero(cell)[0]
+            rs.append(np.full(len(hit), r, dtype=np.int64))
+            bs.append(hit.astype(np.int64))
+            cs.append(cell[hit])
+        return pd.DataFrame(
+            {"r": np.concatenate(rs), "b": np.concatenate(bs), "c": np.concatenate(cs)}
+        )
+
+    df = to_pandas_with_schema(
+        combiner_aggregate(
+            ds.map_batches(partial, batch_format="pyarrow"),
+            ["r", "b"],
+            {"c": ("c", "sum")},
+        )
+    )
+    if not len(df):
+        return pd.DataFrame(
+            {
+                "r": pd.Series([], dtype=np.int64),
+                "b": pd.Series([], dtype=np.int64),
+                "c": pd.Series([], dtype=np.int64),
+            }
+        )
+    df = df.astype({"r": "int64", "b": "int64", "c": "int64"})
+    return df.sort_values(["r", "b"]).reset_index(drop=True)
+
+
+def cms_estimate(sketch: pd.DataFrame, grams, d: int = 4, w: int = 256) -> pd.DataFrame:
+    """Point queries against a :func:`cms_shingle_sketch` matrix:
+    estimate(g) = min over rows of the g-bucket counters (absent cell =
+    0). Driver-side — the sketch is d×w by construction."""
+    import hashlib
+
+    grid = np.zeros((d, w), dtype=np.int64)
+    grid[sketch["r"].to_numpy(np.int64), sketch["b"].to_numpy(np.int64)] = sketch[
+        "c"
+    ].to_numpy(np.int64)
+    out = []
+    for g in grams:
+        est = min(
+            int(grid[r, int(hashlib.md5(f"{r}|{g}".encode()).hexdigest()[:8], 16) % w])
+            for r in range(d)
+        )
+        out.append((g, est))
+    return pd.DataFrame(out, columns=["gram", "estimate"]).astype({"estimate": "int64"})
+
+
+CMS_SHINGLE_SQL = """
+WITH ws AS (
+  SELECT list_filter(regexp_split_to_array(trim(text), '\\s+'), x -> x <> '') AS w
+  FROM documents
+), g AS (
+  SELECT unnest(list_transform(range(1, length(w) - 1),
+                               i -> w[i] || ' ' || w[i+1] || ' ' || w[i+2])) AS gram
+  FROM ws
+), rws AS (SELECT unnest(range(0, 4)) AS r)
+SELECT CAST(r AS BIGINT) AS r,
+       CAST(('0x' || substr(md5(CAST(r AS VARCHAR) || '|' || gram), 1, 8))::BIGINT % 256 AS BIGINT) AS b,
+       CAST(COUNT(*) AS BIGINT) AS c
+FROM g CROSS JOIN rws
+GROUP BY 1, 2
+ORDER BY 1, 2
+"""
+
+
 ORACLES: Dict[str, str] = {
     "top_words": TOP_WORDS_SQL,
     "heavy_hitter_words": HEAVY_HITTER_SQL,
     "pretraining_manifest": PRETRAINING_MANIFEST_SQL,
     "hll_vocab_by_source": HLL_VOCAB_SQL,
+    "cms_shingle_sketch": CMS_SHINGLE_SQL,
     "unimax_language_budgets": UNIMAX_SQL,
     "top_bigrams": TOP_BIGRAMS_SQL,
     "redact_terms": REDACT_TERMS_SQL,
@@ -2789,6 +2908,7 @@ QUERIES = {
     "heavy_hitter_words": heavy_hitter_words,
     "pretraining_manifest": pretraining_manifest,
     "hll_vocab_by_source": hll_vocab_by_source,
+    "cms_shingle_sketch": cms_shingle_sketch,
     "unimax_language_budgets": unimax_language_budgets,
     "top_bigrams": top_bigrams,
     "redact_terms": redact_terms,
