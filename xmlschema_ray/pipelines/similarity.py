@@ -714,12 +714,111 @@ def embedding_top_component(
     return out
 
 
+def embedding_quantize_int8(sf_dir: str, levels: int = 255) -> pd.DataFrame:
+    """Per-dimension min/max INT8 quantization of the embedding corpus —
+    the vector-compression prep every serving/ANN stack runs before
+    shipping embeddings (4× smaller than float32, 8× than float64; IVF/PQ
+    distance kernels read the codes directly). Two passes, both mergeable:
+    (1) per-dimension global min/max as d-row combiner partials (the
+    exchange carries 64 rows per batch, never vectors); (2) the d-row
+    scale table broadcasts by closure and every vector encodes in place —
+    embarrassingly parallel, zero further exchanges.
+
+    code = floor((v − mn) · levels / (mx − mn)) clamped to ``levels``,
+    with constant dimensions (mx == mn) pinned to 0. Every step is IEEE
+    double arithmetic in a FIXED expression order that the DuckDB oracle
+    replays verbatim (float32 inputs widen exactly to double), so codes
+    compare bit-for-bit — the compare proves the encode, not a tolerance.
+    Output: per-vector code checksum + range (vec_id, code_sum, code_min,
+    code_max) — corpus-row-sized, the compact end-to-end witness of all
+    d·n codes.
+    """
+    from xmlschema_ray.ops.relational import combiner_aggregate, to_pandas_with_schema
+
+    ds = rd.read_parquet(table_path(sf_dir, "embeddings"), columns=["vec_id", "embedding"])
+
+    def minmax_partial(batch: pd.DataFrame) -> pd.DataFrame:
+        mat = np.stack(batch["embedding"].to_numpy()).astype(np.float64)
+        d = mat.shape[1]
+        return pd.DataFrame(
+            {
+                "dim": np.arange(d, dtype=np.int64),
+                "mn": mat.min(axis=0),
+                "mx": mat.max(axis=0),
+            }
+        )
+
+    scale = to_pandas_with_schema(
+        combiner_aggregate(
+            ds.map_batches(minmax_partial, batch_format="pandas"),
+            "dim",
+            {"mn": ("mn", "min"), "mx": ("mx", "max")},
+        )
+    )
+    if not len(scale):
+        return pd.DataFrame(
+            {
+                "vec_id": pd.Series([], dtype=np.int64),
+                "code_sum": pd.Series([], dtype=np.int64),
+                "code_min": pd.Series([], dtype=np.int64),
+                "code_max": pd.Series([], dtype=np.int64),
+            }
+        )
+    scale = scale.sort_values("dim")
+    mn = scale["mn"].to_numpy(np.float64)
+    mx = scale["mx"].to_numpy(np.float64)
+    span = mx - mn
+    const = span == 0.0
+
+    def encode(batch: pd.DataFrame) -> pd.DataFrame:
+        mat = np.stack(batch["embedding"].to_numpy()).astype(np.float64)
+        # FIXED op order replayed by the oracle: (v - mn) * levels / span
+        with np.errstate(divide="ignore", invalid="ignore"):
+            codes = np.floor((mat - mn) * float(levels) / span)
+        codes = np.minimum(codes, float(levels))
+        codes[:, const] = 0.0
+        codes = codes.astype(np.int64)
+        return pd.DataFrame(
+            {
+                "vec_id": batch["vec_id"].to_numpy(np.int64),
+                "code_sum": codes.sum(axis=1),
+                "code_min": codes.min(axis=1),
+                "code_max": codes.max(axis=1),
+            }
+        )
+
+    out = to_pandas_with_schema(ds.map_batches(encode, batch_format="pandas"))
+    return out.sort_values("vec_id").reset_index(drop=True).astype(
+        {"vec_id": "int64", "code_sum": "int64", "code_min": "int64", "code_max": "int64"}
+    )
+
+
+EMBEDDING_QUANTIZE_SQL = """
+WITH u AS (
+  SELECT vec_id, CAST(i - 1 AS BIGINT) AS dim, CAST(embedding[i] AS DOUBLE) AS v
+  FROM embeddings, LATERAL unnest(generate_series(1, len(embedding))) AS t(i)
+), s AS (
+  SELECT dim, MIN(v) AS mn, MAX(v) AS mx FROM u GROUP BY dim
+), c AS (
+  SELECT u.vec_id,
+         CASE WHEN s.mx = s.mn THEN 0
+              ELSE CAST(LEAST(255.0, floor((u.v - s.mn) * 255.0 / (s.mx - s.mn))) AS BIGINT)
+         END AS code
+  FROM u JOIN s USING (dim)
+)
+SELECT vec_id, CAST(SUM(code) AS BIGINT) AS code_sum,
+       CAST(MIN(code) AS BIGINT) AS code_min, CAST(MAX(code) AS BIGINT) AS code_max
+FROM c GROUP BY vec_id ORDER BY vec_id
+"""
+
+
 ORACLES: Dict[str, str] = {
     "knn_cosine": KNN_SQL,
     "knn_lsh": KNN_LSH_SQL,
     "knn_ivf": KNN_IVF_SQL,
     "embedding_kmeans": EMBEDDING_KMEANS_SQL,
     "embedding_centroids_by_label": EMBEDDING_CENTROIDS_SQL,
+    "embedding_quantize_int8": EMBEDDING_QUANTIZE_SQL,
 }
 
 QUERIES = {
@@ -728,6 +827,7 @@ QUERIES = {
     "knn_ivf": knn_ivf,
     "embedding_kmeans": embedding_kmeans,
     "embedding_centroids_by_label": embedding_centroids_by_label,
+    "embedding_quantize_int8": embedding_quantize_int8,
     # no SQL oracle (iterative float fixpoint — the bpe_train precedent);
     # proven against numpy eigendecomposition in tests/test_graph_readers.py
     "embedding_top_component": embedding_top_component,
