@@ -61,6 +61,28 @@ def kmeans_fit(
     return centroids
 
 
+def kmeans_fit_l2(
+    sample: np.ndarray, k: int = 16, iters: int = 10, seed: int = 7
+) -> np.ndarray:
+    """Euclidean (squared-L2) Lloyd k-means on a driver-side sample — the
+    PRODUCT-QUANTIZATION codebook fit (PQ subspaces quantize raw
+    subvectors, so cosine/spherical assignment would be wrong here;
+    :func:`kmeans_fit` stays the IVF coarse quantizer). Deterministic
+    seeded init; empty clusters re-seed from the sample."""
+    x = np.asarray(sample, dtype=np.float64)
+    rng = np.random.default_rng(seed)
+    centroids = x[rng.choice(len(x), size=min(k, len(x)), replace=False)]
+    for _ in range(iters):
+        d2 = ((x[:, None, :] - centroids[None]) ** 2).sum(axis=2)
+        assign = d2.argmin(axis=1)
+        new = np.zeros_like(centroids)
+        for c in range(len(centroids)):
+            members = x[assign == c]
+            new[c] = members.mean(axis=0) if len(members) else x[rng.integers(len(x))]
+        centroids = new
+    return centroids
+
+
 def ivf_assign(vecs: np.ndarray, centroids: np.ndarray) -> np.ndarray:
     """Nearest-centroid id per vector (one matmul)."""
     return (normalize_rows(vecs) @ centroids.T).argmax(axis=1)

@@ -812,6 +812,194 @@ FROM c GROUP BY vec_id ORDER BY vec_id
 """
 
 
+def pq_ann_topk(
+    sf_dir: str,
+    m: int = 8,
+    ks: int = 16,
+    k: int = TOP_K,
+    sample_size: int = 2048,
+    oracle_dump: bool = True,
+) -> pd.DataFrame:
+    """PRODUCT-QUANTIZATION ANN (Jégou et al. 2011): the compression path
+    that completes the ANN family — IVF prunes WHICH vectors to score,
+    PQ compresses HOW each vector is scored. Each d-dim vector becomes m
+    uint8 codes (one per subspace, nearest of ks codebook centroids), a
+    64×float32 → 8-byte reduction; a query then scores the WHOLE corpus
+    through an m×ks distance table + code lookups (ADC — asymmetric
+    distance computation) without ever touching the original vectors.
+
+    Everything after the codebook fit is INTEGER-EXACT: codebooks are
+    quantized to scaled ints (the ``embedding_centroids_by_label``
+    discipline), queries quantize with the same floor(x·1e6+0.5), so
+    per-subspace distance tables, encode argmins and ADC sums are all
+    int64 arithmetic — the DuckDB oracle recomputes distance tables and
+    the full ADC top-k from the dumped codes + codebooks and compares
+    HASH-EXACT (no float-rank caveat; the kmeans dumped-state pattern,
+    strengthened from rank-robust to bit-exact). Encode correctness is
+    pinned separately in tests (brute-force argmin; lossless round-trip
+    when corpus rows ARE centroids).
+
+    Scale: codebook fit on a cross-block seeded sample (driver-side,
+    m·ks·(d/m) floats); encode is one broadcast + per-batch integer
+    einsum, zero exchanges; query scoring is per-batch table lookups with
+    k×Q-bounded partial top-k rows to the driver (the ``knn_cosine``
+    merge contract)."""
+    from xmlschema_ray.functions.vector import kmeans_fit_l2
+    from xmlschema_ray.ops.sample import seeded_embedding_sample
+    from xmlschema_ray.pipelines.common import scaled_int
+
+    ds = rd.read_parquet(table_path(sf_dir, "embeddings"), columns=["vec_id", "embedding"])
+    sample = seeded_embedding_sample(ds, sample_size)
+    if not len(sample):
+        return pd.DataFrame(
+            {
+                "query_vec_id": pd.Series([], dtype=np.int64),
+                "rank": pd.Series([], dtype=np.int64),
+                "vec_id": pd.Series([], dtype=np.int64),
+                "adc_dist": pd.Series([], dtype=np.int64),
+            }
+        )
+    d = sample.shape[1]
+    if d % m:
+        raise ValueError(f"pq_ann_topk: dim {d} not divisible by m={m}")
+    sub = d // m
+    cb = np.stack(
+        [
+            scaled_int(kmeans_fit_l2(sample[:, j * sub : (j + 1) * sub], k=ks), 1_000_000.0)
+            for j in range(m)
+        ]
+    )  # (m, ks, sub) int64
+    # overflow lint: adc sums m·sub squared diffs of ≤2·maxabs magnitudes
+    maxabs = max(int(np.abs(cb).max()), int(np.ceil(np.abs(sample).max() * 1e6 + 1)))
+    if m * sub * (2 * maxabs) ** 2 >= 2**62:
+        raise ValueError("pq_ann_topk: scaled values would overflow int64 adc sums")
+    cb_ref = ray.put(cb)
+    state: dict = {}
+
+    def codes_of(mat_int: np.ndarray, cbl: np.ndarray) -> np.ndarray:
+        codes = np.empty((len(mat_int), m), dtype=np.int64)
+        for j in range(m):
+            x = mat_int[:, j * sub : (j + 1) * sub]
+            diff = x[:, None, :] - cbl[j][None]
+            codes[:, j] = np.einsum("nks,nks->nk", diff, diff).argmin(axis=1)
+        return codes
+
+    qids, qmat = _query_matrix(sf_dir)
+    qint = scaled_int(qmat, 1_000_000.0)  # (Q, d)
+    # per-query distance tables (Q, m, ks): int64
+    qsub = qint.reshape(len(qint), m, sub)
+    dt = ((qsub[:, :, None, :] - cb[None]) ** 2).sum(axis=3)
+    dt_ref = ray.put(dt)
+
+    def topk_partial(batch: pd.DataFrame) -> pd.DataFrame:
+        c = state.get("cb")
+        if c is None:
+            c = state["cb"] = ray.get(cb_ref)
+            state["dt"] = ray.get(dt_ref)
+        t = state["dt"]
+        mat = scaled_int(np.stack(batch["embedding"].to_numpy()), 1_000_000.0)
+        ids = batch["vec_id"].to_numpy(np.int64)
+        codes = codes_of(mat, c)
+        rows = []
+        for qi in range(len(qids)):
+            adc = t[qi, np.arange(m)[None, :], codes].sum(axis=1)  # (n,)
+            order = np.lexsort((ids, adc))[:k]
+            rows.append(
+                pd.DataFrame(
+                    {
+                        "query_vec_id": np.full(len(order), qids[qi], dtype=np.int64),
+                        "vec_id": ids[order],
+                        "adc_dist": adc[order],
+                    }
+                )
+            )
+        return pd.concat(rows, ignore_index=True)
+
+    # driver merge bounded at k × Q rows per batch (toy corpora; the
+    # knn_cosine distributed-reduce path is the >threshold route)
+    parts = ds.map_batches(topk_partial, batch_format="pandas").to_pandas()
+    out = []
+    for qid, g in parts.groupby("query_vec_id", sort=True):
+        g = g.sort_values(["adc_dist", "vec_id"], kind="mergesort").head(k)
+        g = g.reset_index(drop=True)
+        g.insert(1, "rank", np.arange(1, len(g) + 1, dtype=np.int64))
+        out.append(g)
+    res = pd.concat(out, ignore_index=True).astype(
+        {"query_vec_id": "int64", "rank": "int64", "vec_id": "int64", "adc_dist": "int64"}
+    )
+
+    if oracle_dump:
+
+        def dump_codes(batch: pd.DataFrame) -> pd.DataFrame:
+            c = state.get("cb")
+            if c is None:
+                c = state["cb"] = ray.get(cb_ref)
+            mat = scaled_int(np.stack(batch["embedding"].to_numpy()), 1_000_000.0)
+            ids = batch["vec_id"].to_numpy(np.int64)
+            codes = codes_of(mat, c)
+            return pd.DataFrame(
+                {
+                    "vec_id": np.repeat(ids, m),
+                    "sub": np.tile(np.arange(m, dtype=np.int64), len(ids)),
+                    "code": codes.reshape(-1),
+                }
+            )
+
+        _dump(ds.map_batches(dump_codes, batch_format="pandas"), "pq_codes")
+        subs, codes_i, dims = np.meshgrid(
+            np.arange(m, dtype=np.int64),
+            np.arange(ks, dtype=np.int64),
+            np.arange(sub, dtype=np.int64),
+            indexing="ij",
+        )
+        _dump(
+            rd.from_pandas(
+                pd.DataFrame(
+                    {
+                        "sub": subs.reshape(-1),
+                        "code": codes_i.reshape(-1),
+                        "dim": dims.reshape(-1),
+                        "c": cb.reshape(-1),
+                    }
+                )
+            ),
+            "pq_codebooks",
+        )
+
+    return res
+
+
+PQ_ANN_TOPK_SQL = f"""
+WITH cb AS (
+  SELECT sub, code, dim, c FROM read_parquet('{ORACLE_DUMP_DIR}/pq_codebooks/*.parquet')
+), codes AS (
+  SELECT vec_id, sub, code FROM read_parquet('{ORACLE_DUMP_DIR}/pq_codes/*.parquet')
+), q AS (
+  SELECT vec_id AS qid,
+         CAST((i - 1) // 8 AS BIGINT) AS sub,
+         CAST((i - 1) % 8 AS BIGINT) AS dim,
+         CAST(floor(CAST(embedding[i] AS DOUBLE) * 1000000 + 0.5) AS BIGINT) AS qv
+  FROM embeddings, LATERAL unnest(generate_series(1, len(embedding))) AS t(i)
+  WHERE vec_id < {{n_queries}}
+), dt AS (
+  SELECT q.qid, q.sub, cb.code, SUM((q.qv - cb.c) * (q.qv - cb.c)) AS dsub
+  FROM q JOIN cb ON q.sub = cb.sub AND q.dim = cb.dim
+  GROUP BY 1, 2, 3
+), adc AS (
+  SELECT dt.qid, codes.vec_id, CAST(SUM(dt.dsub) AS BIGINT) AS adc_dist
+  FROM codes JOIN dt ON codes.sub = dt.sub AND codes.code = dt.code
+  GROUP BY 1, 2
+), r AS (
+  SELECT qid, vec_id, adc_dist,
+         row_number() OVER (PARTITION BY qid ORDER BY adc_dist, vec_id) AS rnk
+  FROM adc
+)
+SELECT qid AS query_vec_id, CAST(rnk AS BIGINT) AS rank, vec_id, adc_dist
+FROM r WHERE rnk <= {{k}}
+ORDER BY query_vec_id, rank
+""".format(n_queries=N_QUERIES, k=TOP_K)
+
+
 ORACLES: Dict[str, str] = {
     "knn_cosine": KNN_SQL,
     "knn_lsh": KNN_LSH_SQL,
@@ -819,6 +1007,7 @@ ORACLES: Dict[str, str] = {
     "embedding_kmeans": EMBEDDING_KMEANS_SQL,
     "embedding_centroids_by_label": EMBEDDING_CENTROIDS_SQL,
     "embedding_quantize_int8": EMBEDDING_QUANTIZE_SQL,
+    "pq_ann_topk": PQ_ANN_TOPK_SQL,
 }
 
 QUERIES = {
@@ -828,6 +1017,7 @@ QUERIES = {
     "embedding_kmeans": embedding_kmeans,
     "embedding_centroids_by_label": embedding_centroids_by_label,
     "embedding_quantize_int8": embedding_quantize_int8,
+    "pq_ann_topk": pq_ann_topk,
     # no SQL oracle (iterative float fixpoint — the bpe_train precedent);
     # proven against numpy eigendecomposition in tests/test_graph_readers.py
     "embedding_top_component": embedding_top_component,
