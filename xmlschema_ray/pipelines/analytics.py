@@ -42,6 +42,8 @@ __all__ = [
     "part_reach_hops",
     "part_kcore",
     "kcore_from_edges",
+    "part_sssp",
+    "sssp_from_edges",
     "logreg_train_orders",
     "auc_urgent_price",
     "bfs_hops_from_edges",
@@ -1291,6 +1293,207 @@ def auc_urgent_price(
     return result(n_pos, n_neg, gt, int(stats["eq"].sum()))
 
 
+# -- weighted shortest paths (min-plus relaxation) --------------------------
+
+
+def sssp_from_edges(
+    edges: "rd.Dataset",
+    rounds: int = 6,
+    seed_mod: int = 97,
+    num_partitions: Optional[int] = None,
+) -> pd.DataFrame:
+    """Multi-source WEIGHTED shortest paths over an undirected weighted
+    edge list (``part_a``/``part_b``/``w``, positive integer weights):
+    min total weight from the seed set ``{node : node % seed_mod == 0}``
+    using paths of at most ``rounds`` edges — the MIN-PLUS RELAXATION
+    shape (Bellman-Ford), the fourth iterative-graph member next to BFS
+    (unweighted frontier expansion), PageRank (dense mass fixpoint) and
+    k-core (shrinking alive set): here the state is a monotonically
+    DECREASING distance vector and the per-round merge is ``min``, not
+    sum — a different combiner algebra through the same exchange
+    machinery.
+
+    The schedule is ``rounds`` FULL relaxation passes; the implementation
+    relaxes only from the frontier (nodes whose distance changed last
+    round) and early-exits when it empties — a provable no-op versus the
+    dense schedule (an edge from an unchanged node re-proposes the same
+    candidate its last relaxation already proposed, and min is
+    idempotent), so the DuckDB oracle's unrolled dense rounds match
+    verbatim. Integer weights keep every distance exact at any
+    parallelism.
+
+    Distance/frontier vectors are node-DIMENSION-sized (the same
+    dim-broadcast assumption as the BFS/PageRank broadcast plans; the
+    fact-scale node-set alternative is the kcore-style copartition
+    semi-join). Each round broadcasts the (node, dist) frontier pairs
+    ONCE (``ray.put``), streams the edge Dataset in place (edges never
+    reshuffle), pre-reduces candidates per batch, and ships per-dst MIN
+    partials through one combiner exchange — per-round traffic is
+    bounded by the frontier's neighborhood, never the graph.
+    """
+    from xmlschema_ray.ops.relational import combiner_aggregate, to_pandas_with_schema
+
+    def both_dirs(batch: pd.DataFrame) -> pd.DataFrame:
+        w = batch["w"].to_numpy(np.int64)
+        return pd.DataFrame(
+            {
+                "src": np.concatenate(
+                    [batch["part_a"].to_numpy(np.int64), batch["part_b"].to_numpy(np.int64)]
+                ),
+                "dst": np.concatenate(
+                    [batch["part_b"].to_numpy(np.int64), batch["part_a"].to_numpy(np.int64)]
+                ),
+                "w": np.concatenate([w, w]),
+            }
+        )
+
+    directed = edges.map_batches(both_dirs, batch_format="pandas").materialize()
+    nodes_df = to_pandas_with_schema(
+        combiner_aggregate(directed, "src", {"deg": (None, "count")})
+    )
+    empty = pd.DataFrame(
+        {
+            "p_partkey": pd.Series([], dtype=np.int64),
+            "dist": pd.Series([], dtype=np.int64),
+        }
+    )
+    if len(nodes_df) == 0:
+        return empty
+    nodes = np.sort(nodes_df["src"].to_numpy(np.int64))
+    sentinel = np.iinfo(np.int64).max
+    dist = np.full(len(nodes), sentinel, dtype=np.int64)
+    seed_mask = nodes % seed_mod == 0
+    if not seed_mask.any():
+        return empty
+    dist[seed_mask] = 0
+    f_nodes = nodes[seed_mask]
+    f_dist = np.zeros(len(f_nodes), dtype=np.int64)
+    r = 0
+    while len(f_nodes) and r < rounds:
+        r += 1
+        # frontier ships sorted by node so workers binary-search it
+        f_ref = ray.put((f_nodes, f_dist))
+
+        def relax(batch: pd.DataFrame) -> pd.DataFrame:
+            fn_, fd_ = ray.get(f_ref) if isinstance(f_ref, ray.ObjectRef) else f_ref
+            src = batch["src"].to_numpy(np.int64)
+            pos = np.searchsorted(fn_, src)
+            pos_c = np.minimum(pos, len(fn_) - 1)
+            m = fn_[pos_c] == src
+            if not m.any():
+                return pd.DataFrame(
+                    {
+                        "dst": pd.Series([], dtype=np.int64),
+                        "d": pd.Series([], dtype=np.int64),
+                    }
+                )
+            cand = pd.DataFrame(
+                {
+                    "dst": batch["dst"].to_numpy(np.int64)[m],
+                    "d": fd_[pos_c[m]] + batch["w"].to_numpy(np.int64)[m],
+                }
+            )
+            return cand.groupby("dst", as_index=False)["d"].min()
+
+        reached = to_pandas_with_schema(
+            combiner_aggregate(
+                directed.map_batches(relax, batch_format="pandas"),
+                "dst",
+                {"d": ("d", "min")},
+                num_partitions=num_partitions,
+            )
+        )
+        if len(reached) == 0:
+            break
+        rn = reached["dst"].to_numpy(np.int64)
+        rdist = reached["d"].to_numpy(np.int64)
+        pos = np.searchsorted(nodes, rn)
+        better = rdist < dist[pos]
+        dist[pos[better]] = rdist[better]
+        f_nodes = rn[better]
+        f_dist = rdist[better]
+        order = np.argsort(f_nodes)
+        f_nodes, f_dist = f_nodes[order], f_dist[order]
+    keep = dist < sentinel
+    return (
+        pd.DataFrame({"p_partkey": nodes[keep], "dist": dist[keep]})
+        .astype({"p_partkey": "int64", "dist": "int64"})
+        .reset_index(drop=True)
+    )
+
+
+def part_sssp(
+    sf_dir: str, rounds: int = 6, seed_mod: int = 97, min_support: int = 2
+) -> pd.DataFrame:
+    """Weighted proximity of every part to the seed parts over the
+    co-purchase graph, where tie STRENGTH sets the metric: edge weight
+    ``max(1, 1000 // n_orders)`` makes frequently-co-bought pairs CLOSE,
+    so ``dist`` ranks each part's affinity to the seed set through at
+    most ``rounds`` hops — recommendation-radius / substitution-cost
+    analysis the unweighted BFS (``part_reach_hops``) flattens. See
+    :func:`sssp_from_edges` for the min-plus plan."""
+    from xmlschema_ray.pipelines.relational import part_pair_cooccurrence
+
+    edges = part_pair_cooccurrence(sf_dir, min_support=min_support)
+
+    def weigh(batch: pd.DataFrame) -> pd.DataFrame:
+        n = batch["n_orders"].to_numpy(np.int64)
+        return pd.DataFrame(
+            {
+                "part_a": batch["part_a"].to_numpy(np.int64),
+                "part_b": batch["part_b"].to_numpy(np.int64),
+                # positive operands: numpy floor-div == DuckDB trunc-div
+                "w": np.maximum(1, 1000 // n),
+            }
+        )
+
+    return sssp_from_edges(
+        edges.map_batches(weigh, batch_format="pandas"),
+        rounds=rounds,
+        seed_mod=seed_mod,
+    )
+
+
+def _sssp_sql(rounds: int = 6, seed_mod: int = 97, min_support: int = 2) -> str:
+    """Unrolled dense Bellman-Ford: ``d_i`` is the full distance table
+    after ``i`` relaxation rounds (min over the previous table and every
+    one-edge extension of it) — each level is node-set-sized, so the
+    oracle never enumerates paths."""
+    body = f"""
+WITH lp AS (SELECT DISTINCT l_orderkey, l_partkey FROM lineitem),
+pr AS (
+  SELECT a.l_partkey AS pa, b.l_partkey AS pb, COUNT(*) AS n
+  FROM lp a JOIN lp b ON a.l_orderkey = b.l_orderkey AND a.l_partkey < b.l_partkey
+  GROUP BY 1, 2 HAVING COUNT(*) >= {min_support}
+),
+e AS (
+  SELECT pa AS src, pb AS dst, GREATEST(1, 1000 // n) AS w FROM pr
+  UNION ALL
+  SELECT pb, pa, GREATEST(1, 1000 // n) FROM pr
+),
+d0 AS (
+  SELECT DISTINCT src AS node, CAST(0 AS BIGINT) AS d FROM e
+  WHERE src % {seed_mod} = 0
+)"""
+    for i in range(1, rounds + 1):
+        body += f""",
+d{i} AS (
+  SELECT node, MIN(d) AS d FROM (
+    SELECT node, d FROM d{i - 1}
+    UNION ALL
+    SELECT e.dst AS node, d{i - 1}.d + e.w AS d
+    FROM e JOIN d{i - 1} ON e.src = d{i - 1}.node
+  ) GROUP BY node
+)"""
+    body += f"""
+SELECT node AS p_partkey, CAST(d AS BIGINT) AS dist FROM d{rounds} ORDER BY node
+"""
+    return body
+
+
+PART_SSSP_SQL = _sssp_sql()
+
+
 AUC_URGENT_PRICE_SQL = """
 WITH s AS (
   SELECT CAST(floor(o_totalprice * 100 + 0.5) AS BIGINT) AS sc,
@@ -1327,6 +1530,7 @@ QUERIES = {
     "session_window_overlap": session_window_overlap,
     "auc_urgent_price": auc_urgent_price,
     "part_kcore": part_kcore,
+    "part_sssp": part_sssp,
 }
 
 ORACLES = {
@@ -1339,4 +1543,5 @@ ORACLES = {
     "session_window_overlap": SESSION_WINDOW_OVERLAP_SQL,
     "auc_urgent_price": AUC_URGENT_PRICE_SQL,
     "part_kcore": PART_KCORE_SQL,
+    "part_sssp": PART_SSSP_SQL,
 }
