@@ -496,6 +496,98 @@ def clustered_price_band(
     return df.sort_values("o_orderstatus").reset_index(drop=True)
 
 
+def zordered_box_query(
+    sf_dir: str,
+    pk_lo: int = 100,
+    pk_hi: int = 400,
+    sk_lo: int = 10,
+    sk_hi: int = 60,
+) -> pd.DataFrame:
+    """2-D box query over a Z-ORDER-CLUSTERED layout
+    (``sources.zordered``): lineitem is exported once, globally sorted on
+    the Morton interleave of (l_partkey, l_suppkey) with a per-file
+    bounding-RECTANGLE manifest from the parquet footers' own statistics;
+    the box read then opens only the rectangle-intersecting files —
+    file-level pruning on EITHER dimension or both, where the 1-D range
+    layout (``clustered_price_band``) serves only its sort key. The exact
+    residual filter makes the result correct for ANY layout (pruned ≡
+    full+filter, pinned in tests/test_zordered.py, which also pins that a
+    box tight in the SECOND dimension alone still prunes — the property a
+    plain sort cannot give). Layout cached per scale factor; clustering
+    is paid once, every later box read prunes. Returnflag breakdown of
+    the box in exact integer cents."""
+    import os
+
+    from xmlschema_ray.ops.relational import combiner_aggregate, to_pandas_with_schema
+    from xmlschema_ray.sources.zordered import ZMANIFEST_NAME, read_zordered, write_zordered
+
+    cache = os.path.join(
+        "/tmp/xmlschema_ray_zorder", os.path.basename(os.path.normpath(sf_dir))
+    )
+    if not os.path.exists(os.path.join(cache, ZMANIFEST_NAME)):
+        li = rd.read_parquet(
+            table_path(sf_dir, "lineitem"),
+            columns=["l_partkey", "l_suppkey", "l_returnflag", "l_quantity"],
+        )
+
+        def to_c(batch: pd.DataFrame) -> pd.DataFrame:
+            return pd.DataFrame(
+                {
+                    "l_partkey": batch["l_partkey"].astype("int64"),
+                    "l_suppkey": batch["l_suppkey"].astype("int64"),
+                    "l_returnflag": batch["l_returnflag"],
+                    "qty_c": cents(batch["l_quantity"]),
+                }
+            )
+
+        tmp = f"{cache}.build{os.getpid()}"
+        write_zordered(
+            li.map_batches(to_c, batch_format="pandas"), "l_partkey", "l_suppkey", tmp
+        )
+        try:
+            os.rename(tmp, cache)
+        except OSError:
+            import shutil
+
+            shutil.rmtree(tmp, ignore_errors=True)
+
+    box = read_zordered(
+        cache,
+        x_lo=pk_lo,
+        x_hi=pk_hi,
+        y_lo=sk_lo,
+        y_hi=sk_hi,
+        columns=["l_returnflag", "qty_c"],
+    )
+    df = to_pandas_with_schema(
+        combiner_aggregate(
+            box, keys="l_returnflag", aggs={"n": (None, "count"), "qty_c": ("qty_c", "sum")}
+        )
+    )
+    if len(df) == 0:
+        return pd.DataFrame(
+            {
+                "l_returnflag": pd.Series([], dtype=object),
+                "n": pd.Series([], dtype="int64"),
+                "qty_c": pd.Series([], dtype="int64"),
+            }
+        )
+    df["n"] = df["n"].astype("int64")
+    df["qty_c"] = df["qty_c"].astype("int64")
+    return df.sort_values("l_returnflag").reset_index(drop=True)
+
+
+ZORDERED_BOX_SQL = """
+SELECT l_returnflag,
+       CAST(COUNT(*) AS BIGINT) AS n,
+       CAST(SUM(CAST(floor(l_quantity * 100 + 0.5) AS BIGINT)) AS BIGINT) AS qty_c
+FROM lineitem
+WHERE l_partkey BETWEEN 100 AND 400 AND l_suppkey BETWEEN 10 AND 60
+GROUP BY l_returnflag
+ORDER BY l_returnflag
+"""
+
+
 def bloom_index_custkey_lookup(sf_dir: str, modulus: int = 1009) -> pd.DataFrame:
     """Membership lookup through a BLOOM FILE-SKIPPING INDEX
     (``sources.bloomindex``): orders cached as a multi-file layout in
@@ -3988,6 +4080,7 @@ ORACLES = {
     "events_rolling_median": ROLLING_MEDIAN_SQL,
     "brand_revenue_skew_join": BRAND_REVENUE_SKEW_SQL,
     "clustered_price_band": CLUSTERED_BAND_SQL,
+    "zordered_box_query": ZORDERED_BOX_SQL,
     "bucketed_join_revenue": BUCKETED_JOIN_SQL,
     "orders_pivot_status_priority": PIVOT_SQL,
     "asof_latest_order_before_event": ASOF_SQL,
@@ -4054,6 +4147,7 @@ QUERIES = {
     "events_rolling_median": events_rolling_median,
     "brand_revenue_skew_join": brand_revenue_skew_join,
     "clustered_price_band": clustered_price_band,
+    "zordered_box_query": zordered_box_query,
     "bucketed_join_revenue": bucketed_join_revenue,
     "orders_pivot_status_priority": orders_pivot_status_priority,
     "asof_latest_order_before_event": asof_latest_order_before_event,
