@@ -2868,6 +2868,188 @@ ORDER BY 1, 2
 """
 
 
+def span_corrupt_documents(sf_dir: str, span_len: int = 3, mask_mod: int = 5) -> pd.DataFrame:
+    """T5-style SPAN CORRUPTION (Raffel et al. 2020 §3.1.4) over the word
+    stream: contiguous ``span_len``-token blocks are masked with
+    probability ``1/mask_mod``, each masked span collapses to one
+    sentinel ``<X_k>`` in the model INPUT and expands to ``<X_k> tokens…``
+    in the TARGET — the denoising-objective example builder every
+    encoder-decoder pretraining pipeline runs over its whole corpus.
+
+    Masking is a PURE FUNCTION of (doc_id, block index) — first 8 md5 hex
+    chars mod ``mask_mod`` (the cms/decontamination md5 contract) — so
+    examples are reproducible on any engine at any parallelism and the
+    DuckDB oracle re-derives EVERY input/target string verbatim
+    (hash-exact on the full strings, not a statistic). Sentinels number
+    masked spans 0,1,… in document order.
+
+    Physical plan: embarrassingly parallel — ONE whitespace split per
+    batch (``_split_words``), block ids / first-of-block flags / sentinel
+    ranks all flat integer array arithmetic, md5 runs once per BLOCK (not
+    per token), and the only per-group Python is the final string join
+    (string assembly is inherently sequential per doc). ZERO exchanges;
+    output is doc-sized. Docs with empty text carry no blocks and are
+    excluded (both engines filter ``trim(text) <> ''``)."""
+    from xmlschema_ray.ops.relational import to_pandas_with_schema
+
+    ds = rd.read_parquet(table_path(sf_dir, "documents"), columns=["doc_id", "text"])
+
+    def corrupt(batch: pd.DataFrame) -> pd.DataFrame:
+        empty = pd.DataFrame(
+            {
+                "doc_id": pd.Series([], dtype=batch["doc_id"].dtype),
+                "n_spans": pd.Series([], dtype=np.int64),
+                "n_masked": pd.Series([], dtype=np.int64),
+                "input_text": pd.Series([], dtype=object),
+                "target_text": pd.Series([], dtype=object),
+            }
+        )
+        stripped = batch["text"].fillna("").str.strip()
+        keep = stripped != ""
+        if not keep.any():
+            return empty
+        doc_ids = batch.loc[keep, "doc_id"].to_numpy()
+        offsets, flat = _split_words(pa.array(stripped[keep], type=pa.string()))
+        n_tok = len(flat)
+        if n_tok == 0:
+            return empty
+        starts = np.arange(n_tok, dtype=np.int64)
+        row = np.searchsorted(offsets, starts, side="right") - 1
+        pos0 = starts - offsets[row]
+        blk = pos0 // span_len
+        first = pos0 % span_len == 0
+        # one md5 per BLOCK: the first-of-block rows are exactly one per block
+        f_idx = np.flatnonzero(first)
+        doc_f = row[f_idx]
+        blk_f = blk[f_idx]
+        masked_f = np.fromiter(
+            (
+                int(hashlib.md5(f"{doc_ids[d]}|{b}".encode("utf-8")).hexdigest()[:8], 16)
+                % mask_mod
+                == 0
+                for d, b in zip(doc_f, blk_f)
+            ),
+            dtype=bool,
+            count=len(f_idx),
+        )
+        blk_ord = np.cumsum(first) - 1  # global block ordinal per token
+        masked = masked_f[blk_ord]
+        # sentinel rank k: position of the masked block among its doc's
+        # masked blocks (blocks arrive in doc order — the skyline
+        # start-index trick gives the within-doc running count)
+        m_idx = np.flatnonzero(masked_f)
+        doc_m = doc_f[m_idx]
+        if len(doc_m):
+            change = np.empty(len(doc_m), dtype=bool)
+            change[0] = True
+            np.not_equal(doc_m[1:], doc_m[:-1], out=change[1:])
+            start = np.maximum.accumulate(np.where(change, np.arange(len(doc_m)), 0))
+            k_vals = np.arange(len(doc_m)) - start
+        else:
+            k_vals = np.array([], dtype=np.int64)
+        sent_per_block = np.full(len(f_idx), None, dtype=object)
+        sent_per_block[m_idx] = np.array([f"<X_{int(k)}>" for k in k_vals], dtype=object)
+        words = flat.astype(object)
+        sent_tok = sent_per_block[blk_ord]
+        # input: unmasked words + one sentinel at each masked block head
+        inp_keep = (~masked) | first
+        inp_piece = np.where(masked, sent_tok, words)
+        inp = (
+            pd.Series(inp_piece[inp_keep])
+            .groupby(pd.Series(row[inp_keep]), sort=True)
+            .agg(" ".join)
+        )
+        # target: masked words only, sentinel prefixed at each block head
+        # (assign only at heads — np.where would evaluate the concat on
+        # unmasked positions whose sentinel slot is None)
+        tgt_piece = words.copy()
+        fm = first & masked
+        tgt_piece[fm] = sent_tok[fm] + " " + words[fm]
+        tgt = (
+            pd.Series(tgt_piece[masked])
+            .groupby(pd.Series(row[masked]), sort=True)
+            .agg(" ".join)
+        )
+        n_docs = len(doc_ids)
+        n_spans = np.bincount(doc_m, minlength=n_docs) if len(doc_m) else np.zeros(n_docs, dtype=np.int64)
+        n_masked = np.bincount(row[masked], minlength=n_docs) if masked.any() else np.zeros(n_docs, dtype=np.int64)
+        out = pd.DataFrame(
+            {
+                "doc_id": doc_ids,
+                "n_spans": n_spans.astype(np.int64),
+                "n_masked": n_masked.astype(np.int64),
+                "input_text": pd.Series(doc_ids).index.map(inp).fillna("").to_numpy(object),
+                "target_text": pd.Series(doc_ids).index.map(tgt).fillna("").to_numpy(object),
+            }
+        )
+        return out
+
+    df = to_pandas_with_schema(ds.map_batches(corrupt, batch_format="pandas"))
+    if len(df) == 0:
+        id_dtype = ds.schema().base_schema.field("doc_id").type.to_pandas_dtype()
+        return pd.DataFrame(
+            {
+                "doc_id": pd.Series([], dtype=id_dtype),
+                "n_spans": pd.Series([], dtype=np.int64),
+                "n_masked": pd.Series([], dtype=np.int64),
+                "input_text": pd.Series([], dtype=object),
+                "target_text": pd.Series([], dtype=object),
+            }
+        )
+    return df.sort_values("doc_id").reset_index(drop=True)
+
+
+SPAN_CORRUPT_SQL = r"""
+WITH toks AS (
+  SELECT doc_id,
+         unnest(regexp_split_to_array(trim(text), '\s+')) AS word,
+         generate_subscripts(regexp_split_to_array(trim(text), '\s+'), 1) AS pos
+  FROM documents WHERE trim(text) <> ''
+), m AS (
+  SELECT doc_id, word, pos, (pos - 1) // 3 AS blk,
+         ((pos - 1) % 3 = 0) AS first_of_blk,
+         (CAST(('0x' || substr(md5(doc_id || '|' || CAST((pos - 1) // 3 AS VARCHAR)), 1, 8))
+               AS BIGINT) % 5 = 0) AS masked
+  FROM toks
+), sent AS (
+  SELECT doc_id, blk,
+         CAST(ROW_NUMBER() OVER (PARTITION BY doc_id ORDER BY blk) - 1 AS BIGINT) AS k
+  FROM (SELECT DISTINCT doc_id, blk FROM m WHERE masked)
+), j AS (
+  SELECT m.doc_id, m.word, m.pos, m.masked, m.first_of_blk, sent.k
+  FROM m LEFT JOIN sent ON m.doc_id = sent.doc_id AND m.blk = sent.blk
+), inp AS (
+  SELECT doc_id, string_agg(piece, ' ' ORDER BY pos) AS input_text
+  FROM (
+    SELECT doc_id, pos,
+           CASE WHEN NOT masked THEN word
+                WHEN first_of_blk THEN '<X_' || CAST(k AS VARCHAR) || '>' END AS piece
+    FROM j
+  ) WHERE piece IS NOT NULL GROUP BY doc_id
+), tgt AS (
+  SELECT doc_id, string_agg(piece, ' ' ORDER BY pos) AS target_text
+  FROM (
+    SELECT doc_id, pos,
+           CASE WHEN first_of_blk THEN '<X_' || CAST(k AS VARCHAR) || '> ' || word
+                ELSE word END AS piece
+    FROM j WHERE masked
+  ) GROUP BY doc_id
+), cnt AS (
+  SELECT doc_id,
+         CAST(COUNT(DISTINCT CASE WHEN masked THEN blk END) AS BIGINT) AS n_spans,
+         CAST(SUM(CASE WHEN masked THEN 1 ELSE 0 END) AS BIGINT) AS n_masked
+  FROM m GROUP BY doc_id
+)
+SELECT c.doc_id, c.n_spans, c.n_masked,
+       COALESCE(i.input_text, '') AS input_text,
+       COALESCE(t.target_text, '') AS target_text
+FROM cnt c
+LEFT JOIN inp i ON c.doc_id = i.doc_id
+LEFT JOIN tgt t ON c.doc_id = t.doc_id
+ORDER BY c.doc_id
+"""
+
+
 ORACLES: Dict[str, str] = {
     "top_words": TOP_WORDS_SQL,
     "heavy_hitter_words": HEAVY_HITTER_SQL,
@@ -2889,6 +3071,7 @@ ORACLES: Dict[str, str] = {
     # the bloom path is exact by construction (phase-2 verify), so it
     # shares the exact-broadcast oracle verbatim
     "bloom_decontaminate": DECONTAMINATION_SQL,
+    "span_corrupt_documents": SPAN_CORRUPT_SQL,
     "repetition_ratio": REPETITION_RATIO_SQL,
     "stratified_sample": STRATIFIED_SAMPLE_SQL,
     "chunk_documents": CHUNK_DOCUMENTS_SQL,
@@ -2934,4 +3117,5 @@ QUERIES = {
     "quota_sample": quota_sample,
     "dsir_selection": dsir_selection,
     "quantile_normalize_chars": quantile_normalize_chars,
+    "span_corrupt_documents": span_corrupt_documents,
 }
