@@ -3448,6 +3448,49 @@ def event_transition_matrix(sf_dir: str) -> pd.DataFrame:
     return agg.sort_values(["prev_type", "event_type"]).reset_index(drop=True)
 
 
+def _scd2_intervals_part(part: pd.DataFrame) -> pd.DataFrame:
+    """Per-partition SCD2 change scan (whole user streams per partition):
+    vectorized sort + shift with (ts, event_id) tie order, version =
+    within-user cumsum over change starts, ``valid_to`` = next change's
+    ``valid_from`` (NaT on the open current version). Shared by the
+    history build (``user_type_scd2``) and the point-in-time enrichment
+    (``orders_scd2_enrich``)."""
+    p = part.sort_values(["user_id", "ts", "event_id"], kind="mergesort")
+    uid = p["user_id"].to_numpy(np.int64)
+    typ = p["event_type"].to_numpy()
+    # explicit unit: partition frames can carry ts as object dtype, and an
+    # all-NaT object column would infer Arrow `null` downstream
+    ts = p["ts"].to_numpy("datetime64[us]")
+    new_user = np.empty(len(p), dtype=bool)
+    if len(p):
+        new_user[0] = True
+        np.not_equal(uid[1:], uid[:-1], out=new_user[1:])
+    change = new_user | (typ != np.roll(typ, 1))
+    c_uid = uid[change]
+    c_from = ts[change]
+    # version ordinal: cumulative change count within each user
+    ver = np.arange(1, change.sum() + 1, dtype=np.int64)
+    if len(ver):
+        user_start = np.flatnonzero(
+            np.concatenate([[True], c_uid[1:] != c_uid[:-1]])
+        )
+        base = np.repeat(ver[user_start] - 1, np.diff(np.append(user_start, len(ver))))
+        ver = ver - base
+    # valid_to = next change's valid_from within the same user
+    nxt = np.roll(c_from, -1)
+    last_of_user = np.concatenate([c_uid[1:] != c_uid[:-1], [True]]) if len(c_uid) else np.array([], dtype=bool)
+    valid_to = pd.Series(nxt).where(~last_of_user, pd.NaT)
+    return pd.DataFrame(
+        {
+            "user_id": c_uid,
+            "version": ver,
+            "event_type": typ[change],
+            "valid_from": c_from,
+            "valid_to": valid_to.to_numpy(),
+        }
+    )
+
+
 def user_type_scd2(sf_dir: str) -> pd.DataFrame:
     """Slowly-changing-dimension TYPE-2 history build: each user's event
     stream is an attribute feed (the user's "current type"), and the
@@ -3474,46 +3517,137 @@ def user_type_scd2(sf_dir: str) -> pd.DataFrame:
         table_path(sf_dir, "events"), columns=["event_id", "user_id", "event_type", "ts"]
     )
 
-    def intervals(part: pd.DataFrame) -> pd.DataFrame:
-        p = part.sort_values(["user_id", "ts", "event_id"], kind="mergesort")
-        uid = p["user_id"].to_numpy(np.int64)
-        typ = p["event_type"].to_numpy()
-        ts = p["ts"].to_numpy()
-        new_user = np.empty(len(p), dtype=bool)
-        if len(p):
-            new_user[0] = True
-            np.not_equal(uid[1:], uid[:-1], out=new_user[1:])
-        change = new_user | (typ != np.roll(typ, 1))
-        c_uid = uid[change]
-        c_from = ts[change]
-        # version ordinal: cumulative change count within each user
-        ver = np.arange(1, change.sum() + 1, dtype=np.int64)
-        if len(ver):
-            user_start = np.flatnonzero(
-                np.concatenate([[True], c_uid[1:] != c_uid[:-1]])
-            )
-            base = np.repeat(ver[user_start] - 1, np.diff(np.append(user_start, len(ver))))
-            ver = ver - base
-        # valid_to = next change's valid_from within the same user
-        nxt = np.roll(c_from, -1)
-        last_of_user = np.concatenate([c_uid[1:] != c_uid[:-1], [True]]) if len(c_uid) else np.array([], dtype=bool)
-        valid_to = pd.Series(nxt).where(~last_of_user, pd.NaT)
-        return pd.DataFrame(
-            {
-                "user_id": c_uid,
-                "version": ver,
-                "event_type": typ[change],
-                "valid_from": c_from,
-                "valid_to": valid_to.to_numpy(),
-            }
-        )
-
-    out = to_pandas_with_schema(hash_partition_apply(ds, "user_id", intervals))
+    out = to_pandas_with_schema(hash_partition_apply(ds, "user_id", _scd2_intervals_part))
     out = out.sort_values(["user_id", "version"]).reset_index(drop=True)
     out["version"] = out["version"].astype("int64")
     out["valid_from"] = out["valid_from"].astype("datetime64[us]")
     out["valid_to"] = out["valid_to"].astype("datetime64[us]")
     return out
+
+
+def orders_scd2_enrich(sf_dir: str) -> pd.DataFrame:
+    """POINT-IN-TIME enrichment of an independent fact stream against a
+    derived SCD2 dimension: every order is decorated with the customer's
+    event-type version VALID AT ``o_orderdate`` — the feature-store
+    correctness primitive (training labels must see the feature value as
+    of the event, never a later one; a plain latest-value join silently
+    leaks the future). Orders before a customer's first version, or for
+    customers with no history, carry NULLs.
+
+    Physical plan: the dimension is built distributedly (ONE hash
+    exchange of the event feed, the shared ``_scd2_intervals_part`` change
+    scan), then ONE co-partitioning exchange lands each customer's
+    version history and orders in the same partition, where a single
+    ``merge_asof`` (backward, by customer) resolves every order — because
+    SCD2 validity intervals are contiguous per user, the latest
+    ``valid_from <= o_orderdate`` version IS the valid one, so no second
+    interval check is needed (zero-length versions self-exclude by the
+    (valid_from, version) tie sort, mirroring the oracle's
+    ``valid_to``-bounded join). Two bounded exchanges total; no
+    broadcast, no driver state.
+
+    ``version`` is nullable → float64-with-NaN to match DuckDB's
+    nullable-BIGINT ``.df()`` dtype (values ≪ 2^53, exact)."""
+    from xmlschema_ray.ops.relational import (
+        copartition_apply,
+        hash_partition_apply,
+        to_pandas_with_schema,
+    )
+
+    events = rd.read_parquet(
+        table_path(sf_dir, "events"), columns=["event_id", "user_id", "event_type", "ts"]
+    )
+    orders = rd.read_parquet(
+        table_path(sf_dir, "orders"), columns=["o_orderkey", "o_custkey", "o_orderdate"]
+    )
+    dim = hash_partition_apply(events, "user_id", _scd2_intervals_part)
+
+    # explicit Arrow schema: a block whose valid_to is ALL NaT would
+    # otherwise infer Arrow `null` at the copartition normalization and
+    # poison the unified schema (timestamp blocks cannot cast to null)
+    dim_schema = pa.schema(
+        [
+            ("user_id", pa.int64()),
+            ("version", pa.int64()),
+            ("event_type", pa.string()),
+            ("valid_from", pa.timestamp("us")),
+            ("valid_to", pa.timestamp("us")),
+        ]
+    )
+
+    def typed(b: pd.DataFrame) -> pa.Table:
+        return pa.Table.from_pandas(b, schema=dim_schema, preserve_index=False)
+
+    dim = dim.map_batches(typed, batch_format="pandas")
+
+    def enrich(lf: pd.DataFrame, rf: pd.DataFrame) -> pd.DataFrame:
+        out_cols = ["o_orderkey", "o_custkey", "o_orderdate", "type_at_order", "version"]
+        if len(rf) == 0:
+            return pd.DataFrame(
+                {
+                    "o_orderkey": pd.Series([], dtype=np.int64),
+                    "o_custkey": pd.Series([], dtype=np.int64),
+                    "o_orderdate": pd.Series([], dtype="datetime64[us]"),
+                    "type_at_order": pd.Series([], dtype=object),
+                    "version": pd.Series([], dtype=np.float64),
+                }
+            )
+        o = rf.sort_values("o_orderdate", kind="mergesort").reset_index(drop=True)
+        o["o_orderdate"] = o["o_orderdate"].astype("datetime64[us]")
+        if len(lf) == 0:
+            m = o.copy()
+            m["type_at_order"] = pd.Series([None] * len(m), dtype=object)
+            m["version"] = np.nan
+            return m[out_cols]
+        d = lf.sort_values(["valid_from", "version"], kind="mergesort").reset_index(drop=True)
+        d["valid_from"] = d["valid_from"].astype("datetime64[us]")
+        m = pd.merge_asof(
+            o,
+            d[["user_id", "version", "event_type", "valid_from"]],
+            left_on="o_orderdate",
+            right_on="valid_from",
+            left_by="o_custkey",
+            right_by="user_id",
+            direction="backward",
+        )
+        m["type_at_order"] = m["event_type"].astype(object).where(m["event_type"].notna(), None)
+        m["version"] = m["version"].astype(np.float64)
+        return m[out_cols]
+
+    df = to_pandas_with_schema(
+        copartition_apply(dim, orders, "user_id", "o_custkey", enrich)
+    )
+    df = df.sort_values("o_orderkey").reset_index(drop=True)
+    df["o_orderdate"] = df["o_orderdate"].astype("datetime64[us]")
+    df["version"] = df["version"].astype(np.float64)
+    return df
+
+
+ORDERS_SCD2_ENRICH_SQL = """
+WITH chg AS (
+  SELECT user_id, event_type, ts, event_id,
+         LAG(event_type) OVER (PARTITION BY user_id ORDER BY ts, event_id) AS prev
+  FROM events
+), vers AS (
+  SELECT user_id, event_type, ts AS valid_from,
+         CAST(ROW_NUMBER() OVER (PARTITION BY user_id ORDER BY ts, event_id) AS BIGINT)
+           AS version
+  FROM chg WHERE prev IS NULL OR prev <> event_type
+), v2 AS (
+  SELECT user_id, event_type, version, valid_from,
+         LEAD(valid_from) OVER (PARTITION BY user_id ORDER BY valid_from, version)
+           AS valid_to
+  FROM vers
+)
+SELECT o.o_orderkey, o.o_custkey, o.o_orderdate,
+       v.event_type AS type_at_order,
+       CAST(v.version AS BIGINT) AS version
+FROM orders o
+LEFT JOIN v2 v
+  ON v.user_id = o.o_custkey AND v.valid_from <= o.o_orderdate
+ AND (v.valid_to IS NULL OR o.o_orderdate < v.valid_to)
+ORDER BY o.o_orderkey
+"""
 
 
 def time_weighted_value_by_user(sf_dir: str) -> pd.DataFrame:
@@ -4081,6 +4215,7 @@ ORACLES = {
     "brand_revenue_skew_join": BRAND_REVENUE_SKEW_SQL,
     "clustered_price_band": CLUSTERED_BAND_SQL,
     "zordered_box_query": ZORDERED_BOX_SQL,
+    "orders_scd2_enrich": ORDERS_SCD2_ENRICH_SQL,
     "bucketed_join_revenue": BUCKETED_JOIN_SQL,
     "orders_pivot_status_priority": PIVOT_SQL,
     "asof_latest_order_before_event": ASOF_SQL,
@@ -4148,6 +4283,7 @@ QUERIES = {
     "brand_revenue_skew_join": brand_revenue_skew_join,
     "clustered_price_band": clustered_price_band,
     "zordered_box_query": zordered_box_query,
+    "orders_scd2_enrich": orders_scd2_enrich,
     "bucketed_join_revenue": bucketed_join_revenue,
     "orders_pivot_status_priority": orders_pivot_status_priority,
     "asof_latest_order_before_event": asof_latest_order_before_event,
