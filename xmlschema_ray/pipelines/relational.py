@@ -1299,6 +1299,120 @@ def part_pair_cooccurrence(
     )
 
 
+def association_rules_parts(sf_dir: str, min_support: int = 2) -> pd.DataFrame:
+    """ASSOCIATION RULES over the market baskets: every directed rule
+    ``antecedent → consequent`` from the frequent pair set, scored by the
+    classic triple — support (co-orders), confidence (pair orders /
+    antecedent orders) and lift (observed / expected co-occurrence) — the
+    recommender / cross-sell step co-occurrence mining feeds.
+
+    Everything is EXACT INTEGER: confidence as floor percent
+    ``(100·c_ab) // c_a`` and lift as floor parts-per-million
+    ``(10^6·c_ab·N) // (c_a·c_b)`` (all operands positive, so numpy/Python
+    floor-div ≡ DuckDB trunc-div; the lift numerator is computed in
+    PYTHON ints over the rule-bounded result — no overflow at any corpus
+    size, the oracle widens to HUGEINT the same way).
+
+    Physical plan: pair supports come from ``part_pair_cooccurrence``
+    (one co-locating exchange + pair combiner), item supports and the
+    basket count N from one distinct-(order,part) combiner pass over the
+    same projection — three bounded exchanges total. The final score join
+    runs over the rule-bounded pair table against the part-DIMENSION
+    support vector (the BFS/PageRank node-dim assumption; fact-scale item
+    dims would use a bucketed join instead)."""
+    from xmlschema_ray.ops.relational import (
+        combiner_aggregate,
+        hash_partition_apply,
+        to_pandas_with_schema,
+    )
+
+    pairs = to_pandas_with_schema(part_pair_cooccurrence(sf_dir, min_support=min_support))
+    ds = rd.read_parquet(table_path(sf_dir, "lineitem"), columns=["l_orderkey", "l_partkey"])
+
+    def dedupe(batch: pd.DataFrame) -> pd.DataFrame:
+        return batch.drop_duplicates()
+
+    lp = hash_partition_apply(ds, "l_orderkey", dedupe)
+    item = to_pandas_with_schema(
+        combiner_aggregate(lp, "l_partkey", {"c": (None, "count")})
+    )
+    # distinct-basket count: distributed count over the key combiner —
+    # the driver sees ONE integer, never the order dimension
+    n_baskets = int(combiner_aggregate(ds, "l_orderkey", {"c": (None, "count")}).count())
+    empty = pd.DataFrame(
+        {
+            "antecedent": pd.Series([], dtype=np.int64),
+            "consequent": pd.Series([], dtype=np.int64),
+            "pair_orders": pd.Series([], dtype=np.int64),
+            "ante_orders": pd.Series([], dtype=np.int64),
+            "cons_orders": pd.Series([], dtype=np.int64),
+            "conf_pct": pd.Series([], dtype=np.int64),
+            "lift_ppm": pd.Series([], dtype=np.int64),
+        }
+    )
+    if len(pairs) == 0 or n_baskets == 0:
+        return empty
+    sup = item.set_index("l_partkey")["c"]
+    rules = pd.concat(
+        [
+            pairs.rename(columns={"part_a": "antecedent", "part_b": "consequent"}),
+            pairs.rename(columns={"part_b": "antecedent", "part_a": "consequent"}),
+        ],
+        ignore_index=True,
+    )
+    c_ab = rules["n_orders"].to_numpy(np.int64)
+    c_a = sup.loc[rules["antecedent"]].to_numpy(np.int64)
+    c_b = sup.loc[rules["consequent"]].to_numpy(np.int64)
+    out = pd.DataFrame(
+        {
+            "antecedent": rules["antecedent"].to_numpy(np.int64),
+            "consequent": rules["consequent"].to_numpy(np.int64),
+            "pair_orders": c_ab,
+            "ante_orders": c_a,
+            "cons_orders": c_b,
+            "conf_pct": (100 * c_ab) // c_a,
+            # Python-int lane: 10^6·c_ab·N can exceed int64 at real N
+            "lift_ppm": np.array(
+                [
+                    (1_000_000 * int(ab) * n_baskets) // (int(a) * int(b))
+                    for ab, a, b in zip(c_ab, c_a, c_b)
+                ],
+                dtype=np.int64,
+            ),
+        }
+    )
+    return out.sort_values(["antecedent", "consequent"]).reset_index(drop=True)
+
+
+ASSOCIATION_RULES_SQL = """
+WITH lp AS (SELECT DISTINCT l_orderkey, l_partkey FROM lineitem),
+n AS (SELECT COUNT(DISTINCT l_orderkey) AS nb FROM lineitem),
+item AS (SELECT l_partkey AS p, COUNT(*) AS c FROM lp GROUP BY 1),
+pr AS (
+  SELECT a.l_partkey AS pa, b.l_partkey AS pb, COUNT(*) AS c_ab
+  FROM lp a JOIN lp b ON a.l_orderkey = b.l_orderkey AND a.l_partkey < b.l_partkey
+  GROUP BY 1, 2 HAVING COUNT(*) >= 2
+),
+rules AS (
+  SELECT pa AS antecedent, pb AS consequent, c_ab FROM pr
+  UNION ALL
+  SELECT pb, pa, c_ab FROM pr
+)
+SELECT r.antecedent, r.consequent,
+       CAST(r.c_ab AS BIGINT) AS pair_orders,
+       CAST(ia.c AS BIGINT) AS ante_orders,
+       CAST(ic.c AS BIGINT) AS cons_orders,
+       CAST((100 * r.c_ab) // ia.c AS BIGINT) AS conf_pct,
+       CAST((CAST(1000000 AS HUGEINT) * r.c_ab * n.nb)
+            // (CAST(ia.c AS HUGEINT) * ic.c) AS BIGINT) AS lift_ppm
+FROM rules r
+CROSS JOIN n
+JOIN item ia ON ia.p = r.antecedent
+JOIN item ic ON ic.p = r.consequent
+ORDER BY r.antecedent, r.consequent
+"""
+
+
 def user_path_counts(sf_dir: str, k: int = 5) -> pd.DataFrame:
     """Sequential path mining: the frequency table of each user's FIRST-k
     event-type path (``view>click>purchase…``) — the navigation-pattern /
@@ -4195,6 +4309,7 @@ ORACLES = {
     "debounce_events": DEBOUNCE_SQL,
     "funnel_conversion": FUNNEL_SQL,
     "part_pair_cooccurrence": PART_PAIR_SQL,
+    "association_rules_parts": ASSOCIATION_RULES_SQL,
     "part_triangle_count": TRIANGLE_SQL,
     "user_path_counts": USER_PATHS_SQL,
     "zorder_tile_stats": ZORDER_TILE_SQL,
@@ -4263,6 +4378,7 @@ QUERIES = {
     "debounce_events": debounce_events,
     "funnel_conversion": funnel_conversion,
     "part_pair_cooccurrence": part_pair_cooccurrence,
+    "association_rules_parts": association_rules_parts,
     "part_triangle_count": part_triangle_count,
     "user_path_counts": user_path_counts,
     "zorder_tile_stats": zorder_tile_stats,
