@@ -2868,6 +2868,130 @@ ORDER BY 1, 2
 """
 
 
+def reshard_movement_report(
+    sf_dir: str, n_old: int = 12, n_new: int = 16
+) -> pd.DataFrame:
+    """RESHARD MOVEMENT analysis: when a corpus rescales from ``n_old`` to
+    ``n_new`` shards, what fraction of documents changes owner under (a)
+    naive mod-hash placement versus (b) RENDEZVOUS (highest-random-weight)
+    hashing (Thaler-Ravishankar 1998) — the placement-strategy audit run
+    before any 100-TB relayout, where mod placement moves nearly
+    everything and HRW provably moves only the documents whose new-shard
+    weight wins (≈ (M−N)/M on growth, the attainable minimum).
+
+    Owners are pure md5 functions of (doc_id[, shard]) — the established
+    md5 contract — so the DuckDB oracle recomputes EVERY owner and the
+    exact movement counts (argmax ties break toward the lower shard id in
+    both engines: numpy ``argmax`` takes the first maximum, the oracle
+    orders ``hs DESC, s``). Embarrassingly parallel: per-batch owner
+    computation (``n_new`` md5 evaluations per doc, the
+    table_fingerprint per-row-hash cost class) collapsing to TWO counter
+    rows per batch through one combiner exchange — driver sees four
+    integers."""
+    from xmlschema_ray.ops.relational import combiner_aggregate, to_pandas_with_schema
+
+    if not 0 < n_old < n_new:
+        raise ValueError("reshard_movement_report: need 0 < n_old < n_new")
+    ds = rd.read_parquet(table_path(sf_dir, "documents"), columns=["doc_id"])
+
+    def partial(batch: pd.DataFrame) -> pd.DataFrame:
+        ids = [str(v) for v in batch["doc_id"].tolist()]
+        n = len(ids)
+        if n == 0:
+            return pd.DataFrame(
+                {
+                    "method": pd.Series([], dtype=object),
+                    "n_docs": pd.Series([], dtype=np.int64),
+                    "n_moved": pd.Series([], dtype=np.int64),
+                }
+            )
+        hv = np.fromiter(
+            (int(hashlib.md5(i.encode()).hexdigest()[:8], 16) for i in ids),
+            dtype=np.int64,
+            count=n,
+        )
+        mod_moved = int(np.count_nonzero(hv % n_old != hv % n_new))
+        weights = np.empty((n, n_new), dtype=np.int64)
+        for s in range(n_new):
+            weights[:, s] = np.fromiter(
+                (
+                    int(hashlib.md5(f"{i}|{s}".encode()).hexdigest()[:8], 16)
+                    for i in ids
+                ),
+                dtype=np.int64,
+                count=n,
+            )
+        old_owner = np.argmax(weights[:, :n_old], axis=1)
+        new_owner = np.argmax(weights, axis=1)
+        rz_moved = int(np.count_nonzero(old_owner != new_owner))
+        return pd.DataFrame(
+            {
+                "method": ["mod", "rendezvous"],
+                "n_docs": np.array([n, n], dtype=np.int64),
+                "n_moved": np.array([mod_moved, rz_moved], dtype=np.int64),
+            }
+        )
+
+    df = to_pandas_with_schema(
+        combiner_aggregate(
+            ds.map_batches(partial, batch_format="pandas"),
+            "method",
+            {"n_docs": ("n_docs", "sum"), "n_moved": ("n_moved", "sum")},
+        )
+    )
+    if len(df) == 0:
+        return pd.DataFrame(
+            {
+                "method": pd.Series([], dtype=object),
+                "n_docs": pd.Series([], dtype=np.int64),
+                "n_moved": pd.Series([], dtype=np.int64),
+                "moved_pct": pd.Series([], dtype=np.int64),
+            }
+        )
+    df["n_docs"] = df["n_docs"].astype("int64")
+    df["n_moved"] = df["n_moved"].astype("int64")
+    df["moved_pct"] = (100 * df["n_moved"]) // df["n_docs"]
+    return df.sort_values("method").reset_index(drop=True)
+
+
+RESHARD_MOVEMENT_SQL = """
+WITH h AS (
+  SELECT CAST(('0x' || substr(md5(CAST(doc_id AS VARCHAR)), 1, 8)) AS BIGINT) AS hv
+  FROM documents
+), mo AS (
+  SELECT CAST(COUNT(*) AS BIGINT) AS n,
+         CAST(SUM(CASE WHEN hv % 12 <> hv % 16 THEN 1 ELSE 0 END) AS BIGINT) AS moved
+  FROM h
+), rz AS (
+  SELECT doc_id, s,
+         CAST(('0x' || substr(md5(CAST(doc_id AS VARCHAR) || '|' || CAST(s AS VARCHAR)), 1, 8))
+              AS BIGINT) AS hs
+  FROM documents CROSS JOIN (SELECT unnest(range(0, 16)) AS s)
+), old_own AS (
+  SELECT doc_id, s AS owner FROM (
+    SELECT doc_id, s, ROW_NUMBER() OVER (PARTITION BY doc_id ORDER BY hs DESC, s) AS rn
+    FROM rz WHERE s < 12
+  ) WHERE rn = 1
+), new_own AS (
+  SELECT doc_id, s AS owner FROM (
+    SELECT doc_id, s, ROW_NUMBER() OVER (PARTITION BY doc_id ORDER BY hs DESC, s) AS rn
+    FROM rz
+  ) WHERE rn = 1
+), rzm AS (
+  SELECT CAST(COUNT(*) AS BIGINT) AS n,
+         CAST(SUM(CASE WHEN o.owner <> w.owner THEN 1 ELSE 0 END) AS BIGINT) AS moved
+  FROM old_own o JOIN new_own w ON o.doc_id = w.doc_id
+)
+SELECT method, n_docs, n_moved, CAST((100 * n_moved) // n_docs AS BIGINT) AS moved_pct
+FROM (
+  SELECT 'mod' AS method, n AS n_docs, moved AS n_moved FROM mo
+  UNION ALL
+  SELECT 'rendezvous', n, moved FROM rzm
+)
+ORDER BY method
+"""
+
+
 def span_corrupt_documents(sf_dir: str, span_len: int = 3, mask_mod: int = 5) -> pd.DataFrame:
     """T5-style SPAN CORRUPTION (Raffel et al. 2020 §3.1.4) over the word
     stream: contiguous ``span_len``-token blocks are masked with
@@ -3072,6 +3196,7 @@ ORACLES: Dict[str, str] = {
     # shares the exact-broadcast oracle verbatim
     "bloom_decontaminate": DECONTAMINATION_SQL,
     "span_corrupt_documents": SPAN_CORRUPT_SQL,
+    "reshard_movement_report": RESHARD_MOVEMENT_SQL,
     "repetition_ratio": REPETITION_RATIO_SQL,
     "stratified_sample": STRATIFIED_SAMPLE_SQL,
     "chunk_documents": CHUNK_DOCUMENTS_SQL,
@@ -3118,4 +3243,5 @@ QUERIES = {
     "dsir_selection": dsir_selection,
     "quantile_normalize_chars": quantile_normalize_chars,
     "span_corrupt_documents": span_corrupt_documents,
+    "reshard_movement_report": reshard_movement_report,
 }
