@@ -21,6 +21,7 @@ import pandas as pd
 import pyarrow as pa
 import pyarrow.compute as pc
 
+import ray
 import ray.data as rd
 
 from xmlschema_ray.ops.relational import broadcast_join, combiner_aggregate, topk
@@ -3417,6 +3418,232 @@ def orders_compact_bucketed(sf_dir: str, num_buckets: int = 16) -> pd.DataFrame:
     return out.sort_values("o_orderkey").reset_index(drop=True)
 
 
+def join_ivm_priority_revenue(sf_dir: str) -> pd.DataFrame:
+    """DELTA-JOIN incremental view maintenance: keep a materialized JOIN
+    aggregate — revenue and item counts per (order priority, return flag)
+    over orders ⋈ lineitem — correct under CDC feeds on BOTH sides
+    without recomputing the join, the Δ(A⋈B) = ΔA⋈B + A⋈ΔB + ΔA⋈ΔB rule
+    every view-maintenance engine implements (here folded per join key:
+    orders are unique per key, so each TOUCHED key contributes
+    −old_priority⊗S_old + new_priority⊗S_new, which covers all three
+    delta terms at once and cannot double-count the ΔA⋈ΔB corner).
+
+    Feeds (deterministic pure functions, so the oracle rebuilds version-B
+    independently and recomputes the view FROM SCRATCH — proving delta
+    maintenance ≡ recomputation): orders delete keys ≡0 mod 97 and flip
+    surviving keys ≡0 mod 89 to priority '9-MAINT'; lineitem deletes rows
+    with (orderkey+partkey) ≡0 mod 93 and inserts clones (+100 cents) for
+    rows ≡0 mod 101.
+
+    Cost shape: the view seed pays the join ONCE (copartition +
+    per-partition agg partials + one small combiner); maintenance then
+    touches only (a) the feeds, (b) a semi-join-PRUNED scan of each base
+    projection against the broadcast touched-key set (one streaming pass,
+    no exchange of untouched keys), and (c) a driver fold over
+    touched-key × flag rows — all bounded by the feed, never the corpus.
+    """
+    from xmlschema_ray.ops.relational import (
+        combiner_aggregate,
+        copartition_apply,
+        to_pandas_with_schema,
+    )
+
+    orders = rd.read_parquet(
+        table_path(sf_dir, "orders"), columns=["o_orderkey", "o_orderpriority"]
+    )
+    li = rd.read_parquet(
+        table_path(sf_dir, "lineitem"),
+        columns=["l_orderkey", "l_partkey", "l_returnflag", "l_extendedprice"],
+    )
+
+    def li_proj(b: pd.DataFrame) -> pd.DataFrame:
+        return pd.DataFrame(
+            {
+                "l_orderkey": b["l_orderkey"].astype("int64"),
+                "l_partkey": b["l_partkey"].astype("int64"),
+                "l_returnflag": b["l_returnflag"],
+                "price_c": cents(b["l_extendedprice"]),
+            }
+        )
+
+    lip = li.map_batches(li_proj, batch_format="pandas")
+
+    # ---- view seed: the join aggregate, paid once -----------------------
+    def vold_part(lf: pd.DataFrame, rf: pd.DataFrame) -> pd.DataFrame:
+        if len(lf) == 0 or len(rf) == 0:
+            return pd.DataFrame(
+                {
+                    "o_orderpriority": pd.Series([], dtype=object),
+                    "l_returnflag": pd.Series([], dtype=object),
+                    "n_items": pd.Series([], dtype=np.int64),
+                    "revenue_c": pd.Series([], dtype=np.int64),
+                }
+            )
+        m = rf.merge(lf, left_on="l_orderkey", right_on="o_orderkey")
+        return (
+            m.groupby(["o_orderpriority", "l_returnflag"], as_index=False)
+            .agg(n_items=("price_c", "size"), revenue_c=("price_c", "sum"))
+        )
+
+    v_old = to_pandas_with_schema(
+        combiner_aggregate(
+            copartition_apply(orders, lip, "o_orderkey", "l_orderkey", vold_part),
+            ["o_orderpriority", "l_returnflag"],
+            {"n_items": ("n_items", "sum"), "revenue_c": ("revenue_c", "sum")},
+        )
+    )
+
+    # ---- feeds + touched keys -------------------------------------------
+    def li_feed(b: pd.DataFrame) -> pd.DataFrame:
+        k = b["l_orderkey"].to_numpy(np.int64)
+        p = b["l_partkey"].to_numpy(np.int64)
+        pc_ = b["price_c"].to_numpy(np.int64)
+        fl = b["l_returnflag"].to_numpy(object)
+        dels = (k + p) % 93 == 0
+        ins = (k + p) % 101 == 0
+        return pd.DataFrame(
+            {
+                "l_orderkey": np.concatenate([k[dels], k[ins]]),
+                "l_returnflag": np.concatenate([fl[dels], fl[ins]]),
+                "dn": np.concatenate(
+                    [np.full(int(dels.sum()), -1), np.full(int(ins.sum()), 1)]
+                ).astype(np.int64),
+                "dprice": np.concatenate([-pc_[dels], pc_[ins] + 100]).astype(np.int64),
+            }
+        )
+
+    feed_l = lip.map_batches(li_feed, batch_format="pandas")
+    s_delta = to_pandas_with_schema(
+        combiner_aggregate(
+            feed_l,
+            ["l_orderkey", "l_returnflag"],
+            {"dn": ("dn", "sum"), "dprice": ("dprice", "sum")},
+        )
+    )
+
+    def o_touched(b: pd.DataFrame) -> pd.DataFrame:
+        k = b["o_orderkey"].to_numpy(np.int64)
+        m = (k % 97 == 0) | (k % 89 == 0)
+        return pd.DataFrame({"k": k[m]})
+
+    tk_orders = to_pandas_with_schema(
+        combiner_aggregate(
+            orders.map_batches(o_touched, batch_format="pandas"),
+            "k",
+            {"c": (None, "count")},
+        )
+    )
+    touched = np.unique(
+        np.concatenate(
+            [
+                tk_orders["k"].to_numpy(np.int64) if len(tk_orders) else np.array([], np.int64),
+                s_delta["l_orderkey"].to_numpy(np.int64) if len(s_delta) else np.array([], np.int64),
+            ]
+        )
+    )
+    t_ref = ray.put(touched)
+
+    # ---- pruned passes: S_old per (touched key, flag), old priorities ---
+    def prune_li(b: pd.DataFrame) -> pd.DataFrame:
+        t = ray.get(t_ref) if isinstance(t_ref, ray.ObjectRef) else t_ref
+        m = np.isin(b["l_orderkey"].to_numpy(np.int64), t)
+        sub = b[m]
+        if len(sub) == 0:
+            return pd.DataFrame(
+                {
+                    "l_orderkey": pd.Series([], dtype=np.int64),
+                    "l_returnflag": pd.Series([], dtype=object),
+                    "n": pd.Series([], dtype=np.int64),
+                    "rev": pd.Series([], dtype=np.int64),
+                }
+            )
+        return (
+            sub.groupby(["l_orderkey", "l_returnflag"], as_index=False)
+            .agg(n=("price_c", "size"), rev=("price_c", "sum"))
+        )
+
+    s_old = to_pandas_with_schema(
+        combiner_aggregate(
+            lip.map_batches(prune_li, batch_format="pandas"),
+            ["l_orderkey", "l_returnflag"],
+            {"n": ("n", "sum"), "rev": ("rev", "sum")},
+        )
+    )
+
+    def prune_orders(b: pd.DataFrame) -> pd.DataFrame:
+        t = ray.get(t_ref) if isinstance(t_ref, ray.ObjectRef) else t_ref
+        m = np.isin(b["o_orderkey"].to_numpy(np.int64), t)
+        return b[m][["o_orderkey", "o_orderpriority"]]
+
+    a_old = to_pandas_with_schema(
+        orders.map_batches(prune_orders, batch_format="pandas")
+    )
+
+    # ---- driver fold over touched-key × flag rows (feed-sized) ----------
+    prio_of = dict(zip(a_old["o_orderkey"].astype(np.int64), a_old["o_orderpriority"]))
+    pairs: dict = {}
+    for df_, cols in ((s_old, ("n", "rev")), (s_delta, ("dn", "dprice"))):
+        for row in df_.itertuples(index=False):
+            key = (int(row.l_orderkey), row.l_returnflag)
+            e = pairs.setdefault(key, [0, 0, 0, 0])  # n_old, rev_old, dn, drev
+            if cols[0] == "n":
+                e[0] += int(row.n)
+                e[1] += int(row.rev)
+            else:
+                e[2] += int(row.dn)
+                e[3] += int(row.dprice)
+    deltas: dict = {}
+    for (k, fl), (n0, r0, dn, dr) in pairs.items():
+        old_prio = prio_of.get(k)
+        if old_prio is None:
+            continue  # order never existed: no contribution either side
+        exists_new = k % 97 != 0
+        new_prio = "9-MAINT" if k % 89 == 0 else old_prio
+        d = deltas.setdefault((old_prio, fl), [0, 0])
+        d[0] -= n0
+        d[1] -= r0
+        if exists_new:
+            d = deltas.setdefault((new_prio, fl), [0, 0])
+            d[0] += n0 + dn
+            d[1] += r0 + dr
+    d_df = pd.DataFrame(
+        [(p, f, n, r) for (p, f), (n, r) in deltas.items()],
+        columns=["o_orderpriority", "l_returnflag", "n_items", "revenue_c"],
+    )
+    merged = (
+        pd.concat([v_old, d_df], ignore_index=True)
+        .groupby(["o_orderpriority", "l_returnflag"], as_index=False)[["n_items", "revenue_c"]]
+        .sum()
+    )
+    merged = merged[merged["n_items"] > 0]
+    merged["n_items"] = merged["n_items"].astype("int64")
+    merged["revenue_c"] = merged["revenue_c"].astype("int64")
+    return merged.sort_values(["o_orderpriority", "l_returnflag"]).reset_index(drop=True)
+
+
+JOIN_IVM_SQL = """
+WITH a_new AS (
+  SELECT o_orderkey,
+         CASE WHEN o_orderkey % 89 = 0 THEN '9-MAINT' ELSE o_orderpriority END AS prio
+  FROM orders WHERE o_orderkey % 97 <> 0
+), b_base AS (
+  SELECT l_orderkey, l_partkey, l_returnflag,
+         CAST(floor(l_extendedprice * 100 + 0.5) AS BIGINT) AS price_c
+  FROM lineitem
+), b_new AS (
+  SELECT l_orderkey, l_returnflag, price_c FROM b_base WHERE (l_orderkey + l_partkey) % 93 <> 0
+  UNION ALL
+  SELECT l_orderkey, l_returnflag, price_c + 100 FROM b_base WHERE (l_orderkey + l_partkey) % 101 = 0
+)
+SELECT a.prio AS o_orderpriority, b.l_returnflag,
+       CAST(COUNT(*) AS BIGINT) AS n_items,
+       CAST(SUM(b.price_c) AS BIGINT) AS revenue_c
+FROM a_new a JOIN b_new b ON a.o_orderkey = b.l_orderkey
+GROUP BY 1, 2
+ORDER BY 1, 2
+"""
+
+
 def orders_status_counts_ivm(sf_dir: str) -> pd.DataFrame:
     """INCREMENTAL VIEW MAINTENANCE: keep a materialized aggregate (order
     counts by status) correct under a CDC feed at O(feed) cost instead of
@@ -4364,6 +4591,7 @@ ORACLES = {
     "time_weighted_value_by_user": TIME_WEIGHTED_VALUE_SQL,
     "fd_repair_by_source": FD_REPAIR_SQL,
     "orders_status_counts_ivm": ORDERS_STATUS_IVM_SQL,
+    "join_ivm_priority_revenue": JOIN_IVM_SQL,
     "weekly_active_users": WEEKLY_ACTIVE_SQL,
     "winsorized_price_by_flag": WINSORIZED_PRICE_SQL,
     "customer_event_counts": CUSTOMER_EVENT_COUNTS_SQL,
@@ -4433,6 +4661,7 @@ QUERIES = {
     "time_weighted_value_by_user": time_weighted_value_by_user,
     "fd_repair_by_source": fd_repair_by_source,
     "orders_status_counts_ivm": orders_status_counts_ivm,
+    "join_ivm_priority_revenue": join_ivm_priority_revenue,
     "weekly_active_users": weekly_active_users,
     "winsorized_price_by_flag": winsorized_price_by_flag,
     "customer_event_counts": customer_event_counts,
