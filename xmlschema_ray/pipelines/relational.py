@@ -589,6 +589,119 @@ ORDER BY l_returnflag
 """
 
 
+def _merge_rev_partial(la: pd.DataFrame, lb: pd.DataFrame) -> pd.DataFrame:
+    """Per-range partial for the clustered merge join: local inner join +
+    per-status (count, revenue) fold, so joined rows never leave the task."""
+    if len(la) == 0 or len(lb) == 0:
+        return pd.DataFrame(
+            {
+                "o_orderstatus": pd.Series([], dtype=object),
+                "n_items": pd.Series([], dtype=np.int64),
+                "revenue_c": pd.Series([], dtype=np.int64),
+            }
+        )
+    m = lb.merge(la, left_on="l_orderkey", right_on="o_orderkey")
+    return m.groupby("o_orderstatus", as_index=False).agg(
+        n_items=("price_c", "size"), revenue_c=("price_c", "sum")
+    )
+
+
+def clustered_merge_revenue(sf_dir: str) -> pd.DataFrame:
+    """Revenue per order status through a ZERO-EXCHANGE sort-merge join of
+    two RANGE-CLUSTERED layouts (``sources.clustered.clustered_merge_join``):
+    orders and lineitem are each exported once globally sorted on the
+    order key with zone-map manifests, then the join is pure zone
+    alignment — disjoint key ranges at the union of both manifests' file
+    boundaries, one task per range reading only its overlapping files
+    from each side and folding per-status partials in place. The
+    range-layout counterpart of ``bucketed_join_revenue`` (hash layout →
+    exchange-free equi-join; sorted layout → exchange-free MERGE join,
+    and the same layout also serves range scans). Layouts cached per SF;
+    the sort is paid once, every later join is exchange-free."""
+    import os
+
+    from xmlschema_ray.ops.relational import combiner_aggregate, to_pandas_with_schema
+    from xmlschema_ray.sources.clustered import (
+        MANIFEST_NAME,
+        clustered_merge_join,
+        write_clustered,
+    )
+
+    base = "/tmp/xmlschema_ray_mergejoin"
+    sf_name = os.path.basename(os.path.normpath(sf_dir))
+    dir_o = os.path.join(base, sf_name, "orders")
+    dir_l = os.path.join(base, sf_name, "lineitem")
+
+    def build(table: str, key: str, proj, out_dir: str) -> None:
+        if os.path.exists(os.path.join(out_dir, MANIFEST_NAME)):
+            return
+        ds = rd.read_parquet(table_path(sf_dir, table))
+        tmp = f"{out_dir}.build{os.getpid()}"
+        write_clustered(ds.map_batches(proj, batch_format="pandas"), key, tmp)
+        os.makedirs(os.path.dirname(out_dir), exist_ok=True)
+        try:
+            os.rename(tmp, out_dir)
+        except OSError:
+            import shutil
+
+            shutil.rmtree(tmp, ignore_errors=True)
+
+    def o_proj(b: pd.DataFrame) -> pd.DataFrame:
+        return pd.DataFrame(
+            {
+                "o_orderkey": b["o_orderkey"].astype("int64"),
+                "o_orderstatus": b["o_orderstatus"],
+            }
+        )
+
+    def l_proj(b: pd.DataFrame) -> pd.DataFrame:
+        return pd.DataFrame(
+            {
+                "l_orderkey": b["l_orderkey"].astype("int64"),
+                "price_c": cents(b["l_extendedprice"]),
+            }
+        )
+
+    build("orders", "o_orderkey", o_proj, dir_o)
+    build("lineitem", "l_orderkey", l_proj, dir_l)
+
+    partials = clustered_merge_join(
+        dir_o,
+        dir_l,
+        _merge_rev_partial,
+        columns_a=["o_orderkey", "o_orderstatus"],
+        columns_b=["l_orderkey", "price_c"],
+    )
+    df = to_pandas_with_schema(
+        combiner_aggregate(
+            partials,
+            "o_orderstatus",
+            {"n_items": ("n_items", "sum"), "revenue_c": ("revenue_c", "sum")},
+        )
+    )
+    if len(df) == 0:
+        return pd.DataFrame(
+            {
+                "o_orderstatus": pd.Series([], dtype=object),
+                "n_items": pd.Series([], dtype=np.int64),
+                "revenue_c": pd.Series([], dtype=np.int64),
+            }
+        )
+    df["n_items"] = df["n_items"].astype("int64")
+    df["revenue_c"] = df["revenue_c"].astype("int64")
+    return df.sort_values("o_orderstatus").reset_index(drop=True)
+
+
+CLUSTERED_MERGE_REVENUE_SQL = """
+SELECT o.o_orderstatus,
+       CAST(COUNT(*) AS BIGINT) AS n_items,
+       CAST(SUM(CAST(floor(l.l_extendedprice * 100 + 0.5) AS BIGINT)) AS BIGINT) AS revenue_c
+FROM orders o JOIN lineitem l ON o.o_orderkey = l.l_orderkey
+GROUP BY o.o_orderstatus
+ORDER BY o.o_orderstatus
+"""
+
+
 def bloom_index_custkey_lookup(sf_dir: str, modulus: int = 1009) -> pd.DataFrame:
     """Membership lookup through a BLOOM FILE-SKIPPING INDEX
     (``sources.bloomindex``): orders cached as a multi-file layout in
@@ -4558,6 +4671,7 @@ ORACLES = {
     "clustered_price_band": CLUSTERED_BAND_SQL,
     "zordered_box_query": ZORDERED_BOX_SQL,
     "orders_scd2_enrich": ORDERS_SCD2_ENRICH_SQL,
+    "clustered_merge_revenue": CLUSTERED_MERGE_REVENUE_SQL,
     "bucketed_join_revenue": BUCKETED_JOIN_SQL,
     "orders_pivot_status_priority": PIVOT_SQL,
     "asof_latest_order_before_event": ASOF_SQL,
@@ -4628,6 +4742,7 @@ QUERIES = {
     "clustered_price_band": clustered_price_band,
     "zordered_box_query": zordered_box_query,
     "orders_scd2_enrich": orders_scd2_enrich,
+    "clustered_merge_revenue": clustered_merge_revenue,
     "bucketed_join_revenue": bucketed_join_revenue,
     "orders_pivot_status_priority": orders_pivot_status_priority,
     "asof_latest_order_before_event": asof_latest_order_before_event,

@@ -23,6 +23,7 @@ import os
 import tempfile
 from typing import List, Optional, Tuple
 
+import pandas as pd
 import pyarrow as pa
 import pyarrow.compute as pc
 import pyarrow.parquet as pq
@@ -87,6 +88,93 @@ def prune_files(
             continue
         keep.append(os.path.join(out_dir, z["path"]))
     return keep, len(manifest["files"])
+
+
+def _load_zones(out_dir: str):
+    with open(os.path.join(out_dir, MANIFEST_NAME)) as fh:
+        m = json.load(fh)
+    return m["key"], m["files"]
+
+
+def clustered_merge_join(
+    dir_a: str,
+    dir_b: str,
+    fn,
+    columns_a: Optional[List[str]] = None,
+    columns_b: Optional[List[str]] = None,
+) -> "rd.Dataset":
+    """ZERO-EXCHANGE sort-merge join of two range-clustered layouts on
+    their (integer) cluster keys — the range-layout counterpart of the
+    bucketed layout's exchange-free equi-join: both tables paid ONE
+    global sort at write time, so the join reduces to zone alignment.
+
+    The key space is partitioned into DISJOINT half-open ranges at the
+    union of both manifests' file boundaries (adjacent ranges with
+    identical file sets coalesce), and each range becomes one task that
+    reads ONLY the overlapping files from each side (exact residual
+    filter to the range), joins locally via ``fn(la, lb) ->
+    pd.DataFrame`` and emits the partials — no shuffle, no broadcast.
+    Every row's key lies in exactly one range and every file containing
+    that key overlaps that range, so equal keys split across adjacent
+    files on EITHER side still meet in one task (the many-to-many
+    boundary case the tests pin). Inner-join semantics: ranges empty on
+    either side are skipped. I/O amplification is bounded by zone
+    overlap — ~one boundary file per range on a sorted layout, versus a
+    full all-to-all for the exchange join.
+    """
+    key_a, zones_a = _load_zones(dir_a)
+    key_b, zones_b = _load_zones(dir_b)
+    for key, zones, d in ((key_a, zones_a, dir_a), (key_b, zones_b, dir_b)):
+        for z in zones:
+            if not isinstance(z["min"], int) or not isinstance(z["max"], int):
+                raise ValueError(
+                    f"clustered_merge_join: integer cluster key required, got "
+                    f"{type(z['min']).__name__} bounds for {key!r} in {d}"
+                )
+    points = sorted(
+        {z["min"] for z in zones_a}
+        | {z["max"] + 1 for z in zones_a}
+        | {z["min"] for z in zones_b}
+        | {z["max"] + 1 for z in zones_b}
+    )
+    tasks = []
+    for lo, hi in zip(points[:-1], points[1:]):
+        fa = [z["path"] for z in zones_a if z["min"] < hi and z["max"] >= lo]
+        fb = [z["path"] for z in zones_b if z["min"] < hi and z["max"] >= lo]
+        if not fa or not fb:
+            continue
+        if tasks and tasks[-1]["fa"] == fa and tasks[-1]["fb"] == fb and tasks[-1]["hi"] == lo:
+            tasks[-1]["hi"] = hi  # coalesce: same files, adjacent range
+        else:
+            tasks.append({"lo": lo, "hi": hi, "fa": fa, "fb": fb})
+    if not tasks:
+        # typed empties from the layouts' own schemas, so fn sees its columns
+        def empty_of(d: str, cols: Optional[List[str]]) -> pd.DataFrame:
+            any_file = sorted(f for f in os.listdir(d) if f.endswith(".parquet"))
+            schema = pq.read_schema(os.path.join(d, any_file[0]))
+            if cols:
+                schema = pa.schema([schema.field(c) for c in cols])
+            return schema.empty_table().to_pandas()
+
+        empty = fn(empty_of(dir_a, columns_a), empty_of(dir_b, columns_b))
+        return rd.from_pandas(empty)
+
+    def run(batch: pd.DataFrame) -> pd.DataFrame:
+        outs = []
+        for t in batch.itertuples(index=False):
+            filt_a = [(key_a, ">=", int(t.lo)), (key_a, "<", int(t.hi))]
+            filt_b = [(key_b, ">=", int(t.lo)), (key_b, "<", int(t.hi))]
+            la = pq.read_table(
+                [os.path.join(dir_a, f) for f in t.fa], columns=columns_a, filters=filt_a
+            ).to_pandas()
+            lb = pq.read_table(
+                [os.path.join(dir_b, f) for f in t.fb], columns=columns_b, filters=filt_b
+            ).to_pandas()
+            outs.append(fn(la, lb))
+        return pd.concat(outs, ignore_index=True)
+
+    items = rd.from_pandas(pd.DataFrame(tasks)).repartition(len(tasks))
+    return items.map_batches(run, batch_format="pandas", batch_size=None)
 
 
 def read_clustered(
