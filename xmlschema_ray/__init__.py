@@ -32,6 +32,7 @@ Validation semantics follow the reference: validation is decode-with-errors
 from xmlschema_ray.constraints.spec import (
     AggregateCheck,
     ManifestCheck,
+    ReconcileCheck,
     SequenceCheck,
     AltCase,
     ColumnAlias,
@@ -64,6 +65,7 @@ from xmlschema_ray.engine.engine import ValidationEngine, ValidationResult
 __all__ = [
     "AggregateCheck",
     "ManifestCheck",
+    "ReconcileCheck",
     "SequenceCheck",
     "AltCase",
     "ColumnSpec",

@@ -1,6 +1,7 @@
 from xmlschema_ray.constraints.spec import (
     AggregateCheck,
     ManifestCheck,
+    ReconcileCheck,
     SequenceCheck,
     AltCase,
     ColumnAlias,
@@ -17,6 +18,7 @@ from xmlschema_ray.constraints.spec import (
 __all__ = [
     "AggregateCheck",
     "ManifestCheck",
+    "ReconcileCheck",
     "SequenceCheck",
     "AltCase",
     "ColumnAlias",

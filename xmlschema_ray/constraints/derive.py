@@ -377,6 +377,12 @@ def spec_compat(old: TableConstraints, new: TableConstraints) -> List[Dict]:
                 f"{k.column} {k.kind}"
                 + (f"(max_gap={k.max_gap})" if k.max_gap is not None else "")
             )
+        if kind == "reconcile_check":
+            return (
+                f"key {k.key} {k.agg}({k.column}) x{k.scale} vs "
+                f"{k.dim_name}.{k.dim_key}={k.expected}±{k.tolerance}, "
+                f"missing={k.check_missing_details}, orphan={k.check_orphan_details}"
+            )
         if kind == "manifest_check":
             return (
                 f"by {k.group_by} vs {k.dim_name}.{k.dim_key}: "
@@ -393,6 +399,7 @@ def spec_compat(old: TableConstraints, new: TableConstraints) -> List[Dict]:
         ("aggregate_check", old.aggregate_checks, new.aggregate_checks),
         ("manifest_check", old.manifest_checks, new.manifest_checks),
         ("sequence_check", old.sequence_checks, new.sequence_checks),
+        ("reconcile_check", old.reconcile_checks, new.reconcile_checks),
         ("row_check", old.row_checks, new.row_checks),
     ):
         old_by = {k.name: k for k in old_items}

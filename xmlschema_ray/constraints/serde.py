@@ -25,6 +25,7 @@ from xmlschema_ray.constraints.spec import (
     LengthEquals,
     ManifestCheck,
     RowCheck,
+    ReconcileCheck,
     SequenceCheck,
     SpecError,
     TableConstraints,
@@ -428,6 +429,23 @@ def spec_to_json(spec: TableConstraints) -> Dict[str, Any]:
             }
             for sc in spec.sequence_checks
         ]
+    if spec.reconcile_checks:
+        doc["reconcile_checks"] = [
+            {
+                "name": r.name,
+                "key": r.key,
+                "agg": r.agg,
+                "dim_name": r.dim_name,
+                "dim_key": r.dim_key,
+                "expected": r.expected,
+                "column": r.column,
+                "scale": r.scale,
+                "tolerance": r.tolerance,
+                "check_missing_details": r.check_missing_details,
+                "check_orphan_details": r.check_orphan_details,
+            }
+            for r in spec.reconcile_checks
+        ]
     for rc in spec.row_checks:
         meta = getattr(rc, "_serde", None)
         if meta is None:
@@ -542,6 +560,22 @@ def spec_from_json(doc: Dict[str, Any]) -> TableConstraints:
             )
             for sq in doc.get("sequence_checks", [])
         ],
+        reconcile_checks=[
+            ReconcileCheck(
+                name=r["name"],
+                key=r["key"],
+                agg=r["agg"],
+                dim_name=r["dim_name"],
+                dim_key=r["dim_key"],
+                expected=r["expected"],
+                column=r.get("column"),
+                scale=int(r.get("scale", 1)),
+                tolerance=int(r.get("tolerance", 0)),
+                check_missing_details=bool(r.get("check_missing_details", True)),
+                check_orphan_details=bool(r.get("check_orphan_details", True)),
+            )
+            for r in doc.get("reconcile_checks", [])
+        ],
         key_columns=tuple(doc.get("key_columns", ())),
         allow_extra_columns=doc.get("allow_extra_columns", True),
         stats_columns=tuple(doc.get("stats_columns", ())),
@@ -565,6 +599,7 @@ _OVERRIDE_SECTIONS = (
     ("aggregate_checks", "name"),
     ("manifest_checks", "name"),
     ("sequence_checks", "name"),
+    ("reconcile_checks", "name"),
 )
 
 

@@ -407,6 +407,81 @@ class ManifestCheck:
 
 
 @dataclass(frozen=True)
+class ReconcileCheck:
+    """Per-KEY header/detail reconciliation — the FACT-scale counterpart
+    of ``ManifestCheck`` (whose dim is group-cardinality by assumption and
+    loads driver-side): here the expected values live in a header table
+    with one row per JOIN KEY (orders vs their lineitems, invoices vs
+    positions, shards vs their chunk inventories), so neither side can
+    broadcast and the check earns its own exchanges (stage B4,
+    ``engine.py _reconcile_check_violations``) — the "books balance"
+    constraint class every warehouse load and every sharded-corpus
+    delivery runs at detail level.
+
+    Semantics, per header key ``k``: the observed ``count`` of detail
+    rows (or the observed scaled-integer ``sum`` of ``column``) must
+    match ``expected`` within ``tolerance``. Violations (all key-level,
+    ``partition_id = -1`` — an aggregate across files has no single-file
+    lineage): ``{name}.mismatch``, ``{name}.missing_details`` (header key
+    with no detail rows), ``{name}.orphan_details`` (detail key absent
+    from the header); each independently demotable to warning severity.
+
+    Exactness: sums accumulate PER-ROW scaled integers
+    ``floor(value · scale + 0.5)`` (int64), the suite's cents discipline —
+    the only order-independent definition, so the verdict is identical at
+    any parallelism and a SQL oracle replays it verbatim; ``expected``
+    scales the same way and ``tolerance`` is in scaled units.
+
+    Physical plan: per-batch (key, n, sum) partials → ONE key-combiner
+    exchange (key-cardinality rows, the uniqueness-channel class), then
+    ONE co-partitioning exchange joining the observed aggregates against
+    the header projection — never the detail rows, never a broadcast.
+    """
+
+    name: str
+    key: str  # detail-side join key column
+    agg: str  # count | sum
+    dim_name: str  # run(dims={...}) entry: the header table
+    dim_key: str  # header's key column
+    expected: str  # header column holding the expected value
+    column: Optional[str] = None  # detail column summed (required iff agg == "sum")
+    scale: int = 1  # per-row integer scaling for sum (100 = cents)
+    tolerance: int = 0  # in scaled units
+    check_missing_details: bool = True
+    check_orphan_details: bool = True
+
+    KINDS = ("mismatch", "missing_details", "orphan_details")
+    _AGGS = ("count", "sum")
+
+    def lint(self, known: set) -> None:
+        if self.agg not in self._AGGS:
+            raise SpecError(
+                f"reconcile check {self.name!r}: unknown agg {self.agg!r} "
+                f"(expected one of {self._AGGS})"
+            )
+        if (self.agg == "sum") != (self.column is not None):
+            raise SpecError(
+                f"reconcile check {self.name!r}: column must be set exactly "
+                "when agg == 'sum'"
+            )
+        if self.key not in known:
+            raise SpecError(
+                f"reconcile check {self.name!r} references unknown key column {self.key!r}"
+            )
+        if self.column is not None and self.column not in known:
+            raise SpecError(
+                f"reconcile check {self.name!r} references unknown column {self.column!r}"
+            )
+        if self.scale < 1:
+            raise SpecError(f"reconcile check {self.name!r}: scale must be >= 1")
+        if self.tolerance < 0 or int(self.tolerance) != self.tolerance:
+            raise SpecError(
+                f"reconcile check {self.name!r}: tolerance must be a "
+                "non-negative integer in scaled units"
+            )
+
+
+@dataclass(frozen=True)
 class SequenceCheck:
     """Per-key ORDERED-STREAM constraint — the cross-partition sequence
     property no row-local check can see (§2.11 streaming concerns: the
@@ -551,6 +626,7 @@ class TableConstraints:
     aggregate_checks: List[AggregateCheck] = field(default_factory=list)
     manifest_checks: List["ManifestCheck"] = field(default_factory=list)
     sequence_checks: List["SequenceCheck"] = field(default_factory=list)
+    reconcile_checks: List["ReconcileCheck"] = field(default_factory=list)
     type_alternatives: List[TypeAlternatives] = field(default_factory=list)
     key_columns: Tuple[str, ...] = ()
     allow_extra_columns: bool = True
@@ -641,6 +717,9 @@ class TableConstraints:
         demotable |= {
             f"{mc.name}.{kind}" for mc in self.manifest_checks for kind in ManifestCheck.KINDS
         }
+        demotable |= {
+            f"{rc.name}.{kind}" for rc in self.reconcile_checks for kind in ReconcileCheck.KINDS
+        }
         for w in self.warning_constraints:
             if w not in demotable:
                 raise SpecError(
@@ -682,6 +761,8 @@ class TableConstraints:
             mc.lint(known, self.columns)
         for sc in self.sequence_checks:
             sc.lint(known)
+        for rc2 in self.reconcile_checks:
+            rc2.lint(known)
         for col in self.key_columns + self.stats_columns + self.distinct_columns:
             if col not in known:
                 raise SpecError(f"unknown column {col!r} in key/stats/distinct columns")
@@ -729,6 +810,7 @@ class TableConstraints:
         out += [ac.name for ac in self.aggregate_checks]
         out += [sc.name for sc in self.sequence_checks]
         out += [mc.name for mc in self.manifest_checks]
+        out += [rc2.name for rc2 in self.reconcile_checks]
         return out
 
     def column(self, name: str) -> ColumnSpec:

@@ -555,6 +555,177 @@ class ValidationEngine:
             out_ds = viol if out_ds is None else out_ds.union(viol)
         return out_ds
 
+    def _reconcile_check_violations(
+        self, source, dims: Dict[str, Union[str, pa.Table]]
+    ) -> Optional["rd.Dataset"]:
+        """Stage B4 — per-KEY header/detail reconciliation
+        (``ReconcileCheck``): the fact-scale totals check ``ManifestCheck``
+        cannot serve (its dim is group-cardinality and loads driver-side;
+        here the header carries one expected value per JOIN KEY, so
+        neither side broadcasts). Per check: per-batch (key, n, sum)
+        partials over the PRUNED detail projection → one key-combiner
+        exchange; the observed aggregates then meet the header projection
+        through one co-partitioning exchange and compare per partition —
+        detail rows never move, the header moves once. Sums are per-row
+        scaled integers (see the spec class), so the compare is
+        integer-exact at any parallelism. Violations are key-level
+        (``partition_id = -1`` — a cross-file aggregate has no single-file
+        lineage), shaped like stage-A rows for the shared sink/verdicts."""
+        from xmlschema_ray.ops.relational import (
+            combiner_aggregate,
+            copartition_apply,
+            hash_partition_apply,  # noqa: F401  (kept for plan symmetry refs)
+        )
+
+        out_ds: Optional[rd.Dataset] = None
+        for rc in self.spec.reconcile_checks:
+            if rc.dim_name not in dims:
+                raise ValueError(
+                    f"reconcile check {rc.name!r}: header table {rc.dim_name!r} "
+                    "not provided in dims"
+                )
+            dim = dims[rc.dim_name]
+            hdr_cols = [rc.dim_key, rc.expected]
+            if isinstance(dim, str):
+                hdr = rd.read_parquet(_resolve_files(dim), columns=hdr_cols)
+            else:
+                hdr = rd.from_arrow(dim.select(hdr_cols))
+            need = [rc.key] + ([rc.column] if rc.column is not None else [])
+            det = rd.read_parquet(source, columns=need)
+
+            def partial(batch: pd.DataFrame, rc=rc) -> pd.DataFrame:
+                k = batch[rc.key]
+                if rc.agg == "count":
+                    s = np.ones(len(batch), dtype=np.int64)
+                else:
+                    v = batch[rc.column].to_numpy(np.float64)
+                    s = np.floor(v * rc.scale + 0.5).astype(np.int64)
+                    # null detail values contribute 0 to the scaled sum
+                    s[~batch[rc.column].notna().to_numpy()] = 0
+                g = pd.DataFrame({"__k": k, "n": np.ones(len(batch), dtype=np.int64), "s": s})
+                return g.groupby("__k", as_index=False)[["n", "s"]].sum()
+
+            agg = combiner_aggregate(
+                det.map_batches(partial, batch_format="pandas"),
+                "__k",
+                {"n": ("n", "sum"), "s": ("s", "sum")},
+            )
+
+            def compare(lf: pd.DataFrame, rf: pd.DataFrame, rc=rc) -> pd.DataFrame:
+                cols = {f.name: pd.Series([], dtype=object) for f in VIOLATION_SCHEMA}
+                empty = pd.DataFrame(cols).astype({"partition_id": "int32"})
+                if len(lf) == 0 and len(rf) == 0:
+                    return empty
+                l2 = (
+                    lf.rename(columns={"__k": "k"})
+                    if len(lf)
+                    else pd.DataFrame(
+                        {
+                            "k": pd.Series([], dtype=object),
+                            "n": pd.Series([], dtype=np.int64),
+                            "s": pd.Series([], dtype=np.int64),
+                        }
+                    )
+                )
+                r2 = (
+                    rf.rename(columns={rc.dim_key: "k"})
+                    if len(rf)
+                    else pd.DataFrame(
+                        {
+                            "k": pd.Series([], dtype=object),
+                            rc.expected: pd.Series([], dtype=np.float64),
+                        }
+                    )
+                )
+                m = l2.merge(r2, on="k", how="outer", indicator="side")
+                # fully vectorized over the key-cardinality frame; Python
+                # touches only the VIOLATION-sized subsets (string assembly)
+                side = m["side"].to_numpy(object)
+                keys = m["k"].astype(str).to_numpy(object)
+                n_arr = m["n"].to_numpy(np.float64)
+                s_arr = m["s"].to_numpy(np.float64)
+                exp_f = m[rc.expected].to_numpy(np.float64)
+                frames: List[pd.DataFrame] = []
+
+                def shape(idx, cname, col, reasons, vreprs):
+                    return pd.DataFrame(
+                        {
+                            "partition_id": np.full(len(idx), -1, dtype=np.int32),
+                            "key": keys[idx],
+                            "constraint_name": cname,
+                            "column": col,
+                            "reason": np.array(reasons, dtype=object),
+                            "value_repr": np.array(vreprs, dtype=object),
+                        }
+                    )
+
+                if rc.check_orphan_details:
+                    idx = np.flatnonzero(side == "left_only")
+                    if len(idx):
+                        ns = n_arr[idx].astype(np.int64)
+                        frames.append(
+                            shape(
+                                idx,
+                                f"{rc.name}.orphan_details",
+                                rc.key,
+                                [
+                                    f"{int(nn)} detail rows for key absent from "
+                                    f"header {rc.dim_name!r}"
+                                    for nn in ns
+                                ],
+                                [str(int(nn)) for nn in ns],
+                            )
+                        )
+                exp_scaled = np.zeros(len(m), dtype=np.int64)
+                has_exp = side != "left_only"
+                exp_scaled[has_exp] = np.floor(
+                    exp_f[has_exp] * rc.scale + 0.5
+                ).astype(np.int64)
+                if rc.check_missing_details:
+                    idx = np.flatnonzero(side == "right_only")
+                    if len(idx):
+                        frames.append(
+                            shape(
+                                idx,
+                                f"{rc.name}.missing_details",
+                                rc.key,
+                                [
+                                    f"header expects {int(e)}, observed no detail rows"
+                                    for e in exp_scaled[idx]
+                                ],
+                                [""] * len(idx),
+                            )
+                        )
+                both = side == "both"
+                obs = (n_arr if rc.agg == "count" else s_arr)
+                obs_i = np.zeros(len(m), dtype=np.int64)
+                obs_i[both] = obs[both].astype(np.int64)
+                bad = both & (np.abs(obs_i - exp_scaled) > rc.tolerance)
+                idx = np.flatnonzero(bad)
+                if len(idx):
+                    tol = f" (tolerance {rc.tolerance})" if rc.tolerance else ""
+                    frames.append(
+                        shape(
+                            idx,
+                            f"{rc.name}.mismatch",
+                            rc.column if rc.column is not None else rc.key,
+                            [
+                                f"observed {rc.agg} {int(o)} != expected {int(e)}{tol}"
+                                for o, e in zip(obs_i[idx], exp_scaled[idx])
+                            ],
+                            [str(int(o)) for o in obs_i[idx]],
+                        )
+                    )
+                if not frames:
+                    return empty
+                out = pd.concat(frames, ignore_index=True)
+                out["partition_id"] = out["partition_id"].astype("int32")
+                return out
+
+            viol = copartition_apply(agg, hdr, "__k", rc.dim_key, compare)
+            out_ds = viol if out_ds is None else out_ds.union(viol)
+        return out_ds
+
     # -- schema precheck (partition-level) --------------------------------
 
     def _schema_violations(self, partition_id: int, files: List[str]) -> List[dict]:
@@ -683,6 +854,18 @@ class ValidationEngine:
                 "sequence checks (stage B3) require a file-based source — a "
                 "Dataset source has no re-readable lineage for the ordered pass"
             )
+        if self.spec.reconcile_checks and ds_direct is not None:
+            raise ValueError(
+                "reconcile checks (stage B4) require a file-based source — a "
+                "Dataset source would re-execute for the reconciliation pass"
+            )
+        if self.spec.reconcile_checks:
+            for rc in self.spec.reconcile_checks:
+                if rc.dim_name not in (dims or {}):
+                    raise ValueError(
+                        f"reconcile check {rc.name!r}: header table "
+                        f"{rc.dim_name!r} not provided in dims"
+                    )
         fk_ref = ray.put(fk_sets) if fk_sets else None
 
         concurrency = self.concurrency
@@ -771,6 +954,7 @@ class ValidationEngine:
             deferred_fks=deferred_fks,
             pid_of_file=pid_of_file,
             manifests=manifests,
+            reconcile_dims=dims or {},
         )
         if repair_out is not None and ds_direct is None:
             from xmlschema_ray.engine.encode import normalize_rewrite
@@ -933,6 +1117,7 @@ class ValidationEngine:
         deferred_fks: Optional[List[tuple]] = None,
         pid_of_file: Optional[Dict[str, int]] = None,
         manifests: Optional[Dict[str, pa.Table]] = None,
+        reconcile_dims: Optional[Dict[str, Union[str, pa.Table]]] = None,
     ) -> ValidationResult:
         unified_dir = os.path.join(out_dir, "unified")
 
@@ -950,6 +1135,14 @@ class ValidationEngine:
             if seq_ds is not None:
                 bigfk_viol_ds = (
                     seq_ds if bigfk_viol_ds is None else bigfk_viol_ds.union(seq_ds)
+                )
+        # stage B4: per-key header/detail reconciliation — same lazy-union
+        # plumbing as B2/B3
+        if self.spec.reconcile_checks and mode != "stats_only" and isinstance(source, list):
+            rec_ds = self._reconcile_check_violations(source, reconcile_dims or {})
+            if rec_ds is not None:
+                bigfk_viol_ds = (
+                    rec_ds if bigfk_viol_ds is None else bigfk_viol_ds.union(rec_ds)
                 )
 
         # stage B: global uniqueness over the pre-aggregated keycounts —

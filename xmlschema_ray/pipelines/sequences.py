@@ -936,11 +936,97 @@ ORDER BY event_id
 """
 
 
+def val_order_totals(sf_dir: str) -> pd.DataFrame:
+    """Per-KEY header/detail reconciliation through the FULL engine
+    (``ReconcileCheck``, stage B4): every order's ``o_totalprice`` must
+    equal the scaled-integer sum of its lineitems' ``l_extendedprice`` —
+    the detail-level "books balance" audit ``ManifestCheck`` cannot serve
+    (the header here has one expected value per JOIN KEY, fact-scale, so
+    neither side broadcasts; the check pays one key-combiner exchange of
+    (key, n, sum) partials plus one co-partitioning exchange against the
+    header projection). On TPC-H-shaped data the totals genuinely differ
+    (totalprice folds tax/discount), so the mismatch set is large and
+    every reason string carries both scaled integers — the oracle
+    recomputes all of them verbatim, plus the missing-details and
+    orphan-details sets."""
+    from xmlschema_ray.constraints.spec import ColumnSpec, ReconcileCheck, TableConstraints
+
+    li_path = os.path.join(sf_dir, "lineitem.parquet")
+    spec = TableConstraints(
+        name="order_totals_reconcile",
+        columns=[
+            ColumnSpec("l_orderkey", pa.int64(), nullable=False),
+            ColumnSpec("l_extendedprice", pa.float64()),
+        ],
+        reconcile_checks=[
+            ReconcileCheck(
+                "order_totals",
+                key="l_orderkey",
+                agg="sum",
+                column="l_extendedprice",
+                scale=100,
+                dim_name="orders",
+                dim_key="o_orderkey",
+                expected="o_totalprice",
+            )
+        ],
+        key_columns=("l_orderkey",),
+    )
+    out_dir = _scratch("val_order_totals")
+    eng = ValidationEngine(spec, batch_size=8192, n_shards=1)
+    res = eng.run(
+        li_path,
+        out_dir=out_dir,
+        dims={"orders": os.path.join(sf_dir, "orders.parquet")},
+        resume=False,
+    )
+    v = res.violations()
+    v = v[v["constraint_name"].str.startswith("order_totals.")]
+    return (
+        pd.DataFrame(
+            {
+                "okey": v["key"].astype(object),
+                "constraint_name": v["constraint_name"].astype(object),
+                "reason": v["reason"].astype(object),
+            }
+        )
+        .sort_values(["okey", "constraint_name"])
+        .reset_index(drop=True)
+    )
+
+
+VAL_ORDER_TOTALS_SQL = """
+WITH d AS (
+  SELECT l_orderkey AS k, CAST(COUNT(*) AS BIGINT) AS n,
+         CAST(SUM(CAST(floor(l_extendedprice * 100 + 0.5) AS BIGINT)) AS BIGINT) AS s
+  FROM lineitem GROUP BY 1
+), h AS (
+  SELECT o_orderkey AS k, CAST(floor(o_totalprice * 100 + 0.5) AS BIGINT) AS exp
+  FROM orders
+)
+SELECT * FROM (
+  SELECT CAST(h.k AS VARCHAR) AS okey, 'order_totals.mismatch' AS constraint_name,
+         'observed sum ' || CAST(d.s AS VARCHAR) || ' != expected ' || CAST(h.exp AS VARCHAR) AS reason
+  FROM h JOIN d ON h.k = d.k WHERE d.s <> h.exp
+  UNION ALL
+  SELECT CAST(h.k AS VARCHAR), 'order_totals.missing_details',
+         'header expects ' || CAST(h.exp AS VARCHAR) || ', observed no detail rows'
+  FROM h WHERE h.k NOT IN (SELECT k FROM d)
+  UNION ALL
+  SELECT CAST(d.k AS VARCHAR), 'order_totals.orphan_details',
+         CAST(d.n AS VARCHAR) || ' detail rows for key absent from header ''orders'''
+  FROM d WHERE d.k NOT IN (SELECT k FROM h)
+)
+ORDER BY okey, constraint_name
+"""
+
+
 ORACLES: Dict[str, str] = {
     "validate_sequences": VALIDATE_SEQUENCES_SQL,
     "val_composite_fk": VAL_COMPOSITE_FK_SQL,
     "val_fk_distributed": VAL_FK_DISTRIBUTED_SQL,
     "val_manifest_reconcile": VAL_MANIFEST_RECONCILE_SQL,
+    "val_order_totals": VAL_ORDER_TOTALS_SQL,
     "val_source_mean_chars": VAL_SOURCE_MEAN_CHARS_SQL,
     "val_event_gaps": VAL_EVENT_GAPS_SQL,
     "val_warning_severity": VAL_WARNING_SEVERITY_SQL,
@@ -955,6 +1041,7 @@ QUERIES = {
     "val_composite_fk": val_composite_fk,
     "val_fk_distributed": val_fk_distributed,
     "val_manifest_reconcile": val_manifest_reconcile,
+    "val_order_totals": val_order_totals,
     "val_source_mean_chars": val_source_mean_chars,
     "val_event_gaps": val_event_gaps,
     "val_warning_severity": val_warning_severity,
