@@ -119,6 +119,19 @@ QUERY_NAMES = [
     "session_window_overlap",
     "auc_urgent_price",
     "bucketed_join_revenue",
+    # continuation-session-9: the min-plus weighted-SSSP rounds (frontier
+    # broadcast + one min-combiner exchange per round), delta-join view
+    # maintenance (feed-bounded: pruned passes + one copartition of the
+    # touched-key aggregates), the T5 span-corruption example builder
+    # (zero exchanges, md5 per block), the zero-exchange clustered MERGE
+    # join (first rep pays both sorted exports, warm reps measure the
+    # zone-aligned plan — the bucketed_join_revenue convention), and the
+    # per-key header/detail reconcile stage B4 through the full engine
+    "part_sssp",
+    "join_ivm_priority_revenue",
+    "span_corrupt_documents",
+    "clustered_merge_revenue",
+    "val_order_totals",
 ]
 
 

@@ -271,6 +271,23 @@ def test_logreg_batch_count_invariance(ray_session):
     pd.testing.assert_frame_equal(a, b)
 
 
+def test_logreg_warm_start_resume_is_bit_exact(ray_session):
+    """Checkpointed iterative training resumes LOSSLESSLY: the state is two
+    integers, so trace(k1) + trace(k2, init=last) == trace(k1+k2) bit for
+    bit — the mid-run resume property the north star asks of iterative
+    state, free by the integer design but pinned here against regressions
+    (a float accumulator would break it silently)."""
+    from xmlschema_ray.pipelines.analytics import logreg_train_orders
+
+    full = logreg_train_orders(SF, iterations=5)
+    head = logreg_train_orders(SF, iterations=2)
+    ckpt = (int(head["w0_scaled"].iloc[-1]), int(head["w1_scaled"].iloc[-1]))
+    tail = logreg_train_orders(SF, iterations=3, init_weights=ckpt)
+    resumed = pd.concat([head, tail], ignore_index=True)
+    resumed["iter"] = np.arange(1, 6, dtype=np.int64)
+    pd.testing.assert_frame_equal(resumed, full)
+
+
 def test_rolling_median_matches_pandas_window(ray_session):
     from xmlschema_ray.ops.relational import to_pandas_with_schema
     from xmlschema_ray.pipelines.relational import events_rolling_median

@@ -847,7 +847,9 @@ def _tdiv_int(a: int, b: int) -> int:
     return -((-a) // b) if a < 0 else a // b
 
 
-def logreg_train_orders(sf_dir: str, iterations: int = 5) -> pd.DataFrame:
+def logreg_train_orders(
+    sf_dir: str, iterations: int = 5, init_weights: tuple = (0, 0)
+) -> pd.DataFrame:
     """Distributed MODEL TRAINING: full-batch gradient descent for a
     logistic classifier P(order is finalized | price bucket) — the
     iterative broadcast-weights / gradient-partials loop (the
@@ -906,7 +908,10 @@ def logreg_train_orders(sf_dir: str, iterations: int = 5) -> pd.DataFrame:
         .materialize()
     )
 
-    w0, w1 = 0, 0
+    # warm start: training state is two integers, so a checkpointed run
+    # resumes BIT-EXACTLY — trace(k1) + trace(k2, init=last) == trace(k1+k2)
+    # (pinned in tests/test_analytics.py); the oracle uses the cold start
+    w0, w1 = int(init_weights[0]), int(init_weights[1])
     trace = []
     for it in range(1, iterations + 1):
         w_ref = ray.put((w0, w1))
