@@ -1413,6 +1413,115 @@ def part_pair_cooccurrence(
     )
 
 
+def fd_discovery(sf_dir: str) -> pd.DataFrame:
+    """FUNCTIONAL-DEPENDENCY discovery: for each candidate ``LHS → RHS``,
+    does one LHS value ever map to more than one RHS value — the schema
+    profiling step that FEEDS ``fd_repair_by_source`` (repair assumes the
+    FD; discovery finds which hold and how badly the others are broken,
+    the TANE/metanome shape restricted to declared candidates, which is
+    how production profilers run it at fact scale).
+
+    Per candidate, two bounded exchanges over key-cardinality data and
+    ZERO fact-sized driver state: per-batch dedupe of the (lhs, rhs)
+    projection → a pair-combiner (distinct pairs), → an lhs-combiner
+    (RHS fan-out per LHS); the report row folds three distributed counts.
+    ``holds`` is exact (1 iff no LHS maps to 2+ RHS), ``n_violating_lhs``
+    counts the offenders — the repair worklist size."""
+    from xmlschema_ray.ops.relational import combiner_aggregate, hash_partition_apply
+
+    candidates = [
+        ("lineitem", "l_orderkey", "l_returnflag"),
+        ("lineitem", "l_partkey", "l_suppkey"),
+        ("orders", "o_custkey", "o_orderpriority"),
+        ("orders", "o_orderkey", "o_orderstatus"),
+    ]
+    rows = []
+    for table, lhs, rhs in candidates:
+        ds = rd.read_parquet(table_path(sf_dir, table), columns=[lhs, rhs])
+
+        def dedupe(batch: pd.DataFrame) -> pd.DataFrame:
+            return batch.drop_duplicates()
+
+        pairs = combiner_aggregate(
+            ds.map_batches(dedupe, batch_format="pandas"),
+            [lhs, rhs],
+            {"c": (None, "count")},
+        )
+        n_pairs = int(pairs.count())
+        fanout = combiner_aggregate(pairs, lhs, {"k": (None, "count")})
+        n_lhs = int(fanout.count())
+
+        def viol(batch: pd.DataFrame) -> pd.DataFrame:
+            return pd.DataFrame({"v": [int((batch["k"].to_numpy() > 1).sum())]})
+
+        n_viol = int(
+            fanout.map_batches(viol, batch_format="pandas").sum("v") or 0
+        )
+        rows.append(
+            (
+                f"{table}.{lhs}->{rhs}",
+                n_lhs,
+                n_pairs,
+                n_viol,
+                int(n_viol == 0),
+            )
+        )
+    return (
+        pd.DataFrame(
+            rows, columns=["fd", "n_lhs", "n_pairs", "n_violating_lhs", "holds"]
+        )
+        .astype({"n_lhs": "int64", "n_pairs": "int64", "n_violating_lhs": "int64", "holds": "int64"})
+        .sort_values("fd")
+        .reset_index(drop=True)
+    )
+
+
+FD_DISCOVERY_SQL = """
+WITH p1 AS (
+  SELECT 'lineitem.l_orderkey->l_returnflag' AS fd,
+         CAST(COUNT(DISTINCT l_orderkey) AS BIGINT) AS n_lhs,
+         CAST(COUNT(*) AS BIGINT) AS n_pairs
+  FROM (SELECT DISTINCT l_orderkey, l_returnflag FROM lineitem)
+), v1 AS (
+  SELECT CAST(SUM(CASE WHEN nr > 1 THEN 1 ELSE 0 END) AS BIGINT) AS n_viol
+  FROM (SELECT l_orderkey, COUNT(DISTINCT l_returnflag) AS nr FROM lineitem GROUP BY 1)
+), p2 AS (
+  SELECT 'lineitem.l_partkey->l_suppkey' AS fd,
+         CAST(COUNT(DISTINCT l_partkey) AS BIGINT) AS n_lhs,
+         CAST(COUNT(*) AS BIGINT) AS n_pairs
+  FROM (SELECT DISTINCT l_partkey, l_suppkey FROM lineitem)
+), v2 AS (
+  SELECT CAST(SUM(CASE WHEN nr > 1 THEN 1 ELSE 0 END) AS BIGINT) AS n_viol
+  FROM (SELECT l_partkey, COUNT(DISTINCT l_suppkey) AS nr FROM lineitem GROUP BY 1)
+), p3 AS (
+  SELECT 'orders.o_custkey->o_orderpriority' AS fd,
+         CAST(COUNT(DISTINCT o_custkey) AS BIGINT) AS n_lhs,
+         CAST(COUNT(*) AS BIGINT) AS n_pairs
+  FROM (SELECT DISTINCT o_custkey, o_orderpriority FROM orders)
+), v3 AS (
+  SELECT CAST(SUM(CASE WHEN nr > 1 THEN 1 ELSE 0 END) AS BIGINT) AS n_viol
+  FROM (SELECT o_custkey, COUNT(DISTINCT o_orderpriority) AS nr FROM orders GROUP BY 1)
+), p4 AS (
+  SELECT 'orders.o_orderkey->o_orderstatus' AS fd,
+         CAST(COUNT(DISTINCT o_orderkey) AS BIGINT) AS n_lhs,
+         CAST(COUNT(*) AS BIGINT) AS n_pairs
+  FROM (SELECT DISTINCT o_orderkey, o_orderstatus FROM orders)
+), v4 AS (
+  SELECT CAST(SUM(CASE WHEN nr > 1 THEN 1 ELSE 0 END) AS BIGINT) AS n_viol
+  FROM (SELECT o_orderkey, COUNT(DISTINCT o_orderstatus) AS nr FROM orders GROUP BY 1)
+)
+SELECT fd, n_lhs, n_pairs, n_viol AS n_violating_lhs,
+       CAST(CASE WHEN n_viol = 0 THEN 1 ELSE 0 END AS BIGINT) AS holds
+FROM (
+  SELECT p1.fd, p1.n_lhs, p1.n_pairs, v1.n_viol FROM p1, v1
+  UNION ALL SELECT p2.fd, p2.n_lhs, p2.n_pairs, v2.n_viol FROM p2, v2
+  UNION ALL SELECT p3.fd, p3.n_lhs, p3.n_pairs, v3.n_viol FROM p3, v3
+  UNION ALL SELECT p4.fd, p4.n_lhs, p4.n_pairs, v4.n_viol FROM p4, v4
+)
+ORDER BY fd
+"""
+
+
 def association_rules_parts(sf_dir: str, min_support: int = 2) -> pd.DataFrame:
     """ASSOCIATION RULES over the market baskets: every directed rule
     ``antecedent → consequent`` from the frequent pair set, scored by the
@@ -4650,6 +4759,7 @@ ORACLES = {
     "funnel_conversion": FUNNEL_SQL,
     "part_pair_cooccurrence": PART_PAIR_SQL,
     "association_rules_parts": ASSOCIATION_RULES_SQL,
+    "fd_discovery": FD_DISCOVERY_SQL,
     "part_triangle_count": TRIANGLE_SQL,
     "user_path_counts": USER_PATHS_SQL,
     "zorder_tile_stats": ZORDER_TILE_SQL,
@@ -4721,6 +4831,7 @@ QUERIES = {
     "funnel_conversion": funnel_conversion,
     "part_pair_cooccurrence": part_pair_cooccurrence,
     "association_rules_parts": association_rules_parts,
+    "fd_discovery": fd_discovery,
     "part_triangle_count": part_triangle_count,
     "user_path_counts": user_path_counts,
     "zorder_tile_stats": zorder_tile_stats,
