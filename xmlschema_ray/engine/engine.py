@@ -555,6 +555,102 @@ class ValidationEngine:
             out_ds = viol if out_ds is None else out_ds.union(viol)
         return out_ds
 
+    def describe_plan(self) -> List[dict]:
+        """PLAN VISIBILITY: the ordered physical stages this spec compiles
+        to, each with its data-movement class — the EXPLAIN every
+        capacity-planning question starts from ("how many all-to-all
+        exchanges does this spec cost?"), derivable without touching data
+        because the plan is a pure function of the spec. Exchange
+        accounting matches the stage implementations (stage A is
+        embarrassingly parallel; uniqueness ships keycount partials;
+        B2/B3/B4 each declare their own exchanges; stats/drift/aggregate/
+        manifest ride the mergeable stats channel at zero extra
+        exchanges). Returned rows: {stage, what, exchanges, notes}."""
+        plan: List[dict] = [
+            {
+                "stage": "A",
+                "what": "per-batch validate (facets, row checks, occurs, "
+                "type alternatives, broadcast keyrefs) + stats/keycount partials",
+                "exchanges": 0,
+                "notes": "streaming map over shards; unified single-sink stream",
+            }
+        ]
+        if self.spec.unique_keys:
+            plan.append(
+                {
+                    "stage": "B",
+                    "what": f"global uniqueness ({len(self.spec.unique_keys)} keys): "
+                    "hashed candidate sieve + exact key recovery",
+                    "exchanges": 1,
+                    "notes": "adaptive driver/distributed finalize at "
+                    f"{self.driver_threshold_bytes >> 20} MiB keycount bytes",
+                }
+            )
+        n_deferred_hint = sum(1 for _ in self.spec.foreign_keys)
+        if self.spec.foreign_keys:
+            plan.append(
+                {
+                    "stage": "B2",
+                    "what": f"keyref ({n_deferred_hint} declared): broadcast "
+                    "set membership; dims over "
+                    f"{self.broadcast_fk_cap_bytes >> 20} MiB defer to a "
+                    "distributed semi-join",
+                    "exchanges": 0,
+                    "notes": "deferred dims add 2 exchanges each at run time",
+                }
+            )
+        for sc in self.spec.sequence_checks:
+            plan.append(
+                {
+                    "stage": "B3",
+                    "what": f"sequence check {sc.name!r}: per-{'/'.join(sc.group_by)} "
+                    f"{sc.kind} over {sc.column!r}",
+                    "exchanges": 1,
+                    "notes": "co-locating hash exchange of the pruned projection",
+                }
+            )
+        for rc in self.spec.reconcile_checks:
+            plan.append(
+                {
+                    "stage": "B4",
+                    "what": f"reconcile check {rc.name!r}: per-{rc.key} "
+                    f"{rc.agg} vs {rc.dim_name}.{rc.expected}",
+                    "exchanges": 2,
+                    "notes": "key-combiner of (key,n,sum) partials + "
+                    "copartition against the header projection",
+                }
+            )
+        stat_bits = []
+        if self.spec.stats_columns:
+            stat_bits.append(f"stats({len(self.spec.stats_columns)} cols)")
+        if self.spec.distinct_columns:
+            stat_bits.append(f"HLL({len(self.spec.distinct_columns)} cols)")
+        if self.spec.drift:
+            stat_bits.append(f"drift({len(self.spec.drift)} gates)")
+        if self.spec.aggregate_checks:
+            stat_bits.append(f"aggregate_checks({len(self.spec.aggregate_checks)})")
+        if self.spec.manifest_checks:
+            stat_bits.append(f"manifest_checks({len(self.spec.manifest_checks)})")
+        if stat_bits:
+            plan.append(
+                {
+                    "stage": "D",
+                    "what": "driver fold of the mergeable stats channel: "
+                    + ", ".join(stat_bits),
+                    "exchanges": 0,
+                    "notes": "group-cardinality partials ride the stage-A stream",
+                }
+            )
+        plan.append(
+            {
+                "stage": "E",
+                "what": "canonical violation sort + verdict/summary writes",
+                "exchanges": 1,
+                "notes": "result-sized; skipped in stats_only mode",
+            }
+        )
+        return plan
+
     def _reconcile_check_violations(
         self, source, dims: Dict[str, Union[str, pa.Table]]
     ) -> Optional["rd.Dataset"]:
