@@ -2868,6 +2868,130 @@ ORDER BY 1, 2
 """
 
 
+def padding_waste_report(sf_dir: str, batch_rows: int = 64) -> pd.DataFrame:
+    """PADDING-WASTE audit: how many pad tokens a fixed-size training batch
+    layout burns under (a) shuffled batching versus (b) LENGTH-SORTED
+    batching — the measurement behind every bucketed-batching /
+    sequence-packing decision (a batch pads every sequence to its batch
+    max, so co-batching similar lengths is pure win; this quantifies it
+    before anyone reorders a 100-TB corpus).
+
+    Both orders are exact and engine-independent: 'shuffled' is the
+    deterministic md5(doc_id) order (the deterministic_shuffle contract),
+    'sorted' is (token_len, doc_id). Each order becomes batch ids through
+    ONE :func:`global_rank` pass (``(rank-1) // batch_rows`` — no global
+    sort, O(num_partitions) driver state), then per-batch (max_len,
+    sum_len, n) fold through one batch-keyed combiner; waste =
+    Σ_b (rows_b · max_len_b) − Σ len, all integers, waste_pct as floor
+    percent. The oracle replays both layouts with window functions."""
+    from xmlschema_ray.ops.relational import (
+        combiner_aggregate,
+        global_rank,
+        to_pandas_with_schema,
+    )
+
+    ds = rd.read_parquet(table_path(sf_dir, "documents"), columns=["doc_id", "text"])
+
+    def lens(batch: pd.DataFrame) -> pd.DataFrame:
+        # \S+ run count == len(regexp_split(trim(text))) for non-empty text
+        # and 0 for empty — the token_counts convention
+        n_tok = batch["text"].fillna("").str.count(r"\S+").to_numpy(np.int64)
+        ids = batch["doc_id"].tolist()
+        return pd.DataFrame(
+            {
+                "doc_id": batch["doc_id"].to_numpy(),
+                "shuffle_key": _md5_hex(ids),
+                "token_len": n_tok,
+            }
+        )
+
+    feats = ds.map_batches(lens, batch_format="pandas").materialize()
+
+    def layout_row(method: str, sort_cols: list) -> pd.DataFrame:
+        ranked, total = global_rank(feats, sort_cols, rank_col="__r")
+        if total == 0:
+            return pd.DataFrame(
+                {
+                    "method": pd.Series([method], dtype=object),
+                    "n_batches": pd.Series([0], dtype=np.int64),
+                    "total_tokens": pd.Series([0], dtype=np.int64),
+                    "padded_slots": pd.Series([0], dtype=np.int64),
+                    "waste_pct": pd.Series([0], dtype=np.int64),
+                }
+            )
+
+        def tag(batch: pd.DataFrame) -> pd.DataFrame:
+            return pd.DataFrame(
+                {
+                    "b": (batch["__r"].to_numpy(np.int64) - 1) // batch_rows,
+                    "token_len": batch["token_len"].to_numpy(np.int64),
+                }
+            )
+
+        per_batch = to_pandas_with_schema(
+            combiner_aggregate(
+                ranked.map_batches(tag, batch_format="pandas"),
+                "b",
+                {
+                    "mx": ("token_len", "max"),
+                    "s": ("token_len", "sum"),
+                    "n": (None, "count"),
+                },
+            )
+        )
+        total_tokens = int(per_batch["s"].sum())
+        slots = int((per_batch["mx"].astype(np.int64) * per_batch["n"].astype(np.int64)).sum())
+        padded = slots - total_tokens
+        return pd.DataFrame(
+            {
+                "method": pd.Series([method], dtype=object),
+                "n_batches": pd.Series([len(per_batch)], dtype=np.int64),
+                "total_tokens": pd.Series([total_tokens], dtype=np.int64),
+                "padded_slots": pd.Series([padded], dtype=np.int64),
+                "waste_pct": pd.Series([(100 * padded) // slots if slots else 0], dtype=np.int64),
+            }
+        )
+
+    out = pd.concat(
+        [
+            layout_row("shuffled", ["shuffle_key", "doc_id"]),
+            layout_row("sorted", ["token_len", "doc_id"]),
+        ],
+        ignore_index=True,
+    )
+    return out.sort_values("method").reset_index(drop=True)
+
+
+PADDING_WASTE_SQL = r"""
+WITH f AS (
+  SELECT doc_id, md5(CAST(doc_id AS VARCHAR)) AS shuffle_key,
+         CASE WHEN trim(text) = '' THEN 0
+              ELSE len(regexp_split_to_array(trim(text), '\s+')) END AS token_len
+  FROM documents
+), r AS (
+  SELECT token_len,
+         (ROW_NUMBER() OVER (ORDER BY shuffle_key, doc_id) - 1) // 64 AS b_shuf,
+         (ROW_NUMBER() OVER (ORDER BY token_len, doc_id) - 1) // 64 AS b_sort
+  FROM f
+), shuf AS (
+  SELECT 'shuffled' AS method, CAST(COUNT(*) AS BIGINT) AS n_batches,
+         CAST(SUM(s) AS BIGINT) AS total_tokens,
+         CAST(SUM(mx * n) - SUM(s) AS BIGINT) AS padded_slots,
+         CAST((100 * (SUM(mx * n) - SUM(s))) // SUM(mx * n) AS BIGINT) AS waste_pct
+  FROM (SELECT b_shuf, MAX(token_len) AS mx, SUM(token_len) AS s, COUNT(*) AS n
+        FROM r GROUP BY 1)
+), srt AS (
+  SELECT 'sorted', CAST(COUNT(*) AS BIGINT),
+         CAST(SUM(s) AS BIGINT),
+         CAST(SUM(mx * n) - SUM(s) AS BIGINT),
+         CAST((100 * (SUM(mx * n) - SUM(s))) // SUM(mx * n) AS BIGINT)
+  FROM (SELECT b_sort, MAX(token_len) AS mx, SUM(token_len) AS s, COUNT(*) AS n
+        FROM r GROUP BY 1)
+)
+SELECT * FROM shuf UNION ALL SELECT * FROM srt ORDER BY method
+"""
+
+
 def reshard_movement_report(
     sf_dir: str, n_old: int = 12, n_new: int = 16
 ) -> pd.DataFrame:
@@ -3197,6 +3321,7 @@ ORACLES: Dict[str, str] = {
     "bloom_decontaminate": DECONTAMINATION_SQL,
     "span_corrupt_documents": SPAN_CORRUPT_SQL,
     "reshard_movement_report": RESHARD_MOVEMENT_SQL,
+    "padding_waste_report": PADDING_WASTE_SQL,
     "repetition_ratio": REPETITION_RATIO_SQL,
     "stratified_sample": STRATIFIED_SAMPLE_SQL,
     "chunk_documents": CHUNK_DOCUMENTS_SQL,
@@ -3244,4 +3369,5 @@ QUERIES = {
     "quantile_normalize_chars": quantile_normalize_chars,
     "span_corrupt_documents": span_corrupt_documents,
     "reshard_movement_report": reshard_movement_report,
+    "padding_waste_report": padding_waste_report,
 }
