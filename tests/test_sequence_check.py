@@ -177,3 +177,140 @@ def test_warning_demotion(tmp_path, ray_session):
     res = ValidationEngine(spec, n_shards=1).run(d, out_dir=str(tmp_path / "o4"), resume=False)
     assert res.n_warnings == 2 and res.n_violations == 0
     assert res.job_validity == "valid"
+
+
+def test_no_overlap_exact_violations_running_max(tmp_path, ray_session):
+    # e2 is the case an adjacent-pair compare would MISS: its adjacent
+    # predecessor e1 ends at 20 (< 50), but the long early e0 [0,100)
+    # still covers it — the running max must flag it. e3 touches e0's
+    # end exactly (100 == 100): touching is legal.
+    df = pd.DataFrame(
+        {
+            "event_id": np.arange(7, dtype=np.int64),
+            "user_id": np.array([1, 1, 1, 1, 1, 2, 2], dtype=np.int64),
+            "ts": np.array([0, 10, 50, 100, 105, 0, 10], dtype=np.int64),
+            "val": np.array([100, 20, 60, 110, 106, 10, 20], dtype=np.int64),
+        }
+    )
+    d = _corpus(tmp_path, df)
+    spec = _spec(
+        [
+            SequenceCheck(
+                "iv",
+                ("user_id",),
+                ("ts", "event_id"),
+                "ts",
+                "no_overlap",
+                end_column="val",
+            )
+        ]
+    )
+    res = ValidationEngine(spec, n_shards=1).run(d, out_dir=str(tmp_path / "ov"), resume=False)
+    v = res.violations()
+    v = v[v["constraint_name"] == "iv"].sort_values("key")
+    assert sorted(v["key"].astype(int)) == [1, 2, 4]
+    assert list(v["reason"]) == [
+        "start 10 overlaps earlier interval ending at 100",
+        "start 50 overlaps earlier interval ending at 100",
+        "start 105 overlaps earlier interval ending at 110",
+    ]
+
+
+def test_no_overlap_null_start_or_end_exempt(tmp_path, ray_session):
+    # e0 has a null end: it is exempt AND contributes no coverage;
+    # e2 has a null start: exempt; e3 overlaps e1's [5,50) and is the
+    # only violation.
+    df = pd.DataFrame(
+        {
+            "event_id": np.arange(4, dtype=np.int64),
+            "user_id": np.array([1, 1, 1, 1], dtype=np.int64),
+            "ts": pd.array([0, 5, None, 10], dtype="Int64"),
+            "val": pd.array([None, 50, 60, 20], dtype="Int64"),
+        }
+    )
+    d = _corpus(tmp_path, df)
+    cols = _cols()
+    cols[2] = ColumnSpec("ts", pa.int64(), nullable=True)
+    cols[3] = ColumnSpec("val", pa.int64(), nullable=True)
+    spec = TableConstraints(
+        "seq",
+        columns=cols,
+        sequence_checks=[
+            SequenceCheck(
+                "iv",
+                ("user_id",),
+                ("ts", "event_id"),
+                "ts",
+                "no_overlap",
+                end_column="val",
+            )
+        ],
+        key_columns=("event_id",),
+    )
+    res = ValidationEngine(spec, n_shards=1).run(d, out_dir=str(tmp_path / "ov2"), resume=False)
+    v = res.violations()
+    assert sorted(v.loc[v["constraint_name"] == "iv", "key"].astype(int)) == [3]
+
+
+def test_no_overlap_serde_and_compat():
+    import json as _json
+
+    from xmlschema_ray.constraints.derive import spec_compat
+    from xmlschema_ray.constraints.serde import spec_from_json, spec_to_json
+
+    mk = lambda end: _spec(
+        [
+            SequenceCheck(
+                "iv", ("user_id",), ("ts", "event_id"), "ts", "no_overlap", end_column=end
+            )
+        ]
+    ).compile()
+    spec = mk("val")
+    doc = spec_to_json(spec)
+    assert doc["sequence_checks"][0]["end_column"] == "val"
+    back = spec_from_json(_json.loads(_json.dumps(doc)))
+    assert back.sequence_checks[0] == spec.sequence_checks[0]
+    # non-interval kinds stay byte-stable (no end_column key)
+    plain = spec_to_json(
+        _spec([SequenceCheck("g", ("user_id",), ("ts",), "ts", "non_decreasing")]).compile()
+    )
+    assert "end_column" not in plain["sequence_checks"][0]
+    # changing the end column is a definition change
+    findings = [
+        f for f in spec_compat(spec, mk("ts")) if "sequence_check iv" in f["item"]
+    ]
+    assert findings and findings[0]["change"] == "definition changed"
+
+
+def test_no_overlap_lints():
+    with pytest.raises(SpecError, match="end_column"):
+        _spec([SequenceCheck("x", ("user_id",), ("ts",), "ts", "no_overlap")]).compile()
+    with pytest.raises(SpecError, match="end_column"):
+        _spec(
+            [
+                SequenceCheck(
+                    "x", ("user_id",), ("ts",), "ts", "non_decreasing", end_column="val"
+                )
+            ]
+        ).compile()
+    with pytest.raises(SpecError, match="lead with the start column"):
+        _spec(
+            [
+                SequenceCheck(
+                    "x",
+                    ("user_id",),
+                    ("event_id", "ts"),
+                    "ts",
+                    "no_overlap",
+                    end_column="val",
+                )
+            ]
+        ).compile()
+    with pytest.raises(SpecError, match="unknown column"):
+        _spec(
+            [
+                SequenceCheck(
+                    "x", ("user_id",), ("ts",), "ts", "no_overlap", end_column="nope"
+                )
+            ]
+        ).compile()

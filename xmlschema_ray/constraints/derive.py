@@ -376,6 +376,7 @@ def spec_compat(old: TableConstraints, new: TableConstraints) -> List[Dict]:
                 f"by {tuple(k.group_by)} order {tuple(k.order_by)}: "
                 f"{k.column} {k.kind}"
                 + (f"(max_gap={k.max_gap})" if k.max_gap is not None else "")
+                + (f"(end={k.end_column})" if k.end_column is not None else "")
             )
         if kind == "reconcile_check":
             return (

@@ -426,6 +426,11 @@ def spec_to_json(spec: TableConstraints) -> Dict[str, Any]:
                 "column": sc.column,
                 "kind": sc.kind,
                 **({"max_gap": sc.max_gap} if sc.max_gap is not None else {}),
+                **(
+                    {"end_column": sc.end_column}
+                    if sc.end_column is not None
+                    else {}
+                ),
             }
             for sc in spec.sequence_checks
         ]
@@ -557,6 +562,7 @@ def spec_from_json(doc: Dict[str, Any]) -> TableConstraints:
                 column=sq["column"],
                 kind=sq.get("kind", "non_decreasing"),
                 max_gap=sq.get("max_gap"),
+                end_column=sq.get("end_column"),
             )
             for sq in doc.get("sequence_checks", [])
         ],

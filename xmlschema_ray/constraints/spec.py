@@ -496,6 +496,19 @@ class SequenceCheck:
     continuity: a telemetry/CDC feed with a hole). The violation is the
     LATER row of each offending adjacent pair.
 
+    ``kind="no_overlap"`` generalizes the pair compare to INTERVALS:
+    ``column`` is the interval start, ``end_column`` the interval end,
+    and within each group (ordered by ``order_by``, which must lead with
+    the start column so the sweep sees intervals in start order) a row
+    violates when its start precedes the RUNNING MAX of all earlier
+    rows' ends — the SCD2 validity-interval integrity check ("no two
+    versions of a key may be valid at once"; touching intervals,
+    ``start == prev_end``, are legal). The running max, not the adjacent
+    end, because a long early interval can cover a later short one that
+    an adjacent-pair compare would miss. Rows with a null start or null
+    end are exempt and contribute no coverage (xs:unique's null
+    exemption).
+
     Physical plan (stage B3, ``engine.py _sequence_check_violations``):
     ONE co-locating hash exchange of the PRUNED projection (group +
     order + checked + violation-key columns — never the full row), then a
@@ -510,11 +523,12 @@ class SequenceCheck:
     group_by: Tuple[str, ...]
     order_by: Tuple[str, ...]
     column: str
-    kind: str = "non_decreasing"  # strictly_increasing | non_decreasing | max_gap
+    kind: str = "non_decreasing"  # strictly_increasing | non_decreasing | max_gap | no_overlap
     max_gap: Optional[int] = None  # required iff kind == "max_gap"; integer units
     # (µs for timestamp columns — timestamps compare as int64 microseconds)
+    end_column: Optional[str] = None  # required iff kind == "no_overlap"
 
-    KINDS = ("strictly_increasing", "non_decreasing", "max_gap")
+    KINDS = ("strictly_increasing", "non_decreasing", "max_gap", "no_overlap")
 
     def __post_init__(self):
         if not isinstance(self.group_by, tuple):
@@ -535,11 +549,27 @@ class SequenceCheck:
             )
         if self.max_gap is not None and self.max_gap < 0:
             raise SpecError(f"sequence check {self.name!r}: negative max_gap")
+        if (self.kind == "no_overlap") != (self.end_column is not None):
+            raise SpecError(
+                f"sequence check {self.name!r}: end_column must be set "
+                "exactly when kind == 'no_overlap'"
+            )
+        if self.end_column is not None and self.order_by[:1] != (self.column,):
+            # the overlap sweep assumes start order — an order not led by
+            # the start column would make "running max of earlier ends"
+            # not mean "intervals that began before me"
+            raise SpecError(
+                f"sequence check {self.name!r}: no_overlap requires "
+                f"order_by to lead with the start column {self.column!r}"
+            )
         if not self.group_by:
             raise SpecError(f"sequence check {self.name!r}: empty group_by")
         if not self.order_by:
             raise SpecError(f"sequence check {self.name!r}: empty order_by")
-        for col in (*self.group_by, *self.order_by, self.column):
+        cols = (*self.group_by, *self.order_by, self.column) + (
+            (self.end_column,) if self.end_column is not None else ()
+        )
+        for col in cols:
             if col not in known:
                 raise SpecError(
                     f"sequence check {self.name!r} references unknown column {col!r}"

@@ -485,7 +485,13 @@ class ValidationEngine:
             return s.astype("float64").to_numpy(np.float64), ok, False
 
         for sc in self.spec.sequence_checks:
-            need = sorted(set(key_cols) | set(sc.group_by) | set(sc.order_by) | {sc.column})
+            need = sorted(
+                set(key_cols)
+                | set(sc.group_by)
+                | set(sc.order_by)
+                | {sc.column}
+                | ({sc.end_column} if sc.end_column is not None else set())
+            )
 
             def attach_pid(batch: pa.Table) -> pa.Table:
                 pmap = ray.get(pid_ref)
@@ -512,12 +518,33 @@ class ValidationEngine:
                 vals, ok, exact = seq_vals(p[sc.column])
                 prev = np.roll(vals, 1)
                 pair = same & ok & np.roll(ok, 1)
+                prevcov = None
                 if sc.kind == "strictly_increasing":
                     bad = pair & (vals <= prev)
                 elif sc.kind == "non_decreasing":
                     bad = pair & (vals < prev)
-                else:  # max_gap
+                elif sc.kind == "max_gap":
                     bad = pair & ((vals - prev) > sc.max_gap)
+                else:  # no_overlap — interval sweep in start order
+                    ends, ok_e, _ = seq_vals(p[sc.end_column])
+                    valid = ok & ok_e
+                    # coverage = per-group RUNNING MAX of earlier valid
+                    # ends (a long early interval can cover a later short
+                    # one an adjacent-pair compare would miss); the
+                    # sentinel keeps null-end rows from contributing.
+                    # groupby.cummax on int64 stays int64 — no float
+                    # round-trip, so µs timestamps compare exactly.
+                    sentinel = np.iinfo(np.int64).min if exact else -np.inf
+                    cover = np.where(valid, ends, sentinel)
+                    grp_id = np.cumsum(~same)
+                    cm = (
+                        pd.Series(cover)
+                        .groupby(grp_id)
+                        .cummax()
+                        .to_numpy()
+                    )
+                    prevcov = np.roll(cm, 1)
+                    bad = same & valid & (prevcov != sentinel) & (vals < prevcov)
                 if not bad.any():
                     return pd.DataFrame(
                         {f.name: pd.Series([], dtype=object) for f in VIOLATION_SCHEMA}
@@ -532,6 +559,12 @@ class ValidationEngine:
                     reasons = [
                         f"gap {int(g) if exact else g} exceeds max_gap {sc.max_gap}"
                         for g in gaps
+                    ]
+                elif sc.kind == "no_overlap":
+                    reasons = [
+                        f"start {int(s) if exact else s} overlaps earlier "
+                        f"interval ending at {int(c) if exact else c}"
+                        for s, c in zip(vals[bad], prevcov[bad])
                     ]
                 else:
                     pv = prev[bad]

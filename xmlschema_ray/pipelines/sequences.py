@@ -1021,6 +1021,112 @@ ORDER BY okey, constraint_name
 """
 
 
+def val_interval_overlap(sf_dir: str) -> pd.DataFrame:
+    """Validity-INTERVAL integrity through the FULL engine
+    (``SequenceCheck(kind="no_overlap")``, stage B3): within each
+    (user, event_type) stream, derived activity intervals
+    [ts, ts + duration) must not overlap — the SCD2 "no two versions of
+    a key valid at once" audit every slowly-changing dimension load
+    gates on, and the interval generalization of the gap check (the
+    reference's identity constraints compare VALUES; intervals need the
+    running max of earlier ends, which no adjacent-pair compare sees:
+    a long early interval can swallow a later short one). Duration is
+    derived deterministically from ``value`` (floor(|v|·1e6)·997 mod
+    24 h, exact int64 µs) so both engines build identical intervals from
+    the raw table; the violation is the LATER interval in start order,
+    its reason carrying both epoch-µs integers the oracle's window-max
+    replays verbatim. ONE co-locating exchange of the pruned 5-column
+    projection; the sweep is a per-group int64 cummax."""
+    from xmlschema_ray.constraints.spec import ColumnSpec, SequenceCheck, TableConstraints
+
+    ev = rd.read_parquet(
+        os.path.join(sf_dir, "events.parquet"),
+        columns=["event_id", "user_id", "event_type", "ts", "value"],
+    )
+
+    def derive(df: pd.DataFrame) -> pd.DataFrame:
+        v = df["value"].to_numpy(dtype="float64")
+        okv = ~np.isnan(v)
+        dur = np.zeros(len(v), np.int64)
+        dur[okv] = (
+            np.floor(np.abs(v[okv]) * 1e6).astype(np.int64) * 997
+        ) % 86_400_000_000
+        start = df["ts"].to_numpy(dtype="datetime64[us]")
+        end = start + dur.astype("timedelta64[us]")
+        end[~okv] = np.datetime64("NaT")
+        return pd.DataFrame(
+            {
+                "event_id": df["event_id"].to_numpy(),
+                "user_id": df["user_id"].to_numpy(),
+                "event_type": df["event_type"].to_numpy(),
+                "ts_start": start,
+                "ts_end": end,
+            }
+        )
+
+    scratch = _scratch("val_interval_overlap_input")
+    ev.map_batches(derive, batch_format="pandas").write_parquet(scratch)
+
+    spec = TableConstraints(
+        name="interval_overlap",
+        columns=[
+            ColumnSpec("event_id", pa.int64(), nullable=False),
+            ColumnSpec("user_id", pa.int64()),
+            ColumnSpec("event_type", pa.string()),
+            ColumnSpec("ts_start", pa.timestamp("us")),
+            ColumnSpec("ts_end", pa.timestamp("us")),
+        ],
+        sequence_checks=[
+            SequenceCheck(
+                "scd2_overlap",
+                group_by=("user_id", "event_type"),
+                order_by=("ts_start", "event_id"),
+                column="ts_start",
+                kind="no_overlap",
+                end_column="ts_end",
+            )
+        ],
+        key_columns=("event_id",),
+    )
+    out_dir = _scratch("val_interval_overlap")
+    eng = ValidationEngine(spec, batch_size=8192, n_shards=1)
+    res = eng.run(scratch, out_dir=out_dir, resume=False)
+    v = res.violations()
+    v = v[v["constraint_name"] == "scd2_overlap"]
+    return (
+        pd.DataFrame(
+            {
+                "event_id": v["key"].astype("int64"),
+                "constraint_name": v["constraint_name"].astype(object),
+                "reason": v["reason"].astype(object),
+            }
+        )
+        .sort_values("event_id")
+        .reset_index(drop=True)
+    )
+
+
+VAL_INTERVAL_OVERLAP_SQL = """
+WITH iv AS (
+  SELECT event_id, user_id, event_type, epoch_us(ts) AS s,
+         epoch_us(ts)
+           + ((CAST(FLOOR(ABS(value) * 1000000) AS BIGINT) * 997) % 86400000000)
+           AS e
+  FROM events WHERE ts IS NOT NULL AND value IS NOT NULL
+), w AS (
+  SELECT event_id, s,
+         max(e) OVER (PARTITION BY user_id, event_type ORDER BY s, event_id
+                      ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING) AS pc
+  FROM iv
+)
+SELECT event_id,
+       'scd2_overlap' AS constraint_name,
+       'start ' || CAST(s AS VARCHAR) || ' overlaps earlier interval ending at '
+         || CAST(pc AS VARCHAR) AS reason
+FROM w WHERE s < pc ORDER BY event_id
+"""
+
+
 ORACLES: Dict[str, str] = {
     "validate_sequences": VALIDATE_SEQUENCES_SQL,
     "val_composite_fk": VAL_COMPOSITE_FK_SQL,
@@ -1029,6 +1135,7 @@ ORACLES: Dict[str, str] = {
     "val_order_totals": VAL_ORDER_TOTALS_SQL,
     "val_source_mean_chars": VAL_SOURCE_MEAN_CHARS_SQL,
     "val_event_gaps": VAL_EVENT_GAPS_SQL,
+    "val_interval_overlap": VAL_INTERVAL_OVERLAP_SQL,
     "val_warning_severity": VAL_WARNING_SEVERITY_SQL,
     "val_unique_words": VAL_UNIQUE_WORDS_SQL,
     "validate_sequences_seeded": SEEDED_SQL,
@@ -1044,6 +1151,7 @@ QUERIES = {
     "val_order_totals": val_order_totals,
     "val_source_mean_chars": val_source_mean_chars,
     "val_event_gaps": val_event_gaps,
+    "val_interval_overlap": val_interval_overlap,
     "val_warning_severity": val_warning_severity,
     "val_unique_words": val_unique_words,
     "validate_sequences_seeded": validate_sequences_seeded,
