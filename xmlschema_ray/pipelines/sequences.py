@@ -1127,6 +1127,74 @@ FROM w WHERE s < pc ORDER BY event_id
 """
 
 
+def val_shipdate_audit(sf_dir: str) -> pd.DataFrame:
+    """Stats-pruned range audit (``engine/audit.py range_audit``): the
+    load-watermark check "no lineitem ships past the cutoff" plus a
+    line-number sanity range, run WITHOUT reading the clean files —
+    lineitem is exported once range-clustered on ``l_shipdate`` (the
+    natural time-partitioned warehouse layout), so the parquet footers'
+    own min/max statistics prove every pre-cutoff file compliant from
+    metadata alone and only the newest file(s) are scanned for exact
+    row violations. The integer ``l_linenumber ∈ [1,7]`` rule is proven
+    clean in EVERY file (multi-rule proving costs no reads); the float
+    columns never enter the audit (float stats are NaN-hazardous and
+    untrusted by design). Violations are identical to a full scan by
+    construction — the oracle recomputes them with no pruning at all."""
+    from xmlschema_ray.engine.audit import RangeRule, range_audit
+    from xmlschema_ray.sources.clustered import MANIFEST_NAME, write_clustered
+
+    cache = os.path.join(
+        "/tmp/xmlschema_ray_auditlayout", os.path.basename(os.path.normpath(sf_dir))
+    )
+    if not os.path.exists(os.path.join(cache, MANIFEST_NAME)):
+        li = rd.read_parquet(
+            os.path.join(sf_dir, "lineitem.parquet"),
+            columns=["l_orderkey", "l_linenumber", "l_shipdate"],
+        )
+
+        def to_us(df: pd.DataFrame) -> pd.DataFrame:
+            # epoch-µs int64 clustering key (the zone manifest is JSON;
+            # ints also make the audit rule integer-exact end to end)
+            return pd.DataFrame(
+                {
+                    "l_orderkey": df["l_orderkey"].to_numpy(),
+                    "l_linenumber": df["l_linenumber"].to_numpy(),
+                    "ship_us": df["l_shipdate"]
+                    .to_numpy(dtype="datetime64[us]")
+                    .view("int64"),
+                }
+            )
+
+        tmp = f"{cache}.build{os.getpid()}"
+        write_clustered(li.map_batches(to_us, batch_format="pandas"), "ship_us", tmp)
+        try:
+            os.rename(tmp, cache)
+        except OSError:
+            shutil.rmtree(tmp, ignore_errors=True)
+
+    cutoff_us = int(pd.Timestamp("1998-11-01").value // 1000)
+    viol, report = range_audit(
+        cache,
+        rules=[
+            RangeRule("ship_us", hi=cutoff_us),
+            RangeRule("l_linenumber", lo=1, hi=7),
+        ],
+        key_columns=["l_orderkey", "l_linenumber"],
+    )
+    assert report["n_scanned"] < report["n_files"] or report["n_files"] == 1, report
+    return viol
+
+
+VAL_SHIPDATE_AUDIT_SQL = """
+SELECT l_orderkey, l_linenumber,
+       'ship_us.range' AS constraint_name,
+       epoch_us(l_shipdate) AS value_int
+FROM lineitem
+WHERE l_shipdate > TIMESTAMP '1998-11-01'
+ORDER BY l_orderkey, l_linenumber, constraint_name
+"""
+
+
 ORACLES: Dict[str, str] = {
     "validate_sequences": VALIDATE_SEQUENCES_SQL,
     "val_composite_fk": VAL_COMPOSITE_FK_SQL,
@@ -1136,6 +1204,7 @@ ORACLES: Dict[str, str] = {
     "val_source_mean_chars": VAL_SOURCE_MEAN_CHARS_SQL,
     "val_event_gaps": VAL_EVENT_GAPS_SQL,
     "val_interval_overlap": VAL_INTERVAL_OVERLAP_SQL,
+    "val_shipdate_audit": VAL_SHIPDATE_AUDIT_SQL,
     "val_warning_severity": VAL_WARNING_SEVERITY_SQL,
     "val_unique_words": VAL_UNIQUE_WORDS_SQL,
     "validate_sequences_seeded": SEEDED_SQL,
@@ -1152,6 +1221,7 @@ QUERIES = {
     "val_source_mean_chars": val_source_mean_chars,
     "val_event_gaps": val_event_gaps,
     "val_interval_overlap": val_interval_overlap,
+    "val_shipdate_audit": val_shipdate_audit,
     "val_warning_severity": val_warning_severity,
     "val_unique_words": val_unique_words,
     "validate_sequences_seeded": validate_sequences_seeded,
