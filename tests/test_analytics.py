@@ -311,3 +311,34 @@ def test_rolling_median_matches_pandas_window(ray_session):
     )
     pd.testing.assert_frame_equal(got, want)
     assert len(got) > 0
+
+
+# -- Benford first-digit audit ----------------------------------------------
+
+
+def test_benford_digit_counts_boundaries(ray_session):
+    from xmlschema_ray.pipelines.analytics import benford_digit_counts
+
+    # powers of ten, sub-1 exclusions, negatives, fractional parts
+    vals = [1000.0, 10.0, 1.0, 0.99, 0.0, -0.5, -9.99, 9.99, 777.3, 2.5, 25.0]
+    ds = rd.from_pandas(pd.DataFrame({"x": vals}))
+    got = benford_digit_counts(ds, "x").set_index("digit")["n"].to_dict()
+    # first digits of abs(floor(x)) for |floor| >= 1:
+    # 1000->1, 10->1, 1->1, 9 (-9.99 -> floor(9.99)=9), 9.99->9, 777->7,
+    # 2.5->2, 25->2 ; 0.99/0.0/-0.5 excluded
+    assert got == {1: 3, 2: 2, 7: 1, 9: 2}
+
+
+def test_benford_audit_shares_sum_and_expectations(ray_session):
+    from xmlschema_ray.pipelines.analytics import benford_price_audit
+
+    out = benford_price_audit(SF)
+    assert list(out.columns) == ["digit", "n", "obs_pm", "exp_pm"]
+    assert out["digit"].is_monotonic_increasing
+    # Benford expectation row for digit 1 is 301 per mille
+    assert int(out.loc[out["digit"] == 1, "exp_pm"].iloc[0]) == 301
+    # per-mille shares sum to ~1000 (floor rounding slack <= 9)
+    assert abs(int(out["obs_pm"].sum()) - 1000) <= 9
+    assert int(out["n"].sum()) == len(
+        pd.read_parquet(SF + "/lineitem.parquet", columns=["l_extendedprice"])
+    )

@@ -46,6 +46,8 @@ __all__ = [
     "sssp_from_edges",
     "logreg_train_orders",
     "auc_urgent_price",
+    "benford_digit_counts",
+    "benford_price_audit",
     "bfs_hops_from_edges",
     "QUERIES",
     "ORACLES",
@@ -1525,6 +1527,92 @@ FROM t
 """
 
 
+# -- Benford first-digit audit ---------------------------------------------
+
+
+def benford_digit_counts(
+    ds: "rd.Dataset", column: str, batch_size: int = 65536
+) -> pd.DataFrame:
+    """First-significant-digit counts of ``abs(floor(column))`` — the
+    distributed kernel behind :func:`benford_price_audit`.
+
+    Per-batch partial is a 9-int bincount (the smallest combiner shape in
+    the repo: a fixed 9-row frame per block regardless of input size), so
+    driver state is ``9 × #blocks`` rows at any corpus size. The first
+    digit is extracted by REPEATED INTEGER DIVISION (≤ #decimal-digits
+    passes over the shrinking ≥10 mask) — integer-exact, so it agrees
+    with the oracle's string ``substr`` extraction on every value, unlike
+    a ``10**floor(log10(x))`` float path which misclassifies at powers of
+    ten. Rows whose integer part is 0 carry no first digit and are
+    excluded (both sides).
+    """
+
+    def partial(batch: pd.DataFrame) -> pd.DataFrame:
+        v = np.abs(batch[column].to_numpy(dtype=np.float64))
+        n = np.floor(v).astype(np.int64)
+        d = n[n >= 1]
+        while True:
+            big = d >= 10
+            if not big.any():
+                break
+            d[big] //= 10
+        cnt = np.bincount(d, minlength=10)[1:10]
+        return pd.DataFrame(
+            {"digit": np.arange(1, 10, dtype=np.int64), "n": cnt.astype(np.int64)}
+        )
+
+    partials = ds.map_batches(partial, batch_format="pandas", batch_size=batch_size)
+    agg = (
+        partials.to_pandas()
+        .groupby("digit", sort=True)["n"]
+        .sum()
+        .reset_index()
+    )
+    return agg[agg["n"] > 0].reset_index(drop=True)
+
+
+def benford_price_audit(sf_dir: str, column: str = "l_extendedprice") -> pd.DataFrame:
+    """Benford's-law conformance audit of a money column — the
+    fraud/corruption data-quality screen (Nigrini 2012): naturally-grown
+    multiplicative quantities put ~30.1% of first digits at 1, and a
+    fabricated or truncated column shows up as a deviation long before
+    any row-level facet fires.
+
+    Distribution-level auditing complements the row-level facet channel
+    the same way ``drift_check`` does (reference parity: the numeric
+    facet family, ``/root/reference/xmlschema/validators/facets.py``,
+    audits each VALUE; this audits the population). Exported columns are
+    integer-exact: raw counts plus per-mille observed and Benford-expected
+    shares via the repo's ``floor(x + 0.5)`` scaled-int convention —
+    identical float64 expression order on both engines.
+    """
+    ds = rd.read_parquet(table_path(sf_dir, "lineitem"), columns=[column])
+    agg = benford_digit_counts(ds, column)
+    n = agg["n"].to_numpy(dtype=np.float64)
+    total = float(n.sum())
+    dig = agg["digit"].to_numpy(dtype=np.float64)
+    agg["obs_pm"] = np.floor(1000.0 * n / total + 0.5).astype(np.int64)
+    agg["exp_pm"] = np.floor(1000.0 * np.log10(1.0 + 1.0 / dig) + 0.5).astype(np.int64)
+    return agg
+
+
+BENFORD_PRICE_SQL = """
+WITH src AS (
+  SELECT CAST(floor(abs(l_extendedprice)) AS BIGINT) AS v FROM lineitem
+), agg AS (
+  SELECT CAST(substr(CAST(v AS VARCHAR), 1, 1) AS BIGINT) AS digit, COUNT(*) AS n
+  FROM src WHERE v >= 1 GROUP BY 1
+), tot AS (
+  SELECT CAST(SUM(n) AS DOUBLE) AS total FROM agg
+)
+SELECT digit, n,
+       CAST(floor(1000.0 * n / total + 0.5) AS BIGINT) AS obs_pm,
+       CAST(floor(1000.0 * log10(1.0 + 1.0 / digit) + 0.5) AS BIGINT) AS exp_pm
+FROM agg CROSS JOIN tot
+ORDER BY digit
+"""
+
+
 QUERIES = {
     "pareto_orders": pareto_orders,
     "peak_concurrent_sessions": peak_concurrent_sessions,
@@ -1536,9 +1624,11 @@ QUERIES = {
     "auc_urgent_price": auc_urgent_price,
     "part_kcore": part_kcore,
     "part_sssp": part_sssp,
+    "benford_price_audit": benford_price_audit,
 }
 
 ORACLES = {
+    "benford_price_audit": BENFORD_PRICE_SQL,
     "pareto_orders": PARETO_ORDERS_SQL,
     "peak_concurrent_sessions": PEAK_CONCURRENT_SQL,
     "events_daily_gapfill": EVENTS_GAPFILL_SQL,
