@@ -699,3 +699,35 @@ def test_skew_split_join_randomized_string_keys_many_to_many(ray_session, seed):
         .reset_index(drop=True)
     )
     pd.testing.assert_frame_equal(got.astype(want.dtypes.to_dict()), want)
+
+
+# -- melt_dataset (UNPIVOT) ---------------------------------------------------
+
+
+def test_melt_dataset_long_form(ray_session):
+    import pandas as pd
+
+    from xmlschema_ray.ops.transform import melt_dataset
+
+    ds = rd.from_pandas(pd.DataFrame({"k": [1, 2], "a": [10, 20], "b": [30, 40]}))
+    out = (
+        melt_dataset(ds, ["k"], ["a", "b"])
+        .to_pandas()
+        .sort_values(["k", "measure"])
+        .reset_index(drop=True)
+    )
+    assert len(out) == 4
+    assert out["measure"].tolist() == ["a", "b", "a", "b"]
+    assert out["value"].tolist() == [10, 30, 20, 40]
+    assert str(out["value"].dtype) == "int64"
+
+
+def test_melt_dataset_refuses_mixed_types(ray_session):
+    import pandas as pd
+    import pytest as _pt
+
+    from xmlschema_ray.ops.transform import melt_dataset
+
+    ds = rd.from_pandas(pd.DataFrame({"k": [1], "a": [10], "b": [0.5]}))
+    with _pt.raises(Exception):  # TypeError inside the map task surfaces as RayTaskError
+        melt_dataset(ds, ["k"], ["a", "b"]).to_pandas()

@@ -12,11 +12,13 @@ transforms:
   datetime decoders, ``validators/builtins.py:216-248``).
 * ``parse_booleans`` — XSD boolean lexical mapping
   ``{'true','1','false','0'}`` (``builtins.py:160-170``).
+* ``melt_dataset`` — the wide→long UNPIVOT reshape (the inverse of the
+  pivot family in ``pipelines/relational.py``).
 """
 
 from __future__ import annotations
 
-from typing import Any, Dict
+from typing import Any, Dict, List
 
 import pyarrow as pa
 import pyarrow.compute as pc
@@ -64,5 +66,53 @@ def parse_booleans(ds: rd.Dataset, column: str) -> rd.Dataset:
         is_false = pc.is_in(col, value_set=pa.array(["false", "0"]))
         out = pc.if_else(is_true, True, pc.if_else(is_false, False, pa.scalar(None, pa.bool_())))
         return batch.set_column(i, pa.field(column, pa.bool_()), out)
+
+    return ds.map_batches(fn, batch_format="pyarrow", zero_copy_batch=True)
+
+
+def melt_dataset(
+    ds: rd.Dataset,
+    id_cols: List[str],
+    value_cols: List[str],
+    var_name: str = "measure",
+    value_name: str = "value",
+) -> rd.Dataset:
+    """Wide→long UNPIVOT: each input row emits ``len(value_cols)`` output
+    rows ``(*id_cols, var_name=<col name>, value_name=<col value>)``.
+
+    Purely row-local (ZERO exchanges — the reshape every tidy-data step
+    needs never justifies a shuffle): one Arrow pass per batch builds the
+    long table as ``len(value_cols)`` zero-copy column selections plus a
+    dictionary-cheap constant label column, concatenated. Output blocks
+    are ``n × len(value_cols)`` rows — size ``batch_size`` upstream
+    accordingly when the wide side is already near the block cap. All
+    ``value_cols`` must share one Arrow type (cast first if not): the
+    long column's type is exact, never a silent promotion.
+    """
+    if not value_cols:
+        raise ValueError("melt_dataset: value_cols must be non-empty")
+
+    def fn(batch: pa.Table) -> pa.Table:
+        types = {str(batch.schema.field(c).type) for c in value_cols}
+        if len(types) > 1:
+            raise TypeError(
+                f"melt_dataset: value_cols mix Arrow types {sorted(types)}; "
+                "cast to one type before melting"
+            )
+        names = list(id_cols) + [var_name, value_name]
+        parts = []
+        for c in value_cols:
+            # constant label as a 1-entry dictionary (8 bytes/row, not a
+            # materialized string per row), cast to plain string on emit
+            label = (
+                pa.DictionaryArray.from_arrays(
+                    pa.array([0] * batch.num_rows, type=pa.int32()), pa.array([c])
+                ).cast(pa.string())
+                if batch.num_rows
+                else pa.array([], type=pa.string())
+            )
+            cols = [batch[i] for i in id_cols] + [pa.chunked_array([label]), batch[c]]
+            parts.append(pa.table(dict(zip(names, cols))))
+        return pa.concat_tables(parts)
 
     return ds.map_batches(fn, batch_format="pyarrow", zero_copy_batch=True)

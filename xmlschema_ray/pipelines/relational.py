@@ -4749,8 +4749,73 @@ ORDER BY name_a, name_b
 """
 
 
+# -- wide→long reshape (UNPIVOT) --------------------------------------------
+
+
+def melt_lineitem_measures(sf_dir: str, min_quantity: float = 48.0) -> "rd.Dataset":
+    """UNPIVOT the three lineitem money measures into tidy long form —
+    the inverse reshape of the pivot/rollup family, via
+    :func:`xmlschema_ray.ops.transform.melt_dataset` (zero exchanges;
+    3× row expansion inside each batch).
+
+    Measures are scaled to integer 1e-4 units BEFORE the melt so the long
+    ``value_e4`` column is one exact int64 type (``melt_dataset`` refuses
+    mixed types rather than silently promoting) and the oracle's UNION ALL
+    replays it bit-for-bit. ``min_quantity`` bounds the output at toy
+    scale; at 100 TB the melt itself streams (row-local) and the bound is
+    the writer's problem, not the reshape's.
+    """
+    from xmlschema_ray.ops.transform import melt_dataset
+
+    measures = ["l_extendedprice", "l_discount", "l_tax"]
+    ds = rd.read_parquet(
+        table_path(sf_dir, "lineitem"),
+        columns=["l_orderkey", "l_linenumber", "l_quantity"] + measures,
+    )
+
+    def prep(batch: pd.DataFrame) -> pd.DataFrame:
+        batch = batch[batch["l_quantity"] >= min_quantity]
+        out = pd.DataFrame(
+            {
+                "l_orderkey": batch["l_orderkey"].to_numpy(),
+                "l_linenumber": batch["l_linenumber"].to_numpy(),
+            }
+        )
+        for m in measures:
+            out[m] = scaled_int(batch[m].to_numpy(), 10000.0)
+        return out
+
+    wide = ds.map_batches(prep, batch_format="pandas")
+    long = melt_dataset(
+        wide,
+        ["l_orderkey", "l_linenumber"],
+        measures,
+        var_name="measure",
+        value_name="value_e4",
+    )
+    return long.sort(["l_orderkey", "l_linenumber", "measure"])
+
+
+MELT_LINEITEM_SQL = """
+WITH src AS (
+  SELECT l_orderkey, l_linenumber, l_extendedprice, l_discount, l_tax
+  FROM lineitem WHERE l_quantity >= 48.0
+)
+SELECT l_orderkey, l_linenumber, 'l_extendedprice' AS measure,
+       CAST(floor(l_extendedprice * 10000 + 0.5) AS BIGINT) AS value_e4 FROM src
+UNION ALL
+SELECT l_orderkey, l_linenumber, 'l_discount',
+       CAST(floor(l_discount * 10000 + 0.5) AS BIGINT) FROM src
+UNION ALL
+SELECT l_orderkey, l_linenumber, 'l_tax',
+       CAST(floor(l_tax * 10000 + 0.5) AS BIGINT) FROM src
+ORDER BY l_orderkey, l_linenumber, measure
+"""
+
+
 ORACLES = {
     "q1_pricing_summary": Q1_SQL,
+    "melt_lineitem_measures": MELT_LINEITEM_SQL,
     "similar_part_names": SIMILAR_PART_NAMES_SQL,
     "key_skew_report": KEY_SKEW_SQL,
     "extendedprice_deciles": EXTENDEDPRICE_DECILES_SQL,
@@ -4823,6 +4888,7 @@ ORACLES = {
 
 QUERIES = {
     "q1_pricing_summary": q1_pricing_summary,
+    "melt_lineitem_measures": melt_lineitem_measures,
     "similar_part_names": similar_part_names,
     "key_skew_report": key_skew_report,
     "extendedprice_deciles": extendedprice_deciles,
