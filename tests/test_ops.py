@@ -731,3 +731,25 @@ def test_melt_dataset_refuses_mixed_types(ray_session):
     ds = rd.from_pandas(pd.DataFrame({"k": [1], "a": [10], "b": [0.5]}))
     with _pt.raises(Exception):  # TypeError inside the map task surfaces as RayTaskError
         melt_dataset(ds, ["k"], ["a", "b"]).to_pandas()
+
+
+def test_grouped_mode_tie_break(ray_session):
+    import pandas as pd
+
+    from xmlschema_ray.pipelines.relational import grouped_mode
+
+    df = pd.DataFrame(
+        {
+            "k": [1, 1, 1, 1, 2, 2, 3],
+            "v": ["b", "b", "a", "a", "z", "y", "q"],
+        }
+    )
+    out = (
+        grouped_mode(rd.from_pandas(df), "k", "v")
+        .to_pandas()
+        .sort_values("k")
+        .reset_index(drop=True)
+    )
+    # k=1: a/b tie at 2 -> smallest value 'a'; k=2: y/z tie -> 'y'
+    assert out["mode_value"].tolist() == ["a", "y", "q"]
+    assert out["n"].tolist() == [2, 1, 1]

@@ -4749,6 +4749,68 @@ ORDER BY name_a, name_b
 """
 
 
+# -- grouped MODE (most-frequent value per key) ------------------------------
+
+
+def grouped_mode(
+    ds: "rd.Dataset",
+    key: str,
+    value: str,
+    out_value: str = "mode_value",
+    out_count: str = "n",
+) -> "rd.Dataset":
+    """Exact per-key MODE with a deterministic tie-break (highest count,
+    then smallest value) — the categorical summary statistic the mean/
+    median family can't express.
+
+    Plan: one :func:`combiner_aggregate` pass counts (key, value) pairs —
+    per-batch partials bound a hot pair's traffic by #batches, so the
+    exchange ships pair-cardinality rows, never fact rows — then ONE
+    co-locating exchange on ``key`` alone picks each key's argmax with a
+    vectorized stable sort + ``drop_duplicates``. Driver state: none.
+    At 10^12 rows the cost is the pair cardinality (categorical values ⇒
+    bounded multiple of key count), the same contract as the pivot family.
+    """
+    from xmlschema_ray.ops.relational import hash_partition_apply
+
+    counts = combiner_aggregate(ds, [key, value], {out_count: (value, "count")})
+
+    def pick(g: pd.DataFrame) -> pd.DataFrame:
+        g = g.sort_values(
+            [key, out_count, value], ascending=[True, False, True], kind="mergesort"
+        )
+        out = g.drop_duplicates(key, keep="first")
+        return out.rename(columns={value: out_value})[[key, out_value, out_count]]
+
+    return hash_partition_apply(counts, key, pick)
+
+
+def mode_priority_by_customer(sf_dir: str) -> "rd.Dataset":
+    """Each customer's most frequent order priority (ties → smallest
+    priority string) — :func:`grouped_mode` over a fact-sized key space."""
+    orders = rd.read_parquet(
+        table_path(sf_dir, "orders"), columns=["o_custkey", "o_orderpriority"]
+    )
+    out = grouped_mode(
+        orders, "o_custkey", "o_orderpriority", out_value="mode_priority"
+    )
+    return out.sort("o_custkey")
+
+
+MODE_PRIORITY_SQL = """
+WITH c AS (
+  SELECT o_custkey, o_orderpriority, COUNT(*) AS n
+  FROM orders GROUP BY 1, 2
+), r AS (
+  SELECT *, row_number() OVER (
+    PARTITION BY o_custkey ORDER BY n DESC, o_orderpriority
+  ) AS rk FROM c
+)
+SELECT o_custkey, o_orderpriority AS mode_priority, n
+FROM r WHERE rk = 1 ORDER BY o_custkey
+"""
+
+
 # -- wide→long reshape (UNPIVOT) --------------------------------------------
 
 
@@ -4816,6 +4878,7 @@ ORDER BY l_orderkey, l_linenumber, measure
 ORACLES = {
     "q1_pricing_summary": Q1_SQL,
     "melt_lineitem_measures": MELT_LINEITEM_SQL,
+    "mode_priority_by_customer": MODE_PRIORITY_SQL,
     "similar_part_names": SIMILAR_PART_NAMES_SQL,
     "key_skew_report": KEY_SKEW_SQL,
     "extendedprice_deciles": EXTENDEDPRICE_DECILES_SQL,
@@ -4889,6 +4952,7 @@ ORACLES = {
 QUERIES = {
     "q1_pricing_summary": q1_pricing_summary,
     "melt_lineitem_measures": melt_lineitem_measures,
+    "mode_priority_by_customer": mode_priority_by_customer,
     "similar_part_names": similar_part_names,
     "key_skew_report": key_skew_report,
     "extendedprice_deciles": extendedprice_deciles,
