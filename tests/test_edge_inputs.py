@@ -128,3 +128,51 @@ def test_empty_result_queries_keep_schema(tmp_path, ray_session):
 
     c = frame(customers_without_events(sf))
     assert len(c) == 0 and list(c.columns) == ["c_custkey"]
+
+
+# -- union_with_evolution -----------------------------------------------------
+
+
+def test_union_with_evolution_fills_and_widens(ray_session):
+    import pandas as pd
+    import pyarrow as pa
+    import ray.data as rd
+
+    from xmlschema_ray.sources.readers import union_with_evolution
+
+    old = rd.from_arrow(
+        pa.table({"k": pa.array([1, 2], pa.int32()), "x": pa.array([1.0, 2.0])})
+    )
+    new = rd.from_arrow(
+        pa.table(
+            {
+                "k": pa.array([3], pa.int64()),
+                "x": pa.array([3.0]),
+                "tag": pa.array(["t"]),
+                "extra_dropped": pa.array([9]),
+            }
+        )
+    )
+    schema = pa.schema([("k", pa.int64()), ("x", pa.float64()), ("tag", pa.string())])
+    out = (
+        union_with_evolution([old, new], schema)
+        .to_pandas()
+        .sort_values("k")
+        .reset_index(drop=True)
+    )
+    assert str(out["k"].dtype) == "int64" and out["k"].tolist() == [1, 2, 3]
+    assert out["tag"].tolist()[:2] == [None, None] and out["tag"].iloc[2] == "t"
+    assert "extra_dropped" not in out.columns
+
+
+def test_union_with_evolution_lossy_cast_raises(ray_session):
+    import pyarrow as pa
+    import pytest as _pt
+    import ray.data as rd
+
+    from xmlschema_ray.sources.readers import union_with_evolution
+
+    wide = rd.from_arrow(pa.table({"k": pa.array([2**40], pa.int64())}))
+    schema = pa.schema([("k", pa.int32())])
+    with _pt.raises(Exception):  # ArrowInvalid inside the task
+        union_with_evolution([wide], schema).to_pandas()

@@ -4811,6 +4811,106 @@ FROM r WHERE rk = 1 ORDER BY o_custkey
 """
 
 
+# -- schema-evolution union (data-lake generations) --------------------------
+
+
+def evolved_union_orders(sf_dir: str) -> "rd.Dataset":
+    """Read a two-GENERATION orders layout through
+    :func:`xmlschema_ray.sources.readers.union_with_evolution` — gen1
+    (even order keys) predates the ``o_orderpriority`` column and stores
+    ``o_custkey`` narrow (int32); gen2 (odd keys) has the full schema.
+    The unified stream fills gen1's missing priority with typed nulls and
+    widens its custkey exactly, so a consumer sees ONE canonical schema.
+
+    The generations are derived deterministically from ``orders`` and
+    cached under /tmp (build-then-rename, the layout-cache idiom), which
+    lets the DuckDB oracle replay the union as a CASE over the parity
+    split. Zero exchanges end to end except the canonical result sort.
+    """
+    import os
+    import shutil
+
+    from xmlschema_ray.sources.readers import union_with_evolution
+
+    root = os.path.join(
+        "/tmp/xmlschema_ray_evolved", os.path.basename(os.path.normpath(sf_dir))
+    )
+    g1, g2 = os.path.join(root, "gen1"), os.path.join(root, "gen2")
+    if not (os.path.isdir(g1) and os.path.isdir(g2)):
+        orders = rd.read_parquet(
+            table_path(sf_dir, "orders"),
+            columns=["o_orderkey", "o_custkey", "o_totalprice", "o_orderpriority"],
+        )
+
+        def gen1_rows(batch: pa.Table) -> pa.Table:
+            keep = pc.equal(pc.bit_wise_and(batch["o_orderkey"], 1), 0)
+            b = batch.filter(keep)
+            return pa.table(
+                {
+                    "o_orderkey": b["o_orderkey"],
+                    "o_custkey": b["o_custkey"].cast(pa.int32()),
+                    "o_totalprice": b["o_totalprice"],
+                }
+            )
+
+        def gen2_rows(batch: pa.Table) -> pa.Table:
+            return batch.filter(pc.equal(pc.bit_wise_and(batch["o_orderkey"], 1), 1))
+
+        tmp = f"{root}.build{os.getpid()}"
+        orders.map_batches(gen1_rows, batch_format="pyarrow").write_parquet(
+            os.path.join(tmp, "gen1")
+        )
+        orders.map_batches(gen2_rows, batch_format="pyarrow").write_parquet(
+            os.path.join(tmp, "gen2")
+        )
+        try:
+            os.rename(tmp, root)
+        except OSError:
+            shutil.rmtree(tmp, ignore_errors=True)
+
+    canonical = pa.schema(
+        [
+            ("o_orderkey", pa.int64()),
+            ("o_custkey", pa.int64()),
+            ("o_totalprice", pa.float64()),
+            ("o_orderpriority", pa.string()),
+        ]
+    )
+    u = union_with_evolution(
+        [rd.read_parquet(g1), rd.read_parquet(g2)], canonical
+    )
+
+    def shape(batch: pa.Table) -> pa.Table:
+        c = pa.chunked_array(
+            [
+                np.floor(
+                    batch["o_totalprice"].to_numpy(zero_copy_only=False) * 100.0 + 0.5
+                ).astype(np.int64)
+            ]
+        )
+        return pa.table(
+            {
+                "o_orderkey": batch["o_orderkey"],
+                "o_custkey": batch["o_custkey"],
+                "totalprice_cents": c,
+                "o_orderpriority": batch["o_orderpriority"],
+            }
+        )
+
+    return u.map_batches(shape, batch_format="pyarrow").sort(
+        ["o_orderkey", "o_custkey"]
+    )
+
+
+EVOLVED_UNION_SQL = """
+SELECT o_orderkey, o_custkey,
+       CAST(floor(o_totalprice * 100 + 0.5) AS BIGINT) AS totalprice_cents,
+       CASE WHEN o_orderkey % 2 = 1 THEN o_orderpriority END AS o_orderpriority
+FROM orders
+ORDER BY o_orderkey, o_custkey
+"""
+
+
 # -- wide→long reshape (UNPIVOT) --------------------------------------------
 
 
@@ -4879,6 +4979,7 @@ ORACLES = {
     "q1_pricing_summary": Q1_SQL,
     "melt_lineitem_measures": MELT_LINEITEM_SQL,
     "mode_priority_by_customer": MODE_PRIORITY_SQL,
+    "evolved_union_orders": EVOLVED_UNION_SQL,
     "similar_part_names": SIMILAR_PART_NAMES_SQL,
     "key_skew_report": KEY_SKEW_SQL,
     "extendedprice_deciles": EXTENDEDPRICE_DECILES_SQL,
@@ -4953,6 +5054,7 @@ QUERIES = {
     "q1_pricing_summary": q1_pricing_summary,
     "melt_lineitem_measures": melt_lineitem_measures,
     "mode_priority_by_customer": mode_priority_by_customer,
+    "evolved_union_orders": evolved_union_orders,
     "similar_part_names": similar_part_names,
     "key_skew_report": key_skew_report,
     "extendedprice_deciles": extendedprice_deciles,

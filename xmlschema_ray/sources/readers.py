@@ -125,3 +125,45 @@ def read_table(
 
         ds = ds.map_batches(coerce, batch_format="pyarrow", zero_copy_batch=True)
     return ds
+
+
+def union_with_evolution(
+    datasets: "list[rd.Dataset]", schema: pa.Schema
+) -> "rd.Dataset":
+    """Union datasets written under different SCHEMA GENERATIONS into one
+    canonical-schema stream — the data-lake read every long-lived table
+    needs once columns have been added, dropped, or widened across file
+    generations (the tabular analog of the reference's version-tolerant
+    schema composition, ``/root/reference/xmlschema/validators/
+    schemas.py`` xs:override lineage; see also ``serde.override_spec``).
+
+    Per generation, one row-local Arrow pass (zero exchanges): missing
+    columns materialize as TYPED nulls, present columns ``cast`` to the
+    canonical type (widenings like int32→int64 are exact; a lossy cast
+    raises rather than silently truncating — Arrow's cast safety is the
+    guard), extra columns are dropped, and order is canonicalized so the
+    downstream union sees ONE schema. Unknown generations therefore fail
+    loudly at the first batch, never at a distant consumer.
+    """
+    if not datasets:
+        raise ValueError("union_with_evolution: need at least one dataset")
+
+    names = [f.name for f in schema]
+
+    def normalize(batch: pa.Table) -> pa.Table:
+        cols = []
+        for f in schema:
+            if f.name in batch.column_names:
+                cols.append(batch[f.name].cast(f.type))
+            else:
+                cols.append(pa.chunked_array([pa.nulls(batch.num_rows, f.type)]))
+        return pa.table(dict(zip(names, cols)))
+
+    out = [
+        ds.map_batches(normalize, batch_format="pyarrow", zero_copy_batch=True)
+        for ds in datasets
+    ]
+    u = out[0]
+    for d in out[1:]:
+        u = u.union(d)
+    return u
