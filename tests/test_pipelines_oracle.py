@@ -428,3 +428,24 @@ def test_incremental_dedup_crafted_and_index_reuse(tmp_path, ray_session):
     res3 = incremental_dedup(str(tmp_path), index_dir=idx_dir)
     out3 = (res3.to_pandas() if hasattr(res3, "to_pandas") else res3).reset_index(drop=True)
     pd.testing.assert_frame_equal(out3, want)
+
+
+def test_hybrid_rrf_fusion_properties(ray_session):
+    import numpy as np
+
+    from xmlschema_ray.pipelines.similarity import hybrid_search_rrf
+
+    out = hybrid_search_rrf("/root/testdata/sf0.001", k=20)
+    assert list(out.columns) == ["doc_id", "lex_rank", "vec_rank", "rrf"]
+    assert len(out) == 20
+    # fused scores are the exact integer-rank RRF, descending
+    lr, vr = out["lex_rank"].to_numpy(), out["vec_rank"].to_numpy()
+    want = np.where(np.isnan(lr), 0.0, 1.0 / (60 + lr)) + np.where(
+        np.isnan(vr), 0.0, 1.0 / (60 + vr)
+    )
+    assert np.array_equal(out["rrf"].to_numpy(), want)
+    assert (np.diff(out["rrf"].to_numpy()) <= 0).all()
+    # both legs contribute: at least one doc carries each rank kind
+    assert (~np.isnan(lr)).any() and (~np.isnan(vr)).any()
+    # ranks are 1-based and unique within a leg
+    assert np.nanmin(lr) >= 1 and np.nanmin(vr) >= 1

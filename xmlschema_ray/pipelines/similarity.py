@@ -1000,8 +1000,186 @@ ORDER BY query_vec_id, rank
 """.format(n_queries=N_QUERIES, k=TOP_K)
 
 
+# -- hybrid retrieval: BM25 ⊕ vector via reciprocal-rank fusion --------------
+
+
+def hybrid_search_rrf(
+    sf_dir: str, k: int = 20, pool: int = 100, rrf_c: int = 60
+) -> pd.DataFrame:
+    """Hybrid retrieval with RECIPROCAL-RANK FUSION (Cormack et al.
+    SIGIR'09): a lexical BM25 leg over ``documents`` and a vector cosine
+    leg over ``embeddings`` each produce a top-``pool`` ranking, fused as
+    ``Σ 1/(rrf_c + rank)`` — the standard hybrid-search shape of a RAG
+    retrieval stack, with no score normalization to get wrong.
+
+    Scale shape: each leg is an independent DISTRIBUTED top-``pool``
+    (per-batch local top-k partials → driver merge of ``pool × #blocks``
+    rows — the repo's partial-top-k contract; the vector leg is the
+    brute-force baseline and swaps for the IVF/LSH/PQ paths at corpus
+    scale). Fusion itself touches ≤ 2·``pool`` rows — driver-side by
+    construction, never fact-sized.
+
+    Exactness: the BM25 total is summed in FIXED term order (left-assoc,
+    matching the oracle's explicit ``+`` chain — the per-term log-free
+    rational idf of ``bm25_scores``), so lexical ranks are bit-exact;
+    vector ranks follow the knn-oracle convention (ranking-stable, vec_id
+    tie-break); RRF then only touches INTEGER ranks. Rank columns export
+    as float64-with-NaN (a doc can appear in one leg only — the DuckDB
+    nullable-BIGINT ``.df()`` convention)."""
+    from xmlschema_ray.pipelines.curation import _split_offsets
+    from xmlschema_ray.pipelines.textstats import _BM25_B, _BM25_K1, _BM25_TERMS
+
+    docs = rd.read_parquet(table_path(sf_dir, "documents"), columns=["doc_id", "text"])
+
+    def per_doc(batch) -> pd.DataFrame:
+        ids = batch["doc_id"].to_numpy(zero_copy_only=False).astype(np.int64)
+        offsets, flat = _split_offsets(batch["text"])
+        row_idx = (
+            np.searchsorted(offsets, np.arange(len(flat), dtype=np.int64), side="right")
+            - 1
+        )
+        cols = {"doc_id": ids, "dl": np.diff(offsets).astype(np.int64)}
+        for t in _BM25_TERMS:
+            cols[f"tf_{t}"] = np.bincount(
+                row_idx[flat == t], minlength=len(ids)
+            ).astype(np.int64)
+        return pd.DataFrame(cols)
+
+    narrow = docs.map_batches(per_doc, batch_format="pyarrow").materialize()
+
+    def stat_partial(batch: pd.DataFrame) -> pd.DataFrame:
+        row = {"n": np.int64(len(batch)), "tot": batch["dl"].sum()}
+        for t in _BM25_TERMS:
+            row[f"df_{t}"] = np.int64((batch[f"tf_{t}"] > 0).sum())
+        return pd.DataFrame([row])
+
+    stats = narrow.map_batches(stat_partial, batch_format="pandas").to_pandas().sum()
+    n_docs, tot = int(stats["n"]), int(stats["tot"])
+    avgdl = np.float64(tot) / n_docs
+    idf = {
+        t: (n_docs - int(stats[f"df_{t}"]) + 0.5) / (int(stats[f"df_{t}"]) + 0.5)
+        for t in _BM25_TERMS
+    }
+
+    def local_top(batch: pd.DataFrame) -> pd.DataFrame:
+        dl = batch["dl"].to_numpy(np.int64)
+        denom_tail = _BM25_K1 * (1 - _BM25_B + _BM25_B * dl / avgdl)
+        total = np.zeros(len(batch), dtype=np.float64)
+        for t in _BM25_TERMS:  # FIXED summation order — matches the SQL chain
+            tf = batch[f"tf_{t}"].to_numpy(np.int64)
+            s = np.where(
+                tf > 0, idf[t] * (tf * (_BM25_K1 + 1)) / (tf + denom_tail), 0.0
+            )
+            total = total + s
+        m = total > 0
+        out = pd.DataFrame(
+            {"doc_id": batch["doc_id"].to_numpy(np.int64)[m], "bm25": total[m]}
+        )
+        return out.sort_values(["bm25", "doc_id"], ascending=[False, True]).head(pool)
+
+    lexp = narrow.map_batches(local_top, batch_format="pandas").to_pandas()
+    lex = (
+        lexp.sort_values(["bm25", "doc_id"], ascending=[False, True])
+        .head(pool)
+        .reset_index(drop=True)
+    )
+    lex["lex_rank"] = np.arange(1, len(lex) + 1, dtype=np.int64)
+
+    emb = rd.read_parquet(table_path(sf_dir, "embeddings"), columns=["vec_id", "embedding"])
+    qrow = emb.filter(expr="vec_id == 0").to_pandas()
+    qmat = np.stack(qrow.sort_values("vec_id")["embedding"].to_numpy()).astype(np.float64)
+
+    def vec_top(batch: pd.DataFrame) -> pd.DataFrame:
+        vecs = np.stack(batch["embedding"].to_numpy()).astype(np.float64)
+        ids = batch["vec_id"].to_numpy(np.int64)
+        _, vi, cos = batch_cosine_topk(vecs, ids, qmat, pool)
+        return pd.DataFrame({"vec_id": vi, "cos": cos})
+
+    vecp = emb.map_batches(vec_top, batch_format="pandas").to_pandas()
+    vec = (
+        vecp.sort_values(["cos", "vec_id"], ascending=[False, True])
+        .head(pool)
+        .reset_index(drop=True)
+    )
+    vec["vec_rank"] = np.arange(1, len(vec) + 1, dtype=np.int64)
+
+    f = lex[["doc_id", "lex_rank"]].merge(
+        vec[["vec_id", "vec_rank"]].rename(columns={"vec_id": "doc_id"}),
+        on="doc_id",
+        how="outer",
+    )
+    lr = f["lex_rank"].to_numpy(np.float64)
+    vr = f["vec_rank"].to_numpy(np.float64)
+    rrf = np.where(np.isnan(lr), 0.0, 1.0 / (rrf_c + lr)) + np.where(
+        np.isnan(vr), 0.0, 1.0 / (rrf_c + vr)
+    )
+    f["rrf"] = rrf
+    out = (
+        f.sort_values(["rrf", "doc_id"], ascending=[False, True])
+        .head(k)
+        .reset_index(drop=True)
+    )
+    return out[["doc_id", "lex_rank", "vec_rank", "rrf"]]
+
+
+HYBRID_RRF_SQL = r"""
+WITH w AS (
+  SELECT doc_id, list_filter(regexp_split_to_array(trim(text), '\s+'), x -> x <> '') AS ws
+  FROM documents
+), d AS (
+  SELECT doc_id, CAST(len(ws) AS BIGINT) AS dl,
+         CAST(len(list_filter(ws, x -> x = 'table'))  AS BIGINT) AS tf_table,
+         CAST(len(list_filter(ws, x -> x = 'window')) AS BIGINT) AS tf_window,
+         CAST(len(list_filter(ws, x -> x = 'join'))   AS BIGINT) AS tf_join,
+         CAST(len(list_filter(ws, x -> x = 'hash'))   AS BIGINT) AS tf_hash
+  FROM w
+), g AS (
+  SELECT CAST(COUNT(*) AS BIGINT) AS n, CAST(SUM(dl) AS BIGINT) AS tot,
+         CAST(SUM(CASE WHEN tf_table  > 0 THEN 1 ELSE 0 END) AS BIGINT) AS df_table,
+         CAST(SUM(CASE WHEN tf_window > 0 THEN 1 ELSE 0 END) AS BIGINT) AS df_window,
+         CAST(SUM(CASE WHEN tf_join   > 0 THEN 1 ELSE 0 END) AS BIGINT) AS df_join,
+         CAST(SUM(CASE WHEN tf_hash   > 0 THEN 1 ELSE 0 END) AS BIGINT) AS df_hash
+  FROM d
+), s AS (
+  SELECT doc_id,
+    (CASE WHEN tf_table > 0 THEN ((n - df_table + 0.5) / (df_table + 0.5))
+          * (tf_table * (1.2 + 1)) / (tf_table + 1.2 * (1 - 0.75 + 0.75 * dl / (CAST(tot AS DOUBLE) / n)))
+          ELSE 0.0 END
+   + CASE WHEN tf_window > 0 THEN ((n - df_window + 0.5) / (df_window + 0.5))
+          * (tf_window * (1.2 + 1)) / (tf_window + 1.2 * (1 - 0.75 + 0.75 * dl / (CAST(tot AS DOUBLE) / n)))
+          ELSE 0.0 END
+   + CASE WHEN tf_join > 0 THEN ((n - df_join + 0.5) / (df_join + 0.5))
+          * (tf_join * (1.2 + 1)) / (tf_join + 1.2 * (1 - 0.75 + 0.75 * dl / (CAST(tot AS DOUBLE) / n)))
+          ELSE 0.0 END
+   + CASE WHEN tf_hash > 0 THEN ((n - df_hash + 0.5) / (df_hash + 0.5))
+          * (tf_hash * (1.2 + 1)) / (tf_hash + 1.2 * (1 - 0.75 + 0.75 * dl / (CAST(tot AS DOUBLE) / n)))
+          ELSE 0.0 END) AS bm25
+  FROM d CROSS JOIN g
+), lex AS (
+  SELECT doc_id, CAST(row_number() OVER (ORDER BY bm25 DESC, doc_id) AS BIGINT) AS r
+  FROM s WHERE bm25 > 0
+  QUALIFY r <= 100
+), vec AS (
+  SELECT e.vec_id AS doc_id,
+         CAST(row_number() OVER (
+           ORDER BY list_cosine_similarity(e.embedding, q.qe) DESC, e.vec_id
+         ) AS BIGINT) AS r
+  FROM embeddings e, (SELECT embedding AS qe FROM embeddings WHERE vec_id = 0) q
+  QUALIFY r <= 100
+), f AS (
+  SELECT COALESCE(l.doc_id, v.doc_id) AS doc_id, l.r AS lex_rank, v.r AS vec_rank,
+         COALESCE(1.0 / (60 + l.r), 0.0) + COALESCE(1.0 / (60 + v.r), 0.0) AS rrf
+  FROM lex l FULL OUTER JOIN vec v ON l.doc_id = v.doc_id
+)
+SELECT doc_id, lex_rank, vec_rank, rrf FROM f
+ORDER BY rrf DESC, doc_id
+LIMIT 20
+"""
+
+
 ORACLES: Dict[str, str] = {
     "knn_cosine": KNN_SQL,
+    "hybrid_search_rrf": HYBRID_RRF_SQL,
     "knn_lsh": KNN_LSH_SQL,
     "knn_ivf": KNN_IVF_SQL,
     "embedding_kmeans": EMBEDDING_KMEANS_SQL,
@@ -1012,6 +1190,7 @@ ORACLES: Dict[str, str] = {
 
 QUERIES = {
     "knn_cosine": knn_cosine,
+    "hybrid_search_rrf": hybrid_search_rrf,
     "knn_lsh": knn_lsh,
     "knn_ivf": knn_ivf,
     "embedding_kmeans": embedding_kmeans,
