@@ -449,3 +449,25 @@ def test_hybrid_rrf_fusion_properties(ray_session):
     assert (~np.isnan(lr)).any() and (~np.isnan(vr)).any()
     # ranks are 1-based and unique within a leg
     assert np.nanmin(lr) >= 1 and np.nanmin(vr) >= 1
+
+
+def test_hard_negative_mining_excludes_near_dups(ray_session):
+    import numpy as np
+
+    from xmlschema_ray.pipelines.dedup import minhash_lsh_dedup
+    from xmlschema_ray.pipelines.similarity import hard_negative_mining
+
+    out = hard_negative_mining("/root/testdata/sf0.001", k=5, pool=20)
+    assert list(out.columns) == ["query_id", "vec_id", "rank"]
+    # per-query ranks are 1..n contiguous, n <= k
+    for q, g in out.groupby("query_id"):
+        assert g["rank"].tolist() == list(range(1, len(g) + 1))
+        assert len(g) <= 5
+    # no returned negative shares the query's minhash cluster, and the
+    # query itself never appears
+    labels = minhash_lsh_dedup("/root/testdata/sf0.001").to_pandas()
+    root = dict(zip(labels["doc_id"], labels["cluster_root"]))
+    assert (out["query_id"] != out["vec_id"]).all()
+    qr = out["query_id"].map(root).to_numpy()
+    vr = out["vec_id"].map(root).to_numpy()
+    assert (qr != vr).all()

@@ -1122,6 +1122,113 @@ def hybrid_search_rrf(
     return out[["doc_id", "lex_rank", "vec_rank", "rrf"]]
 
 
+# -- hard-negative mining (contrastive training pairs) -----------------------
+
+
+def hard_negative_mining(
+    sf_dir: str, k: int = 5, pool: int = 20, oracle_dump: bool = True
+) -> pd.DataFrame:
+    """Hard negatives for contrastive embedding training: each query's
+    top-``pool`` cosine neighbors, with NEAR-DUPLICATES of the query
+    excluded (same MinHash-LSH cluster — a near-dup ranked as a negative
+    is a false negative that poisons the contrastive loss), keeping the
+    ``k`` best survivors. The mining step of every embedding-model data
+    pipeline, composed from the repo's retrieval + dedup machinery.
+
+    Scale shape: the kNN leg is the per-batch partial-top-k contract
+    (pool×#blocks driver merge; swaps for IVF/LSH at corpus scale); the
+    dedup labels stay a DATASET and only the ≤ ``pool×Q + Q`` candidate
+    ids' rows are filtered out of it (candidate-sized collect, never the
+    corpus). ``vec_id`` is the document key (one embedding per document
+    in this corpus).
+
+    Oracle: the minhash band dump → recursive-CTE clusters (the
+    ``minhash_lsh_dedup`` oracle) joined against a windowed exact-cosine
+    top-``pool``, re-ranked after exclusion. Ids+integer ranks only (the
+    knn ranking-stability convention)."""
+    from xmlschema_ray.pipelines.dedup import minhash_lsh_dedup
+
+    labels = minhash_lsh_dedup(sf_dir, oracle_dump=oracle_dump)
+    qids, qmat = _query_matrix(sf_dir)
+    q_ref = ray.put((qids, qmat))
+    state: dict = {}
+
+    ds = rd.read_parquet(table_path(sf_dir, "embeddings"), columns=["vec_id", "embedding"])
+
+    def topk_partial(batch: pd.DataFrame) -> pd.DataFrame:
+        q = state.get("q")
+        if q is None:
+            q = state["q"] = ray.get(q_ref)
+        b_qids, b_qmat = q
+        vecs = np.stack(batch["embedding"].to_numpy())
+        ids = batch["vec_id"].to_numpy()
+        qi, vi, cos = batch_cosine_topk(vecs, ids, b_qmat, pool + 1)
+        return pd.DataFrame(
+            {
+                "query_id": pd.array(b_qids[qi], dtype="int64"),
+                "vec_id": pd.array(vi, dtype="int64"),
+                "cos": cos,
+            }
+        )
+
+    cand = _reduce_query_topk(
+        ds.map_batches(topk_partial, batch_format="pandas"), pool + 1, "cos", False
+    )
+    cand = cand[cand["vec_id"] != cand["query_id"]]
+    cand = cand.groupby("query_id", sort=True).head(pool).reset_index(drop=True)
+
+    # candidate-sized label lookup: filter the labels DATASET to the ids we
+    # actually rank (≤ pool×Q + Q rows collected, never the corpus)
+    need = np.union1d(cand["vec_id"].to_numpy(np.int64), qids.astype(np.int64))
+    need_ref = ray.put(need)
+    lstate: dict = {}
+
+    def pick_labels(batch: pd.DataFrame) -> pd.DataFrame:
+        ids = lstate.get("ids")
+        if ids is None:
+            ids = lstate["ids"] = ray.get(need_ref)
+        m = np.isin(batch["doc_id"].to_numpy(np.int64), ids)
+        return batch[m]
+
+    lab = labels.map_batches(pick_labels, batch_format="pandas").to_pandas()
+    root = dict(zip(lab["doc_id"].astype(np.int64), lab["cluster_root"].astype(np.int64)))
+
+    qroot = cand["query_id"].map(root).to_numpy(np.int64)
+    vroot = cand["vec_id"].map(root).to_numpy(np.int64)
+    keep = cand[qroot != vroot]
+    keep = keep.groupby("query_id", sort=True).head(k).reset_index(drop=True)
+    keep["rank"] = keep.groupby("query_id", sort=False).cumcount().to_numpy() + 1
+    return keep[["query_id", "vec_id", "rank"]].astype(np.int64)
+
+
+from xmlschema_ray.pipelines.dedup import _MINHASH_CC_CTE as _CC_CTE  # noqa: E402
+
+HARD_NEGATIVE_SQL = (
+    _CC_CTE
+    + """
+, knn AS (
+  SELECT q.vec_id AS query_id, e.vec_id,
+         row_number() OVER (
+           PARTITION BY q.vec_id
+           ORDER BY list_cosine_similarity(e.embedding, q.embedding) DESC, e.vec_id
+         ) AS r0
+  FROM embeddings e, embeddings q
+  WHERE q.vec_id < 5 AND e.vec_id <> q.vec_id
+  QUALIFY r0 <= 20
+), filt AS (
+  SELECT k.query_id, k.vec_id,
+         CAST(row_number() OVER (PARTITION BY k.query_id ORDER BY k.r0) AS BIGINT) AS rank
+  FROM knn k
+  JOIN clusters cq ON cq.doc_id = k.query_id
+  JOIN clusters cv ON cv.doc_id = k.vec_id
+  WHERE cq.cluster_root <> cv.cluster_root
+  QUALIFY rank <= 5
+)
+SELECT query_id, vec_id, rank FROM filt ORDER BY query_id, rank
+"""
+)
+
+
 HYBRID_RRF_SQL = r"""
 WITH w AS (
   SELECT doc_id, list_filter(regexp_split_to_array(trim(text), '\s+'), x -> x <> '') AS ws
@@ -1180,6 +1287,7 @@ LIMIT 20
 ORACLES: Dict[str, str] = {
     "knn_cosine": KNN_SQL,
     "hybrid_search_rrf": HYBRID_RRF_SQL,
+    "hard_negative_mining": HARD_NEGATIVE_SQL,
     "knn_lsh": KNN_LSH_SQL,
     "knn_ivf": KNN_IVF_SQL,
     "embedding_kmeans": EMBEDDING_KMEANS_SQL,
@@ -1191,6 +1299,7 @@ ORACLES: Dict[str, str] = {
 QUERIES = {
     "knn_cosine": knn_cosine,
     "hybrid_search_rrf": hybrid_search_rrf,
+    "hard_negative_mining": hard_negative_mining,
     "knn_lsh": knn_lsh,
     "knn_ivf": knn_ivf,
     "embedding_kmeans": embedding_kmeans,
