@@ -880,3 +880,40 @@ def test_unique_key_require_present_xs_key_mode(tmp_path, ray_session):
     findings = spec_compat(spec_f, spec)
     hit = [f for f in findings if "unique_key uk" in f["item"]]
     assert hit and not hit[0]["compatible"]
+
+
+# -- triage_violations --------------------------------------------------------
+
+
+def test_triage_min_k_merge_and_padding(ray_session):
+    import numpy as np
+    import pandas as pd
+    import ray.data as rd
+
+    from xmlschema_ray.pipelines.validation_queries import triage_violations
+
+    # two blocks so the driver merge must min-k-combine partials; constraint
+    # 'b' has fewer than 3 examples -> -1 padding
+    b1 = pd.DataFrame(
+        {
+            "k": [9, 5, 7, 2],
+            "constraint_name": ["a", "a", "a", "b"],
+            "col_name": ["x", "x", "x", "y"],
+        }
+    )
+    b2 = pd.DataFrame(
+        {
+            "k": [1, 8, 3],
+            "constraint_name": ["a", "a", "a"],
+            "col_name": ["x", "x", "x"],
+        }
+    )
+    ds = rd.from_pandas([b1, b2])
+    out = triage_violations(ds, ["k"]).sort_values("constraint_name").reset_index(drop=True)
+    a = out[out["constraint_name"] == "a"].iloc[0]
+    assert int(a["n"]) == 6
+    # global 3 smallest across BOTH blocks (1,3 from block 2; 5 from block 1)
+    assert [int(a["ex1_k"]), int(a["ex2_k"]), int(a["ex3_k"])] == [1, 3, 5]
+    b = out[out["constraint_name"] == "b"].iloc[0]
+    assert int(b["n"]) == 1
+    assert [int(b["ex1_k"]), int(b["ex2_k"]), int(b["ex3_k"])] == [2, -1, -1]

@@ -663,8 +663,97 @@ FROM events WHERE event_type = 'error' AND NOT (value <= 150.0)
 """
 
 
+# -- violation triage (the error report a human reads) -----------------------
+
+
+def triage_violations(
+    violations: "rd.Dataset", key_cols: List[str], n_examples: int = 3
+) -> pd.DataFrame:
+    """Per-constraint triage of a violations stream: total count plus the
+    ``n_examples`` SMALLEST offending keys — the report a data engineer
+    actually reads when a run goes red, and the reason violation identity
+    is key-based (stable examples at any parallelism; a row index would
+    name different rows per run).
+
+    Per-batch partial: one row per (constraint, column) carrying a count
+    and that batch's ``n_examples`` smallest keys (``-1``-padded so the
+    export stays non-null int64 — the DuckDB nullable-BIGINT→float64
+    trap). Count-sum and min-k-merge are both associative, so the driver
+    merge over ``#constraints × #blocks`` partial rows is exact and
+    metadata-sized at any corpus size.
+    """
+    pad = [-1] * len(key_cols)
+
+    def partial(batch: pd.DataFrame) -> pd.DataFrame:
+        rows = []
+        for (cname, col), g in batch.groupby(["constraint_name", "col_name"], sort=False):
+            ex = g[key_cols].sort_values(key_cols, kind="mergesort").head(n_examples)
+            vals = ex.to_numpy().tolist()
+            while len(vals) < n_examples:
+                vals.append(pad)
+            row = {"constraint_name": cname, "col_name": col, "n": np.int64(len(g))}
+            for i, v in enumerate(vals, 1):
+                for k, kc in enumerate(key_cols):
+                    row[f"ex{i}_{kc}"] = np.int64(v[k])
+            rows.append(row)
+        cols = ["constraint_name", "col_name", "n"] + [
+            f"ex{i}_{kc}" for i in range(1, n_examples + 1) for kc in key_cols
+        ]
+        return pd.DataFrame(rows, columns=cols) if rows else pd.DataFrame(
+            {c: pd.Series([], dtype=object if c in ("constraint_name", "col_name") else "int64") for c in cols}
+        )
+
+    parts = violations.map_batches(partial, batch_format="pandas").to_pandas()
+    out_rows = []
+    for (cname, col), g in parts.groupby(["constraint_name", "col_name"], sort=True):
+        # explode each partial's padded example block back to key tuples,
+        # drop pads, take the n_examples smallest of the union (min-k merge)
+        exs = []
+        for i in range(1, n_examples + 1):
+            cols_i = [f"ex{i}_{kc}" for kc in key_cols]
+            e = g[cols_i].to_numpy()
+            exs.append(e[(e != -1).any(axis=1)])
+        allex = np.concatenate(exs) if exs else np.empty((0, len(key_cols)))
+        order = np.lexsort(tuple(allex[:, k] for k in reversed(range(len(key_cols)))))
+        allex = allex[order][:n_examples]
+        row = {"constraint_name": cname, "col_name": col, "n": np.int64(g["n"].sum())}
+        for i in range(1, n_examples + 1):
+            for k, kc in enumerate(key_cols):
+                row[f"ex{i}_{kc}"] = np.int64(allex[i - 1][k]) if i <= len(allex) else np.int64(-1)
+        out_rows.append(row)
+    return pd.DataFrame(out_rows).reset_index(drop=True)
+
+
+def val_triage_lineitem(sf_dir: str) -> pd.DataFrame:
+    """:func:`triage_violations` over the ``val_lineitem_ranges``
+    violation stream — counts plus 3 smallest offending keys per facet."""
+    return triage_violations(
+        val_lineitem_ranges(sf_dir), ["l_orderkey", "l_linenumber"]
+    )
+
+
+VAL_TRIAGE_SQL = f"""
+WITH v AS ({VAL_LINEITEM_SQL}
+), r AS (
+  SELECT *, row_number() OVER (
+    PARTITION BY constraint_name, col_name ORDER BY l_orderkey, l_linenumber
+  ) AS rk FROM v
+)
+SELECT constraint_name, col_name, CAST(COUNT(*) AS BIGINT) AS n,
+  CAST(COALESCE(MAX(CASE WHEN rk = 1 THEN l_orderkey END), -1) AS BIGINT) AS ex1_l_orderkey,
+  CAST(COALESCE(MAX(CASE WHEN rk = 1 THEN l_linenumber END), -1) AS BIGINT) AS ex1_l_linenumber,
+  CAST(COALESCE(MAX(CASE WHEN rk = 2 THEN l_orderkey END), -1) AS BIGINT) AS ex2_l_orderkey,
+  CAST(COALESCE(MAX(CASE WHEN rk = 2 THEN l_linenumber END), -1) AS BIGINT) AS ex2_l_linenumber,
+  CAST(COALESCE(MAX(CASE WHEN rk = 3 THEN l_orderkey END), -1) AS BIGINT) AS ex3_l_orderkey,
+  CAST(COALESCE(MAX(CASE WHEN rk = 3 THEN l_linenumber END), -1) AS BIGINT) AS ex3_l_linenumber
+FROM r GROUP BY constraint_name, col_name
+ORDER BY constraint_name
+"""
+
+
 ORACLES: Dict[str, str] = {
     "val_lineitem_ranges": VAL_LINEITEM_SQL,
+    "val_triage_lineitem": VAL_TRIAGE_SQL,
     "val_events_enum": VAL_EVENTS_ENUM_SQL,
     "val_documents": VAL_DOCUMENTS_SQL,
     "val_nested_struct": VAL_NESTED_STRUCT_SQL,
@@ -678,6 +767,7 @@ ORACLES: Dict[str, str] = {
 
 QUERIES = {
     "val_lineitem_ranges": val_lineitem_ranges,
+    "val_triage_lineitem": val_triage_lineitem,
     "val_events_enum": val_events_enum,
     "val_documents": val_documents,
     "val_nested_struct": val_nested_struct,
