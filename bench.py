@@ -132,6 +132,12 @@ QUERY_NAMES = [
     "span_corrupt_documents",
     "clustered_merge_revenue",
     "val_order_totals",
+    # continuation-session-10 (round-4 final): hybrid retrieval (two
+    # distributed top-pool legs + rank-only fusion) and contrastive
+    # hard-negative mining (kNN leg + minhash clustering + candidate-sized
+    # label lookup — the heaviest composition, dominated by the clustering)
+    "hybrid_search_rrf",
+    "hard_negative_mining",
 ]
 
 
