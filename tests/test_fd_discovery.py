@@ -55,3 +55,17 @@ def test_fd_discovery_seeded(ray_session, tmp_path):
     r = got.loc["orders.o_custkey->o_orderpriority"]
     assert r["holds"] == 0 and r["n_violating_lhs"] == 5  # every custkey maps to p0+p1
     assert r["n_pairs"] == 10
+
+
+def test_ind_discovery_directions(ray_session):
+    from xmlschema_ray.pipelines.relational import ind_discovery
+
+    out = ind_discovery("/root/testdata/sf0.001").set_index("ind")
+    # every lineitem order key has an orders row; the reverse fails
+    # (orders with no lineitem rows exist in the synthetic data)
+    fwd = out.loc["lineitem.l_orderkey<=orders.o_orderkey"]
+    rev = out.loc["orders.o_orderkey<=lineitem.l_orderkey"]
+    assert int(fwd["holds"]) == 1 and int(fwd["n_missing"]) == 0
+    assert int(rev["holds"]) == 0 and int(rev["n_missing"]) > 0
+    # n_missing never exceeds the dependent's distinct count
+    assert (out["n_missing"] <= out["n_dep_distinct"]).all()

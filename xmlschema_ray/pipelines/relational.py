@@ -4811,6 +4811,80 @@ FROM r WHERE rk = 1 ORDER BY o_custkey
 """
 
 
+# -- inclusion-dependency discovery (FK mining) -------------------------------
+
+
+def ind_discovery(sf_dir: str) -> pd.DataFrame:
+    """INCLUSION-DEPENDENCY discovery: for each candidate cross-table pair
+    ``dependent ⊆ referenced``, count the dependent side's distinct values
+    that never appear on the referenced side — the FK-MINING profiling
+    step (the Spider/BINDER family restricted to declared candidates,
+    which is how production profilers run it at fact scale). The sibling
+    of :func:`fd_discovery`: FDs feed repair, INDs feed ``ForeignKey``
+    constraints — a candidate with ``n_missing = 0`` is safe to declare,
+    and a nonzero count sizes the orphan cleanup.
+
+    Per candidate: one :func:`~xmlschema_ray.ops.relational.except_keys`
+    pass (both raw single-column projections reduce to per-batch distinct
+    partials inside the combiner, so the one exchange ships key-space
+    data, never fact rows — the referenced side is never broadcast) plus
+    a distinct-count combiner; the report folds result-sized counts only.
+    """
+    from xmlschema_ray.ops.relational import except_keys
+
+    candidates = [
+        ("lineitem", "l_orderkey", "orders", "o_orderkey"),
+        ("orders", "o_custkey", "customer", "c_custkey"),
+        ("events", "user_id", "customer", "c_custkey"),
+        # the reverse direction deliberately included: orders with no
+        # lineitem rows make it FAIL, exercising the nonzero path
+        ("orders", "o_orderkey", "lineitem", "l_orderkey"),
+    ]
+    rows = []
+    for dep_t, dep_c, ref_t, ref_c in candidates:
+        dep = rd.read_parquet(table_path(sf_dir, dep_t), columns=[dep_c])
+        ref = rd.read_parquet(table_path(sf_dir, ref_t), columns=[ref_c])
+        dep_distinct = combiner_aggregate(dep, dep_c, {"c": (None, "count")})
+        n_dep = int(dep_distinct.count())
+        n_missing = int(except_keys(dep, ref, dep_c, ref_c).count())
+        rows.append(
+            (f"{dep_t}.{dep_c}<={ref_t}.{ref_c}", n_dep, n_missing, int(n_missing == 0))
+        )
+    return (
+        pd.DataFrame(rows, columns=["ind", "n_dep_distinct", "n_missing", "holds"])
+        .astype({"n_dep_distinct": "int64", "n_missing": "int64", "holds": "int64"})
+        .sort_values("ind")
+        .reset_index(drop=True)
+    )
+
+
+def _ind_sql_one(dep_t: str, dep_c: str, ref_t: str, ref_c: str) -> str:
+    return f"""
+SELECT '{dep_t}.{dep_c}<={ref_t}.{ref_c}' AS ind,
+       CAST((SELECT COUNT(DISTINCT {dep_c}) FROM {dep_t}) AS BIGINT) AS n_dep_distinct,
+       CAST((SELECT COUNT(*) FROM (SELECT DISTINCT {dep_c} AS v FROM {dep_t}) d
+             LEFT JOIN (SELECT DISTINCT {ref_c} AS v FROM {ref_t}) r ON d.v = r.v
+             WHERE r.v IS NULL) AS BIGINT) AS n_missing,
+       CAST(CASE WHEN (SELECT COUNT(*) FROM (SELECT DISTINCT {dep_c} AS v FROM {dep_t}) d
+             LEFT JOIN (SELECT DISTINCT {ref_c} AS v FROM {ref_t}) r ON d.v = r.v
+             WHERE r.v IS NULL) = 0 THEN 1 ELSE 0 END AS BIGINT) AS holds
+"""
+
+
+IND_DISCOVERY_SQL = (
+    "\nUNION ALL\n".join(
+        _ind_sql_one(*c)
+        for c in [
+            ("lineitem", "l_orderkey", "orders", "o_orderkey"),
+            ("orders", "o_custkey", "customer", "c_custkey"),
+            ("events", "user_id", "customer", "c_custkey"),
+            ("orders", "o_orderkey", "lineitem", "l_orderkey"),
+        ]
+    )
+    + "ORDER BY ind"
+)
+
+
 # -- schema-evolution union (data-lake generations) --------------------------
 
 
@@ -4980,6 +5054,7 @@ ORACLES = {
     "melt_lineitem_measures": MELT_LINEITEM_SQL,
     "mode_priority_by_customer": MODE_PRIORITY_SQL,
     "evolved_union_orders": EVOLVED_UNION_SQL,
+    "ind_discovery": IND_DISCOVERY_SQL,
     "similar_part_names": SIMILAR_PART_NAMES_SQL,
     "key_skew_report": KEY_SKEW_SQL,
     "extendedprice_deciles": EXTENDEDPRICE_DECILES_SQL,
@@ -5055,6 +5130,7 @@ QUERIES = {
     "melt_lineitem_measures": melt_lineitem_measures,
     "mode_priority_by_customer": mode_priority_by_customer,
     "evolved_union_orders": evolved_union_orders,
+    "ind_discovery": ind_discovery,
     "similar_part_names": similar_part_names,
     "key_skew_report": key_skew_report,
     "extendedprice_deciles": extendedprice_deciles,
