@@ -39,6 +39,7 @@ from xmlschema_ray.constraints.spec import (
     ColumnSpec,
     DriftSpec,
     ForeignKey,
+    TemporalForeignKey,
     LengthEquals,
     SpecError,
     TableConstraints,
@@ -71,6 +72,7 @@ __all__ = [
     "ColumnSpec",
     "DriftSpec",
     "ForeignKey",
+    "TemporalForeignKey",
     "LengthEquals",
     "SpecError",
     "TableConstraints",

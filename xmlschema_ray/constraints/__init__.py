@@ -8,6 +8,7 @@ from xmlschema_ray.constraints.spec import (
     ColumnSpec,
     DriftSpec,
     ForeignKey,
+    TemporalForeignKey,
     LengthEquals,
     SpecError,
     TableConstraints,
@@ -25,6 +26,7 @@ __all__ = [
     "ColumnSpec",
     "DriftSpec",
     "ForeignKey",
+    "TemporalForeignKey",
     "LengthEquals",
     "SpecError",
     "TableConstraints",

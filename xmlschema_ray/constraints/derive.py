@@ -366,6 +366,11 @@ def spec_compat(old: TableConstraints, new: TableConstraints) -> List[Dict]:
             return f"columns={tuple(k.columns)},require_present={k.require_present}"
         if kind == "foreign_key":
             return f"{k.column}->{k.dim_name}.{k.dim_key}"
+        if kind == "temporal_foreign_key":
+            return (
+                f"{k.column}@{k.ts_column}->{k.dim_name}.{k.dim_key}"
+                f"[{k.dim_valid_from},{k.dim_valid_to})"
+            )
         if kind == "aggregate_check":
             return (
                 f"{k.agg}({k.column}) by {k.group_by} in "
@@ -397,6 +402,7 @@ def spec_compat(old: TableConstraints, new: TableConstraints) -> List[Dict]:
     for kind, old_items, new_items in (
         ("unique_key", old.unique_keys, new.unique_keys),
         ("foreign_key", old.foreign_keys, new.foreign_keys),
+        ("temporal_foreign_key", old.temporal_foreign_keys, new.temporal_foreign_keys),
         ("aggregate_check", old.aggregate_checks, new.aggregate_checks),
         ("manifest_check", old.manifest_checks, new.manifest_checks),
         ("sequence_check", old.sequence_checks, new.sequence_checks),

@@ -29,6 +29,7 @@ from xmlschema_ray.constraints.spec import (
     SequenceCheck,
     SpecError,
     TableConstraints,
+    TemporalForeignKey,
     TypeAlternatives,
     UniqueKey,
 )
@@ -415,6 +416,21 @@ def spec_to_json(spec: TableConstraints) -> Dict[str, Any]:
             }
             for m in spec.manifest_checks
         ]
+    if spec.temporal_foreign_keys:
+        # emitted only when declared so pre-existing spec documents stay
+        # byte-stable (the manifest_checks convention)
+        doc["temporal_foreign_keys"] = [
+            {
+                "name": k.name,
+                "column": k.column,
+                "ts_column": k.ts_column,
+                "dim_name": k.dim_name,
+                "dim_key": k.dim_key,
+                "dim_valid_from": k.dim_valid_from,
+                "dim_valid_to": k.dim_valid_to,
+            }
+            for k in spec.temporal_foreign_keys
+        ]
     if spec.sequence_checks:
         # emitted only when declared so pre-existing spec documents stay
         # byte-stable (the manifest_checks convention)
@@ -554,6 +570,18 @@ def spec_from_json(doc: Dict[str, Any]) -> TableConstraints:
             )
             for m in doc.get("manifest_checks", [])
         ],
+        temporal_foreign_keys=[
+            TemporalForeignKey(
+                column=k["column"],
+                ts_column=k["ts_column"],
+                dim_name=k["dim_name"],
+                dim_key=k["dim_key"],
+                dim_valid_from=k.get("dim_valid_from", "valid_from"),
+                dim_valid_to=k.get("dim_valid_to", "valid_to"),
+                name=k.get("name"),
+            )
+            for k in doc.get("temporal_foreign_keys", [])
+        ],
         sequence_checks=[
             SequenceCheck(
                 name=sq["name"],
@@ -599,6 +627,7 @@ _OVERRIDE_SECTIONS = (
     ("columns", "name"),
     ("unique_keys", "name"),
     ("foreign_keys", "name"),
+    ("temporal_foreign_keys", "name"),
     ("drift", "name"),
     ("row_checks", "name"),
     ("type_alternatives", "name"),

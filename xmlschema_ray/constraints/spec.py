@@ -279,6 +279,46 @@ class ForeignKey:
 
 
 @dataclass(frozen=True)
+class TemporalForeignKey:
+    """TEMPORAL referential integrity (the SCD2 keyref, stage B5): each
+    fact row's ``(column, ts_column)`` must be covered by a dimension
+    VERSION row with ``dim_key == column`` and
+    ``dim_valid_from <= ts < dim_valid_to`` (half-open, the SCD2
+    convention shared with ``SequenceCheck(kind="no_overlap")``).
+
+    The warehouse refinement of :class:`ForeignKey`: an ordinary keyref
+    asks "does the key exist", this asks "did a version of it exist WHEN
+    the fact happened" — the integrity rule every point-in-time
+    enrichment (``orders_scd2_enrich``) silently assumes, promoted to a
+    checked constraint. A fact whose key has dim rows but none covering
+    its timestamp is exactly as broken as a missing key (a join at that
+    timestamp drops it), so both fail with coverage-specific reasons.
+    Null ``column`` or ``ts_column`` rows are exempt (the xs:unique
+    null-exemption convention). Always distributed — version dims are
+    key-cardinality × versions, too large to assume broadcastable.
+    """
+
+    column: str
+    ts_column: str
+    dim_name: str
+    dim_key: str
+    dim_valid_from: str = "valid_from"
+    dim_valid_to: str = "valid_to"
+    name: Optional[str] = None
+
+    def __post_init__(self):
+        if self.dim_valid_from == self.dim_valid_to:
+            raise SpecError(
+                f"temporal foreign key on {self.column!r}: dim_valid_from and "
+                "dim_valid_to name the same column"
+            )
+        if self.name is None:
+            object.__setattr__(
+                self, "name", f"tfk_{self.column}_at_{self.ts_column}_refs_{self.dim_name}"
+            )
+
+
+@dataclass(frozen=True)
 class AggregateCheck:
     """Dataset-level aggregate constraint — the TABLE-scope counterpart of
     a row assertion (``xs:assert`` evaluates one element tree,
@@ -652,6 +692,7 @@ class TableConstraints:
     row_checks: List[RowCheck] = field(default_factory=list)
     unique_keys: List[UniqueKey] = field(default_factory=list)
     foreign_keys: List[ForeignKey] = field(default_factory=list)
+    temporal_foreign_keys: List["TemporalForeignKey"] = field(default_factory=list)
     drift: List[DriftSpec] = field(default_factory=list)
     aggregate_checks: List[AggregateCheck] = field(default_factory=list)
     manifest_checks: List["ManifestCheck"] = field(default_factory=list)
@@ -768,6 +809,12 @@ class TableConstraints:
             for col in fk.columns:
                 if col not in known:
                     raise SpecError(f"foreign key {fk.name!r} references unknown column {col!r}")
+        for tfk in self.temporal_foreign_keys:
+            for col in (tfk.column, tfk.ts_column):
+                if col not in known:
+                    raise SpecError(
+                        f"temporal foreign key {tfk.name!r} references unknown column {col!r}"
+                    )
         for d in self.drift:
             if d.column not in known:
                 raise SpecError(f"drift spec {d.name!r} references unknown column {d.column!r}")
@@ -836,6 +883,7 @@ class TableConstraints:
         out += [rc.name for rc in self.row_checks]
         out += [uk.name for uk in self.unique_keys]
         out += [fk.name for fk in self.foreign_keys]
+        out += [tfk.name for tfk in self.temporal_foreign_keys]
         out += [d.name for d in self.drift]
         out += [ac.name for ac in self.aggregate_checks]
         out += [sc.name for sc in self.sequence_checks]

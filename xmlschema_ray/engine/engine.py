@@ -451,6 +451,136 @@ class ValidationEngine:
             out_ds = viol if out_ds is None else out_ds.union(viol)
         return out_ds
 
+    def _temporal_fk_violations(
+        self, source, dims: Dict[str, Union[str, pa.Table]], pid_of_file: Dict[str, int]
+    ) -> Optional["rd.Dataset"]:
+        """Stage B5 — TEMPORAL keyref (``TemporalForeignKey``): SCD2
+        referential integrity, "did a version of the key exist WHEN the
+        fact happened". ONE co-partitioning exchange per check: the pruned
+        fact projection (violation keys + fk column + ts) meets the dim's
+        VERSION rows (key, valid_from, valid_to) co-located on the key.
+        Within each partition an inner merge expands facts × the versions
+        of THEIR OWN key (bounded by the SCD2 versions-per-key contract,
+        never fact × fact) and the containment mask folds back per fact
+        row. Missing key and existing-key-but-uncovered-timestamp both
+        violate, with distinguishing reasons (a point-in-time join drops
+        both the same way). Null fk or ts rows are exempt (the xs:unique
+        null-exemption convention); dim rows with null bounds cover
+        nothing. Timestamps compare as epoch-µs int64. Like B2 this
+        materializes every violating row (no per-batch cap) — run
+        stats_only first on a corpus expected to fail wholesale."""
+        from xmlschema_ray.engine.row_validator import format_values, unique_key_column
+        from xmlschema_ray.ops.relational import copartition_apply
+
+        def _epoch_i8(s: pd.Series) -> "tuple[np.ndarray, np.ndarray]":
+            """(int64 values, valid mask) — datetime64 → epoch µs; numeric
+            stays numeric. Invalid (null/NaT) slots hold 0 under mask."""
+            if pd.api.types.is_datetime64_any_dtype(s):
+                ok = s.notna().to_numpy()
+                v = np.zeros(len(s), dtype=np.int64)
+                if ok.any():
+                    v[ok] = s[ok].astype("datetime64[us]").astype("int64").to_numpy()
+                return v, ok
+            ok = s.notna().to_numpy()
+            v = np.where(ok, s.to_numpy(dtype=np.float64, na_value=0.0), 0.0)
+            return v, ok
+
+        key_cols = [c for c in self.spec.key_columns]
+        out_ds: Optional[rd.Dataset] = None
+        pid_ref = ray.put(pid_of_file)
+        for tfk in self.spec.temporal_foreign_keys:
+            col, ts_col = tfk.column, tfk.ts_column
+
+            def attach_pid(batch: pa.Table) -> pa.Table:
+                pmap = ray.get(pid_ref)
+                parr = batch["path"].to_numpy(zero_copy_only=False)
+                uniq, inv = np.unique(parr, return_inverse=True)
+                lut = np.array([pmap.get(p, -1) for p in uniq], dtype=np.int32)
+                return batch.drop_columns(["path"]).append_column(
+                    "__pid", pa.array(lut[inv], pa.int32())
+                )
+
+            src = rd.read_parquet(
+                source, columns=sorted(set(key_cols + [col, ts_col])), include_paths=True
+            ).map_batches(attach_pid, batch_format="pyarrow")
+
+            dim_src = dims[tfk.dim_name]
+            if isinstance(dim_src, pa.Table):
+                dim_ds = rd.from_arrow(
+                    dim_src.select([tfk.dim_key, tfk.dim_valid_from, tfk.dim_valid_to])
+                )
+            else:
+                dim_ds = rd.read_parquet(
+                    dim_src, columns=[tfk.dim_key, tfk.dim_valid_from, tfk.dim_valid_to]
+                )
+            # private names so copartition's column-overlap lint never
+            # collides with fact columns, whatever the dim calls its own
+            dim_ds = dim_ds.map_batches(
+                lambda t: t.rename_columns(["__dimk", "__vf", "__vt"]),
+                batch_format="pyarrow",
+                zero_copy_batch=True,
+            )
+
+            def shape(
+                lf: pd.DataFrame, rf: pd.DataFrame, tfk=tfk, col=col, ts_col=ts_col
+            ) -> pd.DataFrame:
+                empty = pd.DataFrame(
+                    {f.name: pd.Series([], dtype=object) for f in VIOLATION_SCHEMA}
+                ).astype({"partition_id": "int32"})
+                eligible = (lf[col].notna() & lf[ts_col].notna()).to_numpy()
+                if not eligible.any():
+                    return empty
+                lf2 = lf[eligible].reset_index(drop=True)
+                probe = pd.DataFrame(
+                    {"__k": lf2[col].to_numpy(), "__row": np.arange(len(lf2), dtype=np.int64)}
+                )
+                m = probe.merge(
+                    rf[["__dimk", "__vf", "__vt"]],
+                    left_on="__k",
+                    right_on="__dimk",
+                    how="inner",
+                )
+                has_key = np.zeros(len(lf2), dtype=bool)
+                covered = np.zeros(len(lf2), dtype=bool)
+                if len(m):
+                    rows = m["__row"].to_numpy(np.int64)
+                    has_key[np.unique(rows)] = True
+                    tsv, ts_ok = _epoch_i8(lf2[ts_col])
+                    vf, vf_ok = _epoch_i8(m["__vf"])
+                    vt, vt_ok = _epoch_i8(m["__vt"])
+                    tv = tsv[rows]
+                    cov = vf_ok & vt_ok & (vf <= tv) & (tv < vt) & ts_ok[rows]
+                    if cov.any():
+                        covered[np.unique(rows[cov])] = True
+                bad = ~covered
+                if not bad.any():
+                    return empty
+                b = lf2[bad]
+                keys = unique_key_column(
+                    pa.Table.from_pandas(b[key_cols], preserve_index=False), key_cols
+                ).to_numpy(zero_copy_only=False)
+                col_arr = pa.Array.from_pandas(b[col])
+                vreprs = format_values(col_arr, np.arange(len(b)))
+                reasons = np.where(
+                    has_key[bad],
+                    f"no {tfk.dim_name} version covers {ts_col}",
+                    f"value not found in {tfk.dim_name}.{tfk.dim_key}",
+                ).astype(object)
+                return pd.DataFrame(
+                    {
+                        "partition_id": b["__pid"].to_numpy().astype("int32"),
+                        "key": keys.astype(object),
+                        "constraint_name": tfk.name,
+                        "column": col,
+                        "reason": reasons,
+                        "value_repr": np.array(vreprs, dtype=object),
+                    }
+                )
+
+            viol = copartition_apply(src, dim_ds, col, "__dimk", shape)
+            out_ds = viol if out_ds is None else out_ds.union(viol)
+        return out_ds
+
     def _sequence_check_violations(
         self, source, pid_of_file: Dict[str, int]
     ) -> Optional["rd.Dataset"]:
@@ -651,6 +781,17 @@ class ValidationEngine:
                     "exchanges": 2,
                     "notes": "key-combiner of (key,n,sum) partials + "
                     "copartition against the header projection",
+                }
+            )
+        for tfk in self.spec.temporal_foreign_keys:
+            plan.append(
+                {
+                    "stage": "B5",
+                    "what": f"temporal keyref {tfk.name!r}: {tfk.column}@"
+                    f"{tfk.ts_column} covered by {tfk.dim_name} versions",
+                    "exchanges": 1,
+                    "notes": "copartition of the pruned fact projection with "
+                    "the dim's version rows; containment folded per fact row",
                 }
             )
         stat_bits = []
@@ -995,6 +1136,18 @@ class ValidationEngine:
                         f"reconcile check {rc.name!r}: header table "
                         f"{rc.dim_name!r} not provided in dims"
                     )
+        if self.spec.temporal_foreign_keys:
+            if ds_direct is not None:
+                raise ValueError(
+                    "temporal foreign keys (stage B5) require a file-based "
+                    "source — a Dataset source would re-execute per check"
+                )
+            for tfk in self.spec.temporal_foreign_keys:
+                if tfk.dim_name not in (dims or {}):
+                    raise ValueError(
+                        f"temporal foreign key {tfk.name!r}: dim table "
+                        f"{tfk.dim_name!r} not provided"
+                    )
         fk_ref = ray.put(fk_sets) if fk_sets else None
 
         concurrency = self.concurrency
@@ -1272,6 +1425,19 @@ class ValidationEngine:
             if rec_ds is not None:
                 bigfk_viol_ds = (
                     rec_ds if bigfk_viol_ds is None else bigfk_viol_ds.union(rec_ds)
+                )
+        # stage B5: temporal (SCD2) keyref — same lazy-union plumbing
+        if (
+            self.spec.temporal_foreign_keys
+            and mode != "stats_only"
+            and isinstance(source, list)
+        ):
+            tfk_ds = self._temporal_fk_violations(
+                source, reconcile_dims or {}, pid_of_file or {}
+            )
+            if tfk_ds is not None:
+                bigfk_viol_ds = (
+                    tfk_ds if bigfk_viol_ds is None else bigfk_viol_ds.union(tfk_ds)
                 )
 
         # stage B: global uniqueness over the pre-aggregated keycounts —

@@ -1195,8 +1195,82 @@ ORDER BY l_orderkey, l_linenumber, constraint_name
 """
 
 
+def val_temporal_fk(sf_dir: str) -> pd.DataFrame:
+    """Stage B5 (``TemporalForeignKey``) under the DuckDB gate: SCD2
+    referential integrity — every order's customer must have a dimension
+    VERSION valid at the order date. The version dim is derived
+    deterministically from the corpus itself (one half-open version per
+    customer spanning ``[first order date, last order date)``), so both
+    engines recompute it and the violations are exactly each customer's
+    LAST-day orders (half-open upper bound) — single-order customers give
+    the degenerate empty interval and violate too. The engine runs the
+    real copartitioned containment pass; the oracle replays containment
+    with a plain window-free JOIN."""
+    from xmlschema_ray.constraints.spec import (
+        ColumnSpec,
+        TableConstraints,
+        TemporalForeignKey,
+    )
+    from xmlschema_ray.ops.relational import combiner_aggregate
+
+    orders_path = os.path.join(sf_dir, "orders.parquet")
+    vers = (
+        combiner_aggregate(
+            rd.read_parquet(orders_path, columns=["o_custkey", "o_orderdate"]),
+            "o_custkey",
+            {"vf": ("o_orderdate", "min"), "vt": ("o_orderdate", "max")},
+        )
+        .to_pandas()  # dim-sized: one version row per customer
+        .sort_values("o_custkey")
+        .reset_index(drop=True)
+    )
+    dim = pa.table(
+        {
+            "k": pa.array(vers["o_custkey"].to_numpy(np.int64), pa.int64()),
+            "valid_from": pa.Array.from_pandas(vers["vf"]).cast(pa.timestamp("us")),
+            "valid_to": pa.Array.from_pandas(vers["vt"]).cast(pa.timestamp("us")),
+        }
+    )
+    spec = TableConstraints(
+        name="temporal_fk_orders",
+        columns=[
+            ColumnSpec("o_orderkey", pa.int64(), nullable=False),
+            ColumnSpec("o_custkey", pa.int64(), nullable=True),
+            ColumnSpec("o_orderdate", pa.timestamp("us"), nullable=True),
+        ],
+        temporal_foreign_keys=[
+            TemporalForeignKey(
+                "o_custkey", "o_orderdate", "custvers", "k", name="tfk_cust_at_orderdate"
+            )
+        ],
+        key_columns=("o_orderkey",),
+    )
+    out_dir = _scratch("val_temporal_fk")
+    eng = ValidationEngine(spec, batch_size=8192, n_shards=1)
+    res = eng.run(orders_path, out_dir=out_dir, dims={"custvers": dim}, resume=False)
+    v = res.violations()
+    return (
+        pd.DataFrame({"o_orderkey": pd.array(v["key"].astype("int64"), dtype="int64")})
+        .sort_values("o_orderkey")
+        .reset_index(drop=True)
+    )
+
+
+VAL_TEMPORAL_FK_SQL = """
+WITH dim AS (
+  SELECT o_custkey AS k, MIN(o_orderdate) AS vf, MAX(o_orderdate) AS vt
+  FROM orders GROUP BY 1
+)
+SELECT o.o_orderkey
+FROM orders o JOIN dim d ON o.o_custkey = d.k
+WHERE NOT (d.vf <= o.o_orderdate AND o.o_orderdate < d.vt)
+ORDER BY o_orderkey
+"""
+
+
 ORACLES: Dict[str, str] = {
     "validate_sequences": VALIDATE_SEQUENCES_SQL,
+    "val_temporal_fk": VAL_TEMPORAL_FK_SQL,
     "val_composite_fk": VAL_COMPOSITE_FK_SQL,
     "val_fk_distributed": VAL_FK_DISTRIBUTED_SQL,
     "val_manifest_reconcile": VAL_MANIFEST_RECONCILE_SQL,
@@ -1214,6 +1288,7 @@ ORACLES: Dict[str, str] = {
 }
 QUERIES = {
     "validate_sequences": validate_sequences,
+    "val_temporal_fk": val_temporal_fk,
     "val_composite_fk": val_composite_fk,
     "val_fk_distributed": val_fk_distributed,
     "val_manifest_reconcile": val_manifest_reconcile,
