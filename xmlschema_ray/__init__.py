@@ -48,7 +48,7 @@ from xmlschema_ray.constraints.spec import (
 )
 from xmlschema_ray.constraints import facets
 from xmlschema_ray.constraints.derive import extend, restrict, spec_compat
-from xmlschema_ray.constraints.infer import infer_spec
+from xmlschema_ray.constraints.infer import apply_relaxations, infer_spec, suggest_relaxations
 from xmlschema_ray.constraints.serde import (
     load_spec,
     make_row_check,
@@ -91,6 +91,8 @@ __all__ = [
     "UnicodeSubset",
     "spec_compat",
     "infer_spec",
+    "suggest_relaxations",
+    "apply_relaxations",
     "load_spec",
     "save_spec",
     "override_spec",

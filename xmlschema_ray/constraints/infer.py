@@ -175,3 +175,262 @@ def infer_spec(
         key_columns=(key,) if key else (columns[0].name,),
         allow_extra_columns=False,
     ).compile()
+
+
+# -- spec relaxation (violations → minimal compatible amendment) -------------
+
+
+def _ts_norm(v):
+    """Normalize datetime-likes to pd.Timestamp so observed extremes and
+    declared facet bounds compare regardless of which flavor each is."""
+    import datetime
+
+    import pandas as pd
+
+    if isinstance(v, (np.datetime64, datetime.datetime, datetime.date)):
+        return pd.Timestamp(v)
+    return v
+
+
+def suggest_relaxations(
+    spec: TableConstraints,
+    source: Union[str, List[str], "rd.Dataset"],
+    enum_cap: int = 64,
+) -> List[Dict]:
+    """The remediation direction of :func:`infer_spec`: given a spec the
+    data VIOLATES, propose the LOOSEST amendment that makes the observed
+    corpus valid — widen range facets to the observed extremes, length
+    facets to the observed lengths, union new values into enumerations
+    (or drop an enum whose observed cardinality exceeds ``enum_cap``),
+    and flip ``nullable`` where nulls were observed. The operational
+    loop: a run goes red → ``suggest_relaxations`` → review →
+    :func:`apply_relaxations` → ``spec_compat(old, new)`` certifies the
+    amendment is pure relaxation (zero breaking findings, by
+    construction — every suggestion only ADMITS more data).
+
+    Patterns, assertions and encoded-length facets are never relaxed
+    (no cheap sound widening exists); their violations stay violations.
+
+    Scale shape: ONE streaming pass over ONLY the constrained columns
+    (pruned read), per-batch partial rows (min/max NaN-filtered, length
+    min/max, null count, capped distinct sample), O(columns) driver fold
+    — the ``infer_spec`` contract.
+    """
+    range_kinds = (F.MinInclusive, F.MaxInclusive, F.MinExclusive, F.MaxExclusive)
+
+    needs: Dict[str, Dict[str, bool]] = {}
+    for c in spec.columns:
+        need = {"range": False, "len": False, "enum": False}
+        for f in c.facets:
+            if isinstance(f, range_kinds):
+                need["range"] = True
+            elif isinstance(f, (F.MinLength, F.MaxLength)) and f.encoding == "none":
+                need["len"] = True
+            elif isinstance(f, F.Enumeration):
+                need["enum"] = True
+        if not c.nullable:
+            need["null"] = True
+        if any(need.values()):
+            needs[c.name] = need
+    if not needs:
+        return []
+
+    cols = sorted(needs)
+    ds = source if isinstance(source, rd.Dataset) else rd.read_parquet(source, columns=cols)
+    if isinstance(source, rd.Dataset):
+        ds = ds.select_columns(cols)
+
+    def partial(batch: pa.Table):
+        import pandas as pd
+
+        rows = []
+        for name in cols:
+            col = batch[name]
+            need = needs[name]
+            rec: Dict = {
+                "column": name,
+                "vmin": None,
+                "vmax": None,
+                "lmin": None,
+                "lmax": None,
+                "n_null": int(col.null_count),
+                "distinct": None,
+                "overflow": False,
+            }
+            nn = col.drop_null()
+            if len(nn):
+                if need["range"]:
+                    arr = nn
+                    if pa.types.is_floating(arr.type):
+                        m = pc.is_nan(arr)
+                        if pc.sum(m).as_py():
+                            arr = arr.filter(pc.invert(m))
+                    if len(arr):
+                        mm = pc.min_max(arr)
+                        rec["vmin"], rec["vmax"] = mm["min"].as_py(), mm["max"].as_py()
+                if need["len"]:
+                    t = nn.type
+                    if pa.types.is_list(t) or pa.types.is_large_list(t):
+                        lens = pc.list_value_length(nn)
+                    elif pa.types.is_binary(t) or pa.types.is_large_binary(t):
+                        lens = pc.binary_length(nn)
+                    else:
+                        lens = pc.utf8_length(nn)
+                    mm = pc.min_max(lens)
+                    rec["lmin"], rec["lmax"] = mm["min"].as_py(), mm["max"].as_py()
+                if need["enum"]:
+                    u = pc.unique(nn)
+                    if len(u) > enum_cap + 1:
+                        rec["overflow"] = True
+                        rec["distinct"] = []
+                    else:
+                        rec["distinct"] = u.to_pylist()
+            rows.append(rec)
+        # pandas block with OBJECT value cells: vmin/vmax may be a float in
+        # one column's row and a datetime in another's — an Arrow block
+        # would refuse the mixed column, a pandas block carries it
+        df = pd.DataFrame(rows)
+        for c in ("vmin", "vmax", "lmin", "lmax", "distinct"):
+            df[c] = df[c].astype(object)
+        return df
+
+    parts = ds.map_batches(partial, batch_format="pyarrow").to_pandas()
+
+    state: Dict[str, Dict] = {
+        n: {"vmin": None, "vmax": None, "lmin": None, "lmax": None, "n_null": 0,
+            "distinct": set(), "overflow": False}
+        for n in cols
+    }
+    for _, r in parts.iterrows():
+        s = state[r["column"]]
+        for lo_k, hi_k in (("vmin", "vmax"), ("lmin", "lmax")):
+            if r[lo_k] is not None:
+                lo = _ts_norm(r[lo_k])
+                s[lo_k] = lo if s[lo_k] is None else min(s[lo_k], lo)
+            if r[hi_k] is not None:
+                hi = _ts_norm(r[hi_k])
+                s[hi_k] = hi if s[hi_k] is None else max(s[hi_k], hi)
+        s["n_null"] += int(r["n_null"])
+        if r["overflow"]:
+            s["overflow"] = True
+        elif r["distinct"] is not None:
+            s["distinct"].update(r["distinct"])
+            if len(s["distinct"]) > enum_cap:
+                s["overflow"] = True
+
+    out: List[Dict] = []
+    for c in spec.columns:
+        if c.name not in state:
+            continue
+        s = state[c.name]
+        if not c.nullable and s["n_null"] > 0:
+            out.append(
+                {
+                    "column": c.name,
+                    "facet": "not_null",
+                    "action": "nullable",
+                    "suggested": None,
+                    "detail": f"{s['n_null']} nulls observed",
+                }
+            )
+        for f in c.facets:
+            sug = None
+            action = None
+            if isinstance(f, F.MinInclusive) and s["vmin"] is not None:
+                if s["vmin"] < _ts_norm(f.value):
+                    sug, action = F.MinInclusive(s["vmin"]), "widen"
+            elif isinstance(f, F.MinExclusive) and s["vmin"] is not None:
+                if not (s["vmin"] > _ts_norm(f.value)):
+                    # exclusive can't admit its own bound: relax to
+                    # inclusive AT the observed minimum
+                    sug, action = F.MinInclusive(s["vmin"]), "widen"
+            elif isinstance(f, F.MaxInclusive) and s["vmax"] is not None:
+                if s["vmax"] > _ts_norm(f.value):
+                    sug, action = F.MaxInclusive(s["vmax"]), "widen"
+            elif isinstance(f, F.MaxExclusive) and s["vmax"] is not None:
+                if not (s["vmax"] < _ts_norm(f.value)):
+                    sug, action = F.MaxInclusive(s["vmax"]), "widen"
+            elif isinstance(f, F.MinLength) and f.encoding == "none" and s["lmin"] is not None:
+                if s["lmin"] < f.k:
+                    sug, action = F.MinLength(int(s["lmin"])), "widen"
+            elif isinstance(f, F.MaxLength) and f.encoding == "none" and s["lmax"] is not None:
+                if s["lmax"] > f.k:
+                    sug, action = F.MaxLength(int(s["lmax"])), "widen"
+            elif isinstance(f, F.Enumeration):
+                extra = s["distinct"] - set(f.values)
+                if s["overflow"]:
+                    sug, action = None, "drop"
+                elif extra:
+                    sug = F.Enumeration(tuple(sorted(set(f.values) | s["distinct"], key=str)))
+                    action = "widen"
+            if action is not None:
+                out.append(
+                    {
+                        "column": c.name,
+                        "facet": f.describe(),
+                        "action": action,
+                        "suggested": sug,
+                        "detail": (
+                            f"observed [{s['vmin']}, {s['vmax']}]"
+                            if action == "widen" and isinstance(f, range_kinds)
+                            else f"observed lengths [{s['lmin']}, {s['lmax']}]"
+                            if isinstance(f, (F.MinLength, F.MaxLength))
+                            else f"observed cardinality exceeds enum_cap"
+                            if action == "drop"
+                            else f"{len(s['distinct'] - set(f.values))} new values"
+                        ),
+                    }
+                )
+    return out
+
+
+def apply_relaxations(spec: TableConstraints, suggestions: List[Dict]) -> TableConstraints:
+    """Build the amended spec: each suggestion's facet is replaced by its
+    widened form (or dropped, for ``action='drop'``); ``nullable``
+    suggestions flip the column. Returns a NEW compiled spec — feed the
+    (old, new) pair to ``spec_compat`` to certify pure relaxation."""
+    from dataclasses import replace as _replace
+
+    by_col: Dict[str, List[Dict]] = {}
+    for sg in suggestions:
+        by_col.setdefault(sg["column"], []).append(sg)
+    new_cols = []
+    for c in spec.columns:
+        sgs = by_col.get(c.name)
+        if not sgs:
+            new_cols.append(c)
+            continue
+        nullable = c.nullable or any(sg["action"] == "nullable" for sg in sgs)
+        repl = {sg["facet"]: sg for sg in sgs if sg["facet"] != "not_null"}
+        facets = []
+        for f in c.facets:
+            sg = repl.get(f.describe())
+            if sg is None:
+                facets.append(f)
+            elif sg["suggested"] is not None:
+                facets.append(sg["suggested"])
+            # action == 'drop' → facet omitted
+        new_cols.append(_replace(c, nullable=nullable, facets=tuple(facets)))
+    return _replace_spec_columns(spec, new_cols)
+
+
+def _replace_spec_columns(spec: TableConstraints, new_cols: List[ColumnSpec]) -> TableConstraints:
+    return TableConstraints(
+        name=spec.name,
+        columns=new_cols,
+        row_checks=list(spec.row_checks),
+        unique_keys=list(spec.unique_keys),
+        foreign_keys=list(spec.foreign_keys),
+        temporal_foreign_keys=list(spec.temporal_foreign_keys),
+        drift=list(spec.drift),
+        aggregate_checks=list(spec.aggregate_checks),
+        manifest_checks=list(spec.manifest_checks),
+        sequence_checks=list(spec.sequence_checks),
+        reconcile_checks=list(spec.reconcile_checks),
+        type_alternatives=list(spec.type_alternatives),
+        key_columns=spec.key_columns,
+        allow_extra_columns=spec.allow_extra_columns,
+        stats_columns=spec.stats_columns,
+        distinct_columns=spec.distinct_columns,
+        warning_constraints=spec.warning_constraints,
+    ).compile()
