@@ -168,6 +168,32 @@ def cmd_infer(args) -> int:
     return 0
 
 
+def cmd_relax(args) -> int:
+    """Suggest + print the loosest spec amendment the data needs: widened
+    range/length facets, unioned enums, nullable flips (the operational
+    red-run remediation loop; see ``constraints/infer.suggest_relaxations``).
+    Prints the AMENDED spec JSON to stdout and the suggestion list to
+    stderr; exit 0 if no amendment was needed, 3 if suggestions exist
+    (so CI can gate on 'spec no longer fits the data')."""
+    ray = _ray_session(args.num_cpus, getattr(args, "address", None))
+    from xmlschema_ray.constraints.infer import apply_relaxations, suggest_relaxations
+    from xmlschema_ray.constraints.serde import load_spec, spec_to_json
+
+    spec = load_spec(args.spec)
+    sugs = suggest_relaxations(spec, args.input, enum_cap=args.enum_cap)
+    for sg in sugs:
+        print(
+            f"{sg['column']}: {sg['facet']} -> {sg['action']}"
+            + (f" {sg['suggested'].describe()}" if sg["suggested"] is not None else "")
+            + f" ({sg['detail']})",
+            file=sys.stderr,
+        )
+    amended = apply_relaxations(spec, sugs) if sugs else spec
+    print(json.dumps(spec_to_json(amended), indent=2))
+    ray.shutdown()
+    return 3 if sugs else 0
+
+
 def cmd_compat(args) -> int:
     """Schema-evolution audit between two spec JSON documents; exit 0 iff
     every change is backward-compatible (old-valid data stays valid)."""
@@ -236,6 +262,16 @@ def main(argv=None) -> int:
     i.add_argument("--num-cpus", type=int, default=None)
     i.add_argument("--address", default=None)
     i.set_defaults(fn=cmd_infer)
+
+    r = sub.add_parser(
+        "relax", help="suggest the loosest spec amendment the data needs (exit 3 if any)"
+    )
+    r.add_argument("--input", required=True)
+    r.add_argument("--spec", required=True)
+    r.add_argument("--enum-cap", type=int, default=64)
+    r.add_argument("--num-cpus", type=int, default=None)
+    r.add_argument("--address", default=None)
+    r.set_defaults(fn=cmd_relax)
 
     c = sub.add_parser(
         "compat", help="audit spec evolution: old-valid data still valid under new?"
