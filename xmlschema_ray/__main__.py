@@ -81,7 +81,14 @@ def cmd_validate(args) -> int:
         n_shards=args.shards,
         max_violations_per_batch=args.max_violations,
     )
-    res = eng.run(args.input, out_dir=args.out, dims=dims, mode=args.mode, resume=not args.no_resume)
+    res = eng.run(
+        args.input,
+        out_dir=args.out,
+        dims=dims,
+        mode=args.mode,
+        resume=(not args.no_resume) and args.sample_mod is None,
+        sample_mod=args.sample_mod,
+    )
     if args.export_format:
         import os
 
@@ -220,6 +227,13 @@ def main(argv=None) -> int:
     v.add_argument("--shards", type=int, default=4)
     v.add_argument("--batch-size", type=int, default=16384)
     v.add_argument("--no-resume", action="store_true")
+    v.add_argument(
+        "--sample-mod",
+        type=int,
+        default=None,
+        help="canary mode: validate only the hash64(key) %% N == 0 key sample; "
+        "verdicts report attempted=partial and notKnown-never-valid",
+    )
     v.add_argument(
         "--max-violations",
         type=int,

@@ -371,8 +371,31 @@ class ValidationEngine:
                     )
         return out
 
+    @staticmethod
+    def _key_sample_filter(key_cols, mod: int):
+        """Batch filter keeping the canary key-hash sample — the SAME
+        predicate stage A applies, so B2/B5 passes see the identical row
+        subset under ``sample_mod`` (a B-stage finding for an unsampled
+        key would be a violation stage A's verdict math never saw)."""
+        from xmlschema_ray.engine.row_validator import unique_key_column
+        from xmlschema_ray.engine.stats import hash64
+
+        cols = list(key_cols)
+
+        def fn(t: pa.Table) -> pa.Table:
+            if not t.num_rows:
+                return t
+            ks = unique_key_column(t, cols).to_numpy(zero_copy_only=False)
+            return t.filter(pa.array(hash64(ks) % mod == 0))
+
+        return fn
+
     def _deferred_fk_violations(
-        self, source, deferred: List[tuple], pid_of_file: Dict[str, int]
+        self,
+        source,
+        deferred: List[tuple],
+        pid_of_file: Dict[str, int],
+        sample_mod: Optional[int] = None,
     ) -> Optional["rd.Dataset"]:
         """Stage B2 — DISTRIBUTED keyref for dims too large to broadcast
         (fact-to-fact referential integrity): both the pruned source
@@ -410,6 +433,12 @@ class ValidationEngine:
             src = rd.read_parquet(
                 source, columns=sorted(set(key_cols + [col])), include_paths=True
             ).map_batches(attach_pid, batch_format="pyarrow")
+            if sample_mod is not None:
+                src = src.map_batches(
+                    self._key_sample_filter(key_cols, sample_mod),
+                    batch_format="pyarrow",
+                    zero_copy_batch=True,
+                )
             if isinstance(dim_src, pa.Table):
                 dim_ds = rd.from_arrow(dim_src)
             else:
@@ -452,7 +481,11 @@ class ValidationEngine:
         return out_ds
 
     def _temporal_fk_violations(
-        self, source, dims: Dict[str, Union[str, pa.Table]], pid_of_file: Dict[str, int]
+        self,
+        source,
+        dims: Dict[str, Union[str, pa.Table]],
+        pid_of_file: Dict[str, int],
+        sample_mod: Optional[int] = None,
     ) -> Optional["rd.Dataset"]:
         """Stage B5 — TEMPORAL keyref (``TemporalForeignKey``): SCD2
         referential integrity, "did a version of the key exist WHEN the
@@ -503,6 +536,12 @@ class ValidationEngine:
             src = rd.read_parquet(
                 source, columns=sorted(set(key_cols + [col, ts_col])), include_paths=True
             ).map_batches(attach_pid, batch_format="pyarrow")
+            if sample_mod is not None:
+                src = src.map_batches(
+                    self._key_sample_filter(key_cols, sample_mod),
+                    batch_format="pyarrow",
+                    zero_copy_batch=True,
+                )
 
             dim_src = dims[tfk.dim_name]
             if isinstance(dim_src, pa.Table):
@@ -1064,8 +1103,24 @@ class ValidationEngine:
         repair_defaults: Optional[Dict] = None,
         quarantine_out: Optional[str] = None,
         clean_out: Optional[str] = None,
+        sample_mod: Optional[int] = None,
     ) -> ValidationResult:
         """Validate ``source`` into ``out_dir``; see class docstring.
+
+        ``sample_mod``: CANARY mode — validate only the deterministic
+        key-hash sample ``hash64(key) % sample_mod == 0`` (~1/sample_mod
+        of the corpus at 1/sample_mod of the cost). Sampling is BY KEY,
+        so every sampled key's rows are all in: uniqueness and keyref
+        findings over the sampled key space are EXACT, and any violation
+        found is real. Verdict semantics are honestly PSVI-partial:
+        ``validation_attempted='partial'`` everywhere, and a partition
+        with no findings reports ``notKnown``, never ``valid`` — a
+        sample can convict, not acquit. Constraint families with
+        whole-group or whole-corpus totals semantics (sequence,
+        reconcile, aggregate, manifest checks and drift gates) REFUSE
+        under sampling rather than silently mis-reporting on partial
+        groups; repair/quarantine splits refuse too (a partial split
+        would silently drop unsampled rows).
 
         ``repair_out``: additionally rewrite the corpus canonicalized
         under this engine's spec (whiteSpace normal forms,
@@ -1076,6 +1131,45 @@ class ValidationEngine:
         File-based sources only (a Dataset source has no re-readable
         lineage for the resumable rewrite) — raises rather than no-ops.
         """
+        if sample_mod is not None:
+            if sample_mod < 2:
+                raise ValueError("sample_mod must be >= 2 or None")
+            incompatible = [
+                label
+                for label, items in (
+                    ("sequence_checks", self.spec.sequence_checks),
+                    ("reconcile_checks", self.spec.reconcile_checks),
+                    ("aggregate_checks", self.spec.aggregate_checks),
+                    ("manifest_checks", self.spec.manifest_checks),
+                    # profile-only drift (no reference) just records the
+                    # sampled histograms; a GATING drift entry would compare
+                    # sampled counts against full-corpus references
+                    (
+                        "drift",
+                        [
+                            d
+                            for d in self.spec.drift
+                            if d.reference_hist is not None or d.group_references
+                        ],
+                    ),
+                )
+                if items
+            ]
+            if incompatible:
+                raise ValueError(
+                    f"sample_mod: {incompatible} have whole-group/whole-corpus "
+                    "totals semantics a key-hash sample breaks — run them unsampled"
+                )
+            if repair_out is not None or quarantine_out is not None or clean_out is not None:
+                raise ValueError(
+                    "sample_mod: repair/quarantine/clean splits refuse under "
+                    "sampling (a partial split would silently drop unsampled rows)"
+                )
+            if resume:
+                raise ValueError(
+                    "sample_mod requires resume=False — a sampled shard in the "
+                    "resume manifest would be mistaken for a fully-validated one"
+                )
         if isinstance(source, rd.Dataset) and (
             repair_out is not None or quarantine_out is not None or clean_out is not None
         ):
@@ -1178,6 +1272,7 @@ class ValidationEngine:
                 mode=mode,
                 fk_sets_ref=fk_ref,
                 max_violations_per_batch=self.max_violations_per_batch,
+                sample_mod=sample_mod,
             )
             if self.use_actors:
                 unified = ds.map_batches(
@@ -1237,6 +1332,7 @@ class ValidationEngine:
             pid_of_file=pid_of_file,
             manifests=manifests,
             reconcile_dims=dims or {},
+            sample_mod=sample_mod,
         )
         if repair_out is not None and ds_direct is None:
             from xmlschema_ray.engine.encode import normalize_rewrite
@@ -1400,6 +1496,7 @@ class ValidationEngine:
         pid_of_file: Optional[Dict[str, int]] = None,
         manifests: Optional[Dict[str, pa.Table]] = None,
         reconcile_dims: Optional[Dict[str, Union[str, pa.Table]]] = None,
+        sample_mod: Optional[int] = None,
     ) -> ValidationResult:
         unified_dir = os.path.join(out_dir, "unified")
 
@@ -1408,7 +1505,7 @@ class ValidationEngine:
         bigfk_viol_ds = None
         if deferred_fks and mode != "stats_only" and isinstance(source, list):
             bigfk_viol_ds = self._deferred_fk_violations(
-                source, deferred_fks, pid_of_file or {}
+                source, deferred_fks, pid_of_file or {}, sample_mod=sample_mod
             )
         # stage B3: per-key ordered-stream constraints — same lazy-union
         # plumbing as B2 (the downstream adaptive sink handles both)
@@ -1433,7 +1530,7 @@ class ValidationEngine:
             and isinstance(source, list)
         ):
             tfk_ds = self._temporal_fk_violations(
-                source, reconcile_dims or {}, pid_of_file or {}
+                source, reconcile_dims or {}, pid_of_file or {}, sample_mod=sample_mod
             )
             if tfk_ds is not None:
                 bigfk_viol_ds = (
@@ -1742,6 +1839,13 @@ class ValidationEngine:
                             marker,
                         )(int(n))
         _t = _mark("verdict counts", _t)
+        if sample_mod is not None:
+            # honest PSVI-partial semantics: a sample can CONVICT a
+            # partition (violations are real rows) but never ACQUIT one
+            for v in verdict_by_pid.values():
+                v.validation_attempted = V.PARTIAL
+                if v.validity == V.VALID:
+                    v.validity = V.NOT_KNOWN
         verdicts = V.verdicts_frame(list(verdict_by_pid.values()))
         job = V.job_validity(list(verdict_by_pid.values()))
         drift_failed = [d.name for d in drift_results if not d.passed]
@@ -1749,6 +1853,7 @@ class ValidationEngine:
         n_violations = int(verdicts["n_violations"].sum()) if len(verdicts) else 0
         summary = {
             "job_validity": job,
+            "sample_mod": sample_mod,
             "drift_failed": drift_failed,
             "n_partitions": len(verdicts),
             "n_rows": int(verdicts["n_rows"].sum()) if len(verdicts) else 0,

@@ -259,6 +259,7 @@ class RowValidator:
         histogram_specs: Optional[Dict[str, np.ndarray]] = None,
         fk_sets_ref=None,
         max_violations_per_batch: Optional[int] = None,
+        sample_mod: Optional[int] = None,
     ):
         assert mode in ("collect", "failfast", "stats_only")
         # Each pool actor is one logical CPU; Arrow's default intra-kernel
@@ -283,6 +284,13 @@ class RowValidator:
         if max_violations_per_batch is not None and max_violations_per_batch < 0:
             raise ValueError("max_violations_per_batch must be >= 0 or None")
         self.max_violations_per_batch = max_violations_per_batch
+        # canary sampling: keep rows with hash64(key) % sample_mod == 0.
+        # Sampling BY KEY means a key's rows are all in or all out, so
+        # uniqueness/keyref findings over the sampled key space stay EXACT
+        # — the sample weakens coverage, never correctness of what it saw.
+        if sample_mod is not None and sample_mod < 2:
+            raise ValueError("sample_mod must be >= 2 or None")
+        self.sample_mod = sample_mod
         if histogram_specs is None:
             histogram_specs = {}
             for d in spec.drift:
@@ -376,6 +384,13 @@ class RowValidator:
         return df
 
     def __call__(self, table: pa.Table) -> pa.Table:
+        if self.sample_mod is not None and table.num_rows:
+            from xmlschema_ray.engine.stats import hash64
+
+            ks = unique_key_column(table, list(self.spec.key_columns)).to_numpy(
+                zero_copy_only=False
+            )
+            table = table.filter(pa.array(hash64(ks) % self.sample_mod == 0))
         pid = self.partition_id
         kinds: List[str] = []
         keys: List[Optional[str]] = []
