@@ -129,3 +129,29 @@ def test_weighted_sample_weight_bias_and_merge_invariance(ray_session):
     # weight bias: heavy docs are 10% of corpus but dominate the sample
     heavy_frac = (out["n_chars"] == 5000).mean()
     assert heavy_frac > 0.5
+
+
+# -- join-output sampling ------------------------------------------------------
+
+
+def test_join_sample_rows_are_real_join_rows(ray_session):
+    import numpy as np
+    import pandas as pd
+
+    from xmlschema_ray.pipelines.relational import join_sample_orders_lineitem
+
+    SF = "/root/testdata/sf0.001"
+    out = join_sample_orders_lineitem(SF, k=50)
+    assert len(out) == 50
+    # every sampled row must be an actual orders x lineitem join row
+    o = pd.read_parquet(SF + "/orders.parquet", columns=["o_orderkey", "o_custkey"])
+    li = pd.read_parquet(SF + "/lineitem.parquet", columns=["l_orderkey", "l_linenumber"])
+    opairs = set(zip(o["o_orderkey"], o["o_custkey"]))
+    lpairs = set(zip(li["l_orderkey"], li["l_linenumber"]))
+    assert set(zip(out["o_orderkey"], out["o_custkey"])) <= opairs
+    assert set(zip(out["o_orderkey"], out["l_linenumber"])) <= lpairs
+    # deterministic: a second run is identical
+    out2 = join_sample_orders_lineitem(SF, k=50)
+    pd.testing.assert_frame_equal(out, out2)
+    # priorities ascend (bottom-k cut)
+    assert (np.diff(out["priority"].to_numpy()) >= 0).all()

@@ -4811,6 +4811,157 @@ FROM r WHERE rk = 1 ORDER BY o_custkey
 """
 
 
+# -- weighted sampling over a join (no join materialization) -----------------
+
+
+def join_sample_orders_lineitem(sf_dir: str, k: int = 200) -> pd.DataFrame:
+    """Uniform ``k``-sample of the orders⋈lineitem JOIN OUTPUT without
+    materializing the join (the streaming-sampling-over-joins shape, EDBT
+    2023 family): each orders row is weighted by its lineitem DEGREE, a
+    weighted without-replacement sample picks the orders side, and each
+    sampled row draws ONE of its matching lineitem rows — every join row
+    equally likely, but only ``k`` join rows are ever constructed.
+
+    Plan: a per-key degree combiner over lineitem; ONE co-partitioning
+    exchange attaches degrees to orders rows (deg-0 rows can't appear in
+    the join and drop); the Duffield–Lund–Thorup priority key
+    ``h52 / deg`` rides the repo's mergeable bottom-k (`ops.topk` — k ×
+    #batches rows reach the reduce at any corpus size); the k winners'
+    line picks ``h52b % deg`` resolve through a broadcast semi-filter of
+    lineitem (≤ k × max-lines candidate rows collected, never the fact).
+    Exactness: both md5 draws and the single IEEE division follow the
+    ``weighted_sample_docs`` bit-exact convention, so DuckDB replays the
+    cut and the picks verbatim.
+    """
+    from xmlschema_ray.ops.relational import (
+        copartition_apply,
+        semi_join,
+        to_pandas_with_schema,
+        topk,
+    )
+    from xmlschema_ray.pipelines.curation import _md5_hex
+
+    deg = combiner_aggregate(
+        rd.read_parquet(table_path(sf_dir, "lineitem"), columns=["l_orderkey"]),
+        "l_orderkey",
+        {"d": (None, "count")},
+    )
+    orders = rd.read_parquet(
+        table_path(sf_dir, "orders"),
+        columns=["o_orderkey", "o_custkey", "o_totalprice"],
+    )
+
+    def attach(lf: pd.DataFrame, rf: pd.DataFrame) -> pd.DataFrame:
+        m = lf.merge(rf, left_on="o_orderkey", right_on="l_orderkey", how="inner")
+        if not len(m):
+            return pd.DataFrame(
+                {
+                    "o_orderkey": pd.Series([], dtype="int64"),
+                    "o_custkey": pd.Series([], dtype="int64"),
+                    "totalprice_cents": pd.Series([], dtype="int64"),
+                    "d": pd.Series([], dtype="int64"),
+                    "priority": pd.Series([], dtype="float64"),
+                    "j": pd.Series([], dtype="int64"),
+                }
+            )
+        ok = m["o_orderkey"].to_numpy(np.int64)
+        ck = m["o_custkey"].to_numpy(np.int64)
+        tc = cents(m["o_totalprice"].to_numpy())
+        d = m["d"].to_numpy(np.int64)
+        ident = pd.Series(
+            [f"{a}:{b}:{c}" for a, b, c in zip(ok, ck, tc)], dtype=object
+        )
+        h52 = np.fromiter(
+            (int(h[:13], 16) for h in _md5_hex(ident)), dtype=np.int64, count=len(m)
+        )
+        h52b = np.fromiter(
+            (int(h[:13], 16) for h in _md5_hex("L" + ident)),
+            dtype=np.int64,
+            count=len(m),
+        )
+        return pd.DataFrame(
+            {
+                "o_orderkey": ok,
+                "o_custkey": ck,
+                "totalprice_cents": tc,
+                "d": d,
+                "priority": h52.astype(np.float64) / d.astype(np.float64),
+                "j": h52b % d,
+            }
+        )
+
+    keyed = copartition_apply(orders, deg, "o_orderkey", "l_orderkey", attach)
+    samp = to_pandas_with_schema(
+        topk(
+            keyed,
+            "priority",
+            k,
+            descending=False,
+            tiebreak=["o_orderkey", "o_custkey", "totalprice_cents"],
+        )
+    )
+
+    li = rd.read_parquet(
+        table_path(sf_dir, "lineitem"),
+        columns=["l_orderkey", "l_linenumber", "l_quantity"],
+    )
+    cand = semi_join(li, samp[["o_orderkey"]], "l_orderkey", key="o_orderkey").to_pandas()
+    cand["qty_c"] = cents(cand["l_quantity"].to_numpy())
+    cand = cand.sort_values(
+        ["l_orderkey", "l_linenumber", "qty_c"], kind="mergesort"
+    ).reset_index(drop=True)
+    cand["r"] = cand.groupby("l_orderkey", sort=False).cumcount()
+
+    out = samp.merge(
+        cand[["l_orderkey", "l_linenumber", "qty_c", "r"]],
+        left_on=["o_orderkey", "j"],
+        right_on=["l_orderkey", "r"],
+        how="inner",
+    )
+    out = out.sort_values(
+        ["priority", "o_orderkey", "o_custkey", "totalprice_cents"], kind="mergesort"
+    ).reset_index(drop=True)
+    return out[
+        ["o_orderkey", "o_custkey", "totalprice_cents", "priority", "l_linenumber", "qty_c"]
+    ]
+
+
+JOIN_SAMPLE_SQL = """
+WITH deg AS (
+  SELECT l_orderkey AS dk, CAST(COUNT(*) AS BIGINT) AS d FROM lineitem GROUP BY 1
+), o AS (
+  SELECT o.o_orderkey, o.o_custkey,
+         CAST(floor(o.o_totalprice * 100 + 0.5) AS BIGINT) AS totalprice_cents, g.d,
+         CAST(o.o_orderkey AS VARCHAR) || ':' || CAST(o.o_custkey AS VARCHAR) || ':' ||
+           CAST(CAST(floor(o.o_totalprice * 100 + 0.5) AS BIGINT) AS VARCHAR) AS ident
+  FROM orders o JOIN deg g ON o.o_orderkey = g.dk
+), h AS (
+  SELECT *,
+         CAST(('0x' || substring(md5(ident), 1, 13)) AS BIGINT) AS h52,
+         CAST(('0x' || substring(md5('L' || ident), 1, 13)) AS BIGINT) AS h52b
+  FROM o
+), samp AS (
+  SELECT o_orderkey, o_custkey, totalprice_cents, d,
+         CAST(h52 AS DOUBLE) / CAST(d AS DOUBLE) AS priority,
+         h52b % d AS j
+  FROM h
+  ORDER BY priority, o_orderkey, o_custkey, totalprice_cents
+  LIMIT 200
+), ranked AS (
+  SELECT l_orderkey, l_linenumber,
+         CAST(floor(l_quantity * 100 + 0.5) AS BIGINT) AS qty_c,
+         row_number() OVER (
+           PARTITION BY l_orderkey
+           ORDER BY l_linenumber, CAST(floor(l_quantity * 100 + 0.5) AS BIGINT)
+         ) - 1 AS r
+  FROM lineitem
+)
+SELECT s.o_orderkey, s.o_custkey, s.totalprice_cents, s.priority, r.l_linenumber, r.qty_c
+FROM samp s JOIN ranked r ON r.l_orderkey = s.o_orderkey AND r.r = s.j
+ORDER BY s.priority, s.o_orderkey, s.o_custkey, s.totalprice_cents
+"""
+
+
 # -- inclusion-dependency discovery (FK mining) -------------------------------
 
 
@@ -5055,6 +5206,7 @@ ORACLES = {
     "mode_priority_by_customer": MODE_PRIORITY_SQL,
     "evolved_union_orders": EVOLVED_UNION_SQL,
     "ind_discovery": IND_DISCOVERY_SQL,
+    "join_sample_orders_lineitem": JOIN_SAMPLE_SQL,
     "similar_part_names": SIMILAR_PART_NAMES_SQL,
     "key_skew_report": KEY_SKEW_SQL,
     "extendedprice_deciles": EXTENDEDPRICE_DECILES_SQL,
@@ -5131,6 +5283,7 @@ QUERIES = {
     "mode_priority_by_customer": mode_priority_by_customer,
     "evolved_union_orders": evolved_union_orders,
     "ind_discovery": ind_discovery,
+    "join_sample_orders_lineitem": join_sample_orders_lineitem,
     "similar_part_names": similar_part_names,
     "key_skew_report": key_skew_report,
     "extendedprice_deciles": extendedprice_deciles,
