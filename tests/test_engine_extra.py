@@ -917,3 +917,24 @@ def test_triage_min_k_merge_and_padding(ray_session):
     b = out[out["constraint_name"] == "b"].iloc[0]
     assert int(b["n"]) == 1
     assert [int(b["ex1_k"]), int(b["ex2_k"]), int(b["ex3_k"])] == [2, -1, -1]
+
+
+def test_triage_negative_key_is_not_padding(ray_session):
+    import pandas as pd
+    import ray.data as rd
+
+    from xmlschema_ray.pipelines.validation_queries import triage_violations
+
+    b1 = pd.DataFrame({"k": [-1, 5], "constraint_name": ["a", "a"], "col_name": ["x", "x"]})
+    b2 = pd.DataFrame({"k": [3], "constraint_name": ["a"], "col_name": ["x"]})
+    out = triage_violations(rd.from_pandas([b1, b2]), ["k"])
+    row = out.iloc[0]
+    # the genuine -1 key survives the merge as the smallest example
+    assert [int(row["ex1_k"]), int(row["ex2_k"]), int(row["ex3_k"])] == [-1, 3, 5]
+    assert int(row["n"]) == 3
+
+    with __import__("pytest").raises(Exception):  # string keys refuse
+        triage_violations(
+            rd.from_pandas(pd.DataFrame({"k": ["s"], "constraint_name": ["a"], "col_name": ["x"]})),
+            ["k"],
+        ).head()

@@ -753,3 +753,14 @@ def test_grouped_mode_tie_break(ray_session):
     # k=1: a/b tie at 2 -> smallest value 'a'; k=2: y/z tie -> 'y'
     assert out["mode_value"].tolist() == ["a", "y", "q"]
     assert out["n"].tolist() == [2, 1, 1]
+
+
+def test_melt_dataset_refuses_name_collision(ray_session):
+    import pandas as pd
+    import pytest as _pt
+
+    from xmlschema_ray.ops.transform import melt_dataset
+
+    ds = rd.from_pandas(pd.DataFrame({"measure": [1], "a": [2], "b": [3]}))
+    with _pt.raises(ValueError, match="collide"):
+        melt_dataset(ds, ["measure"], ["a", "b"])  # default var_name='measure'

@@ -109,3 +109,69 @@ def test_no_violations_no_suggestions(ray_session):
         }
     )
     assert suggest_relaxations(spec, rd.from_arrow(clean)) == []
+
+
+def test_large_satisfied_enum_not_suggested(ray_session):
+    import pyarrow as pa
+    import ray.data as rd
+
+    from xmlschema_ray import suggest_relaxations
+    from xmlschema_ray.constraints import facets as F
+    from xmlschema_ray.constraints.spec import ColumnSpec, TableConstraints
+
+    vals = tuple(f"v{i}" for i in range(100))
+    spec = TableConstraints(
+        name="t",
+        columns=[
+            ColumnSpec("id", pa.int64()),
+            ColumnSpec("s", pa.string(), facets=(F.Enumeration(vals),)),
+        ],
+        key_columns=("id",),
+    ).compile()
+    ds = rd.from_arrow(
+        pa.table({"id": pa.array(range(100), pa.int64()), "s": pa.array(list(vals))})
+    )
+    # 100 observed distinct values, all DECLARED: overflow must not fire
+    # and no amendment may be suggested (enum_cap far below cardinality)
+    assert suggest_relaxations(spec, ds, enum_cap=16) == []
+
+
+def test_timestamp_relaxation_json_round_trips(ray_session):
+    import json
+
+    import numpy as np
+    import pyarrow as pa
+    import ray.data as rd
+
+    from xmlschema_ray import apply_relaxations, suggest_relaxations
+    from xmlschema_ray.constraints import facets as F
+    from xmlschema_ray.constraints.serde import spec_from_json, spec_to_json
+    from xmlschema_ray.constraints.spec import ColumnSpec, TableConstraints
+
+    spec = TableConstraints(
+        name="t",
+        columns=[
+            ColumnSpec("id", pa.int64()),
+            ColumnSpec(
+                "ts",
+                pa.timestamp("us"),
+                facets=(F.MaxInclusive(np.datetime64("2024-01-01", "us")),),
+            ),
+        ],
+        key_columns=("id",),
+    ).compile()
+    ds = rd.from_arrow(
+        pa.table(
+            {
+                "id": pa.array([1], pa.int64()),
+                "ts": pa.array([np.datetime64("2025-06-01", "us")], pa.timestamp("us")),
+            }
+        )
+    )
+    relaxed = apply_relaxations(spec, suggest_relaxations(spec, ds))
+    # the watermark-facet shape: the widened datetime bound must survive
+    # json.dumps (cmd_relax prints it) and reload to the same instant
+    doc = json.loads(json.dumps(spec_to_json(relaxed)))
+    back = spec_from_json(doc)
+    (f,) = back.column("ts").facets
+    assert np.datetime64(f.value, "us") == np.datetime64("2025-06-01", "us")

@@ -86,3 +86,24 @@ def test_sample_refusals(ray_session, tmp_path):
     drift_spec = sequences_spec(reference_hist=tuple([1] * 256))
     with pytest.raises(ValueError, match="drift"):
         _run(seq_dir, dim, str(tmp_path / "o4"), drift_spec, sample_mod=4)
+
+
+def test_sampled_out_dir_refuses_full_run(ray_session, tmp_path):
+    seq_dir, dim, _ = write_sequences_corpus(str(tmp_path / "c"), n_rows=200)
+    spec = sequences_spec()
+    _run(seq_dir, dim, str(tmp_path / "o"), spec, sample_mod=4)
+    # a later FULL run into the same out_dir must refuse: the sampled
+    # shard records would satisfy its resume manifest
+    with pytest.raises(ValueError, match="SAMPLED"):
+        ValidationEngine(spec, n_shards=2).run(
+            seq_dir, out_dir=str(tmp_path / "o"), dims={"sources": dim}, resume=True
+        )
+    with pytest.raises(ValueError, match="SAMPLED"):
+        _run(seq_dir, dim, str(tmp_path / "o"), spec)  # resume=False full run too
+
+
+def test_stats_only_sample_keeps_attempted_none(ray_session, tmp_path):
+    seq_dir, dim, _ = write_sequences_corpus(str(tmp_path / "c"), n_rows=200)
+    res = _run(seq_dir, dim, str(tmp_path / "o"), sequences_spec(), sample_mod=4, mode="stats_only")
+    assert (res.verdicts["validation_attempted"] == "none").all()
+    assert (res.verdicts["validity"] == "notKnown").all()

@@ -210,6 +210,11 @@ def suggest_relaxations(
 
     Patterns, assertions and encoded-length facets are never relaxed
     (no cheap sound widening exists); their violations stay violations.
+    Enumeration overflow counts only values OUTSIDE the declared enum
+    union — a large enum the data fully satisfies is never a relaxation
+    candidate (with multiple enums on one column, extras are tracked
+    against their union, so the narrower facet's suggestion may
+    under-report — one enum per column is the linted norm).
 
     Scale shape: ONE streaming pass over ONLY the constrained columns
     (pruned read), per-batch partial rows (min/max NaN-filtered, length
@@ -218,9 +223,9 @@ def suggest_relaxations(
     """
     range_kinds = (F.MinInclusive, F.MaxInclusive, F.MinExclusive, F.MaxExclusive)
 
-    needs: Dict[str, Dict[str, bool]] = {}
+    needs: Dict[str, Dict] = {}
     for c in spec.columns:
-        need = {"range": False, "len": False, "enum": False}
+        need: Dict = {"range": False, "len": False, "enum": False, "declared": None}
         for f in c.facets:
             if isinstance(f, range_kinds):
                 need["range"] = True
@@ -228,9 +233,14 @@ def suggest_relaxations(
                 need["len"] = True
             elif isinstance(f, F.Enumeration):
                 need["enum"] = True
+                # overflow must count only values OUTSIDE the declared
+                # enum(s): a 1000-value enum fully satisfied by the data
+                # is NOT a relaxation candidate
+                cur = need["declared"] or set()
+                need["declared"] = cur | set(f.values)
         if not c.nullable:
             need["null"] = True
-        if any(need.values()):
+        if any(v for k, v in need.items() if k != "declared"):
             needs[c.name] = need
     if not needs:
         return []
@@ -279,12 +289,13 @@ def suggest_relaxations(
                     mm = pc.min_max(lens)
                     rec["lmin"], rec["lmax"] = mm["min"].as_py(), mm["max"].as_py()
                 if need["enum"]:
-                    u = pc.unique(nn)
-                    if len(u) > enum_cap + 1:
+                    u = pc.unique(nn).to_pylist()
+                    extra = [x for x in u if x not in need["declared"]]
+                    if len(extra) > enum_cap + 1:
                         rec["overflow"] = True
                         rec["distinct"] = []
                     else:
-                        rec["distinct"] = u.to_pylist()
+                        rec["distinct"] = extra
             rows.append(rec)
         # pandas block with OBJECT value cells: vmin/vmax may be a float in
         # one column's row and a datetime in another's — an Arrow block
@@ -415,22 +426,12 @@ def apply_relaxations(spec: TableConstraints, suggestions: List[Dict]) -> TableC
 
 
 def _replace_spec_columns(spec: TableConstraints, new_cols: List[ColumnSpec]) -> TableConstraints:
-    return TableConstraints(
-        name=spec.name,
-        columns=new_cols,
-        row_checks=list(spec.row_checks),
-        unique_keys=list(spec.unique_keys),
-        foreign_keys=list(spec.foreign_keys),
-        temporal_foreign_keys=list(spec.temporal_foreign_keys),
-        drift=list(spec.drift),
-        aggregate_checks=list(spec.aggregate_checks),
-        manifest_checks=list(spec.manifest_checks),
-        sequence_checks=list(spec.sequence_checks),
-        reconcile_checks=list(spec.reconcile_checks),
-        type_alternatives=list(spec.type_alternatives),
-        key_columns=spec.key_columns,
-        allow_extra_columns=spec.allow_extra_columns,
-        stats_columns=spec.stats_columns,
-        distinct_columns=spec.distinct_columns,
-        warning_constraints=spec.warning_constraints,
-    ).compile()
+    # dataclasses.replace so EVERY field (aliases included, and any field
+    # added to TableConstraints later) survives the rebuild — a hand-copied
+    # constructor call silently drops new sections. Alias expansion is
+    # idempotent on an already-compiled input: members exist as columns,
+    # and a clone mismatch (head and member relaxed differently) raises
+    # in compile rather than silently diverging.
+    from dataclasses import replace as _dc_replace
+
+    return _dc_replace(spec, columns=new_cols).compile()

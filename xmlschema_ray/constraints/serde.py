@@ -12,6 +12,7 @@ from __future__ import annotations
 import json
 from typing import Any, Dict, List
 
+import numpy as np
 import pyarrow as pa
 
 from xmlschema_ray.constraints import facets as F
@@ -232,17 +233,36 @@ def _length_params(f) -> Dict[str, Any]:
     return out
 
 
+def _range_params(f) -> Dict[str, Any]:
+    """Range-facet value → JSON. Datetime-like bounds (the watermark-facet
+    shape; also what ``suggest_relaxations`` emits for timestamp columns)
+    serialize as a tagged ISO-8601 string — a raw datetime object would
+    crash ``json.dumps`` only AFTER a potentially corpus-sized scan."""
+    import datetime
+
+    v = f.value
+    if isinstance(v, (np.datetime64, datetime.datetime, datetime.date)) or type(v).__name__ == "Timestamp":
+        return {"value": str(np.datetime64(v, "us")), "value_type": "timestamp"}
+    return {"value": v}
+
+
+def _range_value(d: Dict[str, Any]):
+    if d.get("value_type") == "timestamp":
+        return np.datetime64(d["value"], "us")
+    return d["value"]
+
+
 register_facet_builder(
-    "minInclusive", F.MinInclusive, lambda f: {"value": f.value}, lambda d: F.MinInclusive(d["value"])
+    "minInclusive", F.MinInclusive, _range_params, lambda d: F.MinInclusive(_range_value(d))
 )
 register_facet_builder(
-    "maxInclusive", F.MaxInclusive, lambda f: {"value": f.value}, lambda d: F.MaxInclusive(d["value"])
+    "maxInclusive", F.MaxInclusive, _range_params, lambda d: F.MaxInclusive(_range_value(d))
 )
 register_facet_builder(
-    "minExclusive", F.MinExclusive, lambda f: {"value": f.value}, lambda d: F.MinExclusive(d["value"])
+    "minExclusive", F.MinExclusive, _range_params, lambda d: F.MinExclusive(_range_value(d))
 )
 register_facet_builder(
-    "maxExclusive", F.MaxExclusive, lambda f: {"value": f.value}, lambda d: F.MaxExclusive(d["value"])
+    "maxExclusive", F.MaxExclusive, _range_params, lambda d: F.MaxExclusive(_range_value(d))
 )
 register_facet_builder(
     "minLength", F.MinLength, _length_params,

@@ -506,15 +506,19 @@ class ValidationEngine:
         from xmlschema_ray.ops.relational import copartition_apply
 
         def _epoch_i8(s: pd.Series) -> "tuple[np.ndarray, np.ndarray]":
-            """(int64 values, valid mask) — datetime64 → epoch µs; numeric
-            stays numeric. Invalid (null/NaT) slots hold 0 under mask."""
+            """(values, valid mask) — datetime64 → epoch-µs int64; integer
+            dtypes stay EXACT int64 (raw epoch columns past 2^53 would
+            round at the half-open boundary through a float64 detour);
+            floats stay float64. Invalid (null/NaT) slots hold 0 under
+            the mask."""
+            ok = s.notna().to_numpy()
             if pd.api.types.is_datetime64_any_dtype(s):
-                ok = s.notna().to_numpy()
                 v = np.zeros(len(s), dtype=np.int64)
                 if ok.any():
                     v[ok] = s[ok].astype("datetime64[us]").astype("int64").to_numpy()
                 return v, ok
-            ok = s.notna().to_numpy()
+            if pd.api.types.is_integer_dtype(s):
+                return s.fillna(0).to_numpy(dtype=np.int64), ok
             v = np.where(ok, s.to_numpy(dtype=np.float64, na_value=0.0), 0.0)
             return v, ok
 
@@ -1170,6 +1174,20 @@ class ValidationEngine:
                     "sample_mod requires resume=False — a sampled shard in the "
                     "resume manifest would be mistaken for a fully-validated one"
                 )
+        # sampled and full runs may NEVER share an out_dir: a sampled run's
+        # shard records would otherwise satisfy a later full run's resume
+        # manifest (sampled parquet read back as complete validation). A
+        # marker file makes the refusal stick across processes, both ways.
+        sample_marker = os.path.join(out_dir, "SAMPLED.json")
+        if sample_mod is not None:
+            os.makedirs(out_dir, exist_ok=True)
+            with open(sample_marker, "w") as fh:
+                json.dump({"sample_mod": sample_mod}, fh)
+        elif os.path.exists(sample_marker):
+            raise ValueError(
+                f"out_dir {out_dir!r} holds a CANARY (sampled) run's artifacts "
+                "(SAMPLED.json); a full run must use a fresh out_dir"
+            )
         if isinstance(source, rd.Dataset) and (
             repair_out is not None or quarantine_out is not None or clean_out is not None
         ):
@@ -1841,9 +1859,12 @@ class ValidationEngine:
         _t = _mark("verdict counts", _t)
         if sample_mod is not None:
             # honest PSVI-partial semantics: a sample can CONVICT a
-            # partition (violations are real rows) but never ACQUIT one
+            # partition (violations are real rows) but never ACQUIT one.
+            # stats_only verdicts keep attempted='none' — nothing was
+            # validated, sampled or not.
             for v in verdict_by_pid.values():
-                v.validation_attempted = V.PARTIAL
+                if v.validation_attempted != V.NONE:
+                    v.validation_attempted = V.PARTIAL
                 if v.validity == V.VALID:
                     v.validity = V.NOT_KNOWN
         verdicts = V.verdicts_frame(list(verdict_by_pid.values()))

@@ -91,6 +91,13 @@ def melt_dataset(
     """
     if not value_cols:
         raise ValueError("melt_dataset: value_cols must be non-empty")
+    out_names = list(id_cols) + [var_name, value_name]
+    if len(set(out_names)) != len(out_names):
+        # a var/value name colliding with an id column would silently drop
+        # the id column's data through the dict constructor
+        raise ValueError(
+            f"melt_dataset: output column names collide: {sorted(out_names)}"
+        )
 
     def fn(batch: pa.Table) -> pa.Table:
         types = {str(batch.schema.field(c).type) for c in value_cols}

@@ -675,28 +675,46 @@ def triage_violations(
     is key-based (stable examples at any parallelism; a row index would
     name different rows per run).
 
-    Per-batch partial: one row per (constraint, column) carrying a count
-    and that batch's ``n_examples`` smallest keys (``-1``-padded so the
-    export stays non-null int64 — the DuckDB nullable-BIGINT→float64
-    trap). Count-sum and min-k-merge are both associative, so the driver
-    merge over ``#constraints × #blocks`` partial rows is exact and
-    metadata-sized at any corpus size.
+    Per-batch partial: one row per (constraint, column) carrying a count,
+    that batch's ``n_examples`` smallest INTEGER keys, and an explicit
+    real-example count ``n_ex`` — pad slots hold ``-1`` so the export
+    stays non-null int64 (the DuckDB nullable-BIGINT→float64 trap), and
+    the merge trusts ``n_ex``, never the sentinel value, so a corpus
+    whose genuine smallest key IS ``-1`` still merges exactly (only the
+    final output's pad slots remain ``-1``, matching the oracle's
+    ``COALESCE(..., -1)``). Count-sum and min-k-merge are both
+    associative, so the driver merge over ``#constraints × #blocks``
+    partial rows is exact and metadata-sized at any corpus size.
+    Integer key columns only (string keys would need a different pad
+    convention) — non-integer keys raise rather than mis-cast.
     """
     pad = [-1] * len(key_cols)
 
     def partial(batch: pd.DataFrame) -> pd.DataFrame:
+        for kc in key_cols:
+            if not pd.api.types.is_integer_dtype(batch[kc]):
+                raise TypeError(
+                    f"triage_violations: key column {kc!r} is "
+                    f"{batch[kc].dtype} — integer key columns only"
+                )
         rows = []
         for (cname, col), g in batch.groupby(["constraint_name", "col_name"], sort=False):
             ex = g[key_cols].sort_values(key_cols, kind="mergesort").head(n_examples)
             vals = ex.to_numpy().tolist()
+            n_real = len(vals)
             while len(vals) < n_examples:
                 vals.append(pad)
-            row = {"constraint_name": cname, "col_name": col, "n": np.int64(len(g))}
+            row = {
+                "constraint_name": cname,
+                "col_name": col,
+                "n": np.int64(len(g)),
+                "n_ex": np.int64(n_real),
+            }
             for i, v in enumerate(vals, 1):
                 for k, kc in enumerate(key_cols):
                     row[f"ex{i}_{kc}"] = np.int64(v[k])
             rows.append(row)
-        cols = ["constraint_name", "col_name", "n"] + [
+        cols = ["constraint_name", "col_name", "n", "n_ex"] + [
             f"ex{i}_{kc}" for i in range(1, n_examples + 1) for kc in key_cols
         ]
         return pd.DataFrame(rows, columns=cols) if rows else pd.DataFrame(
@@ -706,13 +724,15 @@ def triage_violations(
     parts = violations.map_batches(partial, batch_format="pandas").to_pandas()
     out_rows = []
     for (cname, col), g in parts.groupby(["constraint_name", "col_name"], sort=True):
-        # explode each partial's padded example block back to key tuples,
-        # drop pads, take the n_examples smallest of the union (min-k merge)
+        # explode each partial's example block back to key tuples — the
+        # first n_ex slots per partial row are real, the rest are pads —
+        # and take the n_examples smallest of the union (min-k merge)
+        n_real = g["n_ex"].to_numpy(np.int64)
         exs = []
         for i in range(1, n_examples + 1):
             cols_i = [f"ex{i}_{kc}" for kc in key_cols]
             e = g[cols_i].to_numpy()
-            exs.append(e[(e != -1).any(axis=1)])
+            exs.append(e[n_real >= i])
         allex = np.concatenate(exs) if exs else np.empty((0, len(key_cols)))
         order = np.lexsort(tuple(allex[:, k] for k in reversed(range(len(key_cols)))))
         allex = allex[order][:n_examples]
