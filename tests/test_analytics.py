@@ -342,3 +342,34 @@ def test_benford_audit_shares_sum_and_expectations(ray_session):
     assert int(out["n"].sum()) == len(
         pd.read_parquet(SF + "/lineitem.parquet", columns=["l_extendedprice"])
     )
+
+
+def test_k_anonymity_flags(ray_session):
+    from xmlschema_ray.pipelines.analytics import k_anonymity_audit
+
+    out = k_anonymity_audit(SF).to_pandas()
+    # flags are consistent with their thresholds
+    assert ((out["n"] < 5) == (out["k_at_risk"] == 1)).all()
+    assert ((out["l_bands"] < 2) == (out["l_at_risk"] == 1)).all()
+    # 150 customers over 25x5 QI cells: at-risk groups must exist
+    assert out["k_at_risk"].sum() > 0
+    # group sizes sum back to the full table
+    assert int(out["n"].sum()) == 150
+    assert (out["l_bands"] <= out["n"]).all()
+
+
+def test_seasonal_decomposition_identity(ray_session):
+    import numpy as np
+
+    from xmlschema_ray.pipelines.analytics import seasonal_decompose_daily
+
+    out = seasonal_decompose_daily(SF)
+    # dow is the Monday-aligned integer convention
+    assert ((out["day"] + 3) % 7 == out["dow"]).all()
+    # within each dow, residuals sum to ~0 (mean-centering identity;
+    # e6-scaled floor leaves < 1 unit per day of slack)
+    for _, g in out.groupby("dow"):
+        assert abs(int(g["resid_e6"].sum())) <= len(g)
+    # seasonal + residual reconstructs the count within rounding
+    rec = (out["seasonal_e6"] + out["resid_e6"]).to_numpy()
+    assert np.abs(rec - out["n"].to_numpy() * 1_000_000).max() <= 1

@@ -48,6 +48,8 @@ __all__ = [
     "auc_urgent_price",
     "benford_digit_counts",
     "benford_price_audit",
+    "k_anonymity_audit",
+    "seasonal_decompose_daily",
     "bfs_hops_from_edges",
     "QUERIES",
     "ORACLES",
@@ -1527,6 +1529,148 @@ FROM t
 """
 
 
+# -- k-anonymity / l-diversity audit -----------------------------------------
+
+
+def k_anonymity_audit(
+    sf_dir: str, k: int = 5, l_min: int = 2
+) -> pd.DataFrame:
+    """Re-identification risk audit (Sweeney's k-anonymity + l-diversity):
+    for each QUASI-IDENTIFIER combination (nation, market segment), the
+    group size ``n`` (a group smaller than ``k`` re-identifies its
+    members) and the count of distinct SENSITIVE-value bands (account
+    balance in 1000-unit bands; fewer than ``l_min`` distinct values
+    means the sensitive attribute leaks even inside a large group) — the
+    data-governance screen a privacy review runs before a table ships.
+
+    Scale shape: one (QI, band) combiner pass (per-batch partials, so a
+    hot QI ships #batches rows), ONE co-locating exchange on the QI, a
+    vectorized size/nunique per group. Output is QI-cardinality rows.
+    """
+    from xmlschema_ray.ops.relational import combiner_aggregate, hash_partition_apply
+
+    ds = rd.read_parquet(
+        table_path(sf_dir, "customer"),
+        columns=["c_nationkey", "c_mktsegment", "c_acctbal"],
+    )
+
+    def band(batch: pd.DataFrame) -> pd.DataFrame:
+        return pd.DataFrame(
+            {
+                # keep the source int32: the oracle's .df() passes the
+                # column through untouched and the compare is dtype-strict
+                "c_nationkey": batch["c_nationkey"].to_numpy(np.int32),
+                "c_mktsegment": batch["c_mktsegment"].to_numpy(),
+                "band": np.floor(
+                    batch["c_acctbal"].to_numpy(np.float64) / 1000.0
+                ).astype(np.int64),
+            }
+        )
+
+    counts = combiner_aggregate(
+        ds.map_batches(band, batch_format="pandas"),
+        ["c_nationkey", "c_mktsegment", "band"],
+        {"n": (None, "count")},
+    )
+
+    def per_qi(g: pd.DataFrame) -> pd.DataFrame:
+        gb = g.groupby(["c_nationkey", "c_mktsegment"], sort=False)
+        out = gb.agg(n=("n", "sum"), l_bands=("band", "nunique")).reset_index()
+        out["n"] = out["n"].astype(np.int64)
+        out["l_bands"] = out["l_bands"].astype(np.int64)
+        out["k_at_risk"] = (out["n"] < k).astype(np.int64)
+        out["l_at_risk"] = (out["l_bands"] < l_min).astype(np.int64)
+        return out
+
+    return hash_partition_apply(counts, ["c_nationkey", "c_mktsegment"], per_qi).sort(
+        ["c_nationkey", "c_mktsegment"]
+    )
+
+
+K_ANONYMITY_SQL = """
+WITH b AS (
+  SELECT c_nationkey, c_mktsegment,
+         CAST(floor(c_acctbal / 1000.0) AS BIGINT) AS band
+  FROM customer
+), g AS (
+  SELECT c_nationkey, c_mktsegment,
+         CAST(COUNT(*) AS BIGINT) AS n,
+         CAST(COUNT(DISTINCT band) AS BIGINT) AS l_bands
+  FROM b GROUP BY 1, 2
+)
+SELECT c_nationkey, c_mktsegment, n, l_bands,
+       CAST(CASE WHEN n < 5 THEN 1 ELSE 0 END AS BIGINT) AS k_at_risk,
+       CAST(CASE WHEN l_bands < 2 THEN 1 ELSE 0 END AS BIGINT) AS l_at_risk
+FROM g ORDER BY c_nationkey, c_mktsegment
+"""
+
+
+# -- seasonal decomposition (day-of-week means) -------------------------------
+
+
+def seasonal_decompose_daily(sf_dir: str) -> pd.DataFrame:
+    """Additive seasonal decomposition of the daily event count: each
+    day's count splits into the day-of-week SEASONAL mean and the
+    RESIDUAL (the anomaly signal every ops dashboard plots; a residual
+    spike means something happened beyond the weekly rhythm).
+
+    Day and weekday are pure INTEGER epoch arithmetic (``epoch_us //
+    86400e6``, Monday = ``(days + 3) % 7`` — the retention_cohorts
+    convention; no calendar-function trap), the seasonal mean is one
+    float division of exact integers, and exports are e6-scaled — so the
+    oracle replays every value bit-for-bit. One per-day combiner pass;
+    the driver fold is calendar-sized (one row per day) at any corpus
+    size."""
+    from xmlschema_ray.ops.relational import combiner_aggregate
+
+    ds = rd.read_parquet(table_path(sf_dir, "events"), columns=["ts"])
+    us_per_day = 86_400_000_000
+
+    def day_of(batch: pd.DataFrame) -> pd.DataFrame:
+        us = batch["ts"].astype("datetime64[us]").astype(np.int64).to_numpy()
+        return pd.DataFrame({"day": us // us_per_day})
+
+    daily = (
+        combiner_aggregate(
+            ds.map_batches(day_of, batch_format="pandas"), "day", {"n": (None, "count")}
+        )
+        .to_pandas()  # calendar-sized: one row per day
+        .sort_values("day")
+        .reset_index(drop=True)
+    )
+    daily["dow"] = ((daily["day"] + 3) % 7).astype(np.int64)
+    daily["n"] = daily["n"].astype(np.int64)
+    g = daily.groupby("dow", sort=False)["n"]
+    seasonal = g.transform("sum").to_numpy(np.float64) / g.transform("count").to_numpy(
+        np.float64
+    )
+    daily["seasonal_e6"] = np.floor(seasonal * 1e6 + 0.5).astype(np.int64)
+    daily["resid_e6"] = np.floor(
+        (daily["n"].to_numpy(np.float64) - seasonal) * 1e6 + 0.5
+    ).astype(np.int64)
+    return daily[["day", "dow", "n", "seasonal_e6", "resid_e6"]]
+
+
+SEASONAL_DECOMPOSE_SQL = """
+WITH d AS (
+  SELECT epoch_us(ts) // 86400000000 AS day FROM events
+), daily AS (
+  SELECT day, CAST(COUNT(*) AS BIGINT) AS n FROM d GROUP BY day
+), dowed AS (
+  SELECT day, (day + 3) % 7 AS dow, n FROM daily
+), season AS (
+  SELECT *,
+         CAST(SUM(n) OVER (PARTITION BY dow) AS DOUBLE)
+           / CAST(COUNT(*) OVER (PARTITION BY dow) AS DOUBLE) AS seasonal
+  FROM dowed
+)
+SELECT day, dow, n,
+       CAST(floor(seasonal * 1e6 + 0.5) AS BIGINT) AS seasonal_e6,
+       CAST(floor((CAST(n AS DOUBLE) - seasonal) * 1e6 + 0.5) AS BIGINT) AS resid_e6
+FROM season ORDER BY day
+"""
+
+
 # -- Benford first-digit audit ---------------------------------------------
 
 
@@ -1625,10 +1769,14 @@ QUERIES = {
     "part_kcore": part_kcore,
     "part_sssp": part_sssp,
     "benford_price_audit": benford_price_audit,
+    "k_anonymity_audit": k_anonymity_audit,
+    "seasonal_decompose_daily": seasonal_decompose_daily,
 }
 
 ORACLES = {
     "benford_price_audit": BENFORD_PRICE_SQL,
+    "k_anonymity_audit": K_ANONYMITY_SQL,
+    "seasonal_decompose_daily": SEASONAL_DECOMPOSE_SQL,
     "pareto_orders": PARETO_ORDERS_SQL,
     "peak_concurrent_sessions": PEAK_CONCURRENT_SQL,
     "events_daily_gapfill": EVENTS_GAPFILL_SQL,
