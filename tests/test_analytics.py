@@ -373,3 +373,32 @@ def test_seasonal_decomposition_identity(ray_session):
     # seasonal + residual reconstructs the count within rounding
     rec = (out["seasonal_e6"] + out["resid_e6"]).to_numpy()
     assert np.abs(rec - out["n"].to_numpy() * 1_000_000).max() <= 1
+
+
+def test_gini_exactness_and_bounds(ray_session):
+    import numpy as np
+    import pandas as pd
+
+    from xmlschema_ray.pipelines.analytics import gini_revenue_concentration
+
+    out = gini_revenue_concentration(SF)
+    g = int(out["gini_e9"].iloc[0])
+    assert 0 <= g < 1_000_000_000  # Gini in [0, 1)
+    # brute-force recompute from the raw table in unbounded ints
+    o = pd.read_parquet(SF + "/orders.parquet", columns=["o_custkey", "o_totalprice"])
+    c = np.floor(o["o_totalprice"].to_numpy(np.float64) * 100 + 0.5).astype(np.int64)
+    rev = (
+        pd.DataFrame({"k": o["o_custkey"], "x": c})
+        .groupby("k")["x"]
+        .sum()
+        .reset_index()
+        .sort_values(["x", "k"], kind="mergesort")
+        .reset_index(drop=True)
+    )
+    n = len(rev)
+    x = rev["x"].astype(object).to_numpy()
+    sixi = int((np.arange(1, n + 1, dtype=object) * x).sum())
+    sx = int(x.sum())
+    num, den = 2 * sixi - (n + 1) * sx, n * sx
+    assert g == (2 * num * 1_000_000_000 + den) // (2 * den)
+    assert int(out["n"].iloc[0]) == n and int(out["total_cents"].iloc[0]) == sx

@@ -49,6 +49,7 @@ __all__ = [
     "benford_digit_counts",
     "benford_price_audit",
     "k_anonymity_audit",
+    "gini_revenue_concentration",
     "seasonal_decompose_daily",
     "bfs_hops_from_edges",
     "QUERIES",
@@ -1529,6 +1530,89 @@ FROM t
 """
 
 
+# -- Gini concentration index (exact distributed rank statistic) --------------
+
+
+def gini_revenue_concentration(sf_dir: str) -> pd.DataFrame:
+    """EXACT Gini concentration of per-customer revenue — the inequality
+    rank statistic (G = (2·Σi·x₍ᵢ₎ − (n+1)·Σx) / (n·Σx) over ascending
+    ranks), the audit behind every "how concentrated is the corpus on few
+    heavy keys" question (revenue per account here; token share per
+    source in a training-mix review — same operator).
+
+    The AUC sibling: one combiner pass builds the customer-revenue table
+    (integer cents), :func:`~xmlschema_ray.ops.relational.global_rank`
+    assigns exact ascending ranks with NO global sort, and per-batch
+    Σ rank·x partials fold driver-side in PYTHON integers (object-dtype
+    partial cells — at 10^12 keys the moment sums overflow int64, the
+    fold cannot). The final scaled export is EXACT RATIONAL rounding,
+    ``(2·num·10⁹ + den) // (2·den)`` in unbounded integers on the Ray
+    side and HUGEINT on DuckDB's — no float division anywhere, so the
+    single output row compares hash-exact with no ulp caveat."""
+    from xmlschema_ray.ops.relational import combiner_aggregate, global_rank
+
+    orders = rd.read_parquet(
+        table_path(sf_dir, "orders"), columns=["o_custkey", "o_totalprice"]
+    )
+
+    def to_cents(batch: pd.DataFrame) -> pd.DataFrame:
+        return pd.DataFrame(
+            {
+                "o_custkey": batch["o_custkey"].to_numpy(np.int64),
+                "x": np.floor(
+                    batch["o_totalprice"].to_numpy(np.float64) * 100.0 + 0.5
+                ).astype(np.int64),
+            }
+        )
+
+    rev = combiner_aggregate(
+        orders.map_batches(to_cents, batch_format="pandas"), "o_custkey", {"x": ("x", "sum")}
+    )
+    ranked, n = global_rank(rev, ["x", "o_custkey"], rank_col="i")
+
+    def part(b: pd.DataFrame) -> pd.DataFrame:
+        i = b["i"].to_numpy(np.int64).astype(object)
+        x = b["x"].to_numpy(np.int64).astype(object)
+        return pd.DataFrame(
+            {
+                "sixi": pd.Series([int((i * x).sum()) if len(b) else 0], dtype=object),
+                "sx": pd.Series([int(x.sum()) if len(b) else 0], dtype=object),
+            }
+        )
+
+    parts = ranked.map_batches(part, batch_format="pandas").to_pandas()
+    sixi = sum(int(v) for v in parts["sixi"])
+    sx = sum(int(v) for v in parts["sx"])
+    num = 2 * sixi - (n + 1) * sx
+    den = n * sx
+    gini_e9 = (2 * num * 1_000_000_000 + den) // (2 * den)
+    return pd.DataFrame(
+        {
+            "n": pd.array([n], dtype="int64"),
+            "total_cents": pd.array([sx], dtype="int64"),
+            "gini_e9": pd.array([gini_e9], dtype="int64"),
+        }
+    )
+
+
+GINI_REVENUE_SQL = """
+WITH rev AS (
+  SELECT o_custkey,
+         CAST(SUM(CAST(floor(o_totalprice * 100 + 0.5) AS BIGINT)) AS HUGEINT) AS x
+  FROM orders GROUP BY 1
+), r AS (
+  SELECT x, CAST(row_number() OVER (ORDER BY x, o_custkey) AS HUGEINT) AS i FROM rev
+), agg AS (
+  SELECT CAST(COUNT(*) AS HUGEINT) AS n, SUM(x) AS sx, SUM(i * x) AS sixi FROM r
+)
+SELECT CAST(n AS BIGINT) AS n,
+       CAST(sx AS BIGINT) AS total_cents,
+       CAST((2 * (2 * sixi - (n + 1) * sx) * 1000000000 + n * sx)
+            // (2 * n * sx) AS BIGINT) AS gini_e9
+FROM agg
+"""
+
+
 # -- k-anonymity / l-diversity audit -----------------------------------------
 
 
@@ -1770,12 +1854,14 @@ QUERIES = {
     "part_sssp": part_sssp,
     "benford_price_audit": benford_price_audit,
     "k_anonymity_audit": k_anonymity_audit,
+    "gini_revenue_concentration": gini_revenue_concentration,
     "seasonal_decompose_daily": seasonal_decompose_daily,
 }
 
 ORACLES = {
     "benford_price_audit": BENFORD_PRICE_SQL,
     "k_anonymity_audit": K_ANONYMITY_SQL,
+    "gini_revenue_concentration": GINI_REVENUE_SQL,
     "seasonal_decompose_daily": SEASONAL_DECOMPOSE_SQL,
     "pareto_orders": PARETO_ORDERS_SQL,
     "peak_concurrent_sessions": PEAK_CONCURRENT_SQL,
