@@ -938,3 +938,37 @@ def test_triage_negative_key_is_not_padding(ray_session):
             rd.from_pandas(pd.DataFrame({"k": ["s"], "constraint_name": ["a"], "col_name": ["x"]})),
             ["k"],
         ).head()
+
+
+def test_csv_round_trip_numeric_looking_strings(tmp_path, ray_session):
+    """A constraint/column literally named '2020' must round-trip the CSV
+    as a STRING (pd.read_csv would otherwise re-parse it as int64)."""
+    import os
+
+    import pyarrow as pa
+    import pyarrow.parquet as pq
+
+    from xmlschema_ray.engine.formatters import get_formatter
+
+    d = str(tmp_path / "violations")
+    os.makedirs(d)
+    pq.write_table(
+        pa.table(
+            {
+                "partition_id": pa.array([0], pa.int32()),
+                "key": pa.array(["7"], pa.string()),
+                "constraint_name": pa.array(["2020"], pa.string()),
+                "column": pa.array(["2020"], pa.string()),
+                "reason": pa.array(["42"], pa.string()),
+                "value_repr": pa.array(["1e3"], pa.string()),
+            }
+        ),
+        d + "/part-0.parquet",
+    )
+    fmt = get_formatter("csv")
+    out = str(tmp_path / "v.csv")
+    fmt.writer(d, out)
+    back = fmt.reader(out)
+    assert back["constraint_name"].tolist() == ["2020"]
+    assert str(back["constraint_name"].dtype) == "object"
+    assert back["column"].tolist() == ["2020"] and back["reason"].tolist() == ["42"]

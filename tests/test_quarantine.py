@@ -92,3 +92,76 @@ def test_quarantine_excludes_warning_severity(tmp_path, ray_session):
     assert set(q["doc_id"].astype(str)) == set(hard["key"])
     # the demoted rows are warnings, not quarantined
     assert res.n_warnings > 0
+
+
+def test_quarantine_matches_timestamp_and_bool_keys(tmp_path, ray_session):
+    """Key rendering must be the VALIDATOR's (_key_strings: Python str(),
+    nulls -> '') — an Arrow cast renders bool/whole-second-timestamp keys
+    differently and every violating row silently leaks into clean."""
+    import numpy as np
+    import pyarrow as pa
+    import pyarrow.parquet as pq
+
+    from xmlschema_ray import ValidationEngine
+    from xmlschema_ray.constraints import facets as F
+    from xmlschema_ray.constraints.spec import ColumnSpec, TableConstraints
+
+    d = str(tmp_path / "facts")
+    import os
+
+    os.makedirs(d)
+    ts = lambda s: np.datetime64(s, "us")
+    pq.write_table(
+        pa.table(
+            {
+                "k_ts": pa.array([ts("2020-01-01"), ts("2020-01-02")], pa.timestamp("us")),
+                "k_b": pa.array([True, False]),
+                "x": pa.array([99.0, 1.0]),  # first row violates
+            }
+        ),
+        d + "/p0.parquet",
+    )
+    spec = TableConstraints(
+        name="t",
+        columns=[
+            ColumnSpec("k_ts", pa.timestamp("us")),
+            ColumnSpec("k_b", pa.bool_()),
+            ColumnSpec("x", pa.float64(), facets=(F.MaxInclusive(10.0),)),
+        ],
+        key_columns=("k_ts", "k_b"),
+    )
+    res = ValidationEngine(spec, n_shards=1).run(
+        d,
+        str(tmp_path / "out"),
+        dims={},
+        quarantine_out=str(tmp_path / "q"),
+        clean_out=str(tmp_path / "cl"),
+        resume=False,
+    )
+    assert res.job_validity == "invalid"
+    q = _read_dir(str(tmp_path / "q"))
+    cl = _read_dir(str(tmp_path / "cl"))
+    # the violating timestamp/bool-keyed row is QUARANTINED, not leaked
+    assert len(q) == 1 and float(q["x"].iloc[0]) == 99.0
+    assert len(cl) == 1 and float(cl["x"].iloc[0]) == 1.0
+
+
+def test_quarantine_refuses_missing_key_column(tmp_path, ray_session):
+    import pyarrow as pa
+    import pyarrow.parquet as pq
+
+    from xmlschema_ray.engine.encode import quarantine_split
+    from xmlschema_ray.constraints.spec import ColumnSpec, TableConstraints
+
+    d = str(tmp_path / "facts")
+    import os
+
+    os.makedirs(d)
+    pq.write_table(pa.table({"x": pa.array([1.0])}), d + "/p0.parquet")
+    spec = TableConstraints(
+        name="t",
+        columns=[ColumnSpec("id", pa.int64()), ColumnSpec("x", pa.float64())],
+        key_columns=("id",),
+    )
+    with pytest.raises(Exception, match="key column"):
+        quarantine_split(d, spec, ["1"], quarantine_out=str(tmp_path / "q"), resume=False)

@@ -103,3 +103,44 @@ def test_empty_rules_and_missing_files():
         range_audit("/tmp", [], ["k"])
     with pytest.raises(ValueError, match="no parquet files"):
         range_audit("/tmp/definitely_not_a_dir_xyz", [RangeRule("x")], ["k"])
+
+
+def test_audit_schema_generation_missing_column(tmp_path, ray_session):
+    """A suspect file LACKING the audited column must not crash (or
+    null-fill) the scan: column-absent ⇒ all null ⇒ range-exempt, proven
+    clean from the schema alone; the other generation still scans."""
+    import pyarrow as pa
+    import pyarrow.parquet as pq
+
+    from xmlschema_ray.engine.audit import RangeRule, range_audit
+
+    d = str(tmp_path / "c")
+    import os
+
+    os.makedirs(d)
+    # file sorting adversarially puts the columnless file FIRST
+    pq.write_table(pa.table({"id": pa.array([1, 2], pa.int64())}), d + "/a.parquet")
+    pq.write_table(
+        pa.table({"id": pa.array([3, 4], pa.int64()), "v": pa.array([5, 99], pa.int64())}),
+        d + "/b.parquet",
+    )
+    viol, report = range_audit(d, [RangeRule("v", lo=0, hi=10)], ["id"])
+    assert viol["id"].tolist() == [4] and viol["value_int"].tolist() == [99]
+    # the columnless file is PRUNED by schema proof, never scanned
+    assert report["n_pruned"] == 1 and report["n_scanned"] == 1
+
+
+def test_audit_refuses_missing_key_column(tmp_path, ray_session):
+    import pyarrow as pa
+    import pyarrow.parquet as pq
+    import pytest as _pt
+
+    from xmlschema_ray.engine.audit import RangeRule, range_audit
+
+    d = str(tmp_path / "c")
+    import os
+
+    os.makedirs(d)
+    pq.write_table(pa.table({"v": pa.array([99], pa.int64())}), d + "/a.parquet")
+    with _pt.raises(ValueError, match="key column"):
+        range_audit(d, [RangeRule("v", lo=0, hi=10)], ["id"])

@@ -66,7 +66,7 @@ class RangeRule:
         return f"{self.column}.range"
 
 
-def _to_int64(v, unit_hint: Optional[str] = None) -> int:
+def _to_int64(v) -> int:
     """Normalize a bound or a footer statistic to comparable int64:
     timestamps → epoch µs, ints pass through. Raises on floats —
     callers gate dtypes before getting here."""
@@ -96,10 +96,18 @@ def _list_parquet(source: Union[str, Sequence[str]]) -> List[str]:
     return sorted(out)
 
 
-def _footer_verdicts(paths_batch: pd.DataFrame, rules: Tuple[RangeRule, ...]) -> pd.DataFrame:
+def _footer_verdicts(
+    paths_batch: pd.DataFrame,
+    rules: Tuple[RangeRule, ...],
+    key_columns: Tuple[str, ...] = (),
+) -> pd.DataFrame:
     """Per-file footer-only classification (runs distributed, one row
     per file in, one out): clean=True iff EVERY rule is proven by
-    trusted statistics across ALL row groups."""
+    trusted statistics across ALL row groups. Also emits the file's
+    present rule columns (``rule_cols``) so the scan stage can read each
+    schema generation with ITS OWN column list — a suspect file missing
+    a rule's column must not crash (or silently null-fill) the shared
+    read."""
     import pyarrow.parquet as pq
 
     out = []
@@ -109,8 +117,10 @@ def _footer_verdicts(paths_batch: pd.DataFrame, rules: Tuple[RangeRule, ...]) ->
         clean = True
         for rule in rules:
             if rule.column not in names:
-                clean = False
-                break
+                # absent column ⇒ every value null ⇒ range-exempt (facet
+                # convention): PROVEN clean for this rule from the schema
+                # alone — the strongest form of metadata proof
+                continue
             j = names.index(rule.column)
             phys = md.schema.column(j).physical_type
             if phys in ("FLOAT", "DOUBLE"):
@@ -136,7 +146,15 @@ def _footer_verdicts(paths_batch: pd.DataFrame, rules: Tuple[RangeRule, ...]) ->
             if not proven:
                 clean = False
                 break
-        out.append({"path": path, "clean": clean})
+        missing_keys = [k for k in key_columns if k not in names]
+        out.append(
+            {
+                "path": path,
+                "clean": clean,
+                "rule_cols": ",".join(sorted({r.column for r in rules} & set(names))),
+                "missing_keys": ",".join(missing_keys),
+            }
+        )
     return pd.DataFrame(out)
 
 
@@ -167,19 +185,29 @@ def range_audit(
     if not paths:
         raise ValueError(f"no parquet files under {source!r}")
 
+    kc_tuple = tuple(key_columns)
     verdicts = (
         rd.from_items([{"path": p} for p in paths])
         .map_batches(
-            lambda b, rules=rules: _footer_verdicts(b, rules), batch_format="pandas"
+            lambda b, rules=rules: _footer_verdicts(b, rules, kc_tuple),
+            batch_format="pandas",
         )
         .to_pandas()
     )
-    suspect = sorted(verdicts.loc[~verdicts["clean"], "path"])
+    suspects_df = verdicts.loc[~verdicts["clean"]]
+    suspect = sorted(suspects_df["path"])
     report = {
         "n_files": len(paths),
         "n_pruned": len(paths) - len(suspect),
         "n_scanned": len(suspect),
     }
+    bad_keys = suspects_df.loc[suspects_df["missing_keys"] != ""]
+    if len(bad_keys):
+        raise ValueError(
+            "range_audit: suspect file(s) lack key column(s) "
+            f"{sorted(set(bad_keys['missing_keys']))} — violation identity "
+            f"cannot be emitted (e.g. {bad_keys['path'].iloc[0]!r})"
+        )
 
     empty = pd.DataFrame(
         {
@@ -191,11 +219,11 @@ def range_audit(
     if not suspect:
         return empty, report
 
-    need = sorted(set(key_columns) | {r.column for r in rules})
-
     def find(df: pd.DataFrame) -> pd.DataFrame:
         parts = []
         for rule in rules:
+            if rule.column not in df.columns:
+                continue  # absent ⇒ all null ⇒ range-exempt (schema proof)
             s = df[rule.column]
             ok = s.notna().to_numpy()
             if pd.api.types.is_datetime64_any_dtype(s.dtype):
@@ -229,9 +257,22 @@ def range_audit(
 
     from xmlschema_ray.ops.relational import to_pandas_with_schema
 
-    viol = to_pandas_with_schema(
-        rd.read_parquet(suspect, columns=need).map_batches(find, batch_format="pandas")
-    )
+    # one scan per SCHEMA GENERATION of the suspect set: files are grouped
+    # by which rule columns they carry so every read's column list exists
+    # in every file it touches (a shared read would crash — or silently
+    # null-fill, depending on which file sorts first)
+    frames = []
+    for rule_cols, grp in suspects_df.groupby("rule_cols", sort=True):
+        cols = sorted(set(key_columns) | set(filter(None, rule_cols.split(","))))
+        frames.append(
+            to_pandas_with_schema(
+                rd.read_parquet(sorted(grp["path"]), columns=cols).map_batches(
+                    find, batch_format="pandas"
+                )
+            )
+        )
+    nonempty = [f for f in frames if len(f)]
+    viol = pd.concat(nonempty, ignore_index=True) if nonempty else empty.copy()
     if viol.empty:
         return empty, report
     viol = (

@@ -51,6 +51,18 @@ def _per_constraint_counts(ds: "rd.Dataset | None", col: str) -> pd.DataFrame:
     return df
 
 
+def _distinct_pairs(ds: "rd.Dataset") -> "rd.Dataset":
+    """Distinct (constraint, key) pairs, MATERIALIZED once — each run's
+    set serves one direction's build side and the other's probe side, so
+    without this the same read+combiner would execute twice per run
+    (Ray datasets are lazy). Distinct pairs are delta-bounded in
+    practice; at worst violation-set-sized in the object store, never
+    on the driver."""
+    from xmlschema_ray.ops.relational import combiner_aggregate
+
+    return combiner_aggregate(ds, _KEY_COLS, {"c": (None, "count")}).materialize()
+
+
 def _key_except(left: "rd.Dataset | None", right: "rd.Dataset | None") -> pd.DataFrame:
     """Distinct (constraint, key) pairs present in ``left`` but not
     ``right`` — distributed anti-join, delta-sized output."""
@@ -65,7 +77,11 @@ def _key_except(left: "rd.Dataset | None", right: "rd.Dataset | None") -> pd.Dat
     )
     if left is None:
         return empty
-    ldist = combiner_aggregate(left, _KEY_COLS, {"c": (None, "count")})
+    # callers pass PRE-DISTINCT materialized pair sets (_distinct_pairs):
+    # each run's set serves one direction's build side and the other's
+    # probe side, so computing it here would re-run the read+combiner
+    # twice per run (Ray datasets are lazy)
+    ldist = left
     if right is None:
         out = to_pandas_with_schema(ldist)
         return (
@@ -73,7 +89,7 @@ def _key_except(left: "rd.Dataset | None", right: "rd.Dataset | None") -> pd.Dat
             if len(out)
             else empty
         )
-    rdist = combiner_aggregate(right, _KEY_COLS, {"c": (None, "count")})
+    rdist = right
 
     def tag_l(batch: pd.DataFrame) -> pd.DataFrame:
         return pd.DataFrame(
@@ -132,10 +148,12 @@ def diff_validation_runs(out_a: str, out_b: str) -> Dict[str, pd.DataFrame]:
     per = per.sort_values(
         ["delta", "constraint_name"], ascending=[False, True]
     ).reset_index(drop=True)
+    da = _distinct_pairs(a) if a is not None else None
+    db = _distinct_pairs(b) if b is not None else None
     return {
         "per_constraint": per,
-        "regressed": _key_except(b, a),
-        "fixed": _key_except(a, b),
+        "regressed": _key_except(db, da),
+        "fixed": _key_except(da, db),
     }
 
 

@@ -25,6 +25,24 @@ from xmlschema_ray.constraints import facets as F
 from xmlschema_ray.constraints.spec import TableConstraints
 
 
+def _resolve_parquet_files(source) -> list:
+    """Dir glob / single file / explicit sequence → sorted file list (the
+    one resolution rule for both encode entry points)."""
+    import glob as _glob
+
+    if isinstance(source, str):
+        files = (
+            sorted(_glob.glob(os.path.join(source, "*.parquet")))
+            if os.path.isdir(source)
+            else [source]
+        )
+    else:
+        files = sorted(source)
+    if not files:
+        raise FileNotFoundError(f"no parquet inputs under {source!r}")
+    return files
+
+
 def normalize_whitespace_array(col, policy: str):
     """XSD whiteSpace normalization as an Arrow kernel (reference
     ``validators/simple_types.py:310-328``): ``replace`` maps
@@ -100,30 +118,24 @@ def quarantine_split(
     a corpus-sized driver object. Each requested side is its own
     resumable pass (single-sink limitation, the stage-A note).
     """
-    import glob as _glob
-
     import numpy as np
     import ray
     import ray.data as rd
 
-    from xmlschema_ray.engine.row_validator import unique_key_column
+    from xmlschema_ray.engine.row_validator import _key_strings
     from xmlschema_ray.sources.sinks import chunk_files, resumable_write
 
     if quarantine_out is None and clean_out is None:
         raise ValueError("quarantine_split: pass quarantine_out and/or clean_out")
-    if isinstance(source, str):
-        files = (
-            sorted(_glob.glob(os.path.join(source, "*.parquet")))
-            if os.path.isdir(source)
-            else [source]
-        )
-    else:
-        files = sorted(source)
-    if not files:
-        raise FileNotFoundError(f"no parquet inputs under {source!r}")
+    files = _resolve_parquet_files(source)
 
     keys = np.asarray(list(violation_keys), dtype=object)
-    approx = int(sum(len(str(k)) for k in keys[: 100_000])) * max(1, len(keys) // 100_000)
+    # extrapolate the sampled bytes by the EXACT ratio — floor division
+    # underestimates up to 2x, which is exactly how a corpus-sized key set
+    # would sneak past the broadcast gate
+    n_sampled = min(len(keys), 100_000)
+    sample_bytes = int(sum(len(str(k)) for k in keys[:n_sampled]))
+    approx = int(sample_bytes * (len(keys) / n_sampled)) if n_sampled else 0
     if approx > broadcast_cap_bytes:
         raise ValueError(
             f"violation key set ~{approx >> 20} MiB exceeds the broadcast gate "
@@ -136,7 +148,19 @@ def quarantine_split(
 
     def make_side(keep_violating: bool):
         def split(batch: pa.Table) -> pa.Table:
-            kc = unique_key_column(batch, [c for c in key_cols if c in batch.column_names])
+            # IDENTICAL key rendering to the validator's violation identity
+            # (_key_strings: Python str(), nulls -> "") — an Arrow cast
+            # renders bool/timestamp/null key parts differently and the
+            # membership test would silently route violating rows to clean
+            missing = [c for c in key_cols if c not in batch.column_names]
+            if missing:
+                raise ValueError(
+                    f"quarantine_split: key column(s) {missing} absent from an "
+                    "input file — key identity cannot match the validator's "
+                    "(which prunes per shard); split the drifted files out first"
+                )
+            ks = _key_strings(batch, spec, np.arange(batch.num_rows, dtype=np.int64))
+            kc = pa.array(ks, pa.string())
             m = pc.is_in(kc, value_set=ray.get(key_ref))
             return batch.filter(m if keep_violating else pc.invert(m))
 
@@ -167,22 +191,11 @@ def normalize_rewrite(
     """Rewrite ``source`` (parquet dir/files) canonicalized under ``spec``
     into the resumable partitioned sink at ``out_dir``. Returns the sink's
     ``{"n_shards", "n_skipped", "n_rows"}`` manifest stats."""
-    import glob as _glob
-
     import ray.data as rd
 
     from xmlschema_ray.sources.sinks import chunk_files, resumable_write
 
-    if isinstance(source, str):
-        files = (
-            sorted(_glob.glob(os.path.join(source, "*.parquet")))
-            if os.path.isdir(source)
-            else [source]
-        )
-    else:
-        files = sorted(source)
-    if not files:
-        raise FileNotFoundError(f"no parquet inputs under {source!r}")
+    files = _resolve_parquet_files(source)
 
     def make_shard(shard_files) -> "rd.Dataset":
         return rd.read_parquet(list(shard_files)).map_batches(

@@ -162,7 +162,11 @@ def _write_csv(violations_dir: str, out_path: str) -> None:
 
 
 def _read_csv(path: str) -> pd.DataFrame:
-    df = pd.read_csv(path, dtype={"key": str, "value_repr": str}, keep_default_na=False)
+    # every string column forced str: a numeric-LOOKING constraint/column/
+    # reason (a column literally named "2020") must round-trip as the
+    # string the canonical frame carries, not re-parse as int64
+    str_cols = {c: str for c in _COLS if c != "partition_id"}
+    df = pd.read_csv(path, dtype=str_cols, keep_default_na=False)
     if not len(df):
         return pd.DataFrame(columns=_COLS)
     df["partition_id"] = df["partition_id"].astype("int32")
