@@ -204,3 +204,37 @@ def test_compact_refuses_unknown_hash(tmp_path, ray_session):
         json.dump(m, fh)
     with pytest.raises(ValueError, match="hash"):
         compact_bucketed(d0, rd.from_pandas(_feed_df([1], ["delete"], [0])), str(tmp_path / "x1"))
+
+
+def test_bucketed_join_refuses_unsupported_how_and_dtype_mismatch(ray_session, tmp_path):
+    import pandas as pd
+    import pytest as _pt
+    import ray.data as rd
+
+    from xmlschema_ray.sources.bucketed import bucketed_join, write_bucketed
+
+    l, r = str(tmp_path / "l"), str(tmp_path / "r")
+    write_bucketed(rd.from_pandas(pd.DataFrame({"k": [1, 2], "a": [1, 1]})), "k", l, 4)
+    write_bucketed(
+        rd.from_pandas(pd.DataFrame({"k": [1.0, 2.0], "b": [2, 2]})), "k", r, 4
+    )
+    with _pt.raises(ValueError, match="inner"):
+        bucketed_join(l, r, how="outer")
+    # int64 vs float64 key: equal values hash to different buckets
+    with _pt.raises(ValueError, match="dtype"):
+        bucketed_join(l, r)
+
+
+def test_write_bucketed_refuses_nothing_but_layouts_refuse_stale(ray_session, tmp_path):
+    import pandas as pd
+    import pytest as _pt
+    import ray.data as rd
+
+    from xmlschema_ray.sources.clustered import write_clustered
+
+    d = str(tmp_path / "c")
+    write_clustered(rd.from_pandas(pd.DataFrame({"k": [3, 1, 2]})), "k", d)
+    # a second build into the same dir would absorb the first build's
+    # files into the manifest as duplicated rows — refuse
+    with _pt.raises(ValueError, match="stale|FRESH"):
+        write_clustered(rd.from_pandas(pd.DataFrame({"k": [9]})), "k", d)

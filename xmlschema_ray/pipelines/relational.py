@@ -480,6 +480,11 @@ def clustered_price_band(
         # build into a tmp dir, publish by atomic rename (a concurrent
         # builder loses the rename and reuses the winner's layout)
         tmp = f"{cache}.build{os.getpid()}"
+        # a crashed same-pid build leaves stale parquet the layout
+        # writers now refuse — clear it before building
+        import shutil as _sh
+
+        _sh.rmtree(tmp, ignore_errors=True)
         write_clustered(orders.map_batches(to_c, batch_format="pandas"), "price_c", tmp)
         try:
             os.rename(tmp, cache)
@@ -542,6 +547,15 @@ def zordered_box_query(
             )
 
         tmp = f"{cache}.build{os.getpid()}"
+
+        # a crashed same-pid build leaves stale parquet the layout
+
+        # writers now refuse — clear it before building
+
+        import shutil as _sh
+
+
+        _sh.rmtree(tmp, ignore_errors=True)
         write_zordered(
             li.map_batches(to_c, batch_format="pandas"), "l_partkey", "l_suppkey", tmp
         )
@@ -637,6 +651,11 @@ def clustered_merge_revenue(sf_dir: str) -> pd.DataFrame:
             return
         ds = rd.read_parquet(table_path(sf_dir, table))
         tmp = f"{out_dir}.build{os.getpid()}"
+        # a crashed same-pid build leaves stale parquet the layout
+        # writers now refuse — clear it before building
+        import shutil as _sh
+
+        _sh.rmtree(tmp, ignore_errors=True)
         write_clustered(ds.map_batches(proj, batch_format="pandas"), key, tmp)
         os.makedirs(os.path.dirname(out_dir), exist_ok=True)
         try:
@@ -741,6 +760,15 @@ def bloom_index_custkey_lookup(sf_dir: str, modulus: int = 1009) -> pd.DataFrame
             )
 
         tmp = f"{data}.build{os.getpid()}"
+
+        # a crashed same-pid build leaves stale parquet the layout
+
+        # writers now refuse — clear it before building
+
+        import shutil as _sh
+
+
+        _sh.rmtree(tmp, ignore_errors=True)
         rd.read_parquet(
             table_path(sf_dir, "orders"), columns=["o_custkey", "o_totalprice"]
         ).map_batches(to_c, batch_format="pandas").repartition(16).write_parquet(tmp)
@@ -749,6 +777,11 @@ def bloom_index_custkey_lookup(sf_dir: str, modulus: int = 1009) -> pd.DataFrame
         except OSError:
             shutil.rmtree(tmp, ignore_errors=True)
         tmp = f"{idx}.build{os.getpid()}"
+        # a crashed same-pid build leaves stale parquet the layout
+        # writers now refuse — clear it before building
+        import shutil as _sh
+
+        _sh.rmtree(tmp, ignore_errors=True)
         build_bloom_index(data, "o_custkey", tmp)
         try:
             os.rename(tmp, idx)
@@ -822,6 +855,11 @@ def bucketed_join_revenue(sf_dir: str, num_buckets: int = 16) -> pd.DataFrame:
             if prep is not None:
                 ds = ds.map_batches(prep, batch_format="pandas")
             tmp = f"{cache}.build{os.getpid()}"
+            # a crashed same-pid build leaves stale parquet the layout
+            # writers now refuse — clear it before building
+            import shutil as _sh
+
+            _sh.rmtree(tmp, ignore_errors=True)
             write_bucketed(ds, key, tmp, num_buckets)
             try:
                 os.rename(tmp, cache)
@@ -3623,6 +3661,11 @@ def orders_compact_bucketed(sf_dir: str, num_buckets: int = 16) -> pd.DataFrame:
     if not os.path.exists(os.path.join(cache, BUCKET_MANIFEST)):
         ds = rd.read_parquet(table_path(sf_dir, "orders"), columns=cols)
         tmp = f"{cache}.build{os.getpid()}"
+        # a crashed same-pid build leaves stale parquet the layout
+        # writers now refuse — clear it before building
+        import shutil as _sh
+
+        _sh.rmtree(tmp, ignore_errors=True)
         write_bucketed(ds, "o_orderkey", tmp, num_buckets)
         try:
             os.rename(tmp, cache)
@@ -5082,6 +5125,15 @@ def evolved_union_orders(sf_dir: str) -> "rd.Dataset":
             return batch.filter(pc.equal(pc.bit_wise_and(batch["o_orderkey"], 1), 1))
 
         tmp = f"{root}.build{os.getpid()}"
+
+        # a crashed same-pid build leaves stale parquet the layout
+
+        # writers now refuse — clear it before building
+
+        import shutil as _sh
+
+
+        _sh.rmtree(tmp, ignore_errors=True)
         orders.map_batches(gen1_rows, batch_format="pyarrow").write_parquet(
             os.path.join(tmp, "gen1")
         )

@@ -1166,6 +1166,15 @@ def val_shipdate_audit(sf_dir: str) -> pd.DataFrame:
             )
 
         tmp = f"{cache}.build{os.getpid()}"
+
+        # a crashed same-pid build leaves stale parquet the layout
+
+        # writers now refuse — clear it before building
+
+        import shutil as _sh
+
+
+        _sh.rmtree(tmp, ignore_errors=True)
         write_clustered(li.map_batches(to_us, batch_format="pandas"), "ship_us", tmp)
         try:
             os.rename(tmp, cache)

@@ -87,6 +87,11 @@ def build_bloom_index(
     os.makedirs(index_dir, exist_ok=True)
     files = sorted(f for f in os.listdir(data_dir) if f.endswith(".parquet"))
 
+    # bit positions range over [0, m_bits) but the array holds m_bits // 8
+    # BYTES — a non-multiple-of-8 m_bits (e.g. the docstring's own ~10x
+    # distinct-keys sizing) would truncate the last partial byte and raise
+    # a data-dependent IndexError at build or probe; round UP instead
+    m_bits = (int(m_bits) + 7) & ~7
     def index_files(batch: pd.DataFrame) -> pd.DataFrame:
         rows = []
         for rel in batch["path"].tolist():

@@ -44,6 +44,26 @@ def bucket_of(values: np.ndarray, num_buckets: int) -> np.ndarray:
     return (hash64(np.asarray(values)) % np.uint64(num_buckets)).astype(np.int64)
 
 
+# one NORMALIZED name per logical type: the same key may surface as Arrow
+# "double" from a parquet-backed dataset or pandas "float64" from a
+# pandas-block dataset — a spelling difference must not fail the contract
+_DTYPE_NORM = {
+    "double": "float64",
+    "float": "float32",
+    "object": "string",
+    "large_string": "string",
+}
+
+
+def _key_dtype_of(ds: "rd.Dataset", key: str) -> str:
+    base = ds.schema().base_schema
+    if hasattr(base, "field"):  # Arrow schema
+        raw = str(base.field(key).type)
+    else:  # PandasBlockSchema: parallel names/types lists
+        raw = str(dict(zip(base.names, base.types))[key])
+    return _DTYPE_NORM.get(raw, raw)
+
+
 def write_bucketed(
     ds: "rd.Dataset", key: str, out_dir: str, num_buckets: int
 ) -> dict:
@@ -57,6 +77,10 @@ def write_bucketed(
     from xmlschema_ray.ops.relational import hash_partition_apply
 
     os.makedirs(out_dir, exist_ok=True)
+    # key dtype is part of the hash contract (hash64 of int64 vs float64
+    # bit patterns differ) — recorded so bucketed_join can refuse a
+    # mismatched pair instead of silently dropping matches
+    key_dtype = _key_dtype_of(ds, key)
 
     def write_bucket_rows(part: pd.DataFrame) -> pd.DataFrame:
         # one partition holds whole buckets (co-location guarantee);
@@ -92,6 +116,7 @@ def write_bucketed(
     )
     manifest = {
         "key": key,
+        "key_dtype": key_dtype,
         "num_buckets": int(num_buckets),
         "hash": HASH_TAG,
         "files": files,
@@ -237,6 +262,7 @@ def compact_bucketed(
         )
     manifest = {
         "key": key,
+        **({"key_dtype": m["key_dtype"]} if "key_dtype" in m else {}),
         "num_buckets": nb,
         "hash": HASH_TAG,
         "files": sorted(files, key=lambda r: (r["bucket"], r["path"])),
@@ -279,6 +305,10 @@ def bucketed_join(
     SUBSET of the true join, so the manifest check is the correctness
     boundary.
     """
+    if how not in ("inner", "left"):
+        # 'right'/'outer' would need right-only buckets the left-driven
+        # bucket walk never visits — refusing beats silently dropping them
+        raise ValueError(f"bucketed_join supports how='inner'|'left', got {how!r}")
     ml, mr = read_manifest(left_dir), read_manifest(right_dir)
     for field in ("num_buckets", "hash"):
         if ml[field] != mr[field]:
@@ -286,6 +316,16 @@ def bucketed_join(
                 f"bucketed_join: incompatible layouts ({field}: "
                 f"{ml[field]!r} != {mr[field]!r}) — rebucket one side"
             )
+    # key DTYPE is part of the hash contract: hash64 of int64 vs float64
+    # bit patterns differ, so equal values land in different buckets and
+    # the join silently returns a subset — refuse when both manifests
+    # carry the field and disagree (older manifests lack it)
+    lt, rt = ml.get("key_dtype"), mr.get("key_dtype")
+    if lt is not None and rt is not None and lt != rt:
+        raise ValueError(
+            f"bucketed_join: key dtype mismatch ({lt!r} vs {rt!r}) — equal "
+            "values hash to different buckets; rebucket one side"
+        )
     lk, rk = ml["key"], mr["key"]
 
     def join_bucket(batch: pd.DataFrame):
@@ -304,10 +344,15 @@ def bucketed_join(
                     ignore_index=True,
                 )
             else:
-                cols = columns_right or pq.read_schema(
+                # TYPED empty frame from the layout's own schema: all-object
+                # columns would diverge block schemas across buckets and
+                # break Arrow unification downstream
+                schema = pq.read_schema(
                     os.path.join(right_dir, mr["files"][0]["path"])
-                ).names
-                rf = pd.DataFrame({c: pd.Series([], dtype=object) for c in cols})
+                )
+                rf = schema.empty_table().to_pandas()
+                if columns_right:
+                    rf = rf[list(columns_right)]
             j = lf.merge(rf, left_on=lk, right_on=rk, how=how)
             yield fn(j) if fn is not None else j
 

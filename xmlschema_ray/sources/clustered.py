@@ -32,6 +32,43 @@ import ray.data as rd
 MANIFEST_NAME = "_zone_manifest.json"
 
 
+def stat_to_json(v):
+    """Footer statistic / user bound → JSON-safe, ORDER-PRESERVING value:
+    ints and strings pass through, datetime-likes become epoch-µs int64
+    (comparable with each other and with converted user bounds). Anything
+    else refuses loudly — BEFORE json.dump would crash after the sort and
+    write were already paid."""
+    import datetime
+
+    import numpy as np
+    import pandas as pd
+
+    if isinstance(v, bool) or v is None:
+        raise TypeError(f"zone-map statistic type {type(v).__name__} unsupported")
+    if isinstance(v, (int, np.integer)):
+        return int(v)
+    if isinstance(v, str):
+        return v
+    if isinstance(v, (np.datetime64, pd.Timestamp, datetime.datetime, datetime.date)):
+        return int(pd.Timestamp(v).value // 1000)
+    raise TypeError(f"zone-map statistic type {type(v).__name__} unsupported")
+
+
+def refuse_stale_parquet(out_dir: str) -> None:
+    """A layout write into a dir already holding parquet would absorb the
+    stale files into the manifest (listdir-based assembly) and a reader
+    would silently see duplicated rows — refuse instead; builders use
+    fresh build dirs and rename."""
+    if os.path.isdir(out_dir):
+        stale = [f for f in os.listdir(out_dir) if f.endswith(".parquet")]
+        if stale:
+            raise ValueError(
+                f"layout out_dir {out_dir!r} already holds {len(stale)} parquet "
+                "file(s) — a retry must build into a FRESH dir (stale files "
+                "would be absorbed into the manifest as duplicated rows)"
+            )
+
+
 def write_clustered(ds: "rd.Dataset", key: str, out_dir: str) -> dict:
     """Write ``ds`` range-clustered on ``key``: one global sort (Ray's
     sample-based range partition + local sort — the honest clustering
@@ -43,6 +80,7 @@ def write_clustered(ds: "rd.Dataset", key: str, out_dir: str) -> dict:
     the layout is complete — the same manifest-after-data discipline as
     the resumable sink.
     """
+    refuse_stale_parquet(out_dir)
     os.makedirs(out_dir, exist_ok=True)
     ds.sort(key).write_parquet(out_dir)
     files = sorted(
@@ -63,7 +101,14 @@ def write_clustered(ds: "rd.Dataset", key: str, out_dir: str) -> dict:
                 raise ValueError(f"no min/max stats for {key!r} in {f}")
             lo = st.min if lo is None else min(lo, st.min)
             hi = st.max if hi is None else max(hi, st.max)
-        zones.append({"path": os.path.basename(f), "min": lo, "max": hi, "rows": md.num_rows})
+        zones.append(
+            {
+                "path": os.path.basename(f),
+                "min": stat_to_json(lo),
+                "max": stat_to_json(hi),
+                "rows": md.num_rows,
+            }
+        )
     manifest = {"key": key, "files": zones}
     fd, tmp = tempfile.mkstemp(dir=out_dir, suffix=".tmp")
     with os.fdopen(fd, "w") as fh:
@@ -80,6 +125,10 @@ def prune_files(
     n_total_files) so callers/tests can assert pruning actually happened."""
     with open(os.path.join(out_dir, MANIFEST_NAME)) as fh:
         manifest = json.load(fh)
+    # user bounds normalize through the SAME mapping the manifest stats
+    # took (datetime → epoch µs), so comparisons never mix types
+    lo = stat_to_json(lo) if lo is not None else None
+    hi = stat_to_json(hi) if hi is not None else None
     keep = []
     for z in manifest["files"]:
         if lo is not None and z["max"] < lo:

@@ -57,7 +57,9 @@ def resumable_write(
         manifest.append(
             ckpt.ShardRecord(
                 partition_id=pid,
-                input_files=[shard] if isinstance(shard, str) else list(map(str, shard)),
+                input_files=[str(shard)]
+                if isinstance(shard, (str, int))
+                else list(map(str, shard)),
                 n_rows=rows,
                 n_violations=0,
                 wall_sec=round(time.time() - t0, 3),
@@ -70,6 +72,8 @@ def resumable_write(
 def chunk_files(files: List[str], n_shards: int) -> List[List[str]]:
     """Deterministic file→shard chunking (sorted input, contiguous
     slices) — the same rule the engine uses, exposed for sink callers."""
+    if not files:
+        return []
     files = sorted(files)
     n_shards = max(1, min(n_shards, len(files)))
     per = (len(files) + n_shards - 1) // n_shards

@@ -51,7 +51,9 @@ def write_zordered(ds: "rd.Dataset", x: str, y: str, out_dir: str) -> dict:
     rename) so its presence implies the layout is complete."""
     from xmlschema_ray.ops.relational import combiner_aggregate, to_pandas_with_schema
     from xmlschema_ray.pipelines.relational import morton_zvalue
+    from xmlschema_ray.sources.clustered import refuse_stale_parquet
 
+    refuse_stale_parquet(out_dir)
     os.makedirs(out_dir, exist_ok=True)
 
     def tag(batch: pd.DataFrame) -> pd.DataFrame:
@@ -84,11 +86,26 @@ def write_zordered(ds: "rd.Dataset", x: str, y: str, out_dir: str) -> dict:
     spanx = max(1, mxx - mnx)
     spany = max(1, mxy - mny)
 
+    # (v - mn) * 65535 wraps int64 past this span and the sort interleaves
+    # rows essentially randomly (rects then cover the whole domain and
+    # pruning silently degrades to a full scan) — wide spans take a
+    # float64 mapping instead: still deterministic, and the manifests are
+    # built from the WRITTEN data so pruning stays exact either way
+    max_exact_span = (2**63 - 1) // 65535
+
+    def _norm16(v: np.ndarray, mn: int, span: int) -> np.ndarray:
+        d = v - mn
+        if span <= max_exact_span:
+            return d * 65535 // span
+        return np.minimum(
+            (d.astype(np.float64) * (65535.0 / span)).astype(np.int64), 65535
+        )
+
     def add_z(batch: pd.DataFrame) -> pd.DataFrame:
         xv = batch[x].to_numpy(np.int64)
         yv = batch[y].to_numpy(np.int64)
-        nx = (xv - mnx) * 65535 // spanx
-        ny = (yv - mny) * 65535 // spany
+        nx = _norm16(xv, mnx, spanx)
+        ny = _norm16(yv, mny, spany)
         out = batch.copy()
         out[_ZCOL] = morton_zvalue(nx, ny)
         return out
@@ -121,8 +138,10 @@ def write_zordered(ds: "rd.Dataset", x: str, y: str, out_dir: str) -> dict:
                     raise ValueError(f"no min/max stats for {col!r} in {f}")
                 lo = st.min if lo is None else min(lo, st.min)
                 hi = st.max if hi is None else max(hi, st.max)
-            rect[f"min_{dim}"] = lo
-            rect[f"max_{dim}"] = hi
+            from xmlschema_ray.sources.clustered import stat_to_json
+
+            rect[f"min_{dim}"] = stat_to_json(lo)
+            rect[f"max_{dim}"] = stat_to_json(hi)
         zones.append({"path": os.path.basename(f), "rows": md.num_rows, **rect})
     manifest = {"x": x, "y": y, "files": zones}
     fd, tmp = tempfile.mkstemp(dir=out_dir, suffix=".tmp")
