@@ -764,3 +764,81 @@ def test_melt_dataset_refuses_name_collision(ray_session):
     ds = rd.from_pandas(pd.DataFrame({"measure": [1], "a": [2], "b": [3]}))
     with _pt.raises(ValueError, match="collide"):
         melt_dataset(ds, ["measure"], ["a", "b"])  # default var_name='measure'
+
+
+def test_combiner_mean_and_count_null_semantics(ray_session):
+    import numpy as np
+    import pandas as pd
+
+    from xmlschema_ray.ops.relational import combiner_aggregate
+
+    df = pd.DataFrame({"k": [1, 1, 1, 2], "x": [1.0, 3.0, np.nan, 5.0]})
+    out = (
+        combiner_aggregate(
+            rd.from_pandas(df),
+            "k",
+            {"m": ("x", "mean"), "c_col": ("x", "count"), "c_star": (None, "count")},
+        )
+        .to_pandas()
+        .sort_values("k")
+        .reset_index(drop=True)
+    )
+    # SQL semantics: AVG skips nulls; COUNT(col) counts non-null; COUNT(*) rows
+    assert out["m"].tolist() == [2.0, 5.0]
+    assert out["c_col"].tolist() == [2, 1]
+    assert out["c_star"].tolist() == [3, 1]
+
+
+def test_hash_bucket_join_null_key_sql_semantics(ray_session):
+    import numpy as np
+    import pandas as pd
+
+    from xmlschema_ray.ops.relational import hash_bucket_join, to_pandas_with_schema
+
+    l = pd.DataFrame({"k": [1.0, np.nan, 2.0], "a": [10, 20, 30]})
+    r = pd.DataFrame({"rk": [1.0, np.nan], "b": [100, 200]})
+    inner = to_pandas_with_schema(
+        hash_bucket_join(rd.from_pandas(l), rd.from_pandas(r), "k", "rk")
+    )
+    # SQL: null never matches null — exactly one row (k=1)
+    assert len(inner) == 1 and int(inner["b"].iloc[0]) == 100
+    left = to_pandas_with_schema(
+        hash_bucket_join(rd.from_pandas(l), rd.from_pandas(r), "k", "rk", how="left")
+    ).sort_values("a")
+    # left keeps the null-key probe row UNMATCHED
+    assert len(left) == 3
+    assert np.isnan(left.loc[left["a"] == 20, "b"].iloc[0])
+
+
+def test_stable_hash_copartition_mixed_dtype_batches(ray_session):
+    import numpy as np
+    import pandas as pd
+
+    from xmlschema_ray.ops.relational import combiner_aggregate
+
+    # two blocks: one carries the key as float64 (null-bearing), one as
+    # int64 — the same logical key 7 must land in ONE partition and fold
+    # to ONE output row
+    b1 = pd.DataFrame({"k": pd.array([7.0, np.nan], dtype="float64"), "x": [1, 1]})
+    b2 = pd.DataFrame({"k": pd.array([7, 8], dtype="int64"), "x": [1, 1]})
+    out = (
+        combiner_aggregate(rd.from_pandas([b1, b2]), "k", {"n": (None, "count")})
+        .to_pandas()
+        .sort_values("k")
+        .reset_index(drop=True)
+    )
+    by_key = {k: n for k, n in zip(out["k"], out["n"]) if not pd.isna(k)}
+    assert by_key[7.0] == 2, out  # one row for key 7, count 2 — not split
+    assert by_key[8.0] == 1
+
+
+def test_bloom_dtype_stable_no_false_negatives(ray_session):
+    import numpy as np
+
+    from xmlschema_ray.ops.bloom import BloomFilter
+
+    f = BloomFilter(m_bits=1 << 12, n_hashes=5)
+    # build from a null-bearing (float64) spelling; probe as int64
+    f.add_many(np.array([7.0, 8.0, np.nan]))
+    got = f.contains_many(np.array([7, 8, 9], dtype=np.int64))
+    assert bool(got[0]) and bool(got[1])  # no false negatives

@@ -36,9 +36,20 @@ _HLL_M = 1 << HLL_P
 
 
 def hash64(values: np.ndarray) -> np.ndarray:
-    """Deterministic vectorized 64-bit hash of an object/numeric array."""
+    """Deterministic vectorized 64-bit hash of an object/numeric array.
+
+    Integer/bool inputs hash through their FLOAT64 spelling so a
+    null-bearing batch's float64 representation of the same logical value
+    hashes identically (Ray's pandas conversion turns nullable int64
+    batches float64 — without this, one key's rows would split across
+    buckets/partitions/filters). Values past 2^53 can collide after the
+    cast, which is safe at every call site by the repo's two-phase
+    discipline: hash collisions only create false candidates or
+    co-residents, never false results."""
     if values.dtype.kind in ("U", "S"):
         values = values.astype(object)
+    elif values.dtype.kind in ("i", "u", "b"):
+        values = values.astype(np.float64)
     return pd.util.hash_array(values, categorize=False)
 
 

@@ -60,6 +60,15 @@ def _hashes(values: np.ndarray) -> tuple:
     """
     if values.dtype.kind in ("U", "S"):
         values = values.astype(object)
+    elif values.dtype.kind in ("i", "u", "b"):
+        # DTYPE-STABLE hashing: a null-bearing batch surfaces an int64 key
+        # as float64 under Ray's pandas conversion, and hash(int64 7) !=
+        # hash(float64 7.0) — the filter would then return a FALSE
+        # NEGATIVE for int-typed probes of float-built values, silently
+        # dropping join rows. Integers hash through their float64
+        # spelling; >2^53 collisions only add false positives, which the
+        # exact second phase already absorbs.
+        values = values.astype(np.float64)
     h1 = pd.util.hash_array(values, hash_key=_KEY1)
     h2 = pd.util.hash_array(values, hash_key=_KEY2) | np.uint64(1)
     return h1, h2

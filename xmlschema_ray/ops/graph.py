@@ -174,7 +174,10 @@ def connected_components_joined(
             keys="node",
             aggs={"label": ("label", "min")},
             num_partitions=num_partitions,
-        )
+        ).materialize()
+        # materialized: merged feeds BOTH sides of the pointer-jump
+        # self-join below — lazy, the whole neighbor-join + combiner
+        # pipeline would re-execute twice per round
         # pointer jump: label[x] <- label[label[x]] (labels are monotone,
         # label[x] <= x, so the jumped label can only be <=)
         jumped = hash_bucket_join(

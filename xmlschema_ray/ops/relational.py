@@ -101,8 +101,12 @@ def broadcast_join(
     def join_fn(batch: pd.DataFrame) -> pd.DataFrame:
         sm = state.get("sm")
         if sm is None:
-            sm = state["sm"] = _as_pandas(ray.get(small_ref))
-        out = batch.merge(sm, how=how, left_on=left_on, right_on=right_on, suffixes=("", suffix))
+            sm = _as_pandas(ray.get(small_ref))
+            # SQL null semantics: pandas merge pairs NaN keys with NaN
+            # keys; no SQL engine does — null build keys never match
+            sm = state["sm"] = sm[sm[right_on].notna()]
+        lf = batch[batch[left_on].notna()] if how == "inner" else batch
+        out = lf.merge(sm, how=how, left_on=left_on, right_on=right_on, suffixes=("", suffix))
         if left_on != right_on and right_on in out.columns:
             out = out.drop(columns=[right_on])
         return out
@@ -200,6 +204,24 @@ def asof_join_broadcast(
     return ds.map_batches(asof_fn, batch_format="pandas", batch_size=batch_size)
 
 
+def stable_key_hash(df: "pd.DataFrame | pd.Series") -> np.ndarray:
+    """Partition hash that is DTYPE-STABLE across Ray's pandas conversion:
+    a null-bearing batch surfaces an int64 key as float64, and
+    ``hash_pandas_object(int64 7) != hash(float64 7.0)`` — one key's rows
+    would otherwise land in DIFFERENT partitions, silently breaking the
+    co-location guarantee every exchange here relies on (duplicate
+    combiner output rows, missed join matches). Integer and bool columns
+    hash through their float64 spelling; values past 2^53 can then
+    collide, which only CO-LOCATES extra keys — it can never split one.
+    """
+    if isinstance(df, pd.Series):
+        df = df.to_frame()
+    cast = {c: np.float64 for c in df.columns if df[c].dtype.kind in ("i", "u", "b")}
+    if cast:
+        df = df.astype(cast)
+    return pd.util.hash_pandas_object(df, index=False).to_numpy()
+
+
 def copartition_apply(
     left: rd.Dataset,
     right: rd.Dataset,
@@ -231,7 +253,12 @@ def copartition_apply(
     rschema = right.schema().base_schema
     lcols = list(lschema.names)
     rcols_out = [c for c in rschema.names if c != right_key]
-    overlap = (set(lcols) & set(rschema.names)) - {left_key}
+    # exempt the key name only when both sides genuinely SHARE it (same
+    # join-column name): with distinct key names, a right-side payload
+    # column named like left_key would build a duplicate field in the
+    # unified schema and die much later in the shuffle
+    exempt = {left_key} if right_key == left_key else set()
+    overlap = (set(lcols) & set(rschema.names)) - exempt
     if overlap:
         raise ValueError(f"copartition_apply: overlapping non-key columns {sorted(overlap)}")
     key_type = lschema.field(left_key).type
@@ -269,7 +296,7 @@ def copartition_apply(
     # float64 and silently lose precision past 2^53) — each side converts to
     # pandas only AFTER its padded columns are dropped.
     def add_part(batch: pa.Table) -> pa.Table:
-        h = pd.util.hash_pandas_object(batch[left_key].to_pandas(), index=False).to_numpy()
+        h = stable_key_hash(batch[left_key].to_pandas())
         part = (h % np.uint64(num_partitions)).astype(np.int64)
         return batch.append_column("__part", pa.array(part))
 
@@ -328,6 +355,16 @@ def hash_bucket_join(
     assert how in ("inner", "left")
 
     def merge(lf: pd.DataFrame, rf: pd.DataFrame) -> pd.DataFrame:
+        # SQL null semantics: a NULL key matches NOTHING — pandas merge
+        # pairs NaN with NaN (a cross product of the null keys no SQL
+        # engine emits). Null build keys always drop; null probe keys drop
+        # for inner (they cannot match) and survive unmatched for left.
+        # (Filtered here, inside the partition, rather than as an extra
+        # dataset map: chaining a map over fully-empty upstream blocks
+        # collapses Ray's schema inference to None.)
+        rf = rf[rf[right_on].notna()]
+        if how == "inner":
+            lf = lf[lf[left_on].notna()]
         out = lf.merge(rf, how=how, left_on=left_on, right_on=right_on)
         if left_on != right_on and right_on in out.columns:
             out = out.drop(columns=[right_on])
@@ -652,7 +689,7 @@ def hash_partition_apply(
         num_partitions = derive_num_partitions()
 
     def add_part(batch: pd.DataFrame) -> pd.DataFrame:
-        h = pd.util.hash_pandas_object(batch[keys], index=False).to_numpy()
+        h = stable_key_hash(batch[keys])
         batch = batch.copy(deep=False)
         batch["__part"] = (h % np.uint64(num_partitions)).astype(np.int64)
         return batch
@@ -682,7 +719,12 @@ def _make_partial_fn(keys: List[str], aggs: Dict[str, Tuple[Optional[str], str]]
         cols = {}
         for out_name, (col, kind) in aggs.items():
             if kind == "count":
-                cols[out_name] = gb.size()
+                # SQL semantics: (None, "count") is COUNT(*); (col, "count")
+                # is COUNT(col) — non-null only. gb.size() for a named
+                # column would count nulls, and since "mean" expands to
+                # sum+count partials it would divide a non-null sum by the
+                # total row count (silently wrong for nullable measures).
+                cols[out_name] = gb.size() if col is None else gb[col].count()
             else:
                 cols[out_name] = gb[col].agg(_PARTIAL_FUNCS[kind])
         return pd.DataFrame(cols).reset_index()

@@ -83,4 +83,11 @@ def seeded_embedding_sample(
     fits (k-means / IVF coarse quantizers) — the drop-in replacement for
     the old ``ds.limit(sample_size).to_pandas()`` first-N slice."""
     picked = seeded_sample_pandas(ds, key_col, [emb_col], sample_size, seed=seed)
+    if not len(picked):
+        # np.stack of nothing raises "need at least one array to stack"
+        # from deep inside numpy — name the real cause instead
+        raise ValueError(
+            "seeded_embedding_sample: corpus is empty (no rows to sample) — "
+            "a model fit needs at least one embedding"
+        )
     return np.stack(picked[emb_col].to_numpy()).astype(np.float64)

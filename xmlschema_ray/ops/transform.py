@@ -109,12 +109,12 @@ def melt_dataset(
         names = list(id_cols) + [var_name, value_name]
         parts = []
         for c in value_cols:
-            # constant label as a 1-entry dictionary (8 bytes/row, not a
-            # materialized string per row), cast to plain string on emit
+            # constant label materialized as a plain string column (a
+            # dictionary array would surface as pandas Categorical at the
+            # consumer and break dtype-strict compares); short column-name
+            # strings make this a minor cost per batch
             label = (
-                pa.DictionaryArray.from_arrays(
-                    pa.array([0] * batch.num_rows, type=pa.int32()), pa.array([c])
-                ).cast(pa.string())
+                pa.nulls(batch.num_rows, pa.string()).fill_null(c)
                 if batch.num_rows
                 else pa.array([], type=pa.string())
             )

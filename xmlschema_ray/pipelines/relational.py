@@ -4816,7 +4816,7 @@ def grouped_mode(
     """
     from xmlschema_ray.ops.relational import hash_partition_apply
 
-    counts = combiner_aggregate(ds, [key, value], {out_count: (value, "count")})
+    counts = combiner_aggregate(ds, [key, value], {out_count: (None, "count")})
 
     def pick(g: pd.DataFrame) -> pd.DataFrame:
         g = g.sort_values(

@@ -33,7 +33,9 @@ import pyarrow.parquet as pq
 import ray.data as rd
 
 BUCKET_MANIFEST = "_bucket_manifest.json"
-HASH_TAG = "pd_hash_array_v1"  # identifies the bucket fn; must match to join
+HASH_TAG = "pd_hash_array_v2"  # identifies the bucket fn; must match to join
+# (v2: integer keys hash through their float64 spelling — dtype-stable
+# across null-bearing batches; v1 layouts must be rebuilt)
 
 
 def bucket_of(values: np.ndarray, num_buckets: int) -> np.ndarray:
@@ -130,7 +132,15 @@ def write_bucketed(
 
 def read_manifest(out_dir: str) -> dict:
     with open(os.path.join(out_dir, BUCKET_MANIFEST)) as fh:
-        return json.load(fh)
+        m = json.load(fh)
+    if m.get("hash") != HASH_TAG:
+        raise ValueError(
+            f"bucketed layout at {out_dir!r} was written with bucket hash "
+            f"{m.get('hash')!r}; this build implements {HASH_TAG!r} — "
+            "rebuild the layout (probing with a different hash would read "
+            "the wrong bucket and silently miss rows)"
+        )
+    return m
 
 
 def _bucket_paths(out_dir: str, manifest: dict, bucket: int) -> List[str]:
