@@ -124,3 +124,65 @@ def test_serde_round_trip_and_compat(ray_session):
 def test_same_validity_column_names_refused():
     with pytest.raises(SpecError, match="same column"):
         TemporalForeignKey("k", "ts", "vers", "k", dim_valid_from="x", dim_valid_to="x")
+
+
+def test_b5_key_identity_matches_stage_a(ray_session, tmp_path):
+    """Cross-stage KEY IDENTITY: B5 violation keys must render exactly like
+    stage A's _key_strings (Python str() over the SOURCE dtype). Pinned on
+    the two divergent families: a whole-second TIMESTAMP key (Arrow cast
+    would append '.000000') and a NULL-BEARING int64 key (the pandas
+    exchange surfaces it as float64 — '7.0' where stage A writes '7')."""
+    d = str(tmp_path / "facts")
+    os.makedirs(d, exist_ok=True)
+    facts = pa.table(
+        {
+            "kid": pa.array([7, None, 9], pa.int64()),       # null-bearing int key
+            "kts": pa.array(
+                [_ts("2024-03-01T12:00:00"), _ts("2024-03-02T00:00:00"), None],
+                pa.timestamp("us"),
+            ),
+            "k": pa.array([99, 10, 10], pa.int64()),          # 99 absent from dim
+            "ts": pa.array(
+                [_ts("2024-03-01"), _ts("2024-03-01"), _ts("2024-03-01")],
+                pa.timestamp("us"),
+            ),
+            "name": pa.array([None, "x", "y"], pa.string()),  # stage-A not_null hit row 0
+        }
+    )
+    pq.write_table(facts, os.path.join(d, "part0.parquet"))
+    dim = pa.table(
+        {
+            "k": pa.array([10], pa.int64()),
+            "valid_from": pa.array([_ts("2024-01-01")], pa.timestamp("us")),
+            "valid_to": pa.array([_ts("2024-07-01")], pa.timestamp("us")),
+        }
+    )
+    spec = TableConstraints(
+        name="tfk_keyid",
+        columns=[
+            ColumnSpec("kid", pa.int64(), nullable=True),
+            ColumnSpec("kts", pa.timestamp("us"), nullable=True),
+            ColumnSpec("k", pa.int64(), nullable=True),
+            ColumnSpec("ts", pa.timestamp("us"), nullable=True),
+            ColumnSpec("name", pa.string(), nullable=False),
+        ],
+        temporal_foreign_keys=[TemporalForeignKey("k", "ts", "vers", "k")],
+        key_columns=("kid", "kts"),
+    )
+    res = ValidationEngine(spec, n_shards=1).run(
+        d, out_dir=str(tmp_path / "out"), dims={"vers": dim}, resume=False
+    )
+    v = res.violations()
+    a_keys = set(v.loc[v["constraint_name"] == "name.not_null", "key"])
+    b5_keys = set(v.loc[v["constraint_name"] == "fk_k_to_vers", "key"])
+    if not b5_keys:  # constraint name differs per spec default; fall back
+        b5_keys = set(
+            v.loc[v["reason"].str.contains("not found|version covers"), "key"]
+        )
+    # row 0 violates BOTH stage A (null name) and B5 (k=99 absent): the key
+    # must be the SAME string in both stages — and the stage-A form
+    # (str(): '7', no '.0'; '2024-03-01 12:00:00', no '.000000')
+    assert a_keys == {"7|2024-03-01 12:00:00"}
+    assert "7|2024-03-01 12:00:00" in b5_keys
+    for key in b5_keys:
+        assert ".000000" not in key and not key.split("|")[0].endswith(".0")

@@ -390,6 +390,28 @@ class ValidationEngine:
 
         return fn
 
+    @staticmethod
+    def _key_types_of(files, cols) -> dict:
+        """Source Arrow types of the violation-key columns, from the first
+        file footer carrying each (schema-generation tolerant). B-stage
+        pandas kernels route violating key values back through these types
+        (``render_violation_keys``) so their rendered keys match stage A's
+        ``_key_strings`` identity byte-for-byte — the pandas exchange
+        alone would surface null-bearing int64 keys as float64 ('7.0' vs
+        stage A's '7')."""
+        out: dict = {}
+        for f in files:
+            try:
+                sch = pq.read_schema(f)
+            except Exception:
+                continue
+            for c in cols:
+                if c not in out and c in sch.names:
+                    out[c] = sch.field(c).type
+            if len(out) == len(cols):
+                break
+        return out
+
     def _deferred_fk_violations(
         self,
         source,
@@ -408,10 +430,11 @@ class ValidationEngine:
         new cases. NOTE: unlike stage A, this pass materializes every
         violating row (no per-batch cap applies) — a keyref failing
         corpus-wide should be run in stats_only first."""
-        from xmlschema_ray.engine.row_validator import unique_key_column
+        from xmlschema_ray.engine.row_validator import render_violation_keys
         from xmlschema_ray.ops.relational import combiner_aggregate, copartition_apply
 
         key_cols = [c for c in self.spec.key_columns]
+        key_types = self._key_types_of(source, key_cols)
         out_ds: Optional[rd.Dataset] = None
         pid_ref = ray.put(pid_of_file)
         for fk, dim_src in deferred:
@@ -446,7 +469,7 @@ class ValidationEngine:
             dim_keys = combiner_aggregate(dim_ds, fk.dim_key, {"n": (None, "count")})
 
             def shape(
-                lf: pd.DataFrame, rf: pd.DataFrame, fk=fk, col=col
+                lf: pd.DataFrame, rf: pd.DataFrame, fk=fk, col=col, key_types=key_types
             ) -> pd.DataFrame:
                 vals = lf[col]
                 bad = (~vals.isin(rf[fk.dim_key]) & vals.notna()).to_numpy()
@@ -456,9 +479,10 @@ class ValidationEngine:
                     ).astype({"partition_id": "int32"})
                 b = lf[bad]
                 pids = b["__pid"].to_numpy().astype("int32")
-                keys = unique_key_column(
-                    pa.Table.from_pandas(b[key_cols], preserve_index=False), key_cols
-                ).to_numpy(zero_copy_only=False)
+                # stage-A key identity (_key_strings): Python str() through
+                # the SOURCE dtypes, not an Arrow cast over the pandas
+                # round-trip
+                keys = render_violation_keys(b, key_cols, key_types)
                 # same short-repr formatting as stage A's format_values so
                 # both fk paths emit byte-identical rows
                 from xmlschema_ray.engine.row_validator import format_values
@@ -468,7 +492,7 @@ class ValidationEngine:
                 return pd.DataFrame(
                     {
                         "partition_id": pids,
-                        "key": keys.astype(object),
+                        "key": keys,
                         "constraint_name": fk.name,
                         "column": col,
                         "reason": f"value not found in {fk.dim_name}.{fk.dim_key}",
@@ -502,27 +526,46 @@ class ValidationEngine:
         nothing. Timestamps compare as epoch-µs int64. Like B2 this
         materializes every violating row (no per-batch cap) — run
         stats_only first on a corpus expected to fail wholesale."""
-        from xmlschema_ray.engine.row_validator import format_values, unique_key_column
+        from xmlschema_ray.engine.row_validator import (
+            format_values,
+            render_violation_keys,
+        )
         from xmlschema_ray.ops.relational import copartition_apply
 
-        def _epoch_i8(s: pd.Series) -> "tuple[np.ndarray, np.ndarray]":
-            """(values, valid mask) — datetime64 → epoch-µs int64; integer
-            dtypes stay EXACT int64 (raw epoch columns past 2^53 would
-            round at the half-open boundary through a float64 detour);
-            floats stay float64. Invalid (null/NaT) slots hold 0 under
-            the mask."""
+        def _epoch_i8(s: pd.Series) -> "tuple[np.ndarray, np.ndarray, bool]":
+            """(values, valid mask, exact flag) — datetime64 → epoch-µs
+            int64; integer dtypes stay EXACT int64 (raw epoch columns past
+            2^53 would round at the half-open boundary through a float64
+            detour); floats stay float64 (exact=False). Invalid (null/NaT)
+            slots hold 0 under the mask."""
             ok = s.notna().to_numpy()
             if pd.api.types.is_datetime64_any_dtype(s):
                 v = np.zeros(len(s), dtype=np.int64)
                 if ok.any():
                     v[ok] = s[ok].astype("datetime64[us]").astype("int64").to_numpy()
-                return v, ok
+                return v, ok, True
             if pd.api.types.is_integer_dtype(s):
-                return s.fillna(0).to_numpy(dtype=np.int64), ok
+                return s.fillna(0).to_numpy(dtype=np.int64), ok, True
             v = np.where(ok, s.to_numpy(dtype=np.float64, na_value=0.0), 0.0)
-            return v, ok
+            return v, ok, False
+
+        def _guard_mixed(vals: np.ndarray, ok: np.ndarray, exact: bool, mixed: bool, what: str):
+            """A mixed int64-vs-float64 containment compare promotes BOTH
+            sides to float64, silently re-rounding >2^53 integer epochs at
+            the half-open boundary — exactly what _epoch_i8's int64 path
+            exists to prevent. Refuse when the int side actually carries
+            such magnitudes; below 2^53 the promotion is exact and allowed
+            (a float dim bound probing an integer fact ts is legitimate)."""
+            if mixed and exact and ok.any() and np.abs(vals[ok]).max() > 2**53:
+                raise ValueError(
+                    f"temporal FK: {what} is int64 with magnitudes past 2^53 "
+                    "but the other side of the containment compare is float64 "
+                    "— the promoted compare would round at the boundary; use "
+                    "matching temporal dtypes for the fact ts and dim bounds"
+                )
 
         key_cols = [c for c in self.spec.key_columns]
+        key_types = self._key_types_of(source, key_cols)
         out_ds: Optional[rd.Dataset] = None
         pid_ref = ray.put(pid_of_file)
         for tfk in self.spec.temporal_foreign_keys:
@@ -565,7 +608,12 @@ class ValidationEngine:
             )
 
             def shape(
-                lf: pd.DataFrame, rf: pd.DataFrame, tfk=tfk, col=col, ts_col=ts_col
+                lf: pd.DataFrame,
+                rf: pd.DataFrame,
+                tfk=tfk,
+                col=col,
+                ts_col=ts_col,
+                key_types=key_types,
             ) -> pd.DataFrame:
                 empty = pd.DataFrame(
                     {f.name: pd.Series([], dtype=object) for f in VIOLATION_SCHEMA}
@@ -588,9 +636,13 @@ class ValidationEngine:
                 if len(m):
                     rows = m["__row"].to_numpy(np.int64)
                     has_key[np.unique(rows)] = True
-                    tsv, ts_ok = _epoch_i8(lf2[ts_col])
-                    vf, vf_ok = _epoch_i8(m["__vf"])
-                    vt, vt_ok = _epoch_i8(m["__vt"])
+                    tsv, ts_ok, ts_ex = _epoch_i8(lf2[ts_col])
+                    vf, vf_ok, vf_ex = _epoch_i8(m["__vf"])
+                    vt, vt_ok, vt_ex = _epoch_i8(m["__vt"])
+                    mixed = len({ts_ex, vf_ex, vt_ex}) > 1
+                    _guard_mixed(tsv, ts_ok, ts_ex, mixed, f"fact {ts_col}")
+                    _guard_mixed(vf, vf_ok, vf_ex, mixed, "dim valid_from")
+                    _guard_mixed(vt, vt_ok, vt_ex, mixed, "dim valid_to")
                     tv = tsv[rows]
                     cov = vf_ok & vt_ok & (vf <= tv) & (tv < vt) & ts_ok[rows]
                     if cov.any():
@@ -599,9 +651,8 @@ class ValidationEngine:
                 if not bad.any():
                     return empty
                 b = lf2[bad]
-                keys = unique_key_column(
-                    pa.Table.from_pandas(b[key_cols], preserve_index=False), key_cols
-                ).to_numpy(zero_copy_only=False)
+                # stage-A key identity (_key_strings via source dtypes)
+                keys = render_violation_keys(b, key_cols, key_types)
                 col_arr = pa.Array.from_pandas(b[col])
                 vreprs = format_values(col_arr, np.arange(len(b)))
                 reasons = np.where(
@@ -612,7 +663,7 @@ class ValidationEngine:
                 return pd.DataFrame(
                     {
                         "partition_id": b["__pid"].to_numpy().astype("int32"),
-                        "key": keys.astype(object),
+                        "key": keys,
                         "constraint_name": tfk.name,
                         "column": col,
                         "reason": reasons,
@@ -638,10 +689,14 @@ class ValidationEngine:
         row of each offending adjacent pair, shaped exactly like stage A
         rows (spec key identity, file-lineage partition attribution), so
         sinks and verdict roll-up need no new cases."""
-        from xmlschema_ray.engine.row_validator import format_values, unique_key_column
+        from xmlschema_ray.engine.row_validator import (
+            format_values,
+            render_violation_keys,
+        )
         from xmlschema_ray.ops.relational import hash_partition_apply
 
         key_cols = list(self.spec.key_columns)
+        key_types = self._key_types_of(source, key_cols)
         pid_ref = ray.put(pid_of_file)
         out_ds: Optional[rd.Dataset] = None
 
@@ -679,7 +734,7 @@ class ValidationEngine:
                 attach_pid, batch_format="pyarrow"
             )
 
-            def find_viols(part: pd.DataFrame, sc=sc) -> pd.DataFrame:
+            def find_viols(part: pd.DataFrame, sc=sc, key_types=key_types) -> pd.DataFrame:
                 p = part.sort_values(
                     list(sc.group_by) + list(sc.order_by), kind="mergesort"
                 ).reset_index(drop=True)
@@ -723,9 +778,8 @@ class ValidationEngine:
                         {f.name: pd.Series([], dtype=object) for f in VIOLATION_SCHEMA}
                     ).astype({"partition_id": "int32"})
                 b = p[bad]
-                keys = unique_key_column(
-                    pa.Table.from_pandas(b[key_cols], preserve_index=False), key_cols
-                ).to_numpy(zero_copy_only=False)
+                # stage-A key identity (_key_strings via source dtypes)
+                keys = render_violation_keys(b, key_cols, key_types)
                 vreprs = format_values(pa.Array.from_pandas(b[sc.column]), np.arange(len(b)))
                 if sc.kind == "max_gap":
                     gaps = (vals - prev)[bad]
@@ -749,7 +803,7 @@ class ValidationEngine:
                 return pd.DataFrame(
                     {
                         "partition_id": b["__pid"].to_numpy().astype("int32"),
-                        "key": keys.astype(object),
+                        "key": keys,
                         "constraint_name": sc.name,
                         "column": sc.column,
                         "reason": np.array(reasons, dtype=object),

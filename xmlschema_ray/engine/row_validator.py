@@ -239,6 +239,32 @@ def _key_strings(table: pa.Table, spec: TableConstraints, idx: np.ndarray) -> Li
     return ["|".join(t) for t in zip(*parts)]
 
 
+def render_violation_keys(df, key_cols, key_types=None) -> np.ndarray:
+    """Violation ``key`` rendering for B-stage PANDAS kernels, identical
+    to stage A's :func:`_key_strings` (Python ``str()``, nulls → '',
+    '|'-join) so every stage shares ONE key identity — bool keys render
+    'True' not 'true', whole-second timestamps without '.000000', and
+    key-based downstream tooling (diff_validation_runs, quarantine key
+    sets) matches across stages.
+
+    The pandas exchange loses the source dtype (a null-bearing int64
+    batch surfaces as float64, which would render 7 as '7.0' where stage
+    A writes '7'), so when ``key_types`` carries the SOURCE Arrow type
+    for a column, values are routed back through Arrow with that type
+    before formatting. ``df`` is violation-sized — the Python formatting
+    never touches the fact."""
+    parts: List[List[str]] = []
+    for c in key_cols:
+        arr = pa.Array.from_pandas(df[c])
+        want = (key_types or {}).get(c)
+        if want is not None and arr.type != want:
+            arr = arr.cast(want)
+        parts.append(["" if v is None else str(v) for v in arr.to_pylist()])
+    if len(parts) == 1:
+        return np.array(parts[0], dtype=object)
+    return np.array(["|".join(t) for t in zip(*parts)], dtype=object)
+
+
 class RowValidator:
     """Callable class for ``map_batches(RowValidator, batch_format="pyarrow",
     zero_copy_batch=True)``.

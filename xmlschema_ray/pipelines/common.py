@@ -100,3 +100,30 @@ def sorted_or_typed_empty(ds, keys, template=None, **sort_kwargs):
             return template
         return to_pandas_with_schema(m)
     return m.sort(keys, **sort_kwargs)
+
+
+def layout_cache_fresh(cache_dir: str, manifest_name: str, expected_tag: str) -> bool:
+    """True iff ``cache_dir`` holds a layout manifest whose hash tag
+    matches this build. A STALE tag (layout written under an older hash
+    version — e.g. the round-4 hash64/bucket-hash changes, round-5 bloom
+    v2) is DELETED here so the caller rebuilds: refusing at read time is
+    right for user-owned layouts, but a warm ``/tmp`` cache should
+    self-heal instead of surfacing the reader's ValueError on the first
+    post-upgrade run. Missing/corrupt manifests also wipe-and-return-False
+    (a half-built dir would trip the writers' stale-parquet refusal)."""
+    import json
+    import shutil
+
+    path = os.path.join(cache_dir, manifest_name)
+    if not os.path.exists(path):
+        shutil.rmtree(cache_dir, ignore_errors=True)
+        return False
+    try:
+        with open(path) as fh:
+            tag = json.load(fh).get("hash")
+    except (OSError, ValueError):
+        tag = None
+    if tag != expected_tag:
+        shutil.rmtree(cache_dir, ignore_errors=True)
+        return False
+    return True

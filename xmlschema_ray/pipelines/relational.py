@@ -25,7 +25,13 @@ import ray
 import ray.data as rd
 
 from xmlschema_ray.ops.relational import broadcast_join, combiner_aggregate, topk
-from xmlschema_ray.pipelines.common import cents, scaled_int, sorted_or_typed_empty, table_path
+from xmlschema_ray.pipelines.common import (
+    cents,
+    layout_cache_fresh,
+    scaled_int,
+    sorted_or_typed_empty,
+    table_path,
+)
 
 
 # -- q1: pricing summary (combiner aggregate; TPC-H Q1 shape) ------------
@@ -740,6 +746,7 @@ def bloom_index_custkey_lookup(sf_dir: str, modulus: int = 1009) -> pd.DataFrame
     from xmlschema_ray.ops.relational import combiner_aggregate, to_pandas_with_schema
     from xmlschema_ray.sources.bloomindex import (
         BLOOM_MANIFEST,
+        HASH_TAG as BLOOM_HASH_TAG,
         build_bloom_index,
         read_with_bloom,
     )
@@ -748,7 +755,11 @@ def bloom_index_custkey_lookup(sf_dir: str, modulus: int = 1009) -> pd.DataFrame
         "/tmp/xmlschema_ray_bloomidx", os.path.basename(os.path.normpath(sf_dir))
     )
     data, idx = os.path.join(root, "orders16"), os.path.join(root, "orders16_idx")
-    if not os.path.exists(os.path.join(idx, BLOOM_MANIFEST)):
+    # layout_cache_fresh wipes a stale-hash-tag index so the rebuild's
+    # os.rename lands (a stale idx dir would make the rename fail and the
+    # stale index would keep being probed — the exact false-negative class
+    # the v2 tag exists to prevent)
+    if not layout_cache_fresh(idx, BLOOM_MANIFEST, BLOOM_HASH_TAG):
         os.makedirs(root, exist_ok=True)
 
         def to_c(batch: pd.DataFrame) -> pd.DataFrame:
@@ -842,7 +853,12 @@ def bucketed_join_revenue(sf_dir: str, num_buckets: int = 16) -> pd.DataFrame:
     import os
 
     from xmlschema_ray.ops.relational import combiner_aggregate
-    from xmlschema_ray.sources.bucketed import BUCKET_MANIFEST, bucketed_join, write_bucketed
+    from xmlschema_ray.sources.bucketed import (
+        BUCKET_MANIFEST,
+        HASH_TAG as BUCKET_HASH_TAG,
+        bucketed_join,
+        write_bucketed,
+    )
 
     root = os.path.join(
         "/tmp/xmlschema_ray_bucketed", os.path.basename(os.path.normpath(sf_dir))
@@ -850,7 +866,9 @@ def bucketed_join_revenue(sf_dir: str, num_buckets: int = 16) -> pd.DataFrame:
 
     def ensure(table: str, key: str, cols, prep=None) -> str:
         cache = os.path.join(root, table)
-        if not os.path.exists(os.path.join(cache, BUCKET_MANIFEST)):
+        # self-heal a warm /tmp cache written under an older bucket hash
+        # (read_manifest would refuse it with ValueError otherwise)
+        if not layout_cache_fresh(cache, BUCKET_MANIFEST, BUCKET_HASH_TAG):
             ds = rd.read_parquet(table_path(sf_dir, table), columns=cols)
             if prep is not None:
                 ds = ds.map_batches(prep, batch_format="pandas")
@@ -3647,6 +3665,7 @@ def orders_compact_bucketed(sf_dir: str, num_buckets: int = 16) -> pd.DataFrame:
 
     from xmlschema_ray.sources.bucketed import (
         BUCKET_MANIFEST,
+        HASH_TAG as BUCKET_HASH_TAG,
         compact_bucketed,
         read_bucketed,
         write_bucketed,
@@ -3658,7 +3677,8 @@ def orders_compact_bucketed(sf_dir: str, num_buckets: int = 16) -> pd.DataFrame:
     os.makedirs(root, exist_ok=True)
     cache = os.path.join(root, "orders_kv")
     cols = ["o_orderkey", "o_totalprice"]
-    if not os.path.exists(os.path.join(cache, BUCKET_MANIFEST)):
+    # self-heal a warm /tmp cache written under an older bucket hash
+    if not layout_cache_fresh(cache, BUCKET_MANIFEST, BUCKET_HASH_TAG):
         ds = rd.read_parquet(table_path(sf_dir, "orders"), columns=cols)
         tmp = f"{cache}.build{os.getpid()}"
         # a crashed same-pid build leaves stale parquet the layout

@@ -44,7 +44,12 @@ import ray.data as rd
 
 BLOOM_MANIFEST = "_bloom_manifest.json"
 BLOOM_SIDECAR = "_bloom_filters.parquet"
-HASH_TAG = "hash64_kirsch_mitzenmacher_v1"
+# v2: hash64 integer hashing changed in round 4 (ints now hash via their
+# float64 spelling for dtype stability). A v1 sidecar probed with the v2
+# hash yields FALSE NEGATIVES — files containing probe values silently
+# pruned — so prune_bloom refuses v1 tags and forces a rebuild (same
+# convention as bucketed.py's HASH_TAG v2 bump).
+HASH_TAG = "hash64_kirsch_mitzenmacher_v2"
 
 
 def _norm_values(values) -> np.ndarray:

@@ -34,11 +34,13 @@ MANIFEST_NAME = "_zone_manifest.json"
 
 def stat_to_json(v):
     """Footer statistic / user bound → JSON-safe, ORDER-PRESERVING value:
-    ints and strings pass through, datetime-likes become epoch-µs int64
-    (comparable with each other and with converted user bounds). Anything
-    else refuses loudly — BEFORE json.dump would crash after the sort and
-    write were already paid."""
+    ints, FINITE floats and strings pass through, datetime-likes become
+    epoch-µs int64 (comparable with each other and with converted user
+    bounds). NaN/inf refuse (not order-preserving / not portable JSON), as
+    does anything else — loudly, BEFORE json.dump would crash after the
+    sort and write were already paid."""
     import datetime
+    import math
 
     import numpy as np
     import pandas as pd
@@ -47,6 +49,14 @@ def stat_to_json(v):
         raise TypeError(f"zone-map statistic type {type(v).__name__} unsupported")
     if isinstance(v, (int, np.integer)):
         return int(v)
+    if isinstance(v, (float, np.floating)):
+        # float keys are valid cluster/Z-order keys and float bounds may
+        # probe int zone maps: floats are JSON-serializable and compare
+        # order-preservingly against int stats
+        f = float(v)
+        if not math.isfinite(f):
+            raise TypeError("zone-map statistic is non-finite float (NaN/inf)")
+        return f
     if isinstance(v, str):
         return v
     if isinstance(v, (np.datetime64, pd.Timestamp, datetime.datetime, datetime.date)):
