@@ -122,3 +122,37 @@ def test_deferred_fk_identical_to_broadcast(tmp_path, ray_session):
     assert len(fkv) > 0
     # verdict counts fold the deferred findings identically
     pd.testing.assert_frame_equal(res_b.verdicts, res_d.verdicts)
+
+
+def test_gated_dim_collects_forced_distributed(ray_session):
+    """The TPC-H-shaped pipeline queries' dim-side collects are now
+    byte-gated: threshold=0 forces the semi_join_copartitioned /
+    except-style fallbacks, which must return results identical to the
+    broadcast plans (the val_fk_distributed pattern for pipelines/)."""
+    import pandas as pd
+
+    from xmlschema_ray.pipelines.relational import (
+        customers_without_recent_orders,
+        q3_top_orders,
+    )
+    from xmlschema_ray.pipelines.validation_queries import val_events_fk
+
+    sf = "/root/testdata/sf0.001"
+
+    a = q3_top_orders(sf)
+    b = q3_top_orders(sf, distributed_threshold_bytes=0)
+    pd.testing.assert_frame_equal(a, b)
+
+    a = customers_without_recent_orders(sf)
+    b = customers_without_recent_orders(sf, distributed_threshold_bytes=0)
+    pd.testing.assert_frame_equal(a, b)
+
+    cols = ["event_id", "user_id", "constraint_name"]
+    a = val_events_fk(sf).to_pandas()[cols].sort_values(cols).reset_index(drop=True)
+    b = (
+        val_events_fk(sf, distributed_threshold_bytes=0)
+        .to_pandas()[cols]
+        .sort_values(cols)
+        .reset_index(drop=True)
+    )
+    pd.testing.assert_frame_equal(a, b)

@@ -165,6 +165,37 @@ def anti_join(
     )
 
 
+def semi_join_copartitioned(
+    left: rd.Dataset,
+    right_keys: rd.Dataset,
+    on: str,
+    key: str,
+    keep_members: bool = True,
+    num_partitions: Optional[int] = None,
+) -> rd.Dataset:
+    """Distributed semi/anti membership join — the over-the-broadcast-gate
+    fallback for :func:`semi_join` / :func:`anti_join` when the build side
+    stops being broadcastable (at 100× a TPC-H "dimension" is no longer
+    one; the engine's stage B2 is the validation-side analog). The build
+    side reduces to per-batch DISTINCT keys on the map side (the exchange
+    ships key-space-sized data, never build-fact-sized) and both sides
+    co-partition ONCE (:func:`copartition_apply`); each partition filters
+    with a vectorized ``isin``. Null semantics match the broadcast pair:
+    null probe keys never survive either direction, null build keys drop.
+    """
+
+    def distinct_keys(b: pd.DataFrame) -> pd.DataFrame:
+        return pd.DataFrame({key: b[key].dropna().drop_duplicates().to_numpy()})
+
+    rk = right_keys.map_batches(distinct_keys, batch_format="pandas")
+
+    def keep(lf: pd.DataFrame, rf: pd.DataFrame) -> pd.DataFrame:
+        member = lf[on].isin(rf[key]) & lf[on].notna()
+        return lf[member if keep_members else (~member & lf[on].notna())]
+
+    return copartition_apply(left, rk, on, key, keep, num_partitions=num_partitions)
+
+
 def asof_join_broadcast(
     ds: rd.Dataset,
     right: pd.DataFrame,

@@ -150,34 +150,46 @@ def q3_top_orders(
 ) -> pd.DataFrame:
     """Top-10 BUILDING-segment orders by discounted revenue.
 
-    Distributed plan (orders past the size threshold): the only broadcast
-    is the BUILDING customer KEY SET (dimension keys, ``ray.put`` once);
-    the date-filtered orders fact table streams through a semi-join and
-    hash-joins the pre-aggregated lineitem revenue — no fact table is ever
-    collected on the driver. Below the threshold the orders side is
-    collected and broadcast instead (one shuffle fewer)."""
-    from xmlschema_ray.ops.relational import hash_bucket_join, semi_join
+    Distributed plan (orders past the size threshold): the BUILDING
+    customer key set broadcasts only while the CUSTOMER table itself is
+    under the gate (dimension keys, ``ray.put`` once); past it — at 100×
+    a "dimension" stops being one — the segment keys stay a Dataset and
+    the membership filter runs through one co-partitioning exchange
+    (``semi_join_copartitioned``). The date-filtered orders fact streams
+    through that semi-join and hash-joins the pre-aggregated lineitem
+    revenue — no fact table is ever collected on the driver. Below the
+    threshold the orders side is collected and broadcast instead (one
+    shuffle fewer). ``tests/test_distributed_paths.py`` forces
+    threshold=0 to prove all paths identical."""
+    from xmlschema_ray.ops.relational import (
+        hash_bucket_join,
+        semi_join,
+        semi_join_copartitioned,
+    )
 
     if distributed_threshold_bytes is None:
         distributed_threshold_bytes = DISTRIBUTED_THRESHOLD_BYTES
-    building_keys = (
+    building_keys_ds = (
         rd.read_parquet(
             table_path(sf_dir, "customer"), columns=["c_custkey", "c_mktsegment"]
         )
         .filter(expr="c_mktsegment == 'BUILDING'")
         .select_columns(["c_custkey"])
-        .to_pandas()
     )
-    orders = semi_join(
-        rd.read_parquet(
-            table_path(sf_dir, "orders"),
-            columns=["o_orderkey", "o_custkey", "o_orderdate"],
-            filter=(pc.field("o_orderdate") < pa.scalar(pd.Timestamp("1998-01-01"))),
-        ),
-        building_keys,
-        on="o_custkey",
-        key="c_custkey",
-    ).select_columns(["o_orderkey"])
+    orders_src = rd.read_parquet(
+        table_path(sf_dir, "orders"),
+        columns=["o_orderkey", "o_custkey", "o_orderdate"],
+        filter=(pc.field("o_orderdate") < pa.scalar(pd.Timestamp("1998-01-01"))),
+    )
+    if os.path.getsize(table_path(sf_dir, "customer")) <= distributed_threshold_bytes:
+        orders = semi_join(
+            orders_src, building_keys_ds.to_pandas(), on="o_custkey", key="c_custkey"
+        )
+    else:
+        orders = semi_join_copartitioned(
+            orders_src, building_keys_ds, "o_custkey", "c_custkey"
+        )
+    orders = orders.select_columns(["o_orderkey"])
 
     li = rd.read_parquet(
         table_path(sf_dir, "lineitem"),
@@ -2810,30 +2822,49 @@ WHERE c.c * s.n > s.sum_c ORDER BY o_orderkey
 """
 
 
-def customers_without_recent_orders(sf_dir: str, cutoff: str = "1998-06-01") -> pd.DataFrame:
-    """Anti-join: customers with no order at/after ``cutoff``. The fact
-    side is predicate-pushed at the read and collapsed to its DISTINCT key
-    set with a combiner shuffle (one row per custkey per batch →
-    hash-partitioned dedup, so the collect is bounded by the DIMENSION
-    size, never the fact size), then broadcast into a vectorized NOT-IN
-    filter over the customer scan."""
+def customers_without_recent_orders(
+    sf_dir: str,
+    cutoff: str = "1998-06-01",
+    distributed_threshold_bytes: Optional[int] = None,
+) -> pd.DataFrame:
+    """Anti-join: customers with no order at/after ``cutoff``. While the
+    CUSTOMER table (the bound on the distinct recent-custkey set) is under
+    the gate, the fact side is predicate-pushed at the read and collapsed
+    to its DISTINCT key set with a combiner shuffle (one row per custkey
+    per batch → hash-partitioned dedup), then broadcast into a vectorized
+    NOT-IN filter over the customer scan. Past the gate the key set never
+    touches the driver: one co-partitioning exchange of customers against
+    the per-batch-distinct recent keys (``semi_join_copartitioned``
+    anti direction). Forced-threshold-0 equivalence pinned in
+    ``tests/test_distributed_paths.py``."""
     from xmlschema_ray.ops.relational import (
         anti_join,
         hash_partition_apply,
+        semi_join_copartitioned,
         to_pandas_with_schema,
     )
 
-    okeys = hash_partition_apply(
-        rd.read_parquet(
-            table_path(sf_dir, "orders"),
-            columns=["o_custkey"],
-            filter=(pc.field("o_orderdate") >= pa.scalar(pd.Timestamp(cutoff))),
-        ).map_batches(lambda b: b.drop_duplicates(), batch_format="pandas"),
-        "o_custkey",
-        lambda p: p.drop_duplicates(),
-    ).to_pandas()
+    if distributed_threshold_bytes is None:
+        distributed_threshold_bytes = DISTRIBUTED_THRESHOLD_BYTES
+    recent = rd.read_parquet(
+        table_path(sf_dir, "orders"),
+        columns=["o_custkey"],
+        filter=(pc.field("o_orderdate") >= pa.scalar(pd.Timestamp(cutoff))),
+    )
     cust = rd.read_parquet(table_path(sf_dir, "customer"), columns=["c_custkey", "c_name"])
-    out = to_pandas_with_schema(anti_join(cust, okeys, on="c_custkey", key="o_custkey"))
+    if os.path.getsize(table_path(sf_dir, "customer")) <= distributed_threshold_bytes:
+        okeys = hash_partition_apply(
+            recent.map_batches(lambda b: b.drop_duplicates(), batch_format="pandas"),
+            "o_custkey",
+            lambda p: p.drop_duplicates(),
+        ).to_pandas()
+        out = to_pandas_with_schema(anti_join(cust, okeys, on="c_custkey", key="o_custkey"))
+    else:
+        out = to_pandas_with_schema(
+            semi_join_copartitioned(
+                cust, recent, "c_custkey", "o_custkey", keep_members=False
+            )
+        )
     return out.sort_values("c_custkey").reset_index(drop=True)
 
 

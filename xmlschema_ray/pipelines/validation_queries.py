@@ -503,16 +503,33 @@ WHERE NOT ((doc_id % 4 + doc_id % 5 + doc_id % 9) BETWEEN 1 AND 11)
 # -- referential: events.user_id ⊆ active customers (broadcast anti-join) -
 
 
-def val_events_fk(sf_dir: str):
+def val_events_fk(sf_dir: str, distributed_threshold_bytes: "int | None" = None):
     """Keyref-style check against a RESTRICTED dimension (customers with
     positive balance) so the clean testdata yields nonzero violations —
-    find-the-violations anti-join direction of ``identities.py:298-318``."""
+    find-the-violations anti-join direction of ``identities.py:298-318``.
+    The dim key set broadcasts only under the byte gate; past it the keys
+    stay a Dataset through one co-partitioning exchange (the stage-B2
+    shape). Forced-threshold-0 equivalence pinned in
+    ``tests/test_distributed_paths.py``."""
+    import os
+
+    from xmlschema_ray.ops.relational import semi_join_copartitioned
+
+    if distributed_threshold_bytes is None:
+        from xmlschema_ray.pipelines.relational import DISTRIBUTED_THRESHOLD_BYTES
+
+        distributed_threshold_bytes = DISTRIBUTED_THRESHOLD_BYTES
     active = rd.read_parquet(
         table_path(sf_dir, "customer"), columns=["c_custkey", "c_acctbal"]
     ).filter(expr="c_acctbal > 0")
-    keys = active.unique("c_custkey")
     ev = rd.read_parquet(table_path(sf_dir, "events"), columns=["event_id", "user_id"])
-    bad = anti_join(ev, keys, on="user_id")
+    if os.path.getsize(table_path(sf_dir, "customer")) <= distributed_threshold_bytes:
+        bad = anti_join(ev, active.unique("c_custkey"), on="user_id")
+    else:
+        bad = semi_join_copartitioned(
+            ev, active.select_columns(["c_custkey"]), "user_id", "c_custkey",
+            keep_members=False,
+        )
 
     def shape(batch: pa.Table) -> pa.Table:
         return pa.table(
