@@ -175,3 +175,43 @@ def test_cdc_resynchronizes_after_insertion(tmp_path, ray_session):
     # the chunk(s) opened at boundary_words inside the shared region are
     # byte-identical in both docs despite the offset shift
     assert (out["n_docs"] == 2).any()
+
+
+def test_bpe_train_sql_matches_trainer_on_equal_pair_runs():
+    """The oracle's repeated-leftmost-replace recursion must equal the
+    trainer's greedy scan INCLUDING the a == b case a global two-pass
+    replace mis-pairs (odd runs of 5+: greedy gives [aa,aa,a], a global
+    replace can give [aa,a,aa] — different next-round pair counts)."""
+    import duckdb
+    import pandas as pd
+
+    from xmlschema_ray.pipelines.bpe import (
+        _bpe_train_sql,
+        train_merges_from_word_counts,
+    )
+
+    docs = pd.DataFrame(
+        {
+            "doc_id": [1, 2, 3],
+            "text": [
+                "aaaaa aaaaa aaaaaaa",     # odd runs of 5 and 7 force (a,a)
+                "aaaaa banana bananas",
+                "aaa aab the the then",
+            ],
+        }
+    )
+    words = {}
+    for t in docs["text"]:
+        for w in t.lower().split():
+            words[w] = words.get(w, 0) + 1
+    expect = train_merges_from_word_counts(sorted(words.items()), num_merges=6)
+    assert (expect["left"] == expect["right"]).any(), "fixture must select an a==b merge"
+
+    con = duckdb.connect()
+    con.register("documents", docs)
+    got = con.execute(_bpe_train_sql(num_merges=6)).df()
+    got["rank"] = got["rank"].astype("int64")
+    got["n"] = got["n"].astype("int64")
+    pd.testing.assert_frame_equal(
+        got.reset_index(drop=True), expect.reset_index(drop=True)
+    )

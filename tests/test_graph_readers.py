@@ -297,4 +297,7 @@ def test_embedding_top_component_forced_matvec_path(ray_session):
     ca = a.sort_values("dim")["component"].to_numpy()
     cb = b.sort_values("dim")["component"].to_numpy()
     assert abs(float(ca @ cb)) > 0.999999
-    assert abs(a["eigenvalue"].iloc[0] - b["eigenvalue"].iloc[0]) / a["eigenvalue"].iloc[0] < 1e-6
+    # the default plan quantizes embeddings at 1e-6 for SQL-oracle
+    # bit-exactness (r5); the float matvec plan does not — eigenvalues
+    # agree to the quantization error, not to float epsilon
+    assert abs(a["eigenvalue"].iloc[0] - b["eigenvalue"].iloc[0]) / a["eigenvalue"].iloc[0] < 1e-4

@@ -192,11 +192,12 @@ def bpe_train(sf_dir: str, num_merges: int = 12, vocab_cap: int = 65536) -> pd.D
 
     Distributed word-frequency reduction (combiner partials → hash merge
     → frequency-ordered partial top-``vocab_cap``) feeds the driver merge
-    loop. Iterative argmax is not SQL-expressible — registered without an
-    ``oracle_sql`` entry (rows-only driver check); exactness is proven by
-    ``tests/test_bpe.py`` against an independent per-document brute-force
-    trainer, and round 1 equals ``bpe_pair_counts``' top row by
-    construction."""
+    loop. HASH-EXACT oracle: the iterative argmax is expressible as a
+    ``num_merges``-step chained CTE with a recursive leftmost-replace
+    apply (see :func:`_bpe_train_sql`); exactness is additionally proven
+    by ``tests/test_bpe.py`` against an independent per-document
+    brute-force trainer, and round 1 equals ``bpe_pair_counts``' top row
+    by construction."""
     from xmlschema_ray.ops.relational import combiner_aggregate, topk
 
     ds = rd.read_parquet(table_path(sf_dir, "documents"), columns=["text"])
@@ -427,8 +428,83 @@ FROM documents d LEFT JOIN counted c USING (doc_id)
 BPE_APPLY_FIXED_SQL = _apply_fixed_sql()
 
 
+def _bpe_train_sql(num_merges: int = 12, vocab_cap: int = 65536) -> str:
+    """HASH-EXACT oracle for :func:`bpe_train`: the iterative merge argmax
+    as a ``num_merges``-step chained CTE. Each round re-derives pair
+    counts from the previous round's symbolized vocabulary, takes the
+    argmax with the trainer's exact tie-break (max count, then
+    lexicographically smallest ``(left, right)`` — DuckDB's binary string
+    collation equals Python's codepoint order under UTF-8), and applies
+    the merge by REPEATED LEFTMOST single replacement in a recursive CTE.
+    Leftmost-iterate ≡ the trainer's greedy left-to-right scan: merging
+    (a,b) can never create a new (a,b) adjacency (|a+b| > |a|,|b|), so
+    both consume exactly the same occurrence set — including the a == b
+    run case a global two-pass ``replace`` would mis-pair (odd runs of 5+
+    pair differently). The vocabulary cap mirrors ``topk``'s
+    (count DESC, word ASC) selection."""
+    parts = [
+        r"""word_counts AS MATERIALIZED (
+  SELECT word, CAST(COUNT(*) AS BIGINT) AS n FROM (
+    SELECT unnest(regexp_split_to_array(trim(lower(text)), '\s+')) AS word FROM documents
+  ) WHERE word <> '' GROUP BY word
+),
+words AS MATERIALIZED (
+  SELECT word, n FROM word_counts
+  QUALIFY row_number() OVER (ORDER BY n DESC, word) <= """
+        + str(int(vocab_cap))
+        + """
+),
+r0_words AS MATERIALIZED (
+  SELECT word, n, ' ' || array_to_string(string_split(word, ''), ' ') || ' ' AS s
+  FROM words
+)"""
+    ]
+    for i in range(1, int(num_merges) + 1):
+        p = i - 1
+        parts.append(
+            f"""r{i}_pairs AS MATERIALIZED (
+  SELECT l, r, CAST(SUM(n) AS BIGINT) AS cnt FROM (
+    SELECT syms[pos] AS l, syms[pos + 1] AS r, n FROM (
+      SELECT string_split(trim(s, ' '), ' ') AS syms, n FROM r{p}_words
+    ), LATERAL unnest(generate_series(1, len(syms) - 1)) AS t(pos)
+  ) GROUP BY l, r
+),
+r{i}_best AS MATERIALIZED (
+  SELECT l, r, cnt, ' ' || l || ' ' || r || ' ' AS pat, ' ' || l || r || ' ' AS rep
+  FROM r{i}_pairs ORDER BY cnt DESC, l, r LIMIT 1
+),
+r{i}_iter(word, n, s) AS (
+  SELECT word, n, s FROM r{p}_words
+  UNION ALL
+  SELECT it.word, it.n,
+         substr(it.s, 1, strpos(it.s, b.pat) - 1) || b.rep
+         || substr(it.s, strpos(it.s, b.pat) + length(b.pat))
+  FROM r{i}_iter it, r{i}_best b
+  WHERE strpos(it.s, b.pat) > 0
+),
+r{i}_words AS MATERIALIZED (
+  SELECT it.word, it.n, it.s FROM r{i}_iter it
+  WHERE NOT EXISTS (SELECT 1 FROM r{i}_best b WHERE strpos(it.s, b.pat) > 0)
+)"""
+        )
+    finals = "\nUNION ALL\n".join(
+        f'SELECT CAST({i} AS BIGINT) AS rank, l AS "left", r AS "right", cnt AS n '
+        f"FROM r{i}_best"
+        for i in range(1, int(num_merges) + 1)
+    )
+    return (
+        "WITH RECURSIVE\n"
+        + ",\n".join(parts)
+        + f"\nSELECT * FROM (\n{finals}\n) ORDER BY rank"
+    )
+
+
+BPE_TRAIN_SQL = _bpe_train_sql()
+
+
 ORACLES: Dict[str, str] = {
     "bpe_pair_counts": BPE_PAIR_COUNTS_SQL,
+    "bpe_train": BPE_TRAIN_SQL,
     "bpe_apply_fixed": BPE_APPLY_FIXED_SQL,
     "tokenizer_fertility_by_lang": TOKENIZER_FERTILITY_SQL,
 }

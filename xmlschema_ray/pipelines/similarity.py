@@ -641,6 +641,50 @@ def _power_iterate(matvec, d: int, n_iter: int, tol: float):
     return v, nrm
 
 
+_TC_SCALE = 10**6  # embedding quantization for the EXACT covariance path
+_TC_ITERS = 60  # fixed iteration count (no data-dependent early exit)
+
+
+def _tdiv(a: int, b: int) -> int:
+    """Integer division truncating toward zero — DuckDB's ``//`` (Python's
+    floors; they differ on negative numerators)."""
+    q = abs(a) // abs(b)
+    return -q if (a < 0) != (b < 0) else q
+
+
+def _power_iterate_int(a_obj: "np.ndarray", d: int, n_iter: int):
+    """EXACT scaled-integer power iteration (the ``logreg_train_orders``
+    bit-exactness discipline): ``a_obj`` is the d×d X'X moment matrix in
+    Python-int cells (embeddings quantized at ``_TC_SCALE``), iteration is
+    ``v ← tdiv(Av · S, max|Av|)`` — max-abs normalization instead of an
+    L2 norm so NO sqrt/libm enters; every op is arbitrary-precision
+    integer arithmetic a SQL engine replays verbatim. Fixed ``n_iter``
+    (identical sequences matter, not convergence detection — both engines
+    land on the same vector even through truncation plateaus). Returns
+    (v_scaled ints, eig_e6 int): sign fixed so the largest-|coordinate|
+    entry (lowest dim on ties, numpy argmax convention) is positive;
+    ``eig_e6`` = top eigenvalue of the TRUE (unscaled) X'X × 10⁶,
+    truncated."""
+    S = _TC_SCALE
+    v = [0] * d
+    v[0] = S
+    for _ in range(n_iter):
+        w = [int(sum(int(a_obj[i, j]) * v[j] for j in range(d))) for i in range(d)]
+        m = max(abs(x) for x in w)
+        if m == 0:
+            break
+        v = [_tdiv(x * S, m) for x in w]
+    # numpy argmax convention: FIRST maximal |coordinate|
+    best = max(range(d), key=lambda i: (abs(v[i]), -i))
+    if v[best] < 0:
+        v = [-x for x in v]
+    w = [int(sum(int(a_obj[i, j]) * v[j] for j in range(d))) for i in range(d)]
+    num = sum(vi * wi for vi, wi in zip(v, w))
+    den = sum(vi * vi for vi in v)
+    eig_e6 = _tdiv(num, den * S) if den else 0  # A is S²×true; ×1e6 out
+    return v, eig_e6
+
+
 def embedding_top_component(
     sf_dir: str,
     n_iter: int = 200,
@@ -655,29 +699,36 @@ def embedding_top_component(
     Adaptive physical plan on the embedding dimension:
 
     * d ≤ ``covariance_dim_threshold``: ONE streaming pass computes
-      per-batch OUTER-PRODUCT partials (d² doubles per batch — a mergeable
-      covariance reduce, never rows), the driver sums the tiny d×d matrix
-      and power-iterates LOCALLY at zero distributed cost. The right plan
-      whenever d² is metadata-sized — corpus size is irrelevant.
-    * large d: distributed matvec loop — each iteration broadcasts the
-      current d-vector (``ray.put``) and one pass reduces per-batch
+      per-batch OUTER-PRODUCT partials over the ``_TC_SCALE``-quantized
+      embeddings (d² int64 cells per batch — a mergeable EXACT moment
+      reduce, never rows; int sums are order-independent, so the result is
+      bit-identical at any parallelism), the driver folds the tiny d×d
+      matrix into Python-int cells (no overflow at any corpus size) and
+      power-iterates LOCALLY in exact scaled-integer arithmetic
+      (:func:`_power_iterate_int`). HASH-EXACT SQL oracle: the oracle
+      replays the identical quantization, moment sum and fixed-count
+      integer iteration (``_embedding_top_component_sql``); the output
+      floats are each one IEEE division of an exact int by 10⁶, identical
+      in both engines.
+    * large d: distributed FLOAT matvec loop — each iteration broadcasts
+      the current d-vector (``ray.put``) and one pass reduces per-batch
       ``Xᵀ(Xv)`` d-vector partials (the distributed-SGD shape; pinned
       blocks so iterations don't re-read parquet). Early-exits on
-      convergence since every extra iteration is a corpus pass.
-
-    Deterministic (fixed ``e₀`` init, sign fixed so the largest-|coord|
-    entry is positive); forced-path test proves the two plans agree. No
-    SQL oracle — an iterative float fixpoint has no order-independent SQL
-    expression (the ``bpe_train`` precedent); proven against numpy's exact
-    eigendecomposition in ``tests/``.
+      convergence since every extra iteration is a corpus pass. This path
+      is float (d² int partials are exactly what it exists to avoid) —
+      deterministic per environment but not oracle-exact; the forced-path
+      test pins direction agreement with the exact plan.
     """
     ds = rd.read_parquet(table_path(sf_dir, "embeddings"), columns=["embedding"])
     d = len(ds.take(1)[0]["embedding"])
 
     if d <= covariance_dim_threshold:
+        S = _TC_SCALE
+
         def cov_partial(batch: pd.DataFrame) -> pd.DataFrame:
             x = np.stack(batch["embedding"].to_numpy()).astype(np.float64)
-            c = x.T @ x
+            e = np.floor(x * S + 0.5).astype(np.int64)
+            c = e.T @ e  # |e| ≤ S ⇒ per-batch cell ≤ rows·S² — exact int64
             return pd.DataFrame(
                 {
                     "i": np.repeat(np.arange(d, dtype=np.int64), d),
@@ -687,9 +738,23 @@ def embedding_top_component(
             )
 
         parts = ds.map_batches(cov_partial, batch_format="pandas").to_pandas()
-        a = np.zeros((d, d), dtype=np.float64)
-        np.add.at(a, (parts["i"].to_numpy(), parts["j"].to_numpy()), parts["c"].to_numpy())
-        v, lam = _power_iterate(lambda vv: a @ vv, d, n_iter, tol)
+        # Python-int cells: the TOTAL moment can pass 2^63 at corpus scale
+        # even though a per-batch partial cannot
+        a = np.zeros((d, d), dtype=object)
+        np.add.at(
+            a,
+            (parts["i"].to_numpy(), parts["j"].to_numpy()),
+            parts["c"].to_numpy().astype(object),
+        )
+        vi, eig_e6 = _power_iterate_int(a, d, _TC_ITERS)
+        comp = np.array([x / float(S) for x in vi], dtype=np.float64)
+        return pd.DataFrame(
+            {
+                "dim": np.arange(d, dtype=np.int64),
+                "component": comp,
+                "eigenvalue": np.float64(eig_e6) / 1e6,
+            }
+        )
     else:
         pinned = ds.materialize()  # iterations must not re-read parquet
 
@@ -712,6 +777,59 @@ def embedding_top_component(
     out = pd.DataFrame({"dim": np.arange(d, dtype=np.int64), "component": v})
     out["eigenvalue"] = lam
     return out
+
+
+def _embedding_top_component_sql(n_iter: int = _TC_ITERS) -> str:
+    """HASH-EXACT oracle for :func:`embedding_top_component` (default
+    covariance plan): replays the identical 10⁶ quantization, the exact
+    integer moment sum (HUGEINT — order-independent), and the fixed-count
+    scaled-integer power iteration as ``n_iter`` chained MATERIALIZED CTEs
+    (DuckDB ``//`` truncates toward zero exactly like the Python
+    ``_tdiv``). The output floats are each ONE IEEE division of an exact
+    integer by 10⁶ — bit-identical across engines."""
+    head = """WITH
+e AS MATERIALIZED (
+  SELECT vec_id, CAST(t.j AS BIGINT) AS j,
+         CAST(floor(CAST(embedding[t.j] AS DOUBLE) * 1000000 + 0.5) AS HUGEINT) AS ev
+  FROM embeddings, LATERAL unnest(generate_series(1, len(embedding))) AS t(j)
+),
+mom AS MATERIALIZED (
+  SELECT a.j - 1 AS i, b.j - 1 AS jj, CAST(SUM(a.ev * b.ev) AS HUGEINT) AS c
+  FROM e a JOIN e b USING (vec_id) GROUP BY 1, 2
+),
+it0 AS MATERIALIZED (
+  SELECT i AS dim, CAST(CASE WHEN i = 0 THEN 1000000 ELSE 0 END AS HUGEINT) AS v
+  FROM (SELECT DISTINCT i FROM mom)
+)"""
+    its = []
+    for k in range(1, int(n_iter) + 1):
+        its.append(
+            f"""it{k} AS MATERIALIZED (
+  SELECT dim, (w * 1000000) // (MAX(ABS(w)) OVER ()) AS v
+  FROM (SELECT m.i AS dim, SUM(m.c * p.v) AS w
+        FROM mom m JOIN it{k - 1} p ON m.jj = p.dim GROUP BY m.i)
+)"""
+        )
+    tail = f"""sgn AS MATERIALIZED (
+  SELECT CASE WHEN v < 0 THEN -1 ELSE 1 END AS s
+  FROM it{int(n_iter)} ORDER BY ABS(v) DESC, dim LIMIT 1
+),
+vs AS MATERIALIZED (SELECT dim, v * (SELECT s FROM sgn) AS v FROM it{int(n_iter)}),
+wf AS MATERIALIZED (
+  SELECT m.i AS dim, SUM(m.c * p.v) AS w FROM mom m JOIN vs p ON m.jj = p.dim GROUP BY m.i
+),
+eig AS MATERIALIZED (
+  SELECT (SELECT SUM(vs.v * wf.w) FROM vs JOIN wf USING (dim))
+         // ((SELECT SUM(v * v) FROM vs) * 1000000) AS e6
+)
+SELECT vs.dim AS dim,
+       CAST(vs.v AS DOUBLE) / 1000000.0 AS component,
+       CAST((SELECT e6 FROM eig) AS DOUBLE) / 1000000.0 AS eigenvalue
+FROM vs ORDER BY dim"""
+    return ",\n".join([head] + its + [tail])
+
+
+EMBEDDING_TOP_COMPONENT_SQL = _embedding_top_component_sql()
 
 
 def embedding_quantize_int8(sf_dir: str, levels: int = 255) -> pd.DataFrame:
@@ -1294,6 +1412,7 @@ ORACLES: Dict[str, str] = {
     "embedding_centroids_by_label": EMBEDDING_CENTROIDS_SQL,
     "embedding_quantize_int8": EMBEDDING_QUANTIZE_SQL,
     "pq_ann_topk": PQ_ANN_TOPK_SQL,
+    "embedding_top_component": EMBEDDING_TOP_COMPONENT_SQL,
 }
 
 QUERIES = {
@@ -1306,7 +1425,8 @@ QUERIES = {
     "embedding_centroids_by_label": embedding_centroids_by_label,
     "embedding_quantize_int8": embedding_quantize_int8,
     "pq_ann_topk": pq_ann_topk,
-    # no SQL oracle (iterative float fixpoint — the bpe_train precedent);
-    # proven against numpy eigendecomposition in tests/test_graph_readers.py
+    # hash-exact as of r5: scaled-integer power iteration (see
+    # _embedding_top_component_sql); also proven against numpy
+    # eigendecomposition in tests/test_graph_readers.py
     "embedding_top_component": embedding_top_component,
 }
