@@ -733,6 +733,46 @@ class TableConstraints:
     def arrow_schema(self) -> pa.Schema:
         return pa.schema([pa.field(c.name, c.dtype, nullable=c.nullable) for c in self.columns])
 
+    def resolves_struct_path(self, name: str) -> bool:
+        """True iff a DOTTED name (``meta.license``) resolves through a
+        declared STRUCT column to an existing non-nested leaf field — the
+        XPath field-selector analog (reference
+        ``validators/identities.py:64-150``: selectors address subtree
+        fields; here metadata rides struct columns and identity keys may
+        address their subfields). A declared flat column whose literal
+        name contains a dot is NOT a path (declared names win)."""
+        if "." not in name or any(c.name == name for c in self.columns):
+            return False
+        root, *rest = name.split(".")
+        col = next((c for c in self.columns if c.name == root), None)
+        if col is None or not rest or any(not p for p in rest):
+            return False
+        t = col.dtype
+        for part in rest:
+            if not pa.types.is_struct(t):
+                return False
+            idx = t.get_field_index(part)
+            if idx < 0:
+                return False
+            t = t.field(idx).type
+        return not pa.types.is_nested(t)
+
+    def dotted_key_paths(self) -> Tuple[str, ...]:
+        """Every dotted struct path referenced as an identity key
+        (``key_columns``, unique-key tuples, fact-side foreign-key
+        columns) — the set the validator flattens into literal columns at
+        batch entry (``augment_struct_keys``). Order-stable, deduped."""
+        declared = {c.name for c in self.columns}
+        out: List[str] = []
+        for name in (
+            list(self.key_columns)
+            + [c for uk in self.unique_keys for c in uk.columns]
+            + [c for fk in self.foreign_keys for c in fk.columns]
+        ):
+            if "." in name and name not in declared and name not in out:
+                out.append(name)
+        return tuple(out)
+
     def compile(self) -> "TableConstraints":
         """Lint the spec; returns self on success, raises SpecError.
 
@@ -803,12 +843,18 @@ class TableConstraints:
                     raise SpecError(f"row check {rc.name!r} references unknown column {col!r}")
         for uk in self.unique_keys:
             for col in uk.columns:
-                if col not in known:
-                    raise SpecError(f"unique key {uk.name!r} references unknown column {col!r}")
+                if col not in known and not self.resolves_struct_path(col):
+                    raise SpecError(
+                        f"unique key {uk.name!r} references unknown column {col!r}"
+                        + (" (dotted path does not resolve through a declared struct column)" if "." in col else "")
+                    )
         for fk in self.foreign_keys:
             for col in fk.columns:
-                if col not in known:
-                    raise SpecError(f"foreign key {fk.name!r} references unknown column {col!r}")
+                if col not in known and not self.resolves_struct_path(col):
+                    raise SpecError(
+                        f"foreign key {fk.name!r} references unknown column {col!r}"
+                        + (" (dotted path does not resolve through a declared struct column)" if "." in col else "")
+                    )
         for tfk in self.temporal_foreign_keys:
             for col in (tfk.column, tfk.ts_column):
                 if col not in known:
@@ -840,9 +886,15 @@ class TableConstraints:
             sc.lint(known)
         for rc2 in self.reconcile_checks:
             rc2.lint(known)
-        for col in self.key_columns + self.stats_columns + self.distinct_columns:
+        for col in self.key_columns:
+            if col not in known and not self.resolves_struct_path(col):
+                raise SpecError(
+                    f"unknown column {col!r} in key_columns"
+                    + (" (dotted path does not resolve through a declared struct column)" if "." in col else "")
+                )
+        for col in self.stats_columns + self.distinct_columns:
             if col not in known:
-                raise SpecError(f"unknown column {col!r} in key/stats/distinct columns")
+                raise SpecError(f"unknown column {col!r} in stats/distinct columns")
         alt_owned = set()
         for ta in self.type_alternatives:
             if ta.column not in known:

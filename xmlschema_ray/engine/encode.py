@@ -146,12 +146,19 @@ def quarantine_split(
     key_ref = ray.put(pa.array(keys.astype(str), pa.string()))
     key_cols = spec.key_columns
 
+    dotted = spec.dotted_key_paths()
+
     def make_side(keep_violating: bool):
         def split(batch: pa.Table) -> pa.Table:
             # IDENTICAL key rendering to the validator's violation identity
             # (_key_strings: Python str(), nulls -> "") — an Arrow cast
             # renders bool/timestamp/null key parts differently and the
             # membership test would silently route violating rows to clean
+            orig_cols = batch.column_names
+            if dotted:
+                from xmlschema_ray.engine.row_validator import augment_struct_keys
+
+                batch = augment_struct_keys(batch, dotted)
             missing = [c for c in key_cols if c not in batch.column_names]
             if missing:
                 raise ValueError(
@@ -162,7 +169,9 @@ def quarantine_split(
             ks = _key_strings(batch, spec, np.arange(batch.num_rows, dtype=np.int64))
             kc = pa.array(ks, pa.string())
             m = pc.is_in(kc, value_set=ray.get(key_ref))
-            return batch.filter(m if keep_violating else pc.invert(m))
+            # the split must write the ORIGINAL schema — flattened key
+            # helper columns never reach the output
+            return batch.filter(m if keep_violating else pc.invert(m)).select(orig_cols)
 
         def make_shard(shard_files) -> "rd.Dataset":
             return rd.read_parquet(list(shard_files)).map_batches(

@@ -390,6 +390,15 @@ class ValidationEngine:
 
         return fn
 
+    def _phys_read_cols(self, cols) -> List[str]:
+        """Physical parquet columns for a logical column list: dotted
+        struct-path identity keys read their ROOT struct column (parquet
+        cannot project a subfield by dotted name here); the B-stage maps
+        then flatten via ``augment_struct_keys`` so downstream kernels see
+        the dotted name as a literal column."""
+        dotted = set(self.spec.dotted_key_paths())
+        return sorted({c.split(".", 1)[0] if c in dotted else c for c in cols})
+
     @staticmethod
     def _key_types_of(files, cols) -> dict:
         """Source Arrow types of the violation-key columns, from the first
@@ -399,6 +408,21 @@ class ValidationEngine:
         ``_key_strings`` identity byte-for-byte — the pandas exchange
         alone would surface null-bearing int64 keys as float64 ('7.0' vs
         stage A's '7')."""
+        def lookup(sch: "pa.Schema", name: str):
+            if name in sch.names:
+                return sch.field(name).type
+            if "." in name:  # dotted struct path: walk the nested fields
+                root, *rest = name.split(".")
+                if root not in sch.names:
+                    return None
+                t = sch.field(root).type
+                for part in rest:
+                    if not pa.types.is_struct(t) or t.get_field_index(part) < 0:
+                        return None
+                    t = t.field(t.get_field_index(part)).type
+                return t
+            return None
+
         out: dict = {}
         for f in files:
             try:
@@ -406,8 +430,10 @@ class ValidationEngine:
             except Exception:
                 continue
             for c in cols:
-                if c not in out and c in sch.names:
-                    out[c] = sch.field(c).type
+                if c not in out:
+                    t = lookup(sch, c)
+                    if t is not None:
+                        out[c] = t
             if len(out) == len(cols):
                 break
         return out
@@ -430,17 +456,22 @@ class ValidationEngine:
         new cases. NOTE: unlike stage A, this pass materializes every
         violating row (no per-batch cap applies) — a keyref failing
         corpus-wide should be run in stats_only first."""
-        from xmlschema_ray.engine.row_validator import render_violation_keys
+        from xmlschema_ray.engine.row_validator import (
+            augment_struct_keys,
+            render_violation_keys,
+        )
         from xmlschema_ray.ops.relational import combiner_aggregate, copartition_apply
 
         key_cols = [c for c in self.spec.key_columns]
+        dotted = self.spec.dotted_key_paths()
         key_types = self._key_types_of(source, key_cols)
         out_ds: Optional[rd.Dataset] = None
         pid_ref = ray.put(pid_of_file)
         for fk, dim_src in deferred:
             col = fk.columns[0]
+            logical = sorted(set(key_cols + [col]))
 
-            def attach_pid(batch: pa.Table) -> pa.Table:
+            def attach_pid(batch: pa.Table, logical=logical) -> pa.Table:
                 # resolve file lineage → shard id immediately so downstream
                 # schema sampling sees a plain column, not the reader's
                 # hidden `path`
@@ -449,12 +480,20 @@ class ValidationEngine:
                 uniq, inv = np.unique(parr, return_inverse=True)
                 lut = np.array([pmap.get(p, -1) for p in uniq], dtype=np.int32)
                 pids = lut[inv]
-                return batch.drop_columns(["path"]).append_column(
+                batch = batch.drop_columns(["path"]).append_column(
                     "__pid", pa.array(pids, pa.int32())
                 )
+                if dotted:
+                    # flatten dotted identity keys, then drop the root
+                    # structs — the exchange should ship leaves, not trees
+                    batch = augment_struct_keys(batch, dotted)
+                    batch = batch.select(
+                        [c for c in logical if c in batch.column_names] + ["__pid"]
+                    )
+                return batch
 
             src = rd.read_parquet(
-                source, columns=sorted(set(key_cols + [col])), include_paths=True
+                source, columns=self._phys_read_cols(logical), include_paths=True
             ).map_batches(attach_pid, batch_format="pyarrow")
             if sample_mod is not None:
                 src = src.map_batches(
@@ -565,23 +604,33 @@ class ValidationEngine:
                 )
 
         key_cols = [c for c in self.spec.key_columns]
+        dotted = self.spec.dotted_key_paths()
         key_types = self._key_types_of(source, key_cols)
         out_ds: Optional[rd.Dataset] = None
         pid_ref = ray.put(pid_of_file)
         for tfk in self.spec.temporal_foreign_keys:
             col, ts_col = tfk.column, tfk.ts_column
+            logical = sorted(set(key_cols + [col, ts_col]))
 
-            def attach_pid(batch: pa.Table) -> pa.Table:
+            def attach_pid(batch: pa.Table, logical=logical) -> pa.Table:
                 pmap = ray.get(pid_ref)
                 parr = batch["path"].to_numpy(zero_copy_only=False)
                 uniq, inv = np.unique(parr, return_inverse=True)
                 lut = np.array([pmap.get(p, -1) for p in uniq], dtype=np.int32)
-                return batch.drop_columns(["path"]).append_column(
+                batch = batch.drop_columns(["path"]).append_column(
                     "__pid", pa.array(lut[inv], pa.int32())
                 )
+                if dotted:
+                    from xmlschema_ray.engine.row_validator import augment_struct_keys
+
+                    batch = augment_struct_keys(batch, dotted)
+                    batch = batch.select(
+                        [c for c in logical if c in batch.column_names] + ["__pid"]
+                    )
+                return batch
 
             src = rd.read_parquet(
-                source, columns=sorted(set(key_cols + [col, ts_col])), include_paths=True
+                source, columns=self._phys_read_cols(logical), include_paths=True
             ).map_batches(attach_pid, batch_format="pyarrow")
             if sample_mod is not None:
                 src = src.map_batches(
@@ -696,6 +745,7 @@ class ValidationEngine:
         from xmlschema_ray.ops.relational import hash_partition_apply
 
         key_cols = list(self.spec.key_columns)
+        dotted = self.spec.dotted_key_paths()
         key_types = self._key_types_of(source, key_cols)
         pid_ref = ray.put(pid_of_file)
         out_ds: Optional[rd.Dataset] = None
@@ -721,18 +771,26 @@ class ValidationEngine:
                 | ({sc.end_column} if sc.end_column is not None else set())
             )
 
-            def attach_pid(batch: pa.Table) -> pa.Table:
+            def attach_pid(batch: pa.Table, need=need) -> pa.Table:
                 pmap = ray.get(pid_ref)
                 parr = batch["path"].to_numpy(zero_copy_only=False)
                 uniq, inv = np.unique(parr, return_inverse=True)
                 lut = np.array([pmap.get(p, -1) for p in uniq], dtype=np.int32)
-                return batch.drop_columns(["path"]).append_column(
+                batch = batch.drop_columns(["path"]).append_column(
                     "__pid", pa.array(lut[inv], pa.int32())
                 )
+                if dotted:
+                    from xmlschema_ray.engine.row_validator import augment_struct_keys
 
-            src = rd.read_parquet(source, columns=need, include_paths=True).map_batches(
-                attach_pid, batch_format="pyarrow"
-            )
+                    batch = augment_struct_keys(batch, dotted)
+                    batch = batch.select(
+                        [c for c in need if c in batch.column_names] + ["__pid"]
+                    )
+                return batch
+
+            src = rd.read_parquet(
+                source, columns=self._phys_read_cols(need), include_paths=True
+            ).map_batches(attach_pid, batch_format="pyarrow")
 
             def find_viols(part: pd.DataFrame, sc=sc, key_types=key_types) -> pd.DataFrame:
                 p = part.sort_values(
@@ -1490,11 +1548,15 @@ class ValidationEngine:
         keycount channel exact: a 64-bit collision can only create a false
         CANDIDATE, never a false violation.
         """
-        from xmlschema_ray.engine.row_validator import unique_key_column
+        from xmlschema_ray.engine.row_validator import (
+            augment_struct_keys,
+            unique_key_column,
+        )
         from xmlschema_ray.engine.stats import hash64, isin_sorted
 
         out_cols = ["constraint_name", "column", "key", "total", "first_pid"]
         frames: List[pd.DataFrame] = []
+        dotted = self.spec.dotted_key_paths()
         for uk in self.spec.unique_keys:
             sub = cand_pdf[cand_pdf["constraint_name"] == uk.name] if len(cand_pdf) else cand_pdf
             if not len(sub):
@@ -1502,9 +1564,12 @@ class ValidationEngine:
             cand_hashes = np.sort(np.asarray(sub["key_hash"], dtype=np.uint64))
             pid_of = dict(zip(sub["key_hash"].astype(np.uint64), sub["first_pid"]))
             ukcols = list(uk.columns)
+            phys = self._phys_read_cols(ukcols)
 
             if isinstance(source, list) and sum(map(os.path.getsize, source)) < min(256 * 1024 * 1024, self.driver_threshold_bytes):
-                tbl = pads.dataset(source).to_table(columns=ukcols)
+                tbl = pads.dataset(source).to_table(columns=phys)
+                if dotted:
+                    tbl = augment_struct_keys(tbl, dotted)
                 keycol = unique_key_column(tbl, ukcols).drop_null()
                 vals = keycol.to_numpy(zero_copy_only=False)
                 m = isin_sorted(hash64(vals), cand_hashes)
@@ -1517,6 +1582,8 @@ class ValidationEngine:
                     ch = state.get("ch")
                     if ch is None:
                         ch = state["ch"] = ray.get(cand_ref)
+                    if dotted:
+                        batch = augment_struct_keys(batch, dotted)
                     keycol = unique_key_column(batch, ukcols).drop_null()
                     v = keycol.to_numpy(zero_copy_only=False)
                     mm = isin_sorted(hash64(v), ch)
@@ -1526,7 +1593,7 @@ class ValidationEngine:
                     )
 
                 if isinstance(source, list):
-                    ds = rd.read_parquet(source, columns=ukcols)
+                    ds = rd.read_parquet(source, columns=phys)
                 else:
                     ds = source
                 partials = ds.map_batches(

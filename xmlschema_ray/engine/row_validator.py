@@ -239,6 +239,37 @@ def _key_strings(table: pa.Table, spec: TableConstraints, idx: np.ndarray) -> Li
     return ["|".join(t) for t in zip(*parts)]
 
 
+def augment_struct_keys(table: pa.Table, paths) -> pa.Table:
+    """Append FLATTENED struct-subfield columns for dotted identity-key
+    paths (``meta.license`` → a literal column named ``meta.license``) —
+    the XPath field-selector analog (reference
+    ``validators/identities.py:64-150``): nested metadata rides struct
+    columns, and uniqueness/FK/row-identity keys may address subfields.
+    One zero-copy ``pc.struct_field`` chain per path per batch; a null
+    struct yields a null leaf (SQL's ``meta.license IS NULL``). A literal
+    column already carrying the dotted name wins (flat names may contain
+    dots); unresolvable paths are skipped — column presence is handled by
+    the same missing-column machinery as any flat key."""
+    for p in paths:
+        if p in table.column_names or "." not in p:
+            continue
+        root, *rest = p.split(".")
+        if root not in table.column_names:
+            continue
+        col = table[root]
+        if isinstance(col, pa.ChunkedArray):
+            col = col.combine_chunks()
+        ok = True
+        for part in rest:
+            if not pa.types.is_struct(col.type) or col.type.get_field_index(part) < 0:
+                ok = False
+                break
+            col = pc.struct_field(col, part)
+        if ok:
+            table = table.append_column(p, col)
+    return table
+
+
 def render_violation_keys(df, key_cols, key_types=None) -> np.ndarray:
     """Violation ``key`` rendering for B-stage PANDAS kernels, identical
     to stage A's :func:`_key_strings` (Python ``str()``, nulls → '',
@@ -410,6 +441,12 @@ class RowValidator:
         return df
 
     def __call__(self, table: pa.Table) -> pa.Table:
+        # dotted struct-path identity keys become literal columns here so
+        # every downstream consumer (row identity, keycounts, fk
+        # membership, sampling) sees them like any flat key column
+        dotted = self.spec.dotted_key_paths()
+        if dotted and table.num_rows:
+            table = augment_struct_keys(table, dotted)
         if self.sample_mod is not None and table.num_rows:
             from xmlschema_ray.engine.stats import hash64
 

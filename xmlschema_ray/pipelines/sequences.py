@@ -20,6 +20,7 @@ import numpy as np
 import pandas as pd
 import pyarrow as pa
 
+import pyarrow.compute as pc
 import ray.data as rd
 
 from xmlschema_ray.engine.engine import ValidationEngine
@@ -550,6 +551,103 @@ SELECT doc_id, 'fk_source_allowed' AS constraint_name
 FROM documents
 WHERE source NOT IN (SELECT source FROM allowed)
 ORDER BY doc_id
+"""
+
+
+def val_struct_key_dups(sf_dir: str) -> pd.DataFrame:
+    """NESTED-FIELD identity constraint through the FULL engine (r5): the
+    uniqueness key is a DOTTED STRUCT PATH — ``meta.src``+``meta.grp``, a
+    composite key addressing subfields of a packed metadata struct (the
+    XPath field-selector analog, reference
+    ``validators/identities.py:64-150``; at 100× metadata rides struct
+    columns and flattening by hand is exactly the toil this removes).
+    Documents are packed into parquet with ``meta = struct{src, grp}``
+    (cached per SF), then the engine runs the ordinary two-phase exact
+    uniqueness machinery over the dotted key: stage A flattens the path at
+    batch entry (``augment_struct_keys``) and emits hashed keycounts;
+    stage B's recovery scan reads the ROOT struct column from parquet and
+    flattens again — proving the dotted path survives both the streaming
+    pass and the physical column pruning. Output: one row per duplicated
+    (src, grp) tuple with its exact count, re-derived by the oracle's
+    GROUP BY ... HAVING."""
+    import re
+
+    from xmlschema_ray.constraints.spec import ColumnSpec, TableConstraints, UniqueKey
+
+    doc_path = os.path.join(sf_dir, "documents.parquet")
+    cache = os.path.join(
+        tempfile.gettempdir(),
+        "xmlschema_ray",
+        "struct_key_corpus",
+        os.path.basename(os.path.normpath(sf_dir)),
+    )
+    meta_type = pa.struct([pa.field("src", pa.string()), pa.field("grp", pa.int64())])
+    if not os.path.isdir(cache) or not any(
+        f.endswith(".parquet") for f in os.listdir(cache)
+    ):
+        shutil.rmtree(cache, ignore_errors=True)
+
+        def pack(t: pa.Table) -> pa.Table:
+            meta = pa.StructArray.from_arrays(
+                [
+                    t["source"].combine_chunks(),
+                    pc.cast(
+                        pc.bit_wise_and(t["doc_id"], pa.scalar(7, pa.int64())),
+                        pa.int64(),
+                    ).combine_chunks(),
+                ],
+                fields=list(meta_type),
+            )
+            return pa.table({"doc_id": t["doc_id"], "meta": meta})
+
+        tmp = f"{cache}.build{os.getpid()}"
+        shutil.rmtree(tmp, ignore_errors=True)
+        rd.read_parquet(doc_path, columns=["doc_id", "source"]).map_batches(
+            pack, batch_format="pyarrow", zero_copy_batch=True
+        ).repartition(4).write_parquet(tmp)
+        os.makedirs(os.path.dirname(cache), exist_ok=True)
+        try:
+            os.rename(tmp, cache)
+        except OSError:
+            shutil.rmtree(tmp, ignore_errors=True)
+
+    spec = TableConstraints(
+        name="struct_key_docs",
+        columns=[
+            ColumnSpec("doc_id", pa.int64(), nullable=False),
+            ColumnSpec("meta", meta_type, nullable=True),
+        ],
+        unique_keys=[
+            UniqueKey(("meta.src", "meta.grp"), name="unique_meta_src_grp")
+        ],
+        key_columns=("doc_id",),
+    )
+    out_dir = _scratch("val_struct_key_dups")
+    res = ValidationEngine(spec, batch_size=4096, n_shards=1).run(
+        cache, out_dir=out_dir, resume=False
+    )
+    v = res.violations()
+    v = v[v["constraint_name"] == "unique_meta_src_grp"]
+    n = v["reason"].map(lambda r: int(re.search(r"count=(\d+)", r).group(1)))
+    return (
+        pd.DataFrame(
+            {
+                "key": v["key"].astype(object),
+                "n_dups": pd.array(n, dtype="int64"),
+            }
+        )
+        .sort_values("key")
+        .reset_index(drop=True)
+    )
+
+
+VAL_STRUCT_KEY_DUPS_SQL = """
+SELECT source || '|' || CAST((doc_id & 7) AS VARCHAR) AS key,
+       CAST(COUNT(*) AS BIGINT) AS n_dups
+FROM documents
+GROUP BY 1
+HAVING COUNT(*) > 1
+ORDER BY key
 """
 
 
@@ -1282,6 +1380,7 @@ ORACLES: Dict[str, str] = {
     "val_temporal_fk": VAL_TEMPORAL_FK_SQL,
     "val_composite_fk": VAL_COMPOSITE_FK_SQL,
     "val_fk_distributed": VAL_FK_DISTRIBUTED_SQL,
+    "val_struct_key_dups": VAL_STRUCT_KEY_DUPS_SQL,
     "val_manifest_reconcile": VAL_MANIFEST_RECONCILE_SQL,
     "val_order_totals": VAL_ORDER_TOTALS_SQL,
     "val_source_mean_chars": VAL_SOURCE_MEAN_CHARS_SQL,
@@ -1300,6 +1399,7 @@ QUERIES = {
     "val_temporal_fk": val_temporal_fk,
     "val_composite_fk": val_composite_fk,
     "val_fk_distributed": val_fk_distributed,
+    "val_struct_key_dups": val_struct_key_dups,
     "val_manifest_reconcile": val_manifest_reconcile,
     "val_order_totals": val_order_totals,
     "val_source_mean_chars": val_source_mean_chars,
