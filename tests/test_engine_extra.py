@@ -731,12 +731,23 @@ def test_output_formatters_roundtrip(tmp_path, ray_session):
     }
     canonical = res.violations()
 
-    for name in ("jsonl-by-key", "csv"):
+    for name in ("jsonl-by-key", "csv", "parquet-by-constraint"):
         out = res.export(name, str(tmp_path / f"v.{name}"))
         back = get_formatter(name).reader(out)
         pd.testing.assert_frame_equal(
             back.reset_index(drop=True), canonical.reset_index(drop=True)
         )
+
+    # the hive layout really is per-constraint: one directory per distinct
+    # constraint name, URL-quoted (names carry parens/quotes/brackets)
+    pbc = str(tmp_path / "v.parquet-by-constraint")
+    dirs = [e for e in os.listdir(pbc) if e.startswith("constraint_name=")]
+    assert len(dirs) == canonical["constraint_name"].nunique()
+    from urllib.parse import unquote
+
+    assert {unquote(e.split("=", 1)[1]) for e in dirs} == set(
+        canonical["constraint_name"].unique()
+    )
 
     # canonical parquet untouched by exports
     digest_after = {

@@ -173,5 +173,72 @@ def _read_csv(path: str) -> pd.DataFrame:
     return df[_COLS].sort_values(_SORT, kind="mergesort").reset_index(drop=True)
 
 
+def _write_parquet_by_constraint(violations_dir: str, out_path: str) -> None:
+    """Hive-style partitioned parquet: ``constraint_name=<quoted>/part-N``
+    — the per-constraint violation feed operational consumers subscribe to
+    (one directory per constraint; a consumer of one constraint reads ONE
+    directory, not the whole output). Streamed batch-wise off the
+    canonical parquet with one lazily-opened writer per constraint
+    (spec-bounded, never output-sized); constraint names are URL-quoted in
+    the path (they carry parens/quotes/spaces) and the column itself is
+    DROPPED from the files, hive semantics — the reader reconstructs it
+    from the directory name, byte-exactly."""
+    from urllib.parse import quote
+
+    import pyarrow.parquet as pq
+
+    os.makedirs(out_path, exist_ok=True)
+    data_cols = [c for c in _COLS if c != "constraint_name"]
+    schema = pa.schema([f for f in VIOLATION_SCHEMA if f.name != "constraint_name"])
+    writers: Dict[str, "pq.ParquetWriter"] = {}
+    try:
+        for batch in _iter_canonical_batches(violations_dir):
+            t = pa.Table.from_batches([batch])
+            names = t["constraint_name"].to_pylist()
+            import numpy as np
+
+            arr = np.asarray(names, dtype=object)
+            for name in pd.unique(arr):
+                w = writers.get(name)
+                if w is None:
+                    d = os.path.join(out_path, f"constraint_name={quote(str(name), safe='')}")
+                    os.makedirs(d, exist_ok=True)
+                    w = writers[name] = pq.ParquetWriter(
+                        os.path.join(d, "part-0.parquet"), schema
+                    )
+                sub = t.filter(pa.array(arr == name)).select(data_cols)
+                w.write_table(sub.cast(schema))
+    finally:
+        for w in writers.values():
+            w.close()
+
+
+def _read_parquet_by_constraint(path: str) -> pd.DataFrame:
+    from urllib.parse import unquote
+
+    frames = []
+    for entry in sorted(os.listdir(path)):
+        full = os.path.join(path, entry)
+        if not (os.path.isdir(full) and entry.startswith("constraint_name=")):
+            continue
+        name = unquote(entry[len("constraint_name=") :])
+        files = sorted(
+            os.path.join(full, f) for f in os.listdir(full) if f.endswith(".parquet")
+        )
+        if not files:
+            continue
+        df = pads.dataset(files).to_table().to_pandas()
+        df["constraint_name"] = name
+        frames.append(df)
+    if not frames:
+        return pd.DataFrame(columns=_COLS)
+    out = pd.concat(frames, ignore_index=True)[_COLS]
+    out["partition_id"] = out["partition_id"].astype("int32")
+    return out.sort_values(_SORT, kind="mergesort").reset_index(drop=True)
+
+
 register_formatter("jsonl-by-key", _write_jsonl_by_key, _read_jsonl_by_key)
 register_formatter("csv", _write_csv, _read_csv)
+register_formatter(
+    "parquet-by-constraint", _write_parquet_by_constraint, _read_parquet_by_constraint
+)
