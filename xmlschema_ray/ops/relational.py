@@ -21,6 +21,7 @@ These are the engine's reusable physical operators, designed for the
 
 from __future__ import annotations
 
+import os
 from typing import Dict, List, Optional, Sequence, Tuple, Union
 
 import numpy as np
@@ -739,6 +740,56 @@ def hash_partition_apply(
     )
 
 
+def arrow_spine_enabled() -> bool:
+    """Round-5 spine selector — ADOPTED DEFAULT as of r5:
+    :func:`combiner_aggregate` runs the ARROW-NATIVE partial/merge spine
+    (``pa.TableGroupBy`` per batch / per partition — NOT the known
+    flat-scaling dataset-level TableGroupBy trap) instead of the pandas
+    kernels; set ``XSR_ARROW_SPINE=0`` to fall back. Why: every pandas
+    conversion surfaces null-bearing int64 as float64 — the root of the
+    dtype-canonicalization bug family rounds 3–4 kept patching; the Arrow
+    spine removes the class, not the symptom — and the interleaved A/B at
+    sf0.1 measured it 3.6–7.2% FASTER in aggregate (BASELINE.md round-5).
+    Equivalence: full 200-query oracle sweep green under the flag, plus
+    tests/test_arrow_spine.py (all agg kinds, null keys, nullable
+    measures, salt/consolidate paths, >2^53 exactness). Read per call so
+    tests can toggle."""
+    return os.environ.get("XSR_ARROW_SPINE", "1") == "1"
+
+
+def hash_partition_apply_arrow(
+    ds: rd.Dataset,
+    key_cols: Union[str, List[str]],
+    fn,
+    num_partitions: Optional[int] = None,
+) -> rd.Dataset:
+    """Arrow-native :func:`hash_partition_apply`: blocks stay ``pa.Table``
+    through the exchange (typed nulls survive — no int64→float64 pandas
+    degradation) and ``fn(pa.Table) -> pa.Table | pd.DataFrame`` runs once
+    per partition. Partition assignment is IDENTICAL to the pandas spine:
+    only the key columns round-trip through pandas for hashing, and
+    ``stable_key_hash`` canonicalizes that conversion by design."""
+    keys = [key_cols] if isinstance(key_cols, str) else list(key_cols)
+    if num_partitions is None:
+        num_partitions = derive_num_partitions()
+
+    def add_part(batch: pa.Table) -> pa.Table:
+        h = stable_key_hash(batch.select(keys).to_pandas())
+        part = (h % np.uint64(num_partitions)).astype(np.int64)
+        return batch.append_column("__part", pa.array(part))
+
+    def per_block(block: pa.Table):
+        parts = block["__part"].to_numpy(zero_copy_only=False)
+        for p in np.unique(parts):
+            yield fn(block.filter(pa.array(parts == p)).drop_columns(["__part"]))
+
+    return (
+        ds.map_batches(add_part, batch_format="pyarrow", zero_copy_batch=True)
+        .sort("__part")
+        .map_batches(per_block, batch_size=None, batch_format="pyarrow")
+    )
+
+
 # -- combiner-style aggregation ------------------------------------------
 
 _PARTIAL_FUNCS = {"sum": "sum", "min": "min", "max": "max", "count": "count"}
@@ -763,6 +814,38 @@ def _make_partial_fn(keys: List[str], aggs: Dict[str, Tuple[Optional[str], str]]
     return partial
 
 
+def _arrow_group_agg(
+    t: pa.Table, keys: List[str], specs: Dict[str, Tuple[Optional[str], str]]
+) -> pa.Table:
+    """One vectorized Arrow hash-aggregate over ``t`` (per-BATCH or
+    per-PARTITION — never the dataset-level ``TableGroupBy`` that is the
+    known flat-scaling trap). ``specs``: out_name -> (col, kind) with kind
+    in sum|min|max|count; ``(None, "count")`` is COUNT(*) (``count_all``),
+    ``(col, "count")`` is COUNT(col) non-null — the same SQL semantics as
+    the pandas partial. Null keys form their own group (dropna=False
+    analog). Output columns: keys first, then out_names."""
+    agg_list: List[tuple] = []
+    produced: Dict[str, str] = {}  # out -> produced column name
+    seen: Dict[tuple, str] = {}
+    for out, (col, kind) in specs.items():
+        sig = (col, kind)
+        if sig in seen:
+            produced[out] = seen[sig]
+            continue
+        if kind == "count" and col is None:
+            agg_list.append(([], "count_all"))
+            name = "count_all"
+        else:
+            agg_list.append((col, kind))
+            name = f"{col}_{kind}"
+        produced[out] = seen[sig] = name
+    res = t.group_by(keys, use_threads=False).aggregate(agg_list)
+    cols = {k: res[k] for k in keys}
+    for out, name in produced.items():
+        cols[out] = res[name]
+    return pa.table(cols)
+
+
 def combiner_aggregate(
     ds: rd.Dataset,
     keys: Union[str, List[str]],
@@ -771,6 +854,7 @@ def combiner_aggregate(
     num_partitions: Optional[int] = None,
     salt: int = 1,
     consolidate: bool = False,
+    arrow: Optional[bool] = None,
 ) -> rd.Dataset:
     """Pre-aggregated grouped aggregate, fully vectorized end to end.
 
@@ -812,6 +896,20 @@ def combiner_aggregate(
             finalize_means[out] = (f"__sum_{out}", f"__cnt_{out}")
         else:
             partial_aggs[out] = (col, kind)
+
+    if arrow is None:
+        arrow = arrow_spine_enabled()
+    if arrow:
+        return _combiner_aggregate_arrow(
+            ds,
+            keys,
+            partial_aggs,
+            finalize_means,
+            batch_size,
+            num_partitions,
+            salt,
+            consolidate,
+        )
 
     partials = ds.map_batches(
         _make_partial_fn(keys, partial_aggs), batch_format="pandas", batch_size=batch_size
@@ -861,6 +959,92 @@ def combiner_aggregate(
         return _finalize(_merge(g, keys))
 
     return hash_partition_apply(partials, keys, merge_partition, num_partitions=num_partitions)
+
+
+def _combiner_aggregate_arrow(
+    ds: rd.Dataset,
+    keys: List[str],
+    partial_aggs: Dict[str, Tuple[Optional[str], str]],
+    finalize_means: Dict[str, Tuple[str, str]],
+    batch_size: int,
+    num_partitions: Optional[int],
+    salt: int,
+    consolidate: bool,
+) -> rd.Dataset:
+    """ARROW-NATIVE spine of :func:`combiner_aggregate` (the round-5 pilot
+    behind ``XSR_ARROW_SPINE``): per-batch ``pa.TableGroupBy`` partials →
+    :func:`hash_partition_apply_arrow` → one Arrow hash-aggregate merge
+    per partition. Blocks never round-trip through pandas, so nullable
+    int64 measures stay typed int64 end to end (no float64 degradation —
+    the bug class the pandas spine's canonicalization patches exist for).
+    Dtype note vs the pandas spine: a null-BEARING int64 measure sums to
+    int64-with-null here (pandas: float64-with-NaN); non-null measures and
+    all key dtypes are byte-identical (proven on the oracle suite). NaN
+    (as opposed to null) float values are summed by Arrow but skipped by
+    pandas — parquet sources carry null, not NaN, so the suite never sees
+    the difference."""
+    merge_specs = {
+        out: (out, "sum" if kind in ("sum", "count") else kind)
+        for out, (col, kind) in partial_aggs.items()
+    }
+
+    partials = ds.map_batches(
+        lambda b: _arrow_group_agg(b, keys, partial_aggs),
+        batch_format="pyarrow",
+        batch_size=batch_size,
+        zero_copy_batch=True,
+    )
+
+    def finalize(t: pa.Table) -> pa.Table:
+        if not finalize_means:
+            return t
+        drop = {x for pair in finalize_means.values() for x in pair}
+        cols = {n: t[n] for n in t.column_names if n not in drop}
+        for o, (s, c) in finalize_means.items():
+            cols[o] = pc.divide(
+                pc.cast(t[s], pa.float64()), pc.cast(t[c], pa.float64())
+            )
+        return pa.table(cols)
+
+    if consolidate:
+        partials = partials.map_batches(
+            lambda b: _arrow_group_agg(b, keys, merge_specs),
+            batch_format="pyarrow",
+            batch_size=batch_size,
+            zero_copy_batch=True,
+        )
+
+    if salt > 1:
+
+        def add_salt(batch: pa.Table) -> pa.Table:
+            return batch.append_column(
+                "__salt", pa.array(np.arange(batch.num_rows, dtype=np.int64) % salt)
+            )
+
+        salted = partials.map_batches(
+            add_salt, batch_format="pyarrow", zero_copy_batch=True
+        )
+        stage_a = hash_partition_apply_arrow(
+            salted,
+            keys + ["__salt"],
+            lambda g: _arrow_group_agg(g, keys + ["__salt"], merge_specs),
+            num_partitions=num_partitions,
+        )
+        return hash_partition_apply_arrow(
+            stage_a,
+            keys,
+            lambda g: finalize(
+                _arrow_group_agg(g.drop_columns(["__salt"]), keys, merge_specs)
+            ),
+            num_partitions=num_partitions,
+        )
+
+    return hash_partition_apply_arrow(
+        partials,
+        keys,
+        lambda g: finalize(_arrow_group_agg(g, keys, merge_specs)),
+        num_partitions=num_partitions,
+    )
 
 
 def range_join_bucketed(
