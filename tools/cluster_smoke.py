@@ -72,17 +72,19 @@ def main() -> int:
         )
         time.sleep(3)
 
-        # -- node-spread probe: run the validate CLI against the cluster --
+        # -- run the validate CLI against the cluster ---------------------
+        # exit code 1 is EXPECTED: the corpus carries seeded violations and
+        # the CLI exits 1 on invalid input by contract
         out_dir = os.path.join(work, "out")
-        sh(
-            [
-                sys.executable, "-m", "xmlschema_ray", "validate",
-                "--input", seq_dir, "--spec", spec_path, "--out", out_dir,
-                "--dim", f"sources={dim_path}", "--address", "env",
-                "--shards", "8", "--batch-size", "512", "--no-resume",
-            ],
-            env=env, cwd=REPO,
-        )
+        cmd = [
+            sys.executable, "-m", "xmlschema_ray", "validate",
+            "--input", seq_dir, "--spec", spec_path, "--out", out_dir,
+            "--dim", f"sources={dim_path}", "--address", "env",
+            "--shards", "8", "--batch-size", "512", "--no-resume",
+        ]
+        print("+", " ".join(cmd), flush=True)
+        rc = subprocess.run(cmd, env=env, cwd=REPO).returncode
+        assert rc == 1, f"validate exit code {rc} (want 1 = invalid input found)"
 
         # -- verify: seeded violations exact + tasks spread across nodes --
         probe = subprocess.run(
