@@ -138,6 +138,13 @@ QUERY_NAMES = [
     # label lookup — the heaviest composition, dominated by the clustering)
     "hybrid_search_rrf",
     "hard_negative_mining",
+    # round-5 additions: full-engine two-phase uniqueness over a DOTTED
+    # STRUCT-PATH composite key (stage A flattens at batch entry, stage B
+    # recovery reads the root struct; first rep pays the packed-corpus
+    # cache build) and the newly hash-exact scaled-integer power-iteration
+    # PCA (one exact moment pass + driver integer iteration)
+    "val_struct_key_dups",
+    "embedding_top_component",
 ]
 
 
