@@ -139,3 +139,62 @@ def test_hash_partition_apply_arrow_colocates_like_pandas(ray_session):
         b["k"].dropna().astype("int64")
     )
     assert len(a) == len(b)  # same number of (partition, key) incidences
+
+
+def test_all_null_group_sum_is_null_on_both_spines(ray_session):
+    """SQL semantics on BOTH spines: SUM over an all-null group is NULL
+    (pandas' bare .sum() would invent 0 — min_count=1 fix); COUNT(col) 0,
+    mean NULL. Key 2's measures are all null; key 1 has values."""
+    t = pa.table(
+        {
+            "k": pa.array([1, 1, 2, 2], pa.int64()),
+            "v": pa.array([10, 20, None, None], pa.int64()),
+        }
+    )
+    for arrow in (False, True):
+        out = to_pandas_with_schema(
+            combiner_aggregate(
+                rd.from_arrow(t),
+                "k",
+                {"s": ("v", "sum"), "n_v": ("v", "count"), "m": ("v", "mean")},
+                arrow=arrow,
+            )
+        ).set_index("k")
+        assert out.loc[1, "s"] == 30 and out.loc[1, "n_v"] == 2
+        assert pd.isna(out.loc[2, "s"]), (arrow, out)
+        assert out.loc[2, "n_v"] == 0
+        assert pd.isna(out.loc[2, "m"]), (arrow, out)
+
+
+def test_semi_join_copartitioned_empty_build_side(ray_session):
+    """A corpus-EMPTY build side (the schema-collapse pitfall: a second
+    map over fully-empty blocks) must not crash: semi keeps nothing
+    (typed empty), anti keeps every NON-NULL probe row."""
+    import pyarrow.compute as pc
+
+    from xmlschema_ray.ops.relational import semi_join_copartitioned
+
+    left = pa.table(
+        {
+            "k": pa.array([1, 2, None, 4], pa.int64()),
+            "x": pa.array(["a", "b", "c", "d"], pa.string()),
+        }
+    )
+    right = pa.table({"rk": pa.array([1, 2, 3], pa.int64())})
+    empty_right = (
+        rd.from_arrow(right)
+        .map_batches(  # first map: filter everything out
+            lambda t: t.filter(pc.greater(t["rk"], 100)),
+            batch_format="pyarrow",
+        )
+    )
+    semi = to_pandas_with_schema(
+        semi_join_copartitioned(rd.from_arrow(left), empty_right, "k", "rk")
+    )
+    assert len(semi) == 0 and list(semi.columns) == ["k", "x"]
+    anti = to_pandas_with_schema(
+        semi_join_copartitioned(
+            rd.from_arrow(left), empty_right, "k", "rk", keep_members=False
+        )
+    ).sort_values("k")
+    assert anti["k"].tolist() == [1, 2, 4]  # null probe never survives

@@ -749,6 +749,12 @@ def test_output_formatters_roundtrip(tmp_path, ray_session):
         canonical["constraint_name"].unique()
     )
 
+    # a SECOND export into the same directory REFUSES (the listdir-built
+    # reader would absorb stale constraint dirs as current violations —
+    # the layout-writer convention)
+    with _pytest.raises(ValueError, match="FRESH directory"):
+        res.export("parquet-by-constraint", pbc)
+
     # canonical parquet untouched by exports
     digest_after = {
         f: hashlib.md5(open(os.path.join(viol_dir, f), "rb").read()).hexdigest()

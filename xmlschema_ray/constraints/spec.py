@@ -733,6 +733,22 @@ class TableConstraints:
     def arrow_schema(self) -> pa.Schema:
         return pa.schema([pa.field(c.name, c.dtype, nullable=c.nullable) for c in self.columns])
 
+    @staticmethod
+    def walk_struct_type(t: "pa.DataType", parts) -> "pa.DataType | None":
+        """Walk dotted-path segments through nested STRUCT types; ``None``
+        when any segment is missing or descends into a non-struct. The one
+        shared type-level resolver behind ``resolves_struct_path`` and the
+        engine's footer-schema lookup (``_key_types_of``) — path semantics
+        change in ONE place."""
+        for part in parts:
+            if not pa.types.is_struct(t):
+                return None
+            idx = t.get_field_index(part)
+            if idx < 0:
+                return None
+            t = t.field(idx).type
+        return t
+
     def resolves_struct_path(self, name: str) -> bool:
         """True iff a DOTTED name (``meta.license``) resolves through a
         declared STRUCT column to an existing non-nested leaf field — the
@@ -747,15 +763,8 @@ class TableConstraints:
         col = next((c for c in self.columns if c.name == root), None)
         if col is None or not rest or any(not p for p in rest):
             return False
-        t = col.dtype
-        for part in rest:
-            if not pa.types.is_struct(t):
-                return False
-            idx = t.get_field_index(part)
-            if idx < 0:
-                return False
-            t = t.field(idx).type
-        return not pa.types.is_nested(t)
+        t = self.walk_struct_type(col.dtype, rest)
+        return t is not None and not pa.types.is_nested(t)
 
     def dotted_key_paths(self) -> Tuple[str, ...]:
         """Every dotted struct path referenced as an identity key

@@ -390,6 +390,37 @@ class ValidationEngine:
 
         return fn
 
+    def _make_attach_pid(self, pid_ref, logical):
+        """ONE shared B-stage batch shaper (B2/B3/B5): resolve the
+        reader's hidden ``path`` lineage to a shard id immediately (so
+        downstream schema sampling sees a plain column), then flatten
+        dotted identity keys and drop the root structs — the exchange
+        ships leaves, not trees. Factored so the next struct-key or
+        lineage change lands in exactly one place (per-stage drift in
+        this closure family is precisely the silent-divergence class the
+        round-4 key-identity fixes were about)."""
+        dotted = self.spec.dotted_key_paths()
+        logical = list(logical)
+
+        def attach_pid(batch: pa.Table) -> pa.Table:
+            pmap = ray.get(pid_ref)
+            parr = batch["path"].to_numpy(zero_copy_only=False)
+            uniq, inv = np.unique(parr, return_inverse=True)
+            lut = np.array([pmap.get(p, -1) for p in uniq], dtype=np.int32)
+            batch = batch.drop_columns(["path"]).append_column(
+                "__pid", pa.array(lut[inv], pa.int32())
+            )
+            if dotted:
+                from xmlschema_ray.engine.row_validator import augment_struct_keys
+
+                batch = augment_struct_keys(batch, dotted)
+                batch = batch.select(
+                    [c for c in logical if c in batch.column_names] + ["__pid"]
+                )
+            return batch
+
+        return attach_pid
+
     def _phys_read_cols(self, cols) -> List[str]:
         """Physical parquet columns for a logical column list: dotted
         struct-path identity keys read their ROOT struct column (parquet
@@ -408,19 +439,16 @@ class ValidationEngine:
         ``_key_strings`` identity byte-for-byte — the pandas exchange
         alone would surface null-bearing int64 keys as float64 ('7.0' vs
         stage A's '7')."""
+        from xmlschema_ray.constraints.spec import TableConstraints as _TC
+
         def lookup(sch: "pa.Schema", name: str):
             if name in sch.names:
                 return sch.field(name).type
-            if "." in name:  # dotted struct path: walk the nested fields
+            if "." in name:  # dotted struct path: shared type-level walker
                 root, *rest = name.split(".")
                 if root not in sch.names:
                     return None
-                t = sch.field(root).type
-                for part in rest:
-                    if not pa.types.is_struct(t) or t.get_field_index(part) < 0:
-                        return None
-                    t = t.field(t.get_field_index(part)).type
-                return t
+                return _TC.walk_struct_type(sch.field(root).type, rest)
             return None
 
         out: dict = {}
@@ -456,45 +484,21 @@ class ValidationEngine:
         new cases. NOTE: unlike stage A, this pass materializes every
         violating row (no per-batch cap applies) — a keyref failing
         corpus-wide should be run in stats_only first."""
-        from xmlschema_ray.engine.row_validator import (
-            augment_struct_keys,
-            render_violation_keys,
-        )
+        from xmlschema_ray.engine.row_validator import render_violation_keys
         from xmlschema_ray.ops.relational import combiner_aggregate, copartition_apply
 
         key_cols = [c for c in self.spec.key_columns]
-        dotted = self.spec.dotted_key_paths()
         key_types = self._key_types_of(source, key_cols)
         out_ds: Optional[rd.Dataset] = None
         pid_ref = ray.put(pid_of_file)
         for fk, dim_src in deferred:
             col = fk.columns[0]
             logical = sorted(set(key_cols + [col]))
-
-            def attach_pid(batch: pa.Table, logical=logical) -> pa.Table:
-                # resolve file lineage → shard id immediately so downstream
-                # schema sampling sees a plain column, not the reader's
-                # hidden `path`
-                pmap = ray.get(pid_ref)
-                parr = batch["path"].to_numpy(zero_copy_only=False)
-                uniq, inv = np.unique(parr, return_inverse=True)
-                lut = np.array([pmap.get(p, -1) for p in uniq], dtype=np.int32)
-                pids = lut[inv]
-                batch = batch.drop_columns(["path"]).append_column(
-                    "__pid", pa.array(pids, pa.int32())
-                )
-                if dotted:
-                    # flatten dotted identity keys, then drop the root
-                    # structs — the exchange should ship leaves, not trees
-                    batch = augment_struct_keys(batch, dotted)
-                    batch = batch.select(
-                        [c for c in logical if c in batch.column_names] + ["__pid"]
-                    )
-                return batch
-
             src = rd.read_parquet(
                 source, columns=self._phys_read_cols(logical), include_paths=True
-            ).map_batches(attach_pid, batch_format="pyarrow")
+            ).map_batches(
+                self._make_attach_pid(pid_ref, logical), batch_format="pyarrow"
+            )
             if sample_mod is not None:
                 src = src.map_batches(
                     self._key_sample_filter(key_cols, sample_mod),
@@ -604,34 +608,17 @@ class ValidationEngine:
                 )
 
         key_cols = [c for c in self.spec.key_columns]
-        dotted = self.spec.dotted_key_paths()
         key_types = self._key_types_of(source, key_cols)
         out_ds: Optional[rd.Dataset] = None
         pid_ref = ray.put(pid_of_file)
         for tfk in self.spec.temporal_foreign_keys:
             col, ts_col = tfk.column, tfk.ts_column
             logical = sorted(set(key_cols + [col, ts_col]))
-
-            def attach_pid(batch: pa.Table, logical=logical) -> pa.Table:
-                pmap = ray.get(pid_ref)
-                parr = batch["path"].to_numpy(zero_copy_only=False)
-                uniq, inv = np.unique(parr, return_inverse=True)
-                lut = np.array([pmap.get(p, -1) for p in uniq], dtype=np.int32)
-                batch = batch.drop_columns(["path"]).append_column(
-                    "__pid", pa.array(lut[inv], pa.int32())
-                )
-                if dotted:
-                    from xmlschema_ray.engine.row_validator import augment_struct_keys
-
-                    batch = augment_struct_keys(batch, dotted)
-                    batch = batch.select(
-                        [c for c in logical if c in batch.column_names] + ["__pid"]
-                    )
-                return batch
-
             src = rd.read_parquet(
                 source, columns=self._phys_read_cols(logical), include_paths=True
-            ).map_batches(attach_pid, batch_format="pyarrow")
+            ).map_batches(
+                self._make_attach_pid(pid_ref, logical), batch_format="pyarrow"
+            )
             if sample_mod is not None:
                 src = src.map_batches(
                     self._key_sample_filter(key_cols, sample_mod),
@@ -745,7 +732,6 @@ class ValidationEngine:
         from xmlschema_ray.ops.relational import hash_partition_apply
 
         key_cols = list(self.spec.key_columns)
-        dotted = self.spec.dotted_key_paths()
         key_types = self._key_types_of(source, key_cols)
         pid_ref = ray.put(pid_of_file)
         out_ds: Optional[rd.Dataset] = None
@@ -771,26 +757,11 @@ class ValidationEngine:
                 | ({sc.end_column} if sc.end_column is not None else set())
             )
 
-            def attach_pid(batch: pa.Table, need=need) -> pa.Table:
-                pmap = ray.get(pid_ref)
-                parr = batch["path"].to_numpy(zero_copy_only=False)
-                uniq, inv = np.unique(parr, return_inverse=True)
-                lut = np.array([pmap.get(p, -1) for p in uniq], dtype=np.int32)
-                batch = batch.drop_columns(["path"]).append_column(
-                    "__pid", pa.array(lut[inv], pa.int32())
-                )
-                if dotted:
-                    from xmlschema_ray.engine.row_validator import augment_struct_keys
-
-                    batch = augment_struct_keys(batch, dotted)
-                    batch = batch.select(
-                        [c for c in need if c in batch.column_names] + ["__pid"]
-                    )
-                return batch
-
             src = rd.read_parquet(
                 source, columns=self._phys_read_cols(need), include_paths=True
-            ).map_batches(attach_pid, batch_format="pyarrow")
+            ).map_batches(
+                self._make_attach_pid(pid_ref, need), batch_format="pyarrow"
+            )
 
             def find_viols(part: pd.DataFrame, sc=sc, key_types=key_types) -> pd.DataFrame:
                 p = part.sort_values(

@@ -187,6 +187,24 @@ def _write_parquet_by_constraint(violations_dir: str, out_path: str) -> None:
 
     import pyarrow.parquet as pq
 
+    # the reader is LISTDIR-built, so a pre-existing export would be
+    # silently absorbed (stale constraint dirs from an earlier run would
+    # read as current) — REFUSE instead, the layout-writer convention
+    # (see sources/clustered.refuse_stale_parquet); jsonl/csv truncate
+    # their single file on rewrite, this is the only directory formatter
+    if os.path.isdir(out_path):
+        stale = [
+            e
+            for e in os.listdir(out_path)
+            if e.startswith("constraint_name=") or e.endswith(".parquet")
+        ]
+        if stale:
+            raise ValueError(
+                f"parquet-by-constraint out_path {out_path!r} already holds "
+                f"{len(stale)} export entr{'y' if len(stale) == 1 else 'ies'} — "
+                "write into a FRESH directory (the listdir-built reader would "
+                "absorb stale constraint directories as current violations)"
+            )
     os.makedirs(out_path, exist_ok=True)
     data_cols = [c for c in _COLS if c != "constraint_name"]
     schema = pa.schema([f for f in VIOLATION_SCHEMA if f.name != "constraint_name"])

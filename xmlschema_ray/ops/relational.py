@@ -189,6 +189,19 @@ def semi_join_copartitioned(
         return pd.DataFrame({key: b[key].dropna().drop_duplicates().to_numpy()})
 
     rk = right_keys.map_batches(distinct_keys, batch_format="pandas")
+    # a corpus-EMPTY build side collapses rk.schema() to None (chaining a
+    # second map over fully-empty upstream blocks — the documented Ray
+    # pitfall) and copartition_apply would die on .base_schema; the join
+    # is also trivially answerable: semi keeps nothing, anti keeps every
+    # NON-NULL probe row (null probes never survive either direction)
+    rk_schema = rk.schema()
+    if rk_schema is None or rk_schema.base_schema is None:
+
+        def no_build(batch: pd.DataFrame) -> pd.DataFrame:
+            kept = batch[batch[on].notna()]
+            return kept if not keep_members else kept.iloc[:0]
+
+        return left.map_batches(no_build, batch_format="pandas")
 
     def keep(lf: pd.DataFrame, rf: pd.DataFrame) -> pd.DataFrame:
         member = lf[on].isin(rf[key]) & lf[on].notna()
@@ -807,6 +820,11 @@ def _make_partial_fn(keys: List[str], aggs: Dict[str, Tuple[Optional[str], str]]
                 # sum+count partials it would divide a non-null sum by the
                 # total row count (silently wrong for nullable measures).
                 cols[out_name] = gb.size() if col is None else gb[col].count()
+            elif kind == "sum":
+                # SQL semantics: SUM over an ALL-NULL group is NULL, not 0
+                # (pandas' default sum invents 0.0) — min_count=1 aligns
+                # this spine with SQL, DuckDB and the Arrow spine
+                cols[out_name] = gb[col].sum(min_count=1)
             else:
                 cols[out_name] = gb[col].agg(_PARTIAL_FUNCS[kind])
         return pd.DataFrame(cols).reset_index()
@@ -921,7 +939,15 @@ def combiner_aggregate(
 
     def _merge(g: pd.DataFrame, by: List[str]) -> pd.DataFrame:
         gb = g.groupby(by, sort=False, dropna=False)
-        return pd.DataFrame({o: gb[o].agg(k) for o, k in merge_kinds.items()}).reset_index()
+        # sum merges use min_count=1 so a NaN partial (all-null source
+        # group) survives as NaN unless a non-null partial joins it —
+        # count partials are never null, so their sum-merge is unaffected
+        return pd.DataFrame(
+            {
+                o: (gb[o].sum(min_count=1) if k == "sum" else gb[o].agg(k))
+                for o, k in merge_kinds.items()
+            }
+        ).reset_index()
 
     def _finalize(out: pd.DataFrame) -> pd.DataFrame:
         for o, (s, c) in finalize_means.items():
@@ -979,7 +1005,9 @@ def _combiner_aggregate_arrow(
     the bug class the pandas spine's canonicalization patches exist for).
     Dtype note vs the pandas spine: a null-BEARING int64 measure sums to
     int64-with-null here (pandas: float64-with-NaN); non-null measures and
-    all key dtypes are byte-identical (proven on the oracle suite). NaN
+    all key dtypes are byte-identical (proven on the oracle suite). An
+    ALL-NULL group sums to NULL on BOTH spines (SQL semantics — the
+    pandas spine uses min_count=1; its bare .sum() would invent 0). NaN
     (as opposed to null) float values are summed by Arrow but skipped by
     pandas — parquet sources carry null, not NaN, so the suite never sees
     the difference."""

@@ -803,11 +803,21 @@ it0 AS MATERIALIZED (
 )"""
     its = []
     for k in range(1, int(n_iter) + 1):
+        # mx = 0 (A·v exactly zero — a degenerate corpus where the probed
+        # dimension quantizes to all zeros) passes v through UNCHANGED:
+        # the Python side BREAKS there, and since A·v stays zero for the
+        # same v, pass-through over the remaining iterations is identical
+        # to the break — and avoids the // 0 error
         its.append(
             f"""it{k} AS MATERIALIZED (
-  SELECT dim, (w * 1000000) // (MAX(ABS(w)) OVER ()) AS v
-  FROM (SELECT m.i AS dim, SUM(m.c * p.v) AS w
-        FROM mom m JOIN it{k - 1} p ON m.jj = p.dim GROUP BY m.i)
+  SELECT dim, CASE WHEN mx = 0 THEN pv ELSE (w * 1000000) // mx END AS v
+  FROM (
+    SELECT p.dim, p.v AS pv, w.w, MAX(ABS(w.w)) OVER () AS mx
+    FROM it{k - 1} p JOIN (
+      SELECT m.i AS dim, SUM(m.c * p2.v) AS w
+      FROM mom m JOIN it{k - 1} p2 ON m.jj = p2.dim GROUP BY m.i
+    ) w USING (dim)
+  )
 )"""
         )
     tail = f"""sgn AS MATERIALIZED (
