@@ -132,11 +132,17 @@ def _membership_filter_fn(keys_ref, column, keep_members):
 
 
 def _key_array(small: Union[pd.DataFrame, pa.Table, Sequence], key: Optional[str]) -> pa.Array:
+    """Distinct BROADCAST key set, nulls dropped: SQL membership (IN /
+    EXISTS) never matches NULL = NULL, but Arrow's ``is_in`` does when the
+    value set carries a null — a null build key would silently KEEP null
+    probe rows in ``semi_join`` (and flip results vs the size-gated
+    ``semi_join_copartitioned`` fallback, which drops them)."""
     if isinstance(small, pa.Table):
-        return small[key].combine_chunks().unique()
+        return small[key].combine_chunks().unique().drop_null()
     if isinstance(small, pd.DataFrame):
-        return pa.Array.from_pandas(small[key].drop_duplicates())
-    return pa.array(list(small))
+        return pa.Array.from_pandas(small[key].dropna().drop_duplicates())
+    arr = pa.array(list(small))
+    return arr.drop_null()
 
 
 def semi_join(
@@ -842,6 +848,14 @@ def _arrow_group_agg(
     ``(col, "count")`` is COUNT(col) non-null — the same SQL semantics as
     the pandas partial. Null keys form their own group (dropna=False
     analog). Output columns: keys first, then out_names."""
+    collide = set(specs) & set(keys)
+    if collide:
+        # the pandas spine fails loudly here (reset_index collision); the
+        # dict assembly below would silently OVERWRITE the key column with
+        # aggregate values instead — refuse identically on both spines
+        raise ValueError(
+            f"aggregate output name(s) {sorted(collide)} collide with group key(s)"
+        )
     agg_list: List[tuple] = []
     produced: Dict[str, str] = {}  # out -> produced column name
     seen: Dict[tuple, str] = {}

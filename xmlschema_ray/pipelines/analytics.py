@@ -846,10 +846,7 @@ _LR_SCALE = 1_000_000  # fixed-point scale for weights / probabilities
 _LR_DEN = 4  # learning rate 1/4 as an exact rational
 
 
-def _tdiv_int(a: int, b: int) -> int:
-    """Truncate-toward-zero integer division (DuckDB ``//`` semantics;
-    Python ``//`` floors, which differs on negative numerators)."""
-    return -((-a) // b) if a < 0 else a // b
+from xmlschema_ray.pipelines.common import tdiv_int as _tdiv_int  # canonical helper
 
 
 def logreg_train_orders(

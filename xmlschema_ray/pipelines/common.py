@@ -127,3 +127,13 @@ def layout_cache_fresh(cache_dir: str, manifest_name: str, expected_tag: str) ->
         shutil.rmtree(cache_dir, ignore_errors=True)
         return False
     return True
+
+
+def tdiv_int(a: int, b: int) -> int:
+    """Truncate-toward-zero integer division on PYTHON ints (arbitrary
+    precision), correct for BOTH signs of both operands — DuckDB ``//``
+    semantics; Python ``//`` floors, which differs whenever the quotient
+    is negative. The ONE shared scalar helper for the repo's
+    integer-exact oracle convention."""
+    q = abs(a) // abs(b)
+    return -q if (a < 0) != (b < 0) else q

@@ -774,37 +774,35 @@ def bloom_index_custkey_lookup(sf_dir: str, modulus: int = 1009) -> pd.DataFrame
     if not layout_cache_fresh(idx, BLOOM_MANIFEST, BLOOM_HASH_TAG):
         os.makedirs(root, exist_ok=True)
 
-        def to_c(batch: pd.DataFrame) -> pd.DataFrame:
-            return pd.DataFrame(
-                {
-                    "o_custkey": batch["o_custkey"].astype("int64"),
-                    "price_c": cents(batch["o_totalprice"]),
-                }
-            )
+        # the packed DATA corpus rebuilds only when it is genuinely
+        # missing: a stale-INDEX heal (the post-hash-upgrade case) keeps
+        # the data and rebuilds just the sidecar — rewriting the whole
+        # corpus into a tmp dir whose rename then fails on the existing
+        # data dir would be pure wasted I/O on every heal
+        if not os.path.isdir(data) or not any(
+            f.endswith(".parquet") for f in os.listdir(data)
+        ):
 
-        tmp = f"{data}.build{os.getpid()}"
+            def to_c(batch: pd.DataFrame) -> pd.DataFrame:
+                return pd.DataFrame(
+                    {
+                        "o_custkey": batch["o_custkey"].astype("int64"),
+                        "price_c": cents(batch["o_totalprice"]),
+                    }
+                )
 
-        # a crashed same-pid build leaves stale parquet the layout
-
-        # writers now refuse — clear it before building
-
-        import shutil as _sh
-
-
-        _sh.rmtree(tmp, ignore_errors=True)
-        rd.read_parquet(
-            table_path(sf_dir, "orders"), columns=["o_custkey", "o_totalprice"]
-        ).map_batches(to_c, batch_format="pandas").repartition(16).write_parquet(tmp)
-        try:
-            os.rename(tmp, data)
-        except OSError:
+            tmp = f"{data}.build{os.getpid()}"
+            # a crashed same-pid build leaves stale parquet — clear first
             shutil.rmtree(tmp, ignore_errors=True)
+            rd.read_parquet(
+                table_path(sf_dir, "orders"), columns=["o_custkey", "o_totalprice"]
+            ).map_batches(to_c, batch_format="pandas").repartition(16).write_parquet(tmp)
+            try:
+                os.rename(tmp, data)
+            except OSError:
+                shutil.rmtree(tmp, ignore_errors=True)
         tmp = f"{idx}.build{os.getpid()}"
-        # a crashed same-pid build leaves stale parquet the layout
-        # writers now refuse — clear it before building
-        import shutil as _sh
-
-        _sh.rmtree(tmp, ignore_errors=True)
+        shutil.rmtree(tmp, ignore_errors=True)
         build_bloom_index(data, "o_custkey", tmp)
         try:
             os.rename(tmp, idx)

@@ -645,11 +645,7 @@ _TC_SCALE = 10**6  # embedding quantization for the EXACT covariance path
 _TC_ITERS = 60  # fixed iteration count (no data-dependent early exit)
 
 
-def _tdiv(a: int, b: int) -> int:
-    """Integer division truncating toward zero — DuckDB's ``//`` (Python's
-    floors; they differ on negative numerators)."""
-    q = abs(a) // abs(b)
-    return -q if (a < 0) != (b < 0) else q
+from xmlschema_ray.pipelines.common import tdiv_int as _tdiv  # canonical helper
 
 
 def _power_iterate_int(a_obj: "np.ndarray", d: int, n_iter: int):
@@ -696,6 +692,12 @@ def embedding_top_component(
     spectral building block behind PCA whitening, embedding-quality
     probes, and the deflation loop for more components).
 
+    ``n_iter`` / ``tol`` apply to the LARGE-d float matvec path only: the
+    default covariance path runs the FIXED ``_TC_ITERS``-count integer
+    iteration by design — the fixed count IS the hash-exact oracle
+    contract (a data-dependent early exit would have to be replayed by
+    the SQL side too).
+
     Adaptive physical plan on the embedding dimension:
 
     * d ≤ ``covariance_dim_threshold``: ONE streaming pass computes
@@ -727,8 +729,26 @@ def embedding_top_component(
 
         def cov_partial(batch: pd.DataFrame) -> pd.DataFrame:
             x = np.stack(batch["embedding"].to_numpy()).astype(np.float64)
+            # refuse-loudly before silent corruption (the repo's zone-map/
+            # temporal-guard discipline): NaN would cast to INT64_MIN with
+            # only an invisible worker-side RuntimeWarning and fold
+            # plausible-looking garbage into the moments; |x| > 64 could
+            # overflow the per-batch int64 cell (rows·(64e6)² ≈ 4.2e18 at
+            # 1024-row batches — under 2^63 with headroom)
+            if not np.isfinite(x).all():
+                raise ValueError(
+                    "embedding_top_component: non-finite embedding element "
+                    "(NaN/inf/null) — clean or impute before the exact "
+                    "integer moment pass"
+                )
+            if np.abs(x).max() > 64.0:
+                raise ValueError(
+                    "embedding_top_component: |embedding| > 64 would overflow "
+                    "the exact int64 moment partials at the 1e6 quantization — "
+                    "rescale the vectors first"
+                )
             e = np.floor(x * S + 0.5).astype(np.int64)
-            c = e.T @ e  # |e| ≤ S ⇒ per-batch cell ≤ rows·S² — exact int64
+            c = e.T @ e  # |e| ≤ 64·S ⇒ per-batch cell ≤ rows·(64·S)² — exact int64
             return pd.DataFrame(
                 {
                     "i": np.repeat(np.arange(d, dtype=np.int64), d),
