@@ -185,3 +185,67 @@ def test_quarantine_split_dotted_key(tmp_path, ray_session):
     assert c.num_rows == 5
     assert set(q.column_names) == {"doc_id", "meta", "title"}
     assert set(c.column_names) == {"doc_id", "meta", "title"}
+
+
+def test_two_level_nested_path(tmp_path, ray_session):
+    """Dotted paths walk MULTI-level structs (meta.inner.tag) — lint,
+    flatten and uniqueness all through the 2-deep chain."""
+    inner = pa.struct([pa.field("tag", pa.string())])
+    meta2 = pa.struct([pa.field("inner", inner), pa.field("x", pa.int64())])
+    d = str(tmp_path / "docs2")
+    os.makedirs(d, exist_ok=True)
+    inner_arr = pa.StructArray.from_arrays(
+        [pa.array(["a", "a", "b"], pa.string())], fields=list(inner)
+    )
+    meta_arr = pa.StructArray.from_arrays(
+        [inner_arr, pa.array([1, 2, 3], pa.int64())], fields=list(meta2)
+    )
+    pq.write_table(
+        pa.table({"doc_id": pa.array([0, 1, 2], pa.int64()), "meta": meta_arr}),
+        os.path.join(d, "p0.parquet"),
+    )
+    spec = TableConstraints(
+        name="two_level",
+        columns=[
+            ColumnSpec("doc_id", pa.int64(), nullable=False),
+            ColumnSpec("meta", meta2, nullable=True),
+        ],
+        unique_keys=[UniqueKey(("meta.inner.tag",), name="uk_tag")],
+        key_columns=("doc_id",),
+    )
+    spec.compile()
+    with pytest.raises(SpecError):
+        TableConstraints(
+            name="bad",
+            columns=[ColumnSpec("meta", meta2, nullable=True)],
+            unique_keys=[UniqueKey(("meta.inner.nope",),)],
+        ).compile()
+    res = ValidationEngine(spec, n_shards=1).run(
+        d, out_dir=str(tmp_path / "o5"), resume=False
+    )
+    dup = res.violations()
+    dup = dup[dup["constraint_name"] == "uk_tag"]
+    assert dup["key"].tolist() == ["a"] and "count=2" in dup["reason"].iloc[0]
+
+
+def test_b2_deferred_fk_with_dotted_row_identity(tmp_path, ray_session):
+    """Stage B2 (over-cap distributed keyref, forced via
+    broadcast_fk_cap_bytes=0) with DOTTED key_columns: the pruned read
+    fetches the ROOT struct, the shared attach_pid flattens, and the
+    violation keys render through the stage-A identity (source dtypes via
+    the nested footer-schema lookup)."""
+    d = _corpus(tmp_path)
+    dim = pa.table({"name": pa.array(["mit", "apache"], pa.string())})
+    spec = _spec(
+        key_columns=("meta.origin", "doc_id"),
+        foreign_keys=[ForeignKey("title", "titles", "name", name="fk_title")],
+    )
+    # dim of allowed titles: everything except 'f' (doc 5; doc 3's title
+    # is null -> exempt)
+    tdim = pa.table({"name": pa.array(["a", "b", "c", "e"], pa.string())})
+    eng = ValidationEngine(spec, n_shards=1, broadcast_fk_cap_bytes=0)
+    res = eng.run(d, out_dir=str(tmp_path / "o6"), dims={"titles": tdim}, resume=False)
+    v = res.violations()
+    bad = v[v["constraint_name"] == "fk_title"]
+    # doc 5: meta.origin=1, doc_id=5 -> stage-A str() identity '1|5'
+    assert bad["key"].tolist() == ["1|5"]
