@@ -133,3 +133,122 @@ def test_mad_outlier_docs_invariants(tmp_path, ray_session):
     assert out["doc_id"].tolist() == [9]
     assert out.loc[0, "source"] == "A" and out.loc[0, "n_chars"] == 10_000
     assert out.loc[0, "med"] == 101.0  # median untouched by the spike
+
+
+def test_group_keys_stable_across_nullable_batches():
+    """A nullable INT group column must key the same logical group
+    identically in null-free and null-bearing batches ('1', never '1.0')
+    — the float64 dtype-instability class, previously splitting one
+    group's partials — and null groups are EXCLUDED from both the
+    group-agg and grouped-histogram channels (one convention)."""
+    import pyarrow as pa
+
+    from xmlschema_ray.engine.stats import collect_batch_stats
+
+    edges = np.array([0.0, 10.0, 20.0])
+    specs = {"chk": ("g", "v")}
+    t_a = pa.table(  # no nulls: int64 batch
+        {"g": pa.array([1, 2], pa.int64()), "v": pa.array([1.0, 2.0])}
+    )
+    t_b = pa.table(  # null-bearing: pandas would surface g as float64
+        {"g": pa.array([1, 2, None], pa.int64()), "v": pa.array([3.0, 4.0, 9.0])}
+    )
+    bs = collect_batch_stats(t_a, [], [], {"v": (edges, "g")}, group_agg_specs=specs)
+    bs.merge(collect_batch_stats(t_b, [], [], {"v": (edges, "g")}, group_agg_specs=specs))
+    assert set(bs.groups["chk"]) == {"1", "2"}, bs.groups["chk"]
+    assert bs.groups["chk"]["1"].tolist() == [2.0, 0.0, 4.0]  # rows 1.0 + 3.0
+    assert set(h for h in bs.histograms if "@" in h) == {"v@1", "v@2"}
+    assert bs.histograms["v@1"].sum() == 2  # null group's 9.0 excluded
+
+
+def test_grouped_histograms_match_np_histogram():
+    """The vectorized one-pass grouped histogram equals per-group
+    np.histogram, including the closed right edge of the LAST bin and
+    out-of-range drops."""
+    import pyarrow as pa
+
+    from xmlschema_ray.engine.stats import collect_batch_stats
+
+    rng = np.random.RandomState(3)
+    g = rng.randint(0, 5, 500)
+    v = rng.uniform(-5, 25, 500)
+    v[::17] = 20.0  # exactly the last edge → last bin
+    edges = np.array([0.0, 5.0, 10.0, 20.0])
+    t = pa.table({"g": pa.array(g, pa.int64()), "v": pa.array(v)})
+    bs = collect_batch_stats(t, [], [], {"v": (edges, "g")})
+    for gv in np.unique(g):
+        want, _ = np.histogram(v[g == gv], bins=edges)
+        got = bs.histograms[f"v@{gv}"]
+        assert got.tolist() == want.tolist(), (gv, got, want)
+
+
+def test_std_no_catastrophic_cancellation():
+    """Centered-moment (Chan) merge: epoch-µs magnitudes with a 1-second
+    spread must NOT collapse std to 0.0 (the naive E[x²]−E[x]² form did,
+    through the float64 ulp)."""
+    from xmlschema_ray.engine.stats import ColumnStats
+
+    base = 1_755_000_000_000_000_000
+    vals = base + np.arange(0, 1_000_000, 1000, dtype=np.int64)
+    a, b = ColumnStats(), ColumnStats()
+    a.observe(vals[:500].astype(np.float64), 0)
+    b.observe(vals[500:].astype(np.float64), 0)
+    a.merge(b)
+    true_std = float(np.std(vals.astype(np.float64)))
+    assert true_std > 0
+    # float64 subtraction at 1e18 magnitudes caps precision around 1e-3
+    # relative — the point is the OLD formula returned exactly 0.0 (100%
+    # error) where the centered merge is within a fraction of a percent
+    assert abs(a.std - true_std) / true_std < 1e-3, (a.std, true_std)
+
+
+def test_nan_treated_as_null_and_merge_order_independent():
+    """Float NaN is null for profiling: excluded from count/sum/extremes,
+    added to null_count — and the merge is ORDER-INDEPENDENT (Python
+    min(1.0, nan) != min(nan, 1.0) previously made tree-merge order
+    change min/max)."""
+    from xmlschema_ray.engine.stats import ColumnStats
+
+    a1, b1 = ColumnStats(), ColumnStats()
+    a1.observe(np.array([1.0, 2.0]), 0)
+    b1.observe(np.array([np.nan, 5.0]), 1)
+    a1.merge(b1)
+    a2, b2 = ColumnStats(), ColumnStats()
+    a2.observe(np.array([1.0, 2.0]), 0)
+    b2.observe(np.array([np.nan, 5.0]), 1)
+    b2.merge(a2)
+    for cs in (a1, b2):
+        assert (cs.vmin, cs.vmax) == (1.0, 5.0), cs
+        assert cs.count == 3 and cs.null_count == 2
+        assert abs(cs.mean - 8.0 / 3.0) < 1e-12
+
+
+def test_ks_psi_empty_actual_is_maximal_drift():
+    """An all-zero actual histogram (column gone all-null, or every value
+    migrated OUTSIDE the bin range) is maximal drift, not stability."""
+    from xmlschema_ray.engine.stats import ks_statistic, psi
+
+    ref = np.array([100, 200, 100])
+    zero = np.zeros(3)
+    assert ks_statistic(ref, zero) == 1.0
+    assert psi(ref, zero) == float("inf")
+    assert ks_statistic(zero, zero) == 0.0 and psi(zero, zero) == 0.0
+
+
+def test_quantile_labels_exact():
+    from xmlschema_ray.engine.stats import histogram_quantiles
+
+    h = np.array([10, 10, 10, 10])
+    e = np.array([0.0, 1.0, 2.0, 3.0, 4.0])
+    out = histogram_quantiles(h, e, qs=(0.5, 0.95, 0.99, 0.29, 0.999))
+    assert set(out) == {"p50", "p95", "p99", "p29", "p99_9"}, set(out)
+
+
+def test_hash64_float32_canonicalizes():
+    """parquet FLOAT vs DOUBLE spellings of one value hash identically
+    (schema drift across file generations must co-locate, never split)."""
+    from xmlschema_ray.engine.stats import hash64
+
+    f32 = np.array([7.0, -1.5], dtype=np.float32)
+    f64 = np.array([7.0, -1.5], dtype=np.float64)
+    assert hash64(f32).tolist() == hash64(f64).tolist()

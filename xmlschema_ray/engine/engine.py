@@ -271,10 +271,12 @@ class ValidationEngine:
     ) -> List[dict]:
         """Stage-D reconciliation of the merged per-group (n, nulls, sum)
         channel against each manifest (see ``ManifestCheck``). Group keys
-        in the stats channel are stringified (``stats.py`` groups by
-        ``astype(str)``); manifest keys stringify the same way, so integer
-        and string provenance labels both reconcile. Values format as
-        integers when integral so reasons are engine-independent."""
+        in the stats channel render via ``stats._group_labels`` — Python
+        ``str()`` of the Arrow-faithful values (int 3 → '3' in every
+        batch); manifest keys render through the SAME convention below so
+        integer and string provenance labels both reconcile. Values
+        format as integers when integral so reasons are
+        engine-independent."""
 
         def fmt(x: float) -> str:
             return str(int(x)) if float(x) == int(x) else repr(float(x))
@@ -299,7 +301,13 @@ class ValidationEngine:
                 )
             gd = merged.groups.get(mc.name, {})
             man_pd = man.to_pandas()
-            man_keys = man_pd[mc.dim_key].astype(str).to_numpy(object)
+            # SAME key identity as the stats channel: str() over the
+            # Arrow-faithful values, not a pandas astype(str) (an int64
+            # dim surfaced as float64 would render '1.0' vs the channel's
+            # '1' and every group would report missing)
+            man_keys = np.array(
+                [str(v) for v in man[mc.dim_key].to_pylist()], dtype=object
+            )
             exp_n = (
                 man_pd[mc.expected_count].to_numpy(np.float64)
                 if mc.expected_count is not None

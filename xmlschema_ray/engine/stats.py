@@ -50,6 +50,14 @@ def hash64(values: np.ndarray) -> np.ndarray:
         values = values.astype(object)
     elif values.dtype.kind in ("i", "u", "b"):
         values = values.astype(np.float64)
+    elif values.dtype.kind == "f" and values.dtype.itemsize < 8:
+        # float32/float16 widen EXACTLY to float64: the same logical value
+        # read as parquet FLOAT in one file generation and DOUBLE in
+        # another must hash identically (schema drift across generations
+        # is an acknowledged reality here) — without this, one key's rows
+        # split across keycount hashes / bloom probes, the class the
+        # HASH_TAG versioning exists to kill
+        values = values.astype(np.float64)
     return pd.util.hash_array(values, categorize=False)
 
 
@@ -104,30 +112,60 @@ def hll_estimate(reg: np.ndarray) -> float:
 
 @dataclass
 class ColumnStats:
-    """Mergeable moments + extremes for one numeric quantity."""
+    """Mergeable moments + extremes for one numeric quantity.
+
+    Variance is carried as CENTERED second moments (``m2``) with the Chan
+    parallel merge — the naive E[x²]−E[x]² form cancels catastrophically
+    at large magnitudes (epoch-µs timestamps with a 1-second spread report
+    std = 0.0 through the float64 ulp; measured live) while the centered
+    merge stays exact to ~machine epsilon and remains fully associative.
+
+    Float NaN is treated as NULL for profiling (excluded from count / sum
+    / extremes and added to ``null_count``): parquet's own null channel is
+    the norm here, and admitting raw NaN would both poison min/max and —
+    because Python ``min(1.0, nan) != min(nan, 1.0)`` — make the merge
+    ORDER-DEPENDENT, violating this module's associativity contract under
+    Ray's nondeterministic tree-merge order."""
 
     count: int = 0
     null_count: int = 0
     vmin: Optional[float] = None
     vmax: Optional[float] = None
     total: float = 0.0
-    total_sq: float = 0.0
+    m2: float = 0.0
 
     def observe(self, values: np.ndarray, null_count: int) -> None:
         self.null_count += int(null_count)
         if len(values) == 0:
             return
-        self.count += int(len(values))
-        lo = float(values.min())
-        hi = float(values.max())
+        v = values.astype(np.float64, copy=False)
+        if v.dtype.kind == "f":
+            nan_mask = np.isnan(v)
+            if nan_mask.any():
+                self.null_count += int(nan_mask.sum())
+                v = v[~nan_mask]
+                if len(v) == 0:
+                    return
+        n_b = int(len(v))
+        lo, hi = float(v.min()), float(v.max())
+        mean_b = float(v.mean())
+        m2_b = float(((v - mean_b) ** 2).sum())
+        # Chan et al. parallel update against the running (count, mean, m2)
+        n_a = self.count
+        if n_a == 0:
+            self.count, self.total, self.m2 = n_b, mean_b * n_b, m2_b
+            self.vmin, self.vmax = lo, hi
+            return
+        mean_a = self.total / n_a
+        delta = mean_b - mean_a
+        n = n_a + n_b
+        self.m2 = self.m2 + m2_b + delta * delta * n_a * n_b / n
+        self.total += mean_b * n_b
+        self.count = n
         self.vmin = lo if self.vmin is None else min(self.vmin, lo)
         self.vmax = hi if self.vmax is None else max(self.vmax, hi)
-        v = values.astype(np.float64, copy=False)
-        self.total += float(v.sum())
-        self.total_sq += float((v * v).sum())
 
     def merge(self, other: "ColumnStats") -> None:
-        self.count += other.count
         self.null_count += other.null_count
         for v in (other.vmin,):
             if v is not None:
@@ -135,8 +173,18 @@ class ColumnStats:
         for v in (other.vmax,):
             if v is not None:
                 self.vmax = v if self.vmax is None else max(self.vmax, v)
+        n_a, n_b = self.count, other.count
+        if n_b == 0:
+            return
+        if n_a == 0:
+            self.count, self.total, self.m2 = n_b, other.total, other.m2
+            return
+        mean_a, mean_b = self.total / n_a, other.total / n_b
+        delta = mean_b - mean_a
+        n = n_a + n_b
+        self.m2 = self.m2 + other.m2 + delta * delta * n_a * n_b / n
         self.total += other.total
-        self.total_sq += other.total_sq
+        self.count = n
 
     @property
     def mean(self) -> Optional[float]:
@@ -146,9 +194,7 @@ class ColumnStats:
     def std(self) -> Optional[float]:
         if not self.count:
             return None
-        m = self.total / self.count
-        var = max(0.0, self.total_sq / self.count - m * m)
-        return math.sqrt(var)
+        return math.sqrt(max(0.0, self.m2 / self.count))
 
     def to_dict(self) -> Dict:
         return {
@@ -203,6 +249,26 @@ class BatchStats:
     @staticmethod
     def loads(blob: bytes) -> "BatchStats":
         return pickle.loads(blob)
+
+
+def _group_labels(col: "pa.ChunkedArray | pa.Array") -> Tuple[np.ndarray, List[str]]:
+    """(group index per row — −1 for NULL groups, label list) for a group
+    column, via Arrow dictionary encoding. Labels are Python ``str()`` of
+    the ARROW-faithful values (the repo's one key-identity convention):
+    an int group renders '3' in every batch, where a pandas detour would
+    render '3.0' whenever the batch happened to carry a null — silently
+    splitting one logical group's partials. Null groups are EXCLUDED
+    (index −1) in BOTH the group-agg and grouped-histogram channels — one
+    consistent convention, matching the engine's null-exemption stance
+    for identity constraints."""
+    if isinstance(col, pa.ChunkedArray):
+        col = col.combine_chunks()
+    enc = pc.dictionary_encode(col)
+    if isinstance(enc, pa.ChunkedArray):
+        enc = enc.combine_chunks()
+    inverse = enc.indices.fill_null(-1).to_numpy(zero_copy_only=False).astype(np.int64)
+    labels = [str(v) for v in enc.dictionary.to_pylist()]
+    return inverse, labels
 
 
 def _column_numeric_values(col: pa.ChunkedArray | pa.Array) -> Tuple[np.ndarray, int]:
@@ -268,15 +334,35 @@ def collect_batch_stats(
         bs.histograms[qname] = hist.astype(np.int64)
         if group_by and group_by in table.column_names:
             # pairwise null mask keeps quantity and group values ALIGNED
-            # (_column_numeric_values drops nulls and would misalign)
+            # (_column_numeric_values drops nulls and would misalign);
+            # group labels render through _group_labels (Arrow-faithful
+            # str(), null groups excluded) so an int group is '3' in EVERY
+            # batch — the pandas detour rendered it '3.0' in null-bearing
+            # batches, silently splitting one group's histogram and
+            # missing its group_references entry
             q_pd = q.to_pandas()
-            g_pd = table[group_by].to_pandas()
-            ok = q_pd.notna().to_numpy() & g_pd.notna().to_numpy()
-            qv = q_pd.to_numpy()[ok]
-            gv_arr = g_pd.to_numpy()[ok]
-            for gv in pd.unique(gv_arr):
-                h, _ = np.histogram(qv[gv_arr == gv], bins=edges)
-                bs.histograms[f"{qname}@{gv}"] = h.astype(np.int64)
+            inverse, labels = _group_labels(table[group_by])
+            ok = q_pd.notna().to_numpy() & (inverse >= 0)
+            qv = q_pd.to_numpy()[ok].astype(np.float64, copy=False)
+            inv_ok = inverse[ok]
+            if len(labels) and ok.any():
+                # all per-group histograms in ONE pass: flat bincount over
+                # group_index * nbins + bin_index (out-of-range values
+                # drop, matching np.histogram's clip-out behavior)
+                nbins = len(edges) - 1
+                bin_idx = np.searchsorted(edges, qv, side="right") - 1
+                # np.histogram includes the right edge of the LAST bin
+                bin_idx[qv == edges[-1]] = nbins - 1
+                in_range = (bin_idx >= 0) & (bin_idx < nbins)
+                flat = np.bincount(
+                    inv_ok[in_range] * nbins + bin_idx[in_range],
+                    minlength=len(labels) * nbins,
+                ).reshape(len(labels), nbins)
+                seen_groups = np.unique(inv_ok)
+                for gi in seen_groups:
+                    bs.histograms[f"{qname}@{labels[gi]}"] = flat[gi].astype(
+                        np.int64
+                    )
     # aggregate-check partials: name -> (group_col | None, value_col | None).
     # One (n, nulls, sum) triple per observed group — vectorized bincounts
     # over the np.unique inverse, group-cardinality output.
@@ -292,7 +378,11 @@ def collect_batch_stats(
                 vc = vc.combine_chunks()
             null_mask = vc.is_null().to_numpy(zero_copy_only=False)
             vals = np.asarray(vc.to_pandas().to_numpy(), dtype=np.float64)
-            vals = np.where(null_mask, 0.0, np.nan_to_num(vals, nan=0.0))
+            # a raw float NaN payload counts as NULL (not a silent 0 in
+            # the sum that DEFLATES the group mean while still counting
+            # as non-null evidence) — the ColumnStats NaN-as-null stance
+            null_mask = null_mask | np.isnan(vals)
+            vals = np.where(null_mask, 0.0, vals)
         else:
             null_mask = np.zeros(n_rows, dtype=bool)
             vals = np.zeros(n_rows, dtype=np.float64)
@@ -303,15 +393,22 @@ def collect_batch_stats(
                 )
             }
             continue
-        gv_arr = table[group_col].to_pandas().to_numpy()
-        ug, inverse = np.unique(gv_arr.astype(str), return_inverse=True)
-        n_g = np.bincount(inverse, minlength=len(ug)).astype(np.float64)
+        # canonical group labels (Arrow-faithful str(), null groups
+        # excluded) — see _group_labels; the old astype(str) over the
+        # pandas conversion keyed an int group '1' in null-free batches
+        # and '1.0' in null-bearing ones, splitting its partials
+        inverse, labels = _group_labels(table[group_col])
+        keep = inverse >= 0
+        inv_k = inverse[keep]
+        n_lab = len(labels)
+        n_g = np.bincount(inv_k, minlength=n_lab).astype(np.float64)
         nulls_g = np.bincount(
-            inverse, weights=null_mask.astype(np.float64), minlength=len(ug)
+            inv_k, weights=null_mask[keep].astype(np.float64), minlength=n_lab
         )
-        sum_g = np.bincount(inverse, weights=vals, minlength=len(ug))
+        sum_g = np.bincount(inv_k, weights=vals[keep], minlength=n_lab)
         bs.groups[cname] = {
-            str(g): np.array([n_g[i], nulls_g[i], sum_g[i]]) for i, g in enumerate(ug)
+            labels[i]: np.array([n_g[i], nulls_g[i], sum_g[i]])
+            for i in np.unique(inv_k)
         }
     return bs
 
@@ -323,11 +420,18 @@ def histogram_quantiles(
     interpolation within bins). Mergeable by construction — histograms add
     — so this gives distributed quantiles without a sketch library; error
     is bounded by the bin width."""
+    def label(q: float) -> str:
+        # %g keeps the defaults' historical labels (p50/p95/p99) while
+        # int() truncation mislabeled q=0.29 as 'p28' (28.999… floor) and
+        # collided q=0.999 with q=0.99 — fractional percents render as
+        # 'p99_9'
+        return "p" + ("%g" % (q * 100)).replace(".", "_")
+
     h = np.asarray(hist, dtype=np.float64)
     total = h.sum()
     out: Dict[str, float] = {}
     if total == 0:
-        return {f"p{int(q * 100)}": float("nan") for q in qs}
+        return {label(q): float("nan") for q in qs}
     edges = np.asarray(bin_edges, dtype=np.float64)
     cum = np.cumsum(h)
     for q in qs:
@@ -336,7 +440,7 @@ def histogram_quantiles(
         i = min(i, len(h) - 1)
         prev = cum[i - 1] if i > 0 else 0.0
         frac = (target - prev) / h[i] if h[i] > 0 else 0.0
-        out[f"p{int(q * 100)}"] = float(edges[i] + frac * (edges[i + 1] - edges[i]))
+        out[label(q)] = float(edges[i] + frac * (edges[i + 1] - edges[i]))
     return out
 
 
@@ -344,22 +448,38 @@ def histogram_quantiles(
 
 
 def ks_statistic(hist_a: np.ndarray, hist_b: np.ndarray) -> float:
-    """Two-sample KS statistic approximated on shared-bin histograms."""
+    """Two-sample KS statistic approximated on shared-bin histograms.
+
+    BOTH sides empty → 0.0 (no data, no evidence of drift). Exactly ONE
+    side empty → 1.0, the statistic's supremum: an actual histogram gone
+    all-zero means the column went all-null or every value migrated
+    OUTSIDE the bin range — maximal drift, not maximal stability (the old
+    0.0 return let a wholesale out-of-range regression pass the gate)."""
     a = np.asarray(hist_a, dtype=np.float64)
     b = np.asarray(hist_b, dtype=np.float64)
-    if a.sum() == 0 or b.sum() == 0:
+    sa, sb = a.sum(), b.sum()
+    if sa == 0 and sb == 0:
         return 0.0
-    ca = np.cumsum(a) / a.sum()
-    cb = np.cumsum(b) / b.sum()
+    if sa == 0 or sb == 0:
+        return 1.0
+    ca = np.cumsum(a) / sa
+    cb = np.cumsum(b) / sb
     return float(np.abs(ca - cb).max())
 
 
 def psi(hist_expected: np.ndarray, hist_actual: np.ndarray, eps: float = 1e-6) -> float:
-    """Population Stability Index between binned distributions."""
+    """Population Stability Index between binned distributions.
+
+    Same empty-side convention as :func:`ks_statistic`: both empty → 0.0;
+    one empty → ``inf`` (an all-zero actual is maximal instability — any
+    finite PSI threshold fails, matching the true statistic's limit)."""
     e = np.asarray(hist_expected, dtype=np.float64)
     a = np.asarray(hist_actual, dtype=np.float64)
-    if e.sum() == 0 or a.sum() == 0:
+    se, sa = e.sum(), a.sum()
+    if se == 0 and sa == 0:
         return 0.0
-    pe = np.clip(e / e.sum(), eps, None)
-    pa_ = np.clip(a / a.sum(), eps, None)
+    if se == 0 or sa == 0:
+        return float("inf")
+    pe = np.clip(e / se, eps, None)
+    pa_ = np.clip(a / sa, eps, None)
     return float(np.sum((pa_ - pe) * np.log(pa_ / pe)))

@@ -267,7 +267,12 @@ def stable_key_hash(df: "pd.DataFrame | pd.Series") -> np.ndarray:
     """
     if isinstance(df, pd.Series):
         df = df.to_frame()
-    cast = {c: np.float64 for c in df.columns if df[c].dtype.kind in ("i", "u", "b")}
+    cast = {
+        c: np.float64
+        for c in df.columns
+        if df[c].dtype.kind in ("i", "u", "b")
+        or (df[c].dtype.kind == "f" and df[c].dtype.itemsize < 8)
+    }
     if cast:
         df = df.astype(cast)
     return pd.util.hash_pandas_object(df, index=False).to_numpy()

@@ -45,11 +45,13 @@ import ray.data as rd
 BLOOM_MANIFEST = "_bloom_manifest.json"
 BLOOM_SIDECAR = "_bloom_filters.parquet"
 # v2: hash64 integer hashing changed in round 4 (ints now hash via their
-# float64 spelling for dtype stability). A v1 sidecar probed with the v2
-# hash yields FALSE NEGATIVES — files containing probe values silently
-# pruned — so prune_bloom refuses v1 tags and forces a rebuild (same
-# convention as bucketed.py's HASH_TAG v2 bump).
-HASH_TAG = "hash64_kirsch_mitzenmacher_v2"
+# float64 spelling for dtype stability). v3: float32/float16 inputs now
+# ALSO widen to float64 before hashing (parquet FLOAT vs DOUBLE schema
+# drift would otherwise split one value's probes). A stale-tag sidecar
+# probed with the current hash yields FALSE NEGATIVES — files containing
+# probe values silently pruned — so prune_bloom refuses old tags and
+# forces a rebuild (same convention as bucketed.py's tag bumps).
+HASH_TAG = "hash64_kirsch_mitzenmacher_v3"
 
 
 def _norm_values(values) -> np.ndarray:
@@ -60,6 +62,10 @@ def _norm_values(values) -> np.ndarray:
         return v.astype(np.int64)
     if v.dtype.kind in ("U", "S"):
         return v.astype(object)
+    if v.dtype.kind == "f" and v.dtype.itemsize < 8:
+        # a float32-built filter must accept float64 probes of the same
+        # values (and vice versa) — one canonical float spelling
+        return v.astype(np.float64)
     return v
 
 

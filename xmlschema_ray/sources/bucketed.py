@@ -33,7 +33,7 @@ import pyarrow.parquet as pq
 import ray.data as rd
 
 BUCKET_MANIFEST = "_bucket_manifest.json"
-HASH_TAG = "pd_hash_array_v2"  # identifies the bucket fn; must match to join
+HASH_TAG = "pd_hash_array_v3"  # identifies the bucket fn; must match to join (v3: float32 keys widen to float64 before hashing)
 # (v2: integer keys hash through their float64 spelling — dtype-stable
 # across null-bearing batches; v1 layouts must be rebuilt)
 
