@@ -731,7 +731,7 @@ def test_output_formatters_roundtrip(tmp_path, ray_session):
     }
     canonical = res.violations()
 
-    for name in ("jsonl-by-key", "csv", "parquet-by-constraint"):
+    for name in ("jsonl-by-key", "csv", "parquet-by-constraint", "jsonl-flat", "json-table"):
         out = res.export(name, str(tmp_path / f"v.{name}"))
         back = get_formatter(name).reader(out)
         pd.testing.assert_frame_equal(

@@ -147,6 +147,29 @@ def test_dedup_forced_distributed_paths_match(ray_session):
         pd.testing.assert_frame_equal(m_fast, m_join)
 
 
+def test_minhash_distributed_empty_candidates_tuple(tmp_path, ray_session):
+    """Distributed-path minhash with ZERO LSH candidates must still honor
+    the (edges, docs, n_nodes) contract (regression: that branch returned a
+    bare label Dataset, crashing every 3-tuple-unpacking caller)."""
+    import pyarrow as pa
+    import pyarrow.parquet as pq
+
+    from xmlschema_ray.pipelines.dedup import minhash_lsh_dedup, minhash_verified_pairs
+
+    texts = [" ".join(f"w{i}_{j}" for j in range(12)) for i in range(6)]
+    tbl = pa.table({"doc_id": pa.array(range(6), pa.int64()), "text": texts})
+    pq.write_table(tbl, str(tmp_path / "documents.parquet"))
+    edges, _docs, n_nodes = minhash_verified_pairs(
+        str(tmp_path), distributed_threshold_bytes=0, oracle_dump=False
+    )
+    assert edges.count() == 0 and n_nodes == 6
+    labels = minhash_lsh_dedup(
+        str(tmp_path), distributed_threshold_bytes=0, oracle_dump=False
+    ).to_pandas()
+    assert len(labels) == 6
+    assert (labels["doc_id"] == labels["cluster_root"]).all()
+
+
 def test_substring_dup_pairs_known_spans(tmp_path, ray_session):
     """Crafted corpus with a known shared 8-token span: every doc pair
     containing the span is reported with the exact distinct-span count;

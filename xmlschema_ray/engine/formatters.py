@@ -16,6 +16,11 @@ Built-ins:
   nested layout; streamed batch-wise off the sorted parquet so no full
   materialization at any output size.
 * ``csv`` — flat RFC-4180 CSV of the canonical columns.
+* ``parquet-by-constraint`` — hive-partitioned per-constraint feed.
+* ``jsonl-flat`` — one flat JSON object per row (Parker-style unnesting,
+  ``converters.py:506-620``).
+* ``json-table`` — header line + positional row arrays (JsonML-style,
+  ``converters.py:886-958``).
 """
 
 from __future__ import annotations
@@ -255,8 +260,63 @@ def _read_parquet_by_constraint(path: str) -> pd.DataFrame:
     return out.sort_values(_SORT, kind="mergesort").reset_index(drop=True)
 
 
+def _write_jsonl_flat(violations_dir: str, out_path: str) -> None:
+    """One flat JSON object per canonical violation row (the Parker-style
+    unnested convention, reference ``converters.py:506-620`` — keys are the
+    column names, no grouping) — the layout log shippers / jq pipelines
+    consume directly. Streamed batch-wise; canonical row order preserved
+    line-for-line."""
+    with open(out_path, "w") as f:
+        for batch in _iter_canonical_batches(violations_dir):
+            for row in batch.to_pylist():
+                f.write(json.dumps(row, sort_keys=True) + "\n")
+
+
+def _read_jsonl_flat(path: str) -> pd.DataFrame:
+    rows = [json.loads(line) for line in open(path)]
+    if not rows:
+        return pd.DataFrame(columns=_COLS)
+    df = pd.DataFrame(rows)[_COLS]
+    df["partition_id"] = df["partition_id"].astype("int32")
+    return df.sort_values(_SORT, kind="mergesort").reset_index(drop=True)
+
+
+def _write_json_table(violations_dir: str, out_path: str) -> None:
+    """Compact array-of-arrays table (the JsonML-style positional
+    convention, reference ``converters.py:886-958``): line 1 is the JSON
+    header array, every further line one row as a JSON value array — the
+    column names ship ONCE, not once per row (the layout's point at
+    violation volumes). Streamed batch-wise in canonical order."""
+    with open(out_path, "w") as f:
+        f.write(json.dumps(_COLS) + "\n")
+        for batch in _iter_canonical_batches(violations_dir):
+            for tup in zip(*(batch[c].to_pylist() for c in _COLS)):
+                f.write(json.dumps(list(tup)) + "\n")
+
+
+def _read_json_table(path: str) -> pd.DataFrame:
+    with open(path) as f:
+        header_line = f.readline()
+        if not header_line:
+            return pd.DataFrame(columns=_COLS)
+        header = json.loads(header_line)
+        if header != _COLS:
+            raise ValueError(
+                f"json-table header {header!r} does not match the canonical "
+                f"violation columns {_COLS!r}"
+            )
+        rows = [json.loads(line) for line in f]
+    if not rows:
+        return pd.DataFrame(columns=_COLS)
+    df = pd.DataFrame(rows, columns=_COLS)
+    df["partition_id"] = df["partition_id"].astype("int32")
+    return df.sort_values(_SORT, kind="mergesort").reset_index(drop=True)
+
+
 register_formatter("jsonl-by-key", _write_jsonl_by_key, _read_jsonl_by_key)
 register_formatter("csv", _write_csv, _read_csv)
 register_formatter(
     "parquet-by-constraint", _write_parquet_by_constraint, _read_parquet_by_constraint
 )
+register_formatter("jsonl-flat", _write_jsonl_flat, _read_jsonl_flat)
+register_formatter("json-table", _write_json_table, _read_json_table)

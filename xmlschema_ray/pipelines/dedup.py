@@ -876,9 +876,13 @@ def minhash_verified_pairs(
     # and hash-bucket-join them to the pairs by each side
     cand = hash_partition_apply(cand, ["a", "b"], lambda p: p.drop_duplicates()).materialize()
     cand_pdf_ids = cand.select_columns(["a", "b"]).to_pandas()
+    if not len(cand_pdf_ids.columns) or not len(cand_pdf_ids):
+        # no candidates (a fully-empty pipeline also collapses the schema,
+        # so guard on columns too): honor the (edges, docs, n_nodes)
+        # contract — a bare label Dataset here crashed every
+        # 3-tuple-unpacking caller
+        return rd.from_pandas(_empty_edges), ds, n_nodes
     cand_ids = pd.unique(pd.concat([cand_pdf_ids["a"], cand_pdf_ids["b"]]))
-    if cand_ids.size == 0:
-        return _label_stream(ds, {})
 
     scand = semi_join(
         ds.map_batches(shingle_rows, batch_format="pandas"), cand_ids, on="doc_id"
