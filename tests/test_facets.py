@@ -66,6 +66,29 @@ def test_item_facets_flags_parent_and_reports_first_offender():
     assert reprs[1] == "item=-1"
 
 
+def test_item_facets_nan_items_not_masked_by_minmax_fast_path():
+    """A NaN item poisons Arrow's min_max aggregate (both bounds NaN, every
+    bound comparison False), which declared the batch CLEAN on the fast
+    path while the exact per-item path flags NaN as failing every range
+    facet — regression: both paths must agree. NaN must be a real float
+    NaN, not an Arrow null (pa.array from numpy, CLAUDE.md)."""
+    flat = np.array([1.0, 2.0, np.nan, 3.0, 4.0], dtype=np.float64)
+    lst = pa.ListArray.from_arrays(
+        pa.array([0, 2, 3, 5], type=pa.int32()),
+        pa.array(flat, from_pandas=False),
+    )
+    assert lst.values.null_count == 0  # NaN stayed a value, not a null
+    f = F.ItemFacets((F.MinInclusive(0.0), F.MaxInclusive(10.0)))
+    m, reprs = f.check(lst)
+    # row 1 holds the NaN: NaN >= 0.0 is False -> range violation
+    assert m.tolist() == [False, True, False]
+    assert "nan" in str(reprs[1])
+    # a genuinely clean float batch still takes the aggregate shortcut
+    clean = pa.array([[1.0, 2.0], [3.0]], type=pa.list_(pa.float64()))
+    m2, _ = f.check(clean)
+    assert m2.tolist() == [False, False]
+
+
 def test_item_facets_on_sliced_array():
     lst = pa.array([[99999], [1], [2], [-5]], type=pa.list_(pa.int32())).slice(1, 3)
     f = F.ItemFacets((F.MinInclusive(0), F.MaxExclusive(50257)))

@@ -446,26 +446,33 @@ class ItemFacets(Facet):
         min/max aggregate already satisfies every bound."""
         if len(values) == 0:
             return True
-        mm = None
+        rng = (MinInclusive, MinExclusive, MaxInclusive, MaxExclusive)
+        if not all(isinstance(f, rng) for f in self.facets):
+            return False  # non-range facet: no aggregate shortcut
+        if not self.facets:
+            return True
+        if pa.types.is_floating(values.type) and bool(
+            pc.any(pc.is_nan(values)).as_py()
+        ):
+            # a NaN item fails every range comparison in the exact per-item
+            # path, but it is INVISIBLE to the aggregate shortcut (this
+            # Arrow's min_max skips NaN; other versions poison both bounds
+            # — guarded below either way). No shortcut: fall through so
+            # both paths agree.
+            return False
+        mm = pc.min_max(values)
+        mn, mx = mm["min"].as_py(), mm["max"].as_py()
+        if mn is None or mn != mn or mx != mx:
+            return False
         for f in self.facets:
-            if isinstance(f, MinInclusive):
-                mm = mm or pc.min_max(values)
-                if mm["min"].as_py() < f.value:
-                    return False
-            elif isinstance(f, MinExclusive):
-                mm = mm or pc.min_max(values)
-                if mm["min"].as_py() <= f.value:
-                    return False
-            elif isinstance(f, MaxInclusive):
-                mm = mm or pc.min_max(values)
-                if mm["max"].as_py() > f.value:
-                    return False
-            elif isinstance(f, MaxExclusive):
-                mm = mm or pc.min_max(values)
-                if mm["max"].as_py() >= f.value:
-                    return False
-            else:
-                return False  # non-range facet: no aggregate shortcut
+            if isinstance(f, MinInclusive) and mn < f.value:
+                return False
+            if isinstance(f, MinExclusive) and mn <= f.value:
+                return False
+            if isinstance(f, MaxInclusive) and mx > f.value:
+                return False
+            if isinstance(f, MaxExclusive) and mx >= f.value:
+                return False
         return True
 
     def lint(self, dtype):
