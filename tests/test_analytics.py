@@ -402,3 +402,61 @@ def test_gini_exactness_and_bounds(ray_session):
     num, den = 2 * sixi - (n + 1) * sx, n * sx
     assert g == (2 * num * 1_000_000_000 + den) // (2 * den)
     assert int(out["n"].iloc[0]) == n and int(out["total_cents"].iloc[0]) == sx
+
+
+def test_hll_sliding_window_registers_and_estimate(ray_session):
+    """Sliding-window HLL: (1) every (window, bucket, rank) register cell
+    equals a direct single-process recompute (the merge-by-max across
+    batches and window members loses nothing); (2) the engine's own
+    hll_estimate over each window's dense register array lands within
+    the sketch's error envelope of the EXACT trailing-window distinct
+    user count (the weekly_active_users cross-check)."""
+    import hashlib
+
+    from xmlschema_ray.engine.stats import hll_estimate
+    from xmlschema_ray.pipelines.analytics import hll_sliding_window_users
+
+    out = hll_sliding_window_users(SF)
+    ev = pd.read_parquet(SF + "/events.parquet", columns=["user_id", "ts"])
+    day = (
+        ev["ts"].to_numpy("datetime64[us]").view(np.int64) // 86_400_000_000
+    ).astype(np.int64)
+    uid = ev["user_id"].to_numpy(np.int64)
+
+    # direct register recompute
+    shift = 52
+    uu = np.unique(uid)
+    hmap = {
+        int(u): int.from_bytes(hashlib.md5(str(int(u)).encode()).digest()[:8], "big")
+        for u in uu
+    }
+    rows = {}
+    exact = {}
+    for d, u in zip(day, uid):
+        for o in range(7):
+            w = int(d) + o
+            h = hmap[int(u)]
+            b = h >> shift
+            rem = h & ((1 << shift) - 1)
+            rank = (shift + 1) - rem.bit_length() if rem else shift + 1
+            key = (w, b)
+            rows[key] = max(rows.get(key, 0), rank)
+            exact.setdefault(w, set()).add(int(u))
+    expect = (
+        pd.DataFrame(
+            [(w, b, r) for (w, b), r in rows.items()],
+            columns=["window_end_day", "bucket", "rank"],
+        )
+        .sort_values(["window_end_day", "bucket"])
+        .reset_index(drop=True)
+        .astype("int64")
+    )
+    pd.testing.assert_frame_equal(out, expect)
+
+    # estimate within the sketch envelope of the exact rolling distinct
+    for w, g in out.groupby("window_end_day"):
+        reg = np.zeros(4096, dtype=np.uint8)
+        reg[g["bucket"].to_numpy(np.int64)] = g["rank"].to_numpy(np.int64)
+        est = hll_estimate(reg)
+        true = len(exact[int(w)])
+        assert abs(est - true) <= max(10, 0.1 * true), (w, est, true)

@@ -51,6 +51,7 @@ __all__ = [
     "k_anonymity_audit",
     "gini_revenue_concentration",
     "seasonal_decompose_daily",
+    "hll_sliding_window_users",
     "bfs_hops_from_edges",
     "QUERIES",
     "ORACLES",
@@ -1838,7 +1839,140 @@ ORDER BY digit
 """
 
 
+def hll_sliding_window_users(
+    sf_dir: str, window_days: int = 7, p: int = 12
+) -> pd.DataFrame:
+    """SLIDING-WINDOW HyperLogLog distinct-user registers — the mergeable
+    sketch × temporal window composition (the reason mergeable sketches
+    exist in streaming systems: keep one tiny per-day sketch and answer
+    ANY trailing window by register-max merge, never rescanning history).
+    The approximate sibling of the exact ``weekly_active_users`` rolling
+    COUNT DISTINCT: that op ships compressed (window, user) pairs and
+    pays a user-cardinality exchange per window; this one ships ≤ m
+    register rows per day regardless of user count — at 10^9 users/day
+    the difference between a corpus-sized exchange and a 4096-row one.
+    Window membership merges by MAX, which is idempotent, so per-batch
+    partials need no pre-distinct (cross-batch duplicate (day, user)
+    contributions collapse in the combiner) and late/duplicate feeds
+    never inflate the sketch — the exactly-once-free property counting
+    can't give.
+    Registers follow the repo's md5-HLL oracle convention
+    (``hll_vocab_by_source``): 64-bit hash = first 16 md5 hex chars of
+    the user id, top ``p`` bits pick the register, rank = leading-zero
+    count of the remaining 64−p bits + 1 (cap 64−p+1), derived with
+    EXACT integer algebra (frexp on a < 2^52 remainder) — DuckDB
+    re-derives every (window, bucket, rank) cell in string algebra, so
+    the compare proves the bucket/rank/window-merge machinery
+    bit-for-bit, not an estimate tolerance. Day keys are pure integer
+    epoch arithmetic (epoch_us // 86.4e9 — no calendar trap); output is
+    one row per (window_end_day, hit register).
+    """
+    import hashlib
+
+    from xmlschema_ray.ops.relational import combiner_aggregate, to_pandas_with_schema
+
+    if p != 12:
+        raise ValueError(
+            "hll_sliding_window_users: p=12 is the oracle contract (3 hex "
+            "chars of bucket, 13-char remainder < 2^52 so frexp is exact)"
+        )
+    shift = 64 - p
+    day_us = np.int64(86_400_000_000)
+    ds = rd.read_parquet(table_path(sf_dir, "events"), columns=["user_id", "ts"])
+
+    def partial(batch: pd.DataFrame) -> pd.DataFrame:
+        empty = pd.DataFrame(
+            {
+                "window_end_day": pd.Series([], dtype="int64"),
+                "bucket": pd.Series([], dtype="int64"),
+                "rank": pd.Series([], dtype="int64"),
+            }
+        )
+        if not len(batch):
+            return empty
+        day = (
+            batch["ts"].to_numpy("datetime64[us]").view(np.int64) // day_us
+        ).astype(np.int64)
+        uid = batch["user_id"].to_numpy(np.int64)
+        # md5 once per DISTINCT user in the batch, fanned back out
+        uu, inv = np.unique(uid, return_inverse=True)
+        h = np.fromiter(
+            (
+                int.from_bytes(hashlib.md5(str(int(u)).encode()).digest()[:8], "big")
+                for u in uu
+            ),
+            dtype=np.uint64,
+            count=len(uu),
+        )
+        bucket = (h >> np.uint64(shift)).astype(np.int64)[inv]
+        rem = (h & np.uint64((1 << shift) - 1)).astype(np.float64)
+        exp = np.frexp(rem)[1]
+        rank = np.where(rem > 0, (shift + 1) - exp, shift + 1).astype(np.int64)[inv]
+        d = pd.DataFrame({"day": day, "bucket": bucket, "rank": rank})
+        # max is idempotent: per-(day, bucket) max partial, then explode
+        # each day to its window_days window members
+        g = d.groupby(["day", "bucket"], as_index=False)["rank"].max()
+        frames = [
+            pd.DataFrame(
+                {
+                    "window_end_day": g["day"].to_numpy(np.int64) + o,
+                    "bucket": g["bucket"].to_numpy(np.int64),
+                    "rank": g["rank"].to_numpy(np.int64),
+                }
+            )
+            for o in range(window_days)
+        ]
+        return pd.concat(frames, ignore_index=True)
+
+    merged = to_pandas_with_schema(
+        combiner_aggregate(
+            ds.map_batches(partial, batch_format="pandas"),
+            ["window_end_day", "bucket"],
+            {"rank": ("rank", "max")},
+        )
+    )
+    merged = merged.astype(
+        {"window_end_day": "int64", "bucket": "int64", "rank": "int64"}
+    )
+    return merged.sort_values(["window_end_day", "bucket"]).reset_index(drop=True)
+
+
+# register replay in pure string algebra (the hll_vocab_by_source
+# convention at p=12): bucket = top 3 hex chars, rank = 4·(leading zero
+# nibbles of the 13-char remainder) + intra-nibble zeros + 1, cap 53.
+HLL_SLIDING_WINDOW_SQL = """
+WITH du AS (
+  SELECT DISTINCT epoch_us(ts) // 86400000000 AS day, user_id FROM events
+), w AS (
+  SELECT day + o AS window_end_day, user_id
+  FROM du, (VALUES (0), (1), (2), (3), (4), (5), (6)) AS offs(o)
+), h AS (
+  SELECT DISTINCT window_end_day, md5(CAST(user_id AS VARCHAR)) AS x FROM w
+), b AS (
+  SELECT window_end_day,
+    CAST((strpos('0123456789abcdef', substring(x, 1, 1)) - 1) * 256
+       + (strpos('0123456789abcdef', substring(x, 2, 1)) - 1) * 16
+       + (strpos('0123456789abcdef', substring(x, 3, 1)) - 1) AS BIGINT) AS bucket,
+    length(regexp_extract(substring(x, 4, 13), '^0*')) AS z,
+    substring(x, 4 + length(regexp_extract(substring(x, 4, 13), '^0*')), 1) AS c
+  FROM h
+), r AS (
+  SELECT window_end_day, bucket,
+    CAST(CASE WHEN z = 13 THEN 53
+         ELSE 4 * z + (CASE WHEN c = '1' THEN 3
+                            WHEN c IN ('2', '3') THEN 2
+                            WHEN c IN ('4', '5', '6', '7') THEN 1
+                            ELSE 0 END) + 1
+    END AS BIGINT) AS rank
+  FROM b
+)
+SELECT window_end_day, bucket, MAX(rank) AS rank
+FROM r GROUP BY 1, 2 ORDER BY 1, 2
+"""
+
+
 QUERIES = {
+    "hll_sliding_window_users": hll_sliding_window_users,
     "pareto_orders": pareto_orders,
     "peak_concurrent_sessions": peak_concurrent_sessions,
     "events_daily_gapfill": events_daily_gapfill,
@@ -1856,6 +1990,7 @@ QUERIES = {
 }
 
 ORACLES = {
+    "hll_sliding_window_users": HLL_SLIDING_WINDOW_SQL,
     "benford_price_audit": BENFORD_PRICE_SQL,
     "k_anonymity_audit": K_ANONYMITY_SQL,
     "gini_revenue_concentration": GINI_REVENUE_SQL,
