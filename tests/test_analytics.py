@@ -460,3 +460,41 @@ def test_hll_sliding_window_registers_and_estimate(ray_session):
         est = hll_estimate(reg)
         true = len(exact[int(w)])
         assert abs(est - true) <= max(10, 0.1 * true), (w, est, true)
+
+
+def test_rolling_quantile_sketch_merge_and_accuracy(ray_session):
+    """Rolling histogram-quantile sketch: per-window totals equal the
+    exact trailing-window event counts (the additive merge loses
+    nothing), and the sketch p50/p95 land within one bin width of the
+    EXACT trailing-window percentile of the raw values."""
+    from xmlschema_ray.pipelines.analytics import (
+        _RQS_WIDTH_C,
+        rolling_value_quantile_sketch,
+    )
+
+    out = rolling_value_quantile_sketch(SF)
+    ev = pd.read_parquet(SF + "/events.parquet", columns=["ts", "value"]).dropna(
+        subset=["value"]
+    )
+    day = (
+        ev["ts"].to_numpy("datetime64[us]").view(np.int64) // 86_400_000_000
+    ).astype(np.int64)
+    c = np.floor(ev["value"].to_numpy(np.float64) * 100 + 0.5).astype(np.int64)
+    by_window = {}
+    for d, v in zip(day, c):
+        for o in range(7):
+            by_window.setdefault(int(d) + o, []).append(int(v))
+    assert set(out["window_end_day"]) == set(by_window)
+    for row in out.itertuples(index=False):
+        vals = np.sort(np.array(by_window[int(row.window_end_day)], dtype=np.float64))
+        n = len(vals)
+        assert int(row.n_events) == n
+        for q, got in ((0.5, row.p50_c), (0.95, row.p95_c)):
+            # the histogram quantile targets rank q·N: the ceil(qN)-th
+            # smallest value lies in the bin the interpolation lands in
+            # (cum[i-1] < qN <= cum[i]), so sketch and order statistic
+            # differ by less than one bin width
+            v_target = vals[min(n - 1, max(0, int(np.ceil(q * n)) - 1))]
+            assert abs(got - v_target) <= _RQS_WIDTH_C, (
+                row.window_end_day, q, got, v_target,
+            )

@@ -52,6 +52,7 @@ __all__ = [
     "gini_revenue_concentration",
     "seasonal_decompose_daily",
     "hll_sliding_window_users",
+    "rolling_value_quantile_sketch",
     "bfs_hops_from_edges",
     "QUERIES",
     "ORACLES",
@@ -1937,6 +1938,139 @@ def hll_sliding_window_users(
     return merged.sort_values(["window_end_day", "bucket"]).reset_index(drop=True)
 
 
+_RQS_BINS = 25
+_RQS_WIDTH_C = 1600  # cents per bin: 25 bins cover value ∈ [0, 400)
+
+
+def rolling_value_quantile_sketch(
+    sf_dir: str, window_days: int = 7
+) -> pd.DataFrame:
+    """ROLLING QUANTILES from mergeable histogram sketches — the ADDITIVE
+    sketch × temporal window composition pairing
+    :func:`hll_sliding_window_users`' max-merge one (the two merge
+    algebras of streaming sketch systems): per-day fixed-bin int64
+    histograms of the event value merge BY ADDITION into every trailing
+    ``window_days`` window, then p50/p95 interpolate from each window's
+    25-cell histogram — rolling latency-percentile dashboards without
+    ever co-locating a window's raw values (the exact rolling quantile
+    would ship every value to its window owner; this ships ≤25 integer
+    cells per day at any event rate).
+
+    Exactness: cells are integer counts (order-independent merge); the
+    quantile finish calls the ENGINE's own
+    :func:`~xmlschema_ray.engine.stats.histogram_quantiles`
+    interpolation, whose staged float expression the oracle replays
+    verbatim per window (the ``quantile_sketch_quantity`` convention,
+    windowed) — so the approximate quantiles compare bit-exact, proving
+    the sketch machinery rather than an estimate tolerance. Null values
+    are excluded on both engines; out-of-range values clip into the
+    boundary bins identically (LEAST/GREATEST mirror)."""
+    from xmlschema_ray.engine.stats import histogram_quantiles
+    from xmlschema_ray.ops.relational import combiner_aggregate, to_pandas_with_schema
+    from xmlschema_ray.pipelines.common import cents
+
+    day_us = np.int64(86_400_000_000)
+    edges = np.arange(0.0, (_RQS_BINS + 1) * _RQS_WIDTH_C, _RQS_WIDTH_C, dtype=np.float64)
+    ds = rd.read_parquet(table_path(sf_dir, "events"), columns=["ts", "value"])
+
+    def partial(batch: pd.DataFrame) -> pd.DataFrame:
+        empty = pd.DataFrame(
+            {
+                "window_end_day": pd.Series([], dtype="int64"),
+                "bin": pd.Series([], dtype="int64"),
+                "n": pd.Series([], dtype="int64"),
+            }
+        )
+        ok = batch["value"].notna().to_numpy()
+        if not ok.any():
+            return empty
+        day = (
+            batch["ts"].to_numpy("datetime64[us]").view(np.int64) // day_us
+        ).astype(np.int64)[ok]
+        c = cents(batch["value"].to_numpy()[ok])
+        b = np.clip(c // _RQS_WIDTH_C, 0, _RQS_BINS - 1)
+        g = (
+            pd.DataFrame({"day": day, "bin": b})
+            .groupby(["day", "bin"], as_index=False)
+            .size()
+            .rename(columns={"size": "n"})
+        )
+        frames = [
+            pd.DataFrame(
+                {
+                    "window_end_day": g["day"].to_numpy(np.int64) + o,
+                    "bin": g["bin"].to_numpy(np.int64),
+                    "n": g["n"].to_numpy(np.int64),
+                }
+            )
+            for o in range(window_days)
+        ]
+        return pd.concat(frames, ignore_index=True)
+
+    cells = to_pandas_with_schema(
+        combiner_aggregate(
+            ds.map_batches(partial, batch_format="pandas"),
+            ["window_end_day", "bin"],
+            {"n": ("n", "sum")},
+        )
+    )
+    rows = []
+    for w, g in cells.groupby("window_end_day", sort=True):
+        hist = np.zeros(_RQS_BINS, dtype=np.int64)
+        hist[g["bin"].to_numpy(np.int64)] = g["n"].to_numpy(np.int64)
+        qs = histogram_quantiles(hist, edges, qs=(0.5, 0.95))
+        rows.append(
+            {
+                "window_end_day": np.int64(w),
+                "n_events": np.int64(hist.sum()),
+                "p50_c": qs["p50"],
+                "p95_c": qs["p95"],
+            }
+        )
+    return pd.DataFrame(rows).astype({"window_end_day": "int64", "n_events": "int64"})
+
+
+ROLLING_QUANTILE_SKETCH_SQL = f"""
+WITH e AS (
+  SELECT epoch_us(ts) // 86400000000 AS day,
+         LEAST(GREATEST(CAST(floor(value * 100 + 0.5) AS BIGINT) // {_RQS_WIDTH_C}, 0),
+               {_RQS_BINS - 1}) AS b
+  FROM events WHERE value IS NOT NULL
+), w AS (
+  SELECT day + o AS wd, b FROM e, (VALUES (0), (1), (2), (3), (4), (5), (6)) AS offs(o)
+), h AS (
+  SELECT wd, b, CAST(COUNT(*) AS BIGINT) AS n FROM w GROUP BY 1, 2
+), g AS (
+  SELECT wds.wd, r.range AS b, CAST(COALESCE(h.n, 0) AS BIGINT) AS n
+  FROM (SELECT DISTINCT wd FROM h) wds CROSS JOIN range(0, {_RQS_BINS}) r
+  LEFT JOIN h ON h.wd = wds.wd AND h.b = r.range
+), c AS (
+  SELECT wd, b, n,
+    CAST(SUM(n) OVER (PARTITION BY wd ORDER BY b) AS BIGINT) AS cum,
+    CAST(SUM(n) OVER (PARTITION BY wd) AS BIGINT) AS total
+  FROM g
+), qv AS (
+  SELECT * FROM (VALUES ('p50', 0.5), ('p95', 0.95)) t(lbl, q)
+), pick AS (
+  SELECT c.wd, qv.lbl, qv.q, MIN(c.b) AS i
+  FROM qv JOIN c ON CAST(c.cum AS DOUBLE) >= qv.q * CAST(c.total AS DOUBLE)
+  GROUP BY 1, 2, 3
+), vals AS (
+  SELECT p.wd, p.lbl,
+    CAST(c.b * {_RQS_WIDTH_C} AS DOUBLE)
+      + ((p.q * CAST(c.total AS DOUBLE) - (CAST(c.cum AS DOUBLE) - CAST(c.n AS DOUBLE)))
+         / CAST(c.n AS DOUBLE)) * {_RQS_WIDTH_C}.0 AS v
+  FROM pick p JOIN c ON c.wd = p.wd AND c.b = p.i
+)
+SELECT t.wd AS window_end_day,
+       CAST(t.total AS BIGINT) AS n_events,
+       MAX(CASE WHEN lbl = 'p50' THEN v END) AS p50_c,
+       MAX(CASE WHEN lbl = 'p95' THEN v END) AS p95_c
+FROM (SELECT DISTINCT wd, total FROM c) t JOIN vals ON vals.wd = t.wd
+GROUP BY 1, 2 ORDER BY 1
+"""
+
+
 # register replay in pure string algebra (the hll_vocab_by_source
 # convention at p=12): bucket = top 3 hex chars, rank = 4·(leading zero
 # nibbles of the 13-char remainder) + intra-nibble zeros + 1, cap 53.
@@ -1973,6 +2107,7 @@ FROM r GROUP BY 1, 2 ORDER BY 1, 2
 
 QUERIES = {
     "hll_sliding_window_users": hll_sliding_window_users,
+    "rolling_value_quantile_sketch": rolling_value_quantile_sketch,
     "pareto_orders": pareto_orders,
     "peak_concurrent_sessions": peak_concurrent_sessions,
     "events_daily_gapfill": events_daily_gapfill,
@@ -1991,6 +2126,7 @@ QUERIES = {
 
 ORACLES = {
     "hll_sliding_window_users": HLL_SLIDING_WINDOW_SQL,
+    "rolling_value_quantile_sketch": ROLLING_QUANTILE_SKETCH_SQL,
     "benford_price_audit": BENFORD_PRICE_SQL,
     "k_anonymity_audit": K_ANONYMITY_SQL,
     "gini_revenue_concentration": GINI_REVENUE_SQL,
