@@ -145,6 +145,12 @@ QUERY_NAMES = [
     # PCA (one exact moment pass + driver integer iteration)
     "val_struct_key_dups",
     "embedding_top_component",
+    # round-5 continuation: the two windowed-sketch compositions — HLL
+    # registers merged by idempotent MAX into trailing windows (≤4096
+    # register rows/day at any user count) and per-day histograms merged
+    # by ADDITION with the bit-exact interpolated p50/p95 finish
+    "hll_sliding_window_users",
+    "rolling_value_quantile_sketch",
 ]
 
 
