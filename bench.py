@@ -151,6 +151,9 @@ QUERY_NAMES = [
     # by ADDITION with the bit-exact interpolated p50/p95 finish
     "hll_sliding_window_users",
     "rolling_value_quantile_sketch",
+    # ...and the gaps-and-islands interval coalescer (one co-locating
+    # exchange + vectorized cummax sweep)
+    "event_activity_islands",
 ]
 
 

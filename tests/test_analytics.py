@@ -498,3 +498,50 @@ def test_rolling_quantile_sketch_merge_and_accuracy(ray_session):
             assert abs(got - v_target) <= _RQS_WIDTH_C, (
                 row.window_end_day, q, got, v_target,
             )
+
+
+def test_event_activity_islands_brute_force(ray_session):
+    """Gaps-and-islands coalescing equals a brute-force per-user merge:
+    islands are disjoint (strictly increasing, non-touching-after-merge),
+    cover every interval, and their event counts partition the user's
+    interval count."""
+    from xmlschema_ray.pipelines.analytics import event_activity_islands
+
+    out = event_activity_islands(SF)
+    ev = pd.read_parquet(
+        SF + "/events.parquet", columns=["event_id", "user_id", "ts", "value"]
+    ).dropna(subset=["ts", "value"])
+    s = ev["ts"].to_numpy("datetime64[us]").view(np.int64)
+    dur = (
+        np.floor(np.abs(ev["value"].to_numpy(np.float64)) * 1e6).astype(np.int64) * 997
+    ) % 86_400_000_000
+    e = s + dur
+    df = pd.DataFrame(
+        {"u": ev["user_id"].to_numpy(np.int64), "s": s, "e": e,
+         "eid": ev["event_id"].to_numpy(np.int64)}
+    ).sort_values(["u", "s", "eid"], kind="mergesort")
+    rows = []
+    for u, g in df.groupby("u", sort=True):
+        cur_s = cur_e = None
+        n = 0
+        k = 0
+        for _, r in g.iterrows():
+            if cur_s is None or r["s"] > cur_e:
+                if cur_s is not None:
+                    k += 1
+                    rows.append((u, k, cur_s, cur_e, n))
+                cur_s, cur_e, n = r["s"], r["e"], 1
+            else:
+                cur_e = max(cur_e, r["e"])
+                n += 1
+        k += 1
+        rows.append((u, k, cur_s, cur_e, n))
+    expect = pd.DataFrame(
+        rows, columns=["user_id", "island", "island_start_us", "island_end_us", "n_events"]
+    ).astype("int64").reset_index(drop=True)
+    pd.testing.assert_frame_equal(out, expect)
+    # disjointness: within a user, each island starts strictly after the
+    # previous island's end
+    for _, g in out.groupby("user_id"):
+        g = g.sort_values("island")
+        assert (g["island_start_us"].to_numpy()[1:] > g["island_end_us"].to_numpy()[:-1]).all()

@@ -53,6 +53,7 @@ __all__ = [
     "seasonal_decompose_daily",
     "hll_sliding_window_users",
     "rolling_value_quantile_sketch",
+    "event_activity_islands",
     "bfs_hops_from_edges",
     "QUERIES",
     "ORACLES",
@@ -1938,6 +1939,117 @@ def hll_sliding_window_users(
     return merged.sort_values(["window_end_day", "bucket"]).reset_index(drop=True)
 
 
+def event_activity_islands(sf_dir: str) -> pd.DataFrame:
+    """GAPS-AND-ISLANDS interval coalescing: merge each user's overlapping
+    (or touching) activity intervals into MAXIMAL islands — the classic
+    SQL-hard sequential shape completing the suite's interval family
+    (``no_overlap`` CHECKS intervals, ``session_window_overlap`` JOINS
+    them; this COALESCES them — the uptime/coverage primitive behind
+    "how long was the user actually active" and billing-period merging).
+
+    Intervals derive deterministically from the raw table exactly as
+    ``val_interval_overlap`` builds them ([ts, ts + dur) with
+    ``dur = floor(|value|·1e6)·997 mod 24 h``, exact int64 µs), so both
+    engines coalesce identical inputs. An island breaks where a start
+    strictly exceeds the RUNNING MAX of all earlier ends (touching
+    intervals merge) — the running max, not the previous end, because a
+    long early interval can swallow several later ones that an
+    adjacent-pair compare would split.
+
+    ONE co-locating hash exchange brings each user's intervals whole;
+    inside the partition the sweep is a vectorized sort + per-user int64
+    cummax + cumsum island ids + one grouped min/max/count — no per-user
+    Python. Output is island-sized; every column is exact integer µs, so
+    the oracle's window-function replay compares hash-exact."""
+    from xmlschema_ray.ops.relational import hash_partition_apply, to_pandas_with_schema
+
+    ds = rd.read_parquet(
+        table_path(sf_dir, "events"), columns=["event_id", "user_id", "ts", "value"]
+    )
+
+    empty = pd.DataFrame(
+        {
+            "user_id": pd.Series([], dtype="int64"),
+            "island": pd.Series([], dtype="int64"),
+            "island_start_us": pd.Series([], dtype="int64"),
+            "island_end_us": pd.Series([], dtype="int64"),
+            "n_events": pd.Series([], dtype="int64"),
+        }
+    )
+
+    def islands(part: pd.DataFrame) -> pd.DataFrame:
+        ok = (part["ts"].notna() & part["value"].notna()).to_numpy()
+        p = part[ok]
+        if not len(p):
+            return empty
+        s = p["ts"].to_numpy("datetime64[us]").view(np.int64)
+        v = p["value"].to_numpy(np.float64)
+        dur = (np.floor(np.abs(v) * 1e6).astype(np.int64) * 997) % 86_400_000_000
+        e = s + dur
+        d = pd.DataFrame(
+            {
+                "u": p["user_id"].to_numpy(np.int64),
+                "eid": p["event_id"].to_numpy(np.int64),
+                "s": s,
+                "e": e,
+            }
+        ).sort_values(["u", "s", "eid"], kind="mergesort")
+        u = d["u"].to_numpy()
+        sv = d["s"].to_numpy()
+        ev = d["e"].to_numpy()
+        new_user = np.empty(len(d), dtype=bool)
+        new_user[0] = True
+        np.not_equal(u[1:], u[:-1], out=new_user[1:])
+        grp = np.cumsum(new_user)
+        cm = pd.Series(ev).groupby(grp).cummax().to_numpy()
+        prevcov = np.roll(cm, 1)
+        brk = new_user | (sv > prevcov)
+        island_g = np.cumsum(brk)  # global island id across the partition
+        # per-user 1-based ordinal: subtract the user's first island id - 1
+        first_of_user = np.maximum.accumulate(np.where(new_user, island_g, 0))
+        island = island_g - first_of_user + 1
+        g = pd.DataFrame(
+            {"u": u, "island": island, "s": sv, "e": ev}
+        ).groupby(["u", "island"], as_index=False).agg(
+            island_start_us=("s", "min"),
+            island_end_us=("e", "max"),
+            n_events=("s", "size"),
+        )
+        return g.rename(columns={"u": "user_id"}).astype("int64")
+
+    out = to_pandas_with_schema(hash_partition_apply(ds, "user_id", islands))
+    if not len(out.columns):
+        return empty
+    return (
+        out.sort_values(["user_id", "island"]).reset_index(drop=True).astype("int64")
+    )
+
+
+EVENT_ACTIVITY_ISLANDS_SQL = """
+WITH iv AS (
+  SELECT event_id, user_id, epoch_us(ts) AS s,
+         epoch_us(ts)
+           + ((CAST(FLOOR(ABS(value) * 1000000) AS BIGINT) * 997) % 86400000000) AS e
+  FROM events WHERE ts IS NOT NULL AND value IS NOT NULL
+), o AS (
+  SELECT user_id, s, e,
+    MAX(e) OVER (PARTITION BY user_id ORDER BY s, event_id
+                 ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING) AS pc
+  FROM iv
+), g AS (
+  SELECT user_id, s, e,
+    SUM(CASE WHEN pc IS NULL OR s > pc THEN 1 ELSE 0 END)
+      OVER (PARTITION BY user_id ORDER BY s, e ROWS UNBOUNDED PRECEDING) AS island
+  FROM o
+)
+SELECT user_id, CAST(island AS BIGINT) AS island,
+       CAST(MIN(s) AS BIGINT) AS island_start_us,
+       CAST(MAX(e) AS BIGINT) AS island_end_us,
+       CAST(COUNT(*) AS BIGINT) AS n_events
+FROM g GROUP BY 1, 2 ORDER BY user_id, island
+"""
+
+
 _RQS_BINS = 25
 _RQS_WIDTH_C = 1600  # cents per bin: 25 bins cover value ∈ [0, 400)
 
@@ -2107,6 +2219,7 @@ FROM r GROUP BY 1, 2 ORDER BY 1, 2
 
 QUERIES = {
     "hll_sliding_window_users": hll_sliding_window_users,
+    "event_activity_islands": event_activity_islands,
     "rolling_value_quantile_sketch": rolling_value_quantile_sketch,
     "pareto_orders": pareto_orders,
     "peak_concurrent_sessions": peak_concurrent_sessions,
@@ -2126,6 +2239,7 @@ QUERIES = {
 
 ORACLES = {
     "hll_sliding_window_users": HLL_SLIDING_WINDOW_SQL,
+    "event_activity_islands": EVENT_ACTIVITY_ISLANDS_SQL,
     "rolling_value_quantile_sketch": ROLLING_QUANTILE_SKETCH_SQL,
     "benford_price_audit": BENFORD_PRICE_SQL,
     "k_anonymity_audit": K_ANONYMITY_SQL,
